@@ -1,38 +1,55 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship 5-way star join at sf0.001;
+``queries()``/``oracle_sql()`` expose every implemented operator from
+SURVEY.md §2 (+ the BASELINE.json extension operators) for the DuckDB
+differential gate. Registries live next to the operator implementations in
+``big_data_analytics_machine_learning_poc_spark/operators/*`` so the Spark query and its oracle
+SQL cannot drift apart.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from big_data_analytics_machine_learning_poc_spark.registry import QueryRegistry
+
+
+def _registry() -> QueryRegistry:
+    from big_data_analytics_machine_learning_poc_spark.operators import relational
+
+    reg = QueryRegistry()
+    reg.merge(relational.REG)
+    for mod_name in ("text", "dedup", "similarity", "encoding", "multimodal", "mlops", "streaming_ops"):
+        try:
+            mod = __import__(
+                f"big_data_analytics_machine_learning_poc_spark.operators.{mod_name}",
+                fromlist=[mod_name],
+            )
+            reg.merge(mod.REG)
+        except ImportError:
+            pass  # module not built yet (round-incremental)
+    return reg
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from big_data_analytics_machine_learning_poc_spark.operators.relational import (
+        flagship_regional_revenue,
+    )
+
+    return flagship_regional_revenue(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(_registry().queries)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(_registry().oracles)

@@ -1,0 +1,97 @@
+"""Exact-arithmetic aggregation helpers for oracle parity AND speed.
+
+All money/measure columns in the testdata are 2-decimal doubles. A plain
+double SUM is order-dependent in its low bits — on a 1000-executor cluster the
+partial-agg combine order is nondeterministic, so exactness must come from the
+type. Two exact strategies:
+
+- **cents (default)**: scale by 100 → int64, sum longs, divide back at the
+  end. Integer sums are associative/exact and stay in Tungsten's primitive
+  fast path (~6× faster than decimal aggregation here, and decimal(38,4)
+  aggregation showed multi-second GC outliers in profiling). Accumulator
+  headroom: int64 ≈ 9.2e18; a 2-decimal money column (≤1e6 dollars/row =
+  1e8 cents) overflows only past ~9e10 rows per *group accumulator* — and
+  revenue products (scale 10^4) past ~9e9 rows. ANSI mode (Spark 4 default)
+  turns any overflow into a loud error, not silent wrap.
+- **decimal**: DECIMAL(18,2) casts for unbounded-scale paths (window running
+  sums, small-group aggs) and as the documented promotion path when a
+  deployment's per-group row counts approach the int64 ceiling: swap
+  sum_money→sum_exact_dec, one line per query.
+
+Genuinely floating aggregates (corr, stddev, cosine) are rounded instead —
+see call sites.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------- cents path
+
+
+def cents(col: str | Column) -> Column:
+    """2-decimal double → exact integer count of hundredths, as long.
+
+    x*100 lands within 1 ulp of an integer; round() snaps it exactly. Both
+    engines compute the identical double product and round the same way
+    (inputs are never near .5 boundaries — they ARE integers ± 1 ulp).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(c * 100).cast("long")
+
+
+def cents_sql(expr: str) -> str:
+    return f"CAST(ROUND(({expr}) * 100) AS BIGINT)"
+
+
+def sum_money(col: str | Column, alias: str) -> Column:
+    return (F.sum(cents(col)) / F.lit(100.0)).alias(alias)
+
+
+def sum_money_sql(expr: str, alias: str) -> str:
+    return f"CAST(SUM({cents_sql(expr)}) AS DOUBLE) / 100.0 AS {alias}"
+
+
+def avg_money(col: str | Column, alias: str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return (F.sum(cents(c)) / F.lit(100.0) / F.count(c)).alias(alias)
+
+
+def avg_money_sql(expr: str, alias: str) -> str:
+    return f"CAST(SUM({cents_sql(expr)}) AS DOUBLE) / 100.0 / COUNT({expr}) AS {alias}"
+
+
+def revenue_item() -> Column:
+    """Exact per-item revenue units: price_cents × (100 − discount_cents),
+    scale 10^4 of dollars. For lineitem's extendedprice × (1 − discount)."""
+    return cents("l_extendedprice") * (F.lit(100) - cents("l_discount"))
+
+
+def sum_revenue(alias: str = "revenue") -> Column:
+    return (F.sum(revenue_item()) / F.lit(10_000.0)).alias(alias)
+
+
+def sum_revenue_sql(alias: str = "revenue") -> str:
+    return (
+        f"CAST(SUM({cents_sql('l_extendedprice')} * "
+        f"(100 - {cents_sql('l_discount')})) AS DOUBLE) / 10000.0 AS {alias}"
+    )
+
+
+# -------------------------------------------------------------- decimal path
+
+DEC = "decimal(18,2)"
+
+
+def dec(col: str | Column) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(DEC)
+
+
+def sum_exact_dec(col: str | Column, alias: str) -> Column:
+    return F.sum(dec(col)).cast("double").alias(alias)
+
+
+def sum_exact_dec_sql(expr: str, alias: str) -> str:
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(18,2))) AS DOUBLE) AS {alias}"

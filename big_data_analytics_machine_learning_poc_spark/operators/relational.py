@@ -1,0 +1,776 @@
+"""Relational operator surface (SURVEY.md §2.1–§2.6, §2.11 NEW basics).
+
+Covers every relational call-site family in the reference — projection/alias/
+cast (DataCorrelator.java:34-36, TfIdfCalculator.java:38-45,96-103), filter
+(DataCorrelator.java:53), na.drop (DataCorrelator.java:40,73;
+SpamClassification.java:49,54), groupBy aggregates (DataCorrelator.java:51,53;
+RandomForest.java:43,87), describe (RandomForest.java:37), Pearson corr
+(DataCorrelator.java:70; TfIdfCalculator.java:111), orderBy/limit
+(DataCorrelator.java:51,53; all show() sites) — plus the NEW surface the
+reference lacks entirely (§2.3/§2.11): joins of every flavor, set ops,
+distinct, window functions, rollup/cube, pivot/unpivot, scalar string/date/
+JSON functions, exact percentiles and distinct counts.
+
+Scale notes baked into the shapes below:
+- every aggregation is expressed declaratively → Catalyst plans partial+final
+  hash aggregation (map-side combine) automatically;
+- dimension-side joins use ``F.broadcast`` so the 100 TB fact table never
+  shuffles for a MB-scale dimension;
+- fact-fact joins are left to AQE (sort-merge with runtime skew splitting);
+- filters sit directly on scan columns so they push down into the parquet
+  reader (verified in tests/test_plans.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import load_table
+from ..functions.exact import (
+    avg_money,
+    avg_money_sql,
+    cents,
+    cents_sql,
+    dec,
+    sum_money,
+    sum_money_sql,
+    sum_revenue,
+    sum_revenue_sql,
+)
+from ..registry import QueryRegistry
+
+REG = QueryRegistry()
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------
+# Flagship: 5-way star join → revenue by region (entry() runs this)
+# --------------------------------------------------------------------------
+
+
+# Exact revenue on BOTH sides via the cents strategy (functions/exact.py):
+# integer sums are associative, so the result is identical regardless of
+# partitioning/accumulation order — and ~6× faster than decimal aggregation.
+_REVENUE_SQL = sum_revenue_sql("revenue")
+
+
+@REG.add(
+    "flagship_regional_revenue",
+    sql=f"""
+    SELECT r.r_name,
+           {_REVENUE_SQL},
+           COUNT(*) AS n_items,
+           COUNT(DISTINCT o.o_orderkey) AS n_orders
+    FROM region r
+    JOIN nation n ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY r.r_name
+    ORDER BY r.r_name
+    """,
+)
+def flagship_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """region ⋈ nation ⋈ customer ⋈ orders ⋈ lineitem → per-region revenue.
+
+    The three dimension tables are broadcast (region/nation are KBs, customer
+    is ~MBs at any sane sf vs a 100 TB lineitem); orders⋈lineitem is the one
+    real shuffle and AQE handles its partitioning.
+    """
+    region = _t(spark, sf_dir, "region")
+    nation = _t(spark, sf_dir, "nation")
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem")
+
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            sum_revenue("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+        .orderBy("r_name")
+    )
+
+
+# --------------------------------------------------------------------------
+# The six BASELINE.md benchmark queries (names match BASELINE rows)
+# --------------------------------------------------------------------------
+
+
+@REG.add(
+    "agg_avg_max",
+    sql=f"""
+    SELECT l_returnflag, l_linestatus,
+           {avg_money_sql("l_extendedprice", "avg_price")},
+           MAX(l_quantity) AS max_qty
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def agg_avg_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mirrors DataCorrelator.java:51 (groupBy → avg+max → orderBy)."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(avg_money("l_extendedprice", "avg_price"), F.max("l_quantity").alias("max_qty"))
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@REG.add(
+    "group_filter",
+    sql="""
+    SELECT o_orderstatus, o_orderpriority, MIN(o_totalprice) AS min_total
+    FROM orders
+    GROUP BY o_orderstatus, o_orderpriority
+    HAVING o_orderstatus = 'F'
+    ORDER BY o_orderpriority
+    """,
+)
+def group_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mirrors DataCorrelator.java:53: the filter on a grouping column is
+    written *after* the aggregate; Catalyst pushes it below the agg + sort."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(F.min("o_totalprice").alias("min_total"))
+        .filter(F.col("o_orderstatus") == "F")
+        .orderBy("o_orderpriority")
+    )
+
+
+@REG.add(
+    "join3_agg",
+    sql=f"""
+    SELECT c.c_mktsegment,
+           {_REVENUE_SQL},
+           COUNT(*) AS n_items
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY c.c_mktsegment
+    ORDER BY c.c_mktsegment
+    """,
+)
+def join3_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BASELINE's 3-way star join (NEW op — reference has no joins, §2.3)."""
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    # orders is deliberately NOT hint-broadcast: it is a fact table at 100 TB.
+    # AQE converts the sort-merge join to broadcast at small sf automatically.
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(sum_revenue("revenue"), F.count(F.lit(1)).alias("n_items"))
+        .orderBy("c_mktsegment")
+    )
+
+
+@REG.add(
+    "describe",
+    sql=f"""
+    SELECT COUNT(l_quantity) AS n,
+           {avg_money_sql("l_quantity", "mean_qty")},
+           ROUND(STDDEV_SAMP(l_quantity), 6) AS std_qty,
+           MIN(l_quantity) AS min_qty,
+           MAX(l_quantity) AS max_qty
+    FROM lineitem
+    """,
+)
+def describe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mirrors RandomForest.java:37 (describe()) as typed aggregates rather
+    than describe()'s all-string output. stddev is genuinely floating →
+    rounded to 6 decimals on both sides."""
+    return _t(spark, sf_dir, "lineitem").agg(
+        F.count("l_quantity").alias("n"),
+        avg_money("l_quantity", "mean_qty"),
+        F.round(F.stddev_samp("l_quantity"), 6).alias("std_qty"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+    )
+
+
+@REG.add(
+    "corr",
+    sql="SELECT ROUND(CORR(l_quantity, l_extendedprice), 6) AS corr_qty_price FROM lineitem",
+)
+def corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mirrors DataCorrelator.java:70 / TfIdfCalculator.java:111 (df.stat.corr)."""
+    return _t(spark, sf_dir, "lineitem").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price")
+    )
+
+
+@REG.add(
+    "group_count",
+    sql="""
+    SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def group_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mirrors RandomForest.java:43,87 (groupBy().count() distributions)."""
+    return (
+        _t(spark, sf_dir, "events").groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# Projection / filter / cleaning (§2.2)
+# --------------------------------------------------------------------------
+
+
+@REG.add(
+    "select_cast_alias",
+    sql="""
+    SELECT c_custkey, UPPER(c_name) AS c_name_upper,
+           CAST(FLOOR(c_acctbal) AS BIGINT) AS bal_floor, c_mktsegment
+    FROM customer
+    """,
+)
+def select_cast_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1–P3: projection with expression, alias and cast
+    (TfIdfCalculator.java:96-103, DataCorrelator.java:34-36)."""
+    return _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.upper("c_name").alias("c_name_upper"),
+        F.floor("c_acctbal").cast("bigint").alias("bal_floor"),
+        "c_mktsegment",
+    )
+
+
+@REG.add(
+    "filter_pred",
+    sql="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_discount
+    FROM lineitem
+    WHERE l_quantity BETWEEN 10 AND 20 AND l_discount > 0.05 AND l_returnflag = 'R'
+    """,
+)
+def filter_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4: conjunctive predicates — all push down to the parquet scan."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .filter(
+            F.col("l_quantity").between(10, 20)
+            & (F.col("l_discount") > 0.05)
+            & (F.col("l_returnflag") == "R")
+        )
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
+    )
+
+
+@REG.add(
+    "na_drop_count",
+    sql="""
+    SELECT COUNT(*) AS n_clean FROM documents
+    WHERE doc_id IS NOT NULL AND text IS NOT NULL AND lang IS NOT NULL
+      AND source IS NOT NULL AND n_chars IS NOT NULL
+    """,
+)
+def na_drop_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5: na.drop() (DataCorrelator.java:40,73; SpamClassification.java:49,54)."""
+    return _t(spark, sf_dir, "documents").na.drop().agg(F.count(F.lit(1)).alias("n_clean"))
+
+
+# --------------------------------------------------------------------------
+# Sorts / limits (§2.5)
+# --------------------------------------------------------------------------
+
+
+@REG.add(
+    "topk_orders",
+    sql="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+)
+def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1+O2: global sort + limit. Spark plans TakeOrderedAndProject — a
+    per-partition top-k then a single-reduce merge; no full sort at scale."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(10)
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+# --------------------------------------------------------------------------
+# Joins (§2.3 — NEW surface; no reference call sites)
+# --------------------------------------------------------------------------
+
+
+@REG.add(
+    "join_inner_agg",
+    sql=f"""
+    SELECT c.c_nationkey, {sum_money_sql("o.o_totalprice", "total_price")}, COUNT(*) AS n_orders
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_nationkey ORDER BY c.c_nationkey
+    """,
+)
+def join_inner_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .groupBy("c_nationkey")
+        .agg(sum_money("o_totalprice", "total_price"), F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("c_nationkey")
+    )
+
+
+@REG.add(
+    "join_left_counts",
+    sql="""
+    WITH per_cust AS (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS n_orders
+      FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_custkey
+    )
+    SELECT n_orders, COUNT(*) AS n_customers FROM per_cust GROUP BY n_orders ORDER BY n_orders
+    """,
+)
+def join_left_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving customers with zero orders, then a
+    distribution over order counts (two-level aggregation)."""
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(F.count(F.lit(1)).alias("n_customers")).orderBy("n_orders")
+
+
+@REG.add(
+    "join_semi",
+    sql="""
+    SELECT c_mktsegment, COUNT(*) AS n FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("c_mktsegment")
+    )
+
+
+@REG.add(
+    "join_anti",
+    sql="""
+    SELECT c_nationkey, COUNT(*) AS n FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c_nationkey ORDER BY c_nationkey
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("c_nationkey")
+    )
+
+
+@REG.add(
+    "join_broadcast_dim",
+    sql=f"""
+    SELECT p.p_brand, {sum_money_sql("l.l_quantity", "total_qty")}, COUNT(*) AS n
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_brand ORDER BY p.p_brand
+    """,
+)
+def join_broadcast_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact ⋈ small dimension: explicitly broadcast so the 100 TB side never
+    shuffles (plan asserted in tests/test_plans.py)."""
+    lineitem = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    return (
+        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(sum_money("l_quantity", "total_qty"), F.count(F.lit(1)).alias("n"))
+        .orderBy("p_brand")
+    )
+
+
+# --------------------------------------------------------------------------
+# Set operations / distinct (§2.11)
+# --------------------------------------------------------------------------
+
+
+@REG.add(
+    "setop_union",
+    sql="""
+    SELECT c_nationkey AS nationkey FROM customer
+    UNION
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def setop_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.union(s).distinct()
+
+
+@REG.add(
+    "setop_intersect",
+    sql="""
+    SELECT DISTINCT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT DISTINCT s_nationkey FROM supplier
+    """,
+)
+def setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+@REG.add(
+    "setop_except",
+    sql="""
+    SELECT DISTINCT n_nationkey AS nationkey FROM nation
+    EXCEPT
+    SELECT DISTINCT s_nationkey FROM supplier
+    """,
+)
+def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = _t(spark, sf_dir, "nation").select(F.col("n_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return n.exceptAll(s).distinct()
+
+
+@REG.add(
+    "distinct_pairs",
+    sql="SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders",
+)
+def distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "orders").select("o_orderstatus", "o_orderpriority").dropDuplicates()
+
+
+@REG.add(
+    "distinct_count_users",
+    sql="SELECT COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events FROM events",
+)
+def distinct_count_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "events").agg(
+        F.countDistinct("user_id").alias("n_users"), F.count(F.lit(1)).alias("n_events")
+    )
+
+
+# --------------------------------------------------------------------------
+# Window functions (§2.11 — NEW; needed for top-k per group, StringIndexer oracle)
+# --------------------------------------------------------------------------
+
+
+@REG.add(
+    "window_topk_per_group",
+    sql="""
+    SELECT c_mktsegment, c_custkey, c_acctbal, rn FROM (
+      SELECT c_mktsegment, c_custkey, c_acctbal,
+             ROW_NUMBER() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS rn
+      FROM customer
+    ) WHERE rn <= 3
+    """,
+)
+def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 customers by balance per segment — the canonical top-k-per-group
+    window; one hash-shuffle on the partition key, no global sort."""
+    w = Window.partitionBy("c_mktsegment").orderBy(F.col("c_acctbal").desc(), "c_custkey")
+    return (
+        _t(spark, sf_dir, "customer")
+        .select("c_mktsegment", "c_custkey", "c_acctbal", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@REG.add(
+    "window_running_sum",
+    sql="""
+    SELECT user_id, event_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+                PARTITION BY user_id ORDER BY event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
+    FROM events WHERE user_id < 50
+    """,
+)
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running sum per user — decimal accumulation so every prefix is exact."""
+    w = Window.partitionBy("user_id").orderBy("event_id").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 50)
+        .select("user_id", "event_id", F.sum(dec("value")).over(w).cast("double").alias("running_value"))
+    )
+
+
+@REG.add(
+    "window_lag_delta",
+    sql="""
+    SELECT user_id, event_id,
+           CAST(CAST(value AS DECIMAL(18,2)) - LAG(CAST(value AS DECIMAL(18,2))) OVER (
+                PARTITION BY user_id ORDER BY event_id) AS DOUBLE) AS delta
+    FROM events WHERE user_id < 50
+    """,
+)
+def window_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    v = dec("value")
+    return (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 50)
+        .select("user_id", "event_id", (v - F.lag(v).over(w)).cast("double").alias("delta"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Grouping sets / rollup / cube / pivot (§2.11)
+# --------------------------------------------------------------------------
+
+
+@REG.add(
+    "rollup_agg",
+    sql=f"""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n, {sum_money_sql("o_totalprice", "total")}
+    FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"), sum_money("o_totalprice", "total"))
+    )
+
+
+@REG.add(
+    "cube_agg",
+    sql="""
+    SELECT event_type, user_id % 7 AS user_mod, COUNT(*) AS n
+    FROM events GROUP BY CUBE (event_type, user_id % 7)
+    """,
+)
+def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").withColumn("user_mod", F.col("user_id") % 7)
+    return ev.cube("event_type", "user_mod").agg(F.count(F.lit(1)).alias("n"))
+
+
+@REG.add(
+    "pivot_status",
+    sql="""
+    SELECT o_orderpriority,
+           COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS F,
+           COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS O,
+           COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS P
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with explicit value list (avoids the extra distinct-values job —
+    mandatory at scale) + na.fill(0) to match COUNT's 0-for-empty semantics."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+        .na.fill(0)
+        .orderBy("o_orderpriority")
+    )
+
+
+@REG.add(
+    "unpivot_customer",
+    sql="""
+    SELECT c_custkey, 'acctbal' AS metric, c_acctbal AS val FROM customer WHERE c_custkey < 100
+    UNION ALL
+    SELECT c_custkey, 'nationkey' AS metric, CAST(c_nationkey AS DOUBLE) AS val FROM customer WHERE c_custkey < 100
+    """,
+)
+def unpivot_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") < 100)
+        .selectExpr(
+            "c_custkey",
+            "stack(2, 'acctbal', c_acctbal, 'nationkey', CAST(c_nationkey AS DOUBLE)) AS (metric, val)",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Scalar functions: string / date / JSON (§2.11)
+# --------------------------------------------------------------------------
+
+
+@REG.add(
+    "scalar_string_funcs",
+    sql="""
+    SELECT p_partkey, LOWER(p_name) AS name_lower, UPPER(p_brand) AS brand_upper,
+           SUBSTR(p_type, 1, 4) AS type_prefix, LENGTH(p_name) AS name_len,
+           CONCAT(p_brand, '-', p_type) AS brand_type,
+           STRPOS(p_name, 'red') AS red_pos
+    FROM part
+    """,
+)
+def scalar_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.lower("p_name").alias("name_lower"),
+        F.upper("p_brand").alias("brand_upper"),
+        F.substring("p_type", 1, 4).alias("type_prefix"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.concat(F.col("p_brand"), F.lit("-"), F.col("p_type")).alias("brand_type"),
+        F.instr(F.col("p_name"), "red").cast("long").alias("red_pos"),
+    )
+
+
+@REG.add(
+    "scalar_date_funcs",
+    sql="""
+    SELECT o_orderkey, YEAR(o_orderdate) AS y, MONTH(o_orderdate) AS m,
+           CAST(DAYOFMONTH(o_orderdate) AS INT) AS d,
+           CAST(FLOOR(EPOCH(o_orderdate) / 86400) AS BIGINT) AS day_num
+    FROM orders WHERE o_orderkey < 1000
+    """,
+)
+def scalar_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date parts + a timezone-free epoch-day bucket (the scale-safe way to
+    bucket time: pure integer arithmetic, no session-TZ dependence)."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 1000)
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("y"),
+        F.month("o_orderdate").cast("long").alias("m"),
+        F.dayofmonth("o_orderdate").cast("int").alias("d"),
+        # o_orderdate is TIMESTAMP_NTZ: datediff on the date part is the
+        # timezone-free epoch-day (a NTZ→long cast would need a zone).
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("day_num"),
+    )
+
+
+@REG.add(
+    "scalar_json_funcs",
+    sql="""
+    SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+    FROM events WHERE event_id < 1000
+    """,
+)
+def scalar_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 1000)
+        .select("event_id", F.get_json_object("props", "$.k").cast("long").alias("k_val"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Statistics: percentiles, conditional aggregation, having (§2.4 extensions)
+# --------------------------------------------------------------------------
+
+
+@REG.add(
+    "percentiles",
+    sql="""
+    SELECT ROUND(QUANTILE_CONT(l_quantity, 0.25), 6) AS p25,
+           ROUND(QUANTILE_CONT(l_quantity, 0.50), 6) AS p50,
+           ROUND(QUANTILE_CONT(l_quantity, 0.75), 6) AS p75
+    FROM lineitem
+    """,
+)
+def percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark `percentile` ≡ DuckDB
+    quantile_cont). At 100 TB the approx variant (percentile_approx) is the
+    right tool — exposed in tests; the exact one is the oracle-checkable one."""
+    return _t(spark, sf_dir, "lineitem").agg(
+        F.round(F.expr("percentile(l_quantity, 0.25)"), 6).alias("p25"),
+        F.round(F.expr("percentile(l_quantity, 0.50)"), 6).alias("p50"),
+        F.round(F.expr("percentile(l_quantity, 0.75)"), 6).alias("p75"),
+    )
+
+
+@REG.add(
+    "conditional_agg",
+    sql=f"""
+    SELECT l_linestatus,
+           CAST(SUM(CASE WHEN l_returnflag = 'R' THEN CAST(ROUND(l_quantity * 100) AS BIGINT) ELSE 0 END) AS DOUBLE) / 100.0 AS qty_returned,
+           COUNT(CASE WHEN l_discount > 0.05 THEN 1 END) AS n_discounted,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus
+    """,
+)
+def conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_linestatus")
+        .agg(
+            (
+                F.sum(F.when(F.col("l_returnflag") == "R", cents("l_quantity")).otherwise(F.lit(0)))
+                / F.lit(100.0)
+            ).alias("qty_returned"),
+            F.count(F.when(F.col("l_discount") > 0.05, 1)).alias("n_discounted"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+@REG.add(
+    "having_clause",
+    sql=f"""
+    SELECT l_suppkey, {sum_money_sql("l_quantity", "total_qty")}
+    FROM lineitem GROUP BY l_suppkey
+    HAVING CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0 > 500
+    ORDER BY l_suppkey
+    """,
+)
+def having_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_suppkey")
+        .agg(sum_money("l_quantity", "total_qty"))
+        .filter(F.col("total_qty") > 500)
+        .orderBy("l_suppkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# Sampling (§2.6 — R1). Split assignment is partition-dependent even when
+# seeded (SURVEY §7 known-hard #1) → rows-only driver check; exact invariants
+# are asserted in tests/test_relational.py instead.
+# --------------------------------------------------------------------------
+
+
+@REG.add("split_sizes")  # no oracle: nondeterministic row assignment
+def split_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded 70/30 randomSplit (TfIdfCalculator.java:126-128,
+    RandomForest.java:65-67, SpamClassification.java:42-44 — all unseeded
+    there; we always seed, SURVEY §2.6)."""
+    train, test = _t(spark, sf_dir, "orders").randomSplit([0.7, 0.3], seed=42)
+    return spark.createDataFrame(
+        [("train", train.count()), ("test", test.count())], ["split", "n"]
+    )

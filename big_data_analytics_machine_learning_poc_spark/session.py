@@ -1,0 +1,54 @@
+"""SparkSession factory.
+
+The reference hardcodes ``master("local")``/``local[*]`` per program
+(TfIdfCalculator.java:29, DataCorrelator.java:27, RandomForest.java:28,
+SpamClassification.java:34) and sets no tuning at all. Here the master and
+parallelism come from the environment, and the scale-relevant knobs are set
+once:
+
+- AQE on (runtime partition coalescing, skew-join splitting) — at 100 TB the
+  static shuffle-partition count is always wrong for some stage; AQE re-plans.
+- ``spark.sql.shuffle.partitions`` sized to cores for local runs (the 200
+  default over-parallelizes tiny local data; a real cluster submit would
+  override it to ~2-3x total cores).
+- UTC session timezone so timestamp semantics match the DuckDB oracle.
+- Arrow enabled: every pandas_udf / toPandas crosses the JVM<->Python boundary
+  as columnar Arrow batches instead of pickled rows.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_cpus() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8)))
+
+
+def get_session(app_name: str = "bdaml-poc-spark", cpus: int | None = None) -> SparkSession:
+    """Build (or reuse) a local SparkSession tuned for this machine.
+
+    Engine code never assumes it owns the session: every operator takes the
+    session (or a DataFrame) as an argument, so a cluster deployment can pass
+    its own properly-configured session.
+    """
+    cpus = cpus or default_cpus()
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")  # mirrors reference log suppression
+    return spark

@@ -1,0 +1,64 @@
+"""Differential tests: every oracle-checked operator vs DuckDB at sf0.001,
+plus determinism/semantics invariants the oracle can't express."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_analytics_machine_learning_poc_spark.operators import relational
+from big_data_analytics_machine_learning_poc_spark.oracle import compare_query
+
+from .conftest import SF_DIR
+
+ORACLE_NAMES = sorted(relational.REG.oracles)
+
+
+@pytest.mark.parametrize("name", ORACLE_NAMES)
+def test_oracle_parity(spark, duck, name):
+    df = relational.REG.queries[name](spark, SF_DIR)
+    problems = compare_query(df, duck, relational.REG.oracles[name])
+    assert not problems, f"{name}: {problems}"
+
+
+def test_flagship_nonempty(spark):
+    df = relational.flagship_regional_revenue(spark, SF_DIR)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert {"r_name", "revenue", "n_items", "n_orders"} == set(df.columns)
+    assert all(r.revenue > 0 for r in rows)
+
+
+def test_random_split_deterministic_and_partition(spark):
+    """Seeded split: reproducible across runs, exhaustive + disjoint
+    (SURVEY §2.6 — reference splits are unseeded; we always seed)."""
+    from big_data_analytics_machine_learning_poc_spark.catalog import load_table
+
+    orders = load_table(spark, SF_DIR, "orders")
+    a1, b1 = orders.randomSplit([0.7, 0.3], seed=42)
+    a2, b2 = orders.randomSplit([0.7, 0.3], seed=42)
+    assert a1.count() == a2.count() and b1.count() == b2.count()
+    assert a1.count() + b1.count() == orders.count()
+    assert a1.intersect(b1).count() == 0
+
+
+def test_na_drop_semantics(spark):
+    """Cast-to-null + na.drop replicates DataCorrelator.java:34-40 on dirty
+    rows (the medical_charges idiom, FIXTURES.md A1)."""
+    dirty = spark.createDataFrame(
+        [("19", "27.9"), ("*x#", "33.8"), ("31", "##"), ("64", "25.8"), (" ", " ")],
+        ["age", "bmi"],
+    )
+    clean = dirty.select(
+        F.col("age").try_cast("double").alias("age"),
+        F.col("bmi").try_cast("double").alias("bmi"),
+    ).na.drop()
+    assert clean.count() == 2  # 3 of 5 rows lost to cast+drop
+
+
+def test_topk_uses_take_ordered(spark):
+    """orderBy+limit must plan TakeOrderedAndProject (per-partition top-k +
+    single merge), not a global sort — the scale-critical difference."""
+    df = relational.topk_orders(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan

@@ -1,0 +1,60 @@
+"""Local mimic of the driver's DuckDB differential gate.
+
+    python tools/compare.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as entrymod
+    from big_data_analytics_machine_learning_poc_spark.oracle import compare_query, register_views
+    from big_data_analytics_machine_learning_poc_spark.session import get_session
+
+    spark = get_session("compare", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "16")))
+    con = duckdb.connect()
+    register_views(con, sf_dir)
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    n_pass = n_fail = n_rowsonly = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            if name not in oracles:
+                n = sdf.count()
+                print(f"rows  {name}: {n} rows (rows-only, no oracle) [{time.time()-t0:.1f}s]")
+                n_rowsonly += 1
+                continue
+            problems = compare_query(sdf, con, oracles[name])
+        except Exception as e:  # noqa: BLE001 — report and keep sweeping
+            print(f"FAIL  {name}: {type(e).__name__}: {str(e)[:300]}")
+            n_fail += 1
+            continue
+        if problems:
+            print(f"FAIL  {name}: {'; '.join(problems)}")
+            n_fail += 1
+        else:
+            print(f"PASS  {name} [{time.time()-t0:.1f}s]")
+            n_pass += 1
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_rowsonly} rows-only")
+    spark.stop()
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
