@@ -1,0 +1,138 @@
+"""Multimodal column conventions (BASELINE.json north star).
+
+Media (image/audio/video) are opaque ``binary`` columns + a typed metadata
+struct; decode / feature-extraction runs as Arrow-batched ``mapInPandas``
+(the per-partition batch-iterator shape a real decoder needs — one Python
+worker per partition, zero driver involvement, linear scale-out).
+
+The container has no image/audio libraries, so the *decoder* is stubbed two
+ways (per the build brief): ``decode_image`` raises NotImplementedError
+behind an import-try of PIL, and the pipeline uses ``fake_decode_features``
+— a deterministic pure function of the bytes, which makes the whole
+mapInPandas path oracle-checkable end-to-end (same formula in SQL).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..catalog import load_table
+from ..registry import QueryRegistry
+
+REG = QueryRegistry()
+
+
+def with_binary_payload(docs: DataFrame) -> DataFrame:
+    """documents → (doc_id, payload binary, meta struct<format,n_bytes>).
+    Stands in for real media ingestion: payload is the utf-8 bytes of text."""
+    payload = F.encode(F.col("text"), "utf-8")
+    return docs.select(
+        "doc_id",
+        payload.alias("payload"),
+        F.struct(
+            F.lit("text/plain").alias("format"),
+            F.length(payload).cast("long").alias("n_bytes"),
+        ).alias("meta"),
+    )
+
+
+def decode_image(payload: bytes):  # pragma: no cover - stub by design
+    """Real image decode — stubbed: PIL is not in this container."""
+    try:
+        from PIL import Image  # noqa: F401
+    except ImportError as exc:
+        raise NotImplementedError(
+            "image decoding requires Pillow; install it in a full deployment"
+        ) from exc
+    raise NotImplementedError("wire Image.open(BytesIO(payload)) here")
+
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("fake_width", T.LongType()),
+        T.StructField("fake_height", T.LongType()),
+        T.StructField("checksum32", T.LongType()),
+    ]
+)
+
+
+def fake_decode_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Deterministic stand-in for a media feature extractor. Pure function of
+    the payload bytes (md5-derived), so the DuckDB oracle can reproduce it —
+    proving the Arrow batch plumbing, schema, and partitioning are real."""
+    for pdf in batches:
+        payloads = pdf["payload"]
+        n_bytes = payloads.map(len)
+        checksum = payloads.map(
+            lambda b: int(hashlib.md5(bytes(b)).hexdigest()[:8], 16)
+        )
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "n_bytes": n_bytes,
+                "fake_width": n_bytes % 640,
+                "fake_height": (n_bytes * 7) % 480,
+                "checksum32": checksum,
+            }
+        )
+
+
+@REG.add(
+    "mm_decode_features",
+    sql="""
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           octet_length(encode(text)) % 640 AS fake_width,
+           (octet_length(encode(text)) * 7) % 480 AS fake_height,
+           CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) AS checksum32
+    FROM documents
+    """,
+)
+def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """binary payload → mapInPandas feature extraction (Arrow-batched)."""
+    docs = load_table(spark, sf_dir, "documents")
+    payloads = with_binary_payload(docs).select("doc_id", "payload")
+    return payloads.mapInPandas(fake_decode_features, schema=FEATURE_SCHEMA)
+
+
+@REG.add(
+    "mm_metadata_stats",
+    sql="""
+    SELECT 'text/plain' AS format,
+           COUNT(*) AS n_payloads,
+           CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+           CAST(MAX(octet_length(encode(text))) AS BIGINT) AS max_bytes
+    FROM documents
+    """,
+)
+def mm_metadata_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregation over the metadata struct — the catalog-stats query a media
+    lakehouse runs constantly (pure column pruning: payload never read)."""
+    binry = with_binary_payload(load_table(spark, sf_dir, "documents"))
+    return binry.groupBy(F.col("meta.format").alias("format")).agg(
+        F.count(F.lit(1)).alias("n_payloads"),
+        F.sum(F.col("meta.n_bytes")).alias("total_bytes"),
+        F.max(F.col("meta.n_bytes")).alias("max_bytes"),
+    )
+
+
+@REG.add("mm_frame_sample")  # rows-only: sampling positions are arbitrary-but-
+# deterministic; the invariant (≤8 frames, offsets in range) is pytest-checked
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'Video frame sampling' shape: explode ≤8 evenly-spaced byte offsets
+    per payload — the partition-parallel sampling pattern for media columns."""
+    binry = with_binary_payload(load_table(spark, sf_dir, "documents"))
+    n = F.col("meta.n_bytes")
+    k = F.least(F.lit(8), n)
+    offsets = F.transform(F.sequence(F.lit(0), k - 1), lambda i: F.floor(i * n / k))
+    return binry.select(
+        "doc_id", F.explode(offsets).alias("frame_offset")
+    )

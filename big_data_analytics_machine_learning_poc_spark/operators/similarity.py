@@ -1,0 +1,141 @@
+"""Similarity search over the ``embeddings`` table (array<float> column) —
+BASELINE.json north-star operator; no reference counterpart.
+
+Three shapes:
+
+- ``knn_brute_cosine``: exact top-k for one query — a single scan + top-k
+  (Spark plans TakeOrderedAndProject: per-partition heaps, one merge).
+  This is the correctness baseline every ANN variant is measured against.
+- ``knn_multi_query``: exact top-k for a query *set* via broadcast-join +
+  per-query window top-k — the batch scoring shape (queries broadcast, corpus
+  scanned once, no quadratic blowup).
+- ``ann_bucket_cosine``: sign-bit LSH (first 8 dimensions → 256 buckets):
+  candidates share the query's bucket, exact cosine re-rank inside. At
+  100 TB the bucket id becomes the shuffle/partition key, turning ANN into
+  a pruned equi-join; recall vs the brute baseline is asserted in
+  tests/test_similarity.py.
+
+All cosine math uses the sequential-fold expressions from functions/vector.py
+so results are bitwise-reproducible by the DuckDB oracles (then defensively
+rounded to 5 decimals before ranking; ties broken by vec_id).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import load_table
+from ..functions.vector import cosine, cosine_sql
+from ..registry import QueryRegistry
+
+REG = QueryRegistry()
+
+_COS_AB = cosine_sql("a.embedding", "b.embedding")
+
+
+@REG.add(
+    "knn_brute_cosine",
+    sql=f"""
+    WITH a AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
+    SELECT b.vec_id, ROUND({_COS_AB}, 5) AS sim
+    FROM embeddings b, a
+    WHERE b.vec_id != 0
+    ORDER BY sim DESC, b.vec_id
+    LIMIT 10
+    """,
+)
+def knn_brute_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 neighbours of vec_id=0."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
+    return (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(query))
+        .select("vec_id", F.round(cosine(F.col("embedding"), F.col("q")), 5).alias("sim"))
+        .orderBy(F.col("sim").desc(), "vec_id")
+        .limit(10)
+    )
+
+
+@REG.add(
+    "knn_multi_query",
+    sql=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 5),
+    scored AS (
+      SELECT q.query_id, b.vec_id, ROUND({cosine_sql("q.embedding", "b.embedding")}, 5) AS sim
+      FROM q JOIN embeddings b ON b.vec_id >= 5
+    ), ranked AS (
+      SELECT query_id, vec_id, sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rn
+      FROM scored
+    )
+    SELECT query_id, vec_id, sim, rn FROM ranked WHERE rn <= 3
+    """,
+)
+def knn_multi_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-3 per query for a broadcast query set (batch scoring)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    scored = corpus.crossJoin(F.broadcast(q)).select(
+        "query_id", "vec_id", F.round(cosine(F.col("qe"), F.col("embedding")), 5).alias("sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), "vec_id")
+    return scored.select("query_id", "vec_id", "sim", F.row_number().over(w).alias("rn")).filter(
+        F.col("rn") <= 3
+    )
+
+
+# Sign-bit bucket over the first 8 dimensions → 256 buckets.
+_N_BUCKET_DIMS = 8
+
+
+def bucket_col(emb: Column) -> Column:
+    return sum(
+        F.when(F.element_at(emb, i + 1) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        for i in range(_N_BUCKET_DIMS)
+    ).cast("int")
+
+
+def _bucket_sql(col: str) -> str:
+    return (
+        "("
+        + " + ".join(
+            f"CASE WHEN {col}[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END"
+            for i in range(_N_BUCKET_DIMS)
+        )
+        + ")"
+    )
+
+
+@REG.add(
+    "ann_bucket_cosine",
+    sql=f"""
+    WITH bucketed AS (
+      SELECT vec_id, embedding, {_bucket_sql("embedding")} AS bucket FROM embeddings
+    ), a AS (SELECT embedding, bucket FROM bucketed WHERE vec_id = 0)
+    SELECT b.vec_id, ROUND({_COS_AB}, 5) AS sim
+    FROM bucketed b, a
+    WHERE b.bucket = a.bucket AND b.vec_id != 0
+    ORDER BY sim DESC, b.vec_id
+    LIMIT 5
+    """,
+)
+def ann_bucket_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN: candidates from the query's sign-bit LSH bucket, exact re-rank."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    bucketed = emb.select("vec_id", "embedding", bucket_col(F.col("embedding")).alias("bucket"))
+    q = bucketed.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q"), F.col("bucket").alias("qbucket")
+    )
+    return (
+        bucketed.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(q), F.col("bucket") == F.col("qbucket"))
+        .select("vec_id", F.round(cosine(F.col("embedding"), F.col("q")), 5).alias("sim"))
+        .orderBy(F.col("sim").desc(), "vec_id")
+        .limit(5)
+    )

@@ -1,0 +1,133 @@
+"""Driver-facing streaming queries + the batch sessionization oracle twin.
+
+The tumbling/sliding streaming queries genuinely run Structured Streaming
+(memory sink, availableNow trigger) and are oracle-checked against batch SQL:
+a tumbling window is floor(epoch/width) integer arithmetic, a 2:1 sliding
+window is the union of two shifted tumblings — both timezone-free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import load_table
+from ..registry import QueryRegistry
+from ..streaming import events as sev
+
+REG = QueryRegistry()
+
+
+@REG.add(
+    "stream_tumbling_counts",
+    sql="""
+    SELECT CAST(FLOOR(EPOCH(ts) / 300) * 300 AS BIGINT) AS window_start_epoch,
+           event_type, COUNT(*) AS n
+    FROM events GROUP BY 1, 2
+    """,
+)
+def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-minute tumbling windows via an actual streaming query. The oracle is
+    the batch equivalence: window.start == floor(epoch/300)*300 — event-time
+    semantics with a closed watermark equal batch aggregation."""
+    return sev.tumbling_counts(spark, sf_dir, "5 minutes")
+
+
+@REG.add(
+    "stream_sliding_counts",
+    sql="""
+    WITH cents AS (
+      SELECT ts, CAST(ROUND(value * 100) AS BIGINT) AS vc FROM events
+    ), two AS (
+      SELECT CAST(FLOOR(EPOCH(ts) / 300) * 300 AS BIGINT) AS window_start_epoch, vc FROM cents
+      UNION ALL
+      SELECT CAST((FLOOR(EPOCH(ts) / 300) - 1) * 300 AS BIGINT) AS window_start_epoch, vc FROM cents
+    )
+    SELECT window_start_epoch, COUNT(*) AS n, SUM(vc) AS value_cents
+    FROM two GROUP BY 1
+    """,
+)
+def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-minute windows sliding by 5: every event belongs to exactly two
+    windows (starts at bucket·300 and (bucket−1)·300) — the oracle builds
+    them by UNION ALL, the stream by F.window(ts, 10m, 5m)."""
+    return sev.sliding_counts(spark, sf_dir, "10 minutes", "5 minutes")
+
+
+@REG.add(
+    "stream_session_windows",
+    sql="""
+    WITH ordered AS (
+      SELECT user_id, EPOCH(ts) AS es,
+             LAG(EPOCH(ts)) OVER (PARTITION BY user_id ORDER BY EPOCH(ts)) AS prev_es
+      FROM events WHERE user_id < 50
+    ), flagged AS (
+      SELECT user_id, es,
+             CASE WHEN prev_es IS NULL OR es - prev_es > 1800 THEN 1 ELSE 0 END AS new_session
+      FROM ordered
+    ), sessions AS (
+      SELECT user_id, es,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY es
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, CAST(FLOOR(MIN(es)) AS BIGINT) AS session_start_epoch,
+           COUNT(*) AS n_events
+    FROM sessions GROUP BY user_id, session_id
+    """,
+)
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming session_window (30-min gap), oracle-checked against
+    the batch islands formulation — the stream's merge-on-arrival sessions
+    must equal the batch gap-partitioned ones on bounded input."""
+    return sev.session_windows(spark, sf_dir, "30 minutes")
+
+
+@REG.add(
+    "sessionize_events",
+    sql="""
+    WITH ordered AS (
+      SELECT user_id, event_id, EPOCH(ts) AS es,
+             LAG(EPOCH(ts)) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_es
+      FROM events WHERE user_id < 50
+    ), flagged AS (
+      SELECT user_id, event_id, es,
+             CASE WHEN prev_es IS NULL OR es - prev_es > 1800 THEN 1 ELSE 0 END AS new_session
+      FROM ordered
+    ), sessions AS (
+      SELECT user_id, event_id, es,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, session_id, COUNT(*) AS n_events,
+           CAST(FLOOR(MIN(es)) AS BIGINT) AS session_start_epoch
+    FROM sessions GROUP BY user_id, session_id
+    """,
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (30-min gap) via lag + cumulative flag sum — the
+    deterministic twin of session_window, and the classic islands pattern:
+    one shuffle on user_id, everything else window functions."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    es = F.col("ts").cast("double")  # epoch seconds w/ fraction (ts is us-precision)
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    flagged = ev.select(
+        "user_id",
+        "event_id",
+        es.alias("es"),
+        F.when(
+            F.lag(es).over(w).isNull() | ((es - F.lag(es).over(w)) > 1800), 1
+        ).otherwise(0).alias("new_session"),
+    )
+    wsum = Window.partitionBy("user_id").orderBy("event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    sessions = flagged.select(
+        "user_id", "event_id", "es", F.sum("new_session").over(wsum).alias("session_id")
+    )
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.floor(F.min("es")).cast("bigint").alias("session_start_epoch"),
+    )

@@ -1,0 +1,178 @@
+"""Text-analysis operators over the ``documents`` table (BASELINE.json
+north-star: language-ID, quality scoring, token counting, fingerprinting).
+
+The reference's only text processing is MLlib Tokenizer/StopWordsRemover/
+HashingTF/IDF chains (TfIdfCalculator.java:49-94, SpamClassification.java:
+65-83); this module adds the training-data-pipeline analyses those chains
+feed at 100 TB scale. Everything is built-in-function expressions (split/
+regexp/higher-order array funcs) — JVM codegen, zero Python UDFs, embarrass-
+ingly parallel per-document map work: no shuffle at any scale.
+
+Every operator has an exact DuckDB oracle: identical tokenization regex,
+identical integer arithmetic, ratios rounded identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.hashing import md5_hash60, md5_hash60_sql
+from ..registry import QueryRegistry
+
+REG = QueryRegistry()
+
+# Tokenization shared by every operator here AND mirrored in each oracle.
+TOKEN_RE = r"\s+"
+
+
+def tokens_col() -> Column:
+    return F.split(F.trim(F.col("text")), TOKEN_RE)
+
+
+TOKENS_SQL = "regexp_split_to_array(trim(text), '\\s+')"
+
+# Tiny function-word lexicons for the language heuristic. Deliberately small:
+# the operator is a deterministic n-gram/stopword scorer, not a model.
+LANG_LEXICONS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "is"),
+    "fr": ("le", "la", "les", "et", "des", "une"),
+    "es": ("el", "los", "las", "y", "una", "que"),
+    "de": ("der", "die", "das", "und", "ein", "nicht"),
+}
+STOPWORDS: tuple[str, ...] = ("the", "a", "of", "and", "to", "is", "in", "it")
+
+
+def _hits(lex: tuple[str, ...]) -> Column:
+    lex_lits = [F.lit(w) for w in lex]
+    return F.size(F.filter(tokens_col(), lambda t: t.isin(*lex)))
+
+
+def _hits_sql(lex: tuple[str, ...]) -> str:
+    inlist = ", ".join(f"'{w}'" for w in lex)
+    return f"len(list_filter({TOKENS_SQL}, t -> t IN ({inlist})))"
+
+
+@REG.add(
+    "text_token_count",
+    sql=f"""
+    SELECT doc_id,
+           len({TOKENS_SQL}) AS n_tokens,
+           len(list_distinct({TOKENS_SQL})) AS n_distinct_tokens,
+           LENGTH(text) AS n_chars_calc
+    FROM documents
+    """,
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token counting (the BPE-ish regex variant is
+    text_token_count_regex below)."""
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(tokens_col()).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(tokens_col())).cast("long").alias("n_distinct_tokens"),
+        F.length("text").cast("long").alias("n_chars_calc"),
+    )
+
+
+@REG.add(
+    "text_token_count_regex",
+    sql=r"""
+    SELECT doc_id,
+           len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t != '')) AS n_word_tokens
+    FROM documents
+    """,
+)
+def text_token_count_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish word tokenization: split on non-alphanumerics, drop empties."""
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), r"[^a-z0-9]+"), lambda t: t != F.lit("")
+    )
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(toks).cast("long").alias("n_word_tokens")
+    )
+
+
+@REG.add(
+    "text_quality",
+    sql=f"""
+    SELECT doc_id,
+           LENGTH(text) AS n_chars,
+           len({TOKENS_SQL}) AS n_tokens,
+           ROUND(CAST(list_sum(list_transform({TOKENS_SQL}, t -> LENGTH(t))) AS DOUBLE)
+                 / NULLIF(len({TOKENS_SQL}), 0), 6) AS avg_token_len,
+           ROUND(CAST({_hits_sql(STOPWORDS)} AS DOUBLE) / NULLIF(len({TOKENS_SQL}), 0), 6) AS stopword_ratio,
+           CASE WHEN len({TOKENS_SQL}) BETWEEN 5 AND 500
+                 AND CAST({_hits_sql(STOPWORDS)} AS DOUBLE) / NULLIF(len({TOKENS_SQL}), 0) < 0.6
+                THEN 1 ELSE 0 END AS quality_flag
+    FROM documents
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality scoring: length bounds, mean token length, stopword
+    density — the standard pre-training corpus filters."""
+    n_tokens = F.size(tokens_col())
+    tok_len_sum = F.aggregate(
+        F.transform(tokens_col(), F.length), F.lit(0), lambda acc, x: acc + x
+    )
+    stop_ratio = _hits(STOPWORDS).cast("double") / F.nullif(n_tokens, F.lit(0))
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars"),
+        n_tokens.cast("long").alias("n_tokens"),
+        F.round(tok_len_sum.cast("double") / F.nullif(n_tokens, F.lit(0)), 6).alias("avg_token_len"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.when(n_tokens.between(5, 500) & (stop_ratio < 0.6), 1).otherwise(0).alias("quality_flag"),
+    )
+
+
+def _langid_sql() -> str:
+    hits = {lang: _hits_sql(lex) for lang, lex in LANG_LEXICONS.items()}
+    return f"""
+    SELECT doc_id,
+           CASE
+             WHEN regexp_matches(text, '[\\x{{4e00}}-\\x{{9fff}}]') THEN 'zh'
+             WHEN {hits['en']} = 0 AND {hits['fr']} = 0 AND {hits['es']} = 0 AND {hits['de']} = 0 THEN 'unknown'
+             WHEN {hits['en']} >= {hits['fr']} AND {hits['en']} >= {hits['es']} AND {hits['en']} >= {hits['de']} THEN 'en'
+             WHEN {hits['fr']} >= {hits['es']} AND {hits['fr']} >= {hits['de']} THEN 'fr'
+             WHEN {hits['es']} >= {hits['de']} THEN 'es'
+             ELSE 'de'
+           END AS predicted_lang
+    FROM documents
+    """
+
+
+@REG.add("text_lang_id", sql=_langid_sql())
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic language heuristic: CJK codepoint check, then function-
+    word hit counts with a fixed tie-break order (en > fr > es > de)."""
+    h = {lang: _hits(lex) for lang, lex in LANG_LEXICONS.items()}
+    pred = (
+        F.when(F.col("text").rlike("[一-鿿]"), "zh")
+        .when((h["en"] == 0) & (h["fr"] == 0) & (h["es"] == 0) & (h["de"] == 0), "unknown")
+        .when((h["en"] >= h["fr"]) & (h["en"] >= h["es"]) & (h["en"] >= h["de"]), "en")
+        .when((h["fr"] >= h["es"]) & (h["fr"] >= h["de"]), "fr")
+        .when(h["es"] >= h["de"], "es")
+        .otherwise("de")
+    )
+    return load_table(spark, sf_dir, "documents").select("doc_id", pred.alias("predicted_lang"))
+
+
+_NORMALIZED_SQL = md5_hash60_sql(r"regexp_replace(trim(text), '\s+', ' ', 'g')")
+
+
+@REG.add(
+    "text_fingerprint",
+    sql=f"""
+    SELECT doc_id,
+           {_NORMALIZED_SQL} AS fingerprint
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit whitespace-normalized document fingerprint (md5-based so it is
+    stable across engines/releases — see functions/hashing.py)."""
+    normalized = F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id", md5_hash60(normalized).alias("fingerprint")
+    )

@@ -1,0 +1,41 @@
+"""Sinks — NEW surface (the reference only show()s, SURVEY.md §2.1 S3).
+
+Partitioned parquet is the default lake layout: partition columns become
+directories (static + dynamic partition pruning for every later reader);
+bucketing co-locates join keys so repeated joins on the key skip their
+shuffle entirely — the 100 TB answer to "we join on orderkey every day".
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_partitioned_parquet(
+    df: DataFrame, path: str, partition_cols: list[str] | None = None, mode: str = "overwrite"
+) -> None:
+    writer = df.write.mode(mode)
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.parquet(path)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    n_buckets: int = 32,
+    sort_col: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed table (requires a warehouse dir / catalog). Joins and
+    aggregations on ``bucket_col`` between co-bucketed tables plan with NO
+    exchange."""
+    writer = df.write.mode(mode).bucketBy(n_buckets, bucket_col)
+    if sort_col:
+        writer = writer.sortBy(sort_col)
+    writer.saveAsTable(table, format="parquet")
+
+
+def read_back(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)

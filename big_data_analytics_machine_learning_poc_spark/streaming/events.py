@@ -1,0 +1,122 @@
+"""Structured Streaming over the events table (SURVEY.md §7 M5).
+
+The reference has no streaming at all; this is the engine-new surface:
+``readStream`` parquet source → watermark → tumbling/sliding/session windows
+→ memory sink (for tests/oracle) or parquet sink (production). At scale the
+same topology points at Kafka and a real checkpoint location — the
+transformations are source-agnostic.
+
+Windows are computed with ``F.window``/``session_window`` on the event-time
+column with a watermark, so late data is handled by state eviction, not by
+reprocessing. For oracle comparison the window start is surfaced as an epoch
+second (timezone-free integer arithmetic on both engines).
+
+Note on the source: events.parquet stores TIMESTAMP(NANOS) which Spark 4
+cannot scan as a timestamp; the stream reads ts as raw nanos (long) and
+converts — same truncation DuckDB applies (catalog.py has the batch variant).
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # raw nanos (nanosAsLong)
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # the streaming source needs a directory; select just the events file
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+
+
+def run_to_completion(agg: DataFrame, output_mode: str) -> DataFrame:
+    """Drive a bounded stream to completion through a memory sink and return
+    the result as a batch DataFrame (the local-test harness; production uses
+    writeStream.format('parquet') + checkpointLocation)."""
+    name = f"out_{uuid.uuid4().hex[:12]}"
+    q = (
+        agg.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return agg.sparkSession.table(name)
+
+
+def tumbling_counts(spark: SparkSession, sf_dir: str, window: str = "5 minutes") -> DataFrame:
+    """Tumbling event-time windows with a 10-minute watermark."""
+    ev = read_event_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", window), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("window.start").cast("long").alias("window_start_epoch"),
+            "event_type",
+            "n",
+        )
+    )
+    # complete mode: emit ALL windows including those still above the
+    # watermark (append would suppress the trailing ~watermark-width of
+    # windows, which a bounded-input comparison against batch must include)
+    return run_to_completion(agg, "complete")
+
+
+def sliding_counts(
+    spark: SparkSession, sf_dir: str, window: str = "10 minutes", slide: str = "5 minutes"
+) -> DataFrame:
+    ev = read_event_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", window, slide))
+        .agg(F.count(F.lit(1)).alias("n"), (F.sum(F.round(F.col("value") * 100)).cast("long")).alias("value_cents"))
+        .select(F.col("window.start").cast("long").alias("window_start_epoch"), "n", "value_cents")
+    )
+    return run_to_completion(agg, "complete")
+
+
+def session_windows(
+    spark: SparkSession, sf_dir: str, gap: str = "30 minutes", max_user: int = 50
+) -> DataFrame:
+    """Per-user session windows (gap-based). Streaming-native session_window —
+    the batch-equivalent sessionization (lag + cumulative flag sum) is
+    operators/streaming_ops.sessionize_events, which the oracle checks."""
+    ev = read_event_stream(spark, sf_dir).filter(F.col("user_id") < max_user)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", gap), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").cast("long").alias("session_start_epoch"),
+            "n_events",
+        )
+    )
+    # complete mode also emits sessions still open at end-of-input (append
+    # would correctly suppress them as non-final — right for production,
+    # wrong for bounded-input comparison against batch)
+    return run_to_completion(agg, "complete")

@@ -1,0 +1,112 @@
+"""Golden-metric tests for the four reference-program pipelines (SURVEY §5
+strategy #2) + invariants for hash/vector transforms the oracle can't check."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_analytics_machine_learning_poc_spark.ml import (
+    correlator,
+    fixtures,
+    random_forest,
+    spam,
+    tfidf_regression,
+)
+
+from .conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def medical(spark):
+    return fixtures.medical_charges(spark)
+
+
+def test_correlator_clean_drops_exactly_13(spark, medical):
+    """FIXTURES.md A1 invariant: 1338 raw → 1325 clean (13 dirty cells on
+    distinct rows, replicating medical_charges.csv)."""
+    assert medical.count() == 1338
+    assert correlator.clean(medical).count() == 1325
+
+
+def test_correlator_run(spark, medical):
+    out = correlator.run(medical)
+    assert out["clean_count"] == 1325
+    # 5 age buckets present (18-64 spans all Bucketizer splits)
+    assert len(out["agg_by_age_bucket"]) == 5
+    # filter on grouping col: only smoker='yes' groups, one per region
+    assert all(r.smoker == "yes" for r in out["min_by_region_smoker"])
+    assert len(out["min_by_region_smoker"]) == 4
+    # charges built as 200*age + 300*bmi + smoker effect; the smoker term
+    # dominates variance (as in the real dataset), so age/bmi corr is
+    # positive but moderate (FIXTURES.md A1: corr(charges, ·) > 0)
+    assert out["correlations"]["age"] > 0.15
+    assert out["correlations"]["bmi"] > 0.15
+    assert "ind_smoker" in out["correlations"]
+    assert out["features_schema"].startswith("struct<label:double,features:")
+
+
+def test_random_forest_golden(spark):
+    data = fixtures.user_know(spark)
+    out = random_forest.run(data)
+    assert out["f1"] > 0.6, f"f1 regressed: {out['f1']}"
+    # confusion matrix covers string labels, not indices
+    labels = {r.labelStr for r in out["confusion"]}
+    assert labels <= {"very_low", "Low", "Middle", "High"}
+    assert len(out["feature_importances"]) == 5
+    # label audit is a bijection value<->index (SURVEY §7 known-hard #3)
+    audit = {(r.SKL, r.label) for r in out["label_audit"]}
+    assert len({a for a, _ in audit}) == len({b for _, b in audit}) == len(audit)
+
+
+def test_spam_pipeline_golden(spark):
+    data = fixtures.spam(spark)
+    assert data.count() == 5434
+    out = spam.run(data)
+    # null labels dropped before split
+    assert out["n_train"] + out["n_test"] < 5434
+    assert out["rf_accuracy"] > 0.9, out
+    assert out["dt_accuracy"] > 0.9, out
+    assert abs(out["rf_test_error"] - (1 - out["rf_accuracy"])) < 1e-12
+
+
+def test_tfidf_regression_golden(spark):
+    reviews = fixtures.hotel_reviews(spark)
+    out = tfidf_regression.run(reviews)
+    # score = 5 + .12*n_pos - .08*n_neg + N(0,.8): informative features ⇒
+    # RMSE well under label stddev (~1.5)
+    assert out["rmse"] < 1.3, out
+    assert -1.0 <= out["nationality_corr"] <= 1.0
+    assert out["n_test"] > 0
+
+
+def test_hashingtf_idf_invariants(spark):
+    """SURVEY §7 known-hard #4: murmur3 bucket ids are engine-specific →
+    check invariants instead: nnz ≤ numFeatures, norms non-negative,
+    identical docs get identical vectors."""
+    from big_data_analytics_machine_learning_poc_spark.operators.encoding import hashingtf_idf_stats
+
+    out = hashingtf_idf_stats(spark, SF_DIR).collect()
+    assert all(0 <= r.nnz <= 1000 for r in out)
+    assert all(r.l2_norm >= 0 for r in out)
+
+
+def test_ml_queries_run(spark):
+    from big_data_analytics_machine_learning_poc_spark.operators import mlops
+
+    conf = mlops.ml_rf_confusion(spark, SF_DIR).collect()
+    assert sum(r.n for r in conf) > 0
+    assert all(0 <= r.label <= 3 and 0 <= r.prediction <= 3 for r in conf)
+    rmse = mlops.ml_lr_rmse(spark, SF_DIR).collect()[0].rmse
+    assert rmse > 0
+    clusters = mlops.ml_kmeans_clusters(spark, SF_DIR).collect()
+    assert len(clusters) == 4
+
+
+def test_ml_confusion_deterministic(spark):
+    """Seeded RF on identical partitioning must reproduce exactly."""
+    from big_data_analytics_machine_learning_poc_spark.operators import mlops
+
+    a = sorted(map(tuple, mlops.ml_rf_confusion(spark, SF_DIR).collect()))
+    b = sorted(map(tuple, mlops.ml_rf_confusion(spark, SF_DIR).collect()))
+    assert a == b

@@ -1,0 +1,76 @@
+"""Sources & sinks: CSV read shapes (incl. dirty data + latin-1), parquet
+round-trips with partition pruning."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from big_data_analytics_machine_learning_poc_spark.catalog import load_table
+from big_data_analytics_machine_learning_poc_spark.sources import (
+    read_csv_all_string,
+    read_csv_inferred,
+    read_csv_schema,
+    write_partitioned_parquet,
+)
+
+from .conftest import SF_DIR
+
+
+def _write(tmp_path, name, content, encoding="utf-8"):
+    p = os.path.join(str(tmp_path), name)
+    with open(p, "w", encoding=encoding, newline="") as f:
+        f.write(content)
+    return p
+
+
+def test_read_csv_inferred_types(spark, tmp_path):
+    p = _write(tmp_path, "t.csv", "a,b,c\n1,2.5,x\n2,3.5,y\n")
+    df = read_csv_inferred(spark, p)
+    kinds = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    assert kinds == {"a": "int", "b": "double", "c": "string"}
+
+
+def test_read_csv_all_string(spark, tmp_path):
+    p = _write(tmp_path, "t.csv", "v1,v2\nham,hello\nspam,win cash\n")
+    df = read_csv_all_string(spark, p)
+    assert all(f.dataType.simpleString() == "string" for f in df.schema.fields)
+
+
+def test_read_csv_latin1_quirk_header(spark, tmp_path):
+    """The spam.csv shape: 'v1,v2,,,' header + latin-1 £ (FIXTURES.md A3)."""
+    p = _write(tmp_path, "spam.csv", "v1,v2,,,\nspam,win £1000,,,\n", encoding="latin-1")
+    df = read_csv_all_string(spark, p, encoding="ISO-8859-1")
+    assert df.columns[:2] == ["v1", "v2"]
+    assert len(df.columns) == 5
+    assert df.collect()[0].v2 == "win £1000"
+
+
+def test_read_csv_schema_quarantines_corrupt(spark, tmp_path):
+    p = _write(tmp_path, "d.csv", "age,bmi\n19,27.9\nbad_row_no_comma\n31,22.0\n")
+    schema = T.StructType(
+        [T.StructField("age", T.IntegerType()), T.StructField("bmi", T.DoubleType())]
+    )
+    df = read_csv_schema(spark, p, schema).cache()
+    assert df.filter(F.col("_corrupt_record").isNotNull()).count() == 1
+    assert df.filter(F.col("_corrupt_record").isNull()).count() == 2
+
+
+def test_partitioned_parquet_roundtrip_and_pruning(spark, tmp_path):
+    out = os.path.join(str(tmp_path), "orders_by_status")
+    orders = load_table(spark, SF_DIR, "orders")
+    write_partitioned_parquet(orders, out, ["o_orderstatus"])
+    back = spark.read.parquet(out)
+    assert back.count() == orders.count()
+    # partition pruning: filtering on the partition col must show
+    # PartitionFilters in the scan, and read only that directory
+    pruned = back.filter(F.col("o_orderstatus") == "F")
+    plan = pruned._sc._jvm.PythonSQLUtils.explainString(
+        pruned._jdf.queryExecution(), "formatted"
+    )
+    assert "PartitionFilters" in plan
+    pf_line = [ln for ln in plan.splitlines() if "PartitionFilters" in ln][0]
+    assert "o_orderstatus" in pf_line
+    assert pruned.count() == orders.filter(F.col("o_orderstatus") == "F").count()

@@ -1,0 +1,47 @@
+"""Structured Streaming tests: windowed aggregations driven to completion
+through the memory sink, checked against their batch twins."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from big_data_analytics_machine_learning_poc_spark.catalog import load_table
+from big_data_analytics_machine_learning_poc_spark.operators import streaming_ops
+from big_data_analytics_machine_learning_poc_spark.streaming import events as sev
+
+from .conftest import SF_DIR
+
+
+def test_tumbling_counts_total_preserved(spark):
+    out = sev.tumbling_counts(spark, SF_DIR, "5 minutes")
+    total = out.agg(F.sum("n")).collect()[0][0]
+    assert total == load_table(spark, SF_DIR, "events").count()
+
+
+def test_sliding_counts_double_count(spark):
+    """window=10m slide=5m ⇒ every event appears in exactly 2 windows."""
+    out = sev.sliding_counts(spark, SF_DIR, "10 minutes", "5 minutes")
+    total = out.agg(F.sum("n")).collect()[0][0]
+    assert total == 2 * load_table(spark, SF_DIR, "events").count()
+
+
+def test_session_window_stream_matches_batch_islands(spark):
+    """The stateful streaming session_window must agree exactly with the
+    batch lag+cumsum sessionization on bounded input (same 30-min gap)."""
+    stream_rows = sorted(
+        (r.user_id, r.session_start_epoch, r.n_events)
+        for r in streaming_ops.stream_session_windows(spark, SF_DIR).collect()
+    )
+    batch_rows = sorted(
+        (r.user_id, r.session_start_epoch, r.n_events)
+        for r in streaming_ops.sessionize_events(spark, SF_DIR).collect()
+    )
+    assert stream_rows == batch_rows
+
+
+def test_watermark_present_in_plan(spark):
+    """Late-data handling is part of the operator contract: the streaming
+    aggregation must carry an event-time watermark."""
+    ev = sev.read_event_stream(spark, SF_DIR)
+    agg = ev.withWatermark("ts", "10 minutes").groupBy(F.window("ts", "5 minutes")).count()
+    assert "EventTimeWatermark" in agg._jdf.queryExecution().logical().toString()

@@ -1,0 +1,175 @@
+"""Behavioral tests for text/dedup/similarity operators.
+
+The driver testdata has no true near-duplicates, so oracle parity alone
+can't show the detectors *detect*. These tests feed crafted corpora through
+the same expressions and assert the semantics: dups found, non-dups not,
+ANN recall vs the brute-force baseline.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_analytics_machine_learning_poc_spark.functions.hashing import (
+    MERSENNE_P,
+    MINHASH_PERMS,
+    md5_hash32,
+)
+from big_data_analytics_machine_learning_poc_spark.operators import dedup, similarity, text
+
+from .conftest import SF_DIR
+
+
+@pytest.mark.parametrize(
+    "name",
+    sorted(set(text.REG.oracles) | set(dedup.REG.oracles) | set(similarity.REG.oracles)),
+)
+def test_extension_oracle_parity(spark, duck, name):
+    merged = {}
+    for reg in (text.REG, dedup.REG, similarity.REG):
+        merged.update(reg.queries)
+    oracles = {}
+    for reg in (text.REG, dedup.REG, similarity.REG):
+        oracles.update(reg.oracles)
+    from big_data_analytics_machine_learning_poc_spark.oracle import compare_query
+
+    problems = compare_query(merged[name](spark, SF_DIR), duck, oracles[name])
+    assert not problems, f"{name}: {problems}"
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+@pytest.fixture(scope="module")
+def dup_corpus(spark):
+    """Three exact/near dup groups + unrelated docs."""
+    base = "the quick brown fox jumps over the lazy dog near the old river bank today"
+    near = "the quick brown fox jumps over the lazy dog near the old river bank yesterday"
+    other = "completely different content about database engines and vectorized execution plans"
+    return _docs(
+        spark,
+        [
+            (0, base),
+            (1, base),  # exact dup of 0
+            (2, near),  # near dup of 0 (1 token differs)
+            (3, other),
+            (4, "tiny doc"),
+        ],
+    )
+
+
+def _minhash_sig(df):
+    th = (
+        df.select("doc_id", F.explode(text.tokens_col()).alias("tok"))
+        .select("doc_id", md5_hash32(F.col("tok")).alias("h"))
+        .distinct()
+    )
+    aggs = [
+        F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(MERSENNE_P)).alias(f"mh{i}")
+        for i, (a, b) in enumerate(MINHASH_PERMS)
+    ]
+    return th.groupBy("doc_id").agg(*aggs)
+
+
+def test_minhash_identical_docs_have_identical_signatures(dup_corpus):
+    sig = {r.doc_id: tuple(r)[1:] for r in _minhash_sig(dup_corpus).collect()}
+    assert sig[0] == sig[1]
+    # near-dup shares most minhashes; unrelated shares few
+    near_matches = sum(a == b for a, b in zip(sig[0], sig[2]))
+    far_matches = sum(a == b for a, b in zip(sig[0], sig[3]))
+    assert near_matches >= 6
+    assert far_matches <= 2
+
+
+def test_simhash_near_dup_small_hamming(spark, dup_corpus):
+    dup_corpus.createOrReplaceTempView("documents_fixture")
+    th = dup_corpus.select("doc_id", F.explode(text.tokens_col()).alias("tok")).select(
+        "doc_id", md5_hash32(F.col("tok")).alias("h")
+    )
+    bit_sums = [
+        F.sum(F.when(F.col("h").bitwiseAND(F.lit(1 << j)) != 0, 1).otherwise(-1)).alias(f"s{j}")
+        for j in range(16)
+    ]
+    per_doc = th.groupBy("doc_id").agg(*bit_sums)
+    simhash = sum(F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0)) for j in range(16))
+    sh = {r.doc_id: r.sh for r in per_doc.select("doc_id", simhash.alias("sh")).collect()}
+    assert sh[0] == sh[1]
+    ham_near = bin(sh[0] ^ sh[2]).count("1")
+    ham_far = bin(sh[0] ^ sh[3]).count("1")
+    assert ham_near < ham_far
+
+
+def test_bigram_jaccard_math(spark, dup_corpus):
+    sh = dup_corpus.select(
+        "doc_id", F.explode(dedup.bigram_shingles()).alias("shingle")
+    ).distinct()
+    sizes = {r.doc_id: r.n for r in sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # base has 13 bigrams; near differs in the final token → 12 shared
+    assert sizes[0] == 13
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") == 0) & (F.col("b.doc_id") == 2))
+        .count()
+    )
+    assert inter == 12
+    jac = inter / (sizes[0] + sizes[2] - inter)
+    assert jac > 0.8
+
+
+def test_single_token_doc_has_no_bigrams(spark):
+    df = _docs(spark, [(0, "single")])
+    assert df.select(F.size(dedup.bigram_shingles()).alias("n")).collect()[0].n == 0
+
+
+def test_ann_bucket_recall_vs_brute(spark):
+    """ANN candidates from the query bucket must contain the true nearest
+    neighbour reasonably often. With 256 sign buckets over random vectors,
+    the query's top-1 lands in the same bucket when it is truly close; we
+    assert recall on a corpus with planted near-neighbours."""
+    import random
+
+    rnd = random.Random(7)
+    base = [rnd.uniform(-1, 1) for _ in range(64)]
+    rows = [(0, [float(x) for x in base])]
+    # planted: tiny perturbations of the query → same sign pattern w.h.p.
+    for i in range(1, 6):
+        rows.append((i, [float(x + rnd.uniform(-0.01, 0.01)) for x in base]))
+    # noise vectors
+    for i in range(6, 106):
+        rows.append((i, [float(rnd.uniform(-1, 1)) for _ in range(64)]))
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    emb = emb.select("vec_id", F.col("embedding").cast("array<float>").alias("embedding"))
+
+    bucketed = emb.select(
+        "vec_id", "embedding", similarity.bucket_col(F.col("embedding")).alias("bucket")
+    )
+    buckets = {r.vec_id: r.bucket for r in bucketed.collect()}
+    planted_in_bucket = sum(buckets[i] == buckets[0] for i in range(1, 6))
+    assert planted_in_bucket >= 4  # sign-stable perturbations land together
+
+
+def test_lang_id_detects_real_language_text(spark):
+    df = _docs(
+        spark,
+        [
+            (0, "the cat and the dog sat on a mat of straw"),
+            (1, "le chat et la souris sont dans les jardins des villes"),
+            (2, "el perro y los gatos viven en las casas que vemos"),
+            (3, "der hund und die katze sind ein gutes team nicht wahr"),
+            (4, "你好 世界"),
+            (5, "zzz qqq xxx"),
+        ],
+    )
+    h = {lang: text._hits(lex) for lang, lex in text.LANG_LEXICONS.items()}
+    pred = (
+        F.when(F.col("text").rlike("[一-鿿]"), "zh")
+        .when((h["en"] == 0) & (h["fr"] == 0) & (h["es"] == 0) & (h["de"] == 0), "unknown")
+        .when((h["en"] >= h["fr"]) & (h["en"] >= h["es"]) & (h["en"] >= h["de"]), "en")
+        .when((h["fr"] >= h["es"]) & (h["fr"] >= h["de"]), "fr")
+        .when(h["es"] >= h["de"], "es")
+        .otherwise("de")
+    )
+    out = {r.doc_id: r.p for r in df.select("doc_id", pred.alias("p")).collect()}
+    assert out == {0: "en", 1: "fr", 2: "es", 3: "de", 4: "zh", 5: "unknown"}
