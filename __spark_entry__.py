@@ -26,7 +26,17 @@ def _registry() -> QueryRegistry:
 
     reg = QueryRegistry()
     reg.merge(relational.REG)
-    for mod_name in ("text", "dedup", "similarity", "encoding", "multimodal", "mlops", "streaming_ops"):
+    for mod_name in (
+        "text",
+        "dedup",
+        "similarity",
+        "encoding",
+        "multimodal",
+        "mlops",
+        "streaming_ops",
+        "asof",
+        "skew",
+    ):
         try:
             mod = __import__(
                 f"big_data_analytics_machine_learning_poc_spark.operators.{mod_name}",

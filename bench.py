@@ -28,7 +28,10 @@ def main() -> None:
     from big_data_analytics_machine_learning_poc_spark.operators import relational
     from big_data_analytics_machine_learning_poc_spark.session import get_session
 
-    spark = get_session("bench", cpus=cpus)
+    # micro profile: AQE off / small shuffle fan-out — at sf0.1 every stage is
+    # sub-second, so adaptive re-planning only adds overhead (session.py
+    # documents the measurement; a cluster-scale run uses the default profile)
+    spark = get_session("bench", cpus=cpus, profile="micro")
 
     results: dict[str, float] = {}
     for name in BENCH_QUERIES:

@@ -27,20 +27,32 @@ def default_cpus() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8)))
 
 
-def get_session(app_name: str = "bdaml-poc-spark", cpus: int | None = None) -> SparkSession:
+def get_session(
+    app_name: str = "bdaml-poc-spark", cpus: int | None = None, profile: str = "scale"
+) -> SparkSession:
     """Build (or reuse) a local SparkSession tuned for this machine.
 
     Engine code never assumes it owns the session: every operator takes the
     session (or a DataFrame) as an argument, so a cluster deployment can pass
     its own properly-configured session.
+
+    Profiles:
+    - ``scale`` (default): AQE on with partition coalescing + skew-join —
+      the configuration a 100 TB cluster run wants; adaptive re-planning is
+      amortized over multi-second stages.
+    - ``micro``: AQE off, few shuffle partitions — for sub-second local
+      datasets where AQE's per-stage query-stage materialization costs more
+      than it saves (measured: ~0.15s/query at sf0.1). bench.py uses this;
+      results are identical, only the physical plan differs.
     """
     cpus = cpus or default_cpus()
+    micro = profile == "micro"
     builder = (
         SparkSession.builder.appName(app_name)
         .master(f"local[{cpus}]")
-        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.shuffle.partitions", "4" if micro else str(cpus))
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.enabled", "false" if micro else "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

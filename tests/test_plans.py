@@ -8,37 +8,31 @@ whole-stage codegen covering the hot path.
 
 from __future__ import annotations
 
-from pyspark.sql import functions as F
-
 from big_data_analytics_machine_learning_poc_spark.catalog import load_table
 from big_data_analytics_machine_learning_poc_spark.operators import relational
+from big_data_analytics_machine_learning_poc_spark.plans import (
+    executed_plan as _physical,
+    formatted_plan as _formatted,
+    pushed_filters,
+    read_schema_line,
+)
 
 from .conftest import SF_DIR
 
 
-def _physical(df) -> str:
-    return df._jdf.queryExecution().executedPlan().toString()
-
-
-def _formatted(df) -> str:
-    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
-
-
 def test_filter_pushdown_reaches_scan(spark):
     df = relational.filter_pred(spark, SF_DIR)
-    plan = _formatted(df)
-    assert "PushedFilters" in plan
+    pushed = pushed_filters(df)
+    assert pushed, _formatted(df)
     # the equality + range predicates must appear in the pushed set
-    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln][0]
-    assert "l_returnflag" in pushed and "l_quantity" in pushed
+    assert "l_returnflag" in pushed[0] and "l_quantity" in pushed[0]
 
 
 def test_column_pruning_reaches_scan(spark):
     df = load_table(spark, SF_DIR, "lineitem").select("l_orderkey", "l_quantity")
-    plan = _formatted(df)
-    schema_lines = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
-    assert schema_lines, plan
-    assert "l_extendedprice" not in schema_lines[0], "scan reads unprojected columns"
+    line = read_schema_line(df)
+    assert line, _formatted(df)
+    assert "l_extendedprice" not in line, "scan reads unprojected columns"
 
 
 def test_broadcast_join_for_dimension(spark):
