@@ -230,3 +230,39 @@ def hashingtf_idf_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", nnz.alias("nnz"), F.round(nrm, 4).alias("l2_norm")
     )
+
+
+@REG.add(
+    "index_to_string_roundtrip",
+    sql="""
+    WITH freq AS (
+      SELECT c_mktsegment, COUNT(*) AS n FROM customer GROUP BY c_mktsegment
+    ), mapping AS (
+      SELECT c_mktsegment,
+             CAST(ROW_NUMBER() OVER (ORDER BY n DESC, c_mktsegment) - 1 AS DOUBLE) AS idx
+      FROM freq
+    )
+    SELECT c_mktsegment AS original, idx AS label_index, c_mktsegment AS decoded
+    FROM mapping
+    """,
+)
+def index_to_string_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6 (IndexToString, RandomForest.java:75-78): encode with the
+    deterministic indexer, decode back through the inverse mapping; the
+    oracle asserts decode(encode(x)) == x for every label."""
+    freq = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.orderBy(F.col("n").desc(), "c_mktsegment")
+    mapping = freq.select(
+        F.col("c_mktsegment").alias("original"),
+        (F.row_number().over(w) - 1).cast("double").alias("label_index"),
+    )
+    inverse = mapping.select(
+        F.col("label_index").alias("ix"), F.col("original").alias("decoded")
+    )
+    return mapping.join(inverse, mapping.label_index == inverse.ix).select(
+        "original", "label_index", "decoded"
+    )

@@ -774,3 +774,128 @@ def split_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [("train", train.count()), ("test", test.count())], ["split", "n"]
     )
+
+
+# --------------------------------------------------------------------------
+# TPC-H-style pricing summary + remaining join flavors
+# --------------------------------------------------------------------------
+
+
+@REG.add(
+    "pricing_summary",
+    sql=f"""
+    SELECT l_returnflag, l_linestatus,
+           {sum_money_sql("l_quantity", "sum_qty")},
+           {sum_money_sql("l_extendedprice", "sum_base_price")},
+           {sum_revenue_sql("sum_disc_price")},
+           {avg_money_sql("l_quantity", "avg_qty")},
+           {avg_money_sql("l_extendedprice", "avg_price")},
+           {avg_money_sql("l_discount", "avg_disc")},
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape (guide §'Common OLAP patterns'): scan-heavy multi-agg —
+    the canonical map-side-combine benchmark. Filter pushes to the scan;
+    partial aggregation reduces 600k rows to 6 groups before the shuffle."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            sum_money("l_quantity", "sum_qty"),
+            sum_money("l_extendedprice", "sum_base_price"),
+            sum_revenue("sum_disc_price"),
+            avg_money("l_quantity", "avg_qty"),
+            avg_money("l_extendedprice", "avg_price"),
+            avg_money("l_discount", "avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@REG.add(
+    "join_full_outer",
+    sql="""
+    WITH c AS (SELECT DISTINCT c_nationkey FROM customer),
+         s AS (SELECT DISTINCT s_nationkey FROM supplier)
+    SELECT COALESCE(c.c_nationkey, s.s_nationkey) AS nationkey,
+           CASE WHEN c.c_nationkey IS NOT NULL THEN 1 ELSE 0 END AS has_customers,
+           CASE WHEN s.s_nationkey IS NOT NULL THEN 1 ELSE 0 END AS has_suppliers
+    FROM c FULL OUTER JOIN s ON c.c_nationkey = s.s_nationkey
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select("c_nationkey").distinct()
+    s = _t(spark, sf_dir, "supplier").select("s_nationkey").distinct()
+    j = c.join(s, c.c_nationkey == s.s_nationkey, "full_outer")
+    return j.select(
+        F.coalesce("c_nationkey", "s_nationkey").alias("nationkey"),
+        F.when(F.col("c_nationkey").isNotNull(), 1).otherwise(0).alias("has_customers"),
+        F.when(F.col("s_nationkey").isNotNull(), 1).otherwise(0).alias("has_suppliers"),
+    )
+
+
+@REG.add(
+    "join_range_shipwindow",
+    sql="""
+    SELECT o.o_orderkey, COUNT(*) AS n_shipped_in_window
+    FROM orders o JOIN lineitem l
+      ON l.l_orderkey = o.o_orderkey
+     AND l.l_shipdate >= o.o_orderdate
+     AND l.l_shipdate < o.o_orderdate + INTERVAL 90 DAY
+    WHERE o.o_orderkey < 5000
+    GROUP BY o.o_orderkey ORDER BY o.o_orderkey
+    """,
+)
+def join_range_shipwindow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range/interval join (equi key + temporal band): items shipped within
+    90 days of their order. The equi component keeps it a hash/sort-merge
+    join with the band as a residual filter — the scalable rendering of a
+    range join when an equi key exists (pure range joins get bucketized)."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 5000)
+    li = _t(spark, sf_dir, "lineitem")
+    cond = (
+        (li.l_orderkey == o.o_orderkey)
+        & (li.l_shipdate >= o.o_orderdate)
+        & (li.l_shipdate < F.date_add(o.o_orderdate.cast("date"), 90).cast("timestamp"))
+    )
+    return (
+        li.join(o, cond)
+        .groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("n_shipped_in_window"))
+        .orderBy("o_orderkey")
+    )
+
+
+@REG.add(
+    "agg_collect_sorted",
+    sql="""
+    SELECT event_type,
+           array_to_string(list_sort(list(DISTINCT user_id % 100)), ',') AS users_mod,
+           CAST(MIN(user_id) AS BIGINT) AS first_user,
+           CAST(MAX(user_id) AS BIGINT) AS last_user
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation made deterministic: collect_set has no defined
+    order (partition-dependent — worse on a real cluster), so the engine
+    convention is sort_array(collect_set(...)) before any comparison or
+    downstream consumption; surfaced as a joined string for the oracle."""
+    ev = _t(spark, sf_dir, "events").withColumn("user_mod", F.col("user_id") % 100)
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.array_join(F.sort_array(F.collect_set("user_mod")), ",").alias("users_mod"),
+            F.min("user_id").alias("first_user"),
+            F.max("user_id").alias("last_user"),
+        )
+        .orderBy("event_type")
+    )

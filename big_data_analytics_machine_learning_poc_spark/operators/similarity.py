@@ -139,3 +139,66 @@ def ann_bucket_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("sim").desc(), "vec_id")
         .limit(5)
     )
+
+
+@REG.add("ann_ivf_cosine")  # rows-only: centroids come from seeded KMeans —
+# not SQL-derivable; recall vs brute force asserted in tests/test_text_dedup.py
+def ann_ivf_cosine(spark: SparkSession, sf_dir: str, k: int = 8, nprobe: int = 2) -> DataFrame:
+    """IVF-style ANN: coarse-quantize the corpus to seeded KMeans centroids,
+    probe the ``nprobe`` centroids nearest the query, exact cosine re-rank
+    within the probed cells.
+
+    Scale shape: centroid assignment is one broadcast-apply pass (the model
+    is KBs); at query time only ~nprobe/k of the corpus is scanned. The
+    inverted lists would be materialized as a ``cluster``-partitioned parquet
+    in production so probing prunes whole partitions.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", array_to_vector(F.col("embedding")).alias("fv")
+    )
+    model = KMeans(k=k, seed=42, maxIter=8, featuresCol="fv", predictionCol="cluster").fit(emb)
+    assigned = model.transform(emb).select("vec_id", "embedding", "cluster")
+
+    centers = model.clusterCenters()
+    query_row = assigned.filter(F.col("vec_id") == 0).select("embedding").head()
+    qv = list(query_row.embedding)
+
+    import math
+
+    def cos_py(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return dot / (na * nb) if na and nb else 0.0
+
+    probe = sorted(range(k), key=lambda c: -cos_py(qv, list(centers[c])))[:nprobe]
+
+    q = assigned.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
+    return (
+        assigned.filter(F.col("cluster").isin(probe) & (F.col("vec_id") != 0))
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", F.round(cosine(F.col("embedding"), F.col("q")), 5).alias("sim"))
+        .orderBy(F.col("sim").desc(), "vec_id")
+        .limit(5)
+    )
+
+
+@REG.add("similarity_approx_stats")  # rows-only: sketch results are
+# implementation-defined; tolerance vs exact asserted in tests
+def similarity_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The approximate aggregates a 100 TB pipeline actually runs: HLL++
+    distinct counts and quantile sketches (single pass, mergeable, no exact
+    shuffle of distincts)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.percentile_approx("value", [0.5, 0.95, 0.99], 10_000).alias("value_quantiles"),
+    ).select(
+        "approx_users",
+        F.col("value_quantiles")[0].alias("p50"),
+        F.col("value_quantiles")[1].alias("p95"),
+        F.col("value_quantiles")[2].alias("p99"),
+    )

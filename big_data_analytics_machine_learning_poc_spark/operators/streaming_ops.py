@@ -131,3 +131,24 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.floor(F.min("es")).cast("bigint").alias("session_start_epoch"),
     )
+
+
+@REG.add(
+    "stream_stateful_user_totals",
+    sql="""
+    SELECT user_id, COUNT(*) AS n_events,
+           SUM(CAST(ROUND(value * 100) AS BIGINT)) AS total_cents
+    FROM events WHERE user_id < 100
+    GROUP BY user_id
+    """,
+)
+def stream_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): per-user running
+    totals in explicit state, exact-cents accumulation. On bounded input the
+    final update per user equals the batch aggregation — which is the oracle.
+    (The events table is a single file → one micro-batch → one update row per
+    user; with multiple files the memory sink would hold one row per update
+    and the final-state comparison would need a dedup-by-last.)"""
+    from ..streaming.stateful import running_user_totals
+
+    return running_user_totals(spark, sf_dir, max_user=100)

@@ -14,6 +14,7 @@ identical integer arithmetic, ratios rounded identically.
 
 from __future__ import annotations
 
+import pandas as pd  # module-level so pandas_udf type hints resolve
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -176,3 +177,56 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "documents").select(
         "doc_id", md5_hash60(normalized).alias("fingerprint")
     )
+
+
+# --------------------------------------------------------------------------
+# Scalar pandas_udf (Arrow-vectorized) — completes the UDF taxonomy next to
+# mapInPandas (multimodal.py) and applyInPandasWithState (streaming/stateful).
+# --------------------------------------------------------------------------
+
+
+def _make_readability_udf():
+    """Arrow-vectorized scalar UDF: a simple readability proxy
+    (mean word length / (1 + type-token ratio)), computed per batch in
+    pandas. Row-at-a-time Python UDFs are banned in this engine (SURVEY
+    §2.11): this is the sanctioned Python scalar path. Built lazily —
+    pandas_udf type resolution needs an active SparkSession."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _readability_udf(texts: pd.Series) -> pd.Series:
+        def score(t: str) -> float:
+            toks = t.split()
+            if not toks:
+                return 0.0
+            mean_len = sum(len(w) for w in toks) / len(toks)
+            ttr = len(set(toks)) / len(toks)
+            return round(mean_len / (1.0 + ttr), 6)
+
+        return texts.map(score)
+
+    return _readability_udf
+
+
+@REG.add(
+    "text_readability_pandas_udf",
+    sql=r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk FROM documents
+    )
+    SELECT doc_id,
+           ROUND(
+             (CAST(list_sum(list_transform(tk, t -> LENGTH(t))) AS DOUBLE) / len(tk))
+             / (1.0 + CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk)), 6) AS readability
+    FROM toks
+    """,
+)
+def text_readability_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pandas_udf runs the same integer/float arithmetic as the SQL
+    oracle (python str.split == '\s+' split on single-space text), proving
+    the Arrow scalar-UDF path end-to-end. Note: this op exists to exercise
+    the UDF lane — text_quality computes comparable metrics fully JVM-side,
+    which is the preferred shape when expressible."""
+    docs = load_table(spark, sf_dir, "documents")
+    udf = _make_readability_udf()
+    return docs.select("doc_id", udf(F.col("text")).alias("readability"))

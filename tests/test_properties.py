@@ -1,0 +1,104 @@
+"""Property-based tests (hypothesis) for the exactness and ordering
+machinery everything else rests on."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import given, settings, strategies as st
+
+money = st.decimals(
+    min_value=-999_999, max_value=999_999, places=2, allow_nan=False, allow_infinity=False
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(money, min_size=1, max_size=200))
+def test_cents_sum_is_exact(spark, values):
+    """sum via cents == exact decimal sum for any 2-decimal inputs, any
+    partitioning."""
+    from pyspark.sql import functions as F
+
+    from big_data_analytics_machine_learning_poc_spark.functions.exact import cents
+
+    floats = [(float(v),) for v in values]
+    df = spark.createDataFrame(floats, ["x"]).repartition(7)
+    got = df.agg((F.sum(cents("x")) / F.lit(100.0)).alias("s")).collect()[0].s
+    expect = float(sum(values))
+    assert abs(got - expect) < 1e-9
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 10_000), st.integers(0, 100)),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_asof_join_matches_bruteforce(spark, rows):
+    """asof_join == per-row python brute force on arbitrary (key, ts) data.
+    Right rows double as left probes so equal-ts inclusivity is exercised."""
+    from big_data_analytics_machine_learning_poc_spark.operators.asof import asof_join
+
+    base = dt.datetime(2024, 1, 1)
+    left_rows = [
+        (k, base + dt.timedelta(seconds=ts_off), i)
+        for i, (k, ts_off, _) in enumerate(rows)
+    ]
+    right_rows = [
+        (k, base + dt.timedelta(seconds=ts_off + (v % 7) - 3), v)
+        for (k, ts_off, v) in rows
+    ]
+    left = spark.createDataFrame(left_rows, ["k", "ts", "row_id"])
+    right = spark.createDataFrame(right_rows, ["k", "ts", "v"])
+
+    got = {r.row_id: r.asof_value for r in asof_join(left, right, "k", "ts", "v").collect()}
+
+    # brute force: max right value among (same k, right.ts <= left.ts),
+    # tie on ts → the one last() would see: ordering among equal (k, ts)
+    # right rows is arbitrary, so only compare when the answer is unique
+    for k, lts, row_id in left_rows:
+        candidates = [(rts, v) for (rk, rts, v) in right_rows if rk == k and rts <= lts]
+        if not candidates:
+            assert got[row_id] is None
+            continue
+        best_ts = max(rts for rts, _ in candidates)
+        best_vals = {v for rts, v in candidates if rts == best_ts}
+        assert got[row_id] in best_vals
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.text(alphabet="abcde ", min_size=0, max_size=40), min_size=1, max_size=30))
+def test_minhash_signature_set_semantics(spark, texts):
+    """Minhash is a function of the token SET: permuting tokens or repeating
+    them must not change the signature."""
+    from pyspark.sql import functions as F
+
+    from big_data_analytics_machine_learning_poc_spark.functions.hashing import (
+        MERSENNE_P,
+        MINHASH_PERMS,
+        md5_hash32,
+    )
+
+    rows = []
+    for i, t in enumerate(texts):
+        toks = t.split()
+        rows.append((2 * i, " ".join(toks)))
+        rows.append((2 * i + 1, " ".join(list(reversed(toks)) + toks)))  # permuted + doubled
+    df = spark.createDataFrame(rows, ["doc_id", "text"]).filter(F.trim("text") != "")
+    th = (
+        df.select("doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok"))
+        .select("doc_id", md5_hash32(F.col("tok")).alias("h"))
+        .distinct()
+    )
+    a, b = MINHASH_PERMS[0]
+    sig = {
+        r.doc_id: r.mh
+        for r in th.groupBy("doc_id")
+        .agg(F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(MERSENNE_P)).alias("mh"))
+        .collect()
+    }
+    for i in range(len(texts)):
+        if 2 * i in sig and 2 * i + 1 in sig:
+            assert sig[2 * i] == sig[2 * i + 1]

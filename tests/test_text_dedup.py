@@ -106,14 +106,15 @@ def test_bigram_jaccard_math(spark, dup_corpus):
         "doc_id", F.explode(dedup.bigram_shingles()).alias("shingle")
     ).distinct()
     sizes = {r.doc_id: r.n for r in sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n")).collect()}
-    # base has 13 bigrams; near differs in the final token → 12 shared
-    assert sizes[0] == 13
+    # base has 15 tokens → 14 distinct bigrams; near differs in the final
+    # token → 13 shared
+    assert sizes[0] == 14
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") == 0) & (F.col("b.doc_id") == 2))
         .count()
     )
-    assert inter == 12
+    assert inter == 13
     jac = inter / (sizes[0] + sizes[2] - inter)
     assert jac > 0.8
 
@@ -173,3 +174,29 @@ def test_lang_id_detects_real_language_text(spark):
     )
     out = {r.doc_id: r.p for r in df.select("doc_id", pred.alias("p")).collect()}
     assert out == {0: "en", 1: "fr", 2: "es", 3: "de", 4: "zh", 5: "unknown"}
+
+
+def test_ann_ivf_recall_vs_brute(spark):
+    """IVF with nprobe=2/8 must recover most of the true top-5."""
+    from big_data_analytics_machine_learning_poc_spark.operators.similarity import (
+        ann_ivf_cosine,
+        knn_brute_cosine,
+    )
+
+    brute = [r.vec_id for r in knn_brute_cosine(spark, SF_DIR).collect()[:5]]
+    ivf = [r.vec_id for r in ann_ivf_cosine(spark, SF_DIR).collect()]
+    recall = len(set(brute) & set(ivf)) / 5
+    assert recall >= 0.4, (brute, ivf)
+
+
+def test_approx_stats_within_tolerance(spark, duck):
+    from big_data_analytics_machine_learning_poc_spark.operators.similarity import (
+        similarity_approx_stats,
+    )
+
+    row = similarity_approx_stats(spark, SF_DIR).collect()[0]
+    exact_users, p50 = duck.execute(
+        "SELECT COUNT(DISTINCT user_id), quantile_cont(value, 0.5) FROM events"
+    ).fetchone()
+    assert abs(row.approx_users - exact_users) / exact_users < 0.1
+    assert abs(row.p50 - p50) / max(p50, 1) < 0.25
