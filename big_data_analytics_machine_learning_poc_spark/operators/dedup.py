@@ -347,3 +347,34 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(sim, 5).alias("sim"),
         )
     )
+
+
+@REG.add("dedup_mllib_minhash_lsh")  # rows-only: MLlib's minhash coefficients
+# are seeded internally — not reproducible in SQL; semantics tested in
+# tests/test_text_dedup.py on planted near-dups
+def dedup_mllib_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MLlib-native fuzzy-dedup path (SURVEY §4: MinHashLSH +
+    approxSimilarityJoin are public DataFrame-native API): token-set →
+    binary HashingTF vector → MinHashLSH → self-similarity-join on Jaccard
+    distance ≤ 0.5. Complements the md5-based implementation above (which
+    exists for cross-engine oracle checkability); this one rides MLlib's
+    banding and is the drop-in at scale."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH, Tokenizer
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = Tokenizer(inputCol="text", outputCol="tokens").transform(docs)
+    # binary=True → set semantics (presence, not counts), matching Jaccard
+    tf = HashingTF(
+        inputCol="tokens", outputCol="features", numFeatures=1 << 14, binary=True
+    ).transform(toks)
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=5, seed=42)
+    model = lsh.fit(tf)
+    pairs = model.approxSimilarityJoin(tf, tf, 0.5, distCol="jaccard_dist")
+    return (
+        pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("doc_a"),
+            F.col("datasetB.doc_id").alias("doc_b"),
+            F.round(F.col("jaccard_dist"), 6).alias("jaccard_dist"),
+        )
+    )

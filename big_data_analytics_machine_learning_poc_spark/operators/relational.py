@@ -899,3 +899,94 @@ def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@REG.add(
+    "explode_token_freq",
+    sql=r"""
+    WITH toks AS (
+      SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS tok FROM documents
+    )
+    SELECT tok, COUNT(*) AS n FROM toks
+    GROUP BY tok ORDER BY n DESC, tok LIMIT 20
+    """,
+)
+def explode_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral explode → frequency top-k (the word-count shape): explode is
+    map-side (no shuffle), the groupBy partial-aggregates before exchanging
+    only distinct tokens."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "tok")
+        .limit(20)
+    )
+
+
+@REG.add(
+    "posexplode_first_tokens",
+    sql=r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
+      FROM documents WHERE doc_id < 50
+    )
+    SELECT doc_id, CAST(i - 1 AS INT) AS pos, tk[i] AS tok
+    FROM toks, unnest(range(1, least(3, len(tk)) + 1)) AS t(i)
+    """,
+)
+def posexplode_first_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode: position-preserving explode (0-based; the oracle generates
+    1-based positions via range+unnest — DuckDB 1.0 has no WITH ORDINALITY —
+    and shifts to match)."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return (
+        docs.select("doc_id", F.posexplode(F.split(F.trim(F.col("text")), r"\s+")).alias("pos", "tok"))
+        .filter(F.col("pos") < 3)
+        .select("doc_id", "pos", "tok")
+    )
+
+
+@REG.add(
+    "scalar_regex_funcs",
+    sql=r"""
+    SELECT p_partkey,
+           regexp_extract(p_name, '^(\w+)', 1) AS first_word,
+           regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+           CASE WHEN regexp_matches(p_type, '^(ECONOMY|SMALL)') THEN 1 ELSE 0 END AS is_cheap_class,
+           split_part(p_brand, '#', 2) AS brand_num
+    FROM part WHERE p_partkey < 500
+    """,
+)
+def scalar_regex_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part").filter(F.col("p_partkey") < 500)
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_name", r"^(\w+)", 1).alias("first_word"),
+        F.regexp_replace("p_name", "[aeiou]", "_").alias("devoweled"),
+        F.when(F.col("p_type").rlike("^(ECONOMY|SMALL)"), 1).otherwise(0).alias("is_cheap_class"),
+        F.split_part(F.col("p_brand"), F.lit("#"), F.lit(2)).alias("brand_num"),
+    )
+
+
+@REG.add(
+    "json_typed_struct",
+    sql="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod
+    FROM events WHERE event_id < 500
+    """,
+)
+def json_typed_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed JSON parsing: from_json to a struct schema (vs the string-path
+    get_json_object in scalar_json_funcs) — the production shape: parse once,
+    prune fields, stay columnar."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 500)
+    parsed = ev.select(
+        "event_id", F.from_json("props", "k BIGINT").alias("p")
+    )
+    return parsed.select(
+        "event_id", F.col("p.k").alias("k"), (F.col("p.k") % 10).alias("k_mod")
+    )

@@ -200,3 +200,30 @@ def test_approx_stats_within_tolerance(spark, duck):
     ).fetchone()
     assert abs(row.approx_users - exact_users) / exact_users < 0.1
     assert abs(row.p50 - p50) / max(p50, 1) < 0.25
+
+
+def test_mllib_minhash_lsh_finds_planted_dups(spark, dup_corpus):
+    """MLlib MinHashLSH must surface the exact and near dup pairs from the
+    planted corpus (docs 0,1 identical; 2 near; 3,4 unrelated)."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH, Tokenizer
+    from pyspark.sql import functions as F
+
+    toks = Tokenizer(inputCol="text", outputCol="tokens").transform(dup_corpus)
+    tf = HashingTF(
+        inputCol="tokens", outputCol="features", numFeatures=1 << 14, binary=True
+    ).transform(toks)
+    model = MinHashLSH(
+        inputCol="features", outputCol="hashes", numHashTables=5, seed=42
+    ).fit(tf)
+    pairs = (
+        model.approxSimilarityJoin(tf, tf, 0.6, distCol="d")
+        .filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("a"), F.col("datasetB.doc_id").alias("b")
+        )
+        .collect()
+    )
+    found = {(r.a, r.b) for r in pairs}
+    assert (0, 1) in found  # exact dup
+    assert (0, 2) in found and (1, 2) in found  # near dup
+    assert all(p[1] != 3 or p[0] == 3 for p in found if 3 in p) or (3 not in {x for p in found for x in p})
