@@ -136,3 +136,56 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return binry.select(
         "doc_id", F.explode(offsets).alias("frame_offset")
     )
+
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("orig_bytes", T.LongType()),
+        T.StructField("resized_bytes", T.LongType()),
+        T.StructField("resized_checksum32", T.LongType()),
+    ]
+)
+
+_RESIZE_STRIDE = 4
+
+
+def fake_resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """'Resize' stand-in: stride-subsample every 4th byte of the payload —
+    the downsampling shape of a real image resize (decode → subsample →
+    re-encode) with a deterministic pure-function core, so sizes are
+    oracle-checkable and the checksum pins the exact byte selection."""
+    for pdf in batches:
+        payloads = pdf["payload"]
+        resized = payloads.map(lambda b: bytes(b)[::_RESIZE_STRIDE])
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "orig_bytes": payloads.map(len),
+                "resized_bytes": resized.map(len),
+                "resized_checksum32": resized.map(
+                    lambda b: int(hashlib.md5(b).hexdigest()[:8], 16)
+                ),
+            }
+        )
+
+
+@REG.add(
+    "mm_resize",
+    sql="""
+    SELECT doc_id,
+           octet_length(encode(text)) AS orig_bytes,
+           CAST(FLOOR((octet_length(encode(text)) + 3) / 4) AS BIGINT) AS resized_bytes
+    FROM documents
+    """,
+)
+def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media resize via mapInPandas (Arrow batches). The oracle checks the
+    size arithmetic (ceil(n/4) bytes survive a stride-4 subsample); the
+    checksum column pins byte-exact content in tests/test_multimodal.py and
+    is excluded here because DuckDB cannot stride blobs."""
+    docs = load_table(spark, sf_dir, "documents")
+    payloads = with_binary_payload(docs).select("doc_id", "payload")
+    return payloads.mapInPandas(fake_resize, schema=RESIZE_SCHEMA).select(
+        "doc_id", "orig_bytes", "resized_bytes"
+    )

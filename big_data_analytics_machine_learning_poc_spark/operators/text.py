@@ -230,3 +230,30 @@ def text_readability_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     udf = _make_readability_udf()
     return docs.select("doc_id", udf(F.col("text")).alias("readability"))
+
+
+@REG.add(
+    "text_rolling_hash",
+    sql="""
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+                          list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+             (a, b) -> (a * 31 + b) % 2147483647) AS rolling_hash
+    FROM documents
+    """,
+)
+def text_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polynomial rolling-hash document fingerprint (h = Σ c·31^i mod M31):
+    the classic incremental fingerprint — unlike md5 it can be updated as a
+    window slides over a stream of text. Folded left-to-right over unicode
+    codepoints identically in both engines."""
+    chars = F.split(F.col("text"), "")
+    roll = F.aggregate(
+        F.transform(chars, F.ascii),
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * 31 + c) % F.lit(2_147_483_647),
+    )
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id", roll.alias("rolling_hash")
+    )

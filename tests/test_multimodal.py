@@ -61,3 +61,23 @@ def test_frame_sample_invariants(spark):
 def test_decode_image_is_stubbed():
     with pytest.raises(NotImplementedError):
         mm.decode_image(b"\x89PNG fake")
+
+
+def test_resize_checksum_is_byte_exact(spark):
+    """The stride-4 subsample checksum must match a local reimplementation."""
+    import hashlib as _hl
+
+    from big_data_analytics_machine_learning_poc_spark.catalog import load_table
+
+    docs = {r.doc_id: r.text for r in load_table(spark, SF_DIR, "documents").limit(5).collect()}
+    payloads = mm.with_binary_payload(load_table(spark, SF_DIR, "documents")).select(
+        "doc_id", "payload"
+    )
+    out = {
+        r.doc_id: r
+        for r in payloads.mapInPandas(mm.fake_resize, mm.RESIZE_SCHEMA).collect()
+    }
+    for doc_id, text in docs.items():
+        expect = text.encode()[::4]
+        assert out[doc_id].resized_bytes == len(expect)
+        assert out[doc_id].resized_checksum32 == int(_hl.md5(expect).hexdigest()[:8], 16)
