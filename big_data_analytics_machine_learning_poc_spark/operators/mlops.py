@@ -83,3 +83,61 @@ def ml_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("cluster")
     )
+
+
+@REG.add(
+    "grouped_zscore_applyinpandas",
+    sql="""
+    WITH g AS (
+      SELECT event_type,
+             SUM(CAST(ROUND(value * 100) AS BIGINT)) AS sum_cents,
+             COUNT(*) AS n
+      FROM events GROUP BY event_type
+    ), dev AS (
+      SELECT e.event_id, e.event_type,
+             CAST(ROUND(e.value * 100) AS BIGINT) * g.n - g.sum_cents AS d,
+             g.n AS n
+      FROM events e JOIN g USING (event_type)
+    ), ss AS (
+      SELECT event_type, SUM(d * d) AS ssq, ANY_VALUE(n) AS n FROM dev GROUP BY event_type
+    )
+    SELECT dev.event_id,
+           ROUND(CAST(dev.d AS DOUBLE) * sqrt(CAST(dev.n AS DOUBLE))
+                 / NULLIF(sqrt(CAST(ss.ssq AS DOUBLE)), 0), 6) AS zscore
+    FROM dev JOIN ss USING (event_type)
+    WHERE dev.event_id < 2000
+    """,
+)
+def grouped_zscore_applyinpandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas (the remaining Arrow UDF lane next to the
+    scalar pandas_udf, mapInPandas, and applyInPandasWithState): per-group
+    population z-score of value.
+
+    Exactness across engines without trusting float summation order:
+    deviations are computed in scaled integers, d = v_cents·n − Σcents
+    (exact); with Σd² = n³σ²_cents the population z-score is
+    z = (v−μ)/σ = d·√n / √(Σd²). Σd² is summed as arbitrary-precision ints
+    in pandas and HUGEINT in DuckDB, so the doubles fed to sqrt are
+    bit-identical, and the final expression multiplies/divides in the same
+    order on both sides.
+    """
+    import math
+
+    import pandas as pd
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        cents = (pdf["value"] * 100).round().astype("int64")
+        n = len(pdf)
+        total = int(cents.sum())
+        d = cents.astype(object) * n - total  # python ints: exact
+        ssq = sum(int(x) * int(x) for x in d)
+        sqrt_ssq = math.sqrt(float(ssq))
+        sqrt_n = math.sqrt(float(n))
+        z = [
+            round(float(x) * sqrt_n / sqrt_ssq, 6) if ssq != 0 else None for x in d
+        ]
+        return pd.DataFrame({"event_id": pdf["event_id"], "zscore": z})
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    out = ev.groupBy("event_type").applyInPandas(zscore, schema="event_id long, zscore double")
+    return out.filter(F.col("event_id") < 2000)

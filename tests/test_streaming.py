@@ -45,3 +45,19 @@ def test_watermark_present_in_plan(spark):
     ev = sev.read_event_stream(spark, SF_DIR)
     agg = ev.withWatermark("ts", "10 minutes").groupBy(F.window("ts", "5 minutes")).count()
     assert "EventTimeWatermark" in agg._jdf.queryExecution().logical().toString()
+
+
+def test_foreachbatch_sink(spark):
+    """foreachBatch: the exactly-once custom-sink hook — counts arriving
+    per micro-batch must sum to the table total."""
+    from big_data_analytics_machine_learning_poc_spark.streaming.events import read_event_stream
+
+    seen: list[int] = []
+    ev = read_event_stream(spark, SF_DIR).select("event_id")
+    q = (
+        ev.writeStream.foreachBatch(lambda df, epoch: seen.append(df.count()))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert sum(seen) == load_table(spark, SF_DIR, "events").count()
