@@ -260,13 +260,17 @@ def bigram_shingles() -> Column:
 @REG.add(
     "dedup_ngram_jaccard",
     sql=f"""
-    WITH sh AS (
+    WITH sh0 AS (
       SELECT DISTINCT doc_id, unnest({_BIGRAMS_SQL}) AS shingle FROM documents
     ), sizes AS (
-      SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+      SELECT doc_id, COUNT(*) AS n FROM sh0 GROUP BY doc_id
+    ), sh AS (
+      SELECT sh0.doc_id, sh0.shingle, sizes.n FROM sh0 JOIN sizes USING (doc_id)
     ), inter AS (
+      -- size-ratio pruning: J >= 1/2 requires max(|A|,|B|) <= 2*min(|A|,|B|)
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS ni
       FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                         AND a.n <= 2 * b.n AND b.n <= 2 * a.n
       GROUP BY a.doc_id, b.doc_id
     )
     SELECT doc_a, doc_b,
@@ -282,14 +286,23 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The shingle equi-join is only quadratic within a shingle's posting list —
     acceptable as the verifier on LSH candidates; standalone it is the
-    small-corpus / oracle-checkable form.
+    small-corpus / oracle-checkable form. A size-ratio prefilter
+    (J ≥ τ ⇒ max(|A|,|B|) ≤ |A∩B|·(1+τ)/τ ≤ (1/τ)·min at τ=0.5 ⇒ ≤ 2·min)
+    drops hopeless pairs before the counting aggregation.
     """
     docs = load_table(spark, sf_dir, "documents")
-    sh = docs.select("doc_id", F.explode(bigram_shingles()).alias("shingle")).distinct()
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sh0 = docs.select("doc_id", F.explode(bigram_shingles()).alias("shingle")).distinct()
+    sizes = sh0.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sh = sh0.join(F.broadcast(sizes), "doc_id")
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("a.n") <= 2 * F.col("b.n"))
+            & (F.col("b.n") <= 2 * F.col("a.n")),
+        )
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("ni"))
     )

@@ -227,3 +227,53 @@ def test_mllib_minhash_lsh_finds_planted_dups(spark, dup_corpus):
     assert (0, 1) in found  # exact dup
     assert (0, 2) in found and (1, 2) in found  # near dup
     assert all(p[1] != 3 or p[0] == 3 for p in found if 3 in p) or (3 not in {x for p in found for x in p})
+
+
+def test_rolling_hash_matches_hand_computation(spark):
+    """Guard against agree-on-wrong-formula: compare to an independent
+    python implementation of h = Σ c·31^i mod M31."""
+    from big_data_analytics_machine_learning_poc_spark.operators import text as text_ops
+
+    samples = ["abc", "héllo 中", "a b  c"]
+    df = _docs(spark, list(enumerate(samples)))
+    chars = F.split(F.col("text"), "")
+    roll = F.aggregate(
+        F.transform(chars, F.ascii), F.lit(0).cast("long"),
+        lambda acc, c: (acc * 31 + c) % F.lit(2_147_483_647),
+    )
+    got = {r.doc_id: r.h for r in df.select("doc_id", roll.alias("h")).collect()}
+    for i, s in enumerate(samples):
+        h = 0
+        for ch in s:
+            h = (h * 31 + ord(ch)) % 2_147_483_647
+        assert got[i] == h, s
+
+
+def test_quality_and_readability_hand_computed(spark):
+    """Independent recomputation of text_quality / readability for one doc."""
+    from big_data_analytics_machine_learning_poc_spark.operators import text as text_ops
+
+    doc = "the cat is on a mat"
+    df = _docs(spark, [(0, doc)])
+    df.createOrReplaceTempView("documents")  # operators read the table name via load_table; bypass
+    toks = doc.split()
+    n_tokens = len(toks)
+    avg_len = round(sum(map(len, toks)) / n_tokens, 6)
+    stop_hits = sum(t in text_ops.STOPWORDS for t in toks)
+
+    n_tok_col = F.size(text_ops.tokens_col())
+    out = df.select(
+        n_tok_col.alias("n"),
+        F.round(
+            F.aggregate(F.transform(text_ops.tokens_col(), F.length), F.lit(0), lambda a, x: a + x)
+            .cast("double") / n_tok_col, 6,
+        ).alias("avg_len"),
+        text_ops._hits(text_ops.STOPWORDS).alias("hits"),
+    ).collect()[0]
+    assert (out.n, out.avg_len, out.hits) == (n_tokens, avg_len, stop_hits)
+
+    # readability proxy: mean_len / (1 + type-token ratio)
+    udf = text_ops._make_readability_udf()
+    got = df.select(udf(F.col("text")).alias("r")).collect()[0].r
+    expect = round((sum(map(len, toks)) / n_tokens) / (1 + len(set(toks)) / n_tokens), 6)
+    assert got == expect
