@@ -990,3 +990,36 @@ def json_typed_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parsed.select(
         "event_id", F.col("p.k").alias("k"), (F.col("p.k") % 10).alias("k_mod")
     )
+
+
+@REG.add(
+    "window_rank_funcs",
+    sql="""
+    SELECT c_custkey,
+           RANK() OVER w AS rnk,
+           DENSE_RANK() OVER w AS drnk,
+           NTILE(4) OVER w AS quartile,
+           ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+           ROUND(CUME_DIST() OVER w, 6) AS cume
+    FROM customer
+    WHERE c_custkey < 1000
+    WINDOW w AS (ORDER BY c_acctbal DESC, c_custkey)
+    """,
+)
+def window_rank_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full ranking-function family over one window (rank, dense_rank,
+    ntile, percent_rank, cume_dist) — percent_rank/cume_dist are exact
+    rationals of row counts, so no float drift across engines."""
+    w = Window.orderBy(F.col("c_acctbal").desc(), "c_custkey")
+    return (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") < 1000)
+        .select(
+            "c_custkey",
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+            F.ntile(4).over(w).alias("quartile"),
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume"),
+        )
+    )

@@ -59,3 +59,44 @@ def test_wholestage_codegen_covers_agg(spark):
     df.collect()  # materialize so AQE finalizes the adaptive plan
     # formatted explain marks codegen stages as "[codegen id : N]"
     assert "codegen id" in _formatted(df)
+
+
+def test_minhash_pairs_avoids_cartesian(spark):
+    """The LSH band join must be an equi-join on bucket keys, never a
+    cartesian/nested-loop product — THE scale property of minhash dedup."""
+    from big_data_analytics_machine_learning_poc_spark.operators.dedup import dedup_minhash_pairs
+
+    plan = _physical(dedup_minhash_pairs(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_asof_join_single_key_shuffle(spark):
+    """The union+window as-of join shuffles once on the key — no range
+    cross-join, no nested loop."""
+    from big_data_analytics_machine_learning_poc_spark.operators.asof import (
+        asof_purchase_last_click,
+    )
+
+    plan = _physical(asof_purchase_last_click(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" in plan
+
+
+def test_knn_broadcasts_single_query_row(spark):
+    """Brute-force kNN crossJoin is against a broadcast single-row query —
+    a BroadcastNestedLoopJoin over 1 row is a map-side pass, not a shuffle."""
+    from big_data_analytics_machine_learning_poc_spark.operators.similarity import knn_brute_cosine
+
+    plan = _physical(knn_brute_cosine(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan  # top-k, not global sort
+
+
+def test_salted_agg_has_two_aggregation_levels(spark):
+    from big_data_analytics_machine_learning_poc_spark.operators.skew import skew_salted_agg
+
+    plan = _physical(skew_salted_agg(spark, SF_DIR))
+    # partial+final for the salted phase AND for the combine phase
+    assert plan.count("HashAggregate") >= 4
