@@ -202,3 +202,32 @@ def similarity_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value_quantiles")[1].alias("p95"),
         F.col("value_quantiles")[2].alias("p99"),
     )
+
+
+@REG.add(
+    "array_funcs",
+    sql="""
+    SELECT vec_id,
+           len(embedding) AS dim,
+           ROUND(CAST(embedding[1] AS DOUBLE), 6) AS first_val,
+           ROUND(CAST(list_max(embedding) AS DOUBLE), 6) AS max_val,
+           ROUND(CAST(list_min(embedding) AS DOUBLE), 6) AS min_val,
+           len(list_filter(embedding, x -> x > 0)) AS n_positive,
+           ROUND(CAST(list_sort(embedding)[1] AS DOUBLE), 6) AS sorted_first
+    FROM embeddings WHERE vec_id < 100
+    """,
+)
+def array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function family over the embedding column: size, index access,
+    min/max, predicate filter, sort — all codegen'd, the building blocks the
+    vector ops compose from."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    return emb.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("dim"),
+        F.round(F.element_at("embedding", 1).cast("double"), 6).alias("first_val"),
+        F.round(F.array_max("embedding").cast("double"), 6).alias("max_val"),
+        F.round(F.array_min("embedding").cast("double"), 6).alias("min_val"),
+        F.size(F.filter("embedding", lambda x: x > 0)).cast("long").alias("n_positive"),
+        F.round(F.element_at(F.sort_array("embedding"), 1).cast("double"), 6).alias("sorted_first"),
+    )
