@@ -1023,3 +1023,66 @@ def window_rank_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.cume_dist().over(w), 6).alias("cume"),
         )
     )
+
+
+@REG.add(
+    "union_missing_columns",
+    sql="""
+    SELECT c_custkey AS entity_key, c_acctbal AS acctbal, c_mktsegment AS segment, 'customer' AS kind
+    FROM customer WHERE c_custkey < 200
+    UNION ALL
+    SELECT s_suppkey AS entity_key, s_acctbal AS acctbal, NULL AS segment, 'supplier' AS kind
+    FROM supplier WHERE s_suppkey < 200
+    """,
+)
+def union_missing_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unionByName(allowMissingColumns=True): schema-aligned union where one
+    side lacks columns (filled with nulls) — the schema-evolution-tolerant
+    append shape."""
+    c = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") < 200)
+        .select(
+            F.col("c_custkey").alias("entity_key"),
+            F.col("c_acctbal").alias("acctbal"),
+            F.col("c_mktsegment").alias("segment"),
+            F.lit("customer").alias("kind"),
+        )
+    )
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_suppkey") < 200)
+        .select(
+            F.col("s_suppkey").alias("entity_key"),
+            F.col("s_acctbal").alias("acctbal"),
+            F.lit("supplier").alias("kind"),
+        )
+    )
+    return c.unionByName(s, allowMissingColumns=True)
+
+
+@REG.add(
+    "null_handling_funcs",
+    sql="""
+    SELECT l_orderkey, l_linenumber,
+           NULLIF(l_discount, 0.0) AS disc_or_null,
+           COALESCE(NULLIF(l_discount, 0.0), -1.0) AS disc_coalesced,
+           CASE WHEN NULLIF(l_discount, 0.0) IS NULL THEN 1 ELSE 0 END AS was_zero,
+           IFNULL(NULLIF(l_tax, 0.0), 0.99) AS tax_defaulted
+    FROM lineitem WHERE l_orderkey < 500
+    """,
+)
+def null_handling_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-function family (nullif / coalesce / ifnull / isNull) — the
+    testdata has no nulls, so nullif manufactures them and the rest of the
+    pipeline proves three-valued logic round-trips identically."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 500)
+    disc_null = F.nullif(F.col("l_discount"), F.lit(0.0))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        disc_null.alias("disc_or_null"),
+        F.coalesce(disc_null, F.lit(-1.0)).alias("disc_coalesced"),
+        F.when(disc_null.isNull(), 1).otherwise(0).alias("was_zero"),
+        F.ifnull(F.nullif(F.col("l_tax"), F.lit(0.0)), F.lit(0.99)).alias("tax_defaulted"),
+    )
