@@ -65,6 +65,14 @@ def main() -> None:
         df.collect()
         prepared[name] = _median_times(df.collect)
 
+    # flagship 5-way star join timed separately (no BASELINE row → excluded
+    # from the comparable 6-query total)
+    flagship_fn = relational.REG.queries["flagship_regional_revenue"]
+    flagship_fn(spark, sf_dir).collect()
+    fdf = flagship_fn(spark, sf_dir)
+    fdf.collect()
+    flagship_sec = _median_times(fdf.collect)
+
     total = round(sum(prepared.values()), 4)
     print(
         json.dumps(
@@ -75,6 +83,7 @@ def main() -> None:
                 "queries": prepared,
                 "queries_fresh": fresh,
                 "fresh_total": round(sum(fresh.values()), 4),
+                "flagship_sec": flagship_sec,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
