@@ -141,3 +141,62 @@ def grouped_zscore_applyinpandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
     out = ev.groupBy("event_type").applyInPandas(zscore, schema="event_id long, zscore double")
     return out.filter(F.col("event_id") < 2000)
+
+
+# --------------------------------------------------------------------------
+# The four reference programs, driver-visible end-to-end (rows-only: model
+# metrics are not SQL-expressible; golden floors asserted in tests/test_ml.py).
+# Each runs on the deterministic FIXTURES.md corpus (seeded, in-memory) —
+# the reference's own CSVs are not shippable (SURVEY §1.4).
+# --------------------------------------------------------------------------
+
+
+@REG.add("ml_reference_correlator")  # rows-only
+def ml_reference_correlator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataCorrelator.java end-to-end: clean → bucket → agg → corr loop."""
+    from ..ml import correlator, fixtures
+
+    out = correlator.run(fixtures.medical_charges(spark))
+    rows = [("clean_count", float(out["clean_count"]))] + [
+        (f"corr_{k}", round(v, 6)) for k, v in sorted(out["correlations"].items())
+    ]
+    return spark.createDataFrame(rows, "metric string, value double")
+
+
+@REG.add("ml_reference_random_forest")  # rows-only
+def ml_reference_random_forest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RandomForest.java end-to-end: index → assemble → RF → confusion + f1."""
+    from ..ml import fixtures, random_forest
+
+    out = random_forest.run(fixtures.user_know(spark))
+    rows = [("f1", round(out["f1"], 6)), ("n_test", float(out["n_test"]))]
+    return spark.createDataFrame(rows, "metric string, value double")
+
+
+@REG.add("ml_reference_spam")  # rows-only
+def ml_reference_spam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SpamClassification.java end-to-end: 7-stage pipeline, RF + DT."""
+    from ..ml import fixtures, spam
+
+    out = spam.run(fixtures.spam(spark, n=2000))
+    rows = [
+        ("rf_accuracy", round(out["rf_accuracy"], 6)),
+        ("dt_accuracy", round(out["dt_accuracy"], 6)),
+        ("n_train", float(out["n_train"])),
+        ("n_test", float(out["n_test"])),
+    ]
+    return spark.createDataFrame(rows, "metric string, value double")
+
+
+@REG.add("ml_reference_tfidf")  # rows-only
+def ml_reference_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TfIdfCalculator.java end-to-end: dual TF-IDF → LR → RMSE."""
+    from ..ml import fixtures, tfidf_regression
+
+    out = tfidf_regression.run(fixtures.hotel_reviews(spark, n=1000))
+    rows = [
+        ("rmse", round(out["rmse"], 6)),
+        ("nationality_corr", round(out["nationality_corr"], 6)),
+        ("n_test", float(out["n_test"])),
+    ]
+    return spark.createDataFrame(rows, "metric string, value double")
