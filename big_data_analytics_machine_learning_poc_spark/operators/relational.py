@@ -1086,3 +1086,51 @@ def null_handling_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(disc_null.isNull(), 1).otherwise(0).alias("was_zero"),
         F.ifnull(F.nullif(F.col("l_tax"), F.lit(0.0)), F.lit(0.99)).alias("tax_defaulted"),
     )
+
+
+@REG.add(
+    "tpch_q3_shipping_priority",
+    sql=f"""
+    SELECT l.l_orderkey,
+           {_REVENUE_SQL},
+           CAST(FLOOR(EPOCH(o.o_orderdate) / 86400) AS BIGINT) AS orderdate_day,
+           o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01'
+      AND l.l_shipdate > TIMESTAMP '1997-01-01'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, orderdate_day, l.l_orderkey
+    LIMIT 10
+    """,
+)
+def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective filters on all three tables (each pushed to
+    its scan), star join, per-order revenue, top-10. Revenue is exact-cents
+    so the DESC ranking is deterministic; ties broken by (day, orderkey)."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1997-01-01").cast("timestamp")
+    )
+    day = F.datediff(
+        F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+    ).cast("long")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(sum_revenue("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            day.alias("orderdate_day"),
+            "o_orderpriority",
+        )
+        .orderBy(F.col("revenue").desc(), "orderdate_day", "l_orderkey")
+        .limit(10)
+    )

@@ -152,3 +152,26 @@ def stream_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.stateful import running_user_totals
 
     return running_user_totals(spark, sf_dir, max_user=100)
+
+
+@REG.add(
+    "stream_stream_join",
+    sql="""
+    SELECT p.event_id AS purchase_id,
+           c.event_id AS click_id,
+           p.user_id,
+           (epoch_us(p.ts) - epoch_us(c.ts)) // 1000000 AS gap_sec
+    FROM events p
+    JOIN events c
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click'
+     AND c.ts >= p.ts - INTERVAL 1 HOUR
+     AND c.ts <= p.ts
+    WHERE p.event_type = 'purchase' AND p.user_id < 50
+    """,
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream event-time interval join (purchases ⋈ preceding-hour
+    clicks per user) with watermarked state on both sides — oracle = the
+    batch interval join over the same bounded input."""
+    return sev.purchase_click_join(spark, sf_dir, max_user=50)

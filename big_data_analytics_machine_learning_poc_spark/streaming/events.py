@@ -120,3 +120,47 @@ def session_windows(
     # would correctly suppress them as non-final — right for production,
     # wrong for bounded-input comparison against batch)
     return run_to_completion(agg, "complete")
+
+
+def purchase_click_join(spark: SparkSession, sf_dir: str, max_user: int = 50) -> DataFrame:
+    """Stream-stream inner join: purchases matched to the same user's clicks
+    within the preceding hour. Event-time interval condition + watermarks on
+    BOTH sides bound the join state (clicks older than purchase-watermark−1h
+    are evicted); inner-join matches emit as they are found, so bounded input
+    yields the complete batch-join result.
+    """
+    base = read_event_stream(spark, sf_dir).filter(F.col("user_id") < max_user)
+    purchases = (
+        base.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    clicks = (
+        read_event_stream(spark, sf_dir)
+        .filter((F.col("user_id") < max_user) & (F.col("event_type") == "click"))
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+        "inner",
+    ).select(
+        "purchase_id",
+        "click_id",
+        F.col("p_user").alias("user_id"),
+        # exact integer microseconds then integer-divide: a float-seconds
+        # subtraction would truncate 11.99999s to 11 while the oracle rounds
+        F.expr("(unix_micros(p_ts) - unix_micros(c_ts)) div 1000000").alias("gap_sec"),
+    )
+    return run_to_completion(joined, "append")
