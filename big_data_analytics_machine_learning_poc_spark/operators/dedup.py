@@ -391,3 +391,32 @@ def dedup_mllib_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("jaccard_dist"), 6).alias("jaccard_dist"),
         )
     )
+
+
+@REG.add(
+    "dedup_keep_first",
+    sql="""
+    SELECT l_orderkey, l_linenumber, l_quantity FROM (
+      SELECT l_orderkey, l_linenumber, l_quantity,
+             ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                                ORDER BY l_linenumber) AS rn
+      FROM lineitem WHERE l_orderkey < 2000
+    ) WHERE rn = 1
+    """,
+)
+def dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic keep-one-per-key: window row_number over an explicit
+    order, rn=1. This is the engine's canonical subset-dedup —
+    ``dropDuplicates(subset)`` keeps an ARBITRARY row (first encountered per
+    partition order, nondeterministic on a cluster), so it is banned for
+    anything result-bearing; the window form costs the same single shuffle
+    and is reproducible."""
+    from pyspark.sql.window import Window
+
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 2000)
+    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber")
+    return (
+        li.select("l_orderkey", "l_linenumber", "l_quantity", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
