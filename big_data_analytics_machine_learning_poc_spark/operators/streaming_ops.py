@@ -175,3 +175,18 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     clicks per user) with watermarked state on both sides — oracle = the
     batch interval join over the same bounded input."""
     return sev.purchase_click_join(spark, sf_dir, max_user=50)
+
+
+@REG.add(
+    "stream_static_join",
+    sql="""
+    SELECT c.c_mktsegment, e.event_type, COUNT(*) AS n
+    FROM events e JOIN customer c ON e.user_id + 1 = c.c_custkey
+    GROUP BY c.c_mktsegment, e.event_type
+    """,
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static dimension enrichment: the stream side joins the static
+    customer table (stateless — the dim is broadcast per micro-batch), then
+    aggregates; oracle = the equivalent batch join."""
+    return sev.enriched_event_counts(spark, sf_dir)

@@ -164,3 +164,18 @@ def purchase_click_join(spark: SparkSession, sf_dir: str, max_user: int = 50) ->
         F.expr("(unix_micros(p_ts) - unix_micros(c_ts)) div 1000000").alias("gap_sec"),
     )
     return run_to_completion(joined, "append")
+
+
+def enriched_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the event stream enriched against the static
+    customer dimension (streams join broadcastable static tables with no
+    state at all — the dimension is just re-broadcast per micro-batch)."""
+    from ..catalog import load_table
+
+    ev = read_event_stream(spark, sf_dir)
+    customers = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey"), F.col("c_mktsegment")
+    )
+    joined = ev.join(customers, ev.user_id + 1 == customers.c_custkey, "inner")
+    agg = joined.groupBy("c_mktsegment", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    return run_to_completion(agg, "complete")

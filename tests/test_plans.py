@@ -100,3 +100,16 @@ def test_salted_agg_has_two_aggregation_levels(spark):
     plan = _physical(skew_salted_agg(spark, SF_DIR))
     # partial+final for the salted phase AND for the combine phase
     assert plan.count("HashAggregate") >= 4
+
+
+def test_cache_produces_inmemory_scan(spark):
+    """cache() + action must plan InMemoryTableScan on reuse — the fit-
+    boundary caching convention (ml/ modules cache before multi-pass fits;
+    the reference re-executed its upstream plan per action, SURVEY §3.3)."""
+    df = load_table(spark, SF_DIR, "orders").filter("o_totalprice > 1000").cache()
+    try:
+        df.count()  # materialize
+        plan = _physical(df.groupBy("o_orderstatus").count())
+        assert "InMemoryTableScan" in plan
+    finally:
+        df.unpersist()
