@@ -20,6 +20,74 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from big_data_analytics_machine_learning_poc_spark.registry import QueryRegistry
 
+# The driver records CORRECTNESS rows for (at most) the first 50 registry
+# entries per round. Round 1 verified the first 50 (relational + 3 text) —
+# all green; this round the remaining 50 queries (dedup / similarity /
+# encoding / multimodal / ML / streaming / asof / skew + the new
+# dedup_pipeline_survivors) are ordered first so every component has a hard
+# driver signal across the two rounds. Queries NOT in this tuple follow in
+# their module registration order (they keep their round-1 green rows).
+_DRIVER_WINDOW = (
+    # text extension ops (unchecked in r01; token/quality checked r01)
+    "text_lang_id",
+    "text_fingerprint",
+    "text_readability_pandas_udf",
+    "text_rolling_hash",
+    # dedup family — the 100 TB north star
+    "dedup_exact_stats",
+    "dedup_exact_groups",
+    "dedup_minhash_signatures",
+    "dedup_minhash_pairs",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    "dedup_keep_first",
+    "dedup_pipeline_survivors",
+    "dedup_mllib_minhash_lsh",  # rows-only by design (MLlib-internal seeds)
+    # similarity search
+    "knn_brute_cosine",
+    "knn_multi_query",
+    "ann_bucket_cosine",
+    "ann_ivf_cosine",  # rows-only by design (KMeans centroids)
+    "similarity_approx_stats",  # rows-only by design (sketches)
+    # feature encoding (F1-F9)
+    "array_funcs",
+    "bucketize_totalprice",
+    "string_index_mktsegment",
+    "string_index_apply",
+    "tokenizer_tokens",
+    "stopwords_remove",
+    "vector_assemble_normalize",
+    "hashingtf_idf_stats",  # rows-only by design (murmur3 buckets)
+    "index_to_string_roundtrip",
+    # multimodal
+    "mm_decode_features",
+    "mm_metadata_stats",
+    "mm_resize",
+    "mm_frame_sample",  # rows-only by design
+    # ML + Arrow UDF lanes
+    "grouped_zscore_applyinpandas",
+    "ml_rf_confusion",
+    "ml_lr_rmse",
+    "ml_kmeans_clusters",
+    "ml_reference_correlator",
+    "ml_reference_random_forest",
+    "ml_reference_spam",
+    "ml_reference_tfidf",
+    # streaming (batch-equivalent sessionization first: it has an oracle)
+    "sessionize_events",
+    "stream_tumbling_counts",
+    "stream_sliding_counts",
+    "stream_session_windows",
+    "stream_stateful_user_totals",
+    "stream_stream_join",
+    "stream_static_join",
+    # as-of join + skew recipes
+    "asof_purchase_last_click",
+    "skew_salted_agg",
+    "skew_salted_join",
+)
+
 
 def _registry() -> QueryRegistry:
     from big_data_analytics_machine_learning_poc_spark.operators import relational
@@ -45,6 +113,13 @@ def _registry() -> QueryRegistry:
             reg.merge(mod.REG)
         except ImportError:
             pass  # module not built yet (round-incremental)
+
+    missing = [n for n in _DRIVER_WINDOW if n not in reg.queries]
+    if missing:
+        raise KeyError(f"_DRIVER_WINDOW names not registered: {missing}")
+    ordered = list(_DRIVER_WINDOW) + [n for n in reg.queries if n not in set(_DRIVER_WINDOW)]
+    reg.queries = {n: reg.queries[n] for n in ordered}
+    reg.oracles = {n: reg.oracles[n] for n in ordered if n in reg.oracles}
     return reg
 
 

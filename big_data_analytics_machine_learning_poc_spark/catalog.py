@@ -143,7 +143,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         from pyspark.sql import functions as F
 
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        from .session import ensure_nanos_as_long
+
+        ensure_nanos_as_long(spark)
         raw = spark.read.parquet(table_path(sf_dir, name))
         return raw.withColumn(
             "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))

@@ -35,6 +35,20 @@ MINHASH_PERMS: tuple[tuple[int, int], ...] = (
 )
 
 
+def make_minhash_perms(n: int, seed: int = 0x5BDA) -> tuple[tuple[int, int], ...]:
+    """Deterministically generate ``n`` universal-hash ``(a, b)`` pairs for
+    minhash permutations (production geometry wants ~128; the committed
+    8-entry MINHASH_PERMS stays the oracle config). Seeded stdlib Mersenne
+    Twister → stable across releases and Python versions. ``a`` is odd and
+    < 2^31 so ``a*h + b`` stays inside int64 for h < 2^32 (ANSI-safe)."""
+    import random
+
+    rng = random.Random(seed)
+    return tuple(
+        (rng.randrange(1, 1 << 31) | 1, rng.randrange(0, MERSENNE_P)) for _ in range(n)
+    )
+
+
 def md5_hash32(col: Column) -> Column:
     """Uniform 32-bit hash of a string column as BIGINT in [0, 2^32)."""
     return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")

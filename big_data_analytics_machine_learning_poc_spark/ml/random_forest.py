@@ -53,6 +53,11 @@ def run(data: DataFrame, seed: int = 42, num_trees: int = 20) -> dict:
             "f1": f1,
             "n_test": predictions.count(),
             "feature_importances": model.featureImportances.toArray().tolist(),
+            # RandomForest.java:72 prints the fitted model dump; surfaced here
+            # with its structural stats so callers (and tests) can audit it.
+            "model_debug": model.toDebugString,
+            "num_trees": model.getNumTrees,
+            "total_num_nodes": model.totalNumNodes,
         }
     finally:
         indexed.unpersist()

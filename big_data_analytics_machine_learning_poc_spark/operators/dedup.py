@@ -25,15 +25,39 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..functions.hashing import MERSENNE_P, MINHASH_PERMS, md5_hash32, md5_hash32_sql
+from ..functions.hashing import (
+    MERSENNE_P,
+    MINHASH_PERMS,
+    make_minhash_perms,
+    md5_hash32,
+    md5_hash32_sql,
+)
 from ..functions.vector import cosine, l2_norm
 from ..registry import QueryRegistry
 from .text import TOKENS_SQL, tokens_col
 
 REG = QueryRegistry()
 
-N_PERMS = len(MINHASH_PERMS)  # 8 → 4 bands of 2 rows
-BANDS = tuple((i, i + 1) for i in range(0, N_PERMS, 2))
+# Oracle geometry: the committed 8 perms → 4 bands of 2 rows. Small enough
+# for a readable SQL oracle; statistically weak for production recall.
+ORACLE_PERMS = MINHASH_PERMS
+ORACLE_ROWS_PER_BAND = 2
+N_PERMS = len(ORACLE_PERMS)
+
+# Production geometry: 128 perms → 32 bands of 4 rows.
+# P(candidate | J) = 1 - (1 - J^4)^32: ≈0.999 at J=0.7, ≈0.98 at J=0.6,
+# ≈0.20 at J=0.3 — the S-curve a real near-dup sweep needs (the 8-perm
+# oracle config catches J=0.6 pairs only ~79% of the time).
+PROD_N_PERMS = 128
+PROD_ROWS_PER_BAND = 4
+
+
+def _band_slices(n_perms: int, rows_per_band: int) -> tuple[tuple[int, ...], ...]:
+    if n_perms % rows_per_band:
+        raise ValueError(f"{n_perms} perms not divisible into bands of {rows_per_band}")
+    return tuple(
+        tuple(range(i, i + rows_per_band)) for i in range(0, n_perms, rows_per_band)
+    )
 
 
 # --------------------------------------------------------------------------
@@ -105,19 +129,20 @@ _TOKEN_HASH_CTE = f"""
 """
 
 
-def _sig_select_sql() -> str:
+def _sig_select_sql(perms: tuple[tuple[int, int], ...] = ORACLE_PERMS) -> str:
     mins = ",\n           ".join(
-        f"MIN((h * {a} + {b}) % {MERSENNE_P}) AS mh{i}"
-        for i, (a, b) in enumerate(MINHASH_PERMS)
+        f"MIN((h * {a} + {b}) % {MERSENNE_P}) AS mh{i}" for i, (a, b) in enumerate(perms)
     )
     return f"SELECT doc_id,\n           {mins}\n    FROM th GROUP BY doc_id"
 
 
-def minhash_signatures_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+def minhash_signatures_df(
+    spark: SparkSession, sf_dir: str, perms: tuple[tuple[int, int], ...] = ORACLE_PERMS
+) -> DataFrame:
     th = _doc_token_hashes(spark, sf_dir)
     aggs = [
         F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(MERSENNE_P)).alias(f"mh{i}")
-        for i, (a, b) in enumerate(MINHASH_PERMS)
+        for i, (a, b) in enumerate(perms)
     ]
     return th.groupBy("doc_id").agg(*aggs)
 
@@ -127,70 +152,112 @@ REG.add("dedup_minhash_signatures", sql=f"{_TOKEN_HASH_CTE}\n    {_sig_select_sq
 )
 
 
-def _band_pairs_sql(threshold: float) -> str:
+def _band_key_sql(slice_: tuple[int, ...]) -> str:
+    concat = " || ',' || ".join(f"CAST(mh{i} AS VARCHAR)" for i in slice_)
+    return md5_hash32_sql(concat)
+
+
+def _band_pairs_sql(
+    threshold: float,
+    perms: tuple[tuple[int, int], ...] = ORACLE_PERMS,
+    rows_per_band: int = ORACLE_ROWS_PER_BAND,
+) -> str:
+    n = len(perms)
     band_selects = "\n      UNION ALL\n      ".join(
-        f"SELECT doc_id, {bi} AS band, mh{lo} AS h1, mh{hi} AS h2 FROM sig"
-        for bi, (lo, hi) in enumerate(BANDS)
+        f"SELECT doc_id, {bi} AS band, {_band_key_sql(sl)} AS bkey FROM sig"
+        for bi, sl in enumerate(_band_slices(n, rows_per_band))
     )
-    sim = " + ".join(
-        f"CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END" for i in range(N_PERMS)
-    )
+    sim = " + ".join(f"CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END" for i in range(n))
     return f"""{_TOKEN_HASH_CTE}, sig AS (
-      {_sig_select_sql()}
+      {_sig_select_sql(perms)}
     ), bands AS (
       {band_selects}
     ), cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM bands a JOIN bands b
-        ON a.band = b.band AND a.h1 = b.h1 AND a.h2 = b.h2 AND a.doc_id < b.doc_id
+        ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
     )
     SELECT doc_a, doc_b,
-           ROUND(CAST(({sim}) AS DOUBLE) / {N_PERMS}, 6) AS est_jaccard
+           ROUND(CAST(({sim}) AS DOUBLE) / {n}, 6) AS est_jaccard
     FROM cand
     JOIN sig sa ON sa.doc_id = doc_a
     JOIN sig sb ON sb.doc_id = doc_b
-    WHERE CAST(({sim}) AS DOUBLE) / {N_PERMS} >= {threshold}
+    WHERE CAST(({sim}) AS DOUBLE) / {n} >= {threshold}
     """
 
 
-@REG.add("dedup_minhash_pairs", sql=_band_pairs_sql(0.5))
-def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-banded near-dup candidates with signature-estimated Jaccard ≥ 0.5.
-
-    Scale shape: signatures are map-only; banding is a narrow unpivot; the
-    candidate join is an equi-join on (band, h1, h2) bucket keys — skew-safe
-    under AQE; the verifier join touches only candidate pairs. No stage is
-    quadratic in corpus size.
-    """
-    sig = minhash_signatures_df(spark, sf_dir)
+def minhash_candidate_pairs(
+    sig: DataFrame, n_perms: int, rows_per_band: int
+) -> DataFrame:
+    """LSH banding over a signature frame → distinct candidate (doc_a, doc_b).
+    The band key is an md5-derived 32-bit hash of the band's minhash values,
+    so the self-join shuffles on an 8-byte (band, bkey) key regardless of band
+    width — the shape that holds at 128 perms on a 100 TB corpus."""
     bands = None
-    for bi, (lo, hi) in enumerate(BANDS):
-        b = sig.select(
-            "doc_id", F.lit(bi).alias("band"), F.col(f"mh{lo}").alias("h1"), F.col(f"mh{hi}").alias("h2")
+    for bi, sl in enumerate(_band_slices(n_perms, rows_per_band)):
+        key = md5_hash32(
+            F.concat_ws(",", *[F.col(f"mh{i}").cast("string") for i in sl])
         )
+        b = sig.select("doc_id", F.lit(bi).alias("band"), key.alias("bkey"))
         bands = b if bands is None else bands.unionByName(b)
     a, b = bands.alias("a"), bands.alias("b")
-    cand = (
+    return (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.h1") == F.col("b.h1"))
-            & (F.col("a.h2") == F.col("b.h2"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
+
+
+def minhash_near_dup_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.5,
+    n_perms: int = PROD_N_PERMS,
+    rows_per_band: int = PROD_ROWS_PER_BAND,
+) -> DataFrame:
+    """Near-dup pairs at arbitrary geometry: signatures (map-only) → banded
+    candidates (equi-join) → signature-similarity filter. Defaults are the
+    production 128/32×4 geometry; the registered ``dedup_minhash_pairs``
+    query pins the 8-perm oracle geometry instead."""
+    perms = ORACLE_PERMS if n_perms == len(ORACLE_PERMS) else make_minhash_perms(n_perms)
+    sig = minhash_signatures_df(spark, sf_dir, perms)
+    cand = minhash_candidate_pairs(sig, len(perms), rows_per_band)
     sa, sb = sig.alias("sa"), sig.alias("sb")
     matches = sum(
-        F.when(F.col(f"sa.mh{i}") == F.col(f"sb.mh{i}"), 1).otherwise(0) for i in range(N_PERMS)
+        F.when(F.col(f"sa.mh{i}") == F.col(f"sb.mh{i}"), 1).otherwise(0)
+        for i in range(len(perms))
     )
-    est = matches.cast("double") / F.lit(N_PERMS)
+    est = matches.cast("double") / F.lit(len(perms))
     return (
         cand.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
         .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
-        .filter(est >= 0.5)
+        .filter(est >= threshold)
         .select("doc_a", "doc_b", F.round(est, 6).alias("est_jaccard"))
+    )
+
+
+@REG.add("dedup_minhash_pairs", sql=_band_pairs_sql(0.5))
+def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-banded near-dup candidates with signature-estimated Jaccard ≥ 0.5
+    at the 8-perm oracle geometry (production geometry: same code path via
+    ``minhash_near_dup_pairs`` defaults, recall-tested on planted near-dups).
+
+    Scale shape: signatures are map-only; banding is a narrow unpivot; the
+    candidate join is an equi-join on (band, bkey) bucket keys — skew-safe
+    under AQE; the verifier join touches only candidate pairs. No stage is
+    quadratic in corpus size.
+    """
+    return minhash_near_dup_pairs(
+        spark,
+        sf_dir,
+        threshold=0.5,
+        n_perms=len(ORACLE_PERMS),
+        rows_per_band=ORACLE_ROWS_PER_BAND,
     )
 
 
@@ -317,48 +384,105 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# Embedding cosine near-dup (brute force; bucketed variant in similarity.py)
+# Embedding cosine near-dup — sign-bucket LSH candidates + exact verify
 # --------------------------------------------------------------------------
 
+# Two independent sign-bit hash tables (dims 1-8 and 9-16). A candidate pair
+# must collide in at least ONE table — the banding trick: near-identical
+# vectors agree on nearly all sign bits, so P(miss in both 8-bit tables) is
+# tiny at cos >= 0.9, while random pairs collide in a table with p ~ 2^-8.
+_EMB_TABLES: tuple[tuple[int, int], ...] = ((0, 8), (8, 8))  # (start, ndims)
 
-@REG.add(
-    "dedup_embedding_cosine",
-    sql="""
-    WITH normed AS (
+
+def _emb_bucket_cte() -> str:
+    from .similarity import bucket_sql
+
+    cols = ", ".join(
+        f"{bucket_sql('embedding', start, nd)} AS bk{t}"
+        for t, (start, nd) in enumerate(_EMB_TABLES)
+    )
+    unions = "\n      UNION ALL\n      ".join(
+        f"SELECT {t} AS tbl, bk{t} AS bk, vec_id FROM bucketed"
+        for t in range(len(_EMB_TABLES))
+    )
+    return f"""normed AS (
       SELECT vec_id, embedding,
              sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
                   i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS nrm
       FROM embeddings
-    )
-    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+    ), bucketed AS (
+      SELECT vec_id, {cols} FROM embeddings
+    ), tables AS (
+      {unions}
+    ), cand AS (
+      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM tables a JOIN tables b
+        ON a.tbl = b.tbl AND a.bk = b.bk AND a.vec_id < b.vec_id
+    )"""
+
+
+@REG.add(
+    "dedup_embedding_cosine",
+    sql=f"""
+    WITH {_emb_bucket_cte()}
+    SELECT cand.vec_a, cand.vec_b,
            ROUND(list_sum(list_transform(range(1, len(a.embedding) + 1),
                  i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
                  / (a.nrm * b.nrm), 5) AS sim
-    FROM normed a JOIN normed b ON a.vec_id < b.vec_id
+    FROM cand
+    JOIN normed a ON a.vec_id = cand.vec_a
+    JOIN normed b ON b.vec_id = cand.vec_b
     WHERE list_sum(list_transform(range(1, len(a.embedding) + 1),
           i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
           / (a.nrm * b.nrm) >= 0.9
     """,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All-pairs cosine ≥ 0.9 over embeddings — the exact near-dup check.
-    Quadratic by construction: at 100 TB use the LSH-bucketed ANN path
-    (similarity.ann_bucket_cosine) to generate candidates, then this as the
-    within-bucket verifier."""
+    """Embedding near-dup (cosine ≥ 0.9): candidates from two sign-bit LSH
+    hash tables (equi-join on bucket id — same generator as
+    similarity.ann_bucket_cosine), exact cosine as the in-bucket verifier.
+
+    Scale shape: bucket assignment is map-only; each hash table's self-join
+    shuffles on the (table, bucket) key, so work is quadratic only within a
+    bucket (expected n/256 per table), never across the corpus — no
+    BroadcastNestedLoopJoin / CartesianProduct (plan-asserted in
+    tests/test_plans.py). Recall: a cos ≥ 0.9 pair must flip a sign in BOTH
+    8-dim tables to be missed; add more tables/dims for higher recall."""
+    from .similarity import bucket_col
+
     emb = load_table(spark, sf_dir, "embeddings")
     normed = emb.select("vec_id", "embedding", l2_norm(F.col("embedding")).alias("nrm"))
-    a, b = normed.alias("a"), normed.alias("b")
+    bucketed = emb.select(
+        "vec_id",
+        *[
+            bucket_col(F.col("embedding"), start, nd).alias(f"bk{t}")
+            for t, (start, nd) in enumerate(_EMB_TABLES)
+        ],
+    )
+    tables = None
+    for t in range(len(_EMB_TABLES)):
+        part = bucketed.select(F.lit(t).alias("tbl"), F.col(f"bk{t}").alias("bk"), "vec_id")
+        tables = part if tables is None else tables.unionByName(part)
+    a, b = tables.alias("a"), tables.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.bk") == F.col("b.bk"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .distinct()
+    )
     from ..functions.vector import dot
 
-    sim = dot(F.col("a.embedding"), F.col("b.embedding")) / (F.col("a.nrm") * F.col("b.nrm"))
+    na, nb = normed.alias("na"), normed.alias("nb")
+    sim = dot(F.col("na.embedding"), F.col("nb.embedding")) / (F.col("na.nrm") * F.col("nb.nrm"))
     return (
-        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        cand.join(na, F.col("na.vec_id") == F.col("vec_a"))
+        .join(nb, F.col("nb.vec_id") == F.col("vec_b"))
         .filter(sim >= 0.9)
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            F.round(sim, 5).alias("sim"),
-        )
+        .select("vec_a", "vec_b", F.round(sim, 5).alias("sim"))
     )
 
 
@@ -382,7 +506,11 @@ def dedup_mllib_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).transform(toks)
     lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=5, seed=42)
     model = lsh.fit(tf)
-    pairs = model.approxSimilarityJoin(tf, tf, 0.5, distCol="jaccard_dist")
+    # distance ≤ 0.25 (J ≥ 0.75): a real near-dup bar. The synthetic corpus is
+    # template-generated, so a loose 0.5 bar matches ~70% of ALL pairs —
+    # quadratic output masquerading as dedup; tight thresholds keep the
+    # emitted pair set (and the driver's check) proportional to true dups.
+    pairs = model.approxSimilarityJoin(tf, tf, 0.25, distCol="jaccard_dist")
     return (
         pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
         .select(
@@ -390,6 +518,117 @@ def dedup_mllib_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("datasetB.doc_id").alias("doc_b"),
             F.round(F.col("jaccard_dist"), 6).alias("jaccard_dist"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# End-to-end dedup pipeline: LSH candidates → exact verify → survivors
+# --------------------------------------------------------------------------
+
+
+def _cand_cte_sql() -> str:
+    """CTEs through LSH candidate pairs at the oracle geometry (no est filter
+    — the exact Jaccard verifier replaces the signature estimate)."""
+    band_selects = "\n      UNION ALL\n      ".join(
+        f"SELECT doc_id, {bi} AS band, {_band_key_sql(sl)} AS bkey FROM sig"
+        for bi, sl in enumerate(_band_slices(N_PERMS, ORACLE_ROWS_PER_BAND))
+    )
+    return f"""{_TOKEN_HASH_CTE}, sig AS (
+      {_sig_select_sql()}
+    ), bands AS (
+      {band_selects}
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+    )"""
+
+
+@REG.add(
+    "dedup_pipeline_survivors",
+    sql=f"""
+    {_cand_cte_sql()},
+    sh0 AS (
+      SELECT DISTINCT doc_id, unnest({_BIGRAMS_SQL}) AS shingle FROM documents
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n FROM sh0 GROUP BY doc_id
+    ), inter AS (
+      SELECT cand.doc_a, cand.doc_b, COUNT(*) AS ni
+      FROM cand
+      JOIN sh0 a ON a.doc_id = cand.doc_a
+      JOIN sh0 b ON b.doc_id = cand.doc_b AND b.shingle = a.shingle
+      GROUP BY cand.doc_a, cand.doc_b
+    ), flags AS (
+      SELECT cand.doc_b,
+             COALESCE(CAST(inter.ni AS DOUBLE) / (na.n + nb.n - inter.ni) >= 0.5,
+                      FALSE) AS verified
+      FROM cand
+      LEFT JOIN inter ON inter.doc_a = cand.doc_a AND inter.doc_b = cand.doc_b
+      LEFT JOIN sizes na ON na.doc_id = cand.doc_a
+      LEFT JOIN sizes nb ON nb.doc_id = cand.doc_b
+    ), agg AS (
+      SELECT COUNT(*) AS n_candidates,
+             COALESCE(SUM(CASE WHEN verified THEN 1 ELSE 0 END), 0) AS n_verified_pairs,
+             COUNT(DISTINCT CASE WHEN verified THEN doc_b END) AS n_removed
+      FROM flags
+    )
+    SELECT d.n_docs, agg.n_candidates, agg.n_verified_pairs, agg.n_removed,
+           d.n_docs - agg.n_removed AS n_survivors
+    FROM (SELECT COUNT(*) AS n_docs FROM documents) d, agg
+    """,
+)
+def dedup_pipeline_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE 100 TB dedup workflow as one query: minhash-LSH candidate pairs
+    (equi-join on band buckets — never quadratic) → exact bigram-shingle
+    Jaccard ≥ 0.5 computed ONLY on candidate pairs → drop the higher doc_id
+    of every verified pair (deterministic greedy keep-min; full
+    connected-components would need iteration — at scale run this greedy
+    pass per LSH round, which removes ≥ the CC survivors' duplicates since
+    every verified edge loses its higher endpoint).
+
+    Exact duplicates fall out for free: identical texts share all bands and
+    verify at J=1.0. All three pair-level counts come from ONE aggregation
+    over the candidate frame (left-join the intersection counts, flag, agg),
+    so the candidate DAG is computed once, not once per count.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sig = minhash_signatures_df(spark, sf_dir)
+    cand = minhash_candidate_pairs(sig, N_PERMS, ORACLE_ROWS_PER_BAND)
+
+    sh0 = docs.select("doc_id", F.explode(bigram_shingles()).alias("shingle")).distinct()
+    sizes = sh0.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh0.alias("a"), sh0.alias("b")
+    inter = (
+        cand.join(a, F.col("a.doc_id") == F.col("doc_a"))
+        .join(
+            b,
+            (F.col("b.doc_id") == F.col("doc_b")) & (F.col("b.shingle") == F.col("a.shingle")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("ni"))
+    )
+    na, nb = sizes.alias("na"), sizes.alias("nb")
+    jac = F.col("ni").cast("double") / (F.col("na.n") + F.col("nb.n") - F.col("ni"))
+    flags = (
+        cand.join(inter.alias("i"), ["doc_a", "doc_b"], "left")
+        .join(na, F.col("na.doc_id") == F.col("doc_a"), "left")
+        .join(nb, F.col("nb.doc_id") == F.col("doc_b"), "left")
+        .select("doc_b", F.coalesce(jac >= 0.5, F.lit(False)).alias("verified"))
+    )
+    agg = flags.agg(
+        F.count(F.lit(1)).alias("n_candidates"),
+        F.coalesce(
+            F.sum(F.when(F.col("verified"), 1).otherwise(0)), F.lit(0)
+        ).alias("n_verified_pairs"),
+        F.countDistinct(F.when(F.col("verified"), F.col("doc_b"))).alias("n_removed"),
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    return n_docs.crossJoin(agg).select(
+        "n_docs",
+        "n_candidates",
+        "n_verified_pairs",
+        "n_removed",
+        (F.col("n_docs") - F.col("n_removed")).alias("n_survivors"),
     )
 
 

@@ -17,9 +17,9 @@ from __future__ import annotations
 from pyspark.ml.feature import Bucketizer, Tokenizer
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from ..catalog import load_table
+from ..functions.windows import ranked
 from ..registry import QueryRegistry
 
 REG = QueryRegistry()
@@ -89,7 +89,11 @@ def string_index_mktsegment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    w = Window.orderBy(F.col("n").desc(), "c_mktsegment")
+    w = ranked(
+        F.col("n").desc(),
+        "c_mktsegment",
+        bounded_input="post-groupBy label domain: #distinct mktsegments (5)",
+    )
     return freq.select(
         "c_mktsegment", (F.row_number().over(w) - 1).cast("double").alias("label_index")
     )
@@ -115,7 +119,11 @@ def string_index_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     — at 100 TB the mapping is KBs while the fact side never shuffles."""
     orders = load_table(spark, sf_dir, "orders")
     freq = orders.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n"))
-    w = Window.orderBy(F.col("n").desc(), "o_orderpriority")
+    w = ranked(
+        F.col("n").desc(),
+        "o_orderpriority",
+        bounded_input="post-groupBy label domain: #distinct orderpriorities (5)",
+    )
     mapping = freq.select(
         "o_orderpriority", (F.row_number().over(w) - 1).cast("double").alias("priority_idx")
     )
@@ -255,7 +263,11 @@ def index_to_string_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    w = Window.orderBy(F.col("n").desc(), "c_mktsegment")
+    w = ranked(
+        F.col("n").desc(),
+        "c_mktsegment",
+        bounded_input="post-groupBy label domain: #distinct mktsegments (5)",
+    )
     mapping = freq.select(
         F.col("c_mktsegment").alias("original"),
         (F.row_number().over(w) - 1).cast("double").alias("label_index"),

@@ -1010,7 +1010,13 @@ def window_rank_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full ranking-function family over one window (rank, dense_rank,
     ntile, percent_rank, cume_dist) — percent_rank/cume_dist are exact
     rationals of row counts, so no float drift across engines."""
-    w = Window.orderBy(F.col("c_acctbal").desc(), "c_custkey")
+    from ..functions.windows import ranked
+
+    w = ranked(
+        F.col("c_acctbal").desc(),
+        "c_custkey",
+        bounded_input="c_custkey < 1000 filter caps the window input at <1000 rows",
+    )
     return (
         _t(spark, sf_dir, "customer")
         .filter(F.col("c_custkey") < 1000)

@@ -94,22 +94,29 @@ def knn_multi_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 _N_BUCKET_DIMS = 8
 
 
-def bucket_col(emb: Column) -> Column:
+def bucket_col(emb: Column, start: int = 0, ndims: int = _N_BUCKET_DIMS) -> Column:
+    """Sign-bit LSH bucket id from ``ndims`` dimensions beginning at ``start``
+    (0-based): bit i set iff emb[start+i] >= 0. Multiple disjoint dim ranges
+    give independent hash tables (the banding trick for recall)."""
     return sum(
-        F.when(F.element_at(emb, i + 1) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
-        for i in range(_N_BUCKET_DIMS)
+        F.when(F.element_at(emb, start + i + 1) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        for i in range(ndims)
     ).cast("int")
 
 
-def _bucket_sql(col: str) -> str:
+def bucket_sql(col: str, start: int = 0, ndims: int = _N_BUCKET_DIMS) -> str:
+    """DuckDB SQL computing exactly bucket_col(col, start, ndims)."""
     return (
         "("
         + " + ".join(
-            f"CASE WHEN {col}[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END"
-            for i in range(_N_BUCKET_DIMS)
+            f"CASE WHEN {col}[{start + i + 1}] >= 0 THEN {1 << i} ELSE 0 END"
+            for i in range(ndims)
         )
         + ")"
     )
+
+
+_bucket_sql = bucket_sql  # backwards-compat alias for the oracle builders below
 
 
 @REG.add(

@@ -222,7 +222,7 @@ def _make_readability_udf():
     """,
 )
 def text_readability_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The pandas_udf runs the same integer/float arithmetic as the SQL
+    r"""The pandas_udf runs the same integer/float arithmetic as the SQL
     oracle (python str.split == '\s+' split on single-space text), proving
     the Arrow scalar-UDF path end-to-end. Note: this op exists to exercise
     the UDF lane — text_quality computes comparable metrics fully JVM-side,

@@ -60,7 +60,20 @@ def get_session(
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+        # events.parquet stores TIMESTAMP(NANOS), which Spark 4 rejects as a
+        # timestamp type; read as raw nanos once, engine-wide (batch + stream).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     spark = builder.getOrCreate()
+    ensure_nanos_as_long(spark)  # getOrCreate may reuse a pre-existing session
     spark.sparkContext.setLogLevel("ERROR")  # mirrors reference log suppression
     return spark
+
+
+def ensure_nanos_as_long(spark: SparkSession) -> None:
+    """Idempotently enable ``nanosAsLong`` on an externally-provided session
+    (the driver harness builds its own SparkSession, bypassing this factory).
+    Loaders call this instead of mutating conf unconditionally per read."""
+    key = "spark.sql.legacy.parquet.nanosAsLong"
+    if spark.conf.get(key, "false") != "true":
+        spark.conf.set(key, "true")

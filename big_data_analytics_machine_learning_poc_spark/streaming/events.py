@@ -37,7 +37,9 @@ EVENTS_RAW_SCHEMA = T.StructType(
 
 
 def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from ..session import ensure_nanos_as_long
+
+    ensure_nanos_as_long(spark)
     # the streaming source needs a directory; select just the events file
     raw = (
         spark.readStream.schema(EVENTS_RAW_SCHEMA)

@@ -57,6 +57,12 @@ def test_random_forest_golden(spark):
     # label audit is a bijection value<->index (SURVEY §7 known-hard #3)
     audit = {(r.SKL, r.label) for r in out["label_audit"]}
     assert len({a for a, _ in audit}) == len({b for _, b in audit}) == len(audit)
+    # RandomForest.java:72 parity: the model dump is surfaced, with the
+    # configured forest size and a real (multi-node) tree structure
+    assert out["num_trees"] == 20
+    assert out["model_debug"].count("Tree 19") == 1
+    assert out["total_num_nodes"] >= 20  # at least a root per tree
+    assert "RandomForestClassificationModel" in out["model_debug"]
 
 
 def test_spam_pipeline_golden(spark):

@@ -71,6 +71,18 @@ def test_minhash_pairs_avoids_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_embedding_cosine_avoids_all_pairs(spark):
+    """Embedding near-dup must get candidates from the sign-bucket equi-join,
+    never an all-pairs nested loop (O(n²) at corpus scale)."""
+    from big_data_analytics_machine_learning_poc_spark.operators.dedup import (
+        dedup_embedding_cosine,
+    )
+
+    plan = _physical(dedup_embedding_cosine(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_asof_join_single_key_shuffle(spark):
     """The union+window as-of join shuffles once on the key — no range
     cross-join, no nested loop."""
@@ -100,6 +112,32 @@ def test_salted_agg_has_two_aggregation_levels(spark):
     plan = _physical(skew_salted_agg(spark, SF_DIR))
     # partial+final for the salted phase AND for the combine phase
     assert plan.count("HashAggregate") >= 4
+
+
+def test_no_raw_unpartitioned_windows():
+    """Engine code must build windows via functions.windows.ranked(), which
+    forces either a partition key or a written bounded-input justification —
+    a bare Window.orderBy is a single-reducer bottleneck at scale."""
+    from pathlib import Path
+
+    pkg = Path(__file__).resolve().parent.parent / "big_data_analytics_machine_learning_poc_spark"
+    offenders = [
+        str(p)
+        for p in pkg.rglob("*.py")
+        if p.name != "windows.py" and "Window.orderBy(" in p.read_text()
+    ]
+    assert not offenders, f"raw unpartitioned Window.orderBy in: {offenders}"
+
+
+def test_ranked_requires_partition_or_justification():
+    import pytest as _pytest
+
+    from big_data_analytics_machine_learning_poc_spark.functions.windows import ranked
+
+    with _pytest.raises(ValueError):
+        ranked("c")
+    assert ranked("c", partition_by="k") is not None
+    assert ranked("c", bounded_input="post-agg domain of 5 values") is not None
 
 
 def test_cache_produces_inmemory_scan(spark):

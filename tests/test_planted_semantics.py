@@ -84,6 +84,50 @@ def test_minhash_pairs_on_planted(spark, planted_sf):
     assert all(3 not in p for p in pairs)
 
 
+def test_minhash_production_geometry_recall(spark, tmp_path_factory):
+    """Production LSH geometry (128 perms, 32 bands × 4) must surface a
+    J≈0.82 near-dup pair — the recall the 8-perm oracle geometry can't
+    guarantee (P(candidate) at J=0.6 is only ~0.79 there; ~0.999 here)."""
+    import os
+
+    root = str(tmp_path_factory.mktemp("prod_lsh"))
+    base = [f"tok{i}" for i in range(20)]
+    variant = list(base)
+    variant[5], variant[15] = "changedfive", "changedfifteen"  # J = 18/22 ≈ 0.82
+    unrelated = [f"zzz{i}" for i in range(20)]
+    docs = spark.createDataFrame(
+        [
+            (0, " ".join(base), "en", "s", 0),
+            (1, " ".join(variant), "en", "s", 0),
+            (2, " ".join(unrelated), "en", "s", 0),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.write.mode("overwrite").parquet(os.path.join(root, "documents.parquet"))
+
+    out = dedup.minhash_near_dup_pairs(spark, root, threshold=0.5)
+    pairs = {(r.doc_a, r.doc_b): r.est_jaccard for r in out.collect()}
+    assert (0, 1) in pairs, f"near-dup pair missed at production geometry: {pairs}"
+    assert pairs[(0, 1)] > 0.6  # 128-perm estimate concentrates near true J≈0.82
+    assert all(2 not in p for p in pairs)  # unrelated doc stays out
+
+
+def test_band_slices_rejects_ragged_geometry():
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        dedup._band_slices(10, 4)
+
+
+def test_dedup_pipeline_on_planted(spark, planted_sf):
+    """3 exact dups + 1 unrelated doc: pipeline must remove docs 1 and 2
+    (higher ids of every verified pair) leaving 2 survivors."""
+    row = dedup.dedup_pipeline_survivors(spark, planted_sf).collect()[0]
+    assert row.n_docs == 4
+    assert row.n_verified_pairs == 3  # (0,1), (0,2), (1,2) all at J=1.0
+    assert row.n_removed == 2 and row.n_survivors == 2
+
+
 def test_setop_except_nonempty_on_planted(spark, planted_sf):
     """nation keys of customers minus suppliers: no supplier table here, so
     use the relational op on the real testdata for shape and a direct
