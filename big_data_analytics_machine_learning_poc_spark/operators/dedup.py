@@ -324,6 +324,17 @@ def bigram_shingles() -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
+# Stop-shingle cap: shingles present in more than DF_CAP documents do not
+# GENERATE candidate pairs (boilerplate/template shingles have posting lists
+# of millions at corpus scale — the quadratic blow-up of naive all-pairs
+# shingle joins). Exact Jaccard is still computed over the FULL shingle sets
+# of every candidate pair, so scores are unchanged; only pairs whose every
+# common shingle is ubiquitous (> DF_CAP docs) are skipped — such pairs are
+# boilerplate overlap, not near-duplicates. Bounded work: ≤ DF_CAP² per
+# shingle bucket.
+NGRAM_DF_CAP = 64
+
+
 @REG.add(
     "dedup_ngram_jaccard",
     sql=f"""
@@ -331,14 +342,22 @@ def bigram_shingles() -> Column:
       SELECT DISTINCT doc_id, unnest({_BIGRAMS_SQL}) AS shingle FROM documents
     ), sizes AS (
       SELECT doc_id, COUNT(*) AS n FROM sh0 GROUP BY doc_id
-    ), sh AS (
-      SELECT sh0.doc_id, sh0.shingle, sizes.n FROM sh0 JOIN sizes USING (doc_id)
-    ), inter AS (
+    ), rare AS (
+      SELECT shingle FROM sh0 GROUP BY shingle HAVING COUNT(*) <= {NGRAM_DF_CAP}
+    ), shr AS (
+      SELECT sh0.doc_id, sh0.shingle, sizes.n
+      FROM sh0 JOIN rare USING (shingle) JOIN sizes USING (doc_id)
+    ), cand AS (
       -- size-ratio pruning: J >= 1/2 requires max(|A|,|B|) <= 2*min(|A|,|B|)
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS ni
-      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-                         AND a.n <= 2 * b.n AND b.n <= 2 * a.n
-      GROUP BY a.doc_id, b.doc_id
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM shr a JOIN shr b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                           AND a.n <= 2 * b.n AND b.n <= 2 * a.n
+    ), inter AS (
+      SELECT cand.doc_a, cand.doc_b, COUNT(*) AS ni
+      FROM cand
+      JOIN sh0 a ON a.doc_id = cand.doc_a
+      JOIN sh0 b ON b.doc_id = cand.doc_b AND b.shingle = a.shingle
+      GROUP BY cand.doc_a, cand.doc_b
     )
     SELECT doc_a, doc_b,
            ROUND(CAST(ni AS DOUBLE) / (na.n + nb.n - ni), 6) AS jaccard
@@ -349,20 +368,31 @@ def bigram_shingles() -> Column:
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact bigram-shingle-set Jaccard ≥ 0.5 between document pairs.
+    """Exact bigram-shingle-set Jaccard ≥ 0.5 between document pairs, with
+    stop-shingle-capped candidate generation (NGRAM_DF_CAP).
 
-    The shingle equi-join is only quadratic within a shingle's posting list —
-    acceptable as the verifier on LSH candidates; standalone it is the
-    small-corpus / oracle-checkable form. A size-ratio prefilter
-    (J ≥ τ ⇒ max(|A|,|B|) ≤ |A∩B|·(1+τ)/τ ≤ (1/τ)·min at τ=0.5 ⇒ ≤ 2·min)
-    drops hopeless pairs before the counting aggregation.
+    Scale shape: candidate generation joins only posting lists of ≤ DF_CAP
+    docs (quadratic within a capped list, linear overall); exact Jaccard is
+    then computed over the full shingle sets of candidate pairs only. A
+    size-ratio prefilter (J ≥ τ ⇒ max(|A|,|B|) ≤ (1/τ)·min at τ=0.5 ⇒ ≤
+    2·min) drops hopeless pairs before the counting aggregation. Contract:
+    pairs sharing ONLY >DF_CAP-frequency shingles are not reported — at
+    corpus scale those are boilerplate collisions, not near-dups.
     """
     docs = load_table(spark, sf_dir, "documents")
     sh0 = docs.select("doc_id", F.explode(bigram_shingles()).alias("shingle")).distinct()
     sizes = sh0.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    sh = sh0.join(F.broadcast(sizes), "doc_id")
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = (
+    rare = (
+        sh0.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= NGRAM_DF_CAP)
+        .select("shingle")
+    )
+    # no broadcast hints: both sides are corpus-sized at 100 TB; AQE picks
+    # broadcast automatically when a side is actually small
+    shr = sh0.join(rare, "shingle").join(sizes, "doc_id")
+    a, b = shr.alias("a"), shr.alias("b")
+    cand = (
         a.join(
             b,
             (F.col("a.shingle") == F.col("b.shingle"))
@@ -370,7 +400,17 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.n") <= 2 * F.col("b.n"))
             & (F.col("b.n") <= 2 * F.col("a.n")),
         )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    fa, fb = sh0.alias("fa"), sh0.alias("fb")
+    inter = (
+        cand.join(fa, F.col("fa.doc_id") == F.col("doc_a"))
+        .join(
+            fb,
+            (F.col("fb.doc_id") == F.col("doc_b")) & (F.col("fb.shingle") == F.col("fa.shingle")),
+        )
+        .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("ni"))
     )
     na, nb = sizes.alias("na"), sizes.alias("nb")

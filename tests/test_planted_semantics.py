@@ -112,6 +112,17 @@ def test_minhash_production_geometry_recall(spark, tmp_path_factory):
     assert all(2 not in p for p in pairs)  # unrelated doc stays out
 
 
+def test_ngram_jaccard_on_planted(spark, planted_sf):
+    """Exact-dup docs score J=1.0; the stop-shingle cap (df ≤ 64) must not
+    drop pairs on a small corpus where no shingle is ubiquitous."""
+    pairs = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.dedup_ngram_jaccard(spark, planted_sf).collect()
+    }
+    assert pairs.get((0, 1)) == 1.0 and pairs.get((0, 2)) == 1.0 and pairs.get((1, 2)) == 1.0
+    assert all(3 not in p for p in pairs)
+
+
 def test_band_slices_rejects_ragged_geometry():
     import pytest as _pytest
 
