@@ -104,6 +104,7 @@ def _registry() -> QueryRegistry:
         "streaming_ops",
         "asof",
         "skew",
+        "corpus",
     ):
         try:
             mod = __import__(

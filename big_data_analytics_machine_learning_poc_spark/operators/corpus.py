@@ -1,0 +1,185 @@
+"""Corpus-preparation operators: the steps between "raw documents" and
+"training shards" in a 100 TB text pipeline (no reference counterpart —
+extension surface next to operators/text.py and operators/dedup.py).
+
+- quality filtering (C4-style keep/drop with per-language accounting),
+- sequence packing (assign documents to fixed-token-budget context windows),
+- leakage-safe deterministic splits (content-hash bucketing — identical
+  texts, and therefore exact dups, always land in the same split; unlike
+  seeded randomSplit this is reproducible across partitionings),
+- n-gram statistics (top bigrams per language with deterministic ties).
+
+Everything is JVM-side column algebra over `documents` — no Python in the
+hot path; every query has an exact DuckDB oracle (md5-derived hashing from
+functions/hashing.py where hashing is involved).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.hashing import md5_hash32, md5_hash32_sql
+from ..functions.windows import ranked
+from ..registry import QueryRegistry
+from .dedup import bigram_shingles, _BIGRAMS_SQL
+from .text import STOPWORDS, TOKENS_SQL, _hits, _hits_sql, tokens_col
+
+REG = QueryRegistry()
+
+# C4-style keep predicate (shared with text_quality's flag thresholds).
+_MIN_TOKENS, _MAX_TOKENS, _MAX_STOPWORD_RATIO = 5, 500, 0.6
+
+_KEEP_SQL = f"""(len({TOKENS_SQL}) BETWEEN {_MIN_TOKENS} AND {_MAX_TOKENS}
+                 AND CAST({_hits_sql(STOPWORDS)} AS DOUBLE)
+                     / NULLIF(len({TOKENS_SQL}), 0) < {_MAX_STOPWORD_RATIO})"""
+
+
+def _keep_col() -> F.Column:
+    n_tokens = F.size(tokens_col())
+    stop_ratio = _hits(STOPWORDS).cast("double") / F.nullif(n_tokens, F.lit(0))
+    return n_tokens.between(_MIN_TOKENS, _MAX_TOKENS) & (
+        stop_ratio < F.lit(_MAX_STOPWORD_RATIO)
+    )
+
+
+@REG.add(
+    "corpus_quality_filter",
+    sql=f"""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           SUM(CASE WHEN {_KEEP_SQL} THEN 1 ELSE 0 END) AS n_kept,
+           COUNT(*) - SUM(CASE WHEN {_KEEP_SQL} THEN 1 ELSE 0 END) AS n_dropped,
+           ROUND(CAST(SUM(CASE WHEN {_KEEP_SQL} THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS kept_ratio
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+)
+def corpus_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language keep/drop accounting for the standard quality gate
+    (length bounds + stopword-density cap). Scale shape: one codegen'd map
+    pass + one groupBy on a tiny key domain — the filter itself never
+    shuffles documents, only per-language counters."""
+    docs = load_table(spark, sf_dir, "documents")
+    kept = F.sum(F.when(_keep_col(), 1).otherwise(0))
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            kept.alias("n_kept"),
+            (F.count(F.lit(1)) - kept).alias("n_dropped"),
+            F.round(kept.cast("double") / F.count(F.lit(1)), 6).alias("kept_ratio"),
+        )
+        .orderBy("lang")
+    )
+
+
+# Context-window budget for packing (tokens per training sequence).
+_SEQ_TOKENS = 256
+
+
+@REG.add(
+    "corpus_pack_sequences",
+    sql=f"""
+    WITH toks AS (
+      SELECT lang, doc_id, len({TOKENS_SQL}) AS n_tokens FROM documents
+    ), packed AS (
+      SELECT lang, doc_id, n_tokens,
+             CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                             ROWS UNBOUNDED PRECEDING) - n_tokens)
+                        / {_SEQ_TOKENS}.0) AS BIGINT) AS seq_id
+      FROM toks
+    )
+    SELECT lang, seq_id, COUNT(*) AS n_docs, SUM(n_tokens) AS n_tokens
+    FROM packed GROUP BY lang, seq_id
+    """,
+)
+def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing: within each language shard, documents are
+    assigned (in doc_id order) to fixed-token-budget context windows by
+    their running token offset — the standard "pack short documents into
+    one training sequence" step.
+
+    Scale shape: ONE shuffle on the shard key (lang here; a production
+    pipeline uses (shard_id) with thousands of values) and an ordered
+    running sum inside each partition — no global ordering anywhere.
+    Division by a power of two is FP-exact, so the oracle matches bitwise.
+    """
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("lang", "doc_id", F.size(tokens_col()).cast("long").alias("n_tokens"))
+    w = ranked("doc_id", partition_by="lang").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    # running token count up to and including this doc; offset = cum - own
+    cum = F.sum("n_tokens").over(w)
+    seq_id = F.floor((cum - F.col("n_tokens")) / F.lit(_SEQ_TOKENS)).cast("long")
+    return (
+        toks.select("lang", "n_tokens", seq_id.alias("seq_id"))
+        .groupBy("lang", "seq_id")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_tokens").alias("n_tokens"))
+    )
+
+
+@REG.add(
+    "corpus_split_by_fingerprint",
+    sql=f"""
+    WITH assigned AS (
+      SELECT lang,
+             CASE WHEN {md5_hash32_sql("text")} % 100 < 80 THEN 'train'
+                  WHEN {md5_hash32_sql("text")} % 100 < 90 THEN 'valid'
+                  ELSE 'test' END AS split
+      FROM documents
+    )
+    SELECT lang, split, COUNT(*) AS n_docs
+    FROM assigned GROUP BY lang, split
+    """,
+)
+def corpus_split_by_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe 80/10/10 split: bucket on a content hash, not a random
+    draw. Identical texts (exact dups) always land in the same split, and
+    assignment is reproducible regardless of partitioning or cluster size —
+    the two properties seeded randomSplit cannot give (SURVEY §7 #1). Pure
+    map + small-key groupBy; at 100 TB the split column is written as a
+    partition column so downstream readers prune."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = md5_hash32(F.col("text")) % 100
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "valid").otherwise("test")
+    )
+    return (
+        docs.select("lang", split.alias("split"))
+        .groupBy("lang", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@REG.add(
+    "corpus_ngram_topk",
+    sql=f"""
+    WITH grams AS (
+      SELECT lang, unnest({_BIGRAMS_SQL}) AS bigram FROM documents
+    ), counts AS (
+      SELECT lang, bigram, COUNT(*) AS n FROM grams GROUP BY lang, bigram
+    ), rnk AS (
+      SELECT lang, bigram, n,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, bigram) AS rn
+      FROM counts
+    )
+    SELECT lang, bigram, n, rn FROM rnk WHERE rn <= 3
+    """,
+)
+def corpus_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 bigrams per language (deterministic ties: count desc, bigram
+    asc) — the n-gram LM statistics pass. Scale shape: explode is narrow,
+    the count is partial+final agg on (lang, bigram), and the top-k window
+    partitions by lang — quadratic nowhere, ordered only within groups."""
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select("lang", F.explode(bigram_shingles()).alias("bigram"))
+    counts = grams.groupBy("lang", "bigram").agg(F.count(F.lit(1)).alias("n"))
+    w = ranked(F.col("n").desc(), "bigram", partition_by="lang")
+    return counts.select(
+        "lang", "bigram", "n", F.row_number().over(w).alias("rn")
+    ).filter(F.col("rn") <= 3)

@@ -8,6 +8,7 @@ import pytest
 
 from big_data_analytics_machine_learning_poc_spark.operators import (
     asof,
+    corpus,
     encoding,
     multimodal,
     skew,
@@ -17,7 +18,7 @@ from big_data_analytics_machine_learning_poc_spark.oracle import compare_query
 
 from .conftest import SF_DIR
 
-_REGS = (encoding.REG, asof.REG, skew.REG, multimodal.REG, streaming_ops.REG)
+_REGS = (encoding.REG, asof.REG, skew.REG, multimodal.REG, streaming_ops.REG, corpus.REG)
 _QUERIES = {}
 _ORACLES = {}
 for _reg in _REGS:
