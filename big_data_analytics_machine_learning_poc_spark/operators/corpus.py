@@ -156,6 +156,55 @@ def corpus_split_by_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Source-mixing weights (percent kept). A training mix up-/down-samples
+# sources deterministically; unlisted sources get the default rate.
+_MIX_HIGH = ("src0", "src1", "src2", "src3", "src4")  # quality sources: keep all
+_MIX_HIGH_PCT, _MIX_DEFAULT_PCT = 100, 40
+
+_MIX_HASH_SQL = md5_hash32_sql("source || ':' || CAST(doc_id AS VARCHAR)")
+_MIX_HIGH_INLIST = ", ".join(f"'{s}'" for s in _MIX_HIGH)
+
+
+@REG.add(
+    "corpus_mix_sources",
+    sql=f"""
+    WITH flagged AS (
+      SELECT source,
+             CASE WHEN {_MIX_HASH_SQL} % 100 <
+                       CASE WHEN source IN ({_MIX_HIGH_INLIST})
+                            THEN {_MIX_HIGH_PCT} ELSE {_MIX_DEFAULT_PCT} END
+                  THEN 1 ELSE 0 END AS kept
+      FROM documents
+    )
+    SELECT source, COUNT(*) AS n_docs, SUM(kept) AS n_sampled,
+           ROUND(CAST(SUM(kept) AS DOUBLE) / COUNT(*), 6) AS sampled_ratio
+    FROM flagged GROUP BY source
+    """,
+)
+def corpus_mix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic source mixing: per-source sampling rates applied by
+    hashing (source, doc_id) — the training-mix step. Unlike ``sample()``
+    the decision is a pure function of the row, so reruns, retries, and
+    different partitionings keep the exact same subset (and the oracle can
+    reproduce it). Map-only + small-key groupBy; at scale the kept flag
+    becomes a filter pushed into the shard-writing job."""
+    docs = load_table(spark, sf_dir, "documents")
+    rate = F.when(
+        F.col("source").isin(*_MIX_HIGH), F.lit(_MIX_HIGH_PCT)
+    ).otherwise(F.lit(_MIX_DEFAULT_PCT))
+    h = md5_hash32(F.concat_ws(":", F.col("source"), F.col("doc_id").cast("string")))
+    kept = F.when((h % 100) < rate, 1).otherwise(0)
+    return (
+        docs.select("source", kept.alias("kept"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("kept").alias("n_sampled"),
+            F.round(F.sum("kept").cast("double") / F.count(F.lit(1)), 6).alias("sampled_ratio"),
+        )
+    )
+
+
 @REG.add(
     "corpus_ngram_topk",
     sql=f"""

@@ -190,3 +190,19 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer table (stateless — the dim is broadcast per micro-batch), then
     aggregates; oracle = the equivalent batch join."""
     return sev.enriched_event_counts(spark, sf_dir)
+
+
+@REG.add(
+    "stream_dedup_events",
+    sql="""
+    SELECT DISTINCT user_id, event_type FROM events WHERE user_id < 50
+    """,
+)
+def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup via dropDuplicatesWithinWatermark on (user_id,
+    event_type): first occurrence emits, later duplicates are dropped while
+    the key is in (watermark-bounded) state. Oracle = batch DISTINCT over
+    the same bounded input (single micro-batch → no mid-stream eviction).
+    At 100 TB this is the exactly-once event dedup stage in front of every
+    streaming aggregation; state size is #distinct live keys, not #events."""
+    return sev.dedup_within_watermark(spark, sf_dir, max_user=50)

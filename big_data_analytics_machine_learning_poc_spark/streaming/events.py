@@ -168,6 +168,22 @@ def purchase_click_join(spark: SparkSession, sf_dir: str, max_user: int = 50) ->
     return run_to_completion(joined, "append")
 
 
+def dedup_within_watermark(spark: SparkSession, sf_dir: str, max_user: int = 50) -> DataFrame:
+    """Streaming dedup: first occurrence of each (user_id, event_type) key is
+    emitted, later duplicates are dropped while their key is in state;
+    the 1-hour watermark bounds state (keys idle past the watermark are
+    evicted — the contract is dedup-within-watermark, not global). On this
+    bounded input the whole file is one micro-batch, so no eviction happens
+    mid-stream and the result equals batch DISTINCT — which is the oracle."""
+    ev = read_event_stream(spark, sf_dir).filter(F.col("user_id") < max_user)
+    deduped = (
+        ev.select("user_id", "event_type", "ts")
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+    )
+    return run_to_completion(deduped.select("user_id", "event_type"), "append")
+
+
 def enriched_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static join: the event stream enriched against the static
     customer dimension (streams join broadcastable static tables with no

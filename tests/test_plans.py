@@ -114,6 +114,29 @@ def test_salted_agg_has_two_aggregation_levels(spark):
     assert plan.count("HashAggregate") >= 4
 
 
+def test_pack_sequences_partitions_by_shard(spark):
+    """Sequence packing must run its running sum inside lang partitions —
+    exactly one exchange on the shard key, never a global sort/window."""
+    from big_data_analytics_machine_learning_poc_spark.operators.corpus import (
+        corpus_pack_sequences,
+    )
+
+    plan = _physical(corpus_pack_sequences(spark, SF_DIR))
+    assert "Window" in plan
+    # a global (unpartitioned) window would plan Exchange SinglePartition
+    assert "SinglePartition" not in plan.split("Window")[0]
+
+
+def test_ngram_topk_partial_agg(spark):
+    from big_data_analytics_machine_learning_poc_spark.operators.corpus import (
+        corpus_ngram_topk,
+    )
+
+    plan = _physical(corpus_ngram_topk(spark, SF_DIR))
+    assert plan.count("HashAggregate") >= 2  # partial+final on (lang, bigram)
+    assert "CartesianProduct" not in plan
+
+
 def test_no_raw_unpartitioned_windows():
     """Engine code must build windows via functions.windows.ranked(), which
     forces either a partition key or a written bounded-input justification —
