@@ -584,6 +584,134 @@ def _cand_cte_sql() -> str:
     )"""
 
 
+def _verified_cte_sql() -> str:
+    """_cand_cte_sql() extended through the exact-Jaccard verifier: adds
+    sh0/sizes/inter and a ``verified(doc_a, doc_b)`` CTE (J ≥ 0.5)."""
+    return f"""{_cand_cte_sql()},
+    sh0 AS (
+      SELECT DISTINCT doc_id, unnest({_BIGRAMS_SQL}) AS shingle FROM documents
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n FROM sh0 GROUP BY doc_id
+    ), inter AS (
+      SELECT cand.doc_a, cand.doc_b, COUNT(*) AS ni
+      FROM cand
+      JOIN sh0 a ON a.doc_id = cand.doc_a
+      JOIN sh0 b ON b.doc_id = cand.doc_b AND b.shingle = a.shingle
+      GROUP BY cand.doc_a, cand.doc_b
+    ), verified AS (
+      SELECT doc_a, doc_b
+      FROM inter
+      JOIN sizes na ON na.doc_id = doc_a
+      JOIN sizes nb ON nb.doc_id = doc_b
+      WHERE CAST(ni AS DOUBLE) / (na.n + nb.n - ni) >= 0.5
+    )"""
+
+
+def verified_near_dup_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_a, doc_b) pairs that are LSH candidates AND pass exact
+    bigram-shingle Jaccard ≥ 0.5 — the verified near-dup edge set the
+    pipeline/connected-components queries consume."""
+    docs = load_table(spark, sf_dir, "documents")
+    sig = minhash_signatures_df(spark, sf_dir)
+    cand = minhash_candidate_pairs(sig, N_PERMS, ORACLE_ROWS_PER_BAND)
+    sh0 = docs.select("doc_id", F.explode(bigram_shingles()).alias("shingle")).distinct()
+    sizes = sh0.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh0.alias("a"), sh0.alias("b")
+    inter = (
+        cand.join(a, F.col("a.doc_id") == F.col("doc_a"))
+        .join(
+            b,
+            (F.col("b.doc_id") == F.col("doc_b")) & (F.col("b.shingle") == F.col("a.shingle")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("ni"))
+    )
+    na, nb = sizes.alias("na"), sizes.alias("nb")
+    jac = F.col("ni").cast("double") / (F.col("na.n") + F.col("nb.n") - F.col("ni"))
+    return (
+        inter.join(na, F.col("na.doc_id") == F.col("doc_a"))
+        .join(nb, F.col("nb.doc_id") == F.col("doc_b"))
+        .filter(jac >= 0.5)
+        .select("doc_a", "doc_b")
+    )
+
+
+_CC_MAX_ITERS = 50
+
+
+@REG.add(
+    "dedup_connected_components",
+    # _verified_cte_sql() opens with "WITH ..." (via _TOKEN_HASH_CTE); the
+    # recursive form needs the CTE list under a single "WITH RECURSIVE"
+    sql=f"""
+    WITH RECURSIVE {_verified_cte_sql().replace("WITH", "", 1)},
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM verified
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM verified
+    ), nodes AS (
+      SELECT DISTINCT src AS doc FROM edges
+    ),
+    reach(doc, lab) AS (
+      SELECT doc, doc FROM nodes
+      UNION
+      SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.doc
+    )
+    SELECT doc AS doc_id, MIN(lab) AS component FROM reach GROUP BY doc
+    """,
+)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the verified near-dup graph: every doc in a
+    duplicate cluster is labeled with the cluster's minimum doc_id — the
+    canonical-representative upgrade over per-edge greedy removal (a chain
+    0–1, 1–2 keeps exactly doc 0 here).
+
+    Iterative min-label propagation (the Pregel pattern on DataFrames):
+    each round a node takes the min of its own and its neighbors' labels;
+    converges in ≤ graph-diameter rounds (near-dup clusters are shallow).
+    Each round is one equi-join + one groupBy — all shuffles on doc_id —
+    and lineage is truncated per round with localCheckpoint so round N's
+    plan does not replay rounds 1..N-1. The oracle is a recursive CTE
+    computing min-reachable-label, which is the same fixpoint.
+    """
+    return connected_components(verified_near_dup_edges(spark, sf_dir))
+
+
+def connected_components(edges: DataFrame) -> DataFrame:
+    """Min-label propagation over an undirected edge list (doc_a, doc_b) →
+    (doc_id, component) where component = min doc_id in the node's component.
+    See dedup_connected_components for the scale argument."""
+    sym = edges.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+    sym = sym.localCheckpoint()  # computed once; reused every round
+    labels = (
+        sym.select(F.col("src").alias("doc")).distinct().withColumn("lab", F.col("doc"))
+    ).localCheckpoint()
+
+    for _ in range(_CC_MAX_ITERS):
+        prop = (
+            sym.join(labels, sym.src == labels.doc)
+            .select(F.col("dst").alias("doc"), F.col("lab"))
+        )
+        new = (
+            labels.unionByName(prop).groupBy("doc").agg(F.min("lab").alias("lab"))
+        ).localCheckpoint()
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "doc")
+            .filter(F.col("n.lab") != F.col("o.lab"))
+            .limit(1)
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(f"label propagation did not converge in {_CC_MAX_ITERS} rounds")
+    return labels.select(F.col("doc").alias("doc_id"), F.col("lab").alias("component"))
+
+
 @REG.add(
     "dedup_pipeline_survivors",
     sql=f"""

@@ -123,6 +123,26 @@ def test_ngram_jaccard_on_planted(spark, planted_sf):
     assert all(3 not in p for p in pairs)
 
 
+def test_connected_components_chain(spark):
+    """A chain 0–1–2 (no 0–2 edge) must collapse into ONE component labeled
+    0 — the case greedy per-edge removal can't express — and disconnected
+    pairs stay separate."""
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (5, 6), (8, 6)], ["doc_a", "doc_b"]
+    )
+    out = {r.doc_id: r.component for r in dedup.connected_components(edges).collect()}
+    assert out == {0: 0, 1: 0, 2: 0, 5: 5, 6: 5, 8: 5}
+
+
+def test_connected_components_on_planted(spark, planted_sf):
+    """3 exact dups form one component labeled by the min doc_id."""
+    out = {
+        r.doc_id: r.component
+        for r in dedup.dedup_connected_components(spark, planted_sf).collect()
+    }
+    assert out == {0: 0, 1: 0, 2: 0}  # doc 3 has no edges → not in the graph
+
+
 def test_band_slices_rejects_ragged_geometry():
     import pytest as _pytest
 
