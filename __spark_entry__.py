@@ -105,6 +105,7 @@ def _registry() -> QueryRegistry:
         "asof",
         "skew",
         "corpus",
+        "sqlfront",
     ):
         try:
             mod = __import__(

@@ -1,0 +1,170 @@
+"""The ``spark.sql`` front-end lane: the same engine surface exposed as SQL
+text over registered views (every other operator module uses the DataFrame
+API; a user of the reference switching to this repo gets both entry points —
+Catalyst compiles them to identical plans).
+
+Demonstrated here because they are *SQL-native* shapes users reach for that
+the DataFrame queries express differently:
+
+- TPC-H Q6 (predicate-heavy scan-aggregate) as literal SQL text,
+- EXISTS / NOT EXISTS correlated subqueries (Catalyst rewrites to
+  semi/anti joins — plan-asserted in tests/test_plans.py),
+- IN-subquery chains (nested semi joins),
+- scalar subqueries (computed once, broadcast as a literal).
+
+Exactness follows functions/exact.py's cents recipe inline in both dialects.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..catalog import load_table
+from ..registry import QueryRegistry
+
+REG = QueryRegistry()
+
+
+def _views(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    """Register parquet tables as temp views for SQL-text queries. Idempotent
+    per (session, name); the scans behind the views still get full predicate
+    pushdown and column pruning — a view adds no materialization."""
+    for name in names:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+@REG.add(
+    "sql_tpch_q6_revenue",
+    sql="""
+    SELECT CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                    * CAST(ROUND(l_discount * 100) AS BIGINT)) AS DOUBLE) / 10000.0
+             AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.04 AND 0.08
+      AND l_quantity < 25
+    """,
+)
+def sql_tpch_q6_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecast revenue change) as literal SQL text. All three
+    predicates sit on scan columns → pushed to the parquet reader; the
+    aggregate is a single partial+final pass with the exact cents product
+    (price_cents × discount_cents, scale 10^4)."""
+    _views(spark, sf_dir, "lineitem")
+    return spark.sql(
+        """
+        SELECT CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                        * CAST(ROUND(l_discount * 100) AS BIGINT)) AS DOUBLE) / 10000.0
+                 AS revenue,
+               COUNT(*) AS n_items
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+          AND l_discount BETWEEN 0.04 AND 0.08
+          AND l_quantity < 25
+        """
+    )
+
+
+@REG.add(
+    "sql_exists_subquery",
+    sql="""
+    SELECT c_custkey, c_mktsegment
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+    """,
+)
+def sql_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS: customers with at least one >300k order. Catalyst
+    rewrites this to a left semi join on o_custkey (plan-asserted) — the
+    customer row is emitted at the first match, no payload from orders ever
+    shuffles."""
+    _views(spark, sf_dir, "customer", "orders")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_mktsegment
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+        """
+    )
+
+
+@REG.add(
+    "sql_not_exists_subquery",
+    sql="""
+    SELECT c_mktsegment, COUNT(*) AS n_quiet
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+    GROUP BY c_mktsegment
+    """,
+)
+def sql_not_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated NOT EXISTS → left anti join: segment counts of customers
+    with no urgent orders."""
+    _views(spark, sf_dir, "customer", "orders")
+    return spark.sql(
+        """
+        SELECT c_mktsegment, COUNT(*) AS n_quiet
+        FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderpriority = '1-URGENT')
+        GROUP BY c_mktsegment
+        """
+    )
+
+
+@REG.add(
+    "sql_in_subquery_chain",
+    sql="""
+    SELECT s_suppkey, s_name
+    FROM supplier
+    WHERE s_nationkey IN (SELECT n_nationkey FROM nation
+                          WHERE n_regionkey IN (SELECT r_regionkey FROM region
+                                                WHERE r_name = 'EUROPE'))
+    """,
+)
+def sql_in_subquery_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested IN-subqueries (suppliers in European nations) → a chain of
+    semi joins against KB-sized dimension tables, all broadcastable."""
+    _views(spark, sf_dir, "supplier", "nation", "region")
+    return spark.sql(
+        """
+        SELECT s_suppkey, s_name
+        FROM supplier
+        WHERE s_nationkey IN (SELECT n_nationkey FROM nation
+                              WHERE n_regionkey IN (SELECT r_regionkey FROM region
+                                                    WHERE r_name = 'EUROPE'))
+        """
+    )
+
+
+@REG.add(
+    "sql_scalar_subquery",
+    sql="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE CAST(ROUND(o_totalprice * 100) AS BIGINT) >
+          (SELECT AVG(CAST(ROUND(o_totalprice * 100) AS BIGINT)) FROM orders)
+    """,
+)
+def sql_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery: orders above the global average price. The average
+    is over exact integer cents (int sum / count → the identical double in
+    both engines), computed once and broadcast as a literal into the scan
+    filter — two passes total, no join."""
+    _views(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice
+        FROM orders
+        WHERE CAST(ROUND(o_totalprice * 100) AS BIGINT) >
+              (SELECT AVG(CAST(ROUND(o_totalprice * 100) AS BIGINT)) FROM orders)
+        """
+    )

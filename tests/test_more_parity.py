@@ -12,13 +12,22 @@ from big_data_analytics_machine_learning_poc_spark.operators import (
     encoding,
     multimodal,
     skew,
+    sqlfront,
     streaming_ops,
 )
 from big_data_analytics_machine_learning_poc_spark.oracle import compare_query
 
 from .conftest import SF_DIR
 
-_REGS = (encoding.REG, asof.REG, skew.REG, multimodal.REG, streaming_ops.REG, corpus.REG)
+_REGS = (
+    encoding.REG,
+    asof.REG,
+    skew.REG,
+    multimodal.REG,
+    streaming_ops.REG,
+    corpus.REG,
+    sqlfront.REG,
+)
 _QUERIES = {}
 _ORACLES = {}
 for _reg in _REGS:

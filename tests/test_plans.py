@@ -137,6 +137,28 @@ def test_ngram_topk_partial_agg(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_sql_exists_rewrites_to_semi_join(spark):
+    """Catalyst must compile EXISTS/NOT EXISTS subqueries to semi/anti
+    joins — no per-row subquery execution."""
+    from big_data_analytics_machine_learning_poc_spark.operators.sqlfront import (
+        sql_exists_subquery,
+        sql_not_exists_subquery,
+    )
+
+    assert "LeftSemi" in _physical(sql_exists_subquery(spark, SF_DIR))
+    assert "LeftAnti" in _physical(sql_not_exists_subquery(spark, SF_DIR))
+
+
+def test_sql_q6_filters_pushed(spark):
+    from big_data_analytics_machine_learning_poc_spark.operators.sqlfront import (
+        sql_tpch_q6_revenue,
+    )
+
+    df = sql_tpch_q6_revenue(spark, SF_DIR)
+    pushed = pushed_filters(df)
+    assert pushed and "l_shipdate" in pushed[0] and "l_discount" in pushed[0], _formatted(df)
+
+
 def test_no_raw_unpartitioned_windows():
     """Engine code must build windows via functions.windows.ranked(), which
     forces either a partition key or a written bounded-input justification —
