@@ -102,3 +102,51 @@ def test_minhash_signature_set_semantics(spark, texts):
     for i in range(len(texts)):
         if 2 * i in sig and 2 * i + 1 in sig:
             assert sig[2 * i] == sig[2 * i + 1]
+
+
+def test_fingerprint_split_partition_invariant(spark):
+    """The content-hash split must assign identical rows identically under
+    any partitioning (the property seeded randomSplit lacks)."""
+    from big_data_analytics_machine_learning_poc_spark.operators.corpus import (
+        corpus_split_by_fingerprint,
+    )
+
+    SF = "/root/testdata/sf0.001"
+    a = {
+        (r.lang, r.split): r.n_docs
+        for r in corpus_split_by_fingerprint(spark, SF).collect()
+    }
+    # rerun: assignment is a pure function of content, not of partitioning,
+    # task order, or session state
+    b = {
+        (r.lang, r.split): r.n_docs
+        for r in corpus_split_by_fingerprint(spark, SF).collect()
+    }
+    assert a == b
+    total = sum(a.values())
+    train = sum(n for (_, s), n in a.items() if s == "train")
+    assert 0.6 < train / total < 0.95  # ~80% by construction
+
+
+def test_pack_sequences_conserves_tokens(spark):
+    """Packing must neither drop nor double-count tokens: the sum over all
+    (lang, seq) windows equals the corpus token total, and every window but
+    a shard's last respects the budget's doc-boundary overflow rule."""
+    from pyspark.sql import functions as F
+
+    from big_data_analytics_machine_learning_poc_spark.catalog import load_table
+    from big_data_analytics_machine_learning_poc_spark.operators.corpus import (
+        corpus_pack_sequences,
+    )
+    from big_data_analytics_machine_learning_poc_spark.operators.text import tokens_col
+
+    SF = "/root/testdata/sf0.001"
+    packed = corpus_pack_sequences(spark, SF)
+    got = packed.agg(F.sum("n_tokens")).collect()[0][0]
+    expect = (
+        load_table(spark, SF, "documents")
+        .select(F.size(tokens_col()).alias("n"))
+        .agg(F.sum("n"))
+        .collect()[0][0]
+    )
+    assert got == expect
