@@ -136,15 +136,22 @@ def _sig_select_sql(perms: tuple[tuple[int, int], ...] = ORACLE_PERMS) -> str:
     return f"SELECT doc_id,\n           {mins}\n    FROM th GROUP BY doc_id"
 
 
-def minhash_signatures_df(
-    spark: SparkSession, sf_dir: str, perms: tuple[tuple[int, int], ...] = ORACLE_PERMS
+def minhash_signatures_from(
+    th: DataFrame, perms: tuple[tuple[int, int], ...] = ORACLE_PERMS
 ) -> DataFrame:
-    th = _doc_token_hashes(spark, sf_dir)
+    """Minhash signature per doc_id from any (doc_id, h) hash-set frame —
+    token hashes for token-set Jaccard, shingle hashes for shingle Jaccard."""
     aggs = [
         F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(MERSENNE_P)).alias(f"mh{i}")
         for i, (a, b) in enumerate(perms)
     ]
     return th.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_signatures_df(
+    spark: SparkSession, sf_dir: str, perms: tuple[tuple[int, int], ...] = ORACLE_PERMS
+) -> DataFrame:
+    return minhash_signatures_from(_doc_token_hashes(spark, sf_dir), perms)
 
 
 REG.add("dedup_minhash_signatures", sql=f"{_TOKEN_HASH_CTE}\n    {_sig_select_sql()}")(
@@ -566,14 +573,43 @@ def dedup_mllib_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+# The pipeline/CC candidate generator minhashes BIGRAM SHINGLES, not tokens:
+# the signature then estimates the SAME Jaccard measure the exact verifier
+# computes. On template-heavy corpora this matters enormously — documents
+# share vocabulary (token-set J ≥ 0.5 for most pairs) without sharing word
+# order (shingle J ≥ 0.5 only for true near-dups); a token-based signature
+# marks most of the corpus as candidates while the shingle-based one admits
+# only pairs the verifier could plausibly confirm. Measured at sf0.01:
+# 104,772 token-based candidates vs a few hundred shingle-based for the same
+# 25 verified pairs.
+_SHINGLE_HASH_CTE = f"""
+    WITH shp AS (
+      SELECT DISTINCT doc_id, unnest({_BIGRAMS_SQL}) AS shingle FROM documents
+    ), th AS (
+      SELECT doc_id, {md5_hash32_sql("shingle")} AS h FROM shp
+    )
+"""
+
+
+def doc_shingle_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, h): distinct md5-derived 32-bit bigram-shingle hashes."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.explode(bigram_shingles()).alias("shingle"))
+        .distinct()
+        .select("doc_id", md5_hash32(F.col("shingle")).alias("h"))
+    )
+
+
 def _cand_cte_sql() -> str:
-    """CTEs through LSH candidate pairs at the oracle geometry (no est filter
-    — the exact Jaccard verifier replaces the signature estimate)."""
+    """CTEs through shingle-minhash LSH candidate pairs at the oracle
+    geometry (no est filter — the exact Jaccard verifier replaces the
+    signature estimate)."""
     band_selects = "\n      UNION ALL\n      ".join(
         f"SELECT doc_id, {bi} AS band, {_band_key_sql(sl)} AS bkey FROM sig"
         for bi, sl in enumerate(_band_slices(N_PERMS, ORACLE_ROWS_PER_BAND))
     )
-    return f"""{_TOKEN_HASH_CTE}, sig AS (
+    return f"""{_SHINGLE_HASH_CTE}, sig AS (
       {_sig_select_sql()}
     ), bands AS (
       {band_selects}
@@ -610,9 +646,11 @@ def _verified_cte_sql() -> str:
 def verified_near_dup_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_a, doc_b) pairs that are LSH candidates AND pass exact
     bigram-shingle Jaccard ≥ 0.5 — the verified near-dup edge set the
-    pipeline/connected-components queries consume."""
+    pipeline/connected-components queries consume. Candidates come from
+    SHINGLE-minhash signatures so candidacy estimates the verifier's own
+    measure (see _SHINGLE_HASH_CTE)."""
     docs = load_table(spark, sf_dir, "documents")
-    sig = minhash_signatures_df(spark, sf_dir)
+    sig = minhash_signatures_from(doc_shingle_hashes(spark, sf_dir))
     cand = minhash_candidate_pairs(sig, N_PERMS, ORACLE_ROWS_PER_BAND)
     sh0 = docs.select("doc_id", F.explode(bigram_shingles()).alias("shingle")).distinct()
     sizes = sh0.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
@@ -746,8 +784,11 @@ def connected_components(edges: DataFrame) -> DataFrame:
     """,
 )
 def dedup_pipeline_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """THE 100 TB dedup workflow as one query: minhash-LSH candidate pairs
-    (equi-join on band buckets — never quadratic) → exact bigram-shingle
+    """THE 100 TB dedup workflow as one query: SHINGLE-minhash LSH candidate
+    pairs (equi-join on band buckets — never quadratic; the signature
+    estimates the verifier's own shingle-Jaccard measure, so candidacy stays
+    proportional to true near-dups even on template-heavy corpora — see
+    _SHINGLE_HASH_CTE) → exact bigram-shingle
     Jaccard ≥ 0.5 computed ONLY on candidate pairs → drop the higher doc_id
     of every verified pair (deterministic greedy keep-min; full
     connected-components would need iteration — at scale run this greedy
@@ -760,7 +801,7 @@ def dedup_pipeline_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the candidate DAG is computed once, not once per count.
     """
     docs = load_table(spark, sf_dir, "documents")
-    sig = minhash_signatures_df(spark, sf_dir)
+    sig = minhash_signatures_from(doc_shingle_hashes(spark, sf_dir))
     cand = minhash_candidate_pairs(sig, N_PERMS, ORACLE_ROWS_PER_BAND)
 
     sh0 = docs.select("doc_id", F.explode(bigram_shingles()).alias("shingle")).distinct()
