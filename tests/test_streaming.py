@@ -61,3 +61,26 @@ def test_foreachbatch_sink(spark):
     )
     q.awaitTermination(120)
     assert sum(seen) == load_table(spark, SF_DIR, "events").count()
+
+
+def test_rocksdb_state_store_equivalent(spark):
+    """The same stateful query under the RocksDB state store provider (the
+    100 TB state backend: state lives off-heap/on-disk per task instead of
+    in executor heap) must produce byte-identical results to the default
+    HDFS-backed provider."""
+    from big_data_analytics_machine_learning_poc_spark.streaming import events as sev
+
+    def run():
+        rows = sev.tumbling_counts(spark, SF_DIR, "5 minutes").collect()
+        return sorted((r.window_start_epoch, r.event_type, r.n) for r in rows)
+
+    base = run()
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        rocks = run()
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    assert rocks == base
