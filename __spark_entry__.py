@@ -43,6 +43,7 @@ _DRIVER_WINDOW = (
     "dedup_embedding_cosine",
     "dedup_keep_first",
     "dedup_pipeline_survivors",
+    "dedup_connected_components",
     "dedup_mllib_minhash_lsh",  # rows-only by design (MLlib-internal seeds)
     # similarity search
     "knn_brute_cosine",
@@ -65,15 +66,18 @@ _DRIVER_WINDOW = (
     "mm_metadata_stats",
     "mm_resize",
     "mm_frame_sample",  # rows-only by design
-    # ML + Arrow UDF lanes
+    # ML + Arrow UDF lanes. M1/M2 get their driver signal via ml_lr_rmse /
+    # ml_rf_confusion; M3 (DecisionTree) only via ml_reference_spam, which
+    # therefore stays. The other three ml_reference_* end-to-ends are
+    # rows-only AND golden-tested in pytest, so their window slots go to
+    # oracle-checked round-2 queries (they rotate into the r3 window).
     "grouped_zscore_applyinpandas",
     "ml_rf_confusion",
     "ml_lr_rmse",
     "ml_kmeans_clusters",
-    "ml_reference_correlator",
-    "ml_reference_random_forest",
     "ml_reference_spam",
-    "ml_reference_tfidf",
+    "corpus_pack_sequences",
+    "corpus_split_by_fingerprint",
     # streaming (batch-equivalent sessionization first: it has an oracle)
     "sessionize_events",
     "stream_tumbling_counts",
