@@ -257,3 +257,45 @@ def text_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "documents").select(
         "doc_id", roll.alias("rolling_hash")
     )
+
+
+@REG.add(
+    "text_stats_arrow",
+    sql="""
+    SELECT doc_id,
+           LENGTH(text) AS n_chars_arrow,
+           LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) AS n_spaces
+    FROM documents
+    """,
+)
+def text_stats_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow lane (the fifth and lowest-overhead Python lane, beside
+    pandas_udf / mapInPandas / applyInPandas / applyInPandasWithState):
+    operates on raw pyarrow RecordBatches with zero pandas conversion —
+    the right lane when the Python work is itself Arrow-native (here
+    pyarrow.compute string kernels, in production e.g. tokenizers or codecs
+    that accept Arrow buffers directly)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def stats(batches):
+        for batch in batches:
+            text = batch.column("text")
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("doc_id"),
+                    pc.cast(pc.utf8_length(text), pa.int64()),
+                    pc.cast(
+                        pc.subtract(
+                            pc.utf8_length(text),
+                            pc.utf8_length(pc.replace_substring(text, " ", "")),
+                        ),
+                        pa.int64(),
+                    ),
+                ],
+                names=["doc_id", "n_chars_arrow", "n_spaces"],
+            )
+
+    return load_table(spark, sf_dir, "documents").mapInArrow(
+        stats, "doc_id long, n_chars_arrow long, n_spaces long"
+    )

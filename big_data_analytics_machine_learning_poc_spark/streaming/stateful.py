@@ -53,3 +53,71 @@ def running_user_totals(spark: SparkSession, sf_dir: str, max_user: int = 100) -
         )
     )
     return run_to_completion(updated, "update")
+
+
+# ---------------------------------------------------------------------------
+# transformWithStateInPandas (Spark 4's successor API to
+# applyInPandasWithState: explicit StatefulProcessor lifecycle, composable
+# typed state, timers). The PySpark side of this API requires google.protobuf
+# for its state-server protocol; this container does not ship protobuf, so
+# the operator is gated behind a runtime probe (same policy as
+# sources/lakehouse.py) and is NOT registered as a driver query. The
+# semantics it would compute are identical to running_user_totals above —
+# tests/test_streaming.py proves equality when the dependency is present.
+# ---------------------------------------------------------------------------
+
+
+def tws_available() -> bool:
+    try:
+        import google.protobuf  # noqa: F401  (transformWithState state protocol)
+
+        return True
+    except ImportError:
+        return False
+
+
+def tws_user_totals(spark: SparkSession, sf_dir: str, max_user: int = 100) -> DataFrame:
+    """Per-user exact-cents totals via transformWithStateInPandas.
+
+    Raises ImportError where google.protobuf is unavailable (this
+    container); the applyInPandasWithState twin (running_user_totals) is the
+    equivalent supported path here."""
+    if not tws_available():
+        raise ImportError(
+            "transformWithStateInPandas needs google.protobuf, which is not "
+            "installed; use running_user_totals (applyInPandasWithState)"
+        )
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class _UserTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("totals", "n LONG, cents LONG")
+
+        def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+            n, cents = self._state.get() if self._state.exists() else (0, 0)
+            for pdf in rows:
+                n += len(pdf)
+                cents += int(round(pdf["value"] * 100).sum())
+            self._state.update((n, cents))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total_cents": [cents]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    ev = read_event_stream(spark, sf_dir).filter(F.col("user_id") < max_user)
+    out = (
+        ev.select("user_id", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=_UserTotals(),
+            outputStructType=OUTPUT_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )
+    return run_to_completion(out, "update")

@@ -84,3 +84,26 @@ def test_rocksdb_state_store_equivalent(spark):
     finally:
         spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     assert rocks == base
+
+
+def test_transform_with_state_matches_apply_in_pandas(spark):
+    """Where the transformWithState protocol dependency exists, the new API
+    must agree with the applyInPandasWithState twin; in this container the
+    gate must raise a clear ImportError instead of crashing a query."""
+    import pytest
+
+    from big_data_analytics_machine_learning_poc_spark.streaming import stateful
+
+    if not stateful.tws_available():
+        with pytest.raises(ImportError, match="protobuf"):
+            stateful.tws_user_totals(spark, SF_DIR)
+        pytest.skip("google.protobuf not installed in this container")
+    a = {
+        (r.user_id): (r.n_events, r.total_cents)
+        for r in stateful.tws_user_totals(spark, SF_DIR).collect()
+    }
+    b = {
+        (r.user_id): (r.n_events, r.total_cents)
+        for r in stateful.running_user_totals(spark, SF_DIR).collect()
+    }
+    assert a == b
