@@ -6,9 +6,12 @@ Five families, each shaped for 100 TB:
 
 - exact: hash-groupBy on the full text (one shuffle on a 60-bit fingerprint
   in production, so the shuffle key is 8 bytes, not the document).
-- minhash + LSH banding: per-doc signature (map-only) → band-bucket
-  equi-join (shuffle on small band keys) → candidate pairs → signature-
-  similarity filter. This is the scalable near-dup path: no quadratic step.
+- minhash + LSH banding over BIGRAM SHINGLES: per-doc signature (map-only)
+  → band-bucket equi-join (shuffle on small band keys) → candidate pairs →
+  signature-similarity filter. This is the scalable near-dup path: no
+  quadratic step, and the signature estimates the same shingle-Jaccard
+  measure the exact verifier checks (token-set signatures admit ~200× more
+  candidates on template-heavy corpora — see the note at _SHINGLE_HASH_CTE).
 - simhash: 16-bit sign-of-weighted-sums fingerprint, map-only per doc.
 - n-gram (bigram-shingle) Jaccard: the exact quadratic verifier — used on
   LSH candidates in production; exposed standalone for oracle checking.
@@ -128,6 +131,52 @@ _TOKEN_HASH_CTE = f"""
     )
 """
 
+# Bigram shingles: the unit of near-dup similarity engine-wide. The minhash
+# family hashes SHINGLES (not tokens) so its signatures estimate the same
+# Jaccard measure the exact verifier computes — on template-heavy corpora
+# (high shared vocabulary, little shared word order) token-set signatures
+# mark most pairs as candidates regardless of band geometry. Measured at
+# sf0.01: 104,772 token-based candidates vs 510 shingle-based for the same
+# 25 verified pairs; at sf0.1 the token-based pair query took 105 s vs
+# seconds shingle-based. Token hashing stays available via
+# minhash_signatures_from(_doc_token_hashes(...)) for set-valued inputs
+# that ARE bags of unordered features.
+
+_BIGRAMS_SQL = (
+    f"list_transform(range(1, len({TOKENS_SQL})), i -> "
+    f"{TOKENS_SQL}[i] || ' ' || {TOKENS_SQL}[i+1])"
+)
+
+
+def bigram_shingles() -> Column:
+    toks = tokens_col()
+    return F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 2),
+            lambda i: F.concat(F.element_at(toks, i + 1), F.lit(" "), F.element_at(toks, i + 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+_SHINGLE_HASH_CTE = f"""
+    WITH shp AS (
+      SELECT DISTINCT doc_id, unnest({_BIGRAMS_SQL}) AS shingle FROM documents
+    ), th AS (
+      SELECT doc_id, {md5_hash32_sql("shingle")} AS h FROM shp
+    )
+"""
+
+
+def doc_shingle_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, h): distinct md5-derived 32-bit bigram-shingle hashes."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.explode(bigram_shingles()).alias("shingle"))
+        .distinct()
+        .select("doc_id", md5_hash32(F.col("shingle")).alias("h"))
+    )
+
 
 def _sig_select_sql(perms: tuple[tuple[int, int], ...] = ORACLE_PERMS) -> str:
     mins = ",\n           ".join(
@@ -151,10 +200,11 @@ def minhash_signatures_from(
 def minhash_signatures_df(
     spark: SparkSession, sf_dir: str, perms: tuple[tuple[int, int], ...] = ORACLE_PERMS
 ) -> DataFrame:
-    return minhash_signatures_from(_doc_token_hashes(spark, sf_dir), perms)
+    """Shingle-minhash signature per document (see _SHINGLE_HASH_CTE note)."""
+    return minhash_signatures_from(doc_shingle_hashes(spark, sf_dir), perms)
 
 
-REG.add("dedup_minhash_signatures", sql=f"{_TOKEN_HASH_CTE}\n    {_sig_select_sql()}")(
+REG.add("dedup_minhash_signatures", sql=f"{_SHINGLE_HASH_CTE}\n    {_sig_select_sql()}")(
     minhash_signatures_df
 )
 
@@ -175,7 +225,7 @@ def _band_pairs_sql(
         for bi, sl in enumerate(_band_slices(n, rows_per_band))
     )
     sim = " + ".join(f"CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END" for i in range(n))
-    return f"""{_TOKEN_HASH_CTE}, sig AS (
+    return f"""{_SHINGLE_HASH_CTE}, sig AS (
       {_sig_select_sql(perms)}
     ), bands AS (
       {band_selects}
@@ -250,9 +300,10 @@ def minhash_near_dup_pairs(
 
 @REG.add("dedup_minhash_pairs", sql=_band_pairs_sql(0.5))
 def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-banded near-dup candidates with signature-estimated Jaccard ≥ 0.5
-    at the 8-perm oracle geometry (production geometry: same code path via
-    ``minhash_near_dup_pairs`` defaults, recall-tested on planted near-dups).
+    """LSH-banded near-dup candidates with signature-estimated shingle-set
+    Jaccard ≥ 0.5 at the 8-perm oracle geometry (production geometry: same
+    code path via ``minhash_near_dup_pairs`` defaults, recall-tested on
+    planted near-dups).
 
     Scale shape: signatures are map-only; banding is a narrow unpivot; the
     candidate join is an equi-join on (band, bkey) bucket keys — skew-safe
@@ -312,24 +363,8 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # N-gram (bigram shingle) Jaccard — exact verifier
+# (shingle builders live next to the minhash section above)
 # --------------------------------------------------------------------------
-
-_BIGRAMS_SQL = (
-    f"list_transform(range(1, len({TOKENS_SQL})), i -> "
-    f"{TOKENS_SQL}[i] || ' ' || {TOKENS_SQL}[i+1])"
-)
-
-
-def bigram_shingles() -> Column:
-    toks = tokens_col()
-    return F.when(
-        F.size(toks) >= 2,
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - 2),
-            lambda i: F.concat(F.element_at(toks, i + 1), F.lit(" "), F.element_at(toks, i + 2)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-
 
 # Stop-shingle cap: shingles present in more than DF_CAP documents do not
 # GENERATE candidate pairs (boilerplate/template shingles have posting lists
@@ -571,34 +606,6 @@ def dedup_mllib_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # End-to-end dedup pipeline: LSH candidates → exact verify → survivors
 # --------------------------------------------------------------------------
-
-
-# The pipeline/CC candidate generator minhashes BIGRAM SHINGLES, not tokens:
-# the signature then estimates the SAME Jaccard measure the exact verifier
-# computes. On template-heavy corpora this matters enormously — documents
-# share vocabulary (token-set J ≥ 0.5 for most pairs) without sharing word
-# order (shingle J ≥ 0.5 only for true near-dups); a token-based signature
-# marks most of the corpus as candidates while the shingle-based one admits
-# only pairs the verifier could plausibly confirm. Measured at sf0.01:
-# 104,772 token-based candidates vs a few hundred shingle-based for the same
-# 25 verified pairs.
-_SHINGLE_HASH_CTE = f"""
-    WITH shp AS (
-      SELECT DISTINCT doc_id, unnest({_BIGRAMS_SQL}) AS shingle FROM documents
-    ), th AS (
-      SELECT doc_id, {md5_hash32_sql("shingle")} AS h FROM shp
-    )
-"""
-
-
-def doc_shingle_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, h): distinct md5-derived 32-bit bigram-shingle hashes."""
-    docs = load_table(spark, sf_dir, "documents")
-    return (
-        docs.select("doc_id", F.explode(bigram_shingles()).alias("shingle"))
-        .distinct()
-        .select("doc_id", md5_hash32(F.col("shingle")).alias("h"))
-    )
 
 
 def _cand_cte_sql() -> str:
