@@ -1140,3 +1140,84 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), "orderdate_day", "l_orderkey")
         .limit(10)
     )
+
+
+_REV_CENTS_SQL = f"{cents_sql('l.l_extendedprice')} * (100 - {cents_sql('l.l_discount')})"
+
+
+@REG.add(
+    "tpch_q14_promo_revenue",
+    sql=f"""
+    SELECT ROUND(100.0 * CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                                       THEN {_REV_CENTS_SQL} ELSE 0 END) AS DOUBLE)
+                 / SUM({_REV_CENTS_SQL}), 4) AS promo_pct,
+           COUNT(*) AS n_items
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-03-01'
+      AND l.l_shipdate < TIMESTAMP '1996-04-01'
+    """,
+)
+def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (promotion effect): promo share of one month's revenue.
+    Shape at scale: the shipdate window is pushed to the lineitem scan, part
+    is the join's build side (AQE broadcasts it when small), and both the
+    conditional and total revenue sums are exact-cents integers folded in
+    the SAME partial+final aggregation pass — the ratio of two exact ints is
+    the identical double in both engines."""
+    from ..functions.exact import revenue_item
+
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    p = _t(spark, sf_dir, "part")
+    rev = revenue_item()
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0))
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                F.lit(100.0) * F.sum(promo).cast("double") / F.sum(rev), 4
+            ).alias("promo_pct"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@REG.add(
+    "tpch_q4_order_priority",
+    sql="""
+    SELECT o.o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1996-07-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+    """,
+)
+def tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (order-priority checking), adapted: the testdata has
+    no commit/receipt dates, so the correlated predicate is "some lineitem
+    shipped >30 days after the order date" — same plan skeleton as the
+    original (date-window scan filter + correlated EXISTS with a
+    cross-table residual → left semi join on the order key, then a tiny
+    per-priority count)."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
