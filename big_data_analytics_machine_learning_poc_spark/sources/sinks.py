@@ -39,3 +39,35 @@ def write_bucketed_table(
 
 def read_back(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
+
+
+def write_training_shards(
+    docs: DataFrame,
+    path: str,
+    split_col: str = "split",
+    shard_col: str = "lang",
+    order_col: str = "doc_id",
+    mode: str = "overwrite",
+) -> None:
+    """The corpus-prep terminal sink: training shards partitioned by split
+    (train/valid/test directories → downstream readers prune whole splits)
+    and sorted by ``order_col`` within each file so sequence packing /
+    resumable reads are deterministic.
+
+    Layout contract at 100 TB: ``split`` is the partition directory (3
+    values), ``shard_col`` keys the in-partition distribution (thousands of
+    values → thousands of files per split), and rows within a file are
+    ordered — repartition(shard) + sortWithinPartitions gives exactly one
+    shuffle and a per-partition sort, never a global sort. The sort leads
+    with the partition column: the dynamic-partition writer requires rows
+    grouped by partition value and would otherwise insert its own
+    (order-destroying) sort — leading with it makes the task ordering
+    satisfy the writer's requirement, so the data order survives into files.
+    """
+    (
+        docs.repartition(split_col, shard_col)
+        .sortWithinPartitions(split_col, shard_col, order_col)
+        .write.mode(mode)
+        .partitionBy(split_col)
+        .parquet(path)
+    )

@@ -118,3 +118,48 @@ def test_streaming_parquet_sink_roundtrip(spark, tmp_path):
     assert back.count() == load_table(spark, SF_DIR, "events").count()
     # partition dirs by event_type exist
     assert any(d.startswith("event_type=") for d in os.listdir(out))
+
+
+def test_training_shard_sink_roundtrip(spark, tmp_path):
+    """End-to-end corpus sink: hash-split assignment → sharded write →
+    read back with split pruning; per-file ordering is deterministic."""
+    from pyspark.sql import functions as F
+
+    from big_data_analytics_machine_learning_poc_spark.catalog import load_table
+    from big_data_analytics_machine_learning_poc_spark.functions.hashing import md5_hash32
+    from big_data_analytics_machine_learning_poc_spark.sources.sinks import (
+        read_back,
+        write_training_shards,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    bucket = md5_hash32(F.col("text")) % 100
+    assigned = docs.withColumn(
+        "split",
+        F.when(bucket < 80, "train").when(bucket < 90, "valid").otherwise("test"),
+    )
+    path = str(tmp_path / "shards")
+    write_training_shards(assigned, path)
+
+    back = read_back(spark, path)
+    assert back.count() == docs.count()
+    # split pruning: the train-only read must touch only the train partition
+    train = back.filter(F.col("split") == "train")
+    from big_data_analytics_machine_learning_poc_spark.plans import formatted_plan
+
+    plan = formatted_plan(train)
+    assert "split=train" in plan or "PartitionFilters" in plan
+    # file-level determinism: within any (split, lang) the doc_ids are sorted
+    import glob as _glob
+
+    files = _glob.glob(f"{path}/split=train/*.parquet")
+    assert files
+    import duckdb as _duck
+
+    con = _duck.connect()
+    for f in files[:3]:
+        rows = con.execute(
+            f"SELECT lang, doc_id FROM read_parquet('{f}')"
+        ).fetchall()
+        assert rows == sorted(rows)
+    con.close()
