@@ -168,3 +168,33 @@ def sql_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
               (SELECT AVG(CAST(ROUND(o_totalprice * 100) AS BIGINT)) FROM orders)
         """
     )
+
+
+@REG.add(
+    "sql_correlated_scalar_subquery",
+    sql="""
+    SELECT o.o_orderkey, o.o_custkey
+    FROM orders o
+    WHERE o.o_orderkey < 20000
+      AND CAST(ROUND(o.o_totalprice * 100) AS BIGINT) >
+          (SELECT AVG(CAST(ROUND(i.o_totalprice * 100) AS BIGINT))
+           FROM orders i WHERE i.o_custkey = o.o_custkey)
+    """,
+)
+def sql_correlated_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery: orders above their OWN customer's average
+    price. Catalyst de-correlates this into a per-customer aggregate joined
+    back on o_custkey — one extra aggregation pass plus an equi-join, never
+    a per-row subquery execution. Exact integer-cents averages keep the
+    boundary comparison identical across engines."""
+    _views(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT o.o_orderkey, o.o_custkey
+        FROM orders o
+        WHERE o.o_orderkey < 20000
+          AND CAST(ROUND(o.o_totalprice * 100) AS BIGINT) >
+              (SELECT AVG(CAST(ROUND(i.o_totalprice * 100) AS BIGINT))
+               FROM orders i WHERE i.o_custkey = o.o_custkey)
+        """
+    )
