@@ -232,3 +232,57 @@ def corpus_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.select(
         "lang", "bigram", "n", F.row_number().over(w).alias("rn")
     ).filter(F.col("rn") <= 3)
+
+
+def _e2e_sql() -> str:
+    from .dedup import _verified_cte_sql
+
+    return f"""
+    {_verified_cte_sql()},
+    removed AS (
+      SELECT DISTINCT doc_b AS doc_id FROM verified
+    ), survivors AS (
+      SELECT d.* FROM documents d WHERE d.doc_id NOT IN (SELECT doc_id FROM removed)
+    ), kept AS (
+      SELECT *, len({TOKENS_SQL}) AS n_tokens FROM survivors WHERE {_KEEP_SQL}
+    ), assigned AS (
+      SELECT CASE WHEN {md5_hash32_sql("text")} % 100 < 80 THEN 'train'
+                  WHEN {md5_hash32_sql("text")} % 100 < 90 THEN 'valid'
+                  ELSE 'test' END AS split,
+             n_tokens
+      FROM kept
+    )
+    SELECT split, COUNT(*) AS n_docs, SUM(n_tokens) AS n_tokens
+    FROM assigned GROUP BY split
+    """
+
+
+@REG.add("corpus_e2e_prep", sql=_e2e_sql())
+def corpus_e2e_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WHOLE training-data prep as one declarative plan: near-dup
+    removal (shingle-minhash LSH candidates → exact Jaccard verify → drop
+    higher doc_id) → quality gate → leakage-safe content-hash split →
+    per-split document/token accounting. This is the query a 100 TB corpus
+    run submits once per snapshot; every stage is the scale shape proven
+    individually (equi-join candidates, candidate-only verify, map-only
+    filter/split, small-key final agg), and Catalyst pipelines them without
+    materialization barriers. write_training_shards is its terminal sink."""
+    from .dedup import verified_near_dup_edges
+
+    docs = load_table(spark, sf_dir, "documents")
+    removed = (
+        verified_near_dup_edges(spark, sf_dir)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    survivors = docs.join(removed, "doc_id", "left_anti")
+    kept = survivors.filter(_keep_col()).select(
+        "text", F.size(tokens_col()).cast("long").alias("n_tokens")
+    )
+    bucket = md5_hash32(F.col("text")) % 100
+    split = F.when(bucket < 80, "train").when(bucket < 90, "valid").otherwise("test")
+    return (
+        kept.select(split.alias("split"), "n_tokens")
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_tokens").alias("n_tokens"))
+    )
