@@ -74,10 +74,10 @@ _DRIVER_WINDOW = (
     "grouped_zscore_applyinpandas",
     "ml_rf_confusion",
     "ml_lr_rmse",
-    "ml_kmeans_clusters",
     "ml_reference_spam",
     "corpus_pack_sequences",
     "corpus_split_by_fingerprint",
+    "corpus_e2e_prep",
     # streaming (batch-equivalent sessionization first: it has an oracle)
     "sessionize_events",
     "stream_tumbling_counts",
