@@ -1221,3 +1221,38 @@ def tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("order_count"))
         .orderBy("o_orderpriority")
     )
+
+
+@REG.add(
+    "scalar_map_funcs",
+    sql="""
+    WITH m AS (
+      SELECT event_id,
+             MAP {'type': event_type, 'id': CAST(event_id AS VARCHAR)} AS mp
+      FROM events WHERE event_id < 1000
+    )
+    SELECT event_id,
+           cardinality(mp) AS map_size,
+           array_to_string(list_sort(map_keys(mp)), ',') AS keys_str,
+           array_to_string(list_sort(map_values(mp)), ',') AS values_str,
+           mp['type'][1] AS type_val
+    FROM m
+    """,
+)
+def scalar_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-function family (create_map, map_keys, map_values, element_at) —
+    completes the scalar taxonomy next to string/date/json/regex/array/null.
+    Keys/values are surfaced as sorted joined strings because map iteration
+    order is an implementation detail in BOTH engines."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 1000)
+    m = F.create_map(
+        F.lit("type"), F.col("event_type"),
+        F.lit("id"), F.col("event_id").cast("string"),
+    )
+    return ev.select(
+        "event_id",
+        F.size(m).cast("long").alias("map_size"),
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("keys_str"),
+        F.array_join(F.array_sort(F.map_values(m)), ",").alias("values_str"),
+        F.element_at(m, "type").alias("type_val"),
+    )
