@@ -234,6 +234,145 @@ def corpus_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("rn") <= 3)
 
 
+@REG.add(
+    "corpus_repetition_filter",
+    sql=f"""
+    WITH r AS (
+      SELECT lang,
+             len({TOKENS_SQL}) AS n_tokens,
+             len(list_distinct({TOKENS_SQL})) AS n_distinct,
+             len({_BIGRAMS_SQL}) AS n_bigrams,
+             len(list_distinct({_BIGRAMS_SQL})) AS n_dist_bigrams
+      FROM documents
+    ), m AS (
+      SELECT lang,
+             1.0 - CAST(n_distinct AS DOUBLE) / NULLIF(n_tokens, 0) AS rep_token,
+             1.0 - CAST(n_dist_bigrams AS DOUBLE) / NULLIF(n_bigrams, 0) AS rep_bigram
+      FROM r
+    )
+    SELECT lang, COUNT(*) AS n_docs,
+           SUM(CASE WHEN rep_token > 0.5 THEN 1 ELSE 0 END) AS n_flagged,
+           ROUND(AVG(rep_token), 6) AS avg_rep_token,
+           ROUND(AVG(rep_bigram), 6) AS avg_rep_bigram
+    FROM m GROUP BY lang ORDER BY lang
+    """,
+)
+def corpus_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style intra-document repetition accounting: the fraction of
+    duplicated tokens (1 − distinct/total) and duplicated bigrams per doc,
+    flagged against a 0.5 duplicate-token threshold, rolled up per language.
+    Highly repetitive docs are boilerplate/spam in a pretraining corpus.
+    Scale shape: pure per-row array algebra inside codegen (no explode — the
+    distinct runs inside each row's array), then a tiny per-language agg;
+    the per-doc flag is a deterministic ratio of ints so the threshold
+    compare is engine-exact, and only AVG needs the ROUND(…,6) guard."""
+    toks, grams = tokens_col(), bigram_shingles()
+    n_tokens = F.size(toks)
+    rep_token = F.lit(1.0) - F.size(F.array_distinct(toks)).cast("double") / F.nullif(
+        n_tokens, F.lit(0)
+    )
+    rep_bigram = F.lit(1.0) - F.size(F.array_distinct(grams)).cast("double") / F.nullif(
+        F.size(grams), F.lit(0)
+    )
+    m = load_table(spark, sf_dir, "documents").select(
+        "lang", rep_token.alias("rep_token"), rep_bigram.alias("rep_bigram")
+    )
+    return (
+        m.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("rep_token") > 0.5, 1).otherwise(0)).alias("n_flagged"),
+            F.round(F.avg("rep_token"), 6).alias("avg_rep_token"),
+            F.round(F.avg("rep_bigram"), 6).alias("avg_rep_bigram"),
+        )
+        .orderBy("lang")
+    )
+
+
+# Contamination: a test doc is contaminated when ≥80% of its distinct
+# shingles also occur somewhere in the train split.
+_CONTAM_OVERLAP = 0.8
+
+_SPLIT_SQL = f"""CASE WHEN {md5_hash32_sql("text")} % 100 < 80 THEN 'train'
+                      WHEN {md5_hash32_sql("text")} % 100 < 90 THEN 'valid'
+                      ELSE 'test' END"""
+
+
+@REG.add(
+    "corpus_contamination_check",
+    sql=f"""
+    WITH sp AS (
+      SELECT doc_id, lang, {_SPLIT_SQL} AS split FROM documents
+    ), shp AS (
+      SELECT DISTINCT doc_id, unnest({_BIGRAMS_SQL}) AS shingle FROM documents
+    ), sh AS (
+      SELECT doc_id, {md5_hash32_sql("shingle")} AS h FROM shp
+    ), train_sh AS (
+      SELECT DISTINCT h FROM sh JOIN sp USING (doc_id) WHERE sp.split = 'train'
+    ), test_sh AS (
+      SELECT sh.doc_id, sh.h FROM sh JOIN sp USING (doc_id) WHERE sp.split = 'test'
+    ), per_doc AS (
+      SELECT t.doc_id, COUNT(*) AS n_sh,
+             SUM(CASE WHEN tr.h IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+      FROM test_sh t LEFT JOIN train_sh tr ON t.h = tr.h
+      GROUP BY t.doc_id
+    )
+    SELECT lang, COUNT(*) AS n_test_docs,
+           SUM(CASE WHEN CAST(n_hit AS DOUBLE) / n_sh >= {_CONTAM_OVERLAP}
+                    THEN 1 ELSE 0 END) AS n_contaminated,
+           ROUND(AVG(CAST(n_hit AS DOUBLE) / n_sh), 6) AS avg_overlap
+    FROM per_doc JOIN sp USING (doc_id)
+    GROUP BY lang ORDER BY lang
+    """,
+)
+def corpus_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train→test contamination scan: for every test-split document, the
+    fraction of its distinct bigram shingles that also appear in ANY
+    train-split document; per-language counts of docs above the 80% overlap
+    bar. This is the eval-decontamination pass a training pipeline runs
+    before publishing a split. Scale shape: shingles travel as 32-bit
+    md5-derived ints (never strings), the train set is one distinct on the
+    hash, and the membership test is a shingle-hash equi-join — the same
+    no-quadratic-stage discipline as the LSH dedup family. Docs with <2
+    tokens have no shingles and drop out of the accounting (both engines).
+    """
+    from .dedup import doc_shingle_hashes
+
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = md5_hash32(F.col("text")) % 100
+    split = F.when(bucket < 80, "train").when(bucket < 90, "valid").otherwise("test")
+    sp = docs.select("doc_id", "lang", split.alias("split"))
+    sh = doc_shingle_hashes(spark, sf_dir)
+    train_sh = (
+        sh.join(sp.filter(F.col("split") == "train"), "doc_id")
+        .select("h")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    test_sh = sh.join(sp.filter(F.col("split") == "test"), "doc_id").select("doc_id", "h")
+    per_doc = (
+        test_sh.join(train_sh, "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sh"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_hit"),
+        )
+    )
+    overlap = F.col("n_hit").cast("double") / F.col("n_sh")
+    return (
+        per_doc.join(sp, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_test_docs"),
+            F.sum(
+                F.when(overlap >= _CONTAM_OVERLAP, 1).otherwise(0)
+            ).alias("n_contaminated"),
+            F.round(F.avg(overlap), 6).alias("avg_overlap"),
+        )
+        .orderBy("lang")
+    )
+
+
 def _e2e_sql() -> str:
     from .dedup import _verified_cte_sql
 

@@ -1256,3 +1256,249 @@ def scalar_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.array_sort(F.map_values(m)), ",").alias("values_str"),
         F.element_at(m, "type").alias("type_val"),
     )
+
+
+@REG.add(
+    "tpch_q5_local_supplier_volume",
+    sql=f"""
+    SELECT n.n_name, {_REVENUE_SQL}
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND c.c_nationkey = s.s_nationkey
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY n.n_name
+    ORDER BY revenue DESC, n.n_name
+    """,
+)
+def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 (local supplier volume): 6-way join where the customer and
+    the supplier must share a nation — the classic "join graph with a
+    residual cross-dimension equality". Scale shape: the two fact tables
+    (orders⋈lineitem) shuffle on the order key once, customer and supplier
+    shuffle on their own keys (at TPC-H scale they are fact-sized, so they
+    get NO broadcast hint — AQE promotes them to broadcast when a deployment
+    is small enough); only nation⋈region is hint-broadcast, and the region
+    filter prunes suppliers before the big joins. The c_nationkey =
+    s_nationkey residual rides the supplier join as a post-probe predicate.
+    Revenue is exact-cents → deterministic DESC ordering."""
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = _t(spark, sf_dir, "nation").join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    s = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(
+            s,
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .groupBy("n_name")
+        .agg(sum_revenue("revenue"))
+        .orderBy(F.col("revenue").desc(), "n_name")
+    )
+
+
+@REG.add(
+    "tpch_q10_returned_items",
+    sql=f"""
+    SELECT c.c_custkey, c.c_name, {_REVENUE_SQL},
+           c.c_acctbal, n.n_name, c.c_mktsegment
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1996-04-01'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name, c.c_mktsegment
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+    """,
+)
+def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 (returned-item reporting): which customers returned the
+    most revenue in a quarter. Scale shape: both fact filters sit on their
+    scans (quarter window on orders, returnflag on lineitem), the fact⋈fact
+    join shuffles on the order key, customer shuffles on its key (fact-sized
+    at TPC-H scale — no hint, AQE may still broadcast small deployments),
+    nation is hint-broadcast, and the wide GROUP BY keys are all
+    customer-side (one row per customer after the join) — then a top-20
+    TakeOrderedAndProject, never a global sort."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name", "c_mktsegment")
+        .agg(sum_revenue("revenue"))
+        .select(
+            "c_custkey", "c_name", "revenue", "c_acctbal", "n_name", "c_mktsegment"
+        )
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+@REG.add(
+    "funnel_conversion",
+    sql="""
+    WITH ue AS (
+      SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+    ), v AS (
+      SELECT user_id, MIN(us) AS v_us FROM ue WHERE event_type = 'view'
+      GROUP BY user_id
+    ), c AS (
+      SELECT ue.user_id, MIN(ue.us) AS c_us
+      FROM ue JOIN v ON ue.user_id = v.user_id
+      WHERE ue.event_type = 'click' AND ue.us >= v.v_us
+      GROUP BY ue.user_id
+    ), p AS (
+      SELECT ue.user_id, MIN(ue.us) AS p_us
+      FROM ue JOIN c ON ue.user_id = c.user_id
+      WHERE ue.event_type = 'purchase' AND ue.us >= c.c_us
+      GROUP BY ue.user_id
+    )
+    SELECT (SELECT COUNT(*) FROM v) AS n_viewed,
+           (SELECT COUNT(*) FROM c) AS n_clicked_after,
+           (SELECT COUNT(*) FROM p) AS n_purchased_after,
+           ROUND(CAST((SELECT COUNT(*) FROM p) AS DOUBLE)
+                 / (SELECT COUNT(*) FROM v), 6) AS conversion
+    """,
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (view → click → purchase): users counted at each stage
+    only if the stage event happens at-or-after their previous stage's first
+    event — the standard product-analytics conversion query. Scale shape:
+    every stage is a groupBy on user_id, and each stage's join is on that
+    SAME key, so after the first shuffle the funnel stays co-partitioned
+    (AQE reuses the exchange); timestamps compare as integer microseconds
+    (unix_micros ↔ epoch_us), never floats."""
+    ev = _t(spark, sf_dir, "events")
+    ue = ev.select(
+        "user_id", "event_type", F.unix_micros(F.col("ts")).alias("us")
+    )
+    v = (
+        ue.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("v_us"))
+    )
+    c = (
+        ue.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("us") >= F.col("v_us"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("c_us"))
+    )
+    p = (
+        ue.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("us") >= F.col("c_us"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("p_us"))
+    )
+    nv = v.agg(F.count(F.lit(1)).alias("n_viewed"))
+    nc = c.agg(F.count(F.lit(1)).alias("n_clicked_after"))
+    np_ = p.agg(F.count(F.lit(1)).alias("n_purchased_after"))
+    return (
+        nv.crossJoin(nc)
+        .crossJoin(np_)
+        .select(
+            "n_viewed",
+            "n_clicked_after",
+            "n_purchased_after",
+            F.round(
+                F.col("n_purchased_after").cast("double") / F.col("n_viewed"), 6
+            ).alias("conversion"),
+        )
+    )
+
+
+# Q18 quantity threshold: testdata orders have ≤458 total quantity at sf0.01;
+# 300 keeps the "rare large order" semantics of the original parameter.
+_Q18_MIN_QTY = 300
+
+
+@REG.add(
+    "tpch_q18_large_volume_customer",
+    sql=f"""
+    WITH big AS (
+      SELECT l_orderkey
+      FROM lineitem
+      GROUP BY l_orderkey
+      HAVING SUM(CAST(ROUND(l_quantity) AS BIGINT)) > {_Q18_MIN_QTY}
+    )
+    SELECT c.c_name, c.c_custkey, o.o_orderkey,
+           CAST(FLOOR(EPOCH(o.o_orderdate) / 86400) AS BIGINT) AS orderdate_day,
+           o.o_totalprice,
+           CAST(SUM(CAST(ROUND(l.l_quantity) AS BIGINT)) AS BIGINT) AS total_qty
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN big ON big.l_orderkey = o.o_orderkey
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    ORDER BY o.o_totalprice DESC, o.o_orderkey
+    LIMIT 100
+    """,
+)
+def tpch_q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume customer): orders whose total quantity
+    exceeds a threshold, with their customer. Scale shape: the HAVING
+    subquery is a self-aggregation of lineitem on its natural key — Spark
+    computes it with partial+final agg then LEFT SEMI joins it back on the
+    same key (no second shuffle of lineitem under AQE since both sides share
+    the l_orderkey partitioning); customer joins on its key unhinted
+    (fact-sized at TPC-H scale); final top-100 is TakeOrderedAndProject.
+    Quantities are integral doubles → summed as longs, exact in both
+    engines."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.round(F.col("l_quantity")).cast("long").alias("qty")
+    )
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("qty").alias("total_qty"))
+        .filter(F.col("total_qty") > _Q18_MIN_QTY)
+        .select("l_orderkey")
+    )
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    day = F.datediff(
+        F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+    ).cast("long")
+    return (
+        li.join(big, "l_orderkey", "left_semi")
+        .join(o, F.col("l_orderkey") == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum("qty").alias("total_qty"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            day.alias("orderdate_day"),
+            "o_totalprice",
+            "total_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(100)
+    )

@@ -238,3 +238,66 @@ def array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.filter("embedding", lambda x: x > 0)).cast("long").alias("n_positive"),
         F.round(F.element_at(F.sort_array("embedding"), 1).cast("double"), 6).alias("sorted_first"),
     )
+
+
+@REG.add(
+    "emb_centroid_outliers",
+    sql=f"""
+    WITH pe AS (
+      SELECT label,
+             unnest(list_transform(range(1, len(embedding) + 1),
+                    i -> {{'i': i, 'v': CAST(embedding[i] AS DOUBLE)}}),
+                    recursive := true)
+      FROM embeddings
+    ), ce AS (
+      SELECT label, i, ROUND(AVG(v), 6) AS cv FROM pe GROUP BY label, i
+    ), cent AS (
+      SELECT label, list(cv ORDER BY i) AS c FROM ce GROUP BY label
+    ), scored AS (
+      SELECT e.label, e.vec_id, {cosine_sql("e.embedding", "cent.c")} AS cos
+      FROM embeddings e JOIN cent USING (label)
+    )
+    SELECT label, COUNT(*) AS n_vecs,
+           ROUND(AVG(cos), 6) AS avg_cos,
+           SUM(CASE WHEN cos < 0 THEN 1 ELSE 0 END) AS n_outliers
+    FROM scored GROUP BY label ORDER BY label
+    """,
+)
+def emb_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-quality screen: per-label centroid (dimension-wise mean),
+    then each vector's cosine to its own centroid; vectors pointing away
+    (cos < 0) are mislabeled/outlier candidates — the standard embedding
+    sanity pass before training on labeled vectors.
+
+    Scale shape: posexplode is narrow (vec_id never travels), the centroid
+    is a partial+final agg on (label, dim) — 10×64 groups here, still tiny
+    at any corpus size — and the scoring join broadcasts the centroids, so
+    the corpus is scanned exactly twice with no wide shuffle. Exactness:
+    centroid components are ROUND(…,6)-snapped so both engines score with
+    bitwise-identical centroids; the cosine fold is sequential on both
+    sides, making the cos<0 outlier compare engine-exact (only the final
+    AVG needs its own ROUND guard).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    pe = emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+    ce = pe.groupBy("label", "pos").agg(
+        F.round(F.avg(F.col("v").cast("double")), 6).alias("cv")
+    )
+    cent = ce.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "cv"))), lambda s: s.cv
+        ).alias("c")
+    )
+    cos = cosine(F.col("embedding"), F.col("c"))
+    scored = emb.join(F.broadcast(cent), "label").select(
+        "label", "vec_id", cos.alias("cos")
+    )
+    return (
+        scored.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.avg("cos"), 6).alias("avg_cos"),
+            F.sum(F.when(F.col("cos") < 0, 1).otherwise(0)).alias("n_outliers"),
+        )
+        .orderBy("label")
+    )
