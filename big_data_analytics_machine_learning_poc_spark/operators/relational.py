@@ -714,6 +714,36 @@ def percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @REG.add(
+    "group_percentiles",
+    sql="""
+    SELECT c_mktsegment,
+           ROUND(QUANTILE_CONT(c_acctbal, 0.25), 6) AS p25,
+           ROUND(QUANTILE_CONT(c_acctbal, 0.50), 6) AS p50,
+           ROUND(QUANTILE_CONT(c_acctbal, 0.75), 6) AS p75,
+           COUNT(*) AS n
+    FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+)
+def group_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group exact interpolated quartiles (the grouped twin of
+    ``percentiles``). Scale shape: Spark's percentile aggregate buffers one
+    group's values at a time after a partial pass — fine for bounded groups
+    like the 5 market segments; unbounded-cardinality measures should use
+    percentile_approx (see similarity_approx_stats)."""
+    return (
+        _t(spark, sf_dir, "customer")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.round(F.expr("percentile(c_acctbal, 0.25)"), 6).alias("p25"),
+            F.round(F.expr("percentile(c_acctbal, 0.50)"), 6).alias("p50"),
+            F.round(F.expr("percentile(c_acctbal, 0.75)"), 6).alias("p75"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@REG.add(
     "conditional_agg",
     sql=f"""
     SELECT l_linestatus,

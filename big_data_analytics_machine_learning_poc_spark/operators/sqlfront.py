@@ -198,3 +198,26 @@ def sql_correlated_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFram
                FROM orders i WHERE i.o_custkey = o.o_custkey)
         """
     )
+
+
+_WINDOW_CTE_TEXT = """
+    WITH rnk AS (
+      SELECT c_mktsegment, c_custkey, c_acctbal,
+             ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                ORDER BY c_acctbal DESC, c_custkey) AS rn
+      FROM customer
+    )
+    SELECT c_mktsegment, rn, c_custkey, c_acctbal
+    FROM rnk WHERE rn <= 3
+"""
+
+
+@REG.add("sql_window_cte", sql=_WINDOW_CTE_TEXT)
+def sql_window_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CTE + ranking window as literal SQL text — the exact same ANSI string
+    runs on both engines (the oracle IS the query). Catalyst plans it
+    identically to the DataFrame twin window_topk_per_group: one shuffle on
+    the partition key, rank inside, the rn<=3 filter pushed into the window
+    via WindowGroupLimit (top-k per group never materializes full groups)."""
+    _views(spark, sf_dir, "customer")
+    return spark.sql(_WINDOW_CTE_TEXT)

@@ -206,3 +206,73 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB this is the exactly-once event dedup stage in front of every
     streaming aggregation; state size is #distinct live keys, not #events."""
     return sev.dedup_within_watermark(spark, sf_dir, max_user=50)
+
+
+@REG.add(
+    "timeseries_gap_fill",
+    sql="""
+    WITH base AS (
+      SELECT user_id, epoch_us(ts) // 3600000000 AS hr,
+             MAX(CAST(ROUND(value * 100) AS BIGINT)) AS v_cents
+      FROM events WHERE user_id < 20 GROUP BY user_id, hr
+    ), rng AS (
+      SELECT user_id, MIN(hr) AS mn, MAX(hr) AS mx FROM base GROUP BY user_id
+    ), spine AS (
+      SELECT user_id, unnest(range(mn, mx + 1)) AS hr FROM rng
+    ), joined AS (
+      SELECT s.user_id, s.hr, b.v_cents,
+             CASE WHEN b.v_cents IS NULL THEN 1 ELSE 0 END AS was_gap
+      FROM spine s LEFT JOIN base b ON s.user_id = b.user_id AND s.hr = b.hr
+    )
+    SELECT user_id, hr,
+           last_value(v_cents IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY hr
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled,
+           was_gap
+    FROM joined
+    """,
+)
+def timeseries_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample + gap-fill: roll events to an hourly grid per
+    user (exact-cents MAX as the hour's value), densify with a generated
+    hour spine (sequence + explode — no driver-side loop), and forward-fill
+    missing hours with the classic last-ignoring-nulls window. The standard
+    sensor/metrics regularization every feature pipeline needs.
+
+    Scale shape: ONE shuffle on user_id covers the rollup, the spine join
+    and the fill window (co-partitioned throughout); the spine explodes
+    from per-user (min, max) bounds so dense ranges never materialize on
+    the driver. Hour ids are integer microsecond division — engine-exact.
+    """
+    from ..functions.windows import ranked
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    base = (
+        ev.select(
+            "user_id",
+            F.expr("unix_micros(ts) div 3600000000").alias("hr"),
+            F.round(F.col("value") * 100).cast("long").alias("v_cents"),
+        )
+        .groupBy("user_id", "hr")
+        .agg(F.max("v_cents").alias("v_cents"))
+    )
+    spine = (
+        base.groupBy("user_id")
+        .agg(F.min("hr").alias("mn"), F.max("hr").alias("mx"))
+        .select("user_id", F.explode(F.sequence("mn", "mx")).alias("hr"))
+    )
+    joined = spine.join(base, ["user_id", "hr"], "left").select(
+        "user_id",
+        "hr",
+        "v_cents",
+        F.when(F.col("v_cents").isNull(), 1).otherwise(0).alias("was_gap"),
+    )
+    w = ranked("hr", partition_by="user_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return joined.select(
+        "user_id",
+        "hr",
+        F.last("v_cents", ignorenulls=True).over(w).alias("v_filled"),
+        "was_gap",
+    )

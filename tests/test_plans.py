@@ -196,3 +196,51 @@ def test_cache_produces_inmemory_scan(spark):
         assert "InMemoryTableScan" in plan
     finally:
         df.unpersist()
+
+
+def test_tpch_q5_pushdown_and_no_cartesian(spark):
+    """Q5's 6-way join must stay all-equi-join (the c_nationkey=s_nationkey
+    residual rides the supplier join) with the region/date filters pushed."""
+    df = relational.tpch_q5_local_supplier_volume(spark, SF_DIR)
+    plan = _physical(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    pushed = " ".join(pushed_filters(df))
+    assert "r_name" in pushed and "o_orderdate" in pushed
+
+
+def test_tpch_q10_topk_not_global_sort(spark):
+    df = relational.tpch_q10_returned_items(spark, SF_DIR)
+    plan = _physical(df)
+    assert "TakeOrderedAndProject" in plan
+    pushed = " ".join(pushed_filters(df))
+    assert "l_returnflag" in pushed
+
+
+def test_tpch_q18_semi_join_then_topk(spark):
+    df = relational.tpch_q18_large_volume_customer(spark, SF_DIR)
+    plan = _physical(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_contamination_check_is_equi_join(spark):
+    """The train-membership test must be a shingle-hash equi-join — never a
+    quadratic candidate stage (same discipline as the LSH dedup family)."""
+    from big_data_analytics_machine_learning_poc_spark.operators.corpus import (
+        corpus_contamination_check,
+    )
+
+    plan = _physical(corpus_contamination_check(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_emb_centroid_scoring_join_broadcasts(spark):
+    """Centroids (one row per label) must broadcast to the scoring scan."""
+    from big_data_analytics_machine_learning_poc_spark.operators.similarity import (
+        emb_centroid_outliers,
+    )
+
+    assert "BroadcastHashJoin" in _physical(emb_centroid_outliers(spark, SF_DIR))
