@@ -875,3 +875,54 @@ def dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+# Edit-similarity verification bar for LSH candidates (1 − lev/maxlen).
+EDIT_SIM_MIN = 0.5
+
+
+@REG.add(
+    "dedup_edit_distance_verify",
+    sql=f"""
+    {_cand_cte_sql()},
+    scored AS (
+      SELECT c.doc_a, c.doc_b,
+             1.0 - CAST(levenshtein(da.text, db.text) AS DOUBLE)
+                   / GREATEST(length(da.text), length(db.text)) AS sim
+      FROM cand c
+      JOIN documents da ON da.doc_id = c.doc_a
+      JOIN documents db ON db.doc_id = c.doc_b
+    )
+    SELECT doc_a, doc_b, ROUND(sim, 6) AS edit_sim
+    FROM scored WHERE sim >= {EDIT_SIM_MIN}
+    """,
+)
+def dedup_edit_distance_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level verification of LSH candidates: normalized edit
+    similarity (1 − levenshtein/maxlen) over the shingle-minhash candidate
+    pairs, keeping pairs above the bar. The alternative verifier to exact
+    shingle Jaccard when ordering inside the document matters (Jaccard is
+    order-blind; edit distance is not).
+
+    Scale shape: levenshtein is O(len²) per pair, which is exactly why it
+    only ever runs on the LSH candidate set (hundreds of pairs), never the
+    corpus cross product — candidates come from the same banded equi-join
+    as the Jaccard pipeline. Both engines compute the identical integer
+    distance and divide by the identical integer length, so the threshold
+    compare is engine-exact."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sig = minhash_signatures_from(doc_shingle_hashes(spark, sf_dir))
+    cand = minhash_candidate_pairs(sig, N_PERMS, ORACLE_ROWS_PER_BAND)
+    da, db = docs.alias("da"), docs.alias("db")
+    sim = F.lit(1.0) - F.levenshtein(
+        F.col("da.text"), F.col("db.text")
+    ).cast("double") / F.greatest(
+        F.length("da.text"), F.length("db.text")
+    )
+    return (
+        cand.join(da, F.col("da.doc_id") == F.col("doc_a"))
+        .join(db, F.col("db.doc_id") == F.col("doc_b"))
+        .select("doc_a", "doc_b", sim.alias("sim"))
+        .filter(F.col("sim") >= EDIT_SIM_MIN)
+        .select("doc_a", "doc_b", F.round("sim", 6).alias("edit_sim"))
+    )

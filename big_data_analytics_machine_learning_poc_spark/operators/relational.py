@@ -714,6 +714,93 @@ def percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @REG.add(
+    "window_range_moving_avg",
+    sql="""
+    WITH daily AS (
+      SELECT o_custkey,
+             CAST(FLOOR(EPOCH(o_orderdate) / 86400) AS BIGINT) AS day,
+             SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS day_cents,
+             COUNT(*) AS n_orders
+      FROM orders WHERE o_custkey < 100
+      GROUP BY o_custkey, day
+    )
+    SELECT o_custkey, day, n_orders,
+           CAST(day_cents AS DOUBLE) / 100.0 AS day_total,
+           CAST(SUM(day_cents) OVER w AS DOUBLE) / 100.0
+             / SUM(n_orders) OVER w AS avg_30d
+    FROM daily
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY day
+                 RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+    """,
+)
+def window_range_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-30-day per-customer moving average via a RANGE frame — the
+    value-based window the rows-based running_sum can't express (gaps in
+    the day sequence widen a ROWS frame but not a RANGE frame). Scale
+    shape: one shuffle on the partition key, frame evaluated by ordinal
+    day (a long), and the average is exact-cents sum / exact count so both
+    engines divide identical integers."""
+    from ..functions.windows import ranked
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
+    day = F.datediff(
+        F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+    ).cast("long")
+    daily = (
+        o.select("o_custkey", day.alias("day"), cents("o_totalprice").alias("c"))
+        .groupBy("o_custkey", "day")
+        .agg(F.sum("c").alias("day_cents"), F.count(F.lit(1)).alias("n_orders"))
+    )
+    w = ranked("day", partition_by="o_custkey").rangeBetween(-30, 0)
+    return daily.select(
+        "o_custkey",
+        "day",
+        "n_orders",
+        (F.col("day_cents").cast("double") / 100.0).alias("day_total"),
+        (
+            F.sum("day_cents").over(w).cast("double")
+            / 100.0
+            / F.sum("n_orders").over(w)
+        ).alias("avg_30d"),
+    )
+
+
+@REG.add(
+    "window_ntile_family",
+    sql="""
+    SELECT c_custkey, c_mktsegment,
+           NTILE(4) OVER w AS quartile,
+           ROUND(CUME_DIST() OVER w, 6) AS cd,
+           FIRST_VALUE(c_custkey) OVER w AS seg_poorest,
+           NTH_VALUE(c_custkey, 2) OVER (PARTITION BY c_mktsegment
+                                         ORDER BY c_acctbal, c_custkey
+                                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW) AS second_seen
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def window_ntile_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions (ntile / cume_dist / first_value /
+    nth_value) — completes the ranking taxonomy next to window_rank_funcs.
+    Total order inside each partition (balance then key) makes every one of
+    them deterministic; cume_dist is a ratio of two window counts → ROUND
+    is defensive only."""
+    from ..functions.windows import ranked
+
+    w = ranked("c_acctbal", "c_custkey", partition_by="c_mktsegment")
+    wrows = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+        F.first("c_custkey").over(w).alias("seg_poorest"),
+        F.nth_value("c_custkey", 2).over(wrows).alias("second_seen"),
+    )
+
+
+@REG.add(
     "group_percentiles",
     sql="""
     SELECT c_mktsegment,

@@ -299,3 +299,47 @@ def text_stats_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "documents").mapInArrow(
         stats, "doc_id long, n_chars_arrow long, n_spaces long"
     )
+
+
+@REG.add(
+    "text_udtf_tokens",
+    sql=f"""
+    SELECT doc_id,
+           unnest(list_transform(range(1, len({TOKENS_SQL}) + 1),
+                  i -> {{'pos': CAST(i - 1 AS BIGINT),
+                         'token': ({TOKENS_SQL})[i]}}),
+                  recursive := true)
+    FROM documents WHERE doc_id < 100
+    """,
+)
+def text_udtf_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF lane (Spark 4): a table function emitting (pos, token)
+    rows per document through a SQL LATERAL join — the sixth Python
+    execution surface next to pandas_udf / mapInPandas / applyInPandas /
+    applyInPandasWithState / mapInArrow. Python ``str.split()`` and the
+    engine's ``\\s+`` tokenizer agree on whitespace-delimited text, so the
+    oracle is the plain posexplode equivalent.
+
+    Scale note: row-at-a-time UDTFs are the SLOW lane — registered here for
+    API completeness and bounded to 100 docs; a production token explode is
+    the pure-JVM posexplode_first_tokens shape. The class is defined inside
+    the function (no session at import time; lazy like the pandas_udf
+    lanes)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos: bigint, token: string")
+    class Tokens:
+        def eval(self, text: str):
+            for i, t in enumerate(text.split()):
+                yield i, t
+
+    spark.udtf.register("tokens_udtf", Tokens)
+    load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100).select(
+        "doc_id", "text"
+    ).createOrReplaceTempView("docs_for_udtf")
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.pos, t.token
+        FROM docs_for_udtf d, LATERAL tokens_udtf(d.text) t
+        """
+    )
