@@ -110,6 +110,7 @@ def _registry() -> QueryRegistry:
         "skew",
         "corpus",
         "sqlfront",
+        "tpch",
     ):
         try:
             mod = __import__(

@@ -1,0 +1,543 @@
+"""Adapted TPC-H decision-support suite (Q7-Q9, Q12, Q13, Q15-Q17, Q19, Q22).
+
+The reference has no joins at all (SURVEY §2.3) — this module is engine-NEW
+capability demonstrating the full decision-support join/agg/subquery surface
+on the driver's TPC-H-ish star schema. "Adapted" because the testdata lacks
+``partsupp``, ``l_commitdate``/``l_receiptdate`` and comment columns, so the
+affected queries substitute semantically-equivalent predicates on columns
+that exist (each call site documents its deviation).
+
+Exactness strategy: every money aggregate goes through the cents/revenue
+helpers (functions/exact.py) so partial-agg order can't wiggle low bits;
+genuinely floating results (shares, ratios) are computed as ratios of exact
+integer sums — bitwise-identical in Spark and DuckDB — then ROUND-snapped.
+
+Scale notes are per-query; common shape: nation/region/part/supplier joins
+are broadcasts (dims), lineitem⋈orders is the one fact-fact sort-merge join,
+aggregations are partial+final on grouping keys with bounded cardinality.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.exact import (
+    cents,
+    cents_sql,
+    revenue_item,
+    sum_revenue,
+    sum_revenue_sql,
+)
+from ..registry import QueryRegistry
+
+REG = QueryRegistry()
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------- Q7
+_Q7_NATIONS = ("NATION_1", "NATION_2")
+
+
+@REG.add(
+    "tpch_q7_volume_shipping",
+    sql=f"""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           EXTRACT(year FROM l.l_shipdate) AS l_year,
+           {sum_revenue_sql("revenue")}
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01'
+      AND ((n1.n_name = '{_Q7_NATIONS[0]}' AND n2.n_name = '{_Q7_NATIONS[1]}')
+        OR (n1.n_name = '{_Q7_NATIONS[1]}' AND n2.n_name = '{_Q7_NATIONS[0]}'))
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+)
+def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 (volume shipping): bilateral trade revenue between two
+    nations by ship year. Scale shape: supplier/customer/nation are all
+    broadcast dims, so lineitem⋈orders is the only shuffle join; the
+    two-year shipdate window is pushed to the lineitem scan, and the
+    nation-pair disjunction prunes rows before the fact-fact join (filters
+    sit on the broadcast-joined columns, evaluated map-side). Group-by
+    cardinality is 2 pairs × years — partial agg collapses everything."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    s = _t(spark, sf_dir, "supplier")
+    c = _t(spark, sf_dir, "customer")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    o = _t(spark, sf_dir, "orders")
+    a, b = _Q7_NATIONS
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey"))
+        .filter(
+            ((F.col("supp_nation") == a) & (F.col("cust_nation") == b))
+            | ((F.col("supp_nation") == b) & (F.col("cust_nation") == a))
+        )
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(sum_revenue("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+# --------------------------------------------------------------------- Q8
+@REG.add(
+    "tpch_q8_market_share",
+    sql=f"""
+    WITH all_nations AS (
+      SELECT EXTRACT(year FROM o.o_orderdate) AS o_year,
+             {cents_sql("l.l_extendedprice")} * (100 - {cents_sql("l.l_discount")})
+               AS volume_units,
+             n2.n_name AS nation
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n2 ON n2.n_nationkey = s.s_nationkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1 ON n1.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = n1.n_regionkey
+      WHERE r.r_name = 'ASIA' AND p.p_type = 'ECONOMY'
+        AND o.o_orderdate >= TIMESTAMP '1995-01-01'
+        AND o.o_orderdate < TIMESTAMP '1997-01-01'
+    )
+    SELECT o_year,
+           ROUND(CAST(SUM(CASE WHEN nation = 'NATION_3' THEN volume_units
+                               ELSE 0 END) AS DOUBLE)
+                 / SUM(volume_units), 6) AS mkt_share
+    FROM all_nations GROUP BY o_year ORDER BY o_year
+    """,
+)
+def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (national market share): one supplier-nation's share of
+    ECONOMY-part revenue sold into ASIA, by order year. Scale shape: part,
+    supplier, customer, nation×2, region are broadcasts; the p_type filter
+    lands on the part scan (shrinking the broadcast), the region filter
+    prunes via the customer-side dim chain; lineitem⋈orders is the single
+    shuffle. The share is a ratio of two exact integer sums computed in ONE
+    aggregation pass (conditional sum), so the double division is bitwise
+    identical in both engines before the ROUND snap."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    s = _t(spark, sf_dir, "supplier")
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("nation")
+    )
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    c = _t(spark, sf_dir, "customer")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_regionkey").alias("c_rkey")
+    )
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    vol = revenue_item()
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("s_nkey"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("c_nkey"))
+        .join(F.broadcast(r), F.col("c_rkey") == r.r_regionkey)
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("nation") == "NATION_3", vol).otherwise(F.lit(0)))
+                .cast("double")
+                / F.sum(vol),
+                6,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+# --------------------------------------------------------------------- Q9
+@REG.add(
+    "tpch_q9_product_type_profit",
+    sql=f"""
+    SELECT n.n_name AS nation, EXTRACT(year FROM o.o_orderdate) AS o_year,
+           ROUND(CAST(SUM({cents_sql("l.l_extendedprice")}
+                           * (100 - {cents_sql("l.l_discount")})) AS DOUBLE)
+                   / 10000.0
+                 - 0.6 * CAST(SUM({cents_sql("p.p_retailprice")}
+                                  * CAST(ROUND(l.l_quantity) AS BIGINT))
+                              AS DOUBLE) / 100.0,
+                 2) AS profit
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE p.p_name LIKE '%gear%'
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+    """,
+)
+def tpch_q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 (product-type profit), adapted: the testdata has no
+    partsupp, so supply cost is modeled as 60% of p_retailprice (documented
+    deviation; the join/agg shape is unchanged). Profit per supplier-nation
+    and order year for parts whose name contains 'gear'. Scale shape: the
+    LIKE filter prunes part before broadcast; revenue and cost are two
+    exact integer sums carried through ONE partial+final agg; the only
+    shuffle is lineitem⋈orders. The 0.6× scaling happens once per output
+    group on exact totals — identical doubles in both engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%gear%"))
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("nation")
+    )
+    o = _t(spark, sf_dir, "orders")
+    cost_units = cents("p_retailprice") * F.round(F.col("l_quantity")).cast("long")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("s_nkey"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("nation", F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(revenue_item()).cast("double") / 10_000.0
+                - F.lit(0.6) * F.sum(cost_units).cast("double") / 100.0,
+                2,
+            ).alias("profit")
+        )
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+# -------------------------------------------------------------------- Q12
+@REG.add(
+    "tpch_q12_ship_delay_buckets",
+    sql="""
+    SELECT CASE WHEN DATEDIFF('day', o.o_orderdate, l.l_shipdate) < 30
+                THEN 'fast'
+                WHEN DATEDIFF('day', o.o_orderdate, l.l_shipdate) < 90
+                THEN 'medium'
+                ELSE 'slow' END AS delay_bucket,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY delay_bucket ORDER BY delay_bucket
+    """,
+)
+def tpch_q12_ship_delay_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 (shipping-mode priority), adapted: no l_shipmode /
+    commit/receipt dates in the testdata, so lines are bucketed by
+    order→ship delay instead of shipmode (same CASE-pivot agg shape).
+    Counts urgent vs non-urgent order lines per delay bucket. Scale shape:
+    one fact-fact join on l_orderkey with the year filter pushed to the
+    lineitem scan; the CASE pivot is a conditional partial+final agg over 3
+    groups — no second shuffle."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    o = _t(spark, sf_dir, "orders")
+    delay = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    bucket = (
+        F.when(delay < 30, "fast").when(delay < 90, "medium").otherwise("slow")
+    ).alias("delay_bucket")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(bucket)
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("delay_bucket")
+    )
+
+
+# -------------------------------------------------------------------- Q13
+@REG.add(
+    "tpch_q13_customer_distribution",
+    sql="""
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                        AND o.o_orderpriority <> '4-NOT SPECIFIED'
+      GROUP BY c.c_custkey
+    ) per_cust
+    GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def tpch_q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (customer order distribution), adapted: the original
+    excludes orders by comment pattern; no o_comment exists, so the
+    stand-in exclusion is priority '4-NOT SPECIFIED' (same left-join-with-
+    filtered-right + double-aggregation shape, including customers with
+    zero surviving orders). Scale shape: the priority filter is pushed to
+    the orders scan BEFORE the join (filter-on-right of a left join
+    rewrites to pre-filter); count-per-customer shuffles on c_custkey, the
+    histogram re-agg is over tiny cardinality. Customer never broadcasts —
+    it's the preserved side."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "4-NOT SPECIFIED"
+    )
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy(c.c_custkey)
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+# -------------------------------------------------------------------- Q15
+@REG.add(
+    "tpch_q15_top_supplier",
+    sql=f"""
+    WITH revenue_view AS (
+      SELECT l_suppkey AS supplier_no, {sum_revenue_sql("total_revenue")}
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, rv.total_revenue
+    FROM supplier s
+    JOIN revenue_view rv ON s.s_suppkey = rv.supplier_no
+    WHERE rv.total_revenue = (SELECT MAX(total_revenue) FROM revenue_view)
+    ORDER BY s.s_suppkey
+    """,
+)
+def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier): supplier(s) with the maximum revenue over
+    a quarter. Scale shape: the revenue view is one partial+final agg on
+    l_suppkey (date filter pushed to scan); the MAX is a scalar over the
+    tiny per-supplier aggregate, broadcast back as a cross-joined literal
+    plan, and supplier broadcasts onto the view. Revenue totals are exact
+    integer sums, so the equality-with-MAX predicate is safe — no float
+    tie ambiguity."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    rv = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        sum_revenue("total_revenue")
+    )
+    mx = rv.agg(F.max("total_revenue").alias("mx"))
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        rv.join(F.broadcast(mx), rv.total_revenue == F.col("mx"))
+        .join(F.broadcast(s), F.col("supplier_no") == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+# -------------------------------------------------------------------- Q16
+@REG.add(
+    "tpch_q16_part_supplier_counts",
+    sql="""
+    SELECT p.p_brand, p.p_type, p.p_size,
+           CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#1'
+      AND p.p_type <> 'PROMO'
+      AND p.p_size IN (1, 5, 10, 15, 20, 25)
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+    """,
+)
+def tpch_q16_part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 (parts/supplier relationship), adapted: supplier-part
+    pairs come from lineitem instead of the absent partsupp, and the
+    complaint-supplier exclusion is dropped (no comment column). Distinct
+    supplier count per (brand, type, size) bucket with NOT/IN predicates.
+    Scale shape: all three predicates are pushed to the part scan before
+    its broadcast; COUNT(DISTINCT) expands to a two-phase agg keyed on
+    (group, suppkey) — both phases partial+final, one shuffle each, the
+    standard Spark distinct-agg plan."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & (F.col("p_size").isin(1, 5, 10, 15, 20, 25))
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+# -------------------------------------------------------------------- Q17
+@REG.add(
+    "tpch_q17_small_quantity_revenue",
+    sql=f"""
+    WITH part_avg AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS DOUBLE)
+               / COUNT(*) AS avg_qty
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT ROUND(CAST(SUM({cents_sql("l.l_extendedprice")}) AS DOUBLE)
+                 / 100.0 / 7.0, 2) AS avg_yearly,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN part_avg pa ON pa.l_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#3' AND l.l_quantity < 0.5 * pa.avg_qty
+    """,
+)
+def tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (small-quantity-order revenue): revenue from lineitems
+    whose quantity is below half their part's average quantity (correlated
+    scalar subquery decorrelated into an aggregate + join), for one brand.
+    Scale shape: the per-part average is a partial+final agg on l_partkey;
+    joining it back to lineitem re-uses the same key partitioning (AQE
+    plans one shuffle each side, no broadcast of the fact); the brand
+    filter prunes via the broadcast part dim. Quantities are integral →
+    avg_qty is an exact-long/count double, identical in both engines, so
+    the < comparison never straddles an ulp."""
+    li = _t(spark, sf_dir, "lineitem")
+    pa = li.groupBy("l_partkey").agg(
+        (
+            F.sum(F.round(F.col("l_quantity")).cast("long")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_qty")
+    )
+    p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(pa, li.l_partkey == pa.l_partkey)
+        .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .agg(
+            F.round(F.sum(cents("l_extendedprice")).cast("double") / 100.0 / 7.0, 2)
+            .alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+# -------------------------------------------------------------------- Q19
+@REG.add(
+    "tpch_q19_disjunctive_predicates",
+    sql=f"""
+    SELECT {sum_revenue_sql("revenue")}, CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#4' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def tpch_q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 (discounted revenue, OR-of-ANDs): revenue matching any of
+    three (brand, size-range, quantity-range) conjunctions — the classic
+    disjunctive-pushdown stressor. Scale shape: Catalyst derives the
+    brand-disjunction (Brand#12 OR #23 OR #4) and pushes it into the part
+    scan while keeping the mixed part×lineitem residual above the join;
+    part stays a broadcast, so the whole thing is one scan of lineitem
+    with a map-side filter — no shuffle at all beyond the final scalar
+    agg."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    q = F.col("l_quantity")
+    sz = F.col("p_size")
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & sz.between(1, 5) & q.between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & sz.between(1, 10) & q.between(10, 20))
+        | ((F.col("p_brand") == "Brand#4") & sz.between(1, 15) & q.between(20, 30))
+    )
+    return j.filter(cond).agg(
+        sum_revenue("revenue"), F.count(F.lit(1)).alias("n_lines")
+    )
+
+
+# -------------------------------------------------------------------- Q22
+@REG.add(
+    "tpch_q22_global_sales_opportunity",
+    sql=f"""
+    WITH avg_bal AS (
+      SELECT CAST(SUM({cents_sql("c_acctbal")}) AS DOUBLE) / 100.0
+               / COUNT(*) AS ab
+      FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT c.c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS numcust,
+           CAST(SUM({cents_sql("c.c_acctbal")}) AS DOUBLE) / 100.0 AS totacctbal
+    FROM customer c, avg_bal
+    WHERE c.c_acctbal > avg_bal.ab
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+    GROUP BY c.c_mktsegment
+    ORDER BY c.c_mktsegment
+    """,
+)
+def tpch_q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 (global sales opportunity), adapted: grouped by
+    c_mktsegment instead of the absent phone country code. Rich customers
+    (above the positive-balance average) with no orders since 2000 (the
+    date scope keeps the result non-degenerate on this testdata, where
+    nearly every customer has SOME order) — scalar subquery + NOT EXISTS
+    anti-join + grouped agg in one query. Scale shape: the average is a
+    scalar agg broadcast as a literal; the anti join shuffles on custkey
+    (orders filtered and projected to the key column only — the date
+    filter is pushed to the scan, keeping the build side narrow);
+    balances sum exactly via cents."""
+    c = _t(spark, sf_dir, "customer")
+    avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(
+        (F.sum(cents("c_acctbal")).cast("double") / 100.0 / F.count(F.lit(1))).alias(
+            "ab"
+        )
+    )
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    return (
+        c.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("ab"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            (F.sum(cents("c_acctbal")).cast("double") / 100.0).alias("totacctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )

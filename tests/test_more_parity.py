@@ -14,6 +14,7 @@ from big_data_analytics_machine_learning_poc_spark.operators import (
     skew,
     sqlfront,
     streaming_ops,
+    tpch,
 )
 from big_data_analytics_machine_learning_poc_spark.oracle import compare_query
 
@@ -27,6 +28,7 @@ _REGS = (
     streaming_ops.REG,
     corpus.REG,
     sqlfront.REG,
+    tpch.REG,
 )
 _QUERIES = {}
 _ORACLES = {}
