@@ -20,7 +20,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..functions.hashing import md5_hash32, md5_hash32_sql
+from ..functions.hashing import (
+    md5_hash32,
+    md5_hash32_sql,
+    md5_hash60,
+    md5_hash60_sql,
+)
 from ..functions.windows import ranked
 from ..registry import QueryRegistry
 from .dedup import bigram_shingles, _BIGRAMS_SQL
@@ -424,4 +429,130 @@ def corpus_e2e_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         kept.select(split.alias("split"), "n_tokens")
         .groupBy("split")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_tokens").alias("n_tokens"))
+    )
+
+
+# ------------------------------------------------------- deterministic sample
+_SAMPLE_PERMILLE = 100  # keep hash(doc) mod 1000 < 100 → 10% sample
+
+
+@REG.add(
+    "corpus_hash_sample",
+    sql=f"""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN {md5_hash32_sql("CAST(doc_id AS VARCHAR)")}
+                              % 1000 < {_SAMPLE_PERMILLE}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+    FROM documents GROUP BY source ORDER BY source
+    """,
+)
+def corpus_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based sampling — the production substitute for
+    `df.sample()` when a 100 TB corpus must be sampled REPRODUCIBLY: the
+    keep decision depends only on the row's key (md5(doc_id) mod 1000 <
+    100 → 10%), never on partitioning, executor count, or rerun order, so
+    the same sample comes back on every cluster and the sample composes
+    with itself at different rates (a 1% sample is a subset of the 10%
+    one). Scale shape: pure map-side predicate + partial+final agg on the
+    tiny source key; zero shuffles beyond the final 20-group agg."""
+    docs = load_table(spark, sf_dir, "documents")
+    keep = (md5_hash32(F.col("doc_id").cast("string")) % 1000) < _SAMPLE_PERMILLE
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(keep, 1).otherwise(0)).alias("n_sampled"),
+        )
+        .orderBy("source")
+    )
+
+
+# ----------------------------------------------------------- dup-rate screen
+@REG.add(
+    "corpus_dup_rate_by_source",
+    sql=f"""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT {md5_hash60_sql("text")}) AS BIGINT)
+             AS n_unique,
+           ROUND(1.0 - CAST(COUNT(DISTINCT {md5_hash60_sql("text")})
+                            AS DOUBLE) / COUNT(*), 6) AS dup_rate
+    FROM documents GROUP BY source ORDER BY dup_rate DESC, source
+    """,
+)
+def corpus_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source exact-duplication rate — the triage step that decides
+    WHICH sources are worth running the (much more expensive) near-dup
+    pipeline on. Scale shape: the 60-bit fingerprint replaces the full
+    document as the distinct key, so the COUNT(DISTINCT) two-phase agg
+    shuffles 8-byte keys instead of documents; output is one row per
+    source."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = md5_hash60(F.col("text"))
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct(fp).alias("n_unique"),
+            F.round(
+                1.0 - F.count_distinct(fp).cast("double") / F.count(F.lit(1)), 6
+            ).alias("dup_rate"),
+        )
+        .orderBy(F.col("dup_rate").desc(), "source")
+    )
+
+
+# -------------------------------------------------------- length histogram
+# Threshold CASE ladder (not floor(log2)) so bucket edges are integer
+# comparisons — exact in both engines, immune to libm log rounding.
+_LEN_EDGES = (64, 128, 256, 512)
+
+
+def _len_bucket_col() -> F.Column:
+    c = F.col("n_chars")
+    expr = F.when(c < _LEN_EDGES[0], f"0000-{_LEN_EDGES[0] - 1:04d}")
+    lo = _LEN_EDGES[0]
+    for hi in _LEN_EDGES[1:]:
+        expr = expr.when(c < hi, f"{lo:04d}-{hi - 1:04d}")
+        lo = hi
+    return expr.otherwise(f"{lo:04d}+").alias("len_bucket")
+
+
+def _len_bucket_sql() -> str:
+    arms = [f"WHEN n_chars < {_LEN_EDGES[0]} THEN '0000-{_LEN_EDGES[0] - 1:04d}'"]
+    lo = _LEN_EDGES[0]
+    for hi in _LEN_EDGES[1:]:
+        arms.append(f"WHEN n_chars < {hi} THEN '{lo:04d}-{hi - 1:04d}'")
+        lo = hi
+    return "CASE " + " ".join(arms) + f" ELSE '{lo:04d}+' END"
+
+
+@REG.add(
+    "corpus_length_histogram",
+    sql=f"""
+    SELECT lang, {_len_bucket_sql()} AS len_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars
+    FROM documents
+    GROUP BY lang, len_bucket ORDER BY lang, len_bucket
+    """,
+)
+def corpus_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-length histogram per language — the standard first look at
+    a new corpus (truncation risk, boilerplate spikes, tokenizer budget
+    planning). Buckets are a threshold CASE ladder rather than
+    floor(log2(n)) so the bucketing is integer-exact in both engines.
+    Scale shape: map-side classification + partial+final agg over
+    (5 langs × 5 buckets); nothing wide ever shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang", _len_bucket_col())
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .orderBy("lang", "len_bucket")
     )

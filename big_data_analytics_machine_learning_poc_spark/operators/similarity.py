@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..catalog import load_table
-from ..functions.vector import cosine, cosine_sql
+from ..functions.vector import cosine, cosine_sql, l2_norm, l2_norm_sql
 from ..registry import QueryRegistry
 
 REG = QueryRegistry()
@@ -298,6 +298,42 @@ def emb_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_vecs"),
             F.round(F.avg("cos"), 6).alias("avg_cos"),
             F.sum(F.when(F.col("cos") < 0, 1).otherwise(0)).alias("n_outliers"),
+        )
+        .orderBy("label")
+    )
+
+
+@REG.add(
+    "emb_norm_stats",
+    sql=f"""
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           ROUND(AVG({l2_norm_sql("embedding")}), 6) AS avg_norm,
+           ROUND(MIN({l2_norm_sql("embedding")}), 6) AS min_norm,
+           ROUND(MAX({l2_norm_sql("embedding")}), 6) AS max_norm,
+           CAST(SUM(CASE WHEN {l2_norm_sql("embedding")} = 0.0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_zero
+    FROM embeddings GROUP BY label ORDER BY label
+    """,
+)
+def emb_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-hygiene screen: per-label L2-norm distribution plus a
+    zero-vector count. Run before any cosine-based stage — zero vectors
+    make cosine undefined and wildly varying norms usually mean mixed
+    encoder versions in one corpus. Scale shape: the norm is a codegen'd
+    sequential fold per row (functions/vector.py — no Python, no shuffle);
+    the agg is partial+final over ~10 label groups. MIN/MAX of the fold
+    are engine-exact; only AVG needs its ROUND snap."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    nrm = l2_norm(F.col("embedding"))
+    return (
+        emb.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.avg(nrm), 6).alias("avg_norm"),
+            F.round(F.min(nrm), 6).alias("min_norm"),
+            F.round(F.max(nrm), 6).alias("max_norm"),
+            F.sum(F.when(nrm == 0.0, 1).otherwise(0)).alias("n_zero"),
         )
         .orderBy("label")
     )

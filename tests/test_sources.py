@@ -163,3 +163,48 @@ def test_training_shard_sink_roundtrip(spark, tmp_path):
         ).fetchall()
         assert rows == sorted(rows)
     con.close()
+
+
+def test_jsonl_roundtrip_and_corrupt_quarantine(spark, tmp_path):
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from big_data_analytics_machine_learning_poc_spark.sources.jsonl import (
+        read_jsonl,
+        read_jsonl_strict,
+        write_jsonl,
+    )
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+            StructField("lang", StringType()),
+        ]
+    )
+    good = '{"doc_id": 1, "text": "hello world", "lang": "en"}'
+    good2 = '{"doc_id": 2, "text": "bonjour", "lang": "fr"}'
+    bad = '{"doc_id": 3, "text": "truncated'
+    src = tmp_path / "in.jsonl"
+    src.write_text("\n".join([good, bad, good2]) + "\n")
+
+    df = read_jsonl(spark, str(src), schema)
+    rows = {r.doc_id: r for r in df.collect()}
+    assert rows[1].text == "hello world" and rows[2].lang == "fr"
+    corrupt = [r for r in rows.values() if r._corrupt_record is not None]
+    assert len(corrupt) == 1 and corrupt[0]._corrupt_record.startswith('{"doc_id": 3')
+
+    # strict mode fails loudly on the malformed line
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="(?i)malformed|FAILFAST"):
+        read_jsonl_strict(spark, str(src), schema).collect()
+
+    # partitioned write → hive layout readable back with pruning-friendly dirs
+    clean = df.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
+    out = str(tmp_path / "out")
+    write_jsonl(clean, out, partition_by=("lang",))
+    import glob as _glob
+
+    assert _glob.glob(f"{out}/lang=en/*.json.gz")
+    back = read_jsonl(spark, out, StructType(schema.fields[:2]), corrupt_col=None)
+    assert back.count() == 2
