@@ -68,23 +68,31 @@ def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     nations by ship year. Scale shape: supplier/customer/nation are all
     broadcast dims, so lineitem⋈orders is the only shuffle join; the
     two-year shipdate window is pushed to the lineitem scan, and the
-    nation-pair disjunction prunes rows before the fact-fact join (filters
-    sit on the broadcast-joined columns, evaluated map-side). Group-by
-    cardinality is 2 pairs × years — partial agg collapses everything."""
+    nation dims carry the IMPLIED per-side filter (each nation ∈ {A, B} —
+    Catalyst can't derive it from the cross-side disjunction, so we state
+    it): the inner broadcast joins then drop every lineitem whose supplier
+    or customer is outside the pair BEFORE the fact-fact join, and only
+    the residual disjunction (excluding A→A / B→B) runs afterwards.
+    Group-by cardinality is 2 pairs × years — partial agg collapses
+    everything."""
     li = _t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
     )
     s = _t(spark, sf_dir, "supplier")
     c = _t(spark, sf_dir, "customer")
-    n1 = _t(spark, sf_dir, "nation").select(
-        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    a, b = _Q7_NATIONS
+    n1 = (
+        _t(spark, sf_dir, "nation")
+        .filter(F.col("n_name").isin(a, b))
+        .select(F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation"))
     )
-    n2 = _t(spark, sf_dir, "nation").select(
-        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    n2 = (
+        _t(spark, sf_dir, "nation")
+        .filter(F.col("n_name").isin(a, b))
+        .select(F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation"))
     )
     o = _t(spark, sf_dir, "orders")
-    a, b = _Q7_NATIONS
     return (
         li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey"))
