@@ -556,3 +556,113 @@ def corpus_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "len_bucket")
     )
+
+
+# ------------------------------------------------------ incremental ingest
+# Sources are split lexicographically: src0-src9 + src1x = "corpus" (already
+# ingested), the rest = "incoming" batch. Stand-in for the daily-ingest
+# boundary a production pipeline takes as a parameter.
+_CORPUS_SOURCES_PRED = "source < 'src2'"
+
+
+def _corpus_sources_col() -> F.Column:
+    return F.col("source") < "src2"
+
+
+@REG.add(
+    "corpus_incremental_dedup",
+    sql=f"""
+    WITH corpus AS (
+      SELECT DISTINCT {md5_hash60_sql("text")} AS fp
+      FROM documents WHERE {_CORPUS_SOURCES_PRED}
+    ), incoming AS (
+      SELECT source, doc_id, {md5_hash60_sql("text")} AS fp
+      FROM documents WHERE NOT ({_CORPUS_SOURCES_PRED})
+    )
+    SELECT i.source,
+           CAST(COUNT(*) AS BIGINT) AS n_incoming,
+           CAST(SUM(CASE WHEN c.fp IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_new,
+           CAST(SUM(CASE WHEN c.fp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_already_seen
+    FROM incoming i LEFT JOIN corpus c ON i.fp = c.fp
+    GROUP BY i.source ORDER BY i.source
+    """,
+)
+def corpus_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup: which incoming-batch documents already
+    exist in the ingested corpus — the every-day shape of production dedup
+    (a new crawl vs. 100 TB of history), where re-deduplicating the whole
+    corpus per batch is unaffordable. Scale shape: both sides reduce to
+    60-bit fingerprints BEFORE the join, so the anti-join-style probe
+    shuffles 8-byte keys; the corpus side is pre-distinct (one fingerprint
+    per unique text ever seen — exactly what a production fingerprint
+    store holds). Per-source accounting comes free from the same pass."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = md5_hash60(F.col("text"))
+    corpus = (
+        docs.filter(_corpus_sources_col()).select(fp.alias("fp")).distinct()
+    )
+    incoming = docs.filter(~_corpus_sources_col()).select(
+        "source", "doc_id", fp.alias("fp")
+    )
+    seen = F.col("c_fp").isNotNull()
+    return (
+        incoming.join(
+            corpus.select(F.col("fp").alias("c_fp")),
+            incoming.fp == F.col("c_fp"),
+            "left",
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_incoming"),
+            F.sum(F.when(~seen, 1).otherwise(0)).alias("n_new"),
+            F.sum(F.when(seen, 1).otherwise(0)).alias("n_already_seen"),
+        )
+        .orderBy("source")
+    )
+
+
+# -------------------------------------------------------- balanced sample
+_BALANCED_K = 5  # docs kept per source
+
+
+@REG.add(
+    "corpus_balanced_sample",
+    sql=f"""
+    SELECT source, doc_id, lang
+    FROM (
+      SELECT source, doc_id, lang,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY {md5_hash32_sql("CAST(doc_id AS VARCHAR)")}, doc_id
+             ) AS rn
+      FROM documents
+    ) ranked
+    WHERE rn <= {_BALANCED_K}
+    ORDER BY source, doc_id
+    """,
+)
+def corpus_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced per-source subset: exactly K documents from every source,
+    chosen by hash order — deterministic across partitionings AND stable
+    under corpus growth for the docs that keep their hash rank (unlike
+    `ORDER BY random()` or per-source `LIMIT`, which reshuffle entirely).
+    The shape behind eval-set construction and per-domain inspection
+    samples. Scale shape: one window over partition key `source` (each
+    source's rows hash-shuffle to one reducer group — fine while every
+    source is ≪ one executor's memory; a skewed mega-source would switch
+    to the two-phase top-K in operators/skew.py); doc_id tie-break makes
+    rank ties impossible."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = ranked(
+        md5_hash32(F.col("doc_id").cast("string")),
+        F.col("doc_id"),
+        partition_by="source",
+    )
+    return (
+        docs.select("source", "doc_id", "lang", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= _BALANCED_K)
+        .select("source", "doc_id", "lang")
+        .orderBy("source", "doc_id")
+    )
