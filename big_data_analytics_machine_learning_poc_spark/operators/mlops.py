@@ -200,3 +200,36 @@ def ml_reference_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("n_test", float(out["n_test"])),
     ]
     return spark.createDataFrame(rows, "metric string, value double")
+
+
+@REG.add(
+    "agg_udaf_geomean",
+    sql="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(EXP(AVG(LN(CAST(n_chars AS DOUBLE)))), 6) AS geomean_chars
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+)
+def agg_udaf_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized UDAF lane (GROUPED_AGG pandas_udf): a custom aggregate —
+    geometric mean of document length — running as an Arrow-batched
+    series→scalar reduction inside a regular ``groupBy().agg()``, next to
+    built-in aggregates. This is the sanctioned custom-aggregation path
+    (SURVEY §2.11 "UDF / UDAF / UDTF"): per-group vectorized NumPy, never
+    row-at-a-time Python. Scale note: GROUPED_AGG materializes each
+    group's column in one worker — fine for bounded groups like the 5-lang
+    domain; an unbounded-group custom agg promotes to the two-phase
+    log-sum decomposition in plain SQL (EXP(AVG(LN(x))), which is also the
+    oracle here, ROUND-snapped against summation-order ulps)."""
+    from ..functions.udafs import geomean, n_rows
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            n_rows(F.col("n_chars")).alias("n_docs"),
+            F.round(geomean(F.col("n_chars")), 6).alias("geomean_chars"),
+        )
+        .orderBy("lang")
+    )

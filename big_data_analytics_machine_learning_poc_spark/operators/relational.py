@@ -1619,3 +1619,39 @@ def tpch_q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFram
         .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
         .limit(100)
     )
+
+
+@REG.add(
+    "variant_shred_events",
+    sql="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS sum_k,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS max_k
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def variant_shred_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured ingestion via Spark 4 VariantType: ``parse_json``
+    keeps the whole document as a binary variant (schema-on-read — no
+    declared StructType, unlike json_typed_struct), and ``variant_get``
+    extracts typed paths at query time. The engine-modern lane for evolving
+    event payloads where from_json's fixed schema would need migrations.
+    Scale shape: variant shredding is columnar and codegen'd; the agg is
+    partial+final over the 5-value event_type domain. The oracle reads the
+    same paths with DuckDB's JSON extraction — integer-exact."""
+    ev = _t(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    k = F.try_variant_get(v, "$.k", "long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )

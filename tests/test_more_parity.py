@@ -13,6 +13,7 @@ from big_data_analytics_machine_learning_poc_spark.operators import (
     multimodal,
     skew,
     sqlfront,
+    mlops,
     streaming_ops,
     tpch,
 )
@@ -29,6 +30,7 @@ _REGS = (
     corpus.REG,
     sqlfront.REG,
     tpch.REG,
+    mlops.REG,
 )
 _QUERIES = {}
 _ORACLES = {}
