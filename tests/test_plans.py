@@ -244,3 +244,43 @@ def test_emb_centroid_scoring_join_broadcasts(spark):
     )
 
     assert "BroadcastHashJoin" in _physical(emb_centroid_outliers(spark, SF_DIR))
+
+
+def test_tpch_q2_partitioned_window_no_nlj(spark):
+    """Q2's =MIN correlation must decorrelate to a Window keyed on
+    l_partkey (never a global window or a nested-loop rejoin)."""
+    from big_data_analytics_machine_learning_poc_spark.operators.tpch import (
+        tpch_q2_min_cost_supplier,
+    )
+
+    df = tpch_q2_min_cost_supplier(spark, SF_DIR)
+    plan = _physical(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    window_lines = [ln for ln in plan.splitlines() if "Window" in ln]
+    assert window_lines and all("l_partkey" in ln for ln in window_lines), plan
+
+
+def test_tpch_q20_semi_join(spark):
+    """Q20's IN-subquery must plan as a semi join, not distinct+inner."""
+    from big_data_analytics_machine_learning_poc_spark.operators.tpch import (
+        tpch_q20_potential_promotion,
+    )
+
+    plan = _physical(tpch_q20_potential_promotion(spark, SF_DIR))
+    assert "LeftSemi" in plan, plan
+
+
+def test_tpch_q21_single_fact_join_broadcast_dims(spark):
+    """Q21's double-EXISTS decorrelation must keep exactly one
+    lineitem⋈orders sort-merge/shuffled join (the stats agg and the late-
+    lines branch reuse it) and broadcast the supplier dim."""
+    from big_data_analytics_machine_learning_poc_spark.operators.tpch import (
+        tpch_q21_suppliers_who_kept_waiting,
+    )
+
+    df = tpch_q21_suppliers_who_kept_waiting(spark, SF_DIR)
+    plan = _physical(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan  # supplier/nation/region dims
