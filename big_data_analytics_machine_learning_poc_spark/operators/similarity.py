@@ -337,3 +337,72 @@ def emb_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@REG.add(
+    "emb_int8_quantization",
+    sql="""
+    WITH q AS (
+      SELECT label,
+             list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx,
+             embedding
+      FROM embeddings
+    ), e AS (
+      SELECT label,
+             CAST(ROUND(mx * 1000000) AS BIGINT) AS scale_units,
+             CAST(ROUND(list_max(list_transform(embedding, x ->
+                 abs(floor(CAST(x AS DOUBLE) * 127 / mx + 0.5) * mx / 127
+                     - CAST(x AS DOUBLE)))) * 1000000000) AS BIGINT) AS err_units
+      FROM q WHERE mx > 0
+    )
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(err_units) AS DOUBLE) / COUNT(*) / 1000000000 AS avg_max_err,
+           CAST(MAX(err_units) AS DOUBLE) / 1000000000 AS worst_err,
+           CAST(SUM(scale_units) AS DOUBLE) / COUNT(*) / 1000000 AS avg_scale
+    FROM e GROUP BY label ORDER BY label
+    """,
+)
+def emb_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization audit — the memory-compression
+    step before a large ANN index (4× smaller than float32; at 100 TB of
+    embeddings the index either quantizes or doesn't fit). Each vector gets
+    scale = max|x|; codes are floor(x·127/scale + 0.5); the query reports
+    per-label reconstruction error (max abs per vector, then avg/worst) and
+    the average scale. Scale shape: pure codegen'd higher-order array ops
+    (transform/array_max) — map-only until a partial+final agg on ~10
+    labels; no Python, no shuffle of vector payloads. Exactness: all
+    element math is double with identical operand order in both engines,
+    then per-vector results are snapped to integer units (the cents trick)
+    so the aggregate sums are associative and engine-exact."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    mx = F.array_max(F.transform(F.col("embedding"), lambda x: F.abs(x.cast("double"))))
+    d = emb.withColumn("mx", mx).filter(F.col("mx") > 0)
+    recon_err = F.array_max(
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.abs(
+                F.floor(x.cast("double") * 127 / F.col("mx") + F.lit(0.5))
+                * F.col("mx")
+                / 127
+                - x.cast("double")
+            ),
+        )
+    )
+    d = d.select(
+        "label",
+        F.round(F.col("mx") * 1_000_000).cast("long").alias("scale_units"),
+        F.round(recon_err * 1_000_000_000).cast("long").alias("err_units"),
+    )
+    return (
+        d.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            (F.sum("err_units").cast("double") / F.count(F.lit(1)) / 1_000_000_000)
+            .alias("avg_max_err"),
+            (F.max("err_units").cast("double") / 1_000_000_000).alias("worst_err"),
+            (F.sum("scale_units").cast("double") / F.count(F.lit(1)) / 1_000_000)
+            .alias("avg_scale"),
+        )
+        .orderBy("label")
+    )
