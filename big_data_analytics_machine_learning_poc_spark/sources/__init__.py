@@ -9,9 +9,15 @@ sinks: partitioned/bucketed parquet.
 """
 
 from .csv import read_csv_all_string, read_csv_inferred, read_csv_schema
-from .sinks import write_bucketed_table, write_partitioned_parquet
+from .media import ingest_media_dir, read_binary_files, write_media_parquet
+from .sinks import read_orc, write_bucketed_table, write_orc, write_partitioned_parquet
 
 __all__ = [
+    "ingest_media_dir",
+    "read_binary_files",
+    "read_orc",
+    "write_media_parquet",
+    "write_orc",
     "read_csv_all_string",
     "read_csv_inferred",
     "read_csv_schema",

@@ -71,3 +71,18 @@ def write_training_shards(
         .partitionBy(split_col)
         .parquet(path)
     )
+
+
+def write_orc(df: DataFrame, path: str, partition_cols: list[str] | None = None) -> None:
+    """ORC sink — the columnar alternative where the downstream stack is
+    Hive/Trino-flavored. Same partitioned-directory layout semantics as
+    the parquet sink; Spark's native vectorized ORC reader keeps scans in
+    whole-stage codegen just like parquet."""
+    w = df.write.mode("overwrite").format("orc")
+    if partition_cols:
+        w = w.partitionBy(*partition_cols)
+    w.save(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.orc(path)

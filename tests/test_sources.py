@@ -208,3 +208,84 @@ def test_jsonl_roundtrip_and_corrupt_quarantine(spark, tmp_path):
     assert _glob.glob(f"{out}/lang=en/*.json.gz")
     back = read_jsonl(spark, out, StructType(schema.fields[:2]), corrupt_col=None)
     assert back.count() == 2
+
+
+def test_binary_file_source_glob_and_recursive(spark, tmp_path):
+    """binaryFile listing: glob prunes non-matching files, recursion walks
+    shard subdirs, content round-trips byte-exact."""
+    from big_data_analytics_machine_learning_poc_spark.sources import read_binary_files
+
+    sub = tmp_path / "shard=0"
+    sub.mkdir()
+    (tmp_path / "a.png").write_bytes(b"\x89PNG-fake-a")
+    (sub / "b.png").write_bytes(b"\x89PNG-fake-b")
+    (tmp_path / "notes.txt").write_bytes(b"not media")
+
+    df = read_binary_files(spark, str(tmp_path), glob="*.png")
+    rows = {os.path.basename(r.path): bytes(r.content) for r in df.collect()}
+    assert rows == {"a.png": b"\x89PNG-fake-a", "b.png": b"\x89PNG-fake-b"}
+    lengths = {os.path.basename(r.path): r.length for r in df.collect()}
+    assert lengths["a.png"] == 11
+
+
+def test_ingest_media_dir_contract_and_determinism(spark, tmp_path):
+    """Ingest produces the multimodal (media_id, payload, meta) contract;
+    ids derive from the path, so re-ingest after adding a file keeps them."""
+    from big_data_analytics_machine_learning_poc_spark.sources import ingest_media_dir
+
+    (tmp_path / "x.png").write_bytes(b"img-x")
+    (tmp_path / "y.wav").write_bytes(b"wav-y")
+    first = {
+        r.meta.src_path: (r.media_id, r.meta.format, r.meta.n_bytes)
+        for r in ingest_media_dir(spark, str(tmp_path)).collect()
+    }
+    assert {v[1] for v in first.values()} == {"image/png", "audio/wav"}
+    assert all(v[2] in (5,) for v in first.values())
+
+    (tmp_path / "z.bin").write_bytes(b"zzz")
+    second = {
+        r.meta.src_path: (r.media_id, r.meta.format, r.meta.n_bytes)
+        for r in ingest_media_dir(spark, str(tmp_path)).collect()
+    }
+    assert len(second) == 3
+    for path, v in first.items():
+        assert second[path] == v  # ids stable under re-ingest
+
+
+def test_media_parquet_feeds_multimodal_pipeline(spark, tmp_path):
+    """Ingest → parquet → the mapInPandas feature extractor runs unchanged
+    on the persisted payloads (the ingest-once path that ends small-files)."""
+    from big_data_analytics_machine_learning_poc_spark.operators.multimodal import (
+        FEATURE_SCHEMA,
+        fake_decode_features,
+    )
+    from big_data_analytics_machine_learning_poc_spark.sources import (
+        ingest_media_dir,
+        write_media_parquet,
+    )
+
+    (tmp_path / "m1.png").write_bytes(b"payload-one")
+    (tmp_path / "m2.png").write_bytes(b"payload-two!")
+    out = str(tmp_path / "media_pq")
+    write_media_parquet(ingest_media_dir(spark, str(tmp_path), glob="*.png"), out)
+
+    back = spark.read.parquet(out).select(
+        F.col("media_id").alias("doc_id"), "payload"
+    )
+    feats = back.mapInPandas(fake_decode_features, FEATURE_SCHEMA).collect()
+    assert len(feats) == 2
+    assert {r.n_bytes for r in feats} == {11, 12}
+
+
+def test_orc_roundtrip_partitioned(spark, tmp_path):
+    from big_data_analytics_machine_learning_poc_spark.sources import read_orc, write_orc
+
+    df = load_table(spark, SF_DIR, "nation")
+    out = str(tmp_path / "nation_orc")
+    write_orc(df, out, partition_cols=["n_regionkey"])
+    back = read_orc(spark, out)
+    assert back.count() == df.count()
+    assert {r.n_name for r in back.collect()} == {r.n_name for r in df.collect()}
+    # partition pruning: only one directory's files scanned
+    pruned = back.filter(F.col("n_regionkey") == 2)
+    assert pruned.count() == df.filter(F.col("n_regionkey") == 2).count()
