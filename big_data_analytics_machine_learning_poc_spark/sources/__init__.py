@@ -11,6 +11,7 @@ sinks: partitioned/bucketed parquet.
 from .csv import read_csv_all_string, read_csv_inferred, read_csv_schema
 from .media import ingest_media_dir, read_binary_files, write_media_parquet
 from .sinks import read_orc, write_bucketed_table, write_orc, write_partitioned_parquet
+from .synthdocs import synth_docs, synth_docs_jvm
 
 __all__ = [
     "ingest_media_dir",
@@ -19,6 +20,8 @@ __all__ = [
     "write_media_parquet",
     "write_orc",
     "read_csv_all_string",
+    "synth_docs",
+    "synth_docs_jvm",
     "read_csv_inferred",
     "read_csv_schema",
     "write_bucketed_table",

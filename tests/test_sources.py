@@ -289,3 +289,45 @@ def test_orc_roundtrip_partitioned(spark, tmp_path):
     # partition pruning: only one directory's files scanned
     pruned = back.filter(F.col("n_regionkey") == 2)
     assert pruned.count() == df.filter(F.col("n_regionkey") == 2).count()
+
+
+def test_synthdocs_datasource_deterministic_and_partitioned(spark):
+    """Custom Python DataSource: row count honored, content a pure function
+    of (seed, doc_id) regardless of partition layout, schema stable."""
+    from big_data_analytics_machine_learning_poc_spark.sources.synthdocs import synth_docs
+
+    a = synth_docs(spark, rows=100, partitions=4, seed=7)
+    b = synth_docs(spark, rows=100, partitions=13, seed=7)  # different layout
+    assert a.schema == b.schema
+    assert a.rdd.getNumPartitions() == 4
+    ra = {r.doc_id: (r.text, r.lang, r.source, r.n_chars) for r in a.collect()}
+    rb = {r.doc_id: (r.text, r.lang, r.source, r.n_chars) for r in b.collect()}
+    assert len(ra) == 100 and ra == rb
+    # different seed → different corpus
+    c = synth_docs(spark, rows=100, partitions=4, seed=8)
+    assert {r.text for r in c.collect()} != {r.text for r in a.collect()}
+    # generated rows satisfy the documents-table contract
+    assert all(v[3] == len(v[0]) for v in ra.values())
+
+
+def test_synthdocs_feeds_corpus_operators(spark):
+    """The generator plugs into the same operator surface as real tables:
+    run the quality-gate keep predicate over a generated corpus."""
+    from big_data_analytics_machine_learning_poc_spark.operators.corpus import _keep_col
+    from big_data_analytics_machine_learning_poc_spark.sources.synthdocs import synth_docs
+
+    docs = synth_docs(spark, rows=500, partitions=8)
+    kept = docs.filter(_keep_col()).count()
+    assert 0 < kept <= 500
+
+
+def test_synthdocs_jvm_lane_matches_shape(spark):
+    from big_data_analytics_machine_learning_poc_spark.sources.synthdocs import (
+        synth_docs,
+        synth_docs_jvm,
+    )
+
+    py = synth_docs(spark, rows=10, partitions=2)
+    jvm = synth_docs_jvm(spark, rows=10, partitions=2)
+    assert [f.name for f in py.schema.fields] == [f.name for f in jvm.schema.fields]
+    assert jvm.count() == 10
