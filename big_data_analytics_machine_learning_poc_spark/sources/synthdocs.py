@@ -132,3 +132,83 @@ def synth_docs_jvm(spark: SparkSession, rows: int, partitions: int = 8) -> DataF
         F.concat(F.lit("src"), (F.col("id") % 20).cast("string")).alias("source"),
         F.lit(32).cast("long").alias("n_chars"),
     )
+
+
+# ------------------------------------------------------------- streaming lane
+if HAVE_DATASOURCE_API:
+    from pyspark.sql.datasource import SimpleDataSourceStreamReader
+
+    class SynthDocsStreamReader(SimpleDataSourceStreamReader):
+        """Offset = next doc_id. Batches are deterministic row-ranges, so
+        replay after failure (``readBetweenOffsets``) regenerates byte-equal
+        rows — the property exactly-once sinks need from a source."""
+
+        def __init__(self, options: dict) -> None:
+            self.batch = int(options.get("rows_per_batch", 100))
+            self.max_rows = int(options.get("max_rows", 1000))
+            self.seed = int(options.get("seed", 42))
+
+        def initialOffset(self) -> dict:
+            return {"offset": 0}
+
+        def _rows(self, start: int, end: int):
+            # materialized (not a generator): the engine's prefetch cache
+            # copies the returned iterator, which a generator can't survive.
+            # Bounded by rows_per_batch, so memory stays micro-batch-sized.
+            out = []
+            for doc_id in range(start, end):
+                text = _doc_text(self.seed, doc_id)
+                out.append(
+                    (
+                        doc_id,
+                        text,
+                        _LANGS[doc_id % len(_LANGS)],
+                        f"src{doc_id % 20}",
+                        len(text),
+                    )
+                )
+            return out
+
+        def read(self, start: dict):
+            lo = start["offset"]
+            hi = min(lo + self.batch, self.max_rows)
+            return iter(self._rows(lo, hi)), {"offset": hi}
+
+        def readBetweenOffsets(self, start: dict, end: dict):
+            return iter(self._rows(start["offset"], end["offset"]))
+
+    class SynthDocsStreamDataSource(DataSource):
+        """``spark.readStream.format("synthdocs_stream")`` — a bounded,
+        deterministic micro-batch generator (a seeded, replayable cousin of
+        the built-in ``rate`` source, emitting the documents contract)."""
+
+        @classmethod
+        def name(cls) -> str:
+            return "synthdocs_stream"
+
+        def schema(self) -> str:
+            return (
+                "doc_id bigint, text string, lang string, "
+                "source string, n_chars bigint"
+            )
+
+        def simpleStreamReader(self, schema) -> SynthDocsStreamReader:
+            return SynthDocsStreamReader(self.options)
+
+    def register_stream(spark: SparkSession) -> None:
+        spark.dataSource.register(SynthDocsStreamDataSource)
+
+    def synth_docs_stream(
+        spark: SparkSession,
+        max_rows: int = 1000,
+        rows_per_batch: int = 100,
+        seed: int = 42,
+    ) -> DataFrame:
+        register_stream(spark)
+        return (
+            spark.readStream.format("synthdocs_stream")
+            .option("max_rows", max_rows)
+            .option("rows_per_batch", rows_per_batch)
+            .option("seed", seed)
+            .load()
+        )

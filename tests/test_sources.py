@@ -331,3 +331,36 @@ def test_synthdocs_jvm_lane_matches_shape(spark):
     jvm = synth_docs_jvm(spark, rows=10, partitions=2)
     assert [f.name for f in py.schema.fields] == [f.name for f in jvm.schema.fields]
     assert jvm.count() == 10
+
+
+def test_synthdocs_stream_source_bounded_deterministic(spark, tmp_path):
+    """Streaming generator: micro-batches drain to max_rows; the streamed
+    corpus is row-identical to the batch source at the same seed (replay-
+    safe offsets → exactly-once-compatible)."""
+    from big_data_analytics_machine_learning_poc_spark.sources.synthdocs import (
+        synth_docs,
+        synth_docs_stream,
+    )
+
+    stream = synth_docs_stream(spark, max_rows=250, rows_per_batch=64, seed=5)
+    assert stream.isStreaming
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("synth_stream_t")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        r.doc_id: (r.text, r.lang, r.source)
+        for r in spark.sql("SELECT * FROM synth_stream_t").collect()
+    }
+    want = {
+        r.doc_id: (r.text, r.lang, r.source)
+        for r in synth_docs(spark, rows=250, partitions=4, seed=5).collect()
+    }
+    assert got == want
