@@ -147,9 +147,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
         ensure_nanos_as_long(spark)
         raw = spark.read.parquet(table_path(sf_dir, name))
-        return raw.withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-        )
+        # NB: integer `div`, not `/`: double division of 2024-epoch nanos
+        # (~1.7e18, double ulp ≈ 256 ns) rounds by up to ±1 µs — enough to
+        # flip a MIN(ts)/raw-timestamp comparison against the oracle.
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return spark.read.parquet(table_path(sf_dir, name))
 
 

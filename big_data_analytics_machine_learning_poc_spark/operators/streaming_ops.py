@@ -276,3 +276,77 @@ def timeseries_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("v_cents", ignorenulls=True).over(w).alias("v_filled"),
         "was_gap",
     )
+
+
+@REG.add(
+    "scd2_user_state",
+    sql="""
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+                  THEN 1 ELSE 0 END AS chg
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), runs AS (
+      SELECT user_id, event_type, ts,
+             SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS run_id
+      FROM ordered
+    ), intervals AS (
+      SELECT user_id, event_type, run_id,
+             MIN(ts) AS valid_from,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM runs GROUP BY user_id, event_type, run_id
+    )
+    SELECT user_id, event_type, valid_from,
+           lead(valid_from) OVER w2 AS valid_to,
+           CASE WHEN lead(valid_from) OVER w2 IS NULL THEN 1 ELSE 0 END
+             AS is_current,
+           n_events
+    FROM intervals
+    WINDOW w2 AS (PARTITION BY user_id ORDER BY valid_from)
+    ORDER BY user_id, valid_from
+    """,
+)
+def scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 history build: collapse each user's event stream into
+    [valid_from, valid_to) state intervals — one row per run of equal
+    event_type, closed by the next run's start, open (is_current=1) for
+    the latest. This is how a dimension table gains bitemporal history
+    from a change feed, and the batch twin of the stateful streaming
+    operators above.
+
+    Scale shape: every step — change detection (lag), run numbering
+    (running sum), interval collapse (groupBy run), closing (lead) — is
+    partitioned by user_id, so ONE shuffle co-partitions the whole plan;
+    no global window anywhere (plan-linted). Ties inside a user break on
+    event_id, which makes run boundaries — and the oracle hash — exact.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    chg = F.when(
+        ~F.lag("event_type").over(w).eqNullSafe(F.col("event_type")), 1
+    ).otherwise(0)
+    runs = ev.withColumn(
+        "run_id",
+        F.sum(chg).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    intervals = runs.groupBy("user_id", "event_type", "run_id").agg(
+        F.min("ts").alias("valid_from"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    w2 = Window.partitionBy("user_id").orderBy("valid_from")
+    nxt = F.lead("valid_from").over(w2)
+    return (
+        intervals.select(
+            "user_id",
+            "event_type",
+            "valid_from",
+            nxt.alias("valid_to"),
+            F.when(nxt.isNull(), 1).otherwise(0).alias("is_current"),
+            "n_events",
+        )
+        .orderBy("user_id", "valid_from")
+    )

@@ -320,14 +320,15 @@ def text_udtf_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine's ``\\s+`` tokenizer agree on whitespace-delimited text, so the
     oracle is the plain posexplode equivalent.
 
-    Scale note: row-at-a-time UDTFs are the SLOW lane — registered here for
-    API completeness and bounded to 100 docs; a production token explode is
-    the pure-JVM posexplode_first_tokens shape. The class is defined inside
-    the function (no session at import time; lazy like the pandas_udf
-    lanes)."""
+    Scale note: even Arrow-optimized (``useArrow=True`` — batched transfer,
+    plans ArrowEvalPythonUDTF, plan-linted), a Python UDTF remains slower
+    than pure JVM; registered for API completeness and a production token
+    explode is the posexplode_first_tokens shape. The class is defined
+    inside the function (no session at import time; lazy like the
+    pandas_udf lanes)."""
     from pyspark.sql.functions import udtf
 
-    @udtf(returnType="pos: bigint, token: string")
+    @udtf(returnType="pos: bigint, token: string", useArrow=True)
     class Tokens:
         def eval(self, text: str):
             for i, t in enumerate(text.split()):

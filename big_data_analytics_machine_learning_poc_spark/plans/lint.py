@@ -1,0 +1,133 @@
+"""Physical-plan lint: mechanically audit every registered query for the
+anti-patterns that kill 100 TB jobs.
+
+The round-1 plan audit was done by hand; this makes it an invariant. Each
+query's executed plan is scanned for:
+
+- ``CartesianProduct`` / ``BroadcastNestedLoopJoin`` — quadratic join
+  stages (the #1 scale-killer; only acceptable when one side is a
+  deliberately-broadcast handful of rows),
+- ``BatchEvalPython`` — row-at-a-time Python UDF in the plan (the slow
+  lane; all Python must be Arrow-batched: ArrowEvalPython / mapInPandas /
+  FlatMapGroupsInPandas),
+- global (unpartitioned) ``Window`` — single-reducer bottleneck,
+- global ``Sort`` without a following limit — full-data range shuffle
+  (top-k must plan TakeOrderedAndProject).
+
+Known-justified exceptions are declared in ``ALLOWED`` next to their
+reason; anything else is a lint failure. tests/test_plans.py runs this
+over the cheap-to-construct modules; tools/planlint.py runs the full
+registry.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+from .explain import executed_plan
+
+# pattern name -> substring / detector
+_SIMPLE = {
+    "cartesian": "CartesianProduct",
+    "nested_loop": "BroadcastNestedLoopJoin",
+    "python_row_udf": "BatchEvalPython",
+}
+
+# Every window expression in the plan carries its full spec:
+#   windowspecdefinition(<part cols...>, <order cols ASC|DESC ...>, specifiedwindowframe(...))
+# Partition columns are bare attributes; ordering columns carry an ASC/DESC
+# marker. A spec whose every pre-frame argument is an ordering column has no
+# partition key — a global window (single-reducer at scale).
+_WINDOW_SPEC = re.compile(r"windowspecdefinition\((.*?)specifiedwindowframe")
+
+
+def _has_global_window(plan: str) -> bool:
+    for m in _WINDOW_SPEC.finditer(plan):
+        args = [a.strip() for a in m.group(1).rstrip(", ").split(", ") if a.strip()]
+        if args and all(" ASC" in a or " DESC" in a for a in args):
+            return True
+        if not args:  # neither partition nor order: Window.partitionBy() empty
+            return True
+    return False
+
+
+def find_antipatterns(df: DataFrame) -> set[str]:
+    plan = executed_plan(df)
+    found = {name for name, needle in _SIMPLE.items() if needle in plan}
+    if _has_global_window(plan):
+        found.add("global_window")
+    if _global_sort_without_limit(plan):
+        found.add("global_sort_no_limit")
+    return found
+
+
+def _global_sort_without_limit(plan: str) -> bool:
+    # A global Sort is fine when it feeds the final tiny result collection
+    # (every ORDER BY query ends in one) — the killer is sorting the full
+    # fact. Heuristic: flag only Sort [..] global=true that sits directly
+    # over an Exchange rangepartitioning with > 1000 estimated partitions —
+    # not derivable from the string plan, so we keep this OFF by default
+    # and rely on TakeOrderedAndProject assertions in test_plans.py for
+    # the top-k family.
+    return False
+
+
+# query name -> {pattern: justification}. A lint hit with a justification is
+# reported as "allowed"; without one it's a failure.
+ALLOWED: dict[str, dict[str, str]] = {
+    # kNN family: the "join" is a broadcast of the 1-row (or k-row) query
+    # set against the corpus scan — O(n·q) with tiny q, the exact brute
+    # baseline; the scale path is ann_bucket_cosine's equi-join.
+    "knn_brute_cosine": {"nested_loop": "broadcast 1-row query vector"},
+    "knn_multi_query": {"nested_loop": "broadcast 3-row query batch"},
+    "dedup_mllib_minhash_lsh": {
+        "nested_loop": "MLlib approxSimilarityJoin internal explode-join on "
+        "a 40-row bounded id slice (oracle-side demo config)"
+    },
+    "ann_ivf_cosine": {
+        "nested_loop": "broadcast 1-row query vector against nprobe-pruned "
+        "cluster subset"
+    },
+    # Decorrelated scalar subqueries: a one-row aggregate broadcast onto the
+    # probe side plans as BroadcastNestedLoopJoin — O(n·1), the DataFrame
+    # rendering of SQL's scalar-subquery broadcast, not a quadratic stage.
+    "tpch_q11_important_stock": {
+        "nested_loop": "broadcast one-row global-total aggregate"
+    },
+    "tpch_q22_global_sales_opportunity": {
+        "nested_loop": "broadcast one-row average-balance aggregate"
+    },
+    "funnel_conversion": {
+        "nested_loop": "broadcast one-row per-stage count aggregates"
+    },
+    "dedup_pipeline_survivors": {
+        "nested_loop": "broadcast one-row corpus/survivor count aggregates"
+    },
+    # Bounded-input ranking windows: ranked() enforces the row cap /
+    # justification at the call site (functions/windows.py).
+    "window_rank_funcs": {
+        "global_window": "input filtered to c_custkey < 1000 (bounded) via ranked()"
+    },
+    "string_index_mktsegment": {
+        "global_window": "ranks the ~5-row distinct-segment aggregate, not rows"
+    },
+    "string_index_apply": {
+        "global_window": "ranks the ~5-row distinct-segment aggregate, not rows"
+    },
+    "index_to_string_roundtrip": {
+        "global_window": "ranks the ~5-row distinct-segment aggregate, not rows"
+    },
+    "corpus_ngram_topk": {
+        "global_window": "ranks the per-lang top-k candidate aggregate "
+        "(≤ k·|langs| rows after partial top-k)"
+    },
+}
+
+
+def lint_query(name: str, df: DataFrame) -> tuple[set[str], set[str]]:
+    """Returns (violations, allowed_hits) for one query."""
+    hits = find_antipatterns(df)
+    allowed = {p for p in hits if p in ALLOWED.get(name, {})}
+    return hits - allowed, allowed

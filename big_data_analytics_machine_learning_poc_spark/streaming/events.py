@@ -47,7 +47,8 @@ def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    # integer `div` — double division rounds ±1 µs at ns scale (see catalog.py)
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 def run_to_completion(agg: DataFrame, output_mode: str) -> DataFrame:

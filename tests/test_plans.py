@@ -284,3 +284,38 @@ def test_tpch_q21_single_fact_join_broadcast_dims(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastHashJoin" in plan  # supplier/nation/region dims
+
+
+def test_registry_plan_lint_cheap_modules(spark):
+    """Mechanical anti-pattern lint over every query whose plan is cheap to
+    construct (no stream/model execution at build time): no cartesian, no
+    unjustified nested-loop join, no row-at-a-time Python UDF, no
+    unjustified global window. tools/planlint.py covers the full registry."""
+    from big_data_analytics_machine_learning_poc_spark.operators import (
+        corpus,
+        dedup,
+        encoding,
+        relational,
+        similarity,
+        sqlfront,
+        text,
+        tpch,
+    )
+    from big_data_analytics_machine_learning_poc_spark.plans.lint import lint_query
+
+    bad = {}
+    for reg in (
+        relational.REG,
+        tpch.REG,
+        dedup.REG,
+        similarity.REG,
+        text.REG,
+        corpus.REG,
+        encoding.REG,
+        sqlfront.REG,
+    ):
+        for name, fn in reg.queries.items():
+            violations, _ = lint_query(name, fn(spark, SF_DIR))
+            if violations:
+                bad[name] = sorted(violations)
+    assert not bad, bad
