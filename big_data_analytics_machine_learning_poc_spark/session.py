@@ -77,3 +77,37 @@ def ensure_nanos_as_long(spark: SparkSession) -> None:
     key = "spark.sql.legacy.parquet.nanosAsLong"
     if spark.conf.get(key, "false") != "true":
         spark.conf.set(key, "true")
+
+
+def enable_runtime_bloom_filters(
+    spark: SparkSession,
+    creation_side_max: str = "100MB",
+    application_side_min: str = "10GB",
+) -> None:
+    """Turn on Catalyst's runtime bloom-filter join pruning (InjectRuntimeFilter).
+
+    For a shuffle join where one side carries a selective filter, the
+    optimizer aggregates a bloom filter over the filtered side's join keys
+    (``bloom_filter_agg``) and pushes a membership probe into the other
+    side's scan — rows that can't match are dropped BEFORE the shuffle. At
+    100 TB this is the difference between shuffling the whole fact table
+    and shuffling only the ~matching fraction when joining against a
+    filtered dimension too big to broadcast.
+
+    Semantics of the thresholds (easy to invert, so named explicitly):
+    - ``creation_side_max``: build the filter only if the FILTERED side is
+      estimated SMALLER than this (cost of building/shipping the bloom),
+    - ``application_side_min``: apply it only if the probe-side scan is
+      LARGER than this (below that, the probe costs more than it saves;
+    the 10GB default means sf0.1-scale tests must lower it to observe
+    injection — see tests/test_plans.py).
+    """
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+        creation_side_max,
+    )
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        application_side_min,
+    )

@@ -86,3 +86,38 @@ def write_orc(df: DataFrame, path: str, partition_cols: list[str] | None = None)
 
 def read_orc(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.orc(path)
+
+
+def upsert_parquet(
+    spark: SparkSession, path: str, updates: DataFrame, key_cols: list[str]
+) -> None:
+    """MERGE-emulation for plain parquet: rows in ``updates`` replace
+    current rows with the same key; unmatched keys append.
+
+    Plan shape: ONE left-anti hash join (current ▷ updates on the key)
+    + union — the minimal relational rendering of MERGE. The rewrite goes
+    through a staging directory and a rename swap because parquet can't be
+    overwritten while being read; the swap window is NOT transactional —
+    concurrent readers need a table format with commit protocol (Delta/
+    Iceberg/Hudi via sources/lakehouse.py when their jars are present).
+    At scale, partition the table on a key prefix and rewrite only the
+    partitions present in ``updates`` (dynamic partition overwrite), not
+    the whole table.
+    """
+    import os
+    import shutil
+
+    current = spark.read.parquet(path)
+    missing = [c for c in current.columns if c not in updates.columns]
+    if missing:
+        raise ValueError(f"updates lacks table columns: {missing}")
+    keep = current.join(updates.select(*key_cols).distinct(), key_cols, "left_anti")
+    merged = keep.unionByName(updates.select(*current.columns))
+
+    stage = path.rstrip("/") + "__stage"
+    merged.write.mode("overwrite").parquet(stage)
+    old = path.rstrip("/") + "__old"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(path, old)
+    os.rename(stage, path)
+    shutil.rmtree(old, ignore_errors=True)

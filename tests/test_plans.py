@@ -8,6 +8,8 @@ whole-stage codegen covering the hot path.
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from big_data_analytics_machine_learning_poc_spark.catalog import load_table
 from big_data_analytics_machine_learning_poc_spark.operators import relational
 from big_data_analytics_machine_learning_poc_spark.plans import (
@@ -319,3 +321,40 @@ def test_registry_plan_lint_cheap_modules(spark):
             if violations:
                 bad[name] = sorted(violations)
     assert not bad, bad
+
+
+def test_runtime_bloom_filter_injection(spark):
+    """With runtime bloom filters on, a selective filter on the non-broadcast
+    side of a fact-fact join must inject bloom_filter_agg + a probe into the
+    other side's scan — pre-shuffle row pruning, the 100 TB lever for joins
+    against filtered-but-unbroadcastable sides."""
+    from big_data_analytics_machine_learning_poc_spark.session import (
+        enable_runtime_bloom_filters,
+    )
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.enabled",
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        enable_runtime_bloom_filters(spark, application_side_min="1KB")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li = load_table(spark, SF_DIR, "lineitem")
+        o = load_table(spark, SF_DIR, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = li.join(o, li.l_orderkey == o.o_orderkey).groupBy("o_orderstatus").count()
+        plan = _physical(j)
+        assert "bloom_filter_agg" in plan, plan
+        assert "might_contain" in plan.lower() or "BloomFilter" in plan, plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

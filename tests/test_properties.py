@@ -150,3 +150,36 @@ def test_pack_sequences_conserves_tokens(spark):
         .collect()[0][0]
     )
     assert got == expect
+
+
+def test_scd2_intervals_tile_the_timeline(spark):
+    """SCD2 invariants on real data: per user, intervals are disjoint,
+    adjacent (valid_to == next valid_from), exactly one open interval, and
+    n_events conserves the user's event count."""
+    from big_data_analytics_machine_learning_poc_spark.catalog import load_table
+    from big_data_analytics_machine_learning_poc_spark.operators.streaming_ops import (
+        scd2_user_state,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = scd2_user_state(spark, sf).collect()
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+
+    ev_counts = {
+        r.user_id: r.n
+        for r in load_table(spark, sf, "events")
+        .groupBy("user_id")
+        .count()
+        .withColumnRenamed("count", "n")
+        .collect()
+    }
+    assert set(by_user) == set(ev_counts)
+    for uid, ivs in by_user.items():
+        ivs.sort(key=lambda r: r.valid_from)
+        assert sum(r.n_events for r in ivs) == ev_counts[uid]
+        assert [r.is_current for r in ivs].count(1) == 1 and ivs[-1].is_current == 1
+        for a, b in zip(ivs, ivs[1:]):
+            assert a.valid_to == b.valid_from  # adjacent, no gaps/overlaps
+            assert a.event_type != b.event_type  # runs are maximal

@@ -364,3 +364,26 @@ def test_synthdocs_stream_source_bounded_deterministic(spark, tmp_path):
         for r in synth_docs(spark, rows=250, partitions=4, seed=5).collect()
     }
     assert got == want
+
+
+def test_upsert_parquet_merge_semantics(spark, tmp_path):
+    """upsert = replace matched keys, append new ones, leave the rest."""
+    from big_data_analytics_machine_learning_poc_spark.sources.sinks import upsert_parquet
+
+    path = str(tmp_path / "dim")
+    spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "k int, name string, v double"
+    ).write.parquet(path)
+
+    updates = spark.createDataFrame(
+        [(2, "b2", 21.0), (4, "d", 40.0)], "k int, name string, v double"
+    )
+    upsert_parquet(spark, path, updates, ["k"])
+
+    got = {r.k: (r.name, r.v) for r in spark.read.parquet(path).collect()}
+    assert got == {1: ("a", 10.0), 2: ("b2", 21.0), 3: ("c", 30.0), 4: ("d", 40.0)}
+
+    # idempotent re-apply: same updates → same table
+    upsert_parquet(spark, path, updates, ["k"])
+    again = {r.k: (r.name, r.v) for r in spark.read.parquet(path).collect()}
+    assert again == got
