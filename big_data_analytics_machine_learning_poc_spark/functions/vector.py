@@ -55,3 +55,24 @@ def cosine_sql(a: str, b: str) -> str:
         f"CASE WHEN {l2_norm_sql(a)} * {l2_norm_sql(b)} != 0 "
         f"THEN {dot_sql(a, b)} / ({l2_norm_sql(a)} * {l2_norm_sql(b)}) END"
     )
+
+
+def zorder_key2(a: Column, b: Column, bits: int = 16) -> Column:
+    """Morton (Z-order) interleave of two non-negative int columns, each
+    truncated to ``bits`` bits — a space-filling-curve sort key. Sorting a
+    table by this key before writing clusters BOTH dimensions into every
+    file, so parquet min/max stats prune scans on either predicate (a 1-d
+    sort can only prune its leading column). Pure shift/mask column
+    algebra — codegen'd, no UDF.
+
+    At 100 TB: range-partition by the z-key, sortWithinPartitions, write —
+    each file covers a compact rectangle of (a, b) space.
+    """
+    az = a.cast("long")
+    bz = b.cast("long")
+    key = F.lit(0).cast("long")
+    for i in range(bits):
+        abit = F.shiftleft(F.shiftright(az, i).bitwiseAND(F.lit(1)), 2 * i)
+        bbit = F.shiftleft(F.shiftright(bz, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        key = key.bitwiseOR(abit).bitwiseOR(bbit)
+    return key

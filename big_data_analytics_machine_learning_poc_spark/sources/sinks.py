@@ -121,3 +121,18 @@ def upsert_parquet(
     os.rename(path, old)
     os.rename(stage, path)
     shutil.rmtree(old, ignore_errors=True)
+
+
+def overwrite_partitions_dynamic(df: DataFrame, path: str, partition_cols: list[str]) -> None:
+    """Incremental lake write: replace ONLY the partitions present in
+    ``df``, leaving every other partition untouched (partitionOverwriteMode
+    =dynamic, set per-write so the session default stays static). This is
+    the daily-ingest idiom — reprocess day D, rewrite day D's directory,
+    never touch history — and the partition-scoped alternative the
+    ``upsert_parquet`` docstring points at."""
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_cols)
+        .parquet(path)
+    )

@@ -387,3 +387,57 @@ def test_upsert_parquet_merge_semantics(spark, tmp_path):
     upsert_parquet(spark, path, updates, ["k"])
     again = {r.k: (r.name, r.v) for r in spark.read.parquet(path).collect()}
     assert again == got
+
+
+def test_dynamic_partition_overwrite_touches_only_new(spark, tmp_path):
+    from big_data_analytics_machine_learning_poc_spark.sources.sinks import (
+        overwrite_partitions_dynamic,
+    )
+
+    path = str(tmp_path / "days")
+    base = spark.createDataFrame(
+        [("d1", 1), ("d1", 2), ("d2", 3)], "day string, v int"
+    )
+    overwrite_partitions_dynamic(base, path, ["day"])
+    # reprocess d2 only; d1 must survive untouched
+    redo = spark.createDataFrame([("d2", 99)], "day string, v int")
+    overwrite_partitions_dynamic(redo, path, ["day"])
+    got = sorted((r.day, r.v) for r in spark.read.parquet(path).collect())
+    assert got == [("d1", 1), ("d1", 2), ("d2", 99)]
+
+
+def test_zorder_key_matches_reference_and_clusters_both_dims(spark, tmp_path):
+    from big_data_analytics_machine_learning_poc_spark.functions.vector import zorder_key2
+
+    def ref(a, b, bits=16):
+        k = 0
+        for i in range(bits):
+            k |= ((a >> i) & 1) << (2 * i) | ((b >> i) & 1) << (2 * i + 1)
+        return k
+
+    pts = [(x * 37 % 256, x * 101 % 256) for x in range(4096)]
+    df = spark.createDataFrame(pts, "a int, b int")
+    got = df.select("a", "b", zorder_key2(F.col("a"), F.col("b"), 8).alias("z")).collect()
+    assert all(r.z == ref(r.a, r.b, 8) for r in got)
+
+    # clustering: z-sorted files bound BOTH dims; a 1-d sort can't bound b.
+    out = str(tmp_path / "zsorted")
+    (
+        df.withColumn("z", zorder_key2(F.col("a"), F.col("b"), 8))
+        .repartitionByRange(8, "z")
+        .sortWithinPartitions("z")
+        .write.parquet(out)
+    )
+    import glob as _glob
+
+    spans_a, spans_b = [], []
+    for f in _glob.glob(out + "/part-*.parquet"):
+        pf = spark.read.parquet(f)
+        row = pf.agg(
+            F.min("a"), F.max("a"), F.min("b"), F.max("b")
+        ).collect()[0]
+        spans_a.append(row[1] - row[0])
+        spans_b.append(row[3] - row[2])
+    assert len(spans_a) >= 4
+    assert sum(spans_a) / len(spans_a) < 0.75 * 255
+    assert sum(spans_b) / len(spans_b) < 0.75 * 255
