@@ -586,17 +586,16 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     supply cost = MIN observed price in exact cents (documented deviation;
     the correlated-MIN-subquery shape is intact). For size-15 parts, find
     the EUROPE supplier(s) offering each part at the regional minimum cost.
-    Scale shape: the per-pair MIN is one partial+final agg on the composite
-    key; supplier/nation/region collapse to a ~|suppliers|-row broadcast
-    and the size filter prunes part before ITS broadcast; the correlated
-    subquery is decorrelated as a MIN window over l_partkey (key-partitioned
-    — never a global window). Costs are exact longs, so the =MIN match has
-    no float ambiguity; the ORDER BY is a total order (pair keys are
-    unique), so LIMIT 100 is deterministic."""
+    Scale shape: supplier/nation/region collapse to a ~|suppliers|-row
+    broadcast applied BELOW the aggregation (per-pair MINs are independent,
+    so pre-filtering to EU suppliers' lineitems is semantics-preserving and
+    shrinks the agg input ~5×); the per-pair MIN is one partial+final agg
+    on the composite key; the size filter prunes part before ITS broadcast;
+    the correlated subquery is decorrelated as a MIN window over l_partkey
+    (key-partitioned — never a global window). Costs are exact longs, so
+    the =MIN match has no float ambiguity; the ORDER BY is a total order
+    (pair keys are unique), so LIMIT 100 is deterministic."""
     li = _t(spark, sf_dir, "lineitem")
-    ps = li.groupBy("l_partkey", "l_suppkey").agg(
-        F.min(cents("l_extendedprice")).alias("cost_cents")
-    )
     n = _t(spark, sf_dir, "nation")
     r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
     eu = (
@@ -605,11 +604,15 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
     )
+    ps = (
+        li.join(F.broadcast(eu), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("l_partkey", "l_suppkey", "s_name", "s_acctbal", "n_name")
+        .agg(F.min(cents("l_extendedprice")).alias("cost_cents"))
+    )
     p = _t(spark, sf_dir, "part").filter(F.col("p_size") == 15)
     w = Window.partitionBy("l_partkey")
     return (
-        ps.join(F.broadcast(eu), ps.l_suppkey == F.col("s_suppkey"))
-        .withColumn("min_cost", F.min("cost_cents").over(w))
+        ps.withColumn("min_cost", F.min("cost_cents").over(w))
         .filter(F.col("cost_cents") == F.col("min_cost"))
         .join(F.broadcast(p), ps.l_partkey == p.p_partkey)
         .select(
