@@ -111,6 +111,7 @@ def _registry() -> QueryRegistry:
         "corpus",
         "sqlfront",
         "tpch",
+        "pandas_api",
     ):
         try:
             mod = __import__(

@@ -233,3 +233,81 @@ def agg_udaf_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@REG.add(
+    "grouped_ols_applyinpandas",
+    sql="""
+    WITH s AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x*x) AS sxx, SUM(x*y) AS sxy, SUM(y*y) AS syy
+      FROM (SELECT l_returnflag,
+                   CAST(ROUND(l_quantity) AS BIGINT) AS x,
+                   CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS y
+            FROM lineitem)
+      GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           CAST(n AS BIGINT) AS n_rows,
+           CAST(n*sxy - sx*sy AS DOUBLE)
+             / CAST(n*sxx - sx*sx AS DOUBLE) / 100.0 AS slope,
+           CAST(sy*sxx - sx*sxy AS DOUBLE)
+             / CAST(n*sxx - sx*sx AS DOUBLE) / 100.0 AS intercept,
+           CAST((n*sxy - sx*sy) * (n*sxy - sx*sy) AS DOUBLE)
+             / CAST((n*sxx - sx*sx) * (n*syy - sy*sy) AS DOUBLE) AS r2
+    FROM s ORDER BY l_returnflag
+    """,
+)
+def grouped_ols_applyinpandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Many-small-models training via grouped-map applyInPandas: one
+    closed-form OLS fit (price ~ quantity) per return-flag group — the
+    per-entity-model pattern (per-customer forecasters, per-SKU demand
+    curves) where 100k tiny models beat one global one. Each group's fit
+    runs in a Python worker on its own Arrow batch; groups train in
+    parallel across executors with no driver involvement.
+
+    Exactness: all five sufficient statistics (Σx, Σy, Σx², Σxy, Σy²) are
+    integer sums (quantities are integral, prices go through cents), and
+    slope/intercept/r² are ratios of integer-valued closed forms —
+    python's unbounded ints on the Spark side, HUGEINT sums in DuckDB —
+    so the final doubles are bit-identical with no rounding snap. The
+    int64→unbounded promotion happens in Python (``int()``), mirroring
+    DuckDB's BIGINT→HUGEINT SUM promotion."""
+    import pandas as pd
+
+    def ols(pdf: pd.DataFrame) -> pd.DataFrame:
+        x = (pdf["l_quantity"]).round().astype("int64")
+        y = (pdf["l_extendedprice"] * 100).round().astype("int64")
+        n = len(pdf)
+        sx, sy = int(x.sum()), int(y.sum())
+        sxx = int((x * x).sum())
+        sxy = sum(int(a) * int(b) for a, b in zip(x, y))  # unbounded ints
+        syy = sum(int(b) * int(b) for b in y)
+        den = n * sxx - sx * sx
+        num = n * sxy - sx * sy
+        icnum = sy * sxx - sx * sxy
+        r2den = den * (n * syy - sy * sy)
+        return pd.DataFrame(
+            {
+                "l_returnflag": [pdf["l_returnflag"].iloc[0]],
+                "n_rows": [n],
+                "slope": [float(num) / float(den) / 100.0],
+                "intercept": [float(icnum) / float(den) / 100.0],
+                "r2": [float(num * num) / float(r2den)],
+            }
+        )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_extendedprice"
+    )
+    return (
+        li.groupBy("l_returnflag")
+        .applyInPandas(
+            ols,
+            schema="l_returnflag string, n_rows long, slope double, "
+            "intercept double, r2 double",
+        )
+        .orderBy("l_returnflag")
+    )

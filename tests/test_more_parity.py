@@ -8,6 +8,7 @@ import pytest
 
 from big_data_analytics_machine_learning_poc_spark.operators import (
     asof,
+    pandas_api,
     corpus,
     encoding,
     multimodal,
@@ -31,6 +32,7 @@ _REGS = (
     sqlfront.REG,
     tpch.REG,
     mlops.REG,
+    pandas_api.REG,
 )
 _QUERIES = {}
 _ORACLES = {}
