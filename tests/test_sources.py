@@ -441,3 +441,35 @@ def test_zorder_key_matches_reference_and_clusters_both_dims(spark, tmp_path):
     assert len(spans_a) >= 4
     assert sum(spans_a) / len(spans_a) < 0.75 * 255
     assert sum(spans_b) / len(spans_b) < 0.75 * 255
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """Lake reality: shards written before a column existed must read
+    together with newer shards — mergeSchema unions the schemas and old
+    rows surface null for the new column (never a read failure)."""
+    path = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id int, name string").write.parquet(
+        path + "/batch=1"
+    )
+    spark.createDataFrame(
+        [(2, "b", 0.9)], "id int, name string, quality double"
+    ).write.parquet(path + "/batch=2")
+
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    assert set(merged.columns) == {"id", "name", "quality", "batch"}
+    rows = {r.id: r.quality for r in merged.collect()}
+    assert rows == {1: None, 2: 0.9}
+
+    # and the production stance: an EXPLICIT schema needs no footer merge
+    # pass at all — old files simply project the missing column as null.
+    import pyspark.sql.types as T
+
+    explicit = T.StructType(
+        [
+            T.StructField("id", T.IntegerType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("quality", T.DoubleType()),
+        ]
+    )
+    fixed = spark.read.schema(explicit).parquet(path)
+    assert {r.id: r.quality for r in fixed.collect()} == rows
