@@ -112,6 +112,7 @@ def _registry() -> QueryRegistry:
         "sqlfront",
         "tpch",
         "pandas_api",
+        "quality",
     ):
         try:
             mod = __import__(

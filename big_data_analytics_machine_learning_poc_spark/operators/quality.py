@@ -1,0 +1,142 @@
+"""Data-quality and profiling operators (dbt-test / Great-Expectations-shaped,
+re-expressed as declarative Spark plans).
+
+A 100 TB pipeline gates every ingest on mechanical checks — key uniqueness,
+referential integrity, accepted ranges, null contracts — and profiles new
+tables before anyone queries them. Both are ordinary aggregations here:
+no bespoke framework, just plans Catalyst already optimizes, so the checks
+run at scan speed and compose with everything else.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import QueryRegistry
+
+REG = QueryRegistry()
+
+
+@REG.add(
+    "dq_checks",
+    sql="""
+    SELECT 'orders_pk_unique' AS check_name,
+           CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_violations
+    FROM orders
+    UNION ALL
+    SELECT 'orders_customer_fk',
+           CAST(COUNT(*) AS BIGINT)
+    FROM orders o WHERE NOT EXISTS
+      (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+    UNION ALL
+    SELECT 'lineitem_quantity_range',
+           CAST(SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50
+                         THEN 1 ELSE 0 END) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'lineitem_price_nonnull',
+           CAST(SUM(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'lineitem_discount_unit_interval',
+           CAST(SUM(CASE WHEN l_discount < 0.0 OR l_discount > 1.0
+                         THEN 1 ELSE 0 END) AS BIGINT)
+    FROM lineitem
+    ORDER BY check_name
+    """,
+)
+def dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-gate check suite: primary-key uniqueness, referential
+    integrity, range and null contracts — one row per check with its
+    violation count (0 = pass). Scale shape: the PK check is one
+    distinct-agg on the key; the FK check is a left-anti join against the
+    key-projected dim (broadcast here, shuffle-or-bloom at scale); the
+    range/null checks ride a single conditional-agg scan of the fact —
+    adding a check adds a column to that pass, not a new scan."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    li = load_table(spark, sf_dir, "lineitem")
+
+    pk = o.agg(
+        (F.count(F.lit(1)) - F.count_distinct("o_orderkey")).alias("n_violations")
+    ).select(F.lit("orders_pk_unique").alias("check_name"), "n_violations")
+
+    fk = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("n_violations"))
+        .select(F.lit("orders_customer_fk").alias("check_name"), "n_violations")
+    )
+
+    li_checks = li.agg(
+        F.sum(
+            F.when((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50), 1).otherwise(0)
+        ).alias("q_range"),
+        F.sum(F.when(F.col("l_extendedprice").isNull(), 1).otherwise(0)).alias(
+            "p_null"
+        ),
+        F.sum(
+            F.when((F.col("l_discount") < 0.0) | (F.col("l_discount") > 1.0), 1).otherwise(0)
+        ).alias("d_unit"),
+    )
+    li_long = li_checks.selectExpr(
+        "stack(3, 'lineitem_quantity_range', q_range, "
+        "'lineitem_price_nonnull', p_null, "
+        "'lineitem_discount_unit_interval', d_unit) AS (check_name, n_violations)"
+    )
+    return pk.unionByName(fk).unionByName(li_long).orderBy("check_name")
+
+
+@REG.add(
+    "profile_documents",
+    sql="""
+    SELECT col_name, n_nulls, n_distinct FROM (
+      SELECT 'doc_id' AS col_name,
+             CAST(SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_nulls,
+             CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_distinct
+      FROM documents
+      UNION ALL
+      SELECT 'text',
+             CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(COUNT(DISTINCT text) AS BIGINT)
+      FROM documents
+      UNION ALL
+      SELECT 'lang',
+             CAST(SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(COUNT(DISTINCT lang) AS BIGINT)
+      FROM documents
+      UNION ALL
+      SELECT 'source',
+             CAST(SUM(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(COUNT(DISTINCT source) AS BIGINT)
+      FROM documents
+      UNION ALL
+      SELECT 'n_chars',
+             CAST(SUM(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(COUNT(DISTINCT n_chars) AS BIGINT)
+      FROM documents
+    ) ORDER BY col_name
+    """,
+)
+def profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New-table profile: per column, null count and distinct cardinality —
+    the look-before-you-query pass. Built generically from df.columns, so
+    it works on any table. Scale shape: null counts ride ONE conditional-
+    agg scan; exact distincts are per-column distinct-aggs (Spark expands
+    multi-distinct into an Expand — n_cols × rows — which is the honest
+    exact cost; at 100 TB swap approx_count_distinct per column into the
+    same single pass, the documented promotion)."""
+    docs = load_table(spark, sf_dir, "documents")
+    null_aggs = [
+        F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"n_{c}")
+        for c in docs.columns
+    ]
+    distinct_aggs = [F.count_distinct(F.col(c)).alias(f"d_{c}") for c in docs.columns]
+    one = docs.agg(*null_aggs, *distinct_aggs)
+    pairs = ", ".join(f"'{c}', n_{c}, d_{c}" for c in docs.columns)
+    return one.selectExpr(
+        f"stack({len(docs.columns)}, {pairs}) AS (col_name, n_nulls, n_distinct)"
+    ).orderBy("col_name")

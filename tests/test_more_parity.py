@@ -9,6 +9,7 @@ import pytest
 from big_data_analytics_machine_learning_poc_spark.operators import (
     asof,
     pandas_api,
+    quality,
     corpus,
     encoding,
     multimodal,
@@ -33,6 +34,7 @@ _REGS = (
     tpch.REG,
     mlops.REG,
     pandas_api.REG,
+    quality.REG,
 )
 _QUERIES = {}
 _ORACLES = {}
