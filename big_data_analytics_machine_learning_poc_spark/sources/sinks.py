@@ -9,6 +9,7 @@ shuffle entirely — the 100 TB answer to "we join on orderkey every day".
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def write_partitioned_parquet(
@@ -104,23 +105,13 @@ def upsert_parquet(
     partitions present in ``updates`` (dynamic partition overwrite), not
     the whole table.
     """
-    import os
-    import shutil
-
     current = spark.read.parquet(path)
     missing = [c for c in current.columns if c not in updates.columns]
     if missing:
         raise ValueError(f"updates lacks table columns: {missing}")
     keep = current.join(updates.select(*key_cols).distinct(), key_cols, "left_anti")
     merged = keep.unionByName(updates.select(*current.columns))
-
-    stage = path.rstrip("/") + "__stage"
-    merged.write.mode("overwrite").parquet(stage)
-    old = path.rstrip("/") + "__old"
-    shutil.rmtree(old, ignore_errors=True)
-    os.rename(path, old)
-    os.rename(stage, path)
-    shutil.rmtree(old, ignore_errors=True)
+    _staged_replace(merged, path)
 
 
 def overwrite_partitions_dynamic(df: DataFrame, path: str, partition_cols: list[str]) -> None:
@@ -136,3 +127,59 @@ def overwrite_partitions_dynamic(df: DataFrame, path: str, partition_cols: list[
         .partitionBy(*partition_cols)
         .parquet(path)
     )
+
+
+def _staged_replace(df: DataFrame, path: str) -> None:
+    """Write df to a staging dir, then swap it into place. NOT transactional
+    during the swap window (see upsert_parquet's docstring)."""
+    import os
+    import shutil
+
+    stage = path.rstrip("/") + "__stage"
+    df.write.mode("overwrite").parquet(stage)
+    old = path.rstrip("/") + "__old"
+    shutil.rmtree(old, ignore_errors=True)
+    if os.path.exists(path):
+        os.rename(path, old)
+    os.rename(stage, path)
+    shutil.rmtree(old, ignore_errors=True)
+
+
+def merge_aggregate_state(
+    spark: SparkSession,
+    state_path: str,
+    delta: DataFrame,
+    key_cols: list[str],
+    sum_cols: list[str],
+) -> None:
+    """Incremental aggregate maintenance: fold a new batch into a persisted
+    per-key aggregate table (SUM/COUNT state), so daily totals over a
+    100 TB history cost one pass over the DELTA, never a recompute.
+
+    Correctness rests on the merged aggregates being COMMUTATIVE MONOIDS:
+    sums and counts merge associatively in any batch order (use exact
+    cents ints for money — functions/exact.py); avg/stddev derive from
+    (sum, count, sum-of-squares) at read time, never stored directly.
+    Scale shape: the delta pre-aggregates before touching state (partial
+    agg on the batch), then ONE key-partitioned merge agg over
+    state ∪ delta; state stays key-partitioned parquet.
+    """
+    partial = delta.groupBy(*key_cols).agg(
+        *[F.sum(c).alias(c) for c in sum_cols],
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    import os
+
+    if os.path.exists(state_path):
+        current = spark.read.parquet(state_path)
+        merged = (
+            current.unionByName(partial)
+            .groupBy(*key_cols)
+            .agg(
+                *[F.sum(c).alias(c) for c in sum_cols],
+                F.sum("n_rows").alias("n_rows"),
+            )
+        )
+    else:
+        merged = partial
+    _staged_replace(merged, state_path)

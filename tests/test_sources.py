@@ -473,3 +473,41 @@ def test_parquet_schema_evolution_merge(spark, tmp_path):
     )
     fixed = spark.read.schema(explicit).parquet(path)
     assert {r.id: r.quality for r in fixed.collect()} == rows
+
+
+def test_merge_aggregate_state_incremental_equals_full(spark, tmp_path):
+    """Two incremental folds == one full recompute, per key and exactly
+    (cents ints — monoid merge is order-insensitive)."""
+    from big_data_analytics_machine_learning_poc_spark.sources.sinks import (
+        merge_aggregate_state,
+    )
+
+    ev = load_table(spark, SF_DIR, "events").select(
+        "user_id", (F.round(F.col("value") * 100)).cast("long").alias("v_cents")
+    )
+    first = ev.filter(F.col("user_id") % 2 == 0)
+    second = ev.filter(F.col("user_id") % 2 == 1)
+
+    state = str(tmp_path / "agg_state")
+    merge_aggregate_state(spark, state, first, ["user_id"], ["v_cents"])
+    merge_aggregate_state(spark, state, second, ["user_id"], ["v_cents"])
+
+    got = {
+        r.user_id: (r.v_cents, r.n_rows) for r in spark.read.parquet(state).collect()
+    }
+    want = {
+        r.user_id: (r.s, r.n)
+        for r in ev.groupBy("user_id")
+        .agg(F.sum("v_cents").alias("s"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
+
+    # folding an empty delta is a no-op
+    merge_aggregate_state(
+        spark, state, ev.filter(F.lit(False)), ["user_id"], ["v_cents"]
+    )
+    again = {
+        r.user_id: (r.v_cents, r.n_rows) for r in spark.read.parquet(state).collect()
+    }
+    assert again == want
