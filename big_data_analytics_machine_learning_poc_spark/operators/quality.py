@@ -140,3 +140,30 @@ def profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return one.selectExpr(
         f"stack({len(docs.columns)}, {pairs}) AS (col_name, n_nulls, n_distinct)"
     ).orderBy("col_name")
+
+
+def observed_write_metrics(
+    df: DataFrame, metric_name: str = "write_metrics"
+) -> tuple[DataFrame, "object"]:
+    """Attach free accounting metrics to a frame: when the returned frame
+    is written/collected, the Observation yields row count, null-key
+    count, etc. WITHOUT a second pass over the data (the metrics
+    aggregate inside the same job). The ingest-accounting idiom: every
+    production write should report what it wrote.
+
+        observed, obs = observed_write_metrics(df)
+        observed.write.parquet(path)
+        obs.get  # {'n_rows': ..., 'n_null_keys': ...}
+    """
+    from pyspark.sql import Observation
+
+    first_col = df.columns[0]
+    obs = Observation(metric_name)
+    observed = df.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col(first_col).isNull(), 1).otherwise(0)).alias(
+            "n_null_keys"
+        ),
+    )
+    return observed, obs

@@ -511,3 +511,18 @@ def test_merge_aggregate_state_incremental_equals_full(spark, tmp_path):
         r.user_id: (r.v_cents, r.n_rows) for r in spark.read.parquet(state).collect()
     }
     assert again == want
+
+
+def test_observe_metrics_ride_the_write_job(spark, tmp_path):
+    """Observation metrics come back from the SAME job as the write —
+    ingest accounting with zero extra scans."""
+    from big_data_analytics_machine_learning_poc_spark.operators.quality import (
+        observed_write_metrics,
+    )
+
+    df = load_table(spark, SF_DIR, "nation")
+    observed, obs = observed_write_metrics(df)
+    observed.write.mode("overwrite").parquet(str(tmp_path / "out"))
+    got = obs.get
+    assert got["n_rows"] == df.count()
+    assert got["n_null_keys"] == 0
