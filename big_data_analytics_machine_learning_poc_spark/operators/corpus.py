@@ -755,3 +755,45 @@ def corpus_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@REG.add(
+    "corpus_weighted_sample",
+    sql=f"""
+    WITH keyed AS (
+      SELECT doc_id, source, n_chars,
+             ROUND(-ln((CAST({md5_hash32_sql("CAST(doc_id AS VARCHAR) || ':ws'")}
+                        AS DOUBLE) + 0.5) / 4294967296.0)
+                   / n_chars, 6) AS es_key
+      FROM documents WHERE n_chars > 0
+    )
+    SELECT doc_id, source, n_chars, es_key
+    FROM keyed ORDER BY es_key, doc_id LIMIT 100
+    """,
+)
+def corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, deterministically (Efraimidis-
+    Spirakis): each doc draws u from an md5-derived uniform and competes on
+    key = −ln(u)/weight; the k smallest keys are an exact weighted sample.
+    Unlike rand()-based sampling this is reproducible across retries,
+    partitionings, and engines — the property every corpus-mixing decision
+    needs to be auditable. Weight here = n_chars (longer docs
+    proportionally likelier).
+
+    Scale shape: key assignment is a map; selection is TakeOrderedAndProject
+    (top-k, never a global sort). The uniform is (hash32 + 0.5)/2^32 —
+    hash and division are engine-exact; ln is libm-dependent in its last
+    ulp, so keys snap to 6 dp with doc_id as the total-order tiebreak."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    u = (
+        md5_hash32(F.concat(F.col("doc_id").cast("string"), F.lit(":ws"))).cast(
+            "double"
+        )
+        + F.lit(0.5)
+    ) / F.lit(4294967296.0)
+    key = F.round(-F.log(u) / F.col("n_chars"), 6)
+    return (
+        docs.select("doc_id", "source", "n_chars", key.alias("es_key"))
+        .orderBy("es_key", "doc_id")
+        .limit(100)
+    )

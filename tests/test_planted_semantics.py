@@ -167,3 +167,28 @@ def test_setop_except_nonempty_on_planted(spark, planted_sf):
     b = spark.createDataFrame([(2,), (9,)], ["k"])
     assert sorted(r.k for r in a.exceptAll(b).distinct().collect()) == [1, 3]
     assert sorted(r.k for r in a.exceptAll(b).collect()) == [1, 1, 3]  # multiset semantics
+
+
+def test_weighted_sample_skews_toward_weight(spark):
+    """E-S sampling must overrepresent heavy (long) docs relative to a
+    uniform draw, and be reproducible run-to-run."""
+    from big_data_analytics_machine_learning_poc_spark.operators.corpus import (
+        corpus_weighted_sample,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    a = corpus_weighted_sample(spark, sf).collect()
+    b = corpus_weighted_sample(spark, sf).collect()
+    assert [r.doc_id for r in a] == [r.doc_id for r in b]  # deterministic
+
+    from big_data_analytics_machine_learning_poc_spark.catalog import load_table
+    from pyspark.sql import functions as F
+
+    pop_avg = (
+        load_table(spark, sf, "documents")
+        .agg(F.avg("n_chars").alias("m"))
+        .collect()[0]
+        .m
+    )
+    sample_avg = sum(r.n_chars for r in a) / len(a)
+    assert sample_avg > pop_avg  # length-weighted ⇒ longer on average
