@@ -107,3 +107,53 @@ def test_transform_with_state_matches_apply_in_pandas(spark):
         for r in stateful.running_user_totals(spark, SF_DIR).collect()
     }
     assert a == b
+
+
+def test_foreachbatch_incremental_state_equals_batch(spark, tmp_path):
+    """Streamed micro-batches folded through merge_aggregate_state must
+    reproduce the batch aggregate exactly — the streaming→incremental-state
+    composition a production ingest runs (foreachBatch as the MERGE driver,
+    monoid state, exact cents)."""
+    from pyspark.sql import functions as F
+
+    from big_data_analytics_machine_learning_poc_spark.sources.sinks import (
+        merge_aggregate_state,
+    )
+    from big_data_analytics_machine_learning_poc_spark.sources.synthdocs import (
+        synth_docs,
+        synth_docs_stream,
+    )
+
+    state = str(tmp_path / "state")
+
+    def fold(batch_df, batch_id):
+        merge_aggregate_state(
+            batch_df.sparkSession,
+            state,
+            batch_df.select("source", F.col("n_chars").alias("chars")),
+            ["source"],
+            ["chars"],
+        )
+
+    q = (
+        synth_docs_stream(spark, max_rows=300, rows_per_batch=77, seed=11)
+        .writeStream.foreachBatch(fold)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        r.source: (r.chars, r.n_rows) for r in spark.read.parquet(state).collect()
+    }
+    want = {
+        r.source: (r.s, r.n)
+        for r in synth_docs(spark, rows=300, partitions=4, seed=11)
+        .groupBy("source")
+        .agg(F.sum("n_chars").alias("s"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
