@@ -27,6 +27,13 @@ from big_data_analytics_machine_learning_poc_spark.registry import QueryRegistry
 # dedup_pipeline_survivors) are ordered first so every component has a hard
 # driver signal across the two rounds. Queries NOT in this tuple follow in
 # their module registration order (they keep their round-1 green rows).
+#
+# ROUND-3 ROTATION PLAN: after this round, the only queries with no driver
+# row are the round-2 additions sitting past position 50 (tpch_q2/q4/q5/
+# q7-q22, sql_*, corpus_*, funnel/variant/timeseries/scd2, emb_*, quality,
+# pandas_api, window extensions, dedup pipeline extras). Next round, replace
+# this tuple with those (they all pass tools/compare.py locally), freeing
+# the r1/r2-verified names to follow behind.
 _DRIVER_WINDOW = (
     # text extension ops (unchecked in r01; token/quality checked r01)
     "text_lang_id",

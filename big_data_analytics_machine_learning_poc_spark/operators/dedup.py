@@ -926,3 +926,51 @@ def dedup_edit_distance_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("sim") >= EDIT_SIM_MIN)
         .select("doc_a", "doc_b", F.round("sim", 6).alias("edit_sim"))
     )
+
+
+@REG.add(
+    "dedup_cluster_size_histogram",
+    sql=f"""
+    WITH RECURSIVE {_verified_cte_sql().replace("WITH", "", 1)},
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM verified
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM verified
+    ), nodes AS (
+      SELECT DISTINCT src AS doc FROM edges
+    ),
+    reach(doc, lab) AS (
+      SELECT doc, doc FROM nodes
+      UNION
+      SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.doc
+    ), comp AS (
+      SELECT doc, MIN(lab) AS component FROM reach GROUP BY doc
+    ), csizes AS (
+      SELECT component, COUNT(*) AS cluster_size FROM comp GROUP BY component
+    )
+    SELECT cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(SUM(cluster_size) AS BIGINT) AS n_docs,
+           CAST(SUM(cluster_size) - COUNT(*) AS BIGINT) AS n_removable
+    FROM csizes GROUP BY cluster_size ORDER BY cluster_size
+    """,
+)
+def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster-size distribution — the triage report a dedup run
+    produces before deleting anything: how many clusters of each size, how
+    many docs they hold, and how many rows dedup will actually remove
+    (size − 1 per cluster, summed). At 100 TB this is the sanity gate that
+    catches a too-aggressive threshold (one giant cluster) before the
+    destructive pass. Scale shape: two tiny re-aggregations over the CC
+    labeling (bounded by dup-cluster count, ≪ corpus)."""
+    comp = dedup_connected_components(spark, sf_dir)
+    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(
+            F.count(F.lit(1)).alias("n_clusters"),
+            F.sum("cluster_size").alias("n_docs"),
+            (F.sum("cluster_size") - F.count(F.lit(1))).alias("n_removable"),
+        )
+        .orderBy("cluster_size")
+    )
