@@ -526,3 +526,28 @@ def test_observe_metrics_ride_the_write_job(spark, tmp_path):
     got = obs.get
     assert got["n_rows"] == df.count()
     assert got["n_null_keys"] == 0
+
+
+def test_xml_source_reads_rows_and_column_parse(spark, tmp_path):
+    """File-level XML read plus in-column from_xml (the embedded-XML-field
+    case: a feed whose payload column is XML inside parquet/JSONL)."""
+    from big_data_analytics_machine_learning_poc_spark.sources.jsonl import read_xml
+
+    p = tmp_path / "feed.xml"
+    p.write_text(
+        "<feed><item><id>1</id><title>alpha</title></item>"
+        "<item><id>2</id><title>beta</title></item></feed>"
+    )
+    df = read_xml(spark, str(p), row_tag="item")
+    assert {(r.id, r.title) for r in df.collect()} == {(1, "alpha"), (2, "beta")}
+
+    col_df = spark.createDataFrame(
+        [(1, "<m><k>x</k><v>9</v></m>")], "row_id int, payload string"
+    ).select(
+        "row_id",
+        F.from_xml(
+            "payload", "k string, v int"
+        ).alias("parsed"),
+    )
+    row = col_df.collect()[0]
+    assert (row.parsed.k, row.parsed.v) == ("x", 9)
