@@ -60,6 +60,13 @@ def get_session(
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+        # managed tables (bucketed-join surface) land under /tmp, never cwd
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get(
+                "SPARK_GRAFT_WAREHOUSE", "/tmp/spark_graft_warehouse"
+            ),
+        )
         # events.parquet stores TIMESTAMP(NANOS), which Spark 4 rejects as a
         # timestamp type; read as raw nanos once, engine-wide (batch + stream).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")

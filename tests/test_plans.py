@@ -358,3 +358,43 @@ def test_runtime_bloom_filter_injection(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_bucketed_join_eliminates_shuffle(spark):
+    """Two tables bucketed on the join key with equal bucket counts must
+    sort-merge join with NO shuffle exchange — the 'we join on this key
+    every day' layout that amortizes one write-time shuffle across every
+    future join."""
+    from big_data_analytics_machine_learning_poc_spark.sources.sinks import (
+        write_bucketed_table,
+    )
+
+    o = load_table(spark, SF_DIR, "orders")
+    li = load_table(spark, SF_DIR, "lineitem")
+    spark.sql("DROP TABLE IF EXISTS bt_orders")
+    spark.sql("DROP TABLE IF EXISTS bt_lineitem")
+    saved_abt = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # sf0.001 tables broadcast otherwise, hiding the bucketed-scan path
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        write_bucketed_table(o, "bt_orders", "o_orderkey", n_buckets=8)
+        write_bucketed_table(li, "bt_lineitem", "l_orderkey", n_buckets=8)
+        j = (
+            spark.table("bt_lineitem")
+            .join(
+                spark.table("bt_orders"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            .groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        plan = _physical(j)
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+        assert "Exchange hashpartitioning(l_orderkey" not in plan, plan
+        assert "Exchange hashpartitioning(o_orderkey" not in plan, plan
+        assert "SelectedBucketsCount" in plan, plan  # bucketed scan active
+        assert j.collect()  # and it actually runs
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved_abt)
+        spark.sql("DROP TABLE IF EXISTS bt_orders")
+        spark.sql("DROP TABLE IF EXISTS bt_lineitem")
