@@ -221,3 +221,86 @@ def sql_window_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     via WindowGroupLimit (top-k per group never materializes full groups)."""
     _views(spark, sf_dir, "customer")
     return spark.sql(_WINDOW_CTE_TEXT)
+
+
+@REG.add(
+    "sql_udf_tiered_pricing",
+    sql="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CASE WHEN o_totalprice >= 200000 THEN 3
+                         WHEN o_totalprice >= 100000 THEN 2
+                         ELSE 1 END) AS BIGINT) AS tier_points
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def sql_udf_tiered_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-defined function lane (CREATE TEMPORARY FUNCTION ... RETURN):
+    business logic named ONCE in the catalog and reused across SQL text —
+    unlike a Python UDF, the body is a Catalyst expression, so it inlines
+    into codegen at zero cost (the oracle states the inlined equivalent).
+    Scale shape: identical to writing the CASE inline — one conditional-agg
+    scan."""
+    _views(spark, sf_dir, "orders")
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION price_tier(p DOUBLE)
+        RETURNS INT
+        RETURN CASE WHEN p >= 200000 THEN 3 WHEN p >= 100000 THEN 2 ELSE 1 END
+        """
+    )
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               COUNT(*) AS n_orders,
+               SUM(price_tier(o_totalprice)) AS tier_points
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """
+    )
+
+
+_Q6_PARAM_TEXT = """
+    SELECT CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                    * CAST(ROUND(l_discount * 100) AS BIGINT)) AS DOUBLE) / 10000.0
+             AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= :start AND l_shipdate < :end
+      AND l_discount BETWEEN :disc - 0.01001 AND :disc + 0.01001
+      AND l_quantity < :maxq
+"""
+
+
+@REG.add(
+    "sql_parameterized_q6",
+    sql="""
+    SELECT CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                    * CAST(ROUND(l_discount * 100) AS BIGINT)) AS DOUBLE) / 10000.0
+             AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.05 - 0.01001 AND 0.05 + 0.01001
+      AND l_quantity < 24
+    """,
+)
+def sql_parameterized_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named-parameter SQL (spark.sql(text, args=...)): the
+    injection-safe templating lane for programmatic query services —
+    parameters bind as typed literals BEFORE optimization, so constant
+    folding and pushdown see concrete values (the oracle states the bound
+    text). Different year/discount than sql_tpch_q6_revenue, exercising
+    the binder, not duplicating the query."""
+    import datetime as dt
+
+    _views(spark, sf_dir, "lineitem")
+    return spark.sql(
+        _Q6_PARAM_TEXT,
+        args={
+            "start": dt.datetime(1997, 1, 1),
+            "end": dt.datetime(1998, 1, 1),
+            "disc": 0.05,
+            "maxq": 24,
+        },
+    )
