@@ -183,3 +183,34 @@ def merge_aggregate_state(
     else:
         merged = partial
     _staged_replace(merged, state_path)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_files: int,
+    sort_col: str | None = None,
+) -> int:
+    """Small-file compaction: rewrite a parquet directory into
+    ``target_files`` files (optionally re-sorted for min/max pruning) and
+    swap it into place. Returns the file count before compaction.
+
+    The counterpart to every incremental writer in this module — streaming
+    sinks, dynamic partition overwrite, and upserts all accrete small
+    files, and scan cost at 100 TB is dominated by file-open overhead once
+    files fall under ~100 MB. Run this as the periodic maintenance pass;
+    with a sort_col it doubles as a clustering pass (use a z-order key —
+    functions/vector.py::zorder_key2 — to cluster two dimensions at once).
+    """
+    import glob as _glob
+
+    before = len(_glob.glob(path.rstrip("/") + "/part-*"))
+    df = spark.read.parquet(path)
+    if sort_col:
+        out = df.repartitionByRange(target_files, sort_col).sortWithinPartitions(
+            sort_col
+        )
+    else:
+        out = df.repartition(target_files)
+    _staged_replace(out, path)
+    return before

@@ -551,3 +551,31 @@ def test_xml_source_reads_rows_and_column_parse(spark, tmp_path):
     )
     row = col_df.collect()[0]
     assert (row.parsed.k, row.parsed.v) == ("x", 9)
+
+
+def test_compact_parquet_reduces_files_preserves_rows(spark, tmp_path):
+    from big_data_analytics_machine_learning_poc_spark.sources.sinks import (
+        compact_parquet,
+    )
+
+    path = str(tmp_path / "frag")
+    li = load_table(spark, SF_DIR, "lineitem").limit(1000)
+    li.repartition(23).write.parquet(path)  # fragment deliberately
+
+    want = li.count()
+    before = compact_parquet(spark, path, target_files=2, sort_col="l_orderkey")
+    assert before >= 23
+
+    import glob as _glob
+
+    after_files = _glob.glob(path + "/part-*")
+    assert len(after_files) <= 2
+    assert spark.read.parquet(path).count() == want
+    # clustering: each file covers a disjoint-ish orderkey range
+    mins_maxs = []
+    for f in after_files:
+        r = spark.read.parquet(f).agg(F.min("l_orderkey"), F.max("l_orderkey")).collect()[0]
+        mins_maxs.append((r[0], r[1]))
+    mins_maxs.sort()
+    for (a_lo, a_hi), (b_lo, b_hi) in zip(mins_maxs, mins_maxs[1:]):
+        assert a_hi <= b_lo  # range-partitioned: no overlap
