@@ -133,24 +133,34 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Parquet scan. Columnar, predicate-pushdown-capable; Catalyst prunes
     columns/filters down to the scan, so callers just select/filter naturally.
 
-    ``events.ts`` is TIMESTAMP(NANOS) in the parquet footer, which Spark 4
-    rejects outright; we read it as raw nanos (``nanosAsLong``) and convert to
-    a microsecond TimestampType by truncation — exactly what DuckDB does when
-    it narrows ns→us, so oracle comparisons stay exact.
+    ``events.ts`` is normalized to a session-TZ TimestampType regardless of
+    how the footer stores it. Generations of the testdata have used both
+    TIMESTAMP(NANOS) (which Spark reads as raw nanos under ``nanosAsLong``)
+    and TIMESTAMP(MICROS) isAdjustedToUTC=false (which Spark reads as
+    TIMESTAMP_NTZ); both paths land on the identical microsecond values
+    DuckDB sees, so oracle comparisons stay exact.
     """
     if name not in SCHEMAS:
         raise KeyError(f"unknown table {name!r}; known: {sorted(SCHEMAS)}")
     if name == "events":
         from pyspark.sql import functions as F
+        from pyspark.sql import types as T
 
         from .session import ensure_nanos_as_long
 
         ensure_nanos_as_long(spark)
         raw = spark.read.parquet(table_path(sf_dir, name))
-        # NB: integer `div`, not `/`: double division of 2024-epoch nanos
-        # (~1.7e18, double ulp ≈ 256 ns) rounds by up to ±1 µs — enough to
-        # flip a MIN(ts)/raw-timestamp comparison against the oracle.
-        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = raw.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):
+            # NANOS footer read as raw nanos. NB: integer `div`, not `/`:
+            # double division of 2024-epoch nanos (~1.7e18, double ulp ≈
+            # 256 ns) rounds by up to ±1 µs — enough to flip a MIN(ts)
+            # comparison against the oracle.
+            return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        # MICROS/NTZ footer: wall-clock values are already exact; cast to the
+        # session-TZ timestamp type (identity under the UTC session TZ) so
+        # downstream watermarks/arithmetic see one consistent type.
+        return raw.withColumn("ts", F.col("ts").cast("timestamp"))
     return spark.read.parquet(table_path(sf_dir, name))
 
 
