@@ -12,6 +12,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 TABLES = (
@@ -143,25 +144,67 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in SCHEMAS:
         raise KeyError(f"unknown table {name!r}; known: {sorted(SCHEMAS)}")
     if name == "events":
-        from pyspark.sql import functions as F
-        from pyspark.sql import types as T
-
-        from .session import ensure_nanos_as_long
-
-        ensure_nanos_as_long(spark)
         raw = spark.read.parquet(table_path(sf_dir, name))
-        ts_type = raw.schema["ts"].dataType
-        if isinstance(ts_type, T.LongType):
-            # NANOS footer read as raw nanos. NB: integer `div`, not `/`:
-            # double division of 2024-epoch nanos (~1.7e18, double ulp ≈
-            # 256 ns) rounds by up to ±1 µs — enough to flip a MIN(ts)
-            # comparison against the oracle.
-            return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        # MICROS/NTZ footer: wall-clock values are already exact; cast to the
-        # session-TZ timestamp type (identity under the UTC session TZ) so
-        # downstream watermarks/arithmetic see one consistent type.
-        return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+        return normalize_events_ts(raw, probe_events_ts_type(spark, sf_dir))
     return spark.read.parquet(table_path(sf_dir, name))
+
+
+def probe_events_ts_type(spark: SparkSession, sf_dir: str) -> T.DataType:
+    """Footer-probe the physical type Spark assigns to ``events.ts`` — the
+    ONE place batch and streaming agree on how a testdata generation stores
+    event time (round-2 postmortem: a streaming-only hardcoded schema
+    silently read MICROS data as nanos). Also pins the session defaults the
+    probe result depends on (nanosAsLong, UTC)."""
+    from .session import ensure_session_defaults
+
+    ensure_session_defaults(spark)
+    return spark.read.parquet(table_path(sf_dir, "events")).schema["ts"].dataType
+
+
+def events_stream_schema(ts_type: T.DataType) -> T.StructType:
+    """The explicit schema ``readStream`` needs up front, with ``ts`` typed
+    exactly as the batch probe saw it (streaming sources cannot infer)."""
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+
+
+def normalize_events_ts(df: DataFrame, ts_type: T.DataType) -> DataFrame:
+    """Normalize ``events.ts`` to a UTC-instant TimestampType, branching on
+    the probed footer type. Shared by the batch loader and the streaming
+    source so the two paths cannot diverge (tests assert equivalence).
+
+    Raises on unexpected types instead of coercing: a future testdata
+    generation storing e.g. INT96 or millis must fail loudly here, not
+    silently shift every window downstream.
+    """
+    from pyspark.sql import functions as F
+
+    if isinstance(ts_type, T.LongType):
+        # NANOS footer read as raw nanos (nanosAsLong). NB: integer `div`,
+        # not `/`: double division of 2024-epoch nanos (~1.7e18, double ulp
+        # ≈ 256 ns) rounds by up to ±1 µs — enough to flip a MIN(ts)
+        # comparison against the oracle.
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(ts_type, T.TimestampNTZType):
+        # MICROS/NTZ footer: wall-clock values are already exact; cast to
+        # the session-TZ timestamp (identity under the UTC session TZ that
+        # ensure_session_defaults pins) so downstream watermarks/arithmetic
+        # see one consistent type.
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    if isinstance(ts_type, T.TimestampType):
+        return df
+    raise TypeError(
+        f"events.ts stored as unsupported type {ts_type}; expected raw-nanos "
+        "LongType, TimestampNTZType, or TimestampType"
+    )
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -45,6 +45,20 @@ def cents_sql(expr: str) -> str:
     return f"CAST(ROUND(({expr}) * 100) AS BIGINT)"
 
 
+def cents_pandas(series):
+    """Pandas twin of ``cents()`` for Arrow-batched stateful operators.
+
+    numpy/pandas ``round`` is half-to-even while F.round/DuckDB ROUND are
+    half-away-from-zero — a latent boundary divergence even though 2-decimal
+    money doubles never land exactly on .5 (they are integers ± 1 ulp after
+    ×100). Half-away is sign·floor(|x|+0.5), exact on the same inputs.
+    """
+    import numpy as np
+
+    x = series.to_numpy(dtype="float64") * 100.0
+    return np.sign(x) * np.floor(np.abs(x) + 0.5)
+
+
 def sum_money(col: str | Column, alias: str) -> Column:
     return (F.sum(cents(col)) / F.lit(100.0)).alias(alias)
 

@@ -31,7 +31,7 @@ def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """5-minute tumbling windows via an actual streaming query. The oracle is
     the batch equivalence: window.start == floor(epoch/300)*300 — event-time
     semantics with a closed watermark equal batch aggregation."""
-    return sev.tumbling_counts(spark, sf_dir, "5 minutes")
+    return sev.tumbling_counts(spark, sf_dir, "5 minutes", output_mode="complete")
 
 
 @REG.add(
@@ -52,7 +52,9 @@ def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """10-minute windows sliding by 5: every event belongs to exactly two
     windows (starts at bucket·300 and (bucket−1)·300) — the oracle builds
     them by UNION ALL, the stream by F.window(ts, 10m, 5m)."""
-    return sev.sliding_counts(spark, sf_dir, "10 minutes", "5 minutes")
+    return sev.sliding_counts(
+        spark, sf_dir, "10 minutes", "5 minutes", output_mode="complete"
+    )
 
 
 @REG.add(
@@ -81,7 +83,7 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful streaming session_window (30-min gap), oracle-checked against
     the batch islands formulation — the stream's merge-on-arrival sessions
     must equal the batch gap-partitioned ones on bounded input."""
-    return sev.session_windows(spark, sf_dir, "30 minutes")
+    return sev.session_windows(spark, sf_dir, "30 minutes", output_mode="complete")
 
 
 @REG.add(
@@ -343,8 +345,11 @@ def scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         intervals.select(
             "user_id",
             "event_type",
-            "valid_from",
-            nxt.alias("valid_to"),
+            # emit NTZ: collect() localizes TimestampType to the Python
+            # process TZ, silently shifting wall-clocks on a non-UTC driver;
+            # NTZ round-trips as the UTC wall-clock DuckDB's naive ts holds
+            F.col("valid_from").cast("timestamp_ntz").alias("valid_from"),
+            nxt.cast("timestamp_ntz").alias("valid_to"),
             F.when(nxt.isNull(), 1).otherwise(0).alias("is_current"),
             "n_events",
         )

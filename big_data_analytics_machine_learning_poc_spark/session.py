@@ -77,13 +77,34 @@ def get_session(
     return spark
 
 
-def ensure_nanos_as_long(spark: SparkSession) -> None:
-    """Idempotently enable ``nanosAsLong`` on an externally-provided session
-    (the driver harness builds its own SparkSession, bypassing this factory).
+def ensure_session_defaults(spark: SparkSession) -> None:
+    """Idempotently pin the two confs every loader depends on, on an
+    externally-provided session (the driver harness builds its own
+    SparkSession, bypassing this factory):
+
+    - ``nanosAsLong``: events.parquet generations that store TIMESTAMP(NANOS)
+      are rejected by Spark 4's vectorized reader unless read as raw longs;
+    - ``session.timeZone=UTC``: the NTZ→timestamp cast in catalog.load_table
+      and every epoch-second comparison against the DuckDB oracle (which
+      treats naive timestamps as UTC) are only identities under UTC. A
+      driver session inheriting a non-UTC JVM default would silently shift
+      every event-time epoch by the zone offset (round-2 postmortem).
+
     Loaders call this instead of mutating conf unconditionally per read."""
-    key = "spark.sql.legacy.parquet.nanosAsLong"
-    if spark.conf.get(key, "false") != "true":
-        spark.conf.set(key, "true")
+    for key, want in (
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        ("spark.sql.session.timeZone", "UTC"),
+    ):
+        # NB: conf.get(key, default) type-checks the DEFAULT on boolean confs
+        # (Spark 4), so probe with no fallback — get(key) resolves the conf's
+        # own default when unset.
+        if spark.conf.get(key) != want:
+            spark.conf.set(key, want)
+
+
+def ensure_nanos_as_long(spark: SparkSession) -> None:
+    """Back-compat alias — see ensure_session_defaults."""
+    ensure_session_defaults(spark)
 
 
 def enable_runtime_bloom_filters(

@@ -11,9 +11,12 @@ column with a watermark, so late data is handled by state eviction, not by
 reprocessing. For oracle comparison the window start is surfaced as an epoch
 second (timezone-free integer arithmetic on both engines).
 
-Note on the source: events.parquet stores TIMESTAMP(NANOS) which Spark 4
-cannot scan as a timestamp; the stream reads ts as raw nanos (long) and
-converts — same truncation DuckDB applies (catalog.py has the batch variant).
+Note on the source: the ``ts`` storage type has varied across testdata
+generations (TIMESTAMP(NANOS) read as raw long, TIMESTAMP(MICROS) read as
+NTZ). A streaming source must declare its schema up front, so the batch
+footer is probed first and the SAME normalization as the batch loader
+(catalog.normalize_events_ts) is applied — the two paths share one helper
+and an equivalence test so they cannot diverge again.
 """
 
 from __future__ import annotations
@@ -22,33 +25,21 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
-EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # raw nanos (nanosAsLong)
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+from ..catalog import events_stream_schema, normalize_events_ts, probe_events_ts_type
 
 
 def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..session import ensure_nanos_as_long
-
-    ensure_nanos_as_long(spark)
-    # the streaming source needs a directory; select just the events file
+    # probe the footer with a batch read (also pins nanosAsLong + UTC), then
+    # declare the stream schema with ts typed exactly as the probe saw it
+    ts_type = probe_events_ts_type(spark, sf_dir)
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(events_stream_schema(ts_type))
         .option("maxFilesPerTrigger", 1)
         .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
+        .parquet(sf_dir)  # the streaming source needs a directory
     )
-    # integer `div` — double division rounds ±1 µs at ns scale (see catalog.py)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize_events_ts(raw, ts_type)
 
 
 def run_to_completion(agg: DataFrame, output_mode: str) -> DataFrame:
@@ -70,8 +61,25 @@ def run_to_completion(agg: DataFrame, output_mode: str) -> DataFrame:
     return agg.sparkSession.table(name)
 
 
-def tumbling_counts(spark: SparkSession, sf_dir: str, window: str = "5 minutes") -> DataFrame:
-    """Tumbling event-time windows with a 10-minute watermark."""
+def tumbling_counts(
+    spark: SparkSession,
+    sf_dir: str,
+    window: str = "5 minutes",
+    output_mode: str = "append",
+) -> DataFrame:
+    """Tumbling event-time windows with a 10-minute watermark.
+
+    ``output_mode`` contract:
+    - ``append`` (default, the production path): emit each window ONCE, when
+      the watermark closes it — state is bounded to ~watermark-width of open
+      windows, evicted as the watermark advances. A long-running deployment
+      must use this mode.
+    - ``complete``: re-emit every window ever seen — state grows without
+      bound, correct ONLY for bounded-input oracle comparison where the
+      trailing ~watermark-width of still-open windows must be included
+      (append suppresses them as non-final). The registered oracle query
+      passes this explicitly; nothing else should.
+    """
     ev = read_event_stream(spark, sf_dir)
     agg = (
         ev.withWatermark("ts", "10 minutes")
@@ -83,15 +91,18 @@ def tumbling_counts(spark: SparkSession, sf_dir: str, window: str = "5 minutes")
             "n",
         )
     )
-    # complete mode: emit ALL windows including those still above the
-    # watermark (append would suppress the trailing ~watermark-width of
-    # windows, which a bounded-input comparison against batch must include)
-    return run_to_completion(agg, "complete")
+    return run_to_completion(agg, output_mode)
 
 
 def sliding_counts(
-    spark: SparkSession, sf_dir: str, window: str = "10 minutes", slide: str = "5 minutes"
+    spark: SparkSession,
+    sf_dir: str,
+    window: str = "10 minutes",
+    slide: str = "5 minutes",
+    output_mode: str = "append",
 ) -> DataFrame:
+    """Sliding windows; ``output_mode`` contract as in ``tumbling_counts``
+    (append = watermark-bounded production path, complete = oracle-only)."""
     ev = read_event_stream(spark, sf_dir)
     agg = (
         ev.withWatermark("ts", "10 minutes")
@@ -99,15 +110,24 @@ def sliding_counts(
         .agg(F.count(F.lit(1)).alias("n"), (F.sum(F.round(F.col("value") * 100)).cast("long")).alias("value_cents"))
         .select(F.col("window.start").cast("long").alias("window_start_epoch"), "n", "value_cents")
     )
-    return run_to_completion(agg, "complete")
+    return run_to_completion(agg, output_mode)
 
 
 def session_windows(
-    spark: SparkSession, sf_dir: str, gap: str = "30 minutes", max_user: int = 50
+    spark: SparkSession,
+    sf_dir: str,
+    gap: str = "30 minutes",
+    max_user: int = 50,
+    output_mode: str = "append",
 ) -> DataFrame:
     """Per-user session windows (gap-based). Streaming-native session_window —
     the batch-equivalent sessionization (lag + cumulative flag sum) is
-    operators/streaming_ops.sessionize_events, which the oracle checks."""
+    operators/streaming_ops.sessionize_events, which the oracle checks.
+
+    ``output_mode`` contract as in ``tumbling_counts``: append (default) emits
+    each session once when the watermark closes it and keeps state bounded;
+    complete also re-emits sessions still open at end-of-input — right for
+    bounded-input oracle comparison, wrong (unbounded state) in production."""
     ev = read_event_stream(spark, sf_dir).filter(F.col("user_id") < max_user)
     agg = (
         ev.withWatermark("ts", "1 hour")
@@ -119,10 +139,7 @@ def session_windows(
             "n_events",
         )
     )
-    # complete mode also emits sessions still open at end-of-input (append
-    # would correctly suppress them as non-final — right for production,
-    # wrong for bounded-input comparison against batch)
-    return run_to_completion(agg, "complete")
+    return run_to_completion(agg, output_mode)
 
 
 def purchase_click_join(spark: SparkSession, sf_dir: str, max_user: int = 50) -> DataFrame:

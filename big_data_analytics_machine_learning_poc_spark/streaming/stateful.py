@@ -30,11 +30,15 @@ STATE_SCHEMA = "n long, cents long"
 def _update_user_totals(
     key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
+    from ..functions.exact import cents_pandas
+
     (user_id,) = key
     n, cents = state.get if state.exists else (0, 0)
     for pdf in pdfs:
         n += len(pdf)
-        cents += int(round(pdf["value"] * 100).sum())
+        # half-away rounding matching F.round / DuckDB ROUND (cents_pandas
+        # docstring) — pandas' own round() is half-to-even
+        cents += int(cents_pandas(pdf["value"]).sum())
     state.update((n, cents))
     yield pd.DataFrame({"user_id": [user_id], "n_events": [n], "total_cents": [cents]})
 
@@ -97,10 +101,12 @@ def tws_user_totals(spark: SparkSession, sf_dir: str, max_user: int = 100) -> Da
             self._state = handle.getValueState("totals", "n LONG, cents LONG")
 
         def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+            from ..functions.exact import cents_pandas
+
             n, cents = self._state.get() if self._state.exists() else (0, 0)
             for pdf in rows:
                 n += len(pdf)
-                cents += int(round(pdf["value"] * 100).sum())
+                cents += int(cents_pandas(pdf["value"]).sum())
             self._state.update((n, cents))
             yield pd.DataFrame(
                 {"user_id": [key[0]], "n_events": [n], "total_cents": [cents]}

@@ -13,16 +13,67 @@ from .conftest import SF_DIR
 
 
 def test_tumbling_counts_total_preserved(spark):
-    out = sev.tumbling_counts(spark, SF_DIR, "5 minutes")
+    out = sev.tumbling_counts(spark, SF_DIR, "5 minutes", output_mode="complete")
     total = out.agg(F.sum("n")).collect()[0][0]
     assert total == load_table(spark, SF_DIR, "events").count()
 
 
 def test_sliding_counts_double_count(spark):
     """window=10m slide=5m ⇒ every event appears in exactly 2 windows."""
-    out = sev.sliding_counts(spark, SF_DIR, "10 minutes", "5 minutes")
+    out = sev.sliding_counts(
+        spark, SF_DIR, "10 minutes", "5 minutes", output_mode="complete"
+    )
     total = out.agg(F.sum("n")).collect()[0][0]
     assert total == 2 * load_table(spark, SF_DIR, "events").count()
+
+
+def test_batch_stream_source_single_source_invariant(spark):
+    """The round-2 regression class: batch and streaming MUST read events.ts
+    identically (they share catalog.normalize_events_ts). Count, min/max
+    event time, and exact-cents value sum agree between the two paths."""
+    probe = [
+        F.count(F.lit(1)).alias("n"),
+        F.min(F.col("ts").cast("double")).alias("mn"),
+        F.max(F.col("ts").cast("double")).alias("mx"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+    ]
+    batch = load_table(spark, SF_DIR, "events").agg(*probe).collect()[0]
+    streamed = sev.run_to_completion(
+        sev.read_event_stream(spark, SF_DIR).select("ts", "value"), "append"
+    )
+    stream = streamed.agg(*probe).collect()[0]
+    assert tuple(batch) == tuple(stream)
+    # and the batch side actually reads the 2024 data, not a collapsed epoch
+    assert batch.mn > 1.7e9
+
+
+def test_append_mode_emits_exactly_watermark_closed_windows(spark):
+    """The production (append) path must emit precisely the windows the
+    10-minute watermark has closed — bounded state, no re-emission — while
+    complete mode re-emits everything including still-open windows."""
+    complete = {
+        (r.window_start_epoch, r.event_type): r.n
+        for r in sev.tumbling_counts(
+            spark, SF_DIR, "5 minutes", output_mode="complete"
+        ).collect()
+    }
+    append = {
+        (r.window_start_epoch, r.event_type): r.n
+        for r in sev.tumbling_counts(
+            spark, SF_DIR, "5 minutes", output_mode="append"
+        ).collect()
+    }
+    max_us = load_table(spark, SF_DIR, "events").agg(
+        F.max(F.expr("unix_micros(ts)"))
+    ).collect()[0][0]
+    # Spark tracks watermark in ms: max event time − 10 min delay; an append
+    # row is emitted iff its window END has passed the watermark
+    wm_ms = max_us // 1000 - 600_000
+    expected = {
+        k: v for k, v in complete.items() if (k[0] + 300) * 1000 <= wm_ms
+    }
+    assert append == expected
+    assert 0 < len(append) < len(complete)  # state was actually evicted
 
 
 def test_session_window_stream_matches_batch_islands(spark):
@@ -71,7 +122,9 @@ def test_rocksdb_state_store_equivalent(spark):
     from big_data_analytics_machine_learning_poc_spark.streaming import events as sev
 
     def run():
-        rows = sev.tumbling_counts(spark, SF_DIR, "5 minutes").collect()
+        rows = sev.tumbling_counts(
+            spark, SF_DIR, "5 minutes", output_mode="complete"
+        ).collect()
         return sorted((r.window_start_epoch, r.event_type, r.n) for r in rows)
 
     base = run()
