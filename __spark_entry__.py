@@ -21,83 +21,206 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from big_data_analytics_machine_learning_poc_spark.registry import QueryRegistry
 
 # The driver records CORRECTNESS rows for (at most) the first 50 registry
-# entries per round. Round 1 verified the first 50 (relational + 3 text) —
-# all green; this round the remaining 50 queries (dedup / similarity /
-# encoding / multimodal / ML / streaming / asof / skew + the new
-# dedup_pipeline_survivors) are ordered first so every component has a hard
-# driver signal across the two rounds. Queries NOT in this tuple follow in
-# their module registration order (they keep their round-1 green rows).
+# entries per round; rows are cumulative across rounds. Round 1 verified the
+# relational block, round 2 the dedup/similarity/encoding/multimodal/ML/
+# streaming block (41 of 50 clean; the 9 red rows are fixed this round and
+# re-checked below). Queries NOT in this tuple follow in their module
+# registration order (their earlier green rows stand).
 #
-# ROUND-3 ROTATION PLAN: after this round, the only queries with no driver
-# row are the round-2 additions sitting past position 50 (tpch_q2/q4/q5/
-# q7-q22, sql_*, corpus_*, funnel/variant/timeseries/scd2, emb_*, quality,
-# pandas_api, window extensions, dedup pipeline extras). Next round, replace
-# this tuple with those (they all pass tools/compare.py locally), freeing
-# the r1/r2-verified names to follow behind.
+# ROUND-3 WINDOW = the 9 round-2 red rows (fixes must be OBSERVED going
+# green) + 41 of the 65 never-checked round-2 additions, chosen to give
+# every zero-signal COMPONENT a hard driver row: the SQL front-end lanes,
+# the 12 unchecked corpus-prep queries, text extension ops, embedding
+# audits, dedup verify extras, the streaming batch twins, UDAF/OLS lanes,
+# data-quality/profiling, and the two hardest adapted TPC-H shapes
+# (q2 correlated-MIN, q21 double-EXISTS) as plan-audit representatives.
+#
+# ROUND-4 ROTATION PLAN: the remaining 24 never-checked queries — the other
+# 17 adapted TPC-H (tpch_q4/q5/q7-q10/q12-q20/q22 minus the two above),
+# text_token_count, text_token_count_regex, corpus_split extras, and the 4
+# rows-only ml_reference_* end-to-ends — rotate in next; all pass
+# tools/compare.py locally today.
 _DRIVER_WINDOW = (
-    # text extension ops (unchecked in r01; token/quality checked r01)
-    "text_lang_id",
-    "text_fingerprint",
-    "text_readability_pandas_udf",
-    "text_rolling_hash",
-    # dedup family — the 100 TB north star
-    "dedup_exact_stats",
-    "dedup_exact_groups",
-    "dedup_minhash_signatures",
-    "dedup_minhash_pairs",
-    "dedup_simhash",
-    "dedup_ngram_jaccard",
-    "dedup_embedding_cosine",
-    "dedup_keep_first",
-    "dedup_pipeline_survivors",
-    "dedup_connected_components",
-    "dedup_mllib_minhash_lsh",  # rows-only by design (MLlib-internal seeds)
-    # similarity search
-    "knn_brute_cosine",
-    "knn_multi_query",
-    "ann_bucket_cosine",
-    "ann_ivf_cosine",  # rows-only by design (KMeans centroids)
-    "similarity_approx_stats",  # rows-only by design (sketches)
-    # feature encoding (F1-F9)
-    "array_funcs",
-    "bucketize_totalprice",
-    "string_index_mktsegment",
-    "string_index_apply",
-    "tokenizer_tokens",
-    "stopwords_remove",
-    "vector_assemble_normalize",
-    "hashingtf_idf_stats",  # rows-only by design (murmur3 buckets)
-    "index_to_string_roundtrip",
-    # multimodal
-    "mm_decode_features",
-    "mm_metadata_stats",
-    "mm_resize",
-    "mm_frame_sample",  # rows-only by design
-    # ML + Arrow UDF lanes. M1/M2 get their driver signal via ml_lr_rmse /
-    # ml_rf_confusion; M3 (DecisionTree) only via ml_reference_spam, which
-    # therefore stays. The other three ml_reference_* end-to-ends are
-    # rows-only AND golden-tested in pytest, so their window slots go to
-    # oracle-checked round-2 queries (they rotate into the r3 window).
-    "grouped_zscore_applyinpandas",
-    "ml_rf_confusion",
-    "ml_lr_rmse",
-    "ml_reference_spam",
-    "corpus_pack_sequences",
-    "corpus_split_by_fingerprint",
-    "corpus_e2e_prep",
-    # streaming (batch-equivalent sessionization first: it has an oracle)
+    # round-2 red rows, fixed this round (streaming MICROS schema + UTC pin
+    # + half-away cents rounding) — listed first so the driver re-checks them
     "sessionize_events",
     "stream_tumbling_counts",
     "stream_sliding_counts",
     "stream_session_windows",
     "stream_stateful_user_totals",
     "stream_stream_join",
-    "stream_static_join",
-    # as-of join + skew recipes
-    "asof_purchase_last_click",
-    "skew_salted_agg",
-    "skew_salted_join",
+    "dedup_pipeline_survivors",
+    "corpus_pack_sequences",
+    "corpus_e2e_prep",
+    # SQL front-end lanes (zero driver signal)
+    "sql_tpch_q6_revenue",
+    "sql_exists_subquery",
+    "sql_not_exists_subquery",
+    "sql_in_subquery_chain",
+    "sql_scalar_subquery",
+    "sql_correlated_scalar_subquery",
+    "sql_window_cte",
+    "sql_udf_tiered_pricing",
+    "sql_parameterized_q6",
+    # hardest adapted TPC-H shapes (plan-audit representatives)
+    "tpch_q2_min_cost_supplier",
+    "tpch_q21_suppliers_who_kept_waiting",
+    # corpus prep (12 unchecked)
+    "corpus_quality_filter",
+    "corpus_mix_sources",
+    "corpus_ngram_topk",
+    "corpus_repetition_filter",
+    "corpus_contamination_check",
+    "corpus_hash_sample",
+    "corpus_dup_rate_by_source",
+    "corpus_length_histogram",
+    "corpus_incremental_dedup",
+    "corpus_balanced_sample",
+    "corpus_pii_redaction",
+    "corpus_weighted_sample",
+    # text extension ops
+    "text_quality",
+    "text_stats_arrow",
+    "text_udtf_tokens",
+    # dedup verify extras
+    "dedup_edit_distance_verify",
+    "dedup_cluster_size_histogram",
+    # embedding audits
+    "emb_centroid_outliers",
+    "emb_norm_stats",
+    "emb_int8_quantization",
+    # streaming batch twins + event/JSON shapes
+    "stream_dedup_events",
+    "timeseries_gap_fill",
+    "scd2_user_state",
+    "funnel_conversion",
+    "variant_shred_events",
+    # UDAF / grouped-OLS lanes
+    "agg_udaf_geomean",
+    "grouped_ols_applyinpandas",
+    # data quality + profiling + pandas-API
+    "dq_checks",
+    "profile_documents",
+    "ps_segment_balance",
 )
+
+
+# ---------------------------------------------------------------------------
+# Post-hoc diagnostics for driver-side runs. Round 2 left 5 hash-mismatch
+# rows that no local configuration (16/32 cores, default-conf driver-mimic,
+# non-UTC TZ, full-registry-one-session) reproduces. When the DRIVER invokes
+# these queries we capture (a) once per process: the session/env facts a
+# divergence could hinge on, (b) for the formerly-red queries at the
+# correctness SF: the exact value fingerprint OUR side produced — so a red
+# row in CORRECTNESS_r03 becomes attributable (env delta vs compare delta)
+# instead of unexplainable. Best-effort: failures to dump never fail a query.
+# ---------------------------------------------------------------------------
+
+_DIAG_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "DIAG")
+_FINGERPRINT_QUERIES = frozenset(
+    {
+        "dedup_pipeline_survivors",
+        "corpus_pack_sequences",
+        "corpus_e2e_prep",
+        "sessionize_events",
+        "stream_stateful_user_totals",
+    }
+)
+_env_dumped = False
+
+
+def _dump_env(spark: SparkSession, sf_dir: str) -> None:
+    global _env_dumped
+    if _env_dumped:
+        return
+    _env_dumped = True
+    import json
+    import platform
+
+    def conf(key: str) -> str:
+        try:
+            return str(spark.conf.get(key))
+        except Exception:  # noqa: BLE001 — diagnostic only
+            return "<unreadable>"
+
+    info = {
+        "sf_dir": sf_dir,
+        "cwd": os.getcwd(),
+        "python": platform.python_version(),
+        "spark_version": spark.version,
+        "master": spark.sparkContext.master,
+        "default_parallelism": spark.sparkContext.defaultParallelism,
+        "confs": {
+            k: conf(k)
+            for k in (
+                "spark.sql.session.timeZone",
+                "spark.sql.ansi.enabled",
+                "spark.sql.shuffle.partitions",
+                "spark.sql.adaptive.enabled",
+                "spark.sql.execution.arrow.pyspark.enabled",
+                "spark.sql.legacy.parquet.nanosAsLong",
+                "spark.sql.parquet.enableVectorizedReader",
+            )
+        },
+        "env": {
+            k: os.environ.get(k)
+            for k in ("TZ", "PYTHONHASHSEED", "LANG", "LC_ALL", "SPARK_GRAFT_SF_DIR", "SPARK_GRAFT_CPUS")
+        },
+        "versions": {},
+    }
+    for mod in ("pandas", "numpy", "pyarrow", "duckdb"):
+        try:
+            info["versions"][mod] = __import__(mod).__version__
+        except Exception:  # noqa: BLE001
+            info["versions"][mod] = None
+    os.makedirs(_DIAG_DIR, exist_ok=True)
+    with open(os.path.join(_DIAG_DIR, "session_env.json"), "w") as f:
+        json.dump(info, f, indent=1, sort_keys=True)
+
+
+def _dump_fingerprint(name: str, df: DataFrame) -> None:
+    """Record the order-insensitive value fingerprint (same algorithm the
+    local oracle gate uses) plus a small sorted sample of normalized rows."""
+    import json
+
+    from big_data_analytics_machine_learning_poc_spark.oracle import fingerprint, norm_cell
+
+    rows = [tuple(r) for r in df.collect()]
+    cols = df.columns
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    mat = sorted(tuple(norm_cell(r[i]) for i in order) for r in rows)
+    os.makedirs(_DIAG_DIR, exist_ok=True)
+    with open(os.path.join(_DIAG_DIR, f"fp_{name}.json"), "w") as f:
+        json.dump(
+            {
+                "query": name,
+                "n_rows": len(rows),
+                "cols_sorted": sorted(cols),
+                "fingerprint": fingerprint(cols, rows),
+                "rows_head": mat[:5],
+                "rows_tail": mat[-5:],
+            },
+            f,
+            indent=1,
+        )
+
+
+def _instrumented(name: str, fn: Callable[[SparkSession, str], DataFrame]):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        df = fn(spark, sf_dir)
+        try:
+            _dump_env(spark, sf_dir)
+            # fingerprints only at the cheap correctness SF, only for the
+            # round-2 unexplained rows (one extra collect each, ~seconds)
+            if name in _FINGERPRINT_QUERIES and sf_dir.rstrip("/").endswith("0.01"):
+                _dump_fingerprint(name, df)
+        except Exception:  # noqa: BLE001 — diagnostics must never fail a query
+            pass
+        return df
+
+    run.__name__ = getattr(fn, "__name__", name)
+    run.__doc__ = fn.__doc__
+    return run
 
 
 def _registry() -> QueryRegistry:
@@ -149,7 +272,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return dict(_registry().queries)
+    return {n: _instrumented(n, fn) for n, fn in _registry().queries.items()}
 
 
 def oracle_sql() -> dict[str, str]:

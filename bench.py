@@ -74,6 +74,14 @@ def main() -> None:
     flagship_sec = _median_times(fdf.collect)
 
     total = round(sum(prepared.values()), 4)
+    # machine-load context: round-over-round deltas at these millisecond
+    # scales are dominated by co-tenant load (round-2 postmortem measured a
+    # 24% swing with zero code change) — stash the 1/5/15-min load averages
+    # so a future delta is attributable
+    try:
+        loadavg = [round(x, 2) for x in os.getloadavg()]
+    except OSError:
+        loadavg = None
     print(
         json.dumps(
             {
@@ -85,6 +93,8 @@ def main() -> None:
                 "fresh_total": round(sum(fresh.values()), 4),
                 "flagship_sec": flagship_sec,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "timing": "median-of-5 per query (see _median_times)",
+                "loadavg": loadavg,
             }
         )
     )

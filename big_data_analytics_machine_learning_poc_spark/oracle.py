@@ -55,8 +55,14 @@ def fingerprint(cols: list[str], rows: list[tuple]) -> str:
     return h.hexdigest()[:16]
 
 
-def compare_query(spark_df, con, sql: str) -> list[str]:
-    """Return a list of mismatch descriptions (empty = exact match)."""
+def compare_query(spark_df, con, sql: str, sidecar: str | None = None) -> list[str]:
+    """Return a list of mismatch descriptions (empty = exact match).
+
+    ``sidecar``: optional query name; when set, both sides' fingerprints —
+    and on mismatch the first differing normalized rows — are dumped to
+    ``DIAG/compare_<name>.json`` next to the repo root, so a red row is
+    diagnosable after the fact (round-2 ask: driver-side reds left nothing
+    to inspect)."""
     scols = spark_df.columns
     srows = [tuple(r) for r in spark_df.collect()]
     cur = con.execute(sql)
@@ -68,11 +74,42 @@ def compare_query(spark_df, con, sql: str) -> list[str]:
         problems.append(f"rowcount spark={len(srows)} oracle={len(drows)}")
     if sorted(scols) != sorted(dcols):
         problems.append(f"cols spark={sorted(scols)} oracle={sorted(dcols)}")
+    first_diffs: list[tuple[str, str]] = []
     if not problems and fingerprint(scols, srows) != fingerprint(dcols, drows):
         order_s = sorted(range(len(scols)), key=lambda i: scols[i])
         order_d = sorted(range(len(dcols)), key=lambda i: dcols[i])
         ms = sorted(tuple(norm_cell(r[i]) for i in order_s) for r in srows)
         md = sorted(tuple(norm_cell(r[i]) for i in order_d) for r in drows)
-        diff = next((f"spark={a} oracle={b}" for a, b in zip(ms, md) if a != b), "")
+        first_diffs = [(str(a), str(b)) for a, b in zip(ms, md) if a != b][:10]
+        diff = f"spark={first_diffs[0][0]} oracle={first_diffs[0][1]}" if first_diffs else ""
         problems.append(f"value mismatch; first-diff {diff}")
+    if sidecar is not None:
+        _dump_compare_sidecar(sidecar, scols, srows, dcols, drows, problems, first_diffs)
     return problems
+
+
+def _dump_compare_sidecar(
+    name: str, scols, srows, dcols, drows, problems, first_diffs
+) -> None:
+    import json
+    import os
+
+    diag = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "DIAG")
+    try:
+        os.makedirs(diag, exist_ok=True)
+        with open(os.path.join(diag, f"compare_{name}.json"), "w") as f:
+            json.dump(
+                {
+                    "query": name,
+                    "spark_rows": len(srows),
+                    "oracle_rows": len(drows),
+                    "spark_fingerprint": fingerprint(scols, srows),
+                    "oracle_fingerprint": fingerprint(dcols, drows),
+                    "problems": problems,
+                    "first_diffs": first_diffs,
+                },
+                f,
+                indent=1,
+            )
+    except OSError:
+        pass  # diagnostics must never fail the comparison
