@@ -142,6 +142,51 @@ def profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("col_name")
 
 
+@REG.add(
+    "obs_ingest_metrics",
+    sql="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_purchases,
+           SUM(CAST(ROUND(value * 100) AS BIGINT)) AS value_cents,
+           CAST(MIN(user_id) AS BIGINT) AS min_user,
+           CAST(MAX(user_id) AS BIGINT) AS max_user
+    FROM events
+    """,
+)
+def obs_ingest_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest accounting via ``df.observe``: the metrics (row count,
+    purchase count, exact-cents total, key range) aggregate INSIDE the
+    write job itself — zero extra scans, which at 100 TB is the difference
+    between free accounting and doubling the ingest cost. The "write" here
+    is Spark's built-in noop sink (the action that drives the job); a real
+    deployment points the same frame at its parquet/lakehouse sink and
+    reads the identical metrics off the Observation. Oracle = the same
+    aggregates as a plain second-pass query."""
+    from pyspark.sql import Observation
+
+    ev = load_table(spark, sf_dir, "events")
+    obs = Observation("ingest_metrics")
+    observed = ev.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("n_purchases"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
+        F.min("user_id").alias("min_user"),
+        F.max("user_id").alias("max_user"),
+    )
+    observed.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    names = ("n_rows", "n_purchases", "value_cents", "min_user", "max_user")
+    return spark.createDataFrame(
+        [tuple(int(m[n]) for n in names)],
+        schema="n_rows long, n_purchases long, value_cents long, "
+        "min_user long, max_user long",
+    )
+
+
 def observed_write_metrics(
     df: DataFrame, metric_name: str = "write_metrics"
 ) -> tuple[DataFrame, "object"]:

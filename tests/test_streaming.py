@@ -90,6 +90,19 @@ def test_session_window_stream_matches_batch_islands(spark):
     assert stream_rows == batch_rows
 
 
+def test_normalize_events_ts_rejects_unknown_storage(spark):
+    """A future testdata generation storing ts as an unsupported type must
+    fail loudly at load, not silently coerce into shifted event times."""
+    import pytest
+    from pyspark.sql import types as T
+
+    from big_data_analytics_machine_learning_poc_spark.catalog import normalize_events_ts
+
+    df = load_table(spark, SF_DIR, "events")
+    with pytest.raises(TypeError, match="unsupported type"):
+        normalize_events_ts(df, T.StringType())
+
+
 def test_watermark_present_in_plan(spark):
     """Late-data handling is part of the operator contract: the streaming
     aggregation must carry an event-time watermark."""
