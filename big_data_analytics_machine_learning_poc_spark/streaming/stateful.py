@@ -56,7 +56,18 @@ def running_user_totals(spark: SparkSession, sf_dir: str, max_user: int = 100) -
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
-    return run_to_completion(updated, "update")
+    out = run_to_completion(updated, "update")
+    # Update-mode memory sink holds one row per (user, micro-batch). With the
+    # single-file testdata that is one row per user already, but a multi-file
+    # layout triggers several batches — keep the FINAL state per user: the
+    # event count strictly grows per update, so the struct-max row is the
+    # last one (cents ride along; works even if values were negative). This
+    # makes the operator's contract independent of the source file layout.
+    last = F.max(F.struct("n_events", "total_cents"))
+    return out.groupBy("user_id").agg(
+        last.getField("n_events").alias("n_events"),
+        last.getField("total_cents").alias("total_cents"),
+    )
 
 
 # ---------------------------------------------------------------------------

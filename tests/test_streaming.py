@@ -175,6 +175,62 @@ def test_transform_with_state_matches_apply_in_pandas(spark):
     assert a == b
 
 
+def test_stateful_totals_multi_batch_equals_batch(spark, tmp_path):
+    """applyInPandasWithState across REAL multiple micro-batches (3 files,
+    maxFilesPerTrigger=1): per-user state must accumulate across batches and
+    the final-state reduction must equal the batch aggregation — the
+    file-layout-independence contract of running_user_totals."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from big_data_analytics_machine_learning_poc_spark.streaming import stateful
+
+    ev = (
+        load_table(spark, SF_DIR, "events")
+        .filter(F.col("user_id") < 30)
+        .select("user_id", "value")
+    )
+    src = str(tmp_path / "ev")
+    ev.repartition(3).write.parquet(src)
+
+    raw = (
+        spark.readStream.schema("user_id long, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    updated = raw.groupBy("user_id").applyInPandasWithState(
+        stateful._update_user_totals,
+        outputStructType=stateful.OUTPUT_SCHEMA,
+        stateStructType=stateful.STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    out = sev.run_to_completion(updated, "update").collect()
+    n_users = ev.select("user_id").distinct().count()
+    assert len(out) > n_users  # several updates per user → truly multi-batch
+
+    updates = spark.createDataFrame(out)
+    last = F.max(F.struct("n_events", "total_cents"))
+    got = {
+        r.user_id: (r.n_events, r.total_cents)
+        for r in updates.groupBy("user_id")
+        .agg(
+            last.getField("n_events").alias("n_events"),
+            last.getField("total_cents").alias("total_cents"),
+        )
+        .collect()
+    }
+    want = {
+        r.user_id: (r.n, r.c)
+        for r in ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("c"),
+        )
+        .collect()
+    }
+    assert got == want
+
+
 def test_foreachbatch_incremental_state_equals_batch(spark, tmp_path):
     """Streamed micro-batches folded through merge_aggregate_state must
     reproduce the batch aggregate exactly — the streaming→incremental-state
