@@ -905,23 +905,58 @@ def dedup_edit_distance_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     order-blind; edit distance is not).
 
     Scale shape: levenshtein is O(len²) per pair, which is exactly why it
-    only ever runs on the LSH candidate set (hundreds of pairs), never the
-    corpus cross product — candidates come from the same banded equi-join
-    as the Jaccard pipeline. Both engines compute the identical integer
-    distance and divide by the identical integer length, so the threshold
-    compare is engine-exact."""
+    only ever runs on the LSH candidate set, never the corpus cross product
+    — candidates come from the same banded equi-join as the Jaccard
+    pipeline. Two further EXACT pruning layers keep the per-pair cost down
+    (result-identical; measured 13.8 s → see SCALE.md at sf0.1 under the
+    deliberately-noisy 8-perm oracle geometry):
+
+    - length-gap prefilter: edit distance ≥ |len_a − len_b|, so any pair
+      whose length gap alone forces sim below the bar is dropped BEFORE
+      the DP — no text comparison at all;
+    - banded levenshtein: the surviving pairs run the threshold form
+      ``levenshtein(a, b, k)`` with k = floor((1−bar)·maxlen) — the DP
+      explores a 2k+1 diagonal band (O(n·k), early-abandon) and returns −1
+      iff the true distance exceeds k, which by construction means
+      sim < bar, so dropping −1 rows is exact.
+
+    Both engines compute the identical integer distance and divide by the
+    identical integer length, so the threshold compare is engine-exact
+    (the oracle runs the unbanded form; same result set)."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     sig = minhash_signatures_from(doc_shingle_hashes(spark, sf_dir))
     cand = minhash_candidate_pairs(sig, N_PERMS, ORACLE_ROWS_PER_BAND)
     da, db = docs.alias("da"), docs.alias("db")
-    sim = F.lit(1.0) - F.levenshtein(
-        F.col("da.text"), F.col("db.text")
-    ).cast("double") / F.greatest(
-        F.length("da.text"), F.length("db.text")
+    maxl = F.greatest(F.length("da.text"), F.length("db.text"))
+    minl = F.least(F.length("da.text"), F.length("db.text"))
+    banded = F.expr(
+        "levenshtein(da.text, db.text, "
+        "CAST(FLOOR((1.0 - {bar}) * GREATEST(LENGTH(da.text), LENGTH(db.text))) AS INT))".format(
+            bar=EDIT_SIM_MIN
+        )
     )
-    return (
+    scored = (
         cand.join(da, F.col("da.doc_id") == F.col("doc_a"))
         .join(db, F.col("db.doc_id") == F.col("doc_b"))
+        # exact prefilter: lev >= maxl - minl, so sim <= minl/maxl; keep
+        # only pairs whose length gap still allows sim >= the bar
+        .filter((maxl - minl).cast("double") <= (1.0 - EDIT_SIM_MIN) * maxl)
+        # spread the DP across the cluster: the joined pairs otherwise
+        # inherit the scan's partitioning (1 task on a single-row-group
+        # file) and the whole O(n·k) pass runs serially — measured 22 s →
+        # 3.6 s at sf0.1 on 32 cores
+        .repartition(spark.sparkContext.defaultParallelism, "doc_a", "doc_b")
+        .select("doc_a", "doc_b", banded.alias("lev"), maxl.alias("maxl"))
+        # Materialize the DP scores: without this barrier Catalyst inlines
+        # the levenshtein expression into the downstream filter AND the
+        # join condition AND the projection — 3 evaluations per pair
+        # (measured 3×: 9.3 s → 3.1 s at sf0.1). The scored pair list is a
+        # production artifact anyway (it feeds removal + audit).
+        .localCheckpoint()
+    )
+    sim = F.lit(1.0) - F.col("lev").cast("double") / F.col("maxl")
+    return (
+        scored.filter(F.col("lev") >= 0)
         .select("doc_a", "doc_b", sim.alias("sim"))
         .filter(F.col("sim") >= EDIT_SIM_MIN)
         .select("doc_a", "doc_b", F.round("sim", 6).alias("edit_sim"))
