@@ -231,7 +231,11 @@ def corpus_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the count is partial+final agg on (lang, bigram), and the top-k window
     partitions by lang — quadratic nowhere, ordered only within groups."""
     docs = load_table(spark, sf_dir, "documents")
-    grams = docs.select("lang", F.explode(bigram_shingles()).alias("bigram"))
+    # tokenization staged behind a projection (bigram_shingles PERF note)
+    staged = docs.select("lang", tokens_col().alias("__toks"))
+    grams = staged.select(
+        "lang", F.explode(bigram_shingles(F.col("__toks"))).alias("bigram")
+    )
     counts = grams.groupBy("lang", "bigram").agg(F.count(F.lit(1)).alias("n"))
     w = ranked(F.col("n").desc(), "bigram", partition_by="lang")
     return counts.select(
@@ -271,7 +275,9 @@ def corpus_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct runs inside each row's array), then a tiny per-language agg;
     the per-doc flag is a deterministic ratio of ints so the threshold
     compare is engine-exact, and only AVG needs the ROUND(…,6) guard."""
-    toks, grams = tokens_col(), bigram_shingles()
+    # tokenization staged behind a projection (bigram_shingles PERF note);
+    # the repetition ratios then run pure array algebra on the staged column
+    toks, grams = F.col("__toks"), bigram_shingles(F.col("__toks"))
     n_tokens = F.size(toks)
     rep_token = F.lit(1.0) - F.size(F.array_distinct(toks)).cast("double") / F.nullif(
         n_tokens, F.lit(0)
@@ -279,8 +285,10 @@ def corpus_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     rep_bigram = F.lit(1.0) - F.size(F.array_distinct(grams)).cast("double") / F.nullif(
         F.size(grams), F.lit(0)
     )
-    m = load_table(spark, sf_dir, "documents").select(
-        "lang", rep_token.alias("rep_token"), rep_bigram.alias("rep_bigram")
+    m = (
+        load_table(spark, sf_dir, "documents")
+        .select("lang", tokens_col().alias("__toks"))
+        .select("lang", rep_token.alias("rep_token"), rep_bigram.alias("rep_bigram"))
     )
     return (
         m.groupBy("lang")

@@ -341,17 +341,19 @@ def scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w2 = Window.partitionBy("user_id").orderBy("valid_from")
     nxt = F.lead("valid_from").over(w2)
-    return (
-        intervals.select(
-            "user_id",
-            "event_type",
-            # emit NTZ: collect() localizes TimestampType to the Python
-            # process TZ, silently shifting wall-clocks on a non-UTC driver;
-            # NTZ round-trips as the UTC wall-clock DuckDB's naive ts holds
-            F.col("valid_from").cast("timestamp_ntz").alias("valid_from"),
-            nxt.cast("timestamp_ntz").alias("valid_to"),
-            F.when(nxt.isNull(), 1).otherwise(0).alias("is_current"),
-            "n_events",
-        )
-        .orderBy("user_id", "valid_from")
+    # No trailing global orderBy: the oracle compare is order-insensitive,
+    # and at scale a consumer wanting sorted history sorts WITHIN its write
+    # partitions (sortWithinPartitions(user_id, valid_from)) — a global sort
+    # of the whole history table is a needless range-shuffle stage (the SQL
+    # oracle keeps ORDER BY only for human readability).
+    return intervals.select(
+        "user_id",
+        "event_type",
+        # emit NTZ: collect() localizes TimestampType to the Python
+        # process TZ, silently shifting wall-clocks on a non-UTC driver;
+        # NTZ round-trips as the UTC wall-clock DuckDB's naive ts holds
+        F.col("valid_from").cast("timestamp_ntz").alias("valid_from"),
+        nxt.cast("timestamp_ntz").alias("valid_to"),
+        F.when(nxt.isNull(), 1).otherwise(0).alias("is_current"),
+        "n_events",
     )
