@@ -41,9 +41,14 @@ _KEEP_SQL = f"""(len({TOKENS_SQL}) BETWEEN {_MIN_TOKENS} AND {_MAX_TOKENS}
                      / NULLIF(len({TOKENS_SQL}), 0) < {_MAX_STOPWORD_RATIO})"""
 
 
-def _keep_col() -> F.Column:
-    n_tokens = F.size(tokens_col())
-    stop_ratio = _hits(STOPWORDS).cast("double") / F.nullif(n_tokens, F.lit(0))
+def _keep_col(toks: F.Column | None = None) -> F.Column:
+    """C4-style keep predicate. Pass a staged token column — inline
+    tokens_col() re-runs the split regex inside the stopword filter lambda
+    per element (dedup.bigram_shingles PERF note)."""
+    if toks is None:
+        toks = tokens_col()
+    n_tokens = F.size(toks)
+    stop_ratio = _hits(STOPWORDS, toks).cast("double") / F.nullif(n_tokens, F.lit(0))
     return n_tokens.between(_MIN_TOKENS, _MAX_TOKENS) & (
         stop_ratio < F.lit(_MAX_STOPWORD_RATIO)
     )
@@ -66,8 +71,10 @@ def corpus_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     (length bounds + stopword-density cap). Scale shape: one codegen'd map
     pass + one groupBy on a tiny key domain — the filter itself never
     shuffles documents, only per-language counters."""
-    docs = load_table(spark, sf_dir, "documents")
-    kept = F.sum(F.when(_keep_col(), 1).otherwise(0))
+    docs = load_table(spark, sf_dir, "documents").select(
+        "lang", tokens_col().alias("__toks")  # staged (PERF note)
+    )
+    kept = F.sum(F.when(_keep_col(F.col("__toks")), 1).otherwise(0))
     return (
         docs.groupBy("lang")
         .agg(
@@ -427,9 +434,11 @@ def corpus_e2e_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
     )
-    survivors = docs.join(removed, "doc_id", "left_anti")
-    kept = survivors.filter(_keep_col()).select(
-        "text", F.size(tokens_col()).cast("long").alias("n_tokens")
+    survivors = docs.join(removed, "doc_id", "left_anti").select(
+        "text", tokens_col().alias("__toks")  # staged (PERF note)
+    )
+    kept = survivors.filter(_keep_col(F.col("__toks"))).select(
+        "text", F.size("__toks").cast("long").alias("n_tokens")
     )
     bucket = md5_hash32(F.col("text")) % 100
     split = F.when(bucket < 80, "train").when(bucket < 90, "valid").otherwise("test")

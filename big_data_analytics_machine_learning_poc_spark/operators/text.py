@@ -45,9 +45,13 @@ LANG_LEXICONS: dict[str, tuple[str, ...]] = {
 STOPWORDS: tuple[str, ...] = ("the", "a", "of", "and", "to", "is", "in", "it")
 
 
-def _hits(lex: tuple[str, ...]) -> Column:
-    lex_lits = [F.lit(w) for w in lex]
-    return F.size(F.filter(tokens_col(), lambda t: t.isin(*lex)))
+def _hits(lex: tuple[str, ...], toks: Column | None = None) -> Column:
+    """Lexicon hit count. Pass a staged token column where possible — an
+    inline tokens_col() re-evaluates the split regex inside the filter
+    lambda per element (see dedup.bigram_shingles PERF note)."""
+    if toks is None:
+        toks = tokens_col()
+    return F.size(F.filter(toks, lambda t: t.isin(*lex)))
 
 
 def _hits_sql(lex: tuple[str, ...]) -> str:
@@ -112,18 +116,23 @@ def text_token_count_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic quality scoring: length bounds, mean token length, stopword
     density — the standard pre-training corpus filters."""
-    n_tokens = F.size(tokens_col())
+    toks = F.col("__toks")  # staged (bigram_shingles PERF note)
+    n_tokens = F.size(toks)
     tok_len_sum = F.aggregate(
-        F.transform(tokens_col(), F.length), F.lit(0), lambda acc, x: acc + x
+        F.transform(toks, F.length), F.lit(0), lambda acc, x: acc + x
     )
-    stop_ratio = _hits(STOPWORDS).cast("double") / F.nullif(n_tokens, F.lit(0))
-    return load_table(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.length("text").cast("long").alias("n_chars"),
-        n_tokens.cast("long").alias("n_tokens"),
-        F.round(tok_len_sum.cast("double") / F.nullif(n_tokens, F.lit(0)), 6).alias("avg_token_len"),
-        F.round(stop_ratio, 6).alias("stopword_ratio"),
-        F.when(n_tokens.between(5, 500) & (stop_ratio < 0.6), 1).otherwise(0).alias("quality_flag"),
+    stop_ratio = _hits(STOPWORDS, toks).cast("double") / F.nullif(n_tokens, F.lit(0))
+    return (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text", tokens_col().alias("__toks"))
+        .select(
+            "doc_id",
+            F.length("text").cast("long").alias("n_chars"),
+            n_tokens.cast("long").alias("n_tokens"),
+            F.round(tok_len_sum.cast("double") / F.nullif(n_tokens, F.lit(0)), 6).alias("avg_token_len"),
+            F.round(stop_ratio, 6).alias("stopword_ratio"),
+            F.when(n_tokens.between(5, 500) & (stop_ratio < 0.6), 1).otherwise(0).alias("quality_flag"),
+        )
     )
 
 
@@ -147,7 +156,21 @@ def _langid_sql() -> str:
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic language heuristic: CJK codepoint check, then function-
     word hit counts with a fixed tie-break order (en > fr > es > de)."""
-    h = {lang: _hits(lex) for lang, lex in LANG_LEXICONS.items()}
+    # two staged projections: tokens once, then each lexicon hit count once —
+    # the when-chain references every count up to 4 times, and inline they
+    # would each re-run the tokenizing filter (bigram_shingles PERF note)
+    staged = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", tokens_col().alias("__toks")
+    )
+    counted = staged.select(
+        "doc_id",
+        "text",
+        *[
+            _hits(lex, F.col("__toks")).alias(f"__h_{lang}")
+            for lang, lex in LANG_LEXICONS.items()
+        ],
+    )
+    h = {lang: F.col(f"__h_{lang}") for lang in LANG_LEXICONS}
     pred = (
         F.when(F.col("text").rlike("[一-鿿]"), "zh")
         .when((h["en"] == 0) & (h["fr"] == 0) & (h["es"] == 0) & (h["de"] == 0), "unknown")
@@ -156,7 +179,7 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(h["es"] >= h["de"], "es")
         .otherwise("de")
     )
-    return load_table(spark, sf_dir, "documents").select("doc_id", pred.alias("predicted_lang"))
+    return counted.select("doc_id", pred.alias("predicted_lang"))
 
 
 _NORMALIZED_SQL = md5_hash60_sql(r"regexp_replace(trim(text), '\s+', ' ', 'g')")
