@@ -649,15 +649,13 @@ def _verified_cte_sql() -> str:
     """_cand_cte_sql() extended through the exact-Jaccard verifier: adds
     sh0/sizes/inter and a ``verified(doc_a, doc_b)`` CTE (J ≥ 0.5)."""
     return f"""{_cand_cte_sql()},
-    sh0 AS (
-      SELECT DISTINCT doc_id, unnest({_BIGRAMS_SQL}) AS shingle FROM documents
-    ), sizes AS (
-      SELECT doc_id, COUNT(*) AS n FROM sh0 GROUP BY doc_id
+    sizes AS (
+      SELECT doc_id, COUNT(*) AS n FROM th GROUP BY doc_id
     ), inter AS (
       SELECT cand.doc_a, cand.doc_b, COUNT(*) AS ni
       FROM cand
-      JOIN sh0 a ON a.doc_id = cand.doc_a
-      JOIN sh0 b ON b.doc_id = cand.doc_b AND b.shingle = a.shingle
+      JOIN th a ON a.doc_id = cand.doc_a
+      JOIN th b ON b.doc_id = cand.doc_b AND b.h = a.h
       GROUP BY cand.doc_a, cand.doc_b
     ), verified AS (
       SELECT doc_a, doc_b
@@ -674,17 +672,19 @@ def verified_near_dup_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline/connected-components queries consume. Candidates come from
     SHINGLE-minhash signatures so candidacy estimates the verifier's own
     measure (see _SHINGLE_HASH_CTE)."""
-    docs = load_table(spark, sf_dir, "documents")
-    sig = minhash_signatures_from(doc_shingle_hashes(spark, sf_dir))
+    sh0 = doc_shingle_hashes(spark, sf_dir)
+    sig = minhash_signatures_from(sh0)
     cand = minhash_candidate_pairs(sig, N_PERMS, ORACLE_ROWS_PER_BAND)
-    sh0 = doc_shingles(docs, "doc_id").distinct()
+    # verify over the 32-bit shingle HASHES, not the strings: 8-byte join
+    # keys and long==long comparisons; md5 is identical in both engines so
+    # any (vanishingly rare) collision affects Spark and the oracle alike
     sizes = sh0.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a, b = sh0.alias("a"), sh0.alias("b")
     inter = (
         cand.join(a, F.col("a.doc_id") == F.col("doc_a"))
         .join(
             b,
-            (F.col("b.doc_id") == F.col("doc_b")) & (F.col("b.shingle") == F.col("a.shingle")),
+            (F.col("b.doc_id") == F.col("doc_b")) & (F.col("b.h") == F.col("a.h")),
         )
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("ni"))
@@ -779,15 +779,13 @@ def connected_components(edges: DataFrame) -> DataFrame:
     "dedup_pipeline_survivors",
     sql=f"""
     {_cand_cte_sql()},
-    sh0 AS (
-      SELECT DISTINCT doc_id, unnest({_BIGRAMS_SQL}) AS shingle FROM documents
-    ), sizes AS (
-      SELECT doc_id, COUNT(*) AS n FROM sh0 GROUP BY doc_id
+    sizes AS (
+      SELECT doc_id, COUNT(*) AS n FROM th GROUP BY doc_id
     ), inter AS (
       SELECT cand.doc_a, cand.doc_b, COUNT(*) AS ni
       FROM cand
-      JOIN sh0 a ON a.doc_id = cand.doc_a
-      JOIN sh0 b ON b.doc_id = cand.doc_b AND b.shingle = a.shingle
+      JOIN th a ON a.doc_id = cand.doc_a
+      JOIN th b ON b.doc_id = cand.doc_b AND b.h = a.h
       GROUP BY cand.doc_a, cand.doc_b
     ), flags AS (
       SELECT cand.doc_b,
@@ -826,17 +824,18 @@ def dedup_pipeline_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the candidate DAG is computed once, not once per count.
     """
     docs = load_table(spark, sf_dir, "documents")
-    sig = minhash_signatures_from(doc_shingle_hashes(spark, sf_dir))
+    sh0 = doc_shingle_hashes(spark, sf_dir)
+    sig = minhash_signatures_from(sh0)
     cand = minhash_candidate_pairs(sig, N_PERMS, ORACLE_ROWS_PER_BAND)
 
-    sh0 = doc_shingles(docs, "doc_id").distinct()
+    # hash-based verify join — see verified_near_dup_edges
     sizes = sh0.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a, b = sh0.alias("a"), sh0.alias("b")
     inter = (
         cand.join(a, F.col("a.doc_id") == F.col("doc_a"))
         .join(
             b,
-            (F.col("b.doc_id") == F.col("doc_b")) & (F.col("b.shingle") == F.col("a.shingle")),
+            (F.col("b.doc_id") == F.col("doc_b")) & (F.col("b.h") == F.col("a.h")),
         )
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("ni"))
