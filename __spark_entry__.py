@@ -35,11 +35,11 @@ from big_data_analytics_machine_learning_poc_spark.registry import QueryRegistry
 # data-quality/profiling, and the two hardest adapted TPC-H shapes
 # (q2 correlated-MIN, q21 double-EXISTS) as plan-audit representatives.
 #
-# ROUND-4 ROTATION PLAN: the remaining 24 never-checked queries — the other
+# ROUND-4 ROTATION PLAN: the remaining never-checked queries — the other
 # 17 adapted TPC-H (tpch_q4/q5/q7-q10/q12-q20/q22 minus the two above),
-# text_token_count, text_token_count_regex, corpus_split extras, and the 4
-# rows-only ml_reference_* end-to-ends — rotate in next; all pass
-# tools/compare.py locally today.
+# text_token_count, text_token_count_regex, obs_ingest_metrics (added r3),
+# and the 4 rows-only ml_reference_* end-to-ends — rotate in next; all
+# pass tools/compare.py locally today.
 _DRIVER_WINDOW = (
     # round-2 red rows, fixed this round (streaming MICROS schema + UTC pin
     # + half-away cents rounding) — listed first so the driver re-checks them
