@@ -67,12 +67,14 @@ def get_session(
                 "SPARK_GRAFT_WAREHOUSE", "/tmp/spark_graft_warehouse"
             ),
         )
-        # events.parquet stores TIMESTAMP(NANOS), which Spark 4 rejects as a
-        # timestamp type; read as raw nanos once, engine-wide (batch + stream).
+        # some testdata generations store events.ts as TIMESTAMP(NANOS),
+        # which Spark 4 rejects unless read as raw longs; harmless for the
+        # MICROS generations (catalog.normalize_events_ts branches on the
+        # probed footer type). Set once, engine-wide (batch + stream).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     spark = builder.getOrCreate()
-    ensure_nanos_as_long(spark)  # getOrCreate may reuse a pre-existing session
+    ensure_session_defaults(spark)  # getOrCreate may reuse a pre-existing session
     spark.sparkContext.setLogLevel("ERROR")  # mirrors reference log suppression
     return spark
 
