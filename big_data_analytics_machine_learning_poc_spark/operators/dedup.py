@@ -586,38 +586,113 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MLLIB_LSH_BANDS = 8
+_MLLIB_LSH_ROWS = 2  # numHashTables = bands × rows = 16
+
+
 @REG.add("dedup_mllib_minhash_lsh")  # rows-only: MLlib's minhash coefficients
 # are seeded internally — not reproducible in SQL; semantics tested in
-# tests/test_text_dedup.py on planted near-dups
+# tests/test_text_dedup.py on planted near-dups + md5-lane parity
 def dedup_mllib_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The MLlib-native fuzzy-dedup path (SURVEY §4: MinHashLSH +
-    approxSimilarityJoin are public DataFrame-native API): token-set →
-    binary HashingTF vector → MinHashLSH → self-similarity-join on Jaccard
-    distance ≤ 0.5. Complements the md5-based implementation above (which
-    exists for cross-engine oracle checkability); this one rides MLlib's
-    banding and is the drop-in at scale."""
-    from pyspark.ml.feature import HashingTF, MinHashLSH, Tokenizer
+    """The MLlib-native fuzzy-dedup path (SURVEY §4: MinHashLSH is public
+    DataFrame-native API): bigram shingles → binary HashingTF vector →
+    MinHashLSH signatures → AND-banded candidate equi-join → exact
+    shingle-set Jaccard verify at distance ≤ 0.5.
+
+    Two deliberate departures from the naive
+    ``model.approxSimilarityJoin(tf, tf, d)`` one-liner, both scale-driven
+    (measured at sf0.1, 5 000 docs, local[32]):
+
+    - **Shingles, not unigrams.** Unigram-set similarity is degenerate on
+      template-generated corpora — 31% of ALL pairs exceed J ≥ 0.75
+      (3.87 M "near-dup" pairs here), so any unigram config is quadratic in
+      its own OUTPUT. Bigram shingles match the engine-wide near-dup
+      measure (see bigram_shingles): 256 true pairs on the same corpus.
+    - **AND-banding over the signature array, not approxSimilarityJoin.**
+      MLlib's join is OR-of-k single-hash tables: P(candidate) = 1-(1-J)^k,
+      ~5·J for small J — 1.5 M candidates for those 256 pairs (0.017%
+      precision), each carried as a full-row struct through a distinct and
+      a per-pair vector-UDF distance: ~30 s. Grouping the same 16 MLlib
+      hash values into 8 bands × 2 rows (P = 1-(1-J²)^8: 0.90 at the
+      J = 0.5 bar, 2% at J = 0.05) cuts candidates to ~108 k, and the
+      exact-Jaccard verify runs on 8-byte shingle-hash keys
+      (doc_shingle_hashes) instead of 2^18-dim sparse vectors: ~3 s, same
+      256 result pairs. The banded join shuffles on an 8-byte
+      (band, xxhash64-key) — the shape that survives 100 TB.
+    """
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+    from pyspark.ml.functions import vector_to_array
+
+    from .text import tokens_col
 
     docs = load_table(spark, sf_dir, "documents")
-    toks = Tokenizer(inputCol="text", outputCol="tokens").transform(docs)
+    staged = docs.select("doc_id", tokens_col().alias("__toks"))
+    sh = staged.select("doc_id", bigram_shingles(F.col("__toks")).alias("shingles"))
     # binary=True → set semantics (presence, not counts), matching Jaccard
-    tf = HashingTF(
-        inputCol="tokens", outputCol="features", numFeatures=1 << 14, binary=True
-    ).transform(toks)
-    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=5, seed=42)
-    model = lsh.fit(tf)
-    # distance ≤ 0.25 (J ≥ 0.75): a real near-dup bar. The synthetic corpus is
-    # template-generated, so a loose 0.5 bar matches ~70% of ALL pairs —
-    # quadratic output masquerading as dedup; tight thresholds keep the
-    # emitted pair set (and the driver's check) proportional to true dups.
-    pairs = model.approxSimilarityJoin(tf, tf, 0.25, distCol="jaccard_dist")
-    return (
-        pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
-        .select(
-            F.col("datasetA.doc_id").alias("doc_a"),
-            F.col("datasetB.doc_id").alias("doc_b"),
-            F.round(F.col("jaccard_dist"), 6).alias("jaccard_dist"),
+    tf = (
+        HashingTF(
+            inputCol="shingles", outputCol="features", numFeatures=1 << 18, binary=True
         )
+        .transform(sh)
+        .select("doc_id", "features")  # slim before the wide stages
+    )
+    n_tables = _MLLIB_LSH_BANDS * _MLLIB_LSH_ROWS
+    model = MinHashLSH(
+        inputCol="features", outputCol="hashes", numHashTables=n_tables, seed=42
+    ).fit(tf)
+    # hashes = array of n_tables 1-dim vectors; flatten to array<long> once
+    sigs = model.transform(tf).select(
+        "doc_id",
+        F.transform("hashes", lambda v: vector_to_array(v)[0].cast("long")).alias("hv"),
+    )
+    # ONE posexplode pass, not a per-band union: the subtree below here is
+    # map-only (no exchange for ReuseExchange to dedup), so an 8-way union
+    # would re-run tokenize→HashingTF→minhash once per band
+    band_keys = F.array(
+        *[
+            F.xxhash64(
+                *[
+                    F.col("hv")[_MLLIB_LSH_ROWS * bi + r]
+                    for r in range(_MLLIB_LSH_ROWS)
+                ],
+                F.lit(bi),
+            )
+            for bi in range(_MLLIB_LSH_BANDS)
+        ]
+    )
+    bands = sigs.select("doc_id", F.posexplode(band_keys).alias("band", "bkey"))
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    # exact shingle-set Jaccard verify, candidates only (same machinery as
+    # verified_near_dup_edges; reports distance like MLlib's keyDistance)
+    sh0 = doc_shingle_hashes(spark, sf_dir)
+    sizes = sh0.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    ta, tb = sh0.alias("ta"), sh0.alias("tb")
+    inter = (
+        cand.join(ta, F.col("ta.doc_id") == F.col("doc_a"))
+        .join(
+            tb,
+            (F.col("tb.doc_id") == F.col("doc_b")) & (F.col("tb.h") == F.col("ta.h")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("ni"))
+    )
+    na, nb = sizes.alias("na"), sizes.alias("nb")
+    dist = 1 - F.col("ni").cast("double") / (F.col("na.n") + F.col("nb.n") - F.col("ni"))
+    return (
+        inter.join(na, F.col("na.doc_id") == F.col("doc_a"))
+        .join(nb, F.col("nb.doc_id") == F.col("doc_b"))
+        .filter(dist <= 0.5)
+        .select("doc_a", "doc_b", F.round(dist, 6).alias("jaccard_dist"))
     )
 
 

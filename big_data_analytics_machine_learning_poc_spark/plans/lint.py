@@ -82,10 +82,6 @@ ALLOWED: dict[str, dict[str, str]] = {
     # baseline; the scale path is ann_bucket_cosine's equi-join.
     "knn_brute_cosine": {"nested_loop": "broadcast 1-row query vector"},
     "knn_multi_query": {"nested_loop": "broadcast 3-row query batch"},
-    "dedup_mllib_minhash_lsh": {
-        "nested_loop": "MLlib approxSimilarityJoin internal explode-join on "
-        "a 40-row bounded id slice (oracle-side demo config)"
-    },
     "ann_ivf_cosine": {
         "nested_loop": "broadcast 1-row query vector against nprobe-pruned "
         "cluster subset"

@@ -229,6 +229,56 @@ def test_mllib_minhash_lsh_finds_planted_dups(spark, dup_corpus):
     assert all(p[1] != 3 or p[0] == 3 for p in found if 3 in p) or (3 not in {x for p in found for x in p})
 
 
+def test_mllib_lane_agrees_with_brute_shingle_jaccard(spark):
+    """The registered MLlib lane (MinHashLSH signatures → AND-banded
+    candidates → exact verify) against a brute-force all-pairs exact
+    shingle-Jaccard at sf0.001 (50 docs, 1 225 pairs):
+
+    - precision is exact: every emitted pair must appear in the brute
+      J ≥ 0.5 set with the identical distance (the verify stage computes
+      the same measure, so a mismatch = broken banding/verify wiring);
+    - recall at high similarity: every brute pair with J ≥ 0.8 must be
+      emitted (P[miss one 2-row band] = 1-J² ≤ 0.36 per band,
+      ^8 ≤ 0.03% — a miss here means signatures or band keys regressed).
+    """
+    brute_rows = (
+        dedup.doc_shingle_hashes(spark, SF_DIR)
+        .alias("a")
+        .join(
+            dedup.doc_shingle_hashes(spark, SF_DIR).alias("b"),
+            F.col("a.doc_id") < F.col("b.doc_id"),
+        )
+        .filter(F.col("a.h") == F.col("b.h"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("ni"))
+        .collect()
+    )
+    sizes = {
+        r.doc_id: r.n
+        for r in dedup.doc_shingle_hashes(spark, SF_DIR)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    brute = {}
+    for r in brute_rows:
+        j = r.ni / (sizes[r.doc_a] + sizes[r.doc_b] - r.ni)
+        if j >= 0.5:
+            brute[(r.doc_a, r.doc_b)] = round(1 - j, 6)
+
+    emitted = {
+        (r.doc_a, r.doc_b): r.jaccard_dist
+        for r in dedup.dedup_mllib_minhash_lsh(spark, SF_DIR).collect()
+    }
+    assert set(emitted) <= set(brute), "emitted pair not in brute J>=0.5 set"
+    for pair, d in emitted.items():
+        assert abs(d - brute[pair]) < 1e-6, f"distance mismatch at {pair}"
+    high = {p for p, d in brute.items() if d <= 0.2}  # J >= 0.8
+    assert high <= set(emitted), f"missed high-similarity pairs: {high - set(emitted)}"
+
+
 def test_rolling_hash_matches_hand_computation(spark):
     """Guard against agree-on-wrong-formula: compare to an independent
     python implementation of h = Σ c·31^i mod M31."""
