@@ -559,10 +559,15 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             for t, (start, nd) in enumerate(_EMB_TABLES)
         ],
     )
-    tables = None
-    for t in range(len(_EMB_TABLES)):
-        part = bucketed.select(F.lit(t).alias("tbl"), F.col(f"bk{t}").alias("bk"), "vec_id")
-        tables = part if tables is None else tables.unionByName(part)
+    # ONE posexplode pass, not a per-table union: the subtree below is a
+    # map-only embeddings scan (no exchange for ReuseExchange to dedup), so
+    # a union would re-scan the corpus once per hash table at 100 TB
+    tables = bucketed.select(
+        "vec_id",
+        F.posexplode(
+            F.array(*[F.col(f"bk{t}") for t in range(len(_EMB_TABLES))])
+        ).alias("tbl", "bk"),
+    )
     a, b = tables.alias("a"), tables.alias("b")
     cand = (
         a.join(
