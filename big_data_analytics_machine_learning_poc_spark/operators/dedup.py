@@ -267,14 +267,23 @@ def minhash_candidate_pairs(
     """LSH banding over a signature frame → distinct candidate (doc_a, doc_b).
     The band key is an md5-derived 32-bit hash of the band's minhash values,
     so the self-join shuffles on an 8-byte (band, bkey) key regardless of band
-    width — the shape that holds at 128 perms on a 100 TB corpus."""
-    bands = None
-    for bi, sl in enumerate(_band_slices(n_perms, rows_per_band)):
-        key = md5_hash32(
-            F.concat_ws(",", *[F.col(f"mh{i}").cast("string") for i in sl])
-        )
-        b = sig.select("doc_id", F.lit(bi).alias("band"), key.alias("bkey"))
-        bands = b if bands is None else bands.unionByName(b)
+    width — the shape that holds at 128 perms on a 100 TB corpus.
+
+    The bands are emitted by ONE posexplode over an array of per-band keys,
+    not a per-band union: a union of N map-only branches has no exchange for
+    ReuseExchange to dedup, so Catalyst re-planned the signature subtree —
+    scan included — once per band per join side (measured at sf0.1: 66 scans
+    of documents.parquet in the 32-band production plan and 12.5 s fresh vs
+    4 scans / 5.9 s with posexplode; the remaining scans are the self-join's
+    two sides plus the signature-verify joins — at warehouse scale the
+    signature frame would be checkpointed once instead)."""
+    keys = F.array(
+        *[
+            md5_hash32(F.concat_ws(",", *[F.col(f"mh{i}").cast("string") for i in sl]))
+            for sl in _band_slices(n_perms, rows_per_band)
+        ]
+    )
+    bands = sig.select("doc_id", F.posexplode(keys).alias("band", "bkey"))
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(
