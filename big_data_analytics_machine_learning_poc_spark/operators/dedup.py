@@ -833,9 +833,17 @@ def connected_components(edges: DataFrame) -> DataFrame:
     """Min-label propagation over an undirected edge list (doc_a, doc_b) →
     (doc_id, component) where component = min doc_id in the node's component.
     See dedup_connected_components for the scale argument."""
+    # symmetrize with one explode pass (a unionByName of two selects over
+    # `edges` would evaluate the whole upstream verify pipeline twice —
+    # ReuseExchange does not dedup map-only union branches)
     sym = edges.select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-    ).unionByName(edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        F.explode(
+            F.array(
+                F.struct(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")),
+                F.struct(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
     sym = sym.localCheckpoint()  # computed once; reused every round
     labels = (
         sym.select(F.col("src").alias("doc")).distinct().withColumn("lab", F.col("doc"))
