@@ -59,8 +59,9 @@ def _keep_col(toks: F.Column | None = None) -> F.Column:
     sql=f"""
     SELECT lang,
            COUNT(*) AS n_docs,
-           SUM(CASE WHEN {_KEEP_SQL} THEN 1 ELSE 0 END) AS n_kept,
-           COUNT(*) - SUM(CASE WHEN {_KEEP_SQL} THEN 1 ELSE 0 END) AS n_dropped,
+           CAST(SUM(CASE WHEN {_KEEP_SQL} THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(COUNT(*) - SUM(CASE WHEN {_KEEP_SQL} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dropped,
            ROUND(CAST(SUM(CASE WHEN {_KEEP_SQL} THEN 1 ELSE 0 END) AS DOUBLE)
                  / COUNT(*), 6) AS kept_ratio
     FROM documents GROUP BY lang ORDER BY lang
@@ -103,7 +104,8 @@ _SEQ_TOKENS = 256
                         / {_SEQ_TOKENS}.0) AS BIGINT) AS seq_id
       FROM toks
     )
-    SELECT lang, seq_id, COUNT(*) AS n_docs, SUM(n_tokens) AS n_tokens
+    SELECT lang, seq_id, COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
     FROM packed GROUP BY lang, seq_id
     """,
 )
@@ -188,7 +190,8 @@ _MIX_HIGH_INLIST = ", ".join(f"'{s}'" for s in _MIX_HIGH)
                   THEN 1 ELSE 0 END AS kept
       FROM documents
     )
-    SELECT source, COUNT(*) AS n_docs, SUM(kept) AS n_sampled,
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(kept) AS BIGINT) AS n_sampled,
            ROUND(CAST(SUM(kept) AS DOUBLE) / COUNT(*), 6) AS sampled_ratio
     FROM flagged GROUP BY source
     """,
@@ -267,7 +270,8 @@ def corpus_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM r
     )
     SELECT lang, COUNT(*) AS n_docs,
-           SUM(CASE WHEN rep_token > 0.5 THEN 1 ELSE 0 END) AS n_flagged,
+           CAST(SUM(CASE WHEN rep_token > 0.5 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_flagged,
            ROUND(AVG(rep_token), 6) AS avg_rep_token,
            ROUND(AVG(rep_bigram), 6) AS avg_rep_bigram
     FROM m GROUP BY lang ORDER BY lang
@@ -338,8 +342,8 @@ _SPLIT_SQL = f"""CASE WHEN {md5_hash32_sql("text")} % 100 < 80 THEN 'train'
       GROUP BY t.doc_id
     )
     SELECT lang, COUNT(*) AS n_test_docs,
-           SUM(CASE WHEN CAST(n_hit AS DOUBLE) / n_sh >= {_CONTAM_OVERLAP}
-                    THEN 1 ELSE 0 END) AS n_contaminated,
+           CAST(SUM(CASE WHEN CAST(n_hit AS DOUBLE) / n_sh >= {_CONTAM_OVERLAP}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
            ROUND(AVG(CAST(n_hit AS DOUBLE) / n_sh), 6) AS avg_overlap
     FROM per_doc JOIN sp USING (doc_id)
     GROUP BY lang ORDER BY lang
@@ -411,7 +415,8 @@ def _e2e_sql() -> str:
              n_tokens
       FROM kept
     )
-    SELECT split, COUNT(*) AS n_docs, SUM(n_tokens) AS n_tokens
+    SELECT split, COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
     FROM assigned GROUP BY split
     """
 

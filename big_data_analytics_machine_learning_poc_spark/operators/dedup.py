@@ -894,7 +894,8 @@ def connected_components(edges: DataFrame) -> DataFrame:
       LEFT JOIN sizes nb ON nb.doc_id = cand.doc_b
     ), agg AS (
       SELECT COUNT(*) AS n_candidates,
-             COALESCE(SUM(CASE WHEN verified THEN 1 ELSE 0 END), 0) AS n_verified_pairs,
+             CAST(COALESCE(SUM(CASE WHEN verified THEN 1 ELSE 0 END), 0)
+                  AS BIGINT) AS n_verified_pairs,
              COUNT(DISTINCT CASE WHEN verified THEN doc_b END) AS n_removed
       FROM flags
     )

@@ -148,7 +148,7 @@ def profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
            CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_purchases,
-           SUM(CAST(ROUND(value * 100) AS BIGINT)) AS value_cents,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents,
            CAST(MIN(user_id) AS BIGINT) AS min_user,
            CAST(MAX(user_id) AS BIGINT) AS max_user
     FROM events

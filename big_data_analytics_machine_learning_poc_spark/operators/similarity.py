@@ -259,7 +259,7 @@ def array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT label, COUNT(*) AS n_vecs,
            ROUND(AVG(cos), 6) AS avg_cos,
-           SUM(CASE WHEN cos < 0 THEN 1 ELSE 0 END) AS n_outliers
+           CAST(SUM(CASE WHEN cos < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
     FROM scored GROUP BY label ORDER BY label
     """,
 )

@@ -44,7 +44,8 @@ def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
       UNION ALL
       SELECT CAST((FLOOR(EPOCH(ts) / 300) - 1) * 300 AS BIGINT) AS window_start_epoch, vc FROM cents
     )
-    SELECT window_start_epoch, COUNT(*) AS n, SUM(vc) AS value_cents
+    SELECT window_start_epoch, COUNT(*) AS n,
+           CAST(SUM(vc) AS BIGINT) AS value_cents
     FROM two GROUP BY 1
     """,
 )
@@ -99,8 +100,9 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM ordered
     ), sessions AS (
       SELECT user_id, event_id, es,
-             SUM(new_session) OVER (PARTITION BY user_id ORDER BY event_id
-                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+             CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY event_id
+                                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS session_id
       FROM flagged
     )
     SELECT user_id, session_id, COUNT(*) AS n_events,
@@ -139,7 +141,7 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream_stateful_user_totals",
     sql="""
     SELECT user_id, COUNT(*) AS n_events,
-           SUM(CAST(ROUND(value * 100) AS BIGINT)) AS total_cents
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
     FROM events WHERE user_id < 100
     GROUP BY user_id
     """,

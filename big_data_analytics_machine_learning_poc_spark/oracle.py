@@ -4,6 +4,25 @@ Mirrors the driver's gate: run the Spark query and the oracle SQL over the
 same parquet, compare row count + column names + an order-insensitive value
 fingerprint. Used by tools/compare.py and the pytest suite so every operator
 is differential-tested locally before the driver ever sees it.
+
+ORACLE-AUTHORING RULES (learned the hard way — see VERDICT r3 "What's
+wrong" #1):
+
+1. **Never let an integer SUM escape uncast.** DuckDB widens
+   ``SUM(INTEGER/BIGINT)`` — including window SUMs — to ``HUGEINT``
+   (int128). Python ``fetchall()`` collapses HUGEINT to plain ``int`` so
+   the difference is invisible locally, but the DRIVER's hasher normalizes
+   int128 differently from Spark's int64 and the row goes hash-red with
+   rows+schema green. Always ``CAST(SUM(...) AS BIGINT)`` when the SUM is
+   an output column (11 driver reds in r3 were exactly this).
+   ``tests/test_oracle_types.py`` DESCRIBEs every registered oracle and
+   fails on any HUGEINT/UHUGEINT output column, so the mistake can't ship.
+2. Alias every aggregate/computed column identically on both sides — the
+   comparator sorts columns by NAME before hashing.
+3. Floats: round to a fixed precision (``ROUND(x, 6)``) or compare in
+   integer units (cents) — never raw float arithmetic across engines.
+4. Timestamps: compare as epoch integers (``EPOCH()`` / ``CAST AS
+   DOUBLE``), sessions pinned to UTC on both sides.
 """
 
 from __future__ import annotations
@@ -74,8 +93,10 @@ def compare_query(spark_df, con, sql: str, sidecar: str | None = None) -> list[s
         problems.append(f"rowcount spark={len(srows)} oracle={len(drows)}")
     if sorted(scols) != sorted(dcols):
         problems.append(f"cols spark={sorted(scols)} oracle={sorted(dcols)}")
+    sfp = fingerprint(scols, srows)
+    dfp = fingerprint(dcols, drows)
     first_diffs: list[tuple[str, str]] = []
-    if not problems and fingerprint(scols, srows) != fingerprint(dcols, drows):
+    if not problems and sfp != dfp:
         order_s = sorted(range(len(scols)), key=lambda i: scols[i])
         order_d = sorted(range(len(dcols)), key=lambda i: dcols[i])
         ms = sorted(tuple(norm_cell(r[i]) for i in order_s) for r in srows)
@@ -84,12 +105,20 @@ def compare_query(spark_df, con, sql: str, sidecar: str | None = None) -> list[s
         diff = f"spark={first_diffs[0][0]} oracle={first_diffs[0][1]}" if first_diffs else ""
         problems.append(f"value mismatch; first-diff {diff}")
     if sidecar is not None:
-        _dump_compare_sidecar(sidecar, scols, srows, dcols, drows, problems, first_diffs)
+        _dump_compare_sidecar(
+            sidecar, sfp, dfp, len(srows), len(drows), problems, first_diffs
+        )
     return problems
 
 
 def _dump_compare_sidecar(
-    name: str, scols, srows, dcols, drows, problems, first_diffs
+    name: str,
+    spark_fp: str,
+    oracle_fp: str,
+    n_spark: int,
+    n_oracle: int,
+    problems,
+    first_diffs,
 ) -> None:
     import json
     import os
@@ -101,10 +130,10 @@ def _dump_compare_sidecar(
             json.dump(
                 {
                     "query": name,
-                    "spark_rows": len(srows),
-                    "oracle_rows": len(drows),
-                    "spark_fingerprint": fingerprint(scols, srows),
-                    "oracle_fingerprint": fingerprint(dcols, drows),
+                    "spark_rows": n_spark,
+                    "oracle_rows": n_oracle,
+                    "spark_fingerprint": spark_fp,
+                    "oracle_fingerprint": oracle_fp,
                     "problems": problems,
                     "first_diffs": first_diffs,
                 },

@@ -40,7 +40,9 @@ def main() -> int:
                 print(f"rows  {name}: {n} rows (rows-only, no oracle) [{time.time()-t0:.1f}s]")
                 n_rowsonly += 1
                 continue
-            problems = compare_query(sdf, con, oracles[name], sidecar=name if only else None)
+            # sidecar always on: fingerprints are computed once either way,
+            # and full-sweep reds must leave a DIAG artifact (r2 ask)
+            problems = compare_query(sdf, con, oracles[name], sidecar=name)
         except Exception as e:  # noqa: BLE001 — report and keep sweeping
             print(f"FAIL  {name}: {type(e).__name__}: {str(e)[:300]}")
             n_fail += 1
