@@ -27,103 +27,109 @@ from big_data_analytics_machine_learning_poc_spark.registry import QueryRegistry
 # re-checked below). Queries NOT in this tuple follow in their module
 # registration order (their earlier green rows stand).
 #
-# ROUND-3 WINDOW = the 9 round-2 red rows (fixes must be OBSERVED going
-# green) + 41 of the 65 never-checked round-2 additions, chosen to give
-# every zero-signal COMPONENT a hard driver row: the SQL front-end lanes,
-# the 12 unchecked corpus-prep queries, text extension ops, embedding
-# audits, dedup verify extras, the streaming batch twins, UDAF/OLS lanes,
-# data-quality/profiling, and the two hardest adapted TPC-H shapes
-# (q2 correlated-MIN, q21 double-EXISTS) as plan-audit representatives.
-#
-# ROUND-4 ROTATION PLAN: the remaining never-checked queries — the other
-# 17 adapted TPC-H (tpch_q4/q5/q7-q10/q12-q20/q22 minus the two above),
-# text_token_count, text_token_count_regex, obs_ingest_metrics (added r3),
-# and the 4 rows-only ml_reference_* end-to-ends — rotate in next; all
-# pass tools/compare.py locally today.
+# ROUND-4 WINDOW = the 11 round-3 hash-red rows (root cause: uncast integer
+# SUM in the ORACLE SQL — DuckDB widens to HUGEINT, which the driver's
+# hasher normalizes differently from Spark's int64; fixed by CAST(... AS
+# BIGINT) on all 12 affected columns, guarded by tests/test_oracle_types.py)
+# listed FIRST so the fix is OBSERVED green, + ALL 26 never-driver-checked
+# queries (computed from CORRECTNESS_r01..r03 keys vs the registry): the
+# 17 remaining adapted TPC-H, the r1-overflow window/scalar/percentile
+# lanes, obs_ingest_metrics (oracle pre-fixed, same HUGEINT mine), and the
+# 5 rows-only ml_* end-to-ends. That completes hard driver signal for the
+# entire 166-query registry. The remaining 13 slots re-confirm lanes whose
+# source or siblings changed this round (streaming suite next to its edited
+# oracles, the r3 posexplode rewrites, the MLlib lane that gains an
+# empty-shingle guard) plus the bench headliners.
 _DRIVER_WINDOW = (
-    # round-2 red rows, fixed this round (streaming MICROS schema + UTC pin
-    # + half-away cents rounding) — listed first so the driver re-checks them
+    # round-3 hash-red rows, oracle-side CAST fix this round
     "sessionize_events",
-    "stream_tumbling_counts",
     "stream_sliding_counts",
-    "stream_session_windows",
     "stream_stateful_user_totals",
-    "stream_stream_join",
     "dedup_pipeline_survivors",
     "corpus_pack_sequences",
     "corpus_e2e_prep",
-    # SQL front-end lanes (zero driver signal)
-    "sql_tpch_q6_revenue",
-    "sql_exists_subquery",
-    "sql_not_exists_subquery",
-    "sql_in_subquery_chain",
-    "sql_scalar_subquery",
-    "sql_correlated_scalar_subquery",
-    "sql_window_cte",
-    "sql_udf_tiered_pricing",
-    "sql_parameterized_q6",
-    # hardest adapted TPC-H shapes (plan-audit representatives)
-    "tpch_q2_min_cost_supplier",
-    "tpch_q21_suppliers_who_kept_waiting",
-    # corpus prep (12 unchecked)
     "corpus_quality_filter",
     "corpus_mix_sources",
-    "corpus_ngram_topk",
     "corpus_repetition_filter",
     "corpus_contamination_check",
-    "corpus_hash_sample",
-    "corpus_dup_rate_by_source",
-    "corpus_length_histogram",
-    "corpus_incremental_dedup",
-    "corpus_balanced_sample",
-    "corpus_pii_redaction",
-    "corpus_weighted_sample",
-    # text extension ops
-    "text_quality",
-    "text_stats_arrow",
-    "text_udtf_tokens",
-    # dedup verify extras
-    "dedup_edit_distance_verify",
-    "dedup_cluster_size_histogram",
-    # embedding audits
     "emb_centroid_outliers",
-    "emb_norm_stats",
-    "emb_int8_quantization",
-    # streaming batch twins + event/JSON shapes
-    "stream_dedup_events",
-    "timeseries_gap_fill",
-    "scd2_user_state",
-    "funnel_conversion",
-    "variant_shred_events",
-    # UDAF / grouped-OLS lanes
-    "agg_udaf_geomean",
-    "grouped_ols_applyinpandas",
-    # data quality + profiling + pandas-API
-    "dq_checks",
-    "profile_documents",
-    "ps_segment_balance",
+    # never-checked: r1-overflow relational/window lanes
+    "window_range_moving_avg",
+    "window_ntile_family",
+    "group_percentiles",
+    "scalar_map_funcs",
+    # never-checked: remaining adapted TPC-H (q2/q21 were green r3)
+    "tpch_q4_order_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_product_type_profit",
+    "tpch_q10_returned_items",
+    "tpch_q11_important_stock",
+    "tpch_q12_ship_delay_buckets",
+    "tpch_q13_customer_distribution",
+    "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier",
+    "tpch_q16_part_supplier_counts",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q18_large_volume_customer",
+    "tpch_q19_disjunctive_predicates",
+    "tpch_q20_potential_promotion",
+    "tpch_q22_global_sales_opportunity",
+    # never-checked: observe-based ingest accounting (oracle pre-fixed)
+    "obs_ingest_metrics",
+    # never-checked: rows-only ML end-to-ends (driver records rows>0)
+    "ml_kmeans_clusters",
+    "ml_reference_correlator",
+    "ml_reference_random_forest",
+    "ml_reference_tfidf",
+    # re-confirm: streaming suite beside its edited sibling oracles
+    "stream_tumbling_counts",
+    "stream_session_windows",
+    "stream_stream_join",
+    # re-confirm: r3 posexplode rewrites + MLlib empty-shingle guard
+    "dedup_minhash_signatures",
+    "dedup_minhash_pairs",
+    "dedup_embedding_cosine",
+    "dedup_connected_components",
+    "dedup_mllib_minhash_lsh",
+    # re-confirm: bench headliners + token-count text lanes
+    "agg_avg_max",
+    "group_filter",
+    "join3_agg",
+    "text_token_count",
+    "text_token_count_regex",
 )
 
 
 # ---------------------------------------------------------------------------
-# Post-hoc diagnostics for driver-side runs. Round 2 left 5 hash-mismatch
-# rows that no local configuration (16/32 cores, default-conf driver-mimic,
-# non-UTC TZ, full-registry-one-session) reproduces. When the DRIVER invokes
-# these queries we capture (a) once per process: the session/env facts a
-# divergence could hinge on, (b) for the formerly-red queries at the
-# correctness SF: the exact value fingerprint OUR side produced — so a red
-# row in CORRECTNESS_r03 becomes attributable (env delta vs compare delta)
-# instead of unexplainable. Best-effort: failures to dump never fail a query.
+# Post-hoc diagnostics for driver-side runs. The round-3 reds proved the
+# value of driver-run-written fingerprints (they localized the divergence to
+# the driver's HASHER vs DuckDB HUGEINT, exonerating the Spark side in one
+# round). Round-4 extension (VERDICT r3 ask #4): dump BOTH sides — ours from
+# the Spark result, the oracle's by running the registered SQL through a
+# local DuckDB connection inside the driver's own process — so any future
+# driver-only red localizes to a side immediately. Best-effort: failures to
+# dump never fail a query.
 # ---------------------------------------------------------------------------
 
 _DIAG_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "DIAG")
+# The 11 formerly-red queries + obs_ingest_metrics (same oracle fix, first
+# driver check this round): fingerprint both sides at the correctness SF.
 _FINGERPRINT_QUERIES = frozenset(
     {
+        "sessionize_events",
+        "stream_sliding_counts",
+        "stream_stateful_user_totals",
         "dedup_pipeline_survivors",
         "corpus_pack_sequences",
         "corpus_e2e_prep",
-        "sessionize_events",
-        "stream_stateful_user_totals",
+        "corpus_quality_filter",
+        "corpus_mix_sources",
+        "corpus_repetition_filter",
+        "corpus_contamination_check",
+        "emb_centroid_outliers",
+        "obs_ingest_metrics",
     }
 )
 _env_dumped = False
@@ -178,9 +184,13 @@ def _dump_env(spark: SparkSession, sf_dir: str) -> None:
         json.dump(info, f, indent=1, sort_keys=True)
 
 
-def _dump_fingerprint(name: str, df: DataFrame) -> None:
+def _dump_fingerprint(name: str, df: DataFrame, sf_dir: str) -> None:
     """Record the order-insensitive value fingerprint (same algorithm the
-    local oracle gate uses) plus a small sorted sample of normalized rows."""
+    local oracle gate uses) plus a small sorted sample of normalized rows —
+    for BOTH sides: the Spark result, and the registered oracle SQL run
+    through DuckDB inside this same process. A future driver-only red then
+    localizes to a side (Spark vs oracle vs the driver's own hasher) from
+    the artifact alone."""
     import json
 
     from big_data_analytics_machine_learning_poc_spark.oracle import fingerprint, norm_cell
@@ -189,20 +199,36 @@ def _dump_fingerprint(name: str, df: DataFrame) -> None:
     cols = df.columns
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     mat = sorted(tuple(norm_cell(r[i]) for i in order) for r in rows)
+    payload = {
+        "query": name,
+        "n_rows": len(rows),
+        "cols_sorted": sorted(cols),
+        "fingerprint": fingerprint(cols, rows),
+        "rows_head": mat[:5],
+        "rows_tail": mat[-5:],
+    }
+    try:
+        import duckdb
+
+        from big_data_analytics_machine_learning_poc_spark.oracle import register_views
+
+        sql = _registry().oracles.get(name)
+        if sql is not None:
+            con = duckdb.connect()
+            register_views(con, sf_dir)
+            cur = con.execute(sql)
+            dcols = [d[0] for d in cur.description]
+            drows = cur.fetchall()
+            payload["oracle_n_rows"] = len(drows)
+            payload["oracle_cols_sorted"] = sorted(dcols)
+            payload["oracle_fingerprint"] = fingerprint(dcols, drows)
+            payload["sides_agree"] = payload["oracle_fingerprint"] == payload["fingerprint"]
+            con.close()
+    except Exception as e:  # noqa: BLE001 — oracle side is advisory
+        payload["oracle_error"] = f"{type(e).__name__}: {str(e)[:200]}"
     os.makedirs(_DIAG_DIR, exist_ok=True)
     with open(os.path.join(_DIAG_DIR, f"fp_{name}.json"), "w") as f:
-        json.dump(
-            {
-                "query": name,
-                "n_rows": len(rows),
-                "cols_sorted": sorted(cols),
-                "fingerprint": fingerprint(cols, rows),
-                "rows_head": mat[:5],
-                "rows_tail": mat[-5:],
-            },
-            f,
-            indent=1,
-        )
+        json.dump(payload, f, indent=1)
 
 
 def _instrumented(name: str, fn: Callable[[SparkSession, str], DataFrame]):
@@ -211,9 +237,9 @@ def _instrumented(name: str, fn: Callable[[SparkSession, str], DataFrame]):
         try:
             _dump_env(spark, sf_dir)
             # fingerprints only at the cheap correctness SF, only for the
-            # round-2 unexplained rows (one extra collect each, ~seconds)
+            # formerly-red rows (one extra collect + DuckDB run each)
             if name in _FINGERPRINT_QUERIES and sf_dir.rstrip("/").endswith("0.01"):
-                _dump_fingerprint(name, df)
+                _dump_fingerprint(name, df, sf_dir)
         except Exception:  # noqa: BLE001 — diagnostics must never fail a query
             pass
         return df
