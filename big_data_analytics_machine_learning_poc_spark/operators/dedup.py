@@ -634,14 +634,26 @@ def dedup_mllib_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
       256 result pairs. The banded join shuffles on an 8-byte
       (band, xxhash64-key) — the shape that survives 100 TB.
     """
+    return mllib_lsh_pairs(load_table(spark, sf_dir, "documents"))
+
+
+def mllib_lsh_pairs(docs: DataFrame) -> DataFrame:
+    """MLlib MinHashLSH near-dup pairs over any ``(doc_id, text)`` frame —
+    the body of ``dedup_mllib_minhash_lsh``, factored so tests can feed
+    planted corpora (including sub-2-token docs that would otherwise hit
+    MinHashLSH's zero-vector restriction)."""
     from pyspark.ml.feature import HashingTF, MinHashLSH
     from pyspark.ml.functions import vector_to_array
 
     from .text import tokens_col
 
-    docs = load_table(spark, sf_dir, "documents")
     staged = docs.select("doc_id", tokens_col().alias("__toks"))
     sh = staged.select("doc_id", bigram_shingles(F.col("__toks")).alias("shingles"))
+    # Docs with <2 tokens shingle to an empty array → all-zero TF vector,
+    # and MinHashLSHModel throws on zero vectors ("Must have at least 1 non
+    # zero entry"). Such docs trivially have no near-dup pairs, so drop them
+    # before the model; testdata minimums hide this, short real docs don't.
+    sh = sh.filter(F.size("shingles") > 0)
     # binary=True → set semantics (presence, not counts), matching Jaccard
     tf = (
         HashingTF(
@@ -688,7 +700,11 @@ def dedup_mllib_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # exact shingle-set Jaccard verify, candidates only (same machinery as
     # verified_near_dup_edges; reports distance like MLlib's keyDistance)
-    sh0 = doc_shingle_hashes(spark, sf_dir)
+    sh0 = (
+        doc_shingles(docs, "doc_id")
+        .distinct()
+        .select("doc_id", md5_hash32(F.col("shingle")).alias("h"))
+    )
     sizes = sh0.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     ta, tb = sh0.alias("ta"), sh0.alias("tb")
     inter = (
@@ -1044,18 +1060,24 @@ def dedup_edit_distance_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     da, db = docs.alias("da"), docs.alias("db")
     maxl = F.greatest(F.length("da.text"), F.length("db.text"))
     minl = F.least(F.length("da.text"), F.length("db.text"))
-    banded = F.expr(
-        "levenshtein(da.text, db.text, "
-        "CAST(FLOOR((1.0 - {bar}) * GREATEST(LENGTH(da.text), LENGTH(db.text))) AS INT))".format(
-            bar=EDIT_SIM_MIN
-        )
+    # ONE exact threshold expression k = floor((1−bar)·maxlen), parsed by
+    # Spark SQL as exact decimal arithmetic, feeds BOTH the length-gap
+    # prefilter and the banded DP. Deriving the prefilter bound separately
+    # via Python float (1.0 - EDIT_SIM_MIN) silently diverges from the SQL
+    # decimal for non-binary-exact bars (e.g. 0.8 → 0.19999999999999996)
+    # and could drop a boundary pair the unbanded oracle keeps.
+    _k_sql = (
+        f"CAST(FLOOR((1.0 - {EDIT_SIM_MIN}) * "
+        "GREATEST(LENGTH(da.text), LENGTH(db.text))) AS INT)"
     )
+    k = F.expr(_k_sql)
+    banded = F.expr(f"levenshtein(da.text, db.text, {_k_sql})")
     scored = (
         cand.join(da, F.col("da.doc_id") == F.col("doc_a"))
         .join(db, F.col("db.doc_id") == F.col("doc_b"))
-        # exact prefilter: lev >= maxl - minl, so sim <= minl/maxl; keep
-        # only pairs whose length gap still allows sim >= the bar
-        .filter((maxl - minl).cast("double") <= (1.0 - EDIT_SIM_MIN) * maxl)
+        # exact prefilter: lev >= maxl - minl, so a gap > k already forces
+        # sim < bar; gap is an integer, so gap <= (1-bar)*maxl ⟺ gap <= k
+        .filter((maxl - minl) <= k)
         # spread the DP across the cluster: the joined pairs otherwise
         # inherit the scan's partitioning (1 task on a single-row-group
         # file) and the whole O(n·k) pass runs serially — measured 22 s →

@@ -150,9 +150,10 @@ def stream_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful operator (applyInPandasWithState): per-user running
     totals in explicit state, exact-cents accumulation. On bounded input the
     final update per user equals the batch aggregation — which is the oracle.
-    (The events table is a single file → one micro-batch → one update row per
-    user; with multiple files the memory sink would hold one row per update
-    and the final-state comparison would need a dedup-by-last.)"""
+    (With a multi-file source each micro-batch emits an update row per
+    touched user; running_user_totals reduces those to the final state per
+    user via a struct-max over (n_events, total_cents), so the comparison
+    is layout-independent.)"""
     from ..streaming.stateful import running_user_totals
 
     return running_user_totals(spark, sf_dir, max_user=100)

@@ -229,6 +229,22 @@ def test_mllib_minhash_lsh_finds_planted_dups(spark, dup_corpus):
     assert all(p[1] != 3 or p[0] == 3 for p in found if 3 in p) or (3 not in {x for p in found for x in p})
 
 
+def test_mllib_lane_tolerates_short_docs(spark, dup_corpus):
+    """Docs with <2 tokens shingle to an empty array → all-zero HashingTF
+    vector, which MinHashLSHModel rejects at runtime ('Must have at least 1
+    non zero entry'). The lane must drop them up front — an empty shingle
+    set trivially has no near-dup pairs — instead of crashing the whole
+    query (the corpus quality gates contemplate short/empty docs even
+    though the synthetic testdata's minimum hides them)."""
+    short = _docs(spark, [(100, ""), (101, "one"), (102, "   ")])
+    corpus = dup_corpus.unionByName(short)
+    found = {(r.doc_a, r.doc_b) for r in dedup.mllib_lsh_pairs(corpus).collect()}
+    assert (0, 1) in found, "planted exact dup must still surface"
+    assert all(d < 100 for pair in found for d in pair), (
+        "sub-2-token docs must pair with nothing"
+    )
+
+
 def test_mllib_lane_agrees_with_brute_shingle_jaccard(spark):
     """The registered MLlib lane (MinHashLSH signatures → AND-banded
     candidates → exact verify) against a brute-force all-pairs exact
