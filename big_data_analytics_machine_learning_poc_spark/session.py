@@ -47,9 +47,16 @@ def get_session(
     """
     cpus = cpus or default_cpus()
     micro = profile == "micro"
+    # Belt-and-braces determinism: pin Python's string-hash seed for worker
+    # processes (and any subprocess we spawn) so no set/dict iteration order
+    # can ever vary across executors or reruns. Nothing in the engine
+    # depends on hash() today — all sampling/bucketing uses md5/xxhash64 —
+    # this guards future code and third-party libs.
+    os.environ.setdefault("PYTHONHASHSEED", "0")
     builder = (
         SparkSession.builder.appName(app_name)
         .master(f"local[{cpus}]")
+        .config("spark.executorEnv.PYTHONHASHSEED", os.environ["PYTHONHASHSEED"])
         .config("spark.sql.shuffle.partitions", "4" if micro else str(cpus))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "false" if micro else "true")
