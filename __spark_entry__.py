@@ -93,12 +93,15 @@ _DRIVER_WINDOW = (
     "dedup_embedding_cosine",
     "dedup_connected_components",
     "dedup_mllib_minhash_lsh",
-    # re-confirm: bench headliners + token-count text lanes
+    # re-confirm: bench headliners
     "agg_avg_max",
     "group_filter",
     "join3_agg",
-    "text_token_count",
-    "text_token_count_regex",
+    # NEW this round (oracle-checked): count-min-sketch watchlist counts +
+    # vocabulary OOV audit (text_token_count{,_regex} were green in r1 and
+    # are untouched, so these take their re-confirm slots)
+    "corpus_cms_heavy_hitters",
+    "corpus_vocab_coverage",
 )
 
 

@@ -819,3 +819,198 @@ def corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("es_key", "doc_id")
         .limit(100)
     )
+
+
+# --------------------------------------------------------------------------
+# Count-min sketch: estimate token counts for a watchlist without a
+# vocab-wide aggregation
+# --------------------------------------------------------------------------
+
+_CMS_D, _CMS_W = 4, 512  # 4 hash rows × 512 buckets = 2 048 counters total
+# The watchlist whose frequencies we want (production: blocklist terms,
+# contamination markers, PII trigger words). Includes one token absent from
+# the corpus: its estimate shows the sketch's collision overcount (≥ 0).
+_CMS_PROBES = ("scan", "join", "window", "stream", "merge", "quantile")
+
+
+def _cms_bucket_sql(tok_expr: str, d_expr: str) -> str:
+    return (
+        f"{md5_hash32_sql(f'CAST({d_expr} AS VARCHAR) || {chr(39)}:{chr(39)} || {tok_expr}')}"
+        f" % {_CMS_W}"
+    )
+
+
+def _cms_buckets_col(tok: F.Column) -> F.Column:
+    """array<long> of the _CMS_D bucket ids for one token value."""
+    return F.array(
+        *[
+            md5_hash32(F.concat(F.lit(f"{d}:"), tok)) % _CMS_W
+            for d in range(_CMS_D)
+        ]
+    )
+
+
+@REG.add(
+    "corpus_cms_heavy_hitters",
+    sql=f"""
+    WITH toks AS (
+      SELECT unnest({TOKENS_SQL}) AS tok FROM documents
+    ), ds AS (
+      SELECT unnest(range(0, {_CMS_D})) AS d
+    ), occ AS (
+      SELECT d, {_cms_bucket_sql("tok", "d")} AS w FROM toks, ds
+    ), sketch AS (
+      SELECT d, w, COUNT(*) AS c FROM occ GROUP BY d, w
+    ), probes AS (
+      SELECT unnest([{", ".join(f"'{t}'" for t in _CMS_PROBES)}]) AS token
+    ), pb AS (
+      SELECT token, d, {_cms_bucket_sql("token", "d")} AS w FROM probes, ds
+    ), est AS (
+      SELECT token, MIN(COALESCE(s.c, 0)) AS cms_estimate
+      FROM pb LEFT JOIN sketch s ON s.d = pb.d AND s.w = pb.w
+      GROUP BY token
+    ), exact AS (
+      SELECT tok AS token, COUNT(*) AS exact_count FROM toks
+      WHERE tok IN ({", ".join(f"'{t}'" for t in _CMS_PROBES)})
+      GROUP BY tok
+    )
+    SELECT p.token,
+           CAST(COALESCE(e.exact_count, 0) AS BIGINT) AS exact_count,
+           CAST(est.cms_estimate AS BIGINT) AS cms_estimate,
+           CAST(est.cms_estimate - COALESCE(e.exact_count, 0) AS BIGINT)
+             AS overcount
+    FROM probes p
+    JOIN est ON est.token = p.token
+    LEFT JOIN exact e ON e.token = p.token
+    ORDER BY p.token
+    """,
+)
+def corpus_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimation for a token watchlist —
+    the sketch answer to "how often do these terms occur in 100 TB"
+    WITHOUT a vocabulary-wide aggregation.
+
+    The sketch is D×W = 4×512 counters: each token occurrence increments
+    one bucket per hash row; a probe's estimate is the MIN over its D
+    buckets, an upper bound on the true count (overcount comes only from
+    collisions, bounded by ε = e/W of total mass with probability
+    1 − e^−D). The probe set includes a token absent from the corpus so
+    the overcount column exhibits the bound. Hashing is md5-derived
+    (functions/hashing.py) so both engines build the IDENTICAL sketch —
+    the estimate, not just the true count, is oracle-checked.
+
+    Scale shape: the build is one map pass (posexplode ×D — weight D per
+    occurrence) into a groupBy with AT MOST D·W = 2 048 groups — partial
+    aggregation collapses each task's contribution to ≤ 2 048 rows before
+    the shuffle regardless of corpus size or vocabulary size (a vocab
+    groupBy shuffles |vocab| keys; the sketch shuffles a CONSTANT). The
+    probe lookup is a broadcast of 24 (probe, d) rows against the 2 048-row
+    sketch; the exact-count audit column filters to the 6 probe tokens
+    BEFORE its groupBy (predicate pushdown), so it too is bounded at any
+    scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(tokens_col().alias("__toks")).select(
+        F.explode("__toks").alias("tok")
+    )
+    occ = toks.select(F.posexplode(_cms_buckets_col(F.col("tok"))).alias("d", "w"))
+    sketch = occ.groupBy("d", "w").agg(F.count(F.lit(1)).alias("c"))
+    probes = spark.createDataFrame([(t,) for t in _CMS_PROBES], "token string")
+    pb = probes.select(
+        "token", F.posexplode(_cms_buckets_col(F.col("token"))).alias("d", "w")
+    )
+    # broadcast the RIGHT side: a hint on the outer (left) side of a left
+    # join is unusable — the 2 048-row sketch is the broadcastable one
+    est = (
+        pb.join(F.broadcast(sketch), ["d", "w"], "left")
+        .groupBy("token")
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("cms_estimate"))
+    )
+    exact = (
+        toks.filter(F.col("tok").isin(*_CMS_PROBES))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+        .withColumnRenamed("tok", "token")
+    )
+    # est already carries every probe token (pb is probes × d and the join
+    # is outer), so no re-join against probes is needed
+    return (
+        est.join(F.broadcast(exact), "token", "left")
+        .select(
+            "token",
+            F.coalesce(F.col("exact_count"), F.lit(0)).alias("exact_count"),
+            "cms_estimate",
+            (F.col("cms_estimate") - F.coalesce(F.col("exact_count"), F.lit(0))).alias(
+                "overcount"
+            ),
+        )
+        .orderBy("token")
+    )
+
+
+# --------------------------------------------------------------------------
+# Vocabulary coverage / OOV-rate audit
+# --------------------------------------------------------------------------
+
+_VOCAB_SIZE = 25  # testdata vocabulary is ~40 tokens; production: 50k-250k
+
+
+@REG.add(
+    "corpus_vocab_coverage",
+    sql=f"""
+    WITH toks AS (
+      SELECT source, unnest({TOKENS_SQL}) AS tok FROM documents
+    ), vc AS (
+      SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok
+    ), vocab AS (
+      SELECT tok FROM vc ORDER BY c DESC, tok LIMIT {_VOCAB_SIZE}
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN v.tok IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_covered,
+           ROUND(1.0 - CAST(SUM(CASE WHEN v.tok IS NOT NULL THEN 1 ELSE 0 END)
+                            AS DOUBLE) / COUNT(*), 6) AS oov_rate
+    FROM toks t LEFT JOIN vocab v ON v.tok = t.tok
+    GROUP BY source ORDER BY source
+    """,
+)
+def corpus_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary coverage audit: build the top-N token vocab
+    (deterministic ties: count desc, token asc), then measure per source
+    what fraction of token OCCURRENCES fall outside it — the out-of-
+    vocabulary rate that decides whether a tokenizer/vocab is adequate
+    for a new data source before training on it.
+
+    Scale shape: the vocab is one |vocab|-key groupBy followed by
+    TakeOrderedAndProject (top-N, never a global sort); coverage is the
+    token stream LEFT-joined against the BROADCAST N-row vocab (N ≤ 250k
+    comfortably broadcasts) into a per-source conditional agg — one
+    corpus-wide shuffle on the tiny source key domain."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("source", tokens_col().alias("__toks")).select(
+        "source", F.explode("__toks").alias("tok")
+    )
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), "tok")
+        .limit(_VOCAB_SIZE)
+        .select("tok")
+    )
+    hit = F.when(F.col("v_tok").isNotNull(), 1).otherwise(0)
+    return (
+        toks.join(
+            F.broadcast(vocab.withColumnRenamed("tok", "v_tok")),
+            F.col("tok") == F.col("v_tok"),
+            "left",
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(hit).alias("n_covered"),
+            F.round(
+                F.lit(1.0) - F.sum(hit).cast("double") / F.count(F.lit(1)), 6
+            ).alias("oov_rate"),
+        )
+        .orderBy("source")
+    )

@@ -169,6 +169,44 @@ def test_setop_except_nonempty_on_planted(spark, planted_sf):
     assert sorted(r.k for r in a.exceptAll(b).collect()) == [1, 1, 3]  # multiset semantics
 
 
+def test_cms_estimate_upper_bounds_exact_count(spark):
+    """Count-min property: the sketch estimate can only OVERcount (bucket
+    collisions add, never subtract), so est ≥ exact for every probe, and
+    a probe absent from the corpus can still estimate ≥ 0 but never
+    negative. Also deterministic run-to-run (md5 hashing, no rand)."""
+    from big_data_analytics_machine_learning_poc_spark.operators.corpus import (
+        corpus_cms_heavy_hitters,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    rows = corpus_cms_heavy_hitters(spark, sf).collect()
+    assert len(rows) == 6
+    for r in rows:
+        assert r.cms_estimate >= r.exact_count >= 0, r
+        assert r.overcount == r.cms_estimate - r.exact_count
+    assert any(r.exact_count > 0 for r in rows), "probe list matches no tokens?"
+    absent = [r for r in rows if r.token == "quantile"]
+    assert absent and absent[0].exact_count == 0
+    again = corpus_cms_heavy_hitters(spark, sf).collect()
+    assert [tuple(r) for r in rows] == [tuple(r) for r in again]
+
+
+def test_vocab_coverage_rates_are_consistent(spark):
+    """OOV accounting must be internally consistent per source
+    (0 ≤ covered ≤ total, rate = 1 − covered/total) and the top-N vocab
+    must cover the majority of occurrences on the small-vocab testdata."""
+    from big_data_analytics_machine_learning_poc_spark.operators.corpus import (
+        corpus_vocab_coverage,
+    )
+
+    rows = corpus_vocab_coverage(spark, "/root/testdata/sf0.01").collect()
+    assert rows, "no sources?"
+    for r in rows:
+        assert 0 <= r.n_covered <= r.n_tokens
+        assert abs(r.oov_rate - round(1.0 - r.n_covered / r.n_tokens, 6)) < 1e-9
+        assert 0.0 <= r.oov_rate < 0.8  # 25-token vocab over a ~40-token corpus
+
+
 def test_weighted_sample_skews_toward_weight(spark):
     """E-S sampling must overrepresent heavy (long) docs relative to a
     uniform draw, and be reproducible run-to-run."""
