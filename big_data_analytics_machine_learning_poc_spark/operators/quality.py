@@ -162,10 +162,27 @@ def obs_ingest_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     is Spark's built-in noop sink (the action that drives the job); a real
     deployment points the same frame at its parquet/lakehouse sink and
     reads the identical metrics off the Observation. Oracle = the same
-    aggregates as a plain second-pass query."""
+    aggregates as a plain second-pass query.
+
+    SESSION ISOLATION (Spark 4.1 footgun, found by the full-sweep gate):
+    registering an Observation initializes the session's lazy
+    ``observationManager`` field, which is NOT java-serializable. Any
+    later-fitted MLlib classification model keeps its ``trainingSummary``
+    → SparkSession reference inside the model object, and the model rides
+    into RDD task closures on evaluator paths
+    (MulticlassClassificationEvaluator.evaluate) — so after an observe on
+    the shared session, every such evaluate dies with "Task not
+    serializable: ObservationManager". Running the observation on a
+    ``spark.newSession()`` (same SparkContext, separate session state)
+    keeps the shared session's lazy field uninitialized, which serializes
+    as null exactly as before."""
     from pyspark.sql import Observation
 
-    ev = load_table(spark, sf_dir, "events")
+    from ..session import ensure_session_defaults
+
+    obs_spark = spark.newSession()
+    ensure_session_defaults(obs_spark)  # nanosAsLong + UTC on the new state
+    ev = load_table(obs_spark, sf_dir, "events")
     obs = Observation("ingest_metrics")
     observed = ev.observe(
         obs,

@@ -32,3 +32,31 @@ def test_all_queries_are_callables_with_contract_arity():
             if p.default is inspect.Parameter.empty
         ]
         assert len(params) == 2, f"{name} must take (spark, sf_dir)"
+
+
+def test_observe_does_not_poison_mllib_evaluator_closures():
+    """Order-dependence regression (quality.py::obs_ingest_metrics): an
+    Observation registered on the shared session initializes its lazy,
+    non-serializable ObservationManager; a classification model fitted
+    AFTERWARDS carries session → manager into the evaluator's RDD task
+    closure and dies with "Task not serializable". obs_ingest_metrics must
+    therefore observe on an isolated newSession() — this test runs the
+    poisonous order (observe, then fit + evaluate) in ONE session and must
+    stay green."""
+    from pyspark.ml.classification import RandomForestClassifier
+    from pyspark.ml.evaluation import MulticlassClassificationEvaluator
+    from pyspark.ml.linalg import Vectors
+
+    from big_data_analytics_machine_learning_poc_spark.session import get_session
+
+    spark = get_session("obs-regression")
+    entry.queries()["obs_ingest_metrics"](spark, "/root/testdata/sf0.001").collect()
+    df = spark.createDataFrame(
+        [(float(i % 2), Vectors.dense([float(i % 2), float(i % 3)])) for i in range(40)],
+        ["label", "features"],
+    )
+    model = RandomForestClassifier(numTrees=3, seed=1).fit(df)
+    acc = MulticlassClassificationEvaluator(metricName="accuracy").evaluate(
+        model.transform(df)
+    )
+    assert 0.0 <= acc <= 1.0
