@@ -1,0 +1,336 @@
+"""delta_lite — jar-free reader/writer for a subset of the Delta Lake
+transaction-log protocol (the PUBLIC spec: delta-io/delta PROTOCOL.md).
+
+`sources/lakehouse.py` routes ``format("delta")`` through the Delta runtime
+jars when they are on the classpath; this module is the fallback that makes
+the lakehouse lane REAL in jar-less environments like this container. It
+speaks the on-disk layout itself:
+
+    <table>/
+      part-...parquet                   data files (root or partition dirs)
+      <col>=<value>/part-...parquet
+      _delta_log/00000000000000000000.json   one JSON action per line
+
+and implements the protocol subset
+
+    protocol(minReaderVersion=1, minWriterVersion=2)
+    metaData(schemaString = Spark StructType JSON, partitionColumns)
+    add(path, partitionValues, size, modificationTime, dataChange, stats)
+    remove(path, deletionTimestamp, dataChange)
+    commitInfo(operation, operationParameters, timestamp)
+
+Supported: overwrite + append writes, partitioned tables, snapshot reads,
+time travel by version, log-level partition pruning, history, optimistic
+commit conflict detection (O_EXCL on the next version's log file — the same
+primitive real Delta uses on filesystems with atomic put-if-absent).
+NOT implemented (documented subset): checkpoints (`_last_checkpoint`),
+deletion vectors, column mapping, generated columns, CDC. Tables written
+here are readable by a real Delta reader for the feature subset used, and
+`read_delta` refuses tables whose `protocol` action demands a reader
+version above 1.
+
+Scale notes (100 TB): the log is the scan index — `read_delta` hands Spark
+an explicit file list, so a snapshot read never LISTs the data directory
+(object-store LIST over millions of files is the classic lake bottleneck);
+partition pruning happens driver-side against ``add.partitionValues``
+before Spark sees a single path, and per-file ``stats.numRecords`` ride the
+log for planning. The file moves below use the local filesystem API; a
+cloud deployment swaps them for the store's rename/put — the log protocol
+is unchanged.
+
+Reference parity: the reference clients (SURVEY.md §0) stop at CSV in /
+console out; lakehouse tables are part of the BASELINE.json extension
+surface.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+_LOG_DIR = "_delta_log"
+_PROTOCOL = {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+
+
+class DeltaCommitConflict(RuntimeError):
+    """Another writer committed this version first (optimistic-concurrency
+    loss). Callers retry: re-read the snapshot, re-stage, re-commit."""
+
+
+# ---------------------------------------------------------------------------
+# log plumbing
+# ---------------------------------------------------------------------------
+
+
+def _log_path(table: str, version: int) -> str:
+    return os.path.join(table, _LOG_DIR, f"{version:020d}.json")
+
+
+def _list_versions(table: str) -> list[int]:
+    log_dir = os.path.join(table, _LOG_DIR)
+    if not os.path.isdir(log_dir):
+        return []
+    out = []
+    for name in os.listdir(log_dir):
+        stem, ext = os.path.splitext(name)
+        if ext == ".json" and stem.isdigit():
+            out.append(int(stem))
+    return sorted(out)
+
+
+def _read_log(table: str, version: int) -> list[dict]:
+    with open(_log_path(table, version)) as f:
+        return [json.loads(line) for line in f if line.strip()]
+
+
+def _replay(table: str, version: int | None) -> tuple[dict[str, dict], dict, int]:
+    """Replay the log through ``version`` (latest if None). Returns
+    (active add-actions by relative path, latest metaData, snapshot version).
+    """
+    versions = _list_versions(table)
+    if not versions:
+        raise FileNotFoundError(f"no Delta log at {table}/{_LOG_DIR}")
+    if version is None:
+        version = versions[-1]
+    if version not in versions:
+        raise ValueError(f"version {version} not in log (have {versions[0]}..{versions[-1]})")
+    active: dict[str, dict] = {}
+    meta: dict = {}
+    for v in versions:
+        if v > version:
+            break
+        for action in _read_log(table, v):
+            if "protocol" in action:
+                rv = action["protocol"].get("minReaderVersion", 1)
+                if rv > 1:
+                    raise NotImplementedError(
+                        f"table requires Delta reader version {rv}; delta_lite reads version 1"
+                    )
+            elif "metaData" in action:
+                meta = action["metaData"]
+            elif "add" in action:
+                active[action["add"]["path"]] = action["add"]
+            elif "remove" in action:
+                active.pop(action["remove"]["path"], None)
+    if not meta:
+        raise ValueError(f"log at {table} has no metaData action")
+    return active, meta, version
+
+
+def _commit(table: str, version: int, actions: list[dict]) -> None:
+    """Atomically publish ``version``: O_EXCL create of the log file IS the
+    commit — concurrent writers race on the filename and exactly one wins."""
+    path = _log_path(table, version)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    try:
+        fd = os.open(path, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
+    except FileExistsError as exc:
+        raise DeltaCommitConflict(f"version {version} already committed at {table}") from exc
+    with os.fdopen(fd, "w") as f:
+        for action in actions:
+            f.write(json.dumps(action, separators=(",", ":")) + "\n")
+
+
+# ---------------------------------------------------------------------------
+# writer
+# ---------------------------------------------------------------------------
+
+
+def _stage_files(
+    df: DataFrame, table: str, partition_cols: list[str]
+) -> list[tuple[str, int, int]]:
+    """Write df's part files into the table directory (under partition
+    subdirs when partitioned) via a staging dir + rename, returning
+    (relative path, size, num_records) per data file. Staging keeps a
+    failed job from leaving half-published files that a concurrent
+    overwrite's remove-set wouldn't cover."""
+    staging = os.path.join(table, f".staging-{uuid.uuid4().hex}")
+    writer = df.write.mode("overwrite")
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.parquet(staging)
+
+    import pyarrow.parquet as pq
+
+    out: list[tuple[str, int, int]] = []
+    for root, _dirs, files in os.walk(staging):
+        for name in files:
+            if not name.endswith(".parquet"):
+                continue
+            src = os.path.join(root, name)
+            rel = os.path.relpath(src, staging)
+            dst = os.path.join(table, rel)
+            n_records = pq.read_metadata(src).num_rows
+            size = os.path.getsize(src)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            os.rename(src, dst)
+            out.append((rel, size, n_records))
+    # clear staging skeleton (_SUCCESS, empty partition dirs)
+    for root, dirs, files in os.walk(staging, topdown=False):
+        for name in files:
+            os.remove(os.path.join(root, name))
+        for name in dirs:
+            os.rmdir(os.path.join(root, name))
+    os.rmdir(staging)
+    return out
+
+
+def _partition_values(rel_path: str, partition_cols: list[str]) -> dict[str, str]:
+    """Recover hive-style partition values from the file's directory path."""
+    values: dict[str, str] = {}
+    for piece in rel_path.split(os.sep)[:-1]:
+        if "=" in piece:
+            k, _, v = piece.partition("=")
+            if k in partition_cols:
+                values[k] = v
+    return values
+
+
+def write_delta(
+    df: DataFrame,
+    table: str,
+    mode: str = "overwrite",
+    partition_cols: list[str] | None = None,
+) -> int:
+    """Commit ``df`` to the Delta-layout table at ``table``; returns the
+    committed version. ``mode``: 'overwrite' (remove the previous snapshot's
+    files in the same commit — readers see old XOR new, never a mix) or
+    'append'. First commit on a path creates the table (protocol+metaData).
+    """
+    if mode not in ("overwrite", "append"):
+        raise ValueError(f"mode must be overwrite|append, got {mode!r}")
+    partition_cols = list(partition_cols or [])
+    versions = _list_versions(table)
+    now_ms = int(time.time() * 1000)
+
+    actions: list[dict] = []
+    if not versions:
+        version = 0
+        actions.append(_PROTOCOL)
+        actions.append(
+            {
+                "metaData": {
+                    "id": uuid.uuid4().hex,
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": df.schema.json(),
+                    "partitionColumns": partition_cols,
+                    "configuration": {},
+                    "createdTime": now_ms,
+                }
+            }
+        )
+        prior_active: dict[str, dict] = {}
+    else:
+        prior_active, meta, _ = _replay(table, None)
+        version = versions[-1] + 1
+        logged_parts = meta.get("partitionColumns", [])
+        if partition_cols and partition_cols != logged_parts:
+            raise ValueError(
+                f"partition columns {partition_cols} != table's {logged_parts}"
+            )
+        partition_cols = logged_parts
+
+    staged = _stage_files(df, table, partition_cols)
+    if mode == "overwrite":
+        for rel in prior_active:
+            actions.append(
+                {"remove": {"path": rel, "deletionTimestamp": now_ms, "dataChange": True}}
+            )
+    for rel, size, n_records in staged:
+        actions.append(
+            {
+                "add": {
+                    "path": rel,
+                    "partitionValues": _partition_values(rel, partition_cols),
+                    "size": size,
+                    "modificationTime": now_ms,
+                    "dataChange": True,
+                    "stats": json.dumps({"numRecords": n_records}),
+                }
+            }
+        )
+    actions.append(
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": "WRITE",
+                "operationParameters": {"mode": mode.upper(), "partitionBy": partition_cols},
+            }
+        }
+    )
+    _commit(table, version, actions)
+    return version
+
+
+# ---------------------------------------------------------------------------
+# reader
+# ---------------------------------------------------------------------------
+
+
+def read_delta(
+    spark: SparkSession,
+    table: str,
+    version: int | None = None,
+    partition_filters: dict[str, str] | None = None,
+) -> DataFrame:
+    """Snapshot read. ``version`` time-travels; ``partition_filters`` prunes
+    files DRIVER-SIDE against the log's ``add.partitionValues`` — at 100 TB
+    the pruned partitions never reach Spark's file index at all (and the
+    data directory is never LISTed; the log is the index). The log schema is
+    applied explicitly so a snapshot read sees the schema as-of its version
+    even after later schema changes."""
+    active, meta, _ = _replay(table, version)
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    partition_cols = meta.get("partitionColumns", [])
+    adds = list(active.values())
+    if partition_filters:
+        unknown = set(partition_filters) - set(partition_cols)
+        if unknown:
+            raise KeyError(f"not partition columns: {sorted(unknown)}")
+        adds = [
+            a
+            for a in adds
+            if all(a["partitionValues"].get(k) == v for k, v in partition_filters.items())
+        ]
+    if not adds:
+        return spark.createDataFrame([], schema)
+    files = [os.path.join(table, a["path"]) for a in adds]
+    reader = spark.read
+    if partition_cols:
+        # basePath + explicit leaf files: Spark re-derives the partition
+        # columns from the hive-style directory names.
+        reader = reader.option("basePath", table)
+    else:
+        reader = reader.schema(schema)
+    return reader.parquet(*files)
+
+
+def table_history(table: str) -> list[dict]:
+    """commitInfo per version, latest first — the audit trail."""
+    out = []
+    for v in reversed(_list_versions(table)):
+        info = next((a["commitInfo"] for a in _read_log(table, v) if "commitInfo" in a), {})
+        out.append({"version": v, **info})
+    return out
+
+
+def snapshot_summary(table: str, version: int | None = None) -> dict:
+    """Planning metadata straight from the log: file/record/byte counts per
+    snapshot without touching a data file."""
+    active, meta, version = _replay(table, version)
+    n_records = 0
+    for a in active.values():
+        stats = json.loads(a.get("stats") or "{}")
+        n_records += int(stats.get("numRecords") or 0)
+    return {
+        "version": version,
+        "n_files": len(active),
+        "n_bytes": sum(a["size"] for a in active.values()),
+        "n_records": n_records,
+        "partition_columns": meta.get("partitionColumns", []),
+    }

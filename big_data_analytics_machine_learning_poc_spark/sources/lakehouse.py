@@ -1,11 +1,15 @@
-"""Lakehouse table-format connectors (Delta / Iceberg / Hudi) — stubbed.
+"""Lakehouse table-format connectors (Delta / Iceberg / Hudi).
 
-The formats need their runtime jars on the Spark classpath (not present in
-this container; guide §'Sources & sinks': "stub connectors behind an
-import-try"). The functions below detect availability at call time and
-raise a clear NotImplementedError otherwise, so a deployment with the jars
-gets working readers/writers and this environment gets a loud, typed error
-instead of a Py4J stack trace.
+The native paths need their runtime jars on the Spark classpath (not
+present in this container; guide §'Sources & sinks': "stub connectors
+behind an import-try"): availability is probed at call time. **Delta has a
+jar-free fallback** — `sources/delta_lite.py` speaks the public Delta
+transaction-log protocol directly (overwrite/append, partitioned tables,
+time travel, log-level pruning), so ``read_table/write_table`` with
+``fmt="delta"`` work HERE, routing through the jars when present and
+delta_lite otherwise. Iceberg (avro manifests) and Hudi (timeline +
+Hfile metadata) have no dependency-free metadata path in this container
+and keep the loud, typed NotImplementedError.
 """
 
 from __future__ import annotations
@@ -32,6 +36,10 @@ def format_available(spark: SparkSession, fmt: str) -> bool:
 
 def read_table(spark: SparkSession, fmt: str, path: str) -> DataFrame:
     if not format_available(spark, fmt):
+        if fmt == "delta":
+            from .delta_lite import read_delta
+
+            return read_delta(spark, path)
         raise NotImplementedError(
             f"{fmt} runtime jars are not on the classpath; add the {fmt} Spark "
             f"package in the deployment (e.g. spark.jars.packages) to enable"
@@ -41,6 +49,11 @@ def read_table(spark: SparkSession, fmt: str, path: str) -> DataFrame:
 
 def write_table(df: DataFrame, fmt: str, path: str, mode: str = "overwrite") -> None:
     if not format_available(df.sparkSession, fmt):
+        if fmt == "delta":
+            from .delta_lite import write_delta
+
+            write_delta(df, path, mode=mode)
+            return
         raise NotImplementedError(
             f"{fmt} runtime jars are not on the classpath; add the {fmt} Spark "
             f"package in the deployment (e.g. spark.jars.packages) to enable"

@@ -77,18 +77,134 @@ def test_partitioned_parquet_roundtrip_and_pruning(spark, tmp_path):
 
 
 def test_lakehouse_formats_stubbed(spark):
-    """No Delta/Iceberg/Hudi jars in this container → clear typed error, not
-    a Py4J stack trace; with jars present these functions work unchanged."""
+    """No Delta/Iceberg/Hudi jars in this container → Iceberg/Hudi raise a
+    clear typed error (not a Py4J stack trace); Delta falls back to the
+    jar-free delta_lite protocol reader (its own suite below)."""
     import pytest as _pytest
 
     from big_data_analytics_machine_learning_poc_spark.sources import lakehouse
 
-    for fmt in ("delta", "iceberg", "hudi"):
+    for fmt in ("iceberg", "hudi"):
         assert lakehouse.format_available(spark, fmt) is False
         with _pytest.raises(NotImplementedError, match=fmt):
             lakehouse.read_table(spark, fmt, "/tmp/nowhere")
+    assert lakehouse.format_available(spark, "delta") is False
+    with _pytest.raises(FileNotFoundError):
+        lakehouse.read_table(spark, "delta", "/tmp/nowhere")  # no log dir
     with _pytest.raises(KeyError):
         lakehouse.format_available(spark, "paimon")
+
+
+def test_delta_lite_roundtrip_append_timetravel(spark, tmp_path):
+    """delta_lite speaks the public Delta log protocol: overwrite/append
+    commits, snapshot isolation (overwrite removes in the same commit),
+    time travel by version, and a commitInfo history."""
+    from big_data_analytics_machine_learning_poc_spark.sources.delta_lite import (
+        read_delta,
+        snapshot_summary,
+        table_history,
+        write_delta,
+    )
+
+    table = str(tmp_path / "dl")
+    nation = spark.read.parquet(f"{SF_DIR}/nation.parquet")
+    v0 = write_delta(nation, table, mode="overwrite")
+    assert v0 == 0
+    v1 = write_delta(nation.limit(5), table, mode="append")
+    assert v1 == 1
+
+    assert read_delta(spark, table).count() == nation.count() + 5
+    # time travel: version 0 predates the append
+    assert read_delta(spark, table, version=0).count() == nation.count()
+    # overwrite replaces the whole snapshot atomically
+    write_delta(nation.limit(3), table, mode="overwrite")
+    assert read_delta(spark, table).count() == 3
+    assert read_delta(spark, table, version=1).count() == nation.count() + 5
+
+    hist = table_history(table)
+    assert [h["version"] for h in hist] == [2, 1, 0]
+    assert hist[0]["operationParameters"]["mode"] == "OVERWRITE"
+    summ = snapshot_summary(table)
+    assert summ["n_records"] == 3 and summ["n_files"] >= 1
+    # schema survives the log round-trip exactly
+    assert read_delta(spark, table).schema == nation.schema
+
+
+def test_delta_lite_partitioned_pruning(spark, tmp_path):
+    """Partitioned delta_lite table: partition column round-trips through
+    the hive-style layout, and partition_filters prune DRIVER-SIDE from the
+    log (the pruned files never reach Spark's file index)."""
+    from big_data_analytics_machine_learning_poc_spark.sources.delta_lite import (
+        _replay,
+        read_delta,
+        write_delta,
+    )
+
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    table = str(tmp_path / "dlp")
+    write_delta(orders, table, partition_cols=["o_orderstatus"])
+
+    back = read_delta(spark, table)
+    assert back.count() == orders.count()
+    assert set(back.columns) == set(orders.columns)
+
+    pruned = read_delta(spark, table, partition_filters={"o_orderstatus": "F"})
+    want = orders.filter(F.col("o_orderstatus") == "F").count()
+    assert pruned.count() == want
+    # log-level pruning: the snapshot's F-files are a strict subset
+    active, _, _ = _replay(table, None)
+    n_f = sum(1 for a in active.values() if a["partitionValues"].get("o_orderstatus") == "F")
+    assert 0 < n_f < len(active)
+    import pytest as _pytest
+
+    with _pytest.raises(KeyError):
+        read_delta(spark, table, partition_filters={"not_a_col": "x"})
+    # empty snapshot after pruning to a non-existent value → empty df, same schema
+    none = read_delta(spark, table, partition_filters={"o_orderstatus": "ZZ"})
+    assert none.count() == 0
+
+
+def test_delta_lite_commit_conflict_and_protocol_gate(spark, tmp_path):
+    """The O_EXCL commit primitive: a second writer targeting the same
+    version loses with DeltaCommitConflict. A table demanding a newer
+    reader version is refused, not misread."""
+    import json as _json
+
+    import pytest as _pytest
+
+    from big_data_analytics_machine_learning_poc_spark.sources.delta_lite import (
+        DeltaCommitConflict,
+        _commit,
+        _log_path,
+        read_delta,
+        write_delta,
+    )
+
+    table = str(tmp_path / "dlc")
+    region = spark.read.parquet(f"{SF_DIR}/region.parquet")
+    write_delta(region, table)
+    with _pytest.raises(DeltaCommitConflict):
+        _commit(table, 0, [{"commitInfo": {"timestamp": 0}}])
+
+    # log lines are single JSON actions (protocol interop check)
+    with open(_log_path(table, 0)) as f:
+        actions = [_json.loads(ln) for ln in f]
+    assert any("protocol" in a for a in actions)
+    assert any("metaData" in a for a in actions)
+    assert any("add" in a for a in actions)
+
+    # reader-version gate
+    table2 = str(tmp_path / "dlv3")
+    _commit(
+        table2,
+        0,
+        [
+            {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7}},
+            {"metaData": {"schemaString": "{}", "partitionColumns": []}},
+        ],
+    )
+    with _pytest.raises(NotImplementedError, match="reader version"):
+        read_delta(spark, table2)
 
 
 def test_streaming_parquet_sink_roundtrip(spark, tmp_path):
