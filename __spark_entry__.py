@@ -93,8 +93,11 @@ _DRIVER_WINDOW = (
     "dedup_embedding_cosine",
     "dedup_connected_components",
     "dedup_mllib_minhash_lsh",
+    # NEW this round: jar-free Delta lane end-to-end (commit atomicity,
+    # append, time travel, log-stats consistency) — takes the agg_avg_max
+    # re-confirm slot (green r1, source untouched since)
+    "delta_snapshot_audit",
     # re-confirm: bench headliners
-    "agg_avg_max",
     "group_filter",
     "join3_agg",
     # NEW this round (oracle-checked): count-min-sketch watchlist counts +

@@ -229,3 +229,68 @@ def observed_write_metrics(
         ),
     )
     return observed, obs
+
+
+@REG.add(
+    "delta_snapshot_audit",
+    sql="""
+    SELECT 0 AS version,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_rows_logged
+    FROM documents
+    UNION ALL
+    SELECT 1,
+           CAST((SELECT COUNT(*) FROM documents)
+                + SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT),
+           CAST((SELECT COUNT(*) FROM documents)
+                + SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT)
+    FROM documents
+    UNION ALL
+    SELECT 2,
+           CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+    FROM documents
+    ORDER BY version
+    """,
+)
+def delta_snapshot_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lakehouse snapshot audit over the jar-free Delta lane
+    (``sources/delta_lite.py``, public Delta log protocol): commit the
+    documents table (v0 overwrite, partitioned by lang), append the src0
+    slice (v1), overwrite with the English slice (v2), then time-travel
+    every version and reconcile the SCANNED row count against the
+    LOG-CLAIMED count (sum of per-file ``stats.numRecords``). The oracle is
+    the same arithmetic on the source table — v0 = all docs, v1 = all +
+    src0, v2 = English only — so a green row proves commit atomicity
+    (overwrite removes the whole prior snapshot in one commit), append
+    semantics, time travel, AND log-stats consistency end-to-end.
+
+    Scale shape: each version read is an explicit file list from the log
+    (never a directory LIST), counts are metadata-cheap column-pruned
+    scans, and the audit frame itself is 3 rows. At 100 TB the identical
+    audit reads ONLY the log for ``n_rows_logged`` — the scan column is
+    the (sampled or full) verification pass a table-health job schedules.
+    """
+    import shutil
+    import tempfile
+
+    from ..sources.delta_lite import read_delta, snapshot_summary, write_delta
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    table = tempfile.mkdtemp(prefix="delta_audit_")
+    try:
+        write_delta(docs, table, mode="overwrite", partition_cols=["lang"])
+        write_delta(docs.filter(F.col("source") == "src0"), table, mode="append")
+        write_delta(docs.filter(F.col("lang") == "en"), table, mode="overwrite")
+        rows = []
+        for version in (0, 1, 2):
+            scanned = read_delta(spark, table, version=version).count()
+            logged = snapshot_summary(table, version=version)["n_records"]
+            rows.append((version, scanned, logged))
+    finally:
+        shutil.rmtree(table, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, schema="version int, n_rows long, n_rows_logged long"
+    ).orderBy("version")
