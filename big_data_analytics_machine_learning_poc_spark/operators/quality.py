@@ -276,8 +276,14 @@ def delta_snapshot_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..sources.delta_lite import read_delta, snapshot_summary, write_delta
 
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "lang", "source", "n_chars"
+    # repartition by the partition column first: one file per lang per
+    # commit instead of (input partitions × langs) tiny files — the same
+    # small-file discipline a 100 TB ingest applies before any
+    # dynamic-partition write.
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "source", "n_chars")
+        .repartition("lang")
     )
     table = tempfile.mkdtemp(prefix="delta_audit_")
     try:

@@ -141,12 +141,59 @@ def _commit(table: str, version: int, actions: list[dict]) -> None:
 # ---------------------------------------------------------------------------
 
 
+_STATS_PHYSICAL_TYPES = ("INT32", "INT64", "FLOAT", "DOUBLE", "BOOLEAN")
+
+
+def _file_stats(pq_meta) -> dict:
+    """Delta-format per-file stats from the parquet footer: numRecords,
+    nullCount for every top-level column, min/maxValues for numeric /
+    boolean / date-ish columns. String and binary min/max are deliberately
+    omitted: parquet writers may truncate long byte-array statistics, and a
+    truncated bound recorded as exact would let the skipping reader drop a
+    file that actually matches (real Delta truncates to 32 chars WITH an
+    upper-bound adjustment; numerics-only is the safe subset here)."""
+    num_records = pq_meta.num_rows
+    mins: dict = {}
+    maxs: dict = {}
+    nulls: dict = {}
+    for rg in range(pq_meta.num_row_groups):
+        group = pq_meta.row_group(rg)
+        for ci in range(group.num_columns):
+            col = group.column(ci)
+            name = col.path_in_schema
+            if "." in name:  # nested field — top-level stats only
+                continue
+            st = col.statistics
+            if st is None:
+                continue
+            if st.null_count is not None:
+                nulls[name] = nulls.get(name, 0) + st.null_count
+            if not st.has_min_max or st.physical_type not in _STATS_PHYSICAL_TYPES:
+                continue
+            lo, hi = st.min, st.max
+            if name not in mins or lo < mins[name]:
+                mins[name] = lo
+            if name not in maxs or hi > maxs[name]:
+                maxs[name] = hi
+    stats: dict = {"numRecords": num_records, "nullCount": nulls}
+    if mins:
+        stats["minValues"] = {k: _json_scalar(v) for k, v in mins.items()}
+        stats["maxValues"] = {k: _json_scalar(v) for k, v in maxs.items()}
+    return stats
+
+
+def _json_scalar(v):
+    """Parquet footer scalars → JSON-serializable (dates/timestamps from
+    logical types surface as datetime objects)."""
+    return v.isoformat() if hasattr(v, "isoformat") else v
+
+
 def _stage_files(
     df: DataFrame, table: str, partition_cols: list[str]
-) -> list[tuple[str, int, int]]:
+) -> list[tuple[str, int, dict]]:
     """Write df's part files into the table directory (under partition
     subdirs when partitioned) via a staging dir + rename, returning
-    (relative path, size, num_records) per data file. Staging keeps a
+    (relative path, size, stats dict) per data file. Staging keeps a
     failed job from leaving half-published files that a concurrent
     overwrite's remove-set wouldn't cover."""
     staging = os.path.join(table, f".staging-{uuid.uuid4().hex}")
@@ -157,7 +204,7 @@ def _stage_files(
 
     import pyarrow.parquet as pq
 
-    out: list[tuple[str, int, int]] = []
+    out: list[tuple[str, int, dict]] = []
     for root, _dirs, files in os.walk(staging):
         for name in files:
             if not name.endswith(".parquet"):
@@ -165,11 +212,11 @@ def _stage_files(
             src = os.path.join(root, name)
             rel = os.path.relpath(src, staging)
             dst = os.path.join(table, rel)
-            n_records = pq.read_metadata(src).num_rows
+            stats = _file_stats(pq.read_metadata(src))
             size = os.path.getsize(src)
             os.makedirs(os.path.dirname(dst), exist_ok=True)
             os.rename(src, dst)
-            out.append((rel, size, n_records))
+            out.append((rel, size, stats))
     # clear staging skeleton (_SUCCESS, empty partition dirs)
     for root, dirs, files in os.walk(staging, topdown=False):
         for name in files:
@@ -241,7 +288,7 @@ def write_delta(
             actions.append(
                 {"remove": {"path": rel, "deletionTimestamp": now_ms, "dataChange": True}}
             )
-    for rel, size, n_records in staged:
+    for rel, size, stats in staged:
         actions.append(
             {
                 "add": {
@@ -250,7 +297,7 @@ def write_delta(
                     "size": size,
                     "modificationTime": now_ms,
                     "dataChange": True,
-                    "stats": json.dumps({"numRecords": n_records}),
+                    "stats": json.dumps(stats),
                 }
             }
         )
@@ -272,18 +319,40 @@ def write_delta(
 # ---------------------------------------------------------------------------
 
 
+def _file_may_match(add: dict, col: str, lo, hi) -> bool:
+    """Range-overlap test against the file's logged min/maxValues. A file
+    with no stats for the column is conservatively kept — skipping is an
+    optimization, never a correctness dependency."""
+    stats = json.loads(add.get("stats") or "{}")
+    fmin = stats.get("minValues", {}).get(col)
+    fmax = stats.get("maxValues", {}).get(col)
+    if fmin is None or fmax is None:
+        return True
+    if lo is not None and fmax < lo:
+        return False
+    if hi is not None and fmin > hi:
+        return False
+    return True
+
+
 def read_delta(
     spark: SparkSession,
     table: str,
     version: int | None = None,
     partition_filters: dict[str, str] | None = None,
+    range_filters: dict[str, tuple] | None = None,
 ) -> DataFrame:
     """Snapshot read. ``version`` time-travels; ``partition_filters`` prunes
     files DRIVER-SIDE against the log's ``add.partitionValues`` — at 100 TB
     the pruned partitions never reach Spark's file index at all (and the
-    data directory is never LISTed; the log is the index). The log schema is
-    applied explicitly so a snapshot read sees the schema as-of its version
-    even after later schema changes."""
+    data directory is never LISTed; the log is the index).
+    ``range_filters`` = {col: (lo, hi)} additionally skips files whose
+    logged per-file min/max can't overlap the range (Delta data skipping;
+    lo/hi of None = unbounded). Skipping only DROPS whole files — the
+    caller still applies its row-level ``.filter``; a file without stats
+    for the column is always read. The log schema is applied explicitly so
+    a snapshot read sees the schema as-of its version even after later
+    schema changes."""
     active, meta, _ = _replay(table, version)
     schema = StructType.fromJson(json.loads(meta["schemaString"]))
     partition_cols = meta.get("partitionColumns", [])
@@ -297,6 +366,12 @@ def read_delta(
             for a in adds
             if all(a["partitionValues"].get(k) == v for k, v in partition_filters.items())
         ]
+    if range_filters:
+        adds = [
+            a
+            for a in adds
+            if all(_file_may_match(a, c, lo, hi) for c, (lo, hi) in range_filters.items())
+        ]
     if not adds:
         return spark.createDataFrame([], schema)
     files = [os.path.join(table, a["path"]) for a in adds]
@@ -308,6 +383,126 @@ def read_delta(
     else:
         reader = reader.schema(schema)
     return reader.parquet(*files)
+
+
+def compact_table(
+    spark: SparkSession, table: str, min_files_per_partition: int = 2
+) -> int | None:
+    """Bin-pack small files (Delta OPTIMIZE): every partition holding at
+    least ``min_files_per_partition`` active files is rewritten into one
+    file, committed as remove+add with ``dataChange: false`` — streaming /
+    incremental readers know no rows changed and skip the commit entirely.
+    Returns the committed version, or None when nothing needed compaction.
+
+    The 100 TB motive: dynamic-partition ingest emits (tasks × partitions)
+    files; scan cost at the thousand-executor scale is dominated by
+    per-file open/seek overhead once files fall under a few hundred MB.
+    Compaction is metadata-transactional here exactly like real Delta —
+    readers of the pre-compaction snapshot keep their file list (old files
+    are not deleted until `vacuum_table`), so time travel still works."""
+    active, meta, latest = _replay(table, None)
+    partition_cols = meta.get("partitionColumns", [])
+    by_part: dict[tuple, list[dict]] = {}
+    for a in active.values():
+        key = tuple(sorted(a.get("partitionValues", {}).items()))
+        by_part.setdefault(key, []).append(a)
+    groups = [adds for adds in by_part.values() if len(adds) >= min_files_per_partition]
+    if not groups:
+        return None
+
+    now_ms = int(time.time() * 1000)
+    actions: list[dict] = []
+    import pyarrow.parquet as pq
+
+    reader = spark.read
+    if partition_cols:
+        reader = reader.option("basePath", table)
+    for adds in groups:
+        files = [os.path.join(table, a["path"]) for a in adds]
+        # drop the hive partition columns Spark re-derived: the rewritten
+        # file must have the same physical columns as the originals
+        df = reader.parquet(*files).drop(*partition_cols).coalesce(1)
+        part_dir = os.path.dirname(adds[0]["path"])
+        staging = os.path.join(table, f".compact-{uuid.uuid4().hex}")
+        df.write.mode("overwrite").parquet(staging)
+        for root, _dirs, names in os.walk(staging):
+            for name in names:
+                if not name.endswith(".parquet"):
+                    continue
+                src = os.path.join(root, name)
+                rel = os.path.join(part_dir, name) if part_dir else name
+                stats = _file_stats(pq.read_metadata(src))
+                size = os.path.getsize(src)
+                os.rename(src, os.path.join(table, rel))
+                actions.append(
+                    {
+                        "add": {
+                            "path": rel,
+                            "partitionValues": dict(
+                                (k, v) for k, v in sorted(adds[0]["partitionValues"].items())
+                            ),
+                            "size": size,
+                            "modificationTime": now_ms,
+                            "dataChange": False,
+                            "stats": json.dumps(stats),
+                        }
+                    }
+                )
+        for root, dirs, names in os.walk(staging, topdown=False):
+            for name in names:
+                os.remove(os.path.join(root, name))
+            for name in dirs:
+                os.rmdir(os.path.join(root, name))
+        os.rmdir(staging)
+        for a in adds:
+            actions.append(
+                {
+                    "remove": {
+                        "path": a["path"],
+                        "deletionTimestamp": now_ms,
+                        "dataChange": False,
+                    }
+                }
+            )
+    actions.append(
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": "OPTIMIZE",
+                "operationParameters": {"minFilesPerPartition": min_files_per_partition},
+            }
+        }
+    )
+    version = latest + 1
+    _commit(table, version, actions)
+    return version
+
+
+def vacuum_table(table: str, retention_ms: int = 7 * 24 * 3600 * 1000) -> list[str]:
+    """Physically delete data files no longer referenced by the LATEST
+    snapshot whose tombstone (remove action) is older than ``retention_ms``
+    — after which time travel to versions needing those files fails, the
+    documented Delta trade-off. Returns the deleted relative paths.
+    ``retention_ms=0`` reclaims immediately (tests / aggressive cleanup)."""
+    active, _meta, _ = _replay(table, None)
+    cutoff = int(time.time() * 1000) - retention_ms
+    removed_at: dict[str, int] = {}
+    for v in _list_versions(table):
+        for action in _read_log(table, v):
+            if "remove" in action:
+                r = action["remove"]
+                removed_at[r["path"]] = r.get("deletionTimestamp", 0)
+            elif "add" in action and action["add"]["path"] in removed_at:
+                removed_at.pop(action["add"]["path"])  # re-added later
+    deleted = []
+    for rel, ts in sorted(removed_at.items()):
+        if rel in active or ts > cutoff:
+            continue
+        full = os.path.join(table, rel)
+        if os.path.exists(full):
+            os.remove(full)
+            deleted.append(rel)
+    return deleted
 
 
 def table_history(table: str) -> list[dict]:

@@ -164,6 +164,86 @@ def test_delta_lite_partitioned_pruning(spark, tmp_path):
     assert none.count() == 0
 
 
+def test_delta_lite_stats_skipping(spark, tmp_path):
+    """Per-file min/max stats ride the log; range_filters drops whole files
+    driver-side (Delta data skipping) without changing results when the
+    caller applies its row filter as usual."""
+    import json as _json
+
+    from big_data_analytics_machine_learning_poc_spark.sources.delta_lite import (
+        _replay,
+        read_delta,
+        write_delta,
+    )
+
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    table = str(tmp_path / "dls")
+    # range-partition on the key so per-file min/max are disjoint ranges —
+    # the layout that makes skipping effective (zone-map-friendly layout)
+    write_delta(orders.repartitionByRange(8, "o_orderkey"), table)
+
+    active, _, _ = _replay(table, None)
+    stats = [_json.loads(a["stats"]) for a in active.values()]
+    assert all("minValues" in s and "o_orderkey" in s["minValues"] for s in stats)
+    assert all(s["nullCount"].get("o_orderkey") == 0 for s in stats)
+
+    lo, hi = 1, 64
+    skipped = read_delta(spark, table, range_filters={"o_orderkey": (lo, hi)})
+    # fewer input files than the full snapshot
+    assert skipped.inputFiles() and len(skipped.inputFiles()) < len(active)
+    want = orders.filter(F.col("o_orderkey").between(lo, hi)).count()
+    assert skipped.filter(F.col("o_orderkey").between(lo, hi)).count() == want
+    # unbounded side + column without stats → conservatively kept
+    all_kept = read_delta(spark, table, range_filters={"o_clerk": (None, None)})
+    assert len(all_kept.inputFiles()) == len(active)
+
+
+def test_delta_lite_compaction_and_vacuum(spark, tmp_path):
+    """OPTIMIZE bin-packs each partition's small files into one, committed
+    with dataChange=false; time travel keeps working until vacuum_table
+    reclaims the unreferenced files (the documented trade-off)."""
+    import json as _json
+
+    from big_data_analytics_machine_learning_poc_spark.sources.delta_lite import (
+        _read_log,
+        _replay,
+        compact_table,
+        read_delta,
+        vacuum_table,
+        write_delta,
+    )
+
+    cust = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    table = str(tmp_path / "dlo")
+    # two appends → ≥2 files per mktsegment partition
+    write_delta(cust.repartition("c_mktsegment"), table, partition_cols=["c_mktsegment"])
+    write_delta(cust.repartition("c_mktsegment").limit(50), table, mode="append")
+    pre_active, _, pre_version = _replay(table, None)
+
+    v = compact_table(spark, table)
+    assert v == pre_version + 1
+    post_active, _, _ = _replay(table, None)
+    per_part: dict = {}
+    for a in post_active.values():
+        key = tuple(sorted(a["partitionValues"].items()))
+        per_part[key] = per_part.get(key, 0) + 1
+    assert all(n == 1 for n in per_part.values())
+    assert read_delta(spark, table).count() == cust.count() + 50
+    # pre-compaction snapshot still readable (files not yet deleted)
+    assert read_delta(spark, table, version=pre_version).count() == cust.count() + 50
+    # the compaction commit is all dataChange=false
+    for action in _read_log(table, v):
+        for kind in ("add", "remove"):
+            if kind in action:
+                assert action[kind]["dataChange"] is False
+    # idempotent: nothing left to compact
+    assert compact_table(spark, table) is None
+
+    deleted = vacuum_table(table, retention_ms=0)
+    assert set(deleted) == set(pre_active) - set(post_active)
+    assert read_delta(spark, table).count() == cust.count() + 50
+
+
 def test_delta_lite_commit_conflict_and_protocol_gate(spark, tmp_path):
     """The O_EXCL commit primitive: a second writer targeting the same
     version loses with DeltaCommitConflict. A table demanding a newer
