@@ -97,8 +97,10 @@ _DRIVER_WINDOW = (
     # append, time travel, log-stats consistency) — takes the agg_avg_max
     # re-confirm slot (green r1, source untouched since)
     "delta_snapshot_audit",
-    # re-confirm: bench headliners
-    "group_filter",
+    # NEW this round: Z-order layout census (same SQL text both engines) —
+    # takes the group_filter re-confirm slot (green r1, source untouched)
+    "layout_zorder_cells",
+    # re-confirm: bench headliner
     "join3_agg",
     # NEW this round (oracle-checked): count-min-sketch watchlist counts +
     # vocabulary OOV audit (text_token_count{,_regex} were green in r1 and

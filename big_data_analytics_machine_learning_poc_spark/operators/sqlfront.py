@@ -304,3 +304,62 @@ def sql_parameterized_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
             "maxq": 24,
         },
     )
+
+
+def _zorder_cells_sql() -> str:
+    """One SQL text, two engines: Z-order cell census over orders.
+
+    Buckets (equi-width, scalar-subquery bounds) are named once in a CTE;
+    the Morton interleave (functions/layout.py — fully parenthesized shift
+    arithmetic shared by Spark SQL and DuckDB) then references the bucket
+    NAMES, so each scalar subquery appears once and Catalyst/DuckDB compute
+    it a single time. The census (rows + key spans per coarse Z-block)
+    is how a layout job VERIFIES clustering before relying on it for file
+    skipping: a healthy Z-layout shows every block's key ranges narrow in
+    BOTH dimensions; `tests/test_sources.py::test_zorder_layout_skipping`
+    asserts the file-level consequence on delta_lite zone maps."""
+    from ..functions.layout import bucket_sql, morton_sql
+
+    b_cust = bucket_sql(
+        "o_custkey",
+        "(SELECT MIN(o_custkey) FROM orders)",
+        "(SELECT MAX(o_custkey) FROM orders)",
+        256,
+    )
+    b_key = bucket_sql(
+        "o_orderkey",
+        "(SELECT MIN(o_orderkey) FROM orders)",
+        "(SELECT MAX(o_orderkey) FROM orders)",
+        256,
+    )
+    z = morton_sql(["b_cust", "b_key"], 8)
+    return f"""
+    WITH buckets AS (
+      SELECT {b_cust} AS b_cust, {b_key} AS b_key, o_custkey, o_orderkey
+      FROM orders
+    ),
+    zkeys AS (
+      SELECT {z} AS zkey, o_custkey, o_orderkey FROM buckets
+    )
+    SELECT (zkey >> 10) AS zblock,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(MIN(o_custkey) AS BIGINT) AS min_cust,
+           CAST(MAX(o_custkey) AS BIGINT) AS max_cust,
+           CAST(MIN(o_orderkey) AS BIGINT) AS min_okey,
+           CAST(MAX(o_orderkey) AS BIGINT) AS max_okey
+    FROM zkeys
+    GROUP BY zblock
+    ORDER BY zblock
+    """
+
+
+@REG.add("layout_zorder_cells", sql=_zorder_cells_sql())
+def layout_zorder_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout census (see _zorder_cells_sql). Spark runs the
+    IDENTICAL text the oracle runs: integer-exact bucket arithmetic →
+    whole-stage-codegen bit interleave → one hash aggregate on ≤64 coarse
+    blocks. Scale shape: a map pass plus a 64-key shuffle regardless of
+    table size; the key expression is the same one write_zordered_delta
+    lays files out with."""
+    _views(spark, sf_dir, "orders")
+    return spark.sql(_zorder_cells_sql())

@@ -243,12 +243,19 @@ def write_delta(
     table: str,
     mode: str = "overwrite",
     partition_cols: list[str] | None = None,
+    txn: tuple[str, int] | None = None,
 ) -> int:
     """Commit ``df`` to the Delta-layout table at ``table``; returns the
     committed version. ``mode``: 'overwrite' (remove the previous snapshot's
     files in the same commit — readers see old XOR new, never a mix) or
     'append'. First commit on a path creates the table (protocol+metaData).
-    """
+
+    ``txn=(app_id, version)`` records the protocol's transaction-identifier
+    action in the same commit — the exactly-once primitive: an idempotent
+    writer (a Structured Streaming foreachBatch replaying batch N after a
+    crash) checks ``last_txn_version(table, app_id)`` and skips versions
+    already committed, because the data files and the txn marker landed
+    ATOMICALLY in one log entry."""
     if mode not in ("overwrite", "append"):
         raise ValueError(f"mode must be overwrite|append, got {mode!r}")
     partition_cols = list(partition_cols or [])
@@ -301,6 +308,10 @@ def write_delta(
                 }
             }
         )
+    if txn is not None:
+        actions.append(
+            {"txn": {"appId": txn[0], "version": int(txn[1]), "lastUpdated": now_ms}}
+        )
     actions.append(
         {
             "commitInfo": {
@@ -312,6 +323,47 @@ def write_delta(
     )
     _commit(table, version, actions)
     return version
+
+
+def last_txn_version(table: str, app_id: str) -> int | None:
+    """Highest ``txn.version`` committed for ``app_id``, or None — the
+    read side of the exactly-once handshake."""
+    best: int | None = None
+    for v in _list_versions(table):
+        for action in _read_log(table, v):
+            t = action.get("txn")
+            if t and t.get("appId") == app_id:
+                best = t["version"] if best is None else max(best, t["version"])
+    return best
+
+
+def delta_foreach_batch_sink(table: str, app_id: str, partition_cols: list[str] | None = None):
+    """Exactly-once Structured Streaming sink for the jar-free Delta lane:
+
+        q = stream_df.writeStream.foreachBatch(
+                delta_foreach_batch_sink(path, "my-ingest")
+            ).option("checkpointLocation", ckpt).start()
+
+    foreachBatch is at-least-once — after a crash the engine REPLAYS the
+    last uncommitted micro-batch. The sink makes the replay a no-op: batch
+    N's data files and ``txn(appId, N)`` marker commit atomically, and a
+    second delivery of N sees ``last_txn_version >= N`` and returns before
+    writing. (Same recipe real Delta documents for idempotent foreachBatch
+    writes; SURVEY §2.11 streaming-writes lane.)"""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        done = last_txn_version(table, app_id)
+        if done is not None and batch_id <= done:
+            return
+        write_delta(
+            batch_df,
+            table,
+            mode="append",
+            partition_cols=partition_cols,
+            txn=(app_id, batch_id),
+        )
+
+    return write_batch
 
 
 # ---------------------------------------------------------------------------

@@ -287,6 +287,101 @@ def test_delta_lite_commit_conflict_and_protocol_gate(spark, tmp_path):
         read_delta(spark, table2)
 
 
+def test_zorder_layout_skipping(spark, tmp_path):
+    """Why Z-order: a 1-D sort gives its sort column tight zone maps and
+    every other column file-spanning ones. Z-ordering (o_custkey,
+    o_orderkey) makes a range on the SECOND dimension skip files too —
+    measured here on delta_lite's logged min/max, results unchanged."""
+    from big_data_analytics_machine_learning_poc_spark.functions.layout import write_zordered_delta
+    from big_data_analytics_machine_learning_poc_spark.sources.delta_lite import (
+        read_delta,
+        write_delta,
+    )
+
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    n_files = 8
+    one_d = str(tmp_path / "sorted1d")
+    write_delta(
+        orders.repartitionByRange(n_files, "o_custkey").sortWithinPartitions("o_custkey"),
+        one_d,
+    )
+    zord = str(tmp_path / "zordered")
+    write_zordered_delta(orders, zord, ["o_custkey", "o_orderkey"], n_files=n_files)
+
+    bounds = orders.agg(F.min("o_orderkey"), F.max("o_orderkey")).first()
+    lo = bounds[0]
+    hi = lo + (bounds[1] - bounds[0]) // 8  # bottom eighth of the key range
+    kept_1d = len(read_delta(spark, one_d, range_filters={"o_orderkey": (lo, hi)}).inputFiles())
+    kept_z = len(read_delta(spark, zord, range_filters={"o_orderkey": (lo, hi)}).inputFiles())
+    # the 1-D layout spreads o_orderkey across (almost) every file; the
+    # Z-layout confines the range to a strict subset
+    assert kept_1d >= n_files - 1
+    assert 0 < kept_z < kept_1d
+    # and skipping never changes results — row filter applied as usual
+    want = orders.filter(F.col("o_orderkey").between(lo, hi)).count()
+    got = (
+        read_delta(spark, zord, range_filters={"o_orderkey": (lo, hi)})
+        .filter(F.col("o_orderkey").between(lo, hi))
+        .count()
+    )
+    assert got == want
+    # the first dimension still skips on the Z-layout as well
+    cb = orders.agg(F.min("o_custkey"), F.max("o_custkey")).first()
+    clo = cb[0]
+    chi = clo + (cb[1] - cb[0]) // 8
+    kept_z_cust = len(
+        read_delta(spark, zord, range_filters={"o_custkey": (clo, chi)}).inputFiles()
+    )
+    assert kept_z_cust < n_files
+
+
+def test_delta_lite_exactly_once_streaming_sink(spark, tmp_path):
+    """foreachBatch is at-least-once; the delta sink's atomic txn marker
+    makes batch replay a no-op, and a real availableNow stream lands the
+    whole events table exactly once."""
+    import os
+
+    from big_data_analytics_machine_learning_poc_spark.catalog import load_table
+    from big_data_analytics_machine_learning_poc_spark.sources.delta_lite import (
+        delta_foreach_batch_sink,
+        last_txn_version,
+        read_delta,
+        table_history,
+        write_delta,
+    )
+    from big_data_analytics_machine_learning_poc_spark.streaming.events import read_event_stream
+
+    table = os.path.join(str(tmp_path), "dtx")
+    nation = spark.read.parquet(f"{SF_DIR}/nation.parquet")
+
+    sink = delta_foreach_batch_sink(table, "ingest-app")
+    sink(nation, 0)
+    sink(nation, 0)  # crash-replay of the same micro-batch: no-op
+    sink(nation, 1)
+    assert read_delta(spark, table).count() == 2 * nation.count()
+    assert last_txn_version(table, "ingest-app") == 1
+    # a different app's txn counter is independent
+    assert last_txn_version(table, "other-app") is None
+    write_delta(nation, table, mode="append", txn=("other-app", 7))
+    assert last_txn_version(table, "other-app") == 7
+    assert last_txn_version(table, "ingest-app") == 1
+
+    # end-to-end: stream → delta, counts match the batch read
+    stream_table = os.path.join(str(tmp_path), "dstream")
+    ckpt = os.path.join(str(tmp_path), "ckpt")
+    ev = read_event_stream(spark, SF_DIR).select("event_id", "event_type", "value")
+    q = (
+        ev.writeStream.foreachBatch(delta_foreach_batch_sink(stream_table, "ev-ingest"))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert read_delta(spark, stream_table).count() == load_table(spark, SF_DIR, "events").count()
+    assert last_txn_version(stream_table, "ev-ingest") is not None
+    assert all(h["operation"] in ("WRITE",) for h in table_history(stream_table))
+
+
 def test_streaming_parquet_sink_roundtrip(spark, tmp_path):
     """Production streaming sink: writeStream → partitioned parquet with a
     checkpoint, then read back as a batch table (exactly-once file sink)."""
