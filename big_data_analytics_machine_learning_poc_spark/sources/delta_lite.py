@@ -20,14 +20,16 @@ and implements the protocol subset
     commitInfo(operation, operationParameters, timestamp)
 
 Supported: overwrite + append writes, partitioned tables, snapshot reads,
-time travel by version, log-level partition pruning, history, optimistic
-commit conflict detection (O_EXCL on the next version's log file — the same
-primitive real Delta uses on filesystems with atomic put-if-absent).
-NOT implemented (documented subset): checkpoints (`_last_checkpoint`),
-deletion vectors, column mapping, generated columns, CDC. Tables written
-here are readable by a real Delta reader for the feature subset used, and
-`read_delta` refuses tables whose `protocol` action demands a reader
-version above 1.
+time travel by version, log-level partition pruning, per-file stats with
+data skipping, OPTIMIZE compaction + VACUUM, txn actions (exactly-once
+streaming), parquet checkpoints + `_last_checkpoint` (replay cost
+O(#commits since checkpoint)), history, optimistic commit conflict
+detection (O_EXCL on the next version's log file — the same primitive
+real Delta uses on filesystems with atomic put-if-absent).
+NOT implemented (documented subset): deletion vectors, column mapping,
+generated columns, CDC. Tables written here are readable by a real Delta
+reader for the feature subset used, and `read_delta` refuses tables whose
+`protocol` action demands a reader version above 1.
 
 Scale notes (100 TB): the log is the scan index — `read_delta` hands Spark
 an explicit file list, so a snapshot read never LISTs the data directory
@@ -88,8 +90,84 @@ def _read_log(table: str, version: int) -> list[dict]:
         return [json.loads(line) for line in f if line.strip()]
 
 
+def _checkpoint_path(table: str, version: int) -> str:
+    return os.path.join(table, _LOG_DIR, f"{version:020d}.checkpoint.parquet")
+
+
+def _last_checkpoint_version(table: str, at_most: int) -> int | None:
+    """Version of the newest checkpoint ≤ ``at_most`` per ``_last_checkpoint``
+    (falling back to a directory scan if the pointer is ahead of the
+    requested time-travel version)."""
+    log_dir = os.path.join(table, _LOG_DIR)
+    pointer = os.path.join(log_dir, "_last_checkpoint")
+    if os.path.exists(pointer):
+        with open(pointer) as f:
+            v = int(json.load(f)["version"])
+        if v <= at_most:
+            return v
+    if not os.path.isdir(log_dir):
+        return None
+    best = None
+    for name in os.listdir(log_dir):
+        if name.endswith(".checkpoint.parquet"):
+            v = int(name.split(".")[0])
+            if v <= at_most and (best is None or v > best):
+                best = v
+    return best
+
+
+def _load_checkpoint(table: str, version: int) -> tuple[dict[str, dict], dict]:
+    import pyarrow.parquet as pq
+
+    rows = pq.read_table(_checkpoint_path(table, version)).to_pylist()
+    active: dict[str, dict] = {}
+    meta: dict = {}
+    for row in rows:
+        action = json.loads(row["action_json"])
+        if "protocol" in action:
+            rv = action["protocol"].get("minReaderVersion", 1)
+            if rv > 1:
+                raise NotImplementedError(
+                    f"table requires Delta reader version {rv}; delta_lite reads version 1"
+                )
+        elif "metaData" in action:
+            meta = action["metaData"]
+        elif "add" in action:
+            active[action["add"]["path"]] = action["add"]
+    return active, meta
+
+
+def checkpoint_table(table: str) -> int:
+    """Write a protocol checkpoint of the CURRENT snapshot (flattened
+    protocol/metaData/add state as parquet) plus the ``_last_checkpoint``
+    pointer, and return the checkpointed version. Replay cost then drops
+    from O(#commits) to O(#commits since checkpoint): at one commit per
+    micro-batch, an ingest table accrues thousands of commits per day —
+    without checkpoints every reader re-parses them all.
+
+    Format note (honest divergence): real Delta checkpoints flatten each
+    action into TYPED parquet columns (add.path, add.stats, ...); this one
+    stores one JSON string per action (`action_json`). Same role and same
+    pointer file, but a native Delta reader would ignore this checkpoint
+    and replay the JSON commits — which remain complete and
+    protocol-faithful, so interop is unaffected, only native replay
+    speed."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    active, meta, version = _replay(table, None)
+    actions = [dict(_PROTOCOL), {"metaData": meta}]
+    actions += [{"add": a} for a in active.values()]
+    tbl = pa.table({"action_json": [json.dumps(a, separators=(",", ":")) for a in actions]})
+    pq.write_table(tbl, _checkpoint_path(table, version))
+    with open(os.path.join(table, _LOG_DIR, "_last_checkpoint"), "w") as f:
+        json.dump({"version": version, "size": len(actions)}, f)
+    return version
+
+
 def _replay(table: str, version: int | None) -> tuple[dict[str, dict], dict, int]:
-    """Replay the log through ``version`` (latest if None). Returns
+    """Replay the log through ``version`` (latest if None), starting from
+    the newest checkpoint at-or-before it when one exists. Returns
     (active add-actions by relative path, latest metaData, snapshot version).
     """
     versions = _list_versions(table)
@@ -101,9 +179,16 @@ def _replay(table: str, version: int | None) -> tuple[dict[str, dict], dict, int
         raise ValueError(f"version {version} not in log (have {versions[0]}..{versions[-1]})")
     active: dict[str, dict] = {}
     meta: dict = {}
+    start_after = -1
+    ckpt = _last_checkpoint_version(table, version)
+    if ckpt is not None:
+        active, meta = _load_checkpoint(table, ckpt)
+        start_after = ckpt
     for v in versions:
         if v > version:
             break
+        if v <= start_after:
+            continue
         for action in _read_log(table, v):
             if "protocol" in action:
                 rv = action["protocol"].get("minReaderVersion", 1)
@@ -244,6 +329,7 @@ def write_delta(
     mode: str = "overwrite",
     partition_cols: list[str] | None = None,
     txn: tuple[str, int] | None = None,
+    merge_schema: bool = False,
 ) -> int:
     """Commit ``df`` to the Delta-layout table at ``table``; returns the
     committed version. ``mode``: 'overwrite' (remove the previous snapshot's
@@ -255,7 +341,15 @@ def write_delta(
     writer (a Structured Streaming foreachBatch replaying batch N after a
     crash) checks ``last_txn_version(table, app_id)`` and skips versions
     already committed, because the data files and the txn marker landed
-    ATOMICALLY in one log entry."""
+    ATOMICALLY in one log entry.
+
+    Schema is ENFORCED on every later commit (a frame whose schema differs
+    from the table's is rejected — the lake-table contract that keeps a
+    10-team pipeline from silently forking a table's shape). With
+    ``merge_schema=True`` a frame may ADD columns: the commit carries an
+    updated metaData action, and snapshot reads apply the as-of-version
+    schema, so old files surface the new columns as nulls and time travel
+    still sees the old shape."""
     if mode not in ("overwrite", "append"):
         raise ValueError(f"mode must be overwrite|append, got {mode!r}")
     partition_cols = list(partition_cols or [])
@@ -288,6 +382,25 @@ def write_delta(
                 f"partition columns {partition_cols} != table's {logged_parts}"
             )
         partition_cols = logged_parts
+        table_schema = StructType.fromJson(json.loads(meta["schemaString"]))
+        if df.schema != table_schema:
+            existing = {f.name: f.dataType for f in table_schema.fields}
+            incoming = {f.name: f.dataType for f in df.schema.fields}
+            conflicts = [
+                n for n, t in incoming.items() if n in existing and existing[n] != t
+            ]
+            new_cols = [f for f in df.schema.fields if f.name not in existing]
+            dropped = [n for n in existing if n not in incoming]
+            if conflicts or dropped or not merge_schema:
+                raise ValueError(
+                    f"schema mismatch vs table (conflicting types: {conflicts}, "
+                    f"missing table columns: {dropped}, new columns: "
+                    f"{[f.name for f in new_cols]}); pass merge_schema=True to "
+                    f"add columns"
+                )
+            merged = StructType(list(table_schema.fields) + new_cols)
+            meta = {**meta, "schemaString": merged.json()}
+            actions.append({"metaData": meta})
 
     staged = _stage_files(df, table, partition_cols)
     if mode == "overwrite":
@@ -427,13 +540,13 @@ def read_delta(
     if not adds:
         return spark.createDataFrame([], schema)
     files = [os.path.join(table, a["path"]) for a in adds]
-    reader = spark.read
+    reader = spark.read.schema(schema)
     if partition_cols:
-        # basePath + explicit leaf files: Spark re-derives the partition
-        # columns from the hive-style directory names.
+        # basePath + explicit leaf files: Spark matches the schema's
+        # partition columns to the hive-style directory names. The explicit
+        # schema (not inference) is what makes schema evolution work — old
+        # files simply lack the new columns and read as nulls.
         reader = reader.option("basePath", table)
-    else:
-        reader = reader.schema(schema)
     return reader.parquet(*files)
 
 
@@ -522,6 +635,153 @@ def compact_table(
                 "timestamp": now_ms,
                 "operation": "OPTIMIZE",
                 "operationParameters": {"minFilesPerPartition": min_files_per_partition},
+            }
+        }
+    )
+    version = latest + 1
+    _commit(table, version, actions)
+    return version
+
+
+def _rewrite_files(
+    spark: SparkSession,
+    table: str,
+    meta: dict,
+    affected: list[dict],
+    keep_df: DataFrame,
+    now_ms: int,
+) -> list[dict]:
+    """Copy-on-write core shared by DELETE and MERGE: stage ``keep_df``
+    as replacement files (partitioned like the table) and return the
+    remove+add actions. Untouched files are never rewritten."""
+    partition_cols = meta.get("partitionColumns", [])
+    staged = _stage_files(keep_df, table, partition_cols)
+    actions: list[dict] = []
+    for a in affected:
+        actions.append(
+            {"remove": {"path": a["path"], "deletionTimestamp": now_ms, "dataChange": True}}
+        )
+    for rel, size, stats in staged:
+        actions.append(
+            {
+                "add": {
+                    "path": rel,
+                    "partitionValues": _partition_values(rel, partition_cols),
+                    "size": size,
+                    "modificationTime": now_ms,
+                    "dataChange": True,
+                    "stats": json.dumps(stats),
+                }
+            }
+        )
+    return actions
+
+
+def _affected_adds(spark: SparkSession, table: str, active: dict, hit_df: DataFrame) -> list[dict]:
+    """add-actions of the files that contain at least one row of
+    ``hit_df`` (which must still carry ``_dl_file`` = input_file_name).
+    One distinct over file names — never a driver-side per-file loop."""
+    from urllib.parse import unquote, urlparse
+
+    hit_files = {
+        os.path.relpath(unquote(urlparse(r["_dl_file"]).path), os.path.abspath(table))
+        for r in hit_df.select("_dl_file").distinct().collect()
+    }
+    return [a for p, a in active.items() if p in hit_files]
+
+
+def delete_where(spark: SparkSession, table: str, predicate: str) -> int | None:
+    """Transactional row-level DELETE, copy-on-write: ONE scan finds the
+    files holding matching rows, only those files are rewritten without
+    their matching rows (NULL-predicate rows are kept, SQL DELETE
+    semantics), and remove+add publish atomically. Returns the committed
+    version, or None if nothing matched. Files without matches are never
+    touched — at 100 TB a targeted delete (GDPR erasure, bad-batch
+    rollback) rewrites a handful of files, not the table; zone-map/
+    partition locality of the delete key (see write_zordered_delta)
+    decides how few."""
+    from pyspark.sql import functions as F
+
+    active, meta, latest = _replay(table, None)
+    pred = F.expr(predicate)
+    snap = read_delta(spark, table).withColumn("_dl_file", F.input_file_name())
+    affected = _affected_adds(spark, table, active, snap.filter(pred))
+    if not affected:
+        return None
+    now_ms = int(time.time() * 1000)
+    partition_cols = meta.get("partitionColumns", [])
+    files = [os.path.join(table, a["path"]) for a in affected]
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    reader = spark.read.schema(schema)
+    if partition_cols:
+        reader = reader.option("basePath", table)
+    keep = reader.parquet(*files).filter(~F.coalesce(pred, F.lit(False)))
+    actions = _rewrite_files(spark, table, meta, affected, keep, now_ms)
+    actions.append(
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": "DELETE",
+                "operationParameters": {"predicate": predicate},
+            }
+        }
+    )
+    version = latest + 1
+    _commit(table, version, actions)
+    return version
+
+
+def merge_delta(
+    spark: SparkSession, table: str, source: DataFrame, key_cols: list[str]
+) -> int:
+    """Transactional upsert (MERGE ... WHEN MATCHED UPDATE SET * WHEN NOT
+    MATCHED INSERT *), copy-on-write: files holding rows whose key matches
+    ``source`` are rewritten with those rows dropped, the full ``source``
+    lands as new files, and everything publishes in ONE commit — readers
+    see pre-merge XOR post-merge. Only matched files rewrite; the match
+    probe is a semi join on the keys (broadcast when source is small —
+    exactly the CDC-upsert shape: a day's changes into a years-deep
+    table). Returns the committed version."""
+    from pyspark.sql import functions as F
+
+    active, meta, latest = _replay(table, None)
+    partition_cols = meta.get("partitionColumns", [])
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    if source.schema != schema:
+        raise ValueError("merge source schema must match the table schema")
+    keys = source.select(*key_cols).distinct()
+    snap = read_delta(spark, table).withColumn("_dl_file", F.input_file_name())
+    hits = snap.join(keys, on=key_cols, how="left_semi")
+    affected = _affected_adds(spark, table, active, hits)
+    now_ms = int(time.time() * 1000)
+    actions: list[dict] = []
+    if affected:
+        files = [os.path.join(table, a["path"]) for a in affected]
+        reader = spark.read.schema(schema)
+        if partition_cols:
+            reader = reader.option("basePath", table)
+        keep = reader.parquet(*files).join(keys, on=key_cols, how="left_anti")
+        actions += _rewrite_files(spark, table, meta, affected, keep, now_ms)
+    # the inserted/updated rows: the whole source, as fresh files
+    for rel, size, stats in _stage_files(source, table, partition_cols):
+        actions.append(
+            {
+                "add": {
+                    "path": rel,
+                    "partitionValues": _partition_values(rel, partition_cols),
+                    "size": size,
+                    "modificationTime": now_ms,
+                    "dataChange": True,
+                    "stats": json.dumps(stats),
+                }
+            }
+        )
+    actions.append(
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": "MERGE",
+                "operationParameters": {"matchedKeys": key_cols},
             }
         }
     )

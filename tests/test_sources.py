@@ -287,6 +287,121 @@ def test_delta_lite_commit_conflict_and_protocol_gate(spark, tmp_path):
         read_delta(spark, table2)
 
 
+def test_delta_lite_checkpoint_replay(spark, tmp_path):
+    """A parquet checkpoint + _last_checkpoint pointer makes replay start
+    from the checkpointed state; commits after it still apply, and time
+    travel to BEFORE the checkpoint falls back to pure JSON replay."""
+    import os
+
+    from big_data_analytics_machine_learning_poc_spark.sources.delta_lite import (
+        _replay,
+        checkpoint_table,
+        read_delta,
+        write_delta,
+    )
+
+    table = str(tmp_path / "dck")
+    nation = spark.read.parquet(f"{SF_DIR}/nation.parquet")
+    write_delta(nation, table)                       # v0
+    write_delta(nation.limit(5), table, "append")    # v1
+    assert checkpoint_table(table) == 1
+    assert os.path.exists(os.path.join(table, "_delta_log", "_last_checkpoint"))
+    # replay from the checkpoint matches a pure-JSON replay
+    active, meta, v = _replay(table, None)
+    assert v == 1 and len(active) > 0 and meta["schemaString"]
+    assert read_delta(spark, table).count() == nation.count() + 5
+    write_delta(nation.limit(2), table, "append")    # v2, after the checkpoint
+    assert read_delta(spark, table).count() == nation.count() + 7
+    # pre-checkpoint time travel unaffected
+    assert read_delta(spark, table, version=0).count() == nation.count()
+
+
+def test_delta_lite_schema_enforcement_and_evolution(spark, tmp_path):
+    """Appends with a different schema are rejected (the lake-table
+    contract); merge_schema=True adds columns via a new metaData action,
+    old files read the new column as null, and time travel still sees the
+    old shape."""
+    import pytest as _pytest
+
+    from big_data_analytics_machine_learning_poc_spark.sources.delta_lite import (
+        read_delta,
+        write_delta,
+    )
+
+    table = str(tmp_path / "dse")
+    region = spark.read.parquet(f"{SF_DIR}/region.parquet")
+    write_delta(region, table)
+    widened = region.withColumn("ingest_tag", F.lit("r4"))
+    with _pytest.raises(ValueError, match="merge_schema"):
+        write_delta(widened, table, mode="append")
+    with _pytest.raises(ValueError, match="schema mismatch"):
+        write_delta(region.drop("r_name"), table, mode="append", merge_schema=True)
+    with _pytest.raises(ValueError, match="conflicting"):
+        write_delta(
+            region.withColumn("r_regionkey", F.col("r_regionkey").cast("string")),
+            table,
+            mode="append",
+            merge_schema=True,
+        )
+
+    write_delta(widened, table, mode="append", merge_schema=True)  # v1
+    latest = read_delta(spark, table)
+    assert "ingest_tag" in latest.columns
+    assert latest.count() == 2 * region.count()
+    # v0 files surface the evolved column as null
+    assert latest.filter(F.col("ingest_tag").isNull()).count() == region.count()
+    # time travel sees the pre-evolution schema
+    assert "ingest_tag" not in read_delta(spark, table, version=0).columns
+
+
+def test_delta_lite_delete_and_merge(spark, tmp_path):
+    """Copy-on-write DELETE and MERGE: only files holding matched rows are
+    rewritten, everything publishes in one commit, results are exact."""
+    from big_data_analytics_machine_learning_poc_spark.sources.delta_lite import (
+        _replay,
+        delete_where,
+        merge_delta,
+        read_delta,
+        table_history,
+        write_delta,
+    )
+
+    cust = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    table = str(tmp_path / "ddm")
+    # range-layout on the key so the delete/merge keys cluster into few files
+    write_delta(cust.repartitionByRange(6, "c_custkey"), table)
+    pre_active, _, _ = _replay(table, None)
+
+    # DELETE a key range that lives in one region of the layout
+    v = delete_where(spark, table, "c_custkey <= 20")
+    assert v == 1
+    post = read_delta(spark, table)
+    assert post.count() == cust.filter(F.col("c_custkey") > 20).count()
+    assert post.filter(F.col("c_custkey") <= 20).count() == 0
+    post_active, _, _ = _replay(table, None)
+    # untouched files survived the delete commit verbatim
+    assert len(set(pre_active) & set(post_active)) >= 4
+    # deleting nothing is a no-op, not an empty commit
+    assert delete_where(spark, table, "c_custkey < 0") is None
+
+    # MERGE: update 10 surviving rows, insert 5 new keys
+    updates = (
+        cust.filter((F.col("c_custkey") > 20) & (F.col("c_custkey") <= 30))
+        .withColumn("c_mktsegment", F.lit("MERGED"))
+    )
+    inserts = cust.filter(F.col("c_custkey") <= 5)
+    n_inserts = inserts.count()
+    v2 = merge_delta(spark, table, updates.unionByName(inserts), ["c_custkey"])
+    assert v2 == 2
+    final = read_delta(spark, table)
+    n_cust = cust.count()
+    assert final.count() == cust.filter(F.col("c_custkey") > 20).count() + n_inserts
+    assert final.filter(F.col("c_mktsegment") == "MERGED").count() == updates.count()
+    assert final.filter(F.col("c_custkey") <= 5).count() == n_inserts
+    assert [h["operation"] for h in table_history(table)] == ["MERGE", "DELETE", "WRITE"]
+    assert n_cust == cust.count()  # source frame untouched
+
+
 def test_zorder_layout_skipping(spark, tmp_path):
     """Why Z-order: a 1-D sort gives its sort column tight zone maps and
     every other column file-spanning ones. Z-ordering (o_custkey,
