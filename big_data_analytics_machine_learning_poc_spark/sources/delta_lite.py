@@ -434,8 +434,47 @@ def write_delta(
             }
         }
     )
-    _commit(table, version, actions)
-    return version
+    return _commit_append_rebase(table, version, actions, mode, partition_cols)
+
+
+def _commit_append_rebase(
+    table: str,
+    version: int,
+    actions: list[dict],
+    mode: str,
+    partition_cols: list[str],
+    max_retries: int = 10,
+) -> int:
+    """Commit, rebasing a BLIND APPEND past concurrent winners (the
+    protocol's conflict rule: an append conflicts with nothing unless the
+    winner changed the table's metadata): on losing the O_EXCL race, re-aim
+    at the new head after verifying schema and partitioning are unchanged —
+    the staged files and actions stay valid verbatim. Overwrites are NOT
+    rebased (their remove-set describes the snapshot they read) and
+    re-raise immediately, as does a metadata change or retry exhaustion."""
+    carries_meta = any("metaData" in a for a in actions)
+    if mode != "append" or carries_meta:
+        # overwrites read a snapshot their remove-set depends on; a
+        # schema-evolving append could clobber a concurrent evolution —
+        # both surface the conflict to the caller instead of rebasing
+        _commit(table, version, actions)
+        return version
+    _, base_meta, _ = _replay(table, version - 1)
+    for _ in range(max_retries + 1):
+        try:
+            _commit(table, version, actions)
+            return version
+        except DeltaCommitConflict:
+            _active, head_meta, head = _replay(table, None)
+            if (
+                head_meta.get("partitionColumns", []) != partition_cols
+                or head_meta.get("schemaString") != base_meta["schemaString"]
+            ):
+                raise
+            version = head + 1
+    raise DeltaCommitConflict(
+        f"append lost the commit race {max_retries + 1} times at {table}"
+    )
 
 
 def last_txn_version(table: str, app_id: str) -> int | None:

@@ -244,7 +244,40 @@ def test_delta_lite_compaction_and_vacuum(spark, tmp_path):
     assert read_delta(spark, table).count() == cust.count() + 50
 
 
-def test_delta_lite_commit_conflict_and_protocol_gate(spark, tmp_path):
+def test_delta_lite_append_rebase_past_conflict(spark, tmp_path):
+    """A blind append that loses the commit race rebases onto the new head
+    (its staged files stay valid); an overwrite or a metadata-changed head
+    surfaces the conflict instead."""
+    import pytest as _pytest
+
+    from big_data_analytics_machine_learning_poc_spark.sources.delta_lite import (
+        DeltaCommitConflict,
+        _commit,
+        _commit_append_rebase,
+        _replay,
+        read_delta,
+        write_delta,
+    )
+
+    table = str(tmp_path / "drb")
+    region = spark.read.parquet(f"{SF_DIR}/region.parquet")
+    write_delta(region, table)  # v0
+    # a concurrent writer takes v1 (commitInfo-only commit is protocol-legal)
+    _commit(table, 1, [{"commitInfo": {"timestamp": 0, "operation": "WRITE"}}])
+
+    # append aimed at v1 rebases to v2; its add actions land intact
+    actions = [{"commitInfo": {"timestamp": 0, "operation": "WRITE"}}]
+    landed = _commit_append_rebase(table, 1, actions, "append", [])
+    assert landed == 2
+    # an overwrite aimed at a taken version raises — its remove-set is stale
+    with _pytest.raises(DeltaCommitConflict):
+        _commit_append_rebase(table, 2, actions, "overwrite", [])
+    # end-to-end: a real append through write_delta after an out-of-band
+    # commit takes the next free version and the snapshot stays exact
+    write_delta(region.limit(2), table, mode="append")
+    active, _, head = _replay(table, None)
+    assert head == 3
+    assert read_delta(spark, table).count() == region.count() + 2
     """The O_EXCL commit primitive: a second writer targeting the same
     version loses with DeltaCommitConflict. A table demanding a newer
     reader version is refused, not misread."""
