@@ -183,3 +183,89 @@ def test_scd2_intervals_tile_the_timeline(spark):
         for a, b in zip(ivs, ivs[1:]):
             assert a.valid_to == b.valid_from  # adjacent, no gaps/overlaps
             assert a.event_type != b.event_type  # runs are maximal
+
+
+_delta_op = st.one_of(
+    st.tuples(st.just("overwrite"), st.lists(st.tuples(st.integers(0, 9), st.integers(0, 99)), max_size=12)),
+    st.tuples(st.just("append"), st.lists(st.tuples(st.integers(0, 9), st.integers(0, 99)), max_size=12)),
+    st.tuples(st.just("delete_le"), st.integers(0, 9)),
+    st.tuples(st.just("merge"), st.lists(st.tuples(st.integers(0, 9), st.integers(0, 99)), min_size=1, max_size=6)),
+    st.tuples(st.just("compact"), st.just(None)),
+    st.tuples(st.just("checkpoint"), st.just(None)),
+)
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(_delta_op, min_size=1, max_size=5))
+def test_delta_lite_model_based(spark, ops):
+    """Model check for the Delta lane: an arbitrary sequence of
+    overwrite / append / DELETE / MERGE / OPTIMIZE / checkpoint commits
+    must leave every SNAPSHOT (current and time-traveled) equal to a pure
+    Python list-of-rows model, and vacuum(0) must never change the latest
+    snapshot. Covers the interactions no example-based test enumerates:
+    merge-after-delete, compaction between checkpoints, empty frames,
+    duplicate keys in a merge source (last-writer-wins dedup), etc."""
+    import shutil
+    import tempfile
+
+    from big_data_analytics_machine_learning_poc_spark.sources.delta_lite import (
+        checkpoint_table,
+        compact_table,
+        delete_where,
+        merge_delta,
+        read_delta,
+        vacuum_table,
+        write_delta,
+    )
+
+    schema = "id long, val long"
+
+    def df_of(rows):
+        return spark.createDataFrame([tuple(r) for r in rows], schema=schema)
+
+    table = tempfile.mkdtemp(prefix="dprop_")
+    shutil.rmtree(table)  # write_delta creates it
+    model: list[tuple[int, int]] = []
+    by_version: dict[int, list[tuple[int, int]]] = {}
+    created = False
+    try:
+        for kind, arg in ops:
+            if not created and kind not in ("overwrite", "append"):
+                continue  # table must exist first
+            if kind == "overwrite":
+                v = write_delta(df_of(arg), table, mode="overwrite")
+                model = list(arg)
+                created = True
+            elif kind == "append":
+                v = write_delta(df_of(arg), table, mode="append" if created else "overwrite")
+                model = model + list(arg)
+                created = True
+            elif kind == "delete_le":
+                v = delete_where(spark, table, f"id <= {arg}")
+                model = [r for r in model if r[0] > arg]
+                if v is None:
+                    continue
+            elif kind == "merge":
+                src = list({r[0]: r for r in arg}.values())  # unique keys
+                v = merge_delta(spark, table, df_of(src), ["id"])
+                keys = {r[0] for r in src}
+                model = [r for r in model if r[0] not in keys] + src
+            elif kind == "compact":
+                v = compact_table(spark, table)
+                if v is None:
+                    continue
+            else:  # checkpoint — no new version
+                checkpoint_table(table)
+                continue
+            by_version[v] = list(model)
+        if not created:
+            return
+        for v, expect in by_version.items():
+            got = [(r.id, r.val) for r in read_delta(spark, table, version=v).collect()]
+            assert sorted(got) == sorted(expect), f"version {v}"
+        vacuum_table(table, retention_ms=0)
+        latest = max(by_version)
+        got = [(r.id, r.val) for r in read_delta(spark, table).collect()]
+        assert sorted(got) == sorted(by_version[latest])
+    finally:
+        shutil.rmtree(table, ignore_errors=True)
