@@ -618,7 +618,11 @@ def compact_table(
     actions: list[dict] = []
     import pyarrow.parquet as pq
 
-    reader = spark.read
+    # the LOGGED schema, not inference: after merge_schema evolution a
+    # partition can hold files with and without the new columns — inference
+    # from an arbitrary first file would silently drop them from the
+    # compacted rewrite
+    reader = spark.read.schema(StructType.fromJson(json.loads(meta["schemaString"])))
     if partition_cols:
         reader = reader.option("basePath", table)
     for adds in groups:

@@ -386,6 +386,17 @@ def test_delta_lite_schema_enforcement_and_evolution(spark, tmp_path):
     # time travel sees the pre-evolution schema
     assert "ingest_tag" not in read_delta(spark, table, version=0).columns
 
+    # compaction after evolution must use the LOGGED schema: the merged
+    # file keeps the evolved column, old rows still null-filled
+    from big_data_analytics_machine_learning_poc_spark.sources.delta_lite import compact_table
+
+    assert compact_table(spark, table) is not None
+    compacted = read_delta(spark, table)
+    assert "ingest_tag" in compacted.columns
+    assert compacted.count() == 2 * region.count()
+    assert compacted.filter(F.col("ingest_tag").isNull()).count() == region.count()
+    assert compacted.filter(F.col("ingest_tag") == "r4").count() == region.count()
+
 
 def test_delta_lite_delete_and_merge(spark, tmp_path):
     """Copy-on-write DELETE and MERGE: only files holding matched rows are
