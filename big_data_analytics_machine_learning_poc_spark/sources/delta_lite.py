@@ -313,13 +313,18 @@ def _stage_files(
 
 
 def _partition_values(rel_path: str, partition_cols: list[str]) -> dict[str, str]:
-    """Recover hive-style partition values from the file's directory path."""
+    """Recover hive-style partition values from the file's directory path.
+    Spark percent-escapes special characters in partition directory names
+    (`a b` → `a%20b`); the log stores the UNESCAPED value, so
+    ``partition_filters`` compare against what the user wrote."""
+    from urllib.parse import unquote
+
     values: dict[str, str] = {}
     for piece in rel_path.split(os.sep)[:-1]:
         if "=" in piece:
             k, _, v = piece.partition("=")
             if k in partition_cols:
-                values[k] = v
+                values[k] = unquote(v)
     return values
 
 
@@ -784,7 +789,12 @@ def merge_delta(
     see pre-merge XOR post-merge. Only matched files rewrite; the match
     probe is a semi join on the keys (broadcast when source is small —
     exactly the CDC-upsert shape: a day's changes into a years-deep
-    table). Returns the committed version."""
+    table). Returns the committed version.
+
+    ``source`` must be unique per key (dedupe upstream — e.g. latest
+    change per key via a window): duplicate source keys would all insert,
+    like SQL MERGE's multiple-match error, except undetected here because
+    detection would cost an extra aggregation job per merge."""
     from pyspark.sql import functions as F
 
     active, meta, latest = _replay(table, None)

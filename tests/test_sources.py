@@ -163,6 +163,19 @@ def test_delta_lite_partitioned_pruning(spark, tmp_path):
     none = read_delta(spark, table, partition_filters={"o_orderstatus": "ZZ"})
     assert none.count() == 0
 
+    # hive-escaped partition values: the log stores the UNESCAPED value,
+    # so filters use what the user wrote (Spark writes `a b` as `a%20b`)
+    esc = str(tmp_path / "dlesc")
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "c/d"), (4, "plain")], "id long, grp string"
+    )
+    write_delta(df, esc, partition_cols=["grp"])
+    active, _, _ = _replay(esc, None)
+    assert {"a b", "c/d", "plain"} == {a["partitionValues"]["grp"] for a in active.values()}
+    got = read_delta(spark, esc, partition_filters={"grp": "a b"})
+    assert [r.id for r in got.orderBy("id").collect()] == [1, 2]
+    assert got.columns and set(got.select("grp").distinct().toPandas()["grp"]) == {"a b"}
+
 
 def test_delta_lite_stats_skipping(spark, tmp_path):
     """Per-file min/max stats ride the log; range_filters drops whole files
