@@ -300,3 +300,80 @@ def delta_snapshot_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, schema="version int, n_rows long, n_rows_logged long"
     ).orderBy("version")
+
+
+@REG.add(
+    "delta_merge_audit",
+    sql="""
+    SELECT 0 AS version,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(c_custkey) AS BIGINT) AS sum_custkey,
+           CAST(0 AS BIGINT) AS n_merged
+    FROM customer
+    UNION ALL
+    SELECT 1,
+           CAST(SUM(CASE WHEN c_custkey % 10 <> 3 THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(SUM(CASE WHEN c_custkey % 10 <> 3 THEN c_custkey ELSE 0 END)
+                AS BIGINT),
+           CAST(0 AS BIGINT)
+    FROM customer
+    UNION ALL
+    SELECT 2,
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(c_custkey) AS BIGINT),
+           CAST(SUM(CASE WHEN c_custkey % 10 = 4 THEN 1 ELSE 0 END) AS BIGINT)
+    FROM customer
+    ORDER BY version
+    """,
+)
+def delta_merge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level lakehouse ops end-to-end under the oracle gate: load
+    customer into a Delta table (v0), copy-on-write DELETE the keys with
+    ``c_custkey % 10 = 3`` (v1), then MERGE back a change set that UPDATES
+    the ``% 10 = 4`` rows (segment → 'MERGED', same keys, so the key-sum is
+    invariant) and re-INSERTS the deleted ``% 10 = 3`` rows (v2). Every
+    version is time-traveled and audited on (row count, key sum, merged
+    count) — integer-exact arithmetic the oracle reproduces from the source
+    table alone: v2's count and key-sum equal the ORIGINAL table's because
+    the merge restores exactly what the delete removed and updates replace
+    their own keys.
+
+    Scale shape mirrors production CDC: the delete rewrites only the files
+    holding matched keys (see SCALE.md §Lakehouse for measured locality),
+    the merge's match probe is a semi join on the key set, and each audit
+    read is an explicit log-derived file list."""
+    import shutil
+    import tempfile
+
+    from ..sources.delta_lite import delete_where, merge_delta, read_delta, write_delta
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    table = tempfile.mkdtemp(prefix="delta_merge_")
+    try:
+        # key-ranged layout: the %10 delete touches every file (worst case
+        # for locality, best case for exercising the rewrite path)
+        write_delta(cust.repartitionByRange(4, "c_custkey"), table)
+        delete_where(spark, table, "c_custkey % 10 = 3")
+        updates = cust.filter(F.col("c_custkey") % 10 == 4).withColumn(
+            "c_mktsegment", F.lit("MERGED")
+        )
+        reinserts = cust.filter(F.col("c_custkey") % 10 == 3)
+        merge_delta(spark, table, updates.unionByName(reinserts), ["c_custkey"])
+        rows = []
+        for version in (0, 1, 2):
+            snap = read_delta(spark, table, version=version)
+            agg = snap.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.coalesce(F.sum("c_custkey"), F.lit(0)).alias("s"),
+                F.coalesce(
+                    F.sum((F.col("c_mktsegment") == "MERGED").cast("long")), F.lit(0)
+                ).alias("m"),
+            ).first()
+            rows.append((version, int(agg["n"]), int(agg["s"]), int(agg["m"])))
+    finally:
+        shutil.rmtree(table, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, schema="version int, n_rows long, sum_custkey long, n_merged long"
+    ).orderBy("version")
