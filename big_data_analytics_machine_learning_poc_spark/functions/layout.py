@@ -79,6 +79,10 @@ def write_zordered_delta(
         *[F.min(c).alias(f"lo_{c}") for c in cols],
         *[F.max(c).alias(f"hi_{c}") for c in cols],
     ).collect()[0]
+    if any(row[f"lo_{c}"] is None for c in cols):
+        # empty frame (or all-null key): nothing to lay out — commit as-is
+        # instead of crashing the layout job on int(None)
+        return write_delta(df, table, mode=mode)
     bounds = {c: (int(row[f"lo_{c}"]), int(row[f"hi_{c}"])) for c in cols}
     z = F.expr(zorder_key_sql(cols, bounds, bits))
     laid_out = (

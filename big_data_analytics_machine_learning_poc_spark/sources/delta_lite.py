@@ -101,10 +101,13 @@ def _last_checkpoint_version(table: str, at_most: int) -> int | None:
     log_dir = os.path.join(table, _LOG_DIR)
     pointer = os.path.join(log_dir, "_last_checkpoint")
     if os.path.exists(pointer):
-        with open(pointer) as f:
-            v = int(json.load(f)["version"])
-        if v <= at_most:
-            return v
+        try:
+            with open(pointer) as f:
+                v = int(json.load(f)["version"])
+            if v <= at_most:
+                return v
+        except (ValueError, KeyError, OSError):
+            pass  # corrupt/partial pointer → fall back to the directory scan
     if not os.path.isdir(log_dir):
         return None
     best = None
@@ -116,12 +119,13 @@ def _last_checkpoint_version(table: str, at_most: int) -> int | None:
     return best
 
 
-def _load_checkpoint(table: str, version: int) -> tuple[dict[str, dict], dict]:
+def _load_checkpoint(table: str, version: int) -> tuple[dict[str, dict], dict, dict[str, int]]:
     import pyarrow.parquet as pq
 
     rows = pq.read_table(_checkpoint_path(table, version)).to_pylist()
     active: dict[str, dict] = {}
     meta: dict = {}
+    txns: dict[str, int] = {}
     for row in rows:
         action = json.loads(row["action_json"])
         if "protocol" in action:
@@ -134,7 +138,34 @@ def _load_checkpoint(table: str, version: int) -> tuple[dict[str, dict], dict]:
             meta = action["metaData"]
         elif "add" in action:
             active[action["add"]["path"]] = action["add"]
-    return active, meta
+        elif "txn" in action:
+            txns[action["txn"]["appId"]] = action["txn"]["version"]
+    return active, meta, txns
+
+
+def _txn_state(table: str) -> dict[str, int]:
+    """Latest txn.version per appId — checkpoint state plus commits after
+    it, so the exactly-once lookup is O(commits since checkpoint), not
+    O(table lifetime)."""
+    versions = _list_versions(table)
+    if not versions:
+        return {}
+    txns: dict[str, int] = {}
+    start_after = -1
+    ckpt = _last_checkpoint_version(table, versions[-1])
+    if ckpt is not None:
+        _active, _meta, txns = _load_checkpoint(table, ckpt)
+        txns = dict(txns)
+        start_after = ckpt
+    for v in versions:
+        if v <= start_after:
+            continue
+        for action in _read_log(table, v):
+            t = action.get("txn")
+            if t:
+                prev = txns.get(t["appId"])
+                txns[t["appId"]] = t["version"] if prev is None else max(prev, t["version"])
+    return txns
 
 
 def checkpoint_table(table: str) -> int:
@@ -158,10 +189,18 @@ def checkpoint_table(table: str) -> int:
     active, meta, version = _replay(table, None)
     actions = [dict(_PROTOCOL), {"metaData": meta}]
     actions += [{"add": a} for a in active.values()]
+    actions += [
+        {"txn": {"appId": app, "version": v}} for app, v in sorted(_txn_state(table).items())
+    ]
     tbl = pa.table({"action_json": [json.dumps(a, separators=(",", ":")) for a in actions]})
     pq.write_table(tbl, _checkpoint_path(table, version))
-    with open(os.path.join(table, _LOG_DIR, "_last_checkpoint"), "w") as f:
+    # temp + rename: a crash mid-write must not leave a partial pointer
+    # (the read side also tolerates one by falling back to a scan)
+    pointer = os.path.join(table, _LOG_DIR, "_last_checkpoint")
+    tmp = pointer + f".tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
         json.dump({"version": version, "size": len(actions)}, f)
+    os.replace(tmp, pointer)
     return version
 
 
@@ -182,7 +221,7 @@ def _replay(table: str, version: int | None) -> tuple[dict[str, dict], dict, int
     start_after = -1
     ckpt = _last_checkpoint_version(table, version)
     if ckpt is not None:
-        active, meta = _load_checkpoint(table, ckpt)
+        active, meta, _txns = _load_checkpoint(table, ckpt)
         start_after = ckpt
     for v in versions:
         if v > version:
@@ -241,6 +280,7 @@ def _file_stats(pq_meta) -> dict:
     mins: dict = {}
     maxs: dict = {}
     nulls: dict = {}
+    covered: dict = {}  # row groups contributing min/max per column
     for rg in range(pq_meta.num_row_groups):
         group = pq_meta.row_group(rg)
         for ci in range(group.num_columns):
@@ -255,15 +295,20 @@ def _file_stats(pq_meta) -> dict:
                 nulls[name] = nulls.get(name, 0) + st.null_count
             if not st.has_min_max or st.physical_type not in _STATS_PHYSICAL_TYPES:
                 continue
+            covered[name] = covered.get(name, 0) + 1
             lo, hi = st.min, st.max
             if name not in mins or lo < mins[name]:
                 mins[name] = lo
             if name not in maxs or hi > maxs[name]:
                 maxs[name] = hi
+    # a column's min/max is sound only if EVERY row group contributed —
+    # bounds covering part of the file logged as exact would let the
+    # skipping reader drop a file whose stats-less row group matches
+    complete = {n for n, k in covered.items() if k == pq_meta.num_row_groups}
     stats: dict = {"numRecords": num_records, "nullCount": nulls}
-    if mins:
-        stats["minValues"] = {k: _json_scalar(v) for k, v in mins.items()}
-        stats["maxValues"] = {k: _json_scalar(v) for k, v in maxs.items()}
+    if complete:
+        stats["minValues"] = {k: _json_scalar(v) for k, v in mins.items() if k in complete}
+        stats["maxValues"] = {k: _json_scalar(v) for k, v in maxs.items() if k in complete}
     return stats
 
 
@@ -286,7 +331,16 @@ def _stage_files(
     if partition_cols:
         writer = writer.partitionBy(*partition_cols)
     writer.parquet(staging)
+    return _publish_staged(staging, table)
 
+
+def _publish_staged(
+    staging: str, table: str, dest_dir: str | None = None
+) -> list[tuple[str, int, dict]]:
+    """Move every staged parquet file into the table (preserving its
+    staging-relative path, or flattened into ``dest_dir``), footer-reading
+    its stats on the way; then clear the staging skeleton (_SUCCESS, empty
+    partition dirs). Returns (relative path, size, stats) per file."""
     import pyarrow.parquet as pq
 
     out: list[tuple[str, int, dict]] = []
@@ -295,14 +349,16 @@ def _stage_files(
             if not name.endswith(".parquet"):
                 continue
             src = os.path.join(root, name)
-            rel = os.path.relpath(src, staging)
+            if dest_dir is None:
+                rel = os.path.relpath(src, staging)
+            else:
+                rel = os.path.join(dest_dir, name) if dest_dir else name
             dst = os.path.join(table, rel)
             stats = _file_stats(pq.read_metadata(src))
             size = os.path.getsize(src)
-            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            os.makedirs(os.path.dirname(dst) or table, exist_ok=True)
             os.rename(src, dst)
             out.append((rel, size, stats))
-    # clear staging skeleton (_SUCCESS, empty partition dirs)
     for root, dirs, files in os.walk(staging, topdown=False):
         for name in files:
             os.remove(os.path.join(root, name))
@@ -439,7 +495,14 @@ def write_delta(
             }
         }
     )
-    return _commit_append_rebase(table, version, actions, mode, partition_cols)
+    return _commit_append_rebase(
+        table,
+        version,
+        actions,
+        mode,
+        partition_cols,
+        base_schema_string=meta["schemaString"] if versions else None,
+    )
 
 
 def _commit_append_rebase(
@@ -448,6 +511,7 @@ def _commit_append_rebase(
     actions: list[dict],
     mode: str,
     partition_cols: list[str],
+    base_schema_string: str | None = None,
     max_retries: int = 10,
 ) -> int:
     """Commit, rebasing a BLIND APPEND past concurrent winners (the
@@ -464,7 +528,9 @@ def _commit_append_rebase(
         # both surface the conflict to the caller instead of rebasing
         _commit(table, version, actions)
         return version
-    _, base_meta, _ = _replay(table, version - 1)
+    if base_schema_string is None:  # direct callers without the base in hand
+        _, base_meta, _ = _replay(table, version - 1)
+        base_schema_string = base_meta["schemaString"]
     for _ in range(max_retries + 1):
         try:
             _commit(table, version, actions)
@@ -473,7 +539,7 @@ def _commit_append_rebase(
             _active, head_meta, head = _replay(table, None)
             if (
                 head_meta.get("partitionColumns", []) != partition_cols
-                or head_meta.get("schemaString") != base_meta["schemaString"]
+                or head_meta.get("schemaString") != base_schema_string
             ):
                 raise
             version = head + 1
@@ -484,14 +550,10 @@ def _commit_append_rebase(
 
 def last_txn_version(table: str, app_id: str) -> int | None:
     """Highest ``txn.version`` committed for ``app_id``, or None — the
-    read side of the exactly-once handshake."""
-    best: int | None = None
-    for v in _list_versions(table):
-        for action in _read_log(table, v):
-            t = action.get("txn")
-            if t and t.get("appId") == app_id:
-                best = t["version"] if best is None else max(best, t["version"])
-    return best
+    read side of the exactly-once handshake. Checkpoints carry the txn
+    state forward, so the per-micro-batch cost stays O(commits since
+    checkpoint) over a stream's lifetime."""
+    return _txn_state(table).get(app_id)
 
 
 def delta_foreach_batch_sink(table: str, app_id: str, partition_cols: list[str] | None = None):
@@ -526,6 +588,16 @@ def delta_foreach_batch_sink(table: str, app_id: str, partition_cols: list[str] 
 # ---------------------------------------------------------------------------
 # reader
 # ---------------------------------------------------------------------------
+
+
+def _snapshot_reader(spark: SparkSession, table: str, meta: dict):
+    """DataFrameReader for a snapshot's files: the LOGGED schema (never
+    inference — evolution can mix file shapes) plus basePath so hive
+    partition directories re-derive their columns."""
+    reader = spark.read.schema(StructType.fromJson(json.loads(meta["schemaString"])))
+    if meta.get("partitionColumns"):
+        reader = reader.option("basePath", table)
+    return reader
 
 
 def _file_may_match(add: dict, col: str, lo, hi) -> bool:
@@ -576,22 +648,26 @@ def read_delta(
             if all(a["partitionValues"].get(k) == v for k, v in partition_filters.items())
         ]
     if range_filters:
+        # bounds normalized like the logged stats (_json_scalar): a
+        # date/datetime bound becomes its ISO string, comparable with the
+        # stored min/max; numerics pass through
+        norm = {
+            c: (_json_scalar(lo) if lo is not None else None,
+                _json_scalar(hi) if hi is not None else None)
+            for c, (lo, hi) in range_filters.items()
+        }
         adds = [
             a
             for a in adds
-            if all(_file_may_match(a, c, lo, hi) for c, (lo, hi) in range_filters.items())
+            if all(_file_may_match(a, c, lo, hi) for c, (lo, hi) in norm.items())
         ]
     if not adds:
         return spark.createDataFrame([], schema)
     files = [os.path.join(table, a["path"]) for a in adds]
-    reader = spark.read.schema(schema)
-    if partition_cols:
-        # basePath + explicit leaf files: Spark matches the schema's
-        # partition columns to the hive-style directory names. The explicit
-        # schema (not inference) is what makes schema evolution work — old
-        # files simply lack the new columns and read as nulls.
-        reader = reader.option("basePath", table)
-    return reader.parquet(*files)
+    # _snapshot_reader: logged schema + basePath — explicit schema (not
+    # inference) is what makes schema evolution work; old files simply
+    # lack the new columns and read as nulls.
+    return _snapshot_reader(spark, table, meta).parquet(*files)
 
 
 def compact_table(
@@ -621,15 +697,11 @@ def compact_table(
 
     now_ms = int(time.time() * 1000)
     actions: list[dict] = []
-    import pyarrow.parquet as pq
-
     # the LOGGED schema, not inference: after merge_schema evolution a
     # partition can hold files with and without the new columns — inference
     # from an arbitrary first file would silently drop them from the
     # compacted rewrite
-    reader = spark.read.schema(StructType.fromJson(json.loads(meta["schemaString"])))
-    if partition_cols:
-        reader = reader.option("basePath", table)
+    reader = _snapshot_reader(spark, table, meta)
     for adds in groups:
         files = [os.path.join(table, a["path"]) for a in adds]
         # drop the hive partition columns Spark re-derived: the rewritten
@@ -638,35 +710,19 @@ def compact_table(
         part_dir = os.path.dirname(adds[0]["path"])
         staging = os.path.join(table, f".compact-{uuid.uuid4().hex}")
         df.write.mode("overwrite").parquet(staging)
-        for root, _dirs, names in os.walk(staging):
-            for name in names:
-                if not name.endswith(".parquet"):
-                    continue
-                src = os.path.join(root, name)
-                rel = os.path.join(part_dir, name) if part_dir else name
-                stats = _file_stats(pq.read_metadata(src))
-                size = os.path.getsize(src)
-                os.rename(src, os.path.join(table, rel))
-                actions.append(
-                    {
-                        "add": {
-                            "path": rel,
-                            "partitionValues": dict(
-                                (k, v) for k, v in sorted(adds[0]["partitionValues"].items())
-                            ),
-                            "size": size,
-                            "modificationTime": now_ms,
-                            "dataChange": False,
-                            "stats": json.dumps(stats),
-                        }
+        for rel, size, stats in _publish_staged(staging, table, dest_dir=part_dir):
+            actions.append(
+                {
+                    "add": {
+                        "path": rel,
+                        "partitionValues": dict(adds[0]["partitionValues"]),
+                        "size": size,
+                        "modificationTime": now_ms,
+                        "dataChange": False,
+                        "stats": json.dumps(stats),
                     }
-                )
-        for root, dirs, names in os.walk(staging, topdown=False):
-            for name in names:
-                os.remove(os.path.join(root, name))
-            for name in dirs:
-                os.rmdir(os.path.join(root, name))
-        os.rmdir(staging)
+                }
+            )
         for a in adds:
             actions.append(
                 {
@@ -731,8 +787,12 @@ def _affected_adds(spark: SparkSession, table: str, active: dict, hit_df: DataFr
     One distinct over file names — never a driver-side per-file loop."""
     from urllib.parse import unquote, urlparse
 
+    # realpath both sides: input_file_name() reports the RESOLVED physical
+    # path, so a symlinked table path would otherwise match nothing and turn
+    # a DELETE into a silent no-op (and a MERGE into blind duplicate inserts)
+    root = os.path.realpath(table)
     hit_files = {
-        os.path.relpath(unquote(urlparse(r["_dl_file"]).path), os.path.abspath(table))
+        os.path.relpath(os.path.realpath(unquote(urlparse(r["_dl_file"]).path)), root)
         for r in hit_df.select("_dl_file").distinct().collect()
     }
     return [a for p, a in active.items() if p in hit_files]
@@ -757,13 +817,12 @@ def delete_where(spark: SparkSession, table: str, predicate: str) -> int | None:
     if not affected:
         return None
     now_ms = int(time.time() * 1000)
-    partition_cols = meta.get("partitionColumns", [])
     files = [os.path.join(table, a["path"]) for a in affected]
-    schema = StructType.fromJson(json.loads(meta["schemaString"]))
-    reader = spark.read.schema(schema)
-    if partition_cols:
-        reader = reader.option("basePath", table)
-    keep = reader.parquet(*files).filter(~F.coalesce(pred, F.lit(False)))
+    keep = (
+        _snapshot_reader(spark, table, meta)
+        .parquet(*files)
+        .filter(~F.coalesce(pred, F.lit(False)))
+    )
     actions = _rewrite_files(spark, table, meta, affected, keep, now_ms)
     actions.append(
         {
@@ -799,8 +858,7 @@ def merge_delta(
 
     active, meta, latest = _replay(table, None)
     partition_cols = meta.get("partitionColumns", [])
-    schema = StructType.fromJson(json.loads(meta["schemaString"]))
-    if source.schema != schema:
+    if source.schema != StructType.fromJson(json.loads(meta["schemaString"])):
         raise ValueError("merge source schema must match the table schema")
     keys = source.select(*key_cols).distinct()
     snap = read_delta(spark, table).withColumn("_dl_file", F.input_file_name())
@@ -810,10 +868,11 @@ def merge_delta(
     actions: list[dict] = []
     if affected:
         files = [os.path.join(table, a["path"]) for a in affected]
-        reader = spark.read.schema(schema)
-        if partition_cols:
-            reader = reader.option("basePath", table)
-        keep = reader.parquet(*files).join(keys, on=key_cols, how="left_anti")
+        keep = (
+            _snapshot_reader(spark, table, meta)
+            .parquet(*files)
+            .join(keys, on=key_cols, how="left_anti")
+        )
         actions += _rewrite_files(spark, table, meta, affected, keep, now_ms)
     # the inserted/updated rows: the whole source, as fresh files
     for rel, size, stats in _stage_files(source, table, partition_cols):
@@ -847,27 +906,49 @@ def vacuum_table(table: str, retention_ms: int = 7 * 24 * 3600 * 1000) -> list[s
     """Physically delete data files no longer referenced by the LATEST
     snapshot whose tombstone (remove action) is older than ``retention_ms``
     — after which time travel to versions needing those files fails, the
-    documented Delta trade-off. Returns the deleted relative paths.
+    documented Delta trade-off. ALSO reclaims orphans: data files on disk
+    referenced by NO log entry (a writer that staged and moved its files,
+    then lost the commit race or died before committing) past retention by
+    mtime — without this, every lost overwrite race leaks a snapshot's
+    worth of storage forever. Returns the deleted relative paths.
     ``retention_ms=0`` reclaims immediately (tests / aggressive cleanup)."""
     active, _meta, _ = _replay(table, None)
-    cutoff = int(time.time() * 1000) - retention_ms
+    cutoff_ms = int(time.time() * 1000) - retention_ms
     removed_at: dict[str, int] = {}
+    ever_added: set[str] = set()
     for v in _list_versions(table):
         for action in _read_log(table, v):
             if "remove" in action:
                 r = action["remove"]
                 removed_at[r["path"]] = r.get("deletionTimestamp", 0)
-            elif "add" in action and action["add"]["path"] in removed_at:
-                removed_at.pop(action["add"]["path"])  # re-added later
+            elif "add" in action:
+                ever_added.add(action["add"]["path"])
+                if action["add"]["path"] in removed_at:
+                    removed_at.pop(action["add"]["path"])  # re-added later
     deleted = []
     for rel, ts in sorted(removed_at.items()):
-        if rel in active or ts > cutoff:
+        if rel in active or ts > cutoff_ms:
             continue
         full = os.path.join(table, rel)
         if os.path.exists(full):
             os.remove(full)
             deleted.append(rel)
-    return deleted
+    # orphans: on disk, in no log entry, old enough
+    for root, dirs, files in os.walk(table):
+        dirs[:] = [
+            d
+            for d in dirs
+            if d != _LOG_DIR and not d.startswith((".staging-", ".compact-"))
+        ]
+        for name in files:
+            full = os.path.join(root, name)
+            rel = os.path.relpath(full, table)
+            if not name.endswith(".parquet") or rel in ever_added:
+                continue
+            if os.path.getmtime(full) * 1000 <= cutoff_ms:
+                os.remove(full)
+                deleted.append(rel)
+    return sorted(set(deleted))
 
 
 def table_history(table: str) -> list[dict]:

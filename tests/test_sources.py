@@ -252,8 +252,21 @@ def test_delta_lite_compaction_and_vacuum(spark, tmp_path):
     # idempotent: nothing left to compact
     assert compact_table(spark, table) is None
 
+    # an orphan (staged-and-moved by a writer that lost its commit race,
+    # hence in no log entry) is reclaimed too; fresh files within retention
+    # are kept
+    import os as _os
+    import shutil as _shutil
+
+    any_file = next(iter(post_active))
+    orphan = _os.path.join(table, "part-orphan-deadbeef.parquet")
+    _shutil.copyfile(_os.path.join(table, any_file), orphan)
+    assert vacuum_table(table, retention_ms=3_600_000) == []  # young: kept
     deleted = vacuum_table(table, retention_ms=0)
-    assert set(deleted) == set(pre_active) - set(post_active)
+    assert set(deleted) == (set(pre_active) - set(post_active)) | {
+        "part-orphan-deadbeef.parquet"
+    }
+    assert not _os.path.exists(orphan)
     assert read_delta(spark, table).count() == cust.count() + 50
 
 
@@ -291,6 +304,9 @@ def test_delta_lite_append_rebase_past_conflict(spark, tmp_path):
     active, _, head = _replay(table, None)
     assert head == 3
     assert read_delta(spark, table).count() == region.count() + 2
+
+
+def test_delta_lite_commit_conflict_and_protocol_gate(spark, tmp_path):
     """The O_EXCL commit primitive: a second writer targeting the same
     version loses with DeltaCommitConflict. A table demanding a newer
     reader version is refused, not misread."""
@@ -537,6 +553,15 @@ def test_delta_lite_exactly_once_streaming_sink(spark, tmp_path):
     write_delta(nation, table, mode="append", txn=("other-app", 7))
     assert last_txn_version(table, "other-app") == 7
     assert last_txn_version(table, "ingest-app") == 1
+    # txn state survives a checkpoint (and commits after it still apply),
+    # keeping the exactly-once lookup O(commits since checkpoint)
+    from big_data_analytics_machine_learning_poc_spark.sources.delta_lite import checkpoint_table
+
+    checkpoint_table(table)
+    assert last_txn_version(table, "ingest-app") == 1
+    sink(nation, 2)
+    assert last_txn_version(table, "ingest-app") == 2
+    assert last_txn_version(table, "other-app") == 7
 
     # end-to-end: stream → delta, counts match the batch read
     stream_table = os.path.join(str(tmp_path), "dstream")
