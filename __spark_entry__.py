@@ -35,7 +35,8 @@ from big_data_analytics_machine_learning_poc_spark.registry import QueryRegistry
 # queries (computed from CORRECTNESS_r01..r03 keys vs the registry): the
 # 17 remaining adapted TPC-H, the r1-overflow window/scalar/percentile
 # lanes, obs_ingest_metrics (oracle pre-fixed, same HUGEINT mine), and the
-# 5 rows-only ml_* end-to-ends. That completes hard driver signal for the
+# 4 rows-only ml_* end-to-ends (ml_reference_spam already has its r2 row,
+# so it is correctly absent). That completes hard driver signal for the
 # entire 166-query registry. The remaining 13 slots re-confirm lanes whose
 # source or siblings changed this round (streaming suite next to its edited
 # oracles, the r3 posexplode rewrites, the MLlib lane that gains an
@@ -222,16 +223,20 @@ def _dump_fingerprint(name: str, df: DataFrame, sf_dir: str) -> None:
 
         sql = _registry().oracles.get(name)
         if sql is not None:
-            con = duckdb.connect()
-            register_views(con, sf_dir)
-            cur = con.execute(sql)
-            dcols = [d[0] for d in cur.description]
-            drows = cur.fetchall()
+            from contextlib import closing
+
+            # closing(): a raising oracle (heavy SQL, view issue at the
+            # driver's sf_dir) must not leak the native DuckDB instance —
+            # 12 fingerprint queries per run in a long-lived driver add up
+            with closing(duckdb.connect()) as con:
+                register_views(con, sf_dir)
+                cur = con.execute(sql)
+                dcols = [d[0] for d in cur.description]
+                drows = cur.fetchall()
             payload["oracle_n_rows"] = len(drows)
             payload["oracle_cols_sorted"] = sorted(dcols)
             payload["oracle_fingerprint"] = fingerprint(dcols, drows)
             payload["sides_agree"] = payload["oracle_fingerprint"] == payload["fingerprint"]
-            con.close()
     except Exception as e:  # noqa: BLE001 — oracle side is advisory
         payload["oracle_error"] = f"{type(e).__name__}: {str(e)[:200]}"
     os.makedirs(_DIAG_DIR, exist_ok=True)

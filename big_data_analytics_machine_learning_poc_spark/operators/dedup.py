@@ -186,14 +186,21 @@ _SHINGLE_HASH_CTE = f"""
 """
 
 
-def doc_shingle_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, h): distinct md5-derived 32-bit bigram-shingle hashes."""
-    docs = load_table(spark, sf_dir, "documents")
+def doc_shingle_hashes_from(docs: DataFrame) -> DataFrame:
+    """(doc_id, h): distinct md5-derived 32-bit bigram-shingle hashes —
+    the ONE definition of the verify lane's shingle hashing (mirrored by
+    the oracle-side ``_SHINGLE_HASH_CTE`` above); every consumer must go
+    through here so candidate and verify hashing can't diverge."""
     return (
         doc_shingles(docs, "doc_id")
         .distinct()
         .select("doc_id", md5_hash32(F.col("shingle")).alias("h"))
     )
+
+
+def doc_shingle_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`doc_shingle_hashes_from` over the sf_dir documents table."""
+    return doc_shingle_hashes_from(load_table(spark, sf_dir, "documents"))
 
 
 def _sig_select_sql(perms: tuple[tuple[int, int], ...] = ORACLE_PERMS) -> str:
@@ -700,11 +707,7 @@ def mllib_lsh_pairs(docs: DataFrame) -> DataFrame:
     )
     # exact shingle-set Jaccard verify, candidates only (same machinery as
     # verified_near_dup_edges; reports distance like MLlib's keyDistance)
-    sh0 = (
-        doc_shingles(docs, "doc_id")
-        .distinct()
-        .select("doc_id", md5_hash32(F.col("shingle")).alias("h"))
-    )
+    sh0 = doc_shingle_hashes_from(docs)
     sizes = sh0.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     ta, tb = sh0.alias("ta"), sh0.alias("tb")
     inter = (

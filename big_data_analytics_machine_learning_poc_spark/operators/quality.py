@@ -213,10 +213,22 @@ def observed_write_metrics(
     aggregate inside the same job). The ingest-accounting idiom: every
     production write should report what it wrote.
 
+        obs_spark = spark.newSession()          # see SESSION ISOLATION
+        ensure_session_defaults(obs_spark)
+        df = load_table(obs_spark, sf_dir, name)
         observed, obs = observed_write_metrics(df)
         observed.write.parquet(path)
         obs.get  # {'n_rows': ..., 'n_null_keys': ...}
-    """
+
+    SESSION ISOLATION (same Spark 4.1 footgun documented on
+    ``obs_ingest_metrics`` above): registering an Observation initializes
+    the frame's session's lazy non-serializable ObservationManager, which
+    later rides into MLlib evaluator task closures via fitted models'
+    trainingSummary → session reference and fails with "Task not
+    serializable". Build ``df`` on a ``spark.newSession()`` (as above)
+    whenever the surrounding application also fits MLlib models on the
+    shared session. This helper observes whatever session the caller's
+    frame is bound to — a DataFrame cannot be rebound here."""
     from pyspark.sql import Observation
 
     first_col = df.columns[0]

@@ -47,11 +47,15 @@ def get_session(
     """
     cpus = cpus or default_cpus()
     micro = profile == "micro"
-    # Belt-and-braces determinism: pin Python's string-hash seed for worker
-    # processes (and any subprocess we spawn) so no set/dict iteration order
-    # can ever vary across executors or reruns. Nothing in the engine
-    # depends on hash() today — all sampling/bucketing uses md5/xxhash64 —
-    # this guards future code and third-party libs.
+    # Belt-and-braces determinism for WORKER/SUBPROCESS code only: pin
+    # Python's string-hash seed for processes launched after this point
+    # (PySpark itself also defaults worker PYTHONHASHSEED to 0). This
+    # CANNOT deterministify the already-running driver interpreter — a
+    # driver process launched without the variable keeps randomized
+    # hashing regardless — and the executorEnv config below is ignored if
+    # getOrCreate reuses an existing SparkContext. Nothing in the engine
+    # depends on hash() — all sampling/bucketing uses md5/xxhash64 — this
+    # guards future worker-side code and third-party libs.
     os.environ.setdefault("PYTHONHASHSEED", "0")
     builder = (
         SparkSession.builder.appName(app_name)

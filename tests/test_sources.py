@@ -1003,12 +1003,18 @@ def test_merge_aggregate_state_incremental_equals_full(spark, tmp_path):
 
 def test_observe_metrics_ride_the_write_job(spark, tmp_path):
     """Observation metrics come back from the SAME job as the write —
-    ingest accounting with zero extra scans."""
+    ingest accounting with zero extra scans. The frame is built on a
+    child session per the helper's SESSION ISOLATION contract, so the
+    shared pytest session's ObservationManager stays uninitialized and
+    MLlib evaluator tests keep passing in ANY suite order."""
     from big_data_analytics_machine_learning_poc_spark.operators.quality import (
         observed_write_metrics,
     )
+    from big_data_analytics_machine_learning_poc_spark.session import ensure_session_defaults
 
-    df = load_table(spark, SF_DIR, "nation")
+    obs_spark = spark.newSession()
+    ensure_session_defaults(obs_spark)
+    df = load_table(obs_spark, SF_DIR, "nation")
     observed, obs = observed_write_metrics(df)
     observed.write.mode("overwrite").parquet(str(tmp_path / "out"))
     got = obs.get
