@@ -202,17 +202,20 @@ def _dump_fingerprint(name: str, df: DataFrame, sf_dir: str) -> None:
     the artifact alone."""
     import json
 
-    from big_data_analytics_machine_learning_poc_spark.oracle import fingerprint, norm_cell
+    from big_data_analytics_machine_learning_poc_spark.oracle import (
+        fingerprint,
+        fingerprint_matrix,
+        normalized_matrix,
+    )
 
     rows = [tuple(r) for r in df.collect()]
     cols = df.columns
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    mat = sorted(tuple(norm_cell(r[i]) for i in order) for r in rows)
+    mat = normalized_matrix(cols, rows)  # the gate's own canonical form
     payload = {
         "query": name,
         "n_rows": len(rows),
         "cols_sorted": sorted(cols),
-        "fingerprint": fingerprint(cols, rows),
+        "fingerprint": fingerprint_matrix(mat),
         "rows_head": mat[:5],
         "rows_tail": mat[-5:],
     }
@@ -249,9 +252,10 @@ def _instrumented(name: str, fn: Callable[[SparkSession, str], DataFrame]):
         df = fn(spark, sf_dir)
         try:
             _dump_env(spark, sf_dir)
-            # fingerprints only at the cheap correctness SF, only for the
-            # formerly-red rows (one extra collect + DuckDB run each)
-            if name in _FINGERPRINT_QUERIES and sf_dir.rstrip("/").endswith("0.01"):
+            # fingerprints only at the cheap correctness SF (exact basename,
+            # not a substring sniff — 'sf10.01' must not trigger it), only
+            # for the formerly-red rows (one extra collect + DuckDB run each)
+            if name in _FINGERPRINT_QUERIES and os.path.basename(sf_dir.rstrip("/")) == "sf0.01":
                 _dump_fingerprint(name, df, sf_dir)
         except Exception:  # noqa: BLE001 — diagnostics must never fail a query
             pass
@@ -288,9 +292,15 @@ def _registry() -> QueryRegistry:
                 f"big_data_analytics_machine_learning_poc_spark.operators.{mod_name}",
                 fromlist=[mod_name],
             )
-            reg.merge(mod.REG)
-        except ImportError:
-            pass  # module not built yet (round-incremental)
+        except ModuleNotFoundError as e:
+            # tolerate only THIS module being absent (round-incremental
+            # scaffolding); a transitive import failure inside an existing
+            # module must be LOUD — swallowing it would silently drop all
+            # its queries from the driver registry
+            if e.name and e.name.endswith(mod_name):
+                continue
+            raise
+        reg.merge(mod.REG)
 
     missing = [n for n in _DRIVER_WINDOW if n not in reg.queries]
     if missing:

@@ -64,14 +64,25 @@ def norm_cell(v) -> str:
     return repr(v)
 
 
-def fingerprint(cols: list[str], rows: list[tuple]) -> str:
+def normalized_matrix(cols: list[str], rows: list[tuple]) -> list[tuple[str, ...]]:
+    """THE canonical comparison form — columns sorted by name, every cell
+    through norm_cell, rows sorted. fingerprint(), compare_query(), and
+    the DIAG dumps all build on this one function so their notions of
+    'equal' cannot drift apart."""
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    mat = sorted(tuple(norm_cell(r[i]) for i in order) for r in rows)
+    return sorted(tuple(norm_cell(r[i]) for i in order) for r in rows)
+
+
+def fingerprint_matrix(mat: list[tuple[str, ...]]) -> str:
     h = hashlib.sha256()
     for row in mat:
         h.update("\x1f".join(row).encode())
         h.update(b"\x1e")
     return h.hexdigest()[:16]
+
+
+def fingerprint(cols: list[str], rows: list[tuple]) -> str:
+    return fingerprint_matrix(normalized_matrix(cols, rows))
 
 
 def compare_query(spark_df, con, sql: str, sidecar: str | None = None) -> list[str]:
@@ -93,15 +104,26 @@ def compare_query(spark_df, con, sql: str, sidecar: str | None = None) -> list[s
         problems.append(f"rowcount spark={len(srows)} oracle={len(drows)}")
     if sorted(scols) != sorted(dcols):
         problems.append(f"cols spark={sorted(scols)} oracle={sorted(dcols)}")
-    sfp = fingerprint(scols, srows)
-    dfp = fingerprint(dcols, drows)
+    ms = normalized_matrix(scols, srows)
+    md = normalized_matrix(dcols, drows)
+    sfp = fingerprint_matrix(ms)
+    dfp = fingerprint_matrix(md)
     first_diffs: list[tuple[str, str]] = []
     if not problems and sfp != dfp:
-        order_s = sorted(range(len(scols)), key=lambda i: scols[i])
-        order_d = sorted(range(len(dcols)), key=lambda i: dcols[i])
-        ms = sorted(tuple(norm_cell(r[i]) for i in order_s) for r in srows)
-        md = sorted(tuple(norm_cell(r[i]) for i in order_d) for r in drows)
-        first_diffs = [(str(a), str(b)) for a, b in zip(ms, md) if a != b][:10]
+        # multiset difference, not positional zip: one shifted sort
+        # position would otherwise misalign every later pair and fill the
+        # sample with rows that are actually identical (Counter keeps
+        # duplicate-multiplicity differences visible too)
+        from collections import Counter
+
+        cs, cd = Counter(ms), Counter(md)
+        only_s = sorted((cs - cd).elements())[:10]
+        only_d = sorted((cd - cs).elements())[:10]
+        from itertools import zip_longest
+
+        first_diffs = [
+            (str(a), str(b)) for a, b in zip_longest(only_s, only_d, fillvalue="<absent>")
+        ]
         diff = f"spark={first_diffs[0][0]} oracle={first_diffs[0][1]}" if first_diffs else ""
         problems.append(f"value mismatch; first-diff {diff}")
     if sidecar is not None:

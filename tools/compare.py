@@ -26,8 +26,19 @@ def main() -> int:
     con = duckdb.connect()
     register_views(con, sf_dir)
 
-    qs = entrymod.queries()
-    oracles = entrymod.oracle_sql()
+    # RAW registry, not entrymod.queries(): the instrumented wrappers would
+    # run the 12 _FINGERPRINT_QUERIES' Spark job + oracle SQL a second time
+    # each at the correctness SF (the sidecars below already capture both
+    # fingerprints)
+    reg = entrymod._registry()
+    qs = reg.queries
+    oracles = reg.oracles
+    unknown = only - set(qs)
+    if unknown:
+        # a typo'd name silently matching nothing would print '0 pass,
+        # 0 fail' and exit 0 — fail loudly instead
+        print(f"ERROR unknown query names: {sorted(unknown)}")
+        return 2
     n_pass = n_fail = n_rowsonly = 0
     for name, fn in qs.items():
         if only and name not in only:
@@ -37,11 +48,17 @@ def main() -> int:
             sdf = fn(spark, sf_dir)
             if name not in oracles:
                 n = sdf.count()
+                if n == 0:
+                    # the driver's rows-only gate records rows>0 — an empty
+                    # result must go red here too, not just on the driver
+                    print(f"FAIL  {name}: rows-only query returned 0 rows")
+                    n_fail += 1
+                    continue
                 print(f"rows  {name}: {n} rows (rows-only, no oracle) [{time.time()-t0:.1f}s]")
                 n_rowsonly += 1
                 continue
-            # sidecar always on: fingerprints are computed once either way,
-            # and full-sweep reds must leave a DIAG artifact (r2 ask)
+            # sidecar always on: full-sweep reds must leave a DIAG artifact
+            # (r2 ask)
             problems = compare_query(sdf, con, oracles[name], sidecar=name)
         except Exception as e:  # noqa: BLE001 — report and keep sweeping
             print(f"FAIL  {name}: {type(e).__name__}: {str(e)[:300]}")
