@@ -32,6 +32,15 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 BENCH_QUERIES = ("agg_avg_max", "group_filter", "join3_agg", "describe", "corr", "group_count")
 
 
+def _sf_number(sf: str):
+    """Numeric sf when the dir suffix parses as one, else the raw string —
+    and never a crash after minutes of measurement (e.g. 'sf0.1.1')."""
+    try:
+        return float(sf)
+    except ValueError:
+        return sf
+
+
 def _median_times(run, n=5):
     times = []
     for _ in range(n):
@@ -92,7 +101,7 @@ def main() -> None:
                 "queries_fresh": fresh,
                 "fresh_total": round(sum(fresh.values()), 4),
                 "flagship_sec": flagship_sec,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "sf": _sf_number(sf),
                 "timing": "median-of-5 per query (see _median_times)",
                 "loadavg": loadavg,
             }

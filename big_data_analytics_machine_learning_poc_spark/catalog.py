@@ -4,7 +4,12 @@ The reference leans on CSV ``inferSchema`` (TfIdfCalculator.java:34-35,
 DataCorrelator.java:31-32, RandomForest.java:32-33) which costs an extra full
 pass over the input — unacceptable at 100 TB. Production reads here always
 carry an explicit ``StructType``; for parquet the footer schema is
-authoritative and we only *validate* against the expected one.
+authoritative, and ``load_table`` validates its COLUMN NAMES against the
+documented shape (a silently renamed/dropped column should fail at the
+catalog, not as a confusing resolution error three operators later).
+Column TYPES are deliberately not enforced: the footer is the source of
+truth for physical types (events.ts legitimately varies by testdata
+generation), and the oracle gate catches any type-level drift in values.
 """
 
 from __future__ import annotations
@@ -123,9 +128,6 @@ SCHEMAS: dict[str, T.StructType] = {
     ),
 }
 
-DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-
-
 def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
@@ -144,9 +146,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in SCHEMAS:
         raise KeyError(f"unknown table {name!r}; known: {sorted(SCHEMAS)}")
     if name == "events":
+        # pin session defaults BEFORE the read: Spark resolves the parquet
+        # schema eagerly at spark.read.parquet, so an externally-built
+        # session without nanosAsLong would reject a TIMESTAMP(NANOS)
+        # footer before any later probe could heal it. One read serves as
+        # both probe and scan (the streaming path probes the same way).
+        from .session import ensure_session_defaults
+
+        ensure_session_defaults(spark)
         raw = spark.read.parquet(table_path(sf_dir, name))
-        return normalize_events_ts(raw, probe_events_ts_type(spark, sf_dir))
-    return spark.read.parquet(table_path(sf_dir, name))
+        df = normalize_events_ts(raw, raw.schema["ts"].dataType)
+    else:
+        df = spark.read.parquet(table_path(sf_dir, name))
+    expected = [f.name for f in SCHEMAS[name].fields]
+    if list(df.columns) != expected:
+        raise ValueError(
+            f"table {name!r} at {sf_dir} has columns {list(df.columns)}, "
+            f"expected {expected} (TESTDATA.md shape)"
+        )
+    return df
 
 
 def probe_events_ts_type(spark: SparkSession, sf_dir: str) -> T.DataType:
@@ -163,15 +181,12 @@ def probe_events_ts_type(spark: SparkSession, sf_dir: str) -> T.DataType:
 
 def events_stream_schema(ts_type: T.DataType) -> T.StructType:
     """The explicit schema ``readStream`` needs up front, with ``ts`` typed
-    exactly as the batch probe saw it (streaming sources cannot infer)."""
+    exactly as the batch probe saw it (streaming sources cannot infer).
+    Derived from SCHEMAS['events'] so the two declarations cannot drift."""
     return T.StructType(
         [
-            T.StructField("event_id", T.LongType()),
-            T.StructField("ts", ts_type),
-            T.StructField("user_id", T.LongType()),
-            T.StructField("event_type", T.StringType()),
-            T.StructField("value", T.DoubleType()),
-            T.StructField("props", T.StringType()),
+            T.StructField("ts", ts_type) if f.name == "ts" else f
+            for f in SCHEMAS["events"].fields
         ]
     )
 
@@ -185,8 +200,6 @@ def normalize_events_ts(df: DataFrame, ts_type: T.DataType) -> DataFrame:
     generation storing e.g. INT96 or millis must fail loudly here, not
     silently shift every window downstream.
     """
-    from pyspark.sql import functions as F
-
     if isinstance(ts_type, T.LongType):
         # NANOS footer read as raw nanos (nanosAsLong). NB: integer `div`,
         # not `/`: double division of 2024-epoch nanos (~1.7e18, double ulp

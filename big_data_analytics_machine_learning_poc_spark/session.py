@@ -86,6 +86,21 @@ def get_session(
     )
     spark = builder.getOrCreate()
     ensure_session_defaults(spark)  # getOrCreate may reuse a pre-existing session
+    # getOrCreate silently IGNORES every config above when it reuses an
+    # existing SparkContext — a bench run inheriting a 'scale' session would
+    # measure under the wrong profile with no sign of it. Make that loud.
+    got = spark.conf.get("spark.sql.shuffle.partitions")
+    want = "4" if micro else str(cpus)
+    if got != want:
+        import warnings
+
+        warnings.warn(
+            f"get_session(profile={'micro' if micro else 'scale'!r}) reused an "
+            f"existing SparkContext: shuffle.partitions={got} (wanted {want}); "
+            f"profile configs were not applied",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     spark.sparkContext.setLogLevel("ERROR")  # mirrors reference log suppression
     return spark
 
