@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..catalog import load_table
+from ..functions.exact import cents
 from ..registry import QueryRegistry
 from ..streaming import events as sev
 
@@ -256,7 +257,7 @@ def timeseries_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.select(
             "user_id",
             F.expr("unix_micros(ts) div 3600000000").alias("hr"),
-            F.round(F.col("value") * 100).cast("long").alias("v_cents"),
+            cents("value").alias("v_cents"),
         )
         .groupBy("user_id", "hr")
         .agg(F.max("v_cents").alias("v_cents"))
@@ -309,7 +310,7 @@ def timeseries_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS is_current,
            n_events
     FROM intervals
-    WINDOW w2 AS (PARTITION BY user_id ORDER BY valid_from)
+    WINDOW w2 AS (PARTITION BY user_id ORDER BY valid_from, run_id)
     ORDER BY user_id, valid_from
     """,
 )
@@ -342,7 +343,11 @@ def scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts").alias("valid_from"),
         F.count(F.lit(1)).alias("n_events"),
     )
-    w2 = Window.partitionBy("user_id").orderBy("valid_from")
+    # run_id tiebreak (both sides): two runs of one user can share a
+    # valid_from when distinct event_types carry the same timestamp —
+    # ordering by valid_from alone would let Spark and DuckDB pick lead()
+    # order independently and swap valid_to/is_current nondeterministically
+    w2 = Window.partitionBy("user_id").orderBy("valid_from", "run_id")
     nxt = F.lead("valid_from").over(w2)
     # No trailing global orderBy: the oracle compare is order-insensitive,
     # and at scale a consumer wanting sorted history sorts WITHIN its write

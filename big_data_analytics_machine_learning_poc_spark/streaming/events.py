@@ -27,12 +27,16 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import events_stream_schema, normalize_events_ts, probe_events_ts_type
+from ..functions.exact import cents
 
 
-def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def read_event_stream(spark: SparkSession, sf_dir: str, ts_type=None) -> DataFrame:
     # probe the footer with a batch read (also pins nanosAsLong + UTC), then
-    # declare the stream schema with ts typed exactly as the probe saw it
-    ts_type = probe_events_ts_type(spark, sf_dir)
+    # declare the stream schema with ts typed exactly as the probe saw it;
+    # callers building several streams over the same dir pass the probed
+    # type through to avoid a footer resolution per stream
+    if ts_type is None:
+        ts_type = probe_events_ts_type(spark, sf_dir)
     raw = (
         spark.readStream.schema(events_stream_schema(ts_type))
         .option("maxFilesPerTrigger", 1)
@@ -58,7 +62,16 @@ def run_to_completion(agg: DataFrame, output_mode: str) -> DataFrame:
         q.processAllAvailable()
     finally:
         q.stop()
-    return agg.sparkSession.table(name)
+    spark = agg.sparkSession
+    sink = spark.table(name)
+    # materialize and DROP the memory sink: each sink pins its full result
+    # in driver memory for the session lifetime, so repeated runs (driver
+    # sweeps, the test suite) would accumulate unbounded copies. Streaming
+    # results here are aggregate-sized; the production path is the parquet
+    # sink and never holds results in memory at all.
+    out = spark.createDataFrame(sink.collect(), schema=sink.schema)
+    spark.catalog.dropTempView(name)
+    return out
 
 
 def tumbling_counts(
@@ -107,7 +120,7 @@ def sliding_counts(
     agg = (
         ev.withWatermark("ts", "10 minutes")
         .groupBy(F.window("ts", window, slide))
-        .agg(F.count(F.lit(1)).alias("n"), (F.sum(F.round(F.col("value") * 100)).cast("long")).alias("value_cents"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(cents("value")).alias("value_cents"))
         .select(F.col("window.start").cast("long").alias("window_start_epoch"), "n", "value_cents")
     )
     return run_to_completion(agg, output_mode)
@@ -149,7 +162,10 @@ def purchase_click_join(spark: SparkSession, sf_dir: str, max_user: int = 50) ->
     are evicted); inner-join matches emit as they are found, so bounded input
     yields the complete batch-join result.
     """
-    base = read_event_stream(spark, sf_dir).filter(F.col("user_id") < max_user)
+    # probe the ts type ONCE and share it across both source builds — a
+    # second probe would re-resolve the parquet footer for no new information
+    ts_type = probe_events_ts_type(spark, sf_dir)
+    base = read_event_stream(spark, sf_dir, ts_type).filter(F.col("user_id") < max_user)
     purchases = (
         base.filter(F.col("event_type") == "purchase")
         .select(
@@ -160,7 +176,7 @@ def purchase_click_join(spark: SparkSession, sf_dir: str, max_user: int = 50) ->
         .withWatermark("p_ts", "1 hour")
     )
     clicks = (
-        read_event_stream(spark, sf_dir)
+        read_event_stream(spark, sf_dir, ts_type)
         .filter((F.col("user_id") < max_user) & (F.col("event_type") == "click"))
         .select(
             F.col("event_id").alias("click_id"),

@@ -37,8 +37,11 @@ def _update_user_totals(
     for pdf in pdfs:
         n += len(pdf)
         # half-away rounding matching F.round / DuckDB ROUND (cents_pandas
-        # docstring) — pandas' own round() is half-to-even
-        cents += int(cents_pandas(pdf["value"]).sum())
+        # docstring) — pandas' own round() is half-to-even. dropna matches
+        # SQL SUM semantics: a NULL value doesn't contribute cents (the row
+        # still counts in n_events, like COUNT(*)) — and int(NaN) would
+        # otherwise crash the state worker on the first null
+        cents += int(cents_pandas(pdf["value"].dropna()).sum())
     state.update((n, cents))
     yield pd.DataFrame({"user_id": [user_id], "n_events": [n], "total_cents": [cents]})
 
@@ -117,7 +120,8 @@ def tws_user_totals(spark: SparkSession, sf_dir: str, max_user: int = 100) -> Da
             n, cents = self._state.get() if self._state.exists() else (0, 0)
             for pdf in rows:
                 n += len(pdf)
-                cents += int(cents_pandas(pdf["value"]).sum())
+                # dropna: SQL SUM semantics, and int(NaN) would crash
+                cents += int(cents_pandas(pdf["value"].dropna()).sum())
             self._state.update((n, cents))
             yield pd.DataFrame(
                 {"user_id": [key[0]], "n_events": [n], "total_cents": [cents]}

@@ -279,3 +279,38 @@ def test_foreachbatch_incremental_state_equals_batch(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_stateful_totals_null_value_matches_sql_sum(spark, tmp_path):
+    """A NULL events.value must not crash the state worker (int(NaN)) and
+    must follow SQL SUM semantics: the row counts in n_events, contributes
+    nothing to total_cents — matching the registered oracle's
+    COUNT(*) / SUM(ROUND(value*100)) pair."""
+    import datetime as dt
+
+    from big_data_analytics_machine_learning_poc_spark.streaming.stateful import (
+        running_user_totals,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (1, t0, 7, "click", 1.25, "{}"),
+        (2, t0 + dt.timedelta(minutes=1), 7, "view", None, "{}"),
+        (3, t0 + dt.timedelta(minutes=2), 7, "purchase", 2.50, "{}"),
+        (4, t0 + dt.timedelta(minutes=3), 8, "click", None, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "staging"))
+    import glob
+    import shutil
+
+    part = glob.glob(str(tmp_path / "staging" / "part-*.parquet"))[0]
+    shutil.copyfile(part, str(tmp_path / "events.parquet"))
+
+    out = running_user_totals(spark, str(tmp_path), max_user=100)
+    got = {r.user_id: (r.n_events, r.total_cents) for r in out.collect()}
+    assert got == {7: (3, 375), 8: (1, 0)}
