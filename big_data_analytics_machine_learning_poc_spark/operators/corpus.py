@@ -29,12 +29,49 @@ from ..functions.hashing import (
 from ..functions.windows import ranked
 from ..registry import QueryRegistry
 from .dedup import bigram_shingles, _BIGRAMS_SQL
-from .text import STOPWORDS, TOKENS_SQL, _hits, _hits_sql, tokens_col
+from .text import (
+    QUALITY_MAX_STOPWORD_RATIO,
+    QUALITY_MAX_TOKENS,
+    QUALITY_MIN_TOKENS,
+    STOPWORDS,
+    TOKENS_SQL,
+    _hits,
+    _hits_sql,
+    tokens_col,
+)
 
 REG = QueryRegistry()
 
-# C4-style keep predicate (shared with text_quality's flag thresholds).
-_MIN_TOKENS, _MAX_TOKENS, _MAX_STOPWORD_RATIO = 5, 500, 0.6
+# Content-hash 80/10/10 split — ONE definition (SQL + column form) used by
+# corpus_split_by_fingerprint, corpus_contamination_check, and
+# corpus_e2e_prep alike. The leakage-safety guarantee is that all three see
+# the IDENTICAL assignment; retuning ratios or the hash input here retunes
+# every consumer at once instead of silently forking the partition.
+_SPLIT_TRAIN_PCT, _SPLIT_VALID_PCT = 80, 90  # <80 train, <90 valid, else test
+
+
+def _split_sql() -> str:
+    h = md5_hash32_sql("text")
+    return f"""CASE WHEN {h} % 100 < {_SPLIT_TRAIN_PCT} THEN 'train'
+                      WHEN {h} % 100 < {_SPLIT_VALID_PCT} THEN 'valid'
+                      ELSE 'test' END"""
+
+
+def _split_col() -> F.Column:
+    bucket = md5_hash32(F.col("text")) % 100
+    return (
+        F.when(bucket < _SPLIT_TRAIN_PCT, "train")
+        .when(bucket < _SPLIT_VALID_PCT, "valid")
+        .otherwise("test")
+    )
+
+# C4-style keep predicate — thresholds imported from text.py so the keep
+# gate and text_quality's per-doc flag are one definition, by construction.
+_MIN_TOKENS, _MAX_TOKENS, _MAX_STOPWORD_RATIO = (
+    QUALITY_MIN_TOKENS,
+    QUALITY_MAX_TOKENS,
+    QUALITY_MAX_STOPWORD_RATIO,
+)
 
 _KEEP_SQL = f"""(len({TOKENS_SQL}) BETWEEN {_MIN_TOKENS} AND {_MAX_TOKENS}
                  AND CAST({_hits_sql(STOPWORDS)} AS DOUBLE)
@@ -141,10 +178,7 @@ def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     "corpus_split_by_fingerprint",
     sql=f"""
     WITH assigned AS (
-      SELECT lang,
-             CASE WHEN {md5_hash32_sql("text")} % 100 < 80 THEN 'train'
-                  WHEN {md5_hash32_sql("text")} % 100 < 90 THEN 'valid'
-                  ELSE 'test' END AS split
+      SELECT lang, {_split_sql()} AS split
       FROM documents
     )
     SELECT lang, split, COUNT(*) AS n_docs
@@ -159,12 +193,8 @@ def corpus_split_by_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     map + small-key groupBy; at 100 TB the split column is written as a
     partition column so downstream readers prune."""
     docs = load_table(spark, sf_dir, "documents")
-    bucket = md5_hash32(F.col("text")) % 100
-    split = (
-        F.when(bucket < 80, "train").when(bucket < 90, "valid").otherwise("test")
-    )
     return (
-        docs.select("lang", split.alias("split"))
+        docs.select("lang", _split_col().alias("split"))
         .groupBy("lang", "split")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
@@ -175,7 +205,12 @@ def corpus_split_by_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MIX_HIGH = ("src0", "src1", "src2", "src3", "src4")  # quality sources: keep all
 _MIX_HIGH_PCT, _MIX_DEFAULT_PCT = 100, 40
 
-_MIX_HASH_SQL = md5_hash32_sql("source || ':' || CAST(doc_id AS VARCHAR)")
+# COALESCE on both sides: with a NULL source, `||` yields NULL (DuckDB)
+# while Spark's concat_ws SKIPS nulls — the keep decision for a
+# NULL-source row would diverge between engine and oracle
+_MIX_HASH_SQL = md5_hash32_sql(
+    "COALESCE(source, '') || ':' || CAST(doc_id AS VARCHAR)"
+)
 _MIX_HIGH_INLIST = ", ".join(f"'{s}'" for s in _MIX_HIGH)
 
 
@@ -207,7 +242,13 @@ def corpus_mix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     rate = F.when(
         F.col("source").isin(*_MIX_HIGH), F.lit(_MIX_HIGH_PCT)
     ).otherwise(F.lit(_MIX_DEFAULT_PCT))
-    h = md5_hash32(F.concat_ws(":", F.col("source"), F.col("doc_id").cast("string")))
+    h = md5_hash32(
+        F.concat(
+            F.coalesce(F.col("source"), F.lit("")),
+            F.lit(":"),
+            F.col("doc_id").cast("string"),
+        )
+    )
     kept = F.when((h % 100) < rate, 1).otherwise(0)
     return (
         docs.select("source", kept.alias("kept"))
@@ -286,9 +327,10 @@ def corpus_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct runs inside each row's array), then a tiny per-language agg;
     the per-doc flag is a deterministic ratio of ints so the threshold
     compare is engine-exact, and only AVG needs the ROUND(…,6) guard."""
-    # tokenization staged behind a projection (bigram_shingles PERF note);
-    # the repetition ratios then run pure array algebra on the staged column
-    toks, grams = F.col("__toks"), bigram_shingles(F.col("__toks"))
+    # tokenization AND shingles staged behind projections (bigram_shingles
+    # PERF note) — referencing bigram_shingles(...) in two expressions of
+    # one select would build the shingle array twice per row
+    toks, grams = F.col("__toks"), F.col("__grams")
     n_tokens = F.size(toks)
     rep_token = F.lit(1.0) - F.size(F.array_distinct(toks)).cast("double") / F.nullif(
         n_tokens, F.lit(0)
@@ -299,6 +341,7 @@ def corpus_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = (
         load_table(spark, sf_dir, "documents")
         .select("lang", tokens_col().alias("__toks"))
+        .select("lang", "__toks", bigram_shingles(F.col("__toks")).alias("__grams"))
         .select("lang", rep_token.alias("rep_token"), rep_bigram.alias("rep_bigram"))
     )
     return (
@@ -317,9 +360,7 @@ def corpus_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 # shingles also occur somewhere in the train split.
 _CONTAM_OVERLAP = 0.8
 
-_SPLIT_SQL = f"""CASE WHEN {md5_hash32_sql("text")} % 100 < 80 THEN 'train'
-                      WHEN {md5_hash32_sql("text")} % 100 < 90 THEN 'valid'
-                      ELSE 'test' END"""
+_SPLIT_SQL = f"""{_split_sql()}"""
 
 
 @REG.add(
@@ -363,9 +404,7 @@ def corpus_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .dedup import doc_shingle_hashes
 
     docs = load_table(spark, sf_dir, "documents")
-    bucket = md5_hash32(F.col("text")) % 100
-    split = F.when(bucket < 80, "train").when(bucket < 90, "valid").otherwise("test")
-    sp = docs.select("doc_id", "lang", split.alias("split"))
+    sp = docs.select("doc_id", "lang", _split_col().alias("split"))
     sh = doc_shingle_hashes(spark, sf_dir)
     train_sh = (
         sh.join(sp.filter(F.col("split") == "train"), "doc_id")
@@ -409,9 +448,7 @@ def _e2e_sql() -> str:
     ), kept AS (
       SELECT *, len({TOKENS_SQL}) AS n_tokens FROM survivors WHERE {_KEEP_SQL}
     ), assigned AS (
-      SELECT CASE WHEN {md5_hash32_sql("text")} % 100 < 80 THEN 'train'
-                  WHEN {md5_hash32_sql("text")} % 100 < 90 THEN 'valid'
-                  ELSE 'test' END AS split,
+      SELECT {_split_sql()} AS split,
              n_tokens
       FROM kept
     )
@@ -445,10 +482,8 @@ def corpus_e2e_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = survivors.filter(_keep_col(F.col("__toks"))).select(
         "text", F.size("__toks").cast("long").alias("n_tokens")
     )
-    bucket = md5_hash32(F.col("text")) % 100
-    split = F.when(bucket < 80, "train").when(bucket < 90, "valid").otherwise("test")
     return (
-        kept.select(split.alias("split"), "n_tokens")
+        kept.select(_split_col().alias("split"), "n_tokens")
         .groupBy("split")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_tokens").alias("n_tokens"))
     )

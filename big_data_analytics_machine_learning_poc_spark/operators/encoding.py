@@ -138,8 +138,8 @@ def string_index_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tokenizer_tokens",
     sql=r"""
     SELECT doc_id,
-           array_to_string(regexp_split_to_array(lower(text), '\s'), ' ') AS tokens_str,
-           len(regexp_split_to_array(lower(text), '\s')) AS n_tokens
+           array_to_string(regexp_split_to_array(lower(text), '[ \t\n\r\f\x0B]'), ' ') AS tokens_str,
+           len(regexp_split_to_array(lower(text), '[ \t\n\r\f\x0B]')) AS n_tokens
     FROM documents
     """,
 )
@@ -163,9 +163,9 @@ _STOP_INLIST = ", ".join(f"'{w}'" for w in ENGLISH_STOPWORDS)
     "stopwords_remove",
     sql=rf"""
     SELECT doc_id,
-           array_to_string(list_filter(regexp_split_to_array(lower(text), '\s'),
+           array_to_string(list_filter(regexp_split_to_array(lower(text), '[ \t\n\r\f\x0B]'),
                                        t -> t NOT IN ({_STOP_INLIST})), ' ') AS kept_str,
-           len(list_filter(regexp_split_to_array(lower(text), '\s'),
+           len(list_filter(regexp_split_to_array(lower(text), '[ \t\n\r\f\x0B]'),
                            t -> t NOT IN ({_STOP_INLIST}))) AS n_kept
     FROM documents
     """,

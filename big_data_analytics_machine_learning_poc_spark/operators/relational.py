@@ -1022,7 +1022,7 @@ def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     "explode_token_freq",
     sql=r"""
     WITH toks AS (
-      SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS tok FROM documents
+      SELECT unnest(regexp_split_to_array(trim(text), '[ \t\n\r\f\x0B]+')) AS tok FROM documents
     )
     SELECT tok, COUNT(*) AS n FROM toks
     GROUP BY tok ORDER BY n DESC, tok LIMIT 20
@@ -1034,7 +1034,7 @@ def explode_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     only distinct tokens."""
     docs = _t(spark, sf_dir, "documents")
     return (
-        docs.select(F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok"))
+        docs.select(F.explode(F.split(F.trim(F.col("text")), r"[ \t\n\r\f\x0B]+")).alias("tok"))
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.col("n").desc(), "tok")
@@ -1046,7 +1046,7 @@ def explode_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     "posexplode_first_tokens",
     sql=r"""
     WITH toks AS (
-      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
+      SELECT doc_id, regexp_split_to_array(trim(text), '[ \t\n\r\f\x0B]+') AS tk
       FROM documents WHERE doc_id < 50
     )
     SELECT doc_id, CAST(i - 1 AS INT) AS pos, tk[i] AS tok
@@ -1059,7 +1059,7 @@ def posexplode_first_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     and shifts to match)."""
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
     return (
-        docs.select("doc_id", F.posexplode(F.split(F.trim(F.col("text")), r"\s+")).alias("pos", "tok"))
+        docs.select("doc_id", F.posexplode(F.split(F.trim(F.col("text")), r"[ \t\n\r\f\x0B]+")).alias("pos", "tok"))
         .filter(F.col("pos") < 3)
         .select("doc_id", "pos", "tok")
     )

@@ -25,14 +25,26 @@ from ..registry import QueryRegistry
 REG = QueryRegistry()
 
 # Tokenization shared by every operator here AND mirrored in each oracle.
-TOKEN_RE = r"\s+"
+# The whitespace class is EXPLICIT rather than \s because \s is a different
+# character set per regex engine (Java \s includes \x0B, RE2's does not) —
+# 'a\x0bb' would tokenize as 2 tokens in Spark and 1 in DuckDB, silently
+# breaking every token-derived metric. Empty tokens are filtered on both
+# sides so an empty/whitespace-only document has 0 tokens, not one ''
+# token polluting counts, sketches, and vocabularies. Both properties are
+# pinned by tests/test_text_dedup.py::test_tokenizer_cross_engine_parity.
+TOKEN_RE = r"[ \t\n\r\f\x0B]+"
 
 
 def tokens_col() -> Column:
-    return F.split(F.trim(F.col("text")), TOKEN_RE)
+    return F.filter(
+        F.split(F.trim(F.col("text")), TOKEN_RE), lambda t: t != ""
+    )
 
 
-TOKENS_SQL = "regexp_split_to_array(trim(text), '\\s+')"
+TOKENS_SQL = (
+    r"list_filter(regexp_split_to_array(trim(text), '[ \t\n\r\f\x0B]+'),"
+    " t -> t <> '')"
+)
 
 # Tiny function-word lexicons for the language heuristic. Deliberately small:
 # the operator is a deterministic n-gram/stopword scorer, not a model.
@@ -43,6 +55,11 @@ LANG_LEXICONS: dict[str, tuple[str, ...]] = {
     "de": ("der", "die", "das", "und", "ein", "nicht"),
 }
 STOPWORDS: tuple[str, ...] = ("the", "a", "of", "and", "to", "is", "in", "it")
+
+# Quality-gate thresholds — the ONE definition shared by text_quality's
+# per-doc flag and corpus.py's keep predicate (corpus imports these), so
+# retuning the gate cannot silently desynchronize the two.
+QUALITY_MIN_TOKENS, QUALITY_MAX_TOKENS, QUALITY_MAX_STOPWORD_RATIO = 5, 500, 0.6
 
 
 def _hits(lex: tuple[str, ...], toks: Column | None = None) -> Column:
@@ -107,8 +124,8 @@ def text_token_count_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(CAST(list_sum(list_transform({TOKENS_SQL}, t -> LENGTH(t))) AS DOUBLE)
                  / NULLIF(len({TOKENS_SQL}), 0), 6) AS avg_token_len,
            ROUND(CAST({_hits_sql(STOPWORDS)} AS DOUBLE) / NULLIF(len({TOKENS_SQL}), 0), 6) AS stopword_ratio,
-           CASE WHEN len({TOKENS_SQL}) BETWEEN 5 AND 500
-                 AND CAST({_hits_sql(STOPWORDS)} AS DOUBLE) / NULLIF(len({TOKENS_SQL}), 0) < 0.6
+           CASE WHEN len({TOKENS_SQL}) BETWEEN {QUALITY_MIN_TOKENS} AND {QUALITY_MAX_TOKENS}
+                 AND CAST({_hits_sql(STOPWORDS)} AS DOUBLE) / NULLIF(len({TOKENS_SQL}), 0) < {QUALITY_MAX_STOPWORD_RATIO}
                 THEN 1 ELSE 0 END AS quality_flag
     FROM documents
     """,
@@ -131,7 +148,7 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             n_tokens.cast("long").alias("n_tokens"),
             F.round(tok_len_sum.cast("double") / F.nullif(n_tokens, F.lit(0)), 6).alias("avg_token_len"),
             F.round(stop_ratio, 6).alias("stopword_ratio"),
-            F.when(n_tokens.between(5, 500) & (stop_ratio < 0.6), 1).otherwise(0).alias("quality_flag"),
+            F.when(n_tokens.between(QUALITY_MIN_TOKENS, QUALITY_MAX_TOKENS) & (stop_ratio < QUALITY_MAX_STOPWORD_RATIO), 1).otherwise(0).alias("quality_flag"),
         )
     )
 
@@ -182,7 +199,10 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counted.select("doc_id", pred.alias("predicted_lang"))
 
 
-_NORMALIZED_SQL = md5_hash60_sql(r"regexp_replace(trim(text), '\s+', ' ', 'g')")
+# explicit class, not \s: Java and RE2 \s disagree on \x0B (see TOKEN_RE)
+_NORMALIZED_SQL = md5_hash60_sql(
+    r"regexp_replace(trim(text), '[ \t\n\r\f\x0B]+', ' ', 'g')"
+)
 
 
 @REG.add(
@@ -196,7 +216,7 @@ _NORMALIZED_SQL = md5_hash60_sql(r"regexp_replace(trim(text), '\s+', ' ', 'g')")
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """60-bit whitespace-normalized document fingerprint (md5-based so it is
     stable across engines/releases — see functions/hashing.py)."""
-    normalized = F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")
+    normalized = F.regexp_replace(F.trim(F.col("text")), TOKEN_RE, " ")
     return load_table(spark, sf_dir, "documents").select(
         "doc_id", md5_hash60(normalized).alias("fingerprint")
     )
@@ -218,8 +238,12 @@ def _make_readability_udf():
 
     @pandas_udf("double")
     def _readability_udf(texts: pd.Series) -> pd.Series:
-        def score(t: str) -> float:
-            toks = t.split()
+        import re
+
+        def score(t):
+            if t is None:
+                return None  # SQL semantics: NULL text -> NULL score
+            toks = [w for w in re.split(TOKEN_RE, t.strip()) if w != ""]
             if not toks:
                 return 0.0
             mean_len = sum(len(w) for w in toks) / len(toks)
@@ -233,21 +257,23 @@ def _make_readability_udf():
 
 @REG.add(
     "text_readability_pandas_udf",
-    sql=r"""
+    sql=f"""
     WITH toks AS (
-      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk FROM documents
+      SELECT doc_id, {TOKENS_SQL} AS tk FROM documents
     )
     SELECT doc_id,
-           ROUND(
+           CASE WHEN len(tk) = 0 THEN 0.0 ELSE ROUND(
              (CAST(list_sum(list_transform(tk, t -> LENGTH(t))) AS DOUBLE) / len(tk))
-             / (1.0 + CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk)), 6) AS readability
+             / (1.0 + CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk)), 6) END
+             AS readability
     FROM toks
     """,
 )
 def text_readability_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     r"""The pandas_udf runs the same integer/float arithmetic as the SQL
-    oracle (python str.split == '\s+' split on single-space text), proving
-    the Arrow scalar-UDF path end-to-end. Note: this op exists to exercise
+    oracle, tokenizing with the shared TOKEN_RE class (NULL text scores
+    NULL, tokenless text 0.0 — on both sides), proving the Arrow
+    scalar-UDF path end-to-end. Note: this op exists to exercise
     the UDF lane — text_quality computes comparable metrics fully JVM-side,
     which is the preferred shape when expressible."""
     docs = load_table(spark, sf_dir, "documents")
@@ -339,9 +365,11 @@ def text_udtf_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Python UDTF lane (Spark 4): a table function emitting (pos, token)
     rows per document through a SQL LATERAL join — the sixth Python
     execution surface next to pandas_udf / mapInPandas / applyInPandas /
-    applyInPandasWithState / mapInArrow. Python ``str.split()`` and the
-    engine's ``\\s+`` tokenizer agree on whitespace-delimited text, so the
-    oracle is the plain posexplode equivalent.
+    applyInPandasWithState / mapInArrow. The UDTF tokenizes with the SAME
+    explicit whitespace class as tokens_col/TOKENS_SQL — Python's
+    ``str.split()`` treats more codepoints as whitespace (\\x1c-\\x1f,
+    \\x85, NBSP) and would silently diverge from the oracle on such text —
+    so the oracle is the plain posexplode equivalent.
 
     Scale note: even Arrow-optimized (``useArrow=True`` — batched transfer,
     plans ArrowEvalPythonUDTF, plan-linted), a Python UDTF remains slower
@@ -354,7 +382,12 @@ def text_udtf_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     @udtf(returnType="pos: bigint, token: string", useArrow=True)
     class Tokens:
         def eval(self, text: str):
-            for i, t in enumerate(text.split()):
+            import re
+
+            if text is None:
+                return
+            toks = [t for t in re.split(TOKEN_RE, text.strip()) if t != ""]
+            for i, t in enumerate(toks):
                 yield i, t
 
     spark.udtf.register("tokens_udtf", Tokens)

@@ -343,3 +343,30 @@ def test_quality_and_readability_hand_computed(spark):
     got = df.select(udf(F.col("text")).alias("r")).collect()[0].r
     expect = round((sum(map(len, toks)) / n_tokens) / (1 + len(set(toks)) / n_tokens), 6)
     assert got == expect
+
+
+def test_tokenizer_cross_engine_parity(spark, duck):
+    """The shared tokenizer (explicit whitespace class + empty-token
+    filter) must behave IDENTICALLY in Spark (Java regex) and DuckDB
+    (RE2) on the texts where \\s-based tokenizers diverge: \\x0B (in Java
+    \\s, not RE2's), \\x1c (Python-only whitespace), empty and
+    whitespace-only documents."""
+    from big_data_analytics_machine_learning_poc_spark.operators.text import TOKENS_SQL, tokens_col
+
+    cases = ["a\x0bb", "", "   ", "a  b\tc", "a\x1cb", "x \f y \r\n z", None]
+    sdf = spark.createDataFrame([(c,) for c in cases], "text string")
+    got_spark = [r.toks for r in sdf.select(tokens_col().alias("toks")).collect()]
+    # DuckDB: evaluate TOKENS_SQL per case via a VALUES table
+    values = ", ".join("(" + ("NULL" if c is None else "'" + c.replace("'", "''") + "'") + ")" for c in cases)
+    got_duck = [
+        row[0]
+        for row in duck.execute(
+            f"SELECT {TOKENS_SQL} FROM (VALUES {values}) AS t(text)"
+        ).fetchall()
+    ]
+    assert got_spark == got_duck
+    # and the semantics are the intended ones
+    assert got_spark[0] == ["a", "b"]          # \x0B splits in BOTH engines
+    assert got_spark[1] == [] and got_spark[2] == []  # no phantom '' token
+    assert got_spark[4] == ["a\x1cb"]          # \x1c is NOT whitespace here
+    assert got_spark[6] is None                # NULL text stays NULL
