@@ -112,25 +112,6 @@ def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-def _doc_token_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, h): distinct md5-derived 32-bit token hashes per document.
-    Map-side explode + distinct — the only wide op is the final groupBy."""
-    docs = load_table(spark, sf_dir, "documents")
-    return (
-        docs.select("doc_id", F.explode(tokens_col()).alias("tok"))
-        .select("doc_id", md5_hash32(F.col("tok")).alias("h"))
-        .distinct()
-    )
-
-
-_TOKEN_HASH_CTE = f"""
-    WITH toks AS (
-      SELECT doc_id, unnest({TOKENS_SQL}) AS tok FROM documents
-    ), th AS (
-      SELECT DISTINCT doc_id, {md5_hash32_sql("tok")} AS h FROM toks
-    )
-"""
-
 # Bigram shingles: the unit of near-dup similarity engine-wide. The minhash
 # family hashes SHINGLES (not tokens) so its signatures estimate the same
 # Jaccard measure the exact verifier computes — on template-heavy corpora
@@ -138,9 +119,9 @@ _TOKEN_HASH_CTE = f"""
 # mark most pairs as candidates regardless of band geometry. Measured at
 # sf0.01: 104,772 token-based candidates vs 510 shingle-based for the same
 # 25 verified pairs; at sf0.1 the token-based pair query took 105 s vs
-# seconds shingle-based. Token hashing stays available via
-# minhash_signatures_from(_doc_token_hashes(...)) for set-valued inputs
-# that ARE bags of unordered features.
+# seconds shingle-based. For set-valued inputs that ARE bags of unordered
+# features, hash the feature directly and feed minhash_signatures_from —
+# the signature machinery is input-agnostic.
 
 _BIGRAMS_SQL = (
     f"list_transform(range(1, len({TOKENS_SQL})), i -> "
@@ -184,6 +165,29 @@ _SHINGLE_HASH_CTE = f"""
       SELECT doc_id, {md5_hash32_sql("shingle")} AS h FROM shp
     )
 """
+
+
+def _shingle_intersections(cand: DataFrame, sh0: DataFrame):
+    """(inter, sizes) for an exact shingle-Jaccard verify over candidate
+    pairs: ``inter`` = (doc_a, doc_b, ni) intersection sizes, ``sizes`` =
+    per-doc distinct-shingle counts. THE shared core of every verify lane
+    (mllib_lsh_pairs, verified_near_dup_edges, dedup_pipeline_survivors) —
+    one definition so a threshold or join-shape fix cannot desynchronize
+    them. Joins run on the 32-bit shingle HASHES: 8-byte keys, and md5 is
+    identical in both engines so any (vanishingly rare) collision affects
+    Spark and the oracle alike."""
+    sizes = sh0.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh0.alias("a"), sh0.alias("b")
+    inter = (
+        cand.join(a, F.col("a.doc_id") == F.col("doc_a"))
+        .join(
+            b,
+            (F.col("b.doc_id") == F.col("doc_b")) & (F.col("b.h") == F.col("a.h")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("ni"))
+    )
+    return inter, sizes
 
 
 def doc_shingle_hashes_from(docs: DataFrame) -> DataFrame:
@@ -548,7 +552,8 @@ def _emb_bucket_cte() -> str:
     FROM cand
     JOIN normed a ON a.vec_id = cand.vec_a
     JOIN normed b ON b.vec_id = cand.vec_b
-    WHERE list_sum(list_transform(range(1, len(a.embedding) + 1),
+    WHERE a.nrm * b.nrm != 0
+      AND list_sum(list_transform(range(1, len(a.embedding) + 1),
           i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
           / (a.nrm * b.nrm) >= 0.9
     """,
@@ -598,7 +603,11 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.vector import dot
 
     na, nb = normed.alias("na"), normed.alias("nb")
-    sim = dot(F.col("na.embedding"), F.col("nb.embedding")) / (F.col("na.nrm") * F.col("nb.nrm"))
+    denom = F.col("na.nrm") * F.col("nb.nrm")
+    # guarded like functions/vector.cosine: zero-norm vectors have no
+    # direction — NULL sim, dropped by the threshold filter on BOTH engines
+    # (unguarded, ANSI Spark throws DIVIDE_BY_ZERO on the first 0/0)
+    sim = F.when(denom != 0.0, dot(F.col("na.embedding"), F.col("nb.embedding")) / denom)
     return (
         cand.join(na, F.col("na.vec_id") == F.col("vec_a"))
         .join(nb, F.col("nb.vec_id") == F.col("vec_b"))
@@ -708,17 +717,7 @@ def mllib_lsh_pairs(docs: DataFrame) -> DataFrame:
     # exact shingle-set Jaccard verify, candidates only (same machinery as
     # verified_near_dup_edges; reports distance like MLlib's keyDistance)
     sh0 = doc_shingle_hashes_from(docs)
-    sizes = sh0.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    ta, tb = sh0.alias("ta"), sh0.alias("tb")
-    inter = (
-        cand.join(ta, F.col("ta.doc_id") == F.col("doc_a"))
-        .join(
-            tb,
-            (F.col("tb.doc_id") == F.col("doc_b")) & (F.col("tb.h") == F.col("ta.h")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("ni"))
-    )
+    inter, sizes = _shingle_intersections(cand, sh0)
     na, nb = sizes.alias("na"), sizes.alias("nb")
     dist = 1 - F.col("ni").cast("double") / (F.col("na.n") + F.col("nb.n") - F.col("ni"))
     return (
@@ -783,20 +782,7 @@ def verified_near_dup_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh0 = doc_shingle_hashes(spark, sf_dir)
     sig = minhash_signatures_from(sh0)
     cand = minhash_candidate_pairs(sig, N_PERMS, ORACLE_ROWS_PER_BAND)
-    # verify over the 32-bit shingle HASHES, not the strings: 8-byte join
-    # keys and long==long comparisons; md5 is identical in both engines so
-    # any (vanishingly rare) collision affects Spark and the oracle alike
-    sizes = sh0.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a, b = sh0.alias("a"), sh0.alias("b")
-    inter = (
-        cand.join(a, F.col("a.doc_id") == F.col("doc_a"))
-        .join(
-            b,
-            (F.col("b.doc_id") == F.col("doc_b")) & (F.col("b.h") == F.col("a.h")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("ni"))
-    )
+    inter, sizes = _shingle_intersections(cand, sh0)
     na, nb = sizes.alias("na"), sizes.alias("nb")
     jac = F.col("ni").cast("double") / (F.col("na.n") + F.col("nb.n") - F.col("ni"))
     return (
@@ -812,7 +798,8 @@ _CC_MAX_ITERS = 50
 
 @REG.add(
     "dedup_connected_components",
-    # _verified_cte_sql() opens with "WITH ..." (via _TOKEN_HASH_CTE); the
+    # _verified_cte_sql() opens with "WITH ..." (via _SHINGLE_HASH_CTE
+    # inside _cand_cte_sql); the
     # recursive form needs the CTE list under a single "WITH RECURSIVE"
     sql=f"""
     WITH RECURSIVE {_verified_cte_sql().replace("WITH", "", 1)},
@@ -945,18 +932,7 @@ def dedup_pipeline_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = minhash_signatures_from(sh0)
     cand = minhash_candidate_pairs(sig, N_PERMS, ORACLE_ROWS_PER_BAND)
 
-    # hash-based verify join — see verified_near_dup_edges
-    sizes = sh0.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a, b = sh0.alias("a"), sh0.alias("b")
-    inter = (
-        cand.join(a, F.col("a.doc_id") == F.col("doc_a"))
-        .join(
-            b,
-            (F.col("b.doc_id") == F.col("doc_b")) & (F.col("b.h") == F.col("a.h")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("ni"))
-    )
+    inter, sizes = _shingle_intersections(cand, sh0)
     na, nb = sizes.alias("na"), sizes.alias("nb")
     jac = F.col("ni").cast("double") / (F.col("na.n") + F.col("nb.n") - F.col("ni"))
     flags = (

@@ -97,9 +97,15 @@ _N_BUCKET_DIMS = 8
 def bucket_col(emb: Column, start: int = 0, ndims: int = _N_BUCKET_DIMS) -> Column:
     """Sign-bit LSH bucket id from ``ndims`` dimensions beginning at ``start``
     (0-based): bit i set iff emb[start+i] >= 0. Multiple disjoint dim ranges
-    give independent hash tables (the banding trick for recall)."""
+    give independent hash tables (the banding trick for recall).
+
+    try_element_at, not element_at: a ragged/truncated embedding would
+    otherwise throw INVALID_ARRAY_INDEX under ANSI mode and kill the whole
+    job, while the oracle's CASE on a NULL list index quietly takes the
+    ELSE branch — try_element_at's NULL makes the when() fall through to
+    the same 0 bit on both engines."""
     return sum(
-        F.when(F.element_at(emb, start + i + 1) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        F.when(F.try_element_at(emb, F.lit(start + i + 1)) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
         for i in range(ndims)
     ).cast("int")
 
@@ -166,12 +172,18 @@ def ann_ivf_cosine(spark: SparkSession, sf_dir: str, k: int = 8, nprobe: int = 2
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding", array_to_vector(F.col("embedding")).alias("fv")
     )
+    # resolve the query vector BEFORE burning the KMeans fit, and degrade
+    # to an empty result when vec_id 0 is absent (filtered corpus, ad-hoc
+    # sf_dir) — like knn_brute_cosine, instead of an AttributeError on None
+    query_row = emb.filter(F.col("vec_id") == 0).select("embedding").head()
+    if query_row is None:
+        return spark.createDataFrame([], "vec_id long, sim double")
+    qv = list(query_row.embedding)
+
     model = KMeans(k=k, seed=42, maxIter=8, featuresCol="fv", predictionCol="cluster").fit(emb)
     assigned = model.transform(emb).select("vec_id", "embedding", "cluster")
 
     centers = model.clusterCenters()
-    query_row = assigned.filter(F.col("vec_id") == 0).select("embedding").head()
-    qv = list(query_row.embedding)
 
     import math
 
@@ -232,11 +244,13 @@ def array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select(
         "vec_id",
         F.size("embedding").cast("long").alias("dim"),
-        F.round(F.element_at("embedding", 1).cast("double"), 6).alias("first_val"),
+        # try_element_at: [] yields NULL like the oracle's embedding[1],
+        # instead of an ANSI INVALID_ARRAY_INDEX crash
+        F.round(F.try_element_at("embedding", F.lit(1)).cast("double"), 6).alias("first_val"),
         F.round(F.array_max("embedding").cast("double"), 6).alias("max_val"),
         F.round(F.array_min("embedding").cast("double"), 6).alias("min_val"),
         F.size(F.filter("embedding", lambda x: x > 0)).cast("long").alias("n_positive"),
-        F.round(F.element_at(F.sort_array("embedding"), 1).cast("double"), 6).alias("sorted_first"),
+        F.round(F.try_element_at(F.sort_array("embedding"), F.lit(1)).cast("double"), 6).alias("sorted_first"),
     )
 
 

@@ -370,3 +370,34 @@ def test_tokenizer_cross_engine_parity(spark, duck):
     assert got_spark[1] == [] and got_spark[2] == []  # no phantom '' token
     assert got_spark[4] == ["a\x1cb"]          # \x1c is NOT whitespace here
     assert got_spark[6] is None                # NULL text stays NULL
+
+
+def test_embedding_guards_zero_norm_and_ragged(spark):
+    """ANSI-mode hazards from review: a zero-norm embedding must yield a
+    NULL (dropped) cosine, not DIVIDE_BY_ZERO; a ragged/short embedding
+    must bucket via try_element_at's NULL (bit 0), not crash with
+    INVALID_ARRAY_INDEX."""
+    from pyspark.sql import functions as F
+
+    from big_data_analytics_machine_learning_poc_spark.functions.vector import cosine
+    from big_data_analytics_machine_learning_poc_spark.operators.similarity import bucket_col
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0]),
+            (2, [0.0] * 8),          # zero norm
+            (3, [1.0, -2.0]),        # ragged: shorter than the 8 bucket dims
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        r.vec_id: (r.b, r.c)
+        for r in df.select(
+            "vec_id",
+            bucket_col(F.col("embedding")).alias("b"),
+            cosine(F.col("embedding"), F.col("embedding")).alias("c"),
+        ).collect()
+    }
+    assert got[1][0] == 255 and abs(got[1][1] - 1.0) < 1e-9
+    assert got[2][0] == 255 and got[2][1] is None  # zero vector: NULL cosine
+    assert got[3][0] == 0b00000001  # dim2 negative, dims 3..8 NULL -> 0 bits
