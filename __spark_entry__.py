@@ -286,6 +286,8 @@ def _registry() -> QueryRegistry:
         "tpch",
         "pandas_api",
         "quality",
+        "sketches",
+        "bpe",
     ):
         try:
             mod = __import__(

@@ -1,0 +1,189 @@
+"""Distributed BPE (byte-pair-encoding) vocabulary induction over the
+`documents` corpus — the tokenizer-training step of an LLM data pipeline
+(no reference counterpart; extension surface next to operators/corpus.py).
+
+The classic trainer shape (Sennrich et al. 2016; what SentencePiece /
+HuggingFace tokenizers do) is exactly Spark-friendly:
+
+1. ONE corpus-wide aggregation `groupBy(word).count()` collapses 100 TB of
+   text to a weighted vocabulary (|vocab| rows — millions, not trillions).
+   Every later step runs on the vocabulary weighted by corpus counts, never
+   on the corpus again.
+2. Each merge iteration is a pair-count aggregation over the vocabulary
+   (explode adjacent symbol pairs, weight by word count) + an argmax, then
+   a map-only rewrite of the symbol arrays. All JVM-side column algebra —
+   the merge itself is a left-to-right greedy fold expressed with
+   `aggregate()` over the symbol array (no Python in the hot path).
+
+`bpe_pair_counts` is the oracle-checked single pass (top adjacent-pair
+counts — DuckDB reproduces it exactly); `bpe_learn_merges` is the
+iterative trainer (N merges, driver loop, one single-row collect per
+iteration for the argmax — the same driver/executor split as MLlib KMeans),
+rows-only for the driver plus a pytest golden against an independent
+pure-Python BPE reference (tests/test_bpe.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import QueryRegistry
+from .text import TOKENS_SQL, tokens_col
+
+REG = QueryRegistry()
+
+_TOP_PAIRS = 20
+N_MERGES = 8
+
+
+def _word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus → weighted vocabulary: the one pass that touches every row."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(tokens_col()).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wc"))
+    )
+
+
+@REG.add(
+    "bpe_pair_counts",
+    sql=f"""
+    WITH toks AS (
+      SELECT unnest({TOKENS_SQL}) AS word FROM documents
+    ), words AS (
+      SELECT word, COUNT(*) AS wc FROM toks GROUP BY word
+    ), pairs AS (
+      SELECT substr(word, CAST(i AS INTEGER), 1) AS lhs,
+             substr(word, CAST(i AS INTEGER) + 1, 1) AS rhs,
+             wc
+      FROM words, LATERAL (SELECT unnest(range(1, length(word))) AS i)
+    )
+    SELECT lhs, rhs, CAST(SUM(wc) AS BIGINT) AS pair_count
+    FROM pairs GROUP BY lhs, rhs
+    ORDER BY pair_count DESC, lhs, rhs
+    LIMIT {_TOP_PAIRS}
+    """,
+)
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top adjacent character-pair counts over the corpus-weighted
+    vocabulary — BPE iteration 0's statistics, oracle-checked exactly.
+
+    Scale shape: the corpus is touched ONCE (groupBy(word) with partial
+    aggregation); the pair explode runs over |vocab| rows with weight
+    length(word) each, and its groupBy key domain is ≤ |charset|² — a
+    bounded aggregation regardless of corpus size. The top-k is
+    `ORDER BY ... LIMIT` → TakeOrderedAndProject (per-partition heap +
+    driver merge of k rows), not a global sort. Ties are deterministic:
+    (count desc, lhs asc, rhs asc).
+    """
+    words = _word_counts(spark, sf_dir).filter(F.length("word") >= 2)
+    pairs = words.select(
+        "wc",
+        F.explode(F.sequence(F.lit(1), F.length("word") - 1)).alias("i"),
+        "word",
+    ).select(
+        F.expr("substring(word, i, 1)").alias("lhs"),
+        F.expr("substring(word, i + 1, 1)").alias("rhs"),
+        "wc",
+    )
+    return (
+        pairs.groupBy("lhs", "rhs")
+        .agg(F.sum("wc").alias("pair_count"))
+        .orderBy(F.col("pair_count").desc(), "lhs", "rhs")
+        .limit(_TOP_PAIRS)
+    )
+
+
+def _merge_pair_fold(symbols: F.Column, lhs: str, rhs: str) -> F.Column:
+    """Left-to-right greedy merge of adjacent (lhs, rhs) in a symbol array,
+    as a JVM-side ``aggregate`` fold: append each symbol, but when the
+    accumulator ends in ``lhs`` and the incoming symbol is ``rhs``, replace
+    that tail element with the merged token. Greedy-left matches the
+    reference BPE semantics (after merging, the new tail is ``lhs+rhs``, so
+    an overlapping occurrence — e.g. 'aaa' under ('a','a') — correctly
+    yields ['aa','a'], not ['aa','aa']). ``try_element_at`` returns NULL on
+    the empty accumulator (never an ANSI out-of-bounds error), and NULL
+    comparisons are falsy, so the first symbol always lands in the append
+    branch."""
+    merged = lhs + rhs
+    return F.aggregate(
+        symbols,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.try_element_at(acc, F.lit(-1)) == F.lit(lhs)) & (x == F.lit(rhs)),
+            F.concat(
+                F.slice(acc, F.lit(1), F.size(acc) - 1), F.array(F.lit(merged))
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def learn_bpe_merges(
+    spark: SparkSession, sf_dir: str, n_merges: int = N_MERGES
+) -> list[tuple[int, str, str, str, int]]:
+    """Run the iterative BPE trainer; returns
+    ``[(merge_rank, lhs, rhs, merged, pair_count), ...]``.
+
+    Driver/executor split (the MLlib-KMeans pattern): per iteration, ONE
+    distributed pair-count aggregation over the weighted vocabulary and ONE
+    single-row collect for the argmax (count desc, lhs asc, rhs asc — fully
+    deterministic ties), then a map-only symbol-array rewrite. The corpus
+    itself was reduced to the vocabulary before the loop and is never
+    rescanned. ``localCheckpoint`` truncates the lineage each iteration so
+    the plan does not grow O(iterations) deep (at production vocab sizes
+    the rewrite stays distributed; the checkpoint also stops Catalyst
+    re-optimizing an ever-growing fold chain)."""
+    words = _word_counts(spark, sf_dir).select(
+        F.expr("filter(split(word, ''), s -> s <> '')").alias("symbols"),
+        "wc",
+    )
+    words = words.localCheckpoint(eager=True)
+    merges: list[tuple[int, str, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        pairs = (
+            words.filter(F.size("symbols") >= 2)
+            .select(
+                "wc",
+                F.explode(F.sequence(F.lit(1), F.size("symbols") - 1)).alias("i"),
+                "symbols",
+            )
+            .select(
+                F.element_at("symbols", F.col("i")).alias("lhs"),
+                F.element_at("symbols", F.col("i") + 1).alias("rhs"),
+                "wc",
+            )
+            .groupBy("lhs", "rhs")
+            .agg(F.sum("wc").alias("pair_count"))
+            .orderBy(F.col("pair_count").desc(), "lhs", "rhs")
+            .limit(1)
+            .collect()
+        )
+        if not pairs:
+            break
+        best = pairs[0]
+        merges.append(
+            (rank, best["lhs"], best["rhs"], best["lhs"] + best["rhs"], best["pair_count"])
+        )
+        words = words.select(
+            _merge_pair_fold(F.col("symbols"), best["lhs"], best["rhs"]).alias(
+                "symbols"
+            ),
+            "wc",
+        ).localCheckpoint(eager=True)
+    return merges
+
+
+@REG.add("bpe_learn_merges")  # rows-only: iterative (argmax feeds the next
+# iteration's rewrite) — not expressible as one SQL statement without
+# recursion on aggregates; verified instead against an independent
+# pure-Python BPE reference (tests/test_bpe.py::test_learn_merges_golden).
+def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The learned BPE merge table (first N_MERGES merges) as a DataFrame —
+    see ``learn_bpe_merges`` for the algorithm and scale shape."""
+    rows = learn_bpe_merges(spark, sf_dir)
+    return spark.createDataFrame(
+        rows, "merge_rank int, lhs string, rhs string, merged string, pair_count bigint"
+    ).orderBy("merge_rank")

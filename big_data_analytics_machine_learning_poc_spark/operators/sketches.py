@@ -1,0 +1,205 @@
+"""Mergeable-sketch aggregation lanes: the cardinality / quantile answers a
+100 TB pipeline needs WITHOUT shuffling raw rows (no reference counterpart —
+extension surface next to operators/corpus.py's count-min lane).
+
+Three families, three verification postures:
+
+- **bitmap** (`bitmap_construct_agg` family, Spark 4): EXACT distinct counts
+  through a two-level aggregation whose shuffled state is fixed-size RLE
+  bitmaps (32 768 ids per bucket → ≤ 4 KiB per (group, bucket)) instead of
+  the expand-shuffle a `COUNT(DISTINCT)` plans. Exact ⇒ full DuckDB oracle.
+- **Datasketches HLL / theta** (`hll_sketch_agg`, `theta_sketch_agg`):
+  constant-size (~KB) mergeable estimators. Estimates are
+  implementation-defined, so the query ships BOTH the estimate and the exact
+  count and the pytest gate bounds the relative error; the driver records a
+  rows-only row (documented non-SQL-expressible posture, SURVEY §7).
+- **Datasketches KLL** (`kll_sketch_agg_double`): mergeable rank/quantile
+  sketch with a priori rank-error bounds; same audit posture — exact
+  percentiles computed alongside, pytest bounds the rank error.
+
+Why this matters at scale: `COUNT(DISTINCT x)` and exact `percentile(x)`
+both force a shuffle whose width is the DATA's cardinality (every distinct
+value, or every row, crosses the wire). Every lane here shuffles
+CONSTANT-size state per group per map task — the 100 TB cost is one scan
+plus a sketch-merge tree, and the sketches are storable/mergeable across
+days (incremental rollups fold yesterday's sketch with today's, no
+reprocess). The bitmap lane keeps that shape while staying exact, because
+the id space is range-partitioned into buckets and each bucket's bitmap is
+bounded no matter how many rows hit it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import QueryRegistry
+
+REG = QueryRegistry()
+
+# Spark's bitmap_bucket_number: 1-based bucket of 32 768 ids —
+# floor((v - 1) / 32768) + 1 for positive v. The lane only needs the pair
+# (bucket_number, bit_position) to be a bijection of the id, which the
+# DuckDB oracle does not reproduce (it just counts distinct ids exactly).
+_BITMAP_IDS_PER_BUCKET = 32_768
+
+
+@REG.add(
+    "agg_bitmap_distinct_users",
+    sql="""
+    SELECT event_type,
+           CAST(ts AS DATE) AS day,
+           COUNT(DISTINCT user_id) AS n_users,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY event_type, CAST(ts AS DATE)
+    ORDER BY event_type, day
+    """,
+)
+def agg_bitmap_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact daily distinct users per event type via Spark 4 bitmap
+    aggregates — `COUNT(DISTINCT)` semantics without its expand-shuffle.
+
+    Plan shape: level 1 groups by (event_type, day, bucket_number(user_id))
+    and `bitmap_construct_agg`s the bit positions — partial aggregation
+    collapses each task's contribution to one ≤ 4 KiB bitmap per (group,
+    32 768-id bucket) BEFORE the shuffle, so shuffle bytes scale with
+    |id-space| / 32 768 per group, not with row count. Level 2 sums
+    `bitmap_count` per (event_type, day): the second shuffle's input is
+    already one row per (group, bucket). Compare `COUNT(DISTINCT user_id)`,
+    which plans Expand + a shuffle keyed on (group, user_id) — every
+    distinct (group, user) pair crosses the wire. The bitmaps are also
+    mergeable state: persisting level 1 gives an incremental daily rollup
+    (union tomorrow's bitmaps with `bitmap_or_agg`, never rescan).
+
+    The oracle is plain COUNT(DISTINCT) — the lane is exact, so this is a
+    full value-hash check, not an estimate-tolerance check.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    level1 = (
+        ev.select(
+            "event_type",
+            F.to_date("ts").alias("day"),
+            F.bitmap_bucket_number("user_id").alias("bkt"),
+            F.bitmap_bit_position("user_id").alias("pos"),
+        )
+        .groupBy("event_type", "day", "bkt")
+        .agg(
+            F.bitmap_construct_agg("pos").alias("bm"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    return (
+        level1.groupBy("event_type", "day")
+        .agg(
+            F.sum(F.bitmap_count("bm")).alias("n_users"),
+            F.sum("n_events").alias("n_events"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+# Audited relative-error bound for the HLL/theta lane at default sketch
+# configs (lgConfigK=12 / lgNomEntries=12) on the testdata cardinalities
+# (~100 users). Asserted by tests/test_sketches.py; production bound at
+# these configs is ~1.6% (HLL) / ~3% (theta) at 2^12 state.
+SKETCH_REL_ERR_MAX = 0.05
+
+
+@REG.add("agg_hll_theta_distinct_audit")  # rows-only: estimates are
+# Datasketches-implementation-defined values with no DuckDB counterpart;
+# the exact columns are pytest-bounded against the estimates instead
+# (tests/test_sketches.py::test_hll_theta_estimates_within_bound).
+def agg_hll_theta_distinct_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ and theta sketch distinct-user estimates per event type, with
+    the exact count alongside — the audit query you run once per pipeline
+    change to certify the estimators before trusting them on 100 TB.
+
+    Both sketches are constant-size (~KB at lgK=12) and MERGEABLE — the
+    partial-aggregation state that crosses the shuffle is one sketch per
+    (task, group) regardless of row count, and stored sketches fold across
+    days/partitions with `hll_union_agg` (set-union semantics; theta
+    additionally supports intersection/difference set algebra at the cost
+    of slightly wider error). The exact column uses the bitmap lane's
+    two-level shape (see agg_bitmap_distinct_users) so even the audit
+    query itself has no expand-shuffle.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    sketches = ev.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("hll_estimate"),
+        F.theta_sketch_estimate(F.theta_sketch_agg("user_id")).alias(
+            "theta_estimate_raw"
+        ),
+    )
+    exact = (
+        ev.select(
+            "event_type",
+            F.bitmap_bucket_number("user_id").alias("bkt"),
+            F.bitmap_bit_position("user_id").alias("pos"),
+        )
+        .groupBy("event_type", "bkt")
+        .agg(F.bitmap_construct_agg("pos").alias("bm"))
+        .groupBy("event_type")
+        .agg(F.sum(F.bitmap_count("bm")).alias("exact_users"))
+    )
+    return (
+        sketches.join(exact, "event_type")
+        .select(
+            "event_type",
+            "exact_users",
+            "hll_estimate",
+            # theta estimate is a double (it can be fractional after
+            # sampling kicks in); keep the raw value for the audit
+            F.col("theta_estimate_raw").alias("theta_estimate"),
+            F.round(
+                F.abs(F.col("hll_estimate") - F.col("exact_users"))
+                / F.col("exact_users"),
+                6,
+            ).alias("hll_rel_err"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# KLL sketch size parameter: k=200 gives ~1.3% one-sided rank error with
+# 99% confidence (Datasketches a priori table), independent of n.
+_KLL_K = 200
+KLL_RANK_ERR_MAX = 0.02
+_KLL_QS = (0.5, 0.9, 0.99)
+
+
+@REG.add("agg_kll_value_quantiles")  # rows-only: KLL outputs are
+# sketch-algorithm-defined order statistics (a real element near the target
+# rank, not an interpolated value); pytest bounds the RANK error of each
+# returned quantile against the exact CDF instead
+# (tests/test_sketches.py::test_kll_quantiles_within_rank_error).
+def agg_kll_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KLL quantile-sketch p50/p90/p99 of event value per event type, with
+    the exact percentiles alongside — mergeable quantiles for the metrics
+    rollup where exact `percentile()` (full sort per group) is unpayable.
+
+    The KLL sketch keeps a logarithmic hierarchy of compactors totalling
+    O(k · log(n/k)) items; partial aggregation merges sketches, so the
+    shuffle carries ~KB per (task, group) and the merged sketch answers any
+    quantile afterwards — one pass for ALL of p50/p90/p99 where exact
+    percentile sorts every row per group. Returned quantiles are actual
+    data elements within ±1.3% rank error at k=200 (99% confidence),
+    which the audit columns make visible.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    sk = ev.groupBy("event_type").agg(
+        F.kll_sketch_agg_double("value", F.lit(_KLL_K)).alias("sk"),
+        F.expr(
+            "percentile(value, array({}))".format(",".join(map(str, _KLL_QS)))
+        ).alias("exact_qs"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    cols = [F.col("event_type"), F.col("n_events")]
+    for i, q in enumerate(_KLL_QS):
+        tag = f"p{round(q * 100)}"
+        cols.append(
+            F.kll_sketch_get_quantile_double("sk", F.lit(q)).alias(f"kll_{tag}")
+        )
+        cols.append(F.round(F.col("exact_qs")[i], 6).alias(f"exact_{tag}"))
+    return sk.select(*cols).orderBy("event_type")

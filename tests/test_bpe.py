@@ -1,0 +1,94 @@
+"""BPE trainer tests: oracle parity for the pair-count pass, and a golden
+cross-check of the iterative merge learner against an independent pure-Python
+BPE reference (same tie-break and greedy-left merge semantics, implemented
+from the published algorithm, not from the Spark code's structure).
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pytest
+
+from big_data_analytics_machine_learning_poc_spark.operators import bpe
+
+from .conftest import SF_DIR
+
+
+@pytest.mark.parametrize("name", sorted(bpe.REG.oracles))
+def test_bpe_oracle_parity(spark, duck, name):
+    from big_data_analytics_machine_learning_poc_spark.oracle import compare_query
+
+    problems = compare_query(
+        bpe.REG.queries[name](spark, SF_DIR), duck, bpe.REG.oracles[name]
+    )
+    assert not problems, f"{name}: {problems}"
+
+
+# --------------------------------------------------------------------------
+# Pure-Python reference BPE (Sennrich et al. 2016, algorithm 1): operates on
+# a {word: count} dict; each iteration counts adjacent symbol pairs weighted
+# by word count, merges the argmax (count desc, then lexicographic pair)
+# greedily left-to-right in every word.
+# --------------------------------------------------------------------------
+
+
+def _ref_bpe(word_counts: dict[str, int], n_merges: int):
+    vocab = {tuple(w): c for w, c in word_counts.items()}
+    merges = []
+    for rank in range(1, n_merges + 1):
+        pairs: Counter = Counter()
+        for syms, c in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += c
+        if not pairs:
+            break
+        (lhs, rhs), cnt = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((rank, lhs, rhs, lhs + rhs, cnt))
+        new_vocab = {}
+        for syms, c in vocab.items():
+            out = []
+            for s in syms:
+                if out and out[-1] == lhs and s == rhs:
+                    out[-1] = lhs + rhs
+                else:
+                    out.append(s)
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + c
+        vocab = new_vocab
+    return merges
+
+
+def _corpus_word_counts(spark) -> dict[str, int]:
+    rows = bpe._word_counts(spark, SF_DIR).collect()
+    return {r["word"]: r["wc"] for r in rows}
+
+
+def test_learn_merges_golden(spark):
+    got = bpe.learn_bpe_merges(spark, SF_DIR)
+    want = _ref_bpe(_corpus_word_counts(spark), bpe.N_MERGES)
+    assert got == want
+
+
+def test_greedy_left_merge_on_overlaps(spark):
+    """'aaa' under merge ('a','a') must become ['aa','a'] (greedy-left), and
+    repeated application must converge the same way as the reference."""
+    df = spark.createDataFrame([(["a", "a", "a"],), (["a", "a", "a", "a"],)], "symbols: array<string>")
+    out = df.select(
+        bpe._merge_pair_fold(df.symbols, "a", "a").alias("m")
+    ).collect()
+    assert [r["m"] for r in out] == [["aa", "a"], ["aa", "aa"]]
+
+
+def test_learn_merges_dataframe_schema(spark):
+    df = bpe.bpe_learn_merges(spark, SF_DIR)
+    assert df.columns == ["merge_rank", "lhs", "rhs", "merged", "pair_count"]
+    rows = df.collect()
+    assert len(rows) == bpe.N_MERGES
+    # ranks are 1..N and counts are non-increasing only within equal vocab
+    # states is NOT guaranteed (a merge can create a more frequent pair),
+    # but every count must be positive and merged == lhs+rhs
+    for r in rows:
+        assert r["pair_count"] > 0
+        assert r["merged"] == r["lhs"] + r["rhs"]
