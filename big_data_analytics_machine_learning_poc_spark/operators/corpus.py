@@ -1049,3 +1049,158 @@ def corpus_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# Exact stratified sampling (fixed per-stratum quotas)
+# --------------------------------------------------------------------------
+
+_STRAT_K = 15  # docs per language stratum (production: e.g. 10k eval docs
+# per language — small relative to each stratum, large enough to matter)
+_STRAT_SALTS = 16
+_STRAT_HASH_SQL = md5_hash32_sql("'strat:' || CAST(doc_id AS VARCHAR)")
+
+
+@REG.add(
+    "corpus_stratified_sample_exact",
+    sql=f"""
+    WITH h AS (
+      SELECT lang, doc_id, {_STRAT_HASH_SQL} AS hv FROM documents
+    ), rnk AS (
+      SELECT lang, doc_id, hv,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY hv, doc_id) AS rn
+      FROM h
+    )
+    SELECT lang, doc_id, rn FROM rnk WHERE rn <= {_STRAT_K}
+    ORDER BY lang, rn
+    """,
+)
+def corpus_stratified_sample_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly ``_STRAT_K`` documents per language, deterministically — the
+    eval-set carve-out. ``sampleBy`` gives BINOMIAL stratum sizes (the quota
+    is only hit in expectation) and depends on partitioning; this lane takes
+    the bottom-K by a content-independent md5 of ``doc_id``, so the sample
+    is an exact-size, rerun-stable, partitioning-independent function of the
+    data, and the oracle reproduces it bit-for-bit.
+
+    Scale shape: bottom-K per stratum is computed in TWO phases so no single
+    reducer ever sees a whole stratum (5 language strata at 100 TB = 5
+    reducers streaming terabytes through a naive per-lang window). Phase 1
+    ranks within (lang, hv % {_STRAT_SALTS}) — {_STRAT_SALTS}× the
+    parallelism, each partition keeps ≤ K rows. Phase 2 re-ranks the ≤
+    {_STRAT_SALTS}·K survivors per lang — a bounded input. Bottom-K of a
+    union of per-salt bottom-Ks equals the global bottom-K (every global
+    winner is a winner within its salt), so the result is identical to the
+    oracle's single-window form."""
+    docs = load_table(spark, sf_dir, "documents")
+    hv = md5_hash32(F.concat(F.lit("strat:"), F.col("doc_id").cast("string")))
+    h = docs.select("lang", "doc_id", hv.alias("hv"))
+    w1 = ranked("hv", "doc_id", partition_by=["lang", "salt"])
+    phase1 = (
+        h.withColumn("salt", F.col("hv") % _STRAT_SALTS)
+        .withColumn("rn1", F.row_number().over(w1))
+        .filter(F.col("rn1") <= _STRAT_K)
+    )
+    w2 = ranked("hv", "doc_id", partition_by="lang")
+    return (
+        phase1.select("lang", "doc_id", "hv")
+        .withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= _STRAT_K)
+        .select("lang", "doc_id", "rn")
+        .orderBy("lang", "rn")
+    )
+
+
+# --------------------------------------------------------------------------
+# Temperature-scaled source mixing (exact integer quota allocation)
+# --------------------------------------------------------------------------
+
+# tau = 0.5: quota_s proportional to n_s^tau — upsamples small sources
+# relative to proportional sampling, the standard multilingual/multi-source
+# rebalancing knob. Implemented as integer isqrt so BOTH engines compute the
+# identical weights with no cross-engine float-rounding risk. Weights are
+# scaled by 10^3 (isqrt of n·10^6) to keep 3 decimal digits of precision;
+# exactness of the guarded isqrt needs n_s·10^6 < 2^52 ⇒ n_s < 4.5e9 docs
+# per source (far beyond 100 TB corpora; lift the scale factor if not).
+_MIXT_SCALE = 1_000_000
+_MIXT_TARGET_DIV = 2  # sample half the corpus overall
+
+
+def _isqrt_sql(x: str) -> str:
+    """Exact integer sqrt in DuckDB SQL: floor of the IEEE sqrt, corrected
+    down by one when rounding pushed it over (k*k > x) — exact for x < 2^52
+    regardless of the engine's sqrt rounding."""
+    return (
+        f"(CAST(FLOOR(SQRT(CAST({x} AS DOUBLE))) AS BIGINT)"
+        f" - CASE WHEN CAST(FLOOR(SQRT(CAST({x} AS DOUBLE))) AS BIGINT)"
+        f"          * CAST(FLOOR(SQRT(CAST({x} AS DOUBLE))) AS BIGINT) > {x}"
+        f"        THEN 1 ELSE 0 END)"
+    )
+
+
+def _isqrt_col(x: F.Column) -> F.Column:
+    k = F.floor(F.sqrt(x.cast("double"))).cast("long")
+    return k - F.when(k * k > x, 1).otherwise(0)
+
+
+@REG.add(
+    "corpus_temperature_mix",
+    sql=f"""
+    WITH per_source AS (
+      SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+    ), weighted AS (
+      SELECT source, n_docs,
+             {_isqrt_sql(f"n_docs * {_MIXT_SCALE}")} AS w
+      FROM per_source
+    ), denom AS (
+      SELECT SUM(w) AS wsum, SUM(n_docs) AS total FROM weighted
+    )
+    SELECT w.source, w.n_docs, w.w AS weight,
+           CAST(((d.total // {_MIXT_TARGET_DIV}) * w.w) // d.wsum AS BIGINT)
+             AS quota,
+           LEAST(CAST(((d.total // {_MIXT_TARGET_DIV}) * w.w) // d.wsum
+                      AS BIGINT), w.n_docs) AS n_sampled
+    FROM weighted w, denom d
+    ORDER BY w.source
+    """,
+)
+def corpus_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixing plan (tau = 0.5): per-source sample
+    quotas proportional to n_s^0.5, normalized to a corpus-wide target of
+    total/{_MIXT_TARGET_DIV} documents — the rebalancing step that keeps
+    long-tail sources represented in the training mix.
+
+    All arithmetic is INTEGER (guarded isqrt + integer division), so the
+    allocation is a bit-exact cross-engine function of the source counts —
+    no float summation-order or pow() rounding can fork the quota at a
+    floor boundary (the docstring on `_isqrt_sql` gives the exactness
+    argument). `n_sampled` caps each quota at the stratum size; the
+    selection of WHICH documents fill a quota is the exact bottom-K lane
+    (`corpus_stratified_sample_exact`'s two-phase shape) applied per
+    source.
+
+    Scale shape: one corpus scan → per-source counts (tiny key domain,
+    partial agg), a one-row denominator broadcast back over the ≤ |sources|
+    weighted rows — bounded at any corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_source = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    weighted = per_source.withColumn(
+        "w", _isqrt_col(F.col("n_docs") * _MIXT_SCALE)
+    )
+    denom = weighted.agg(
+        F.sum("w").alias("wsum"), F.sum("n_docs").alias("total")
+    )
+    return (
+        weighted.crossJoin(F.broadcast(denom))
+        .select(
+            "source",
+            "n_docs",
+            F.col("w").alias("weight"),
+            F.expr(f"(total DIV {_MIXT_TARGET_DIV}) * w DIV wsum").alias("quota"),
+            F.least(
+                F.expr(f"(total DIV {_MIXT_TARGET_DIV}) * w DIV wsum"),
+                F.col("n_docs"),
+            ).alias("n_sampled"),
+        )
+        .orderBy("source")
+    )

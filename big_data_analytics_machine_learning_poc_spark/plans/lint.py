@@ -101,6 +101,10 @@ ALLOWED: dict[str, dict[str, str]] = {
     "dedup_pipeline_survivors": {
         "nested_loop": "broadcast one-row corpus/survivor count aggregates"
     },
+    "corpus_temperature_mix": {
+        "nested_loop": "broadcast one-row quota denominator onto the "
+        "<=|sources|-row weighted aggregate"
+    },
     # Bounded-input ranking windows: ranked() enforces the row cap /
     # justification at the call site (functions/windows.py).
     "window_rank_funcs": {

@@ -1,0 +1,103 @@
+"""Semantic tests for the exact-quota sampling lanes: the properties that
+oracle parity alone can't show (exact stratum sizes, partitioning
+independence, temperature-allocation invariants)."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from big_data_analytics_machine_learning_poc_spark.operators import corpus
+
+from .conftest import SF_DIR
+
+
+def test_stratified_sample_exact_quota_per_stratum(spark):
+    rows = corpus.corpus_stratified_sample_exact(spark, SF_DIR).collect()
+    per_lang = Counter(r["lang"] for r in rows)
+    from big_data_analytics_machine_learning_poc_spark.catalog import load_table
+
+    sizes = {
+        r["lang"]: r["n"]
+        for r in load_table(spark, SF_DIR, "documents")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for lang, n in sizes.items():
+        assert per_lang[lang] == min(corpus._STRAT_K, n), (lang, per_lang)
+    # ranks are 1..K within each stratum, no duplicates
+    seen = Counter((r["lang"], r["rn"]) for r in rows)
+    assert all(v == 1 for v in seen.values())
+
+
+def test_stratified_sample_partitioning_independent(spark):
+    """The sample is a pure function of the data: the same doc_ids must
+    survive under a different partitioning of the input (the property
+    seeded sample()/randomSplit does NOT have)."""
+    base = {
+        (r["lang"], r["doc_id"])
+        for r in corpus.corpus_stratified_sample_exact(spark, SF_DIR).collect()
+    }
+    from big_data_analytics_machine_learning_poc_spark.catalog import load_table
+
+    docs = load_table(spark, SF_DIR, "documents").repartition(13, "source")
+    docs.createOrReplaceTempView("__strat_reparted")
+    # rebuild the lane on the repartitioned input by monkey-free inline copy
+    from big_data_analytics_machine_learning_poc_spark.functions.hashing import md5_hash32
+    from big_data_analytics_machine_learning_poc_spark.functions.windows import ranked
+
+    hv = md5_hash32(F.concat(F.lit("strat:"), F.col("doc_id").cast("string")))
+    h = docs.select("lang", "doc_id", hv.alias("hv"))
+    phase1 = (
+        h.withColumn("salt", F.col("hv") % corpus._STRAT_SALTS)
+        .withColumn(
+            "rn1",
+            F.row_number().over(ranked("hv", "doc_id", partition_by=["lang", "salt"])),
+        )
+        .filter(F.col("rn1") <= corpus._STRAT_K)
+    )
+    again = {
+        (r["lang"], r["doc_id"])
+        for r in phase1.select("lang", "doc_id", "hv")
+        .withColumn("rn", F.row_number().over(ranked("hv", "doc_id", partition_by="lang")))
+        .filter(F.col("rn") <= corpus._STRAT_K)
+        .collect()
+    }
+    assert again == base
+
+
+def test_temperature_mix_invariants(spark):
+    rows = corpus.corpus_temperature_mix(spark, SF_DIR).collect()
+    assert rows
+    total = sum(r["n_docs"] for r in rows)
+    target = total // corpus._MIXT_TARGET_DIV
+    # floor allocation never overshoots the corpus-wide target
+    assert sum(r["quota"] for r in rows) <= target
+    # ... and lands within |sources| of it (each floor loses < 1)
+    assert sum(r["quota"] for r in rows) > target - len(rows)
+    for r in rows:
+        assert 0 <= r["n_sampled"] <= r["n_docs"]
+        assert r["n_sampled"] == min(r["quota"], r["n_docs"])
+    # temperature flattening: sample fraction is weakly decreasing in
+    # stratum size (smaller sources get a boost) wherever quotas aren't
+    # clipped by stratum size
+    unclipped = [r for r in rows if r["quota"] <= r["n_docs"]]
+    by_size = sorted(unclipped, key=lambda r: r["n_docs"])
+    fracs = [r["quota"] / r["n_docs"] for r in by_size]
+    for a, b in zip(fracs, fracs[1:]):
+        assert b <= a + 0.02, fracs  # tolerance: integer floors wobble
+
+
+def test_isqrt_exactness(spark):
+    """The guarded isqrt must be exact at perfect squares and just below."""
+    df = spark.createDataFrame(
+        [(0,), (1,), (2,), (3,), (4,), (15,), (16,), (17,), (10**12 - 1,), (10**12,)],
+        "x: long",
+    )
+    got = df.select(corpus._isqrt_col(F.col("x")).alias("k"), "x").collect()
+    import math
+
+    for r in got:
+        assert r["k"] == math.isqrt(r["x"]), r

@@ -297,8 +297,10 @@ def test_registry_plan_lint_cheap_modules(spark):
         corpus,
         dedup,
         encoding,
+        bpe,
         relational,
         similarity,
+        sketches,
         sqlfront,
         text,
         tpch,
@@ -315,6 +317,8 @@ def test_registry_plan_lint_cheap_modules(spark):
         corpus.REG,
         encoding.REG,
         sqlfront.REG,
+        sketches.REG,
+        bpe.REG,
     ):
         for name, fn in reg.queries.items():
             violations, _ = lint_query(name, fn(spark, SF_DIR))
