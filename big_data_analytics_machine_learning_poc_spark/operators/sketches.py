@@ -203,3 +203,65 @@ def agg_kll_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         cols.append(F.round(F.col("exact_qs")[i], 6).alias(f"exact_{tag}"))
     return sk.select(*cols).orderBy("event_type")
+
+
+_INTERSECT_TYPES = ("view", "purchase")
+
+
+@REG.add(
+    "agg_bitmap_intersection",
+    sql=f"""
+    SELECT CAST(ts AS DATE) AS day,
+           COUNT(DISTINCT user_id) AS n_both
+    FROM events e
+    WHERE event_type = '{_INTERSECT_TYPES[0]}'
+      AND user_id IN (SELECT user_id FROM events
+                      WHERE event_type = '{_INTERSECT_TYPES[1]}'
+                        AND CAST(ts AS DATE) = CAST(e.ts AS DATE))
+    GROUP BY CAST(ts AS DATE)
+    ORDER BY day
+    """,
+)
+def agg_bitmap_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-day count of users who did BOTH a view and a purchase —
+    distinct-set INTERSECTION via bitmap AND, the funnel-overlap metric.
+
+    A COUNT(DISTINCT) intersection normally plans a self-join on user_id
+    (shuffle width = |users who viewed| rows). Here each side collapses to
+    per-(day, 32 768-id bucket) bitmaps FIRST (partial aggregation, ≤ 4 KiB
+    state each), then `bitmap_and_agg` over the per-type bitmaps inside
+    each (day, bucket) — restricted to buckets where BOTH types appear
+    (`HAVING count = 2`; an AND over one side alone would pass that side
+    through) — and `bitmap_count` sums the survivors. Shuffle bytes scale
+    with |id-space|/32 768 per day, independent of event volume; theta
+    sketches give the same algebra approximately when even the bitmaps are
+    too wide (see agg_hll_theta_distinct_audit).
+
+    The oracle is the plain correlated-IN form — the lane is exact."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(*_INTERSECT_TYPES)
+    )
+    per_type = (
+        ev.select(
+            F.to_date("ts").alias("day"),
+            "event_type",
+            F.bitmap_bucket_number("user_id").alias("bkt"),
+            F.bitmap_bit_position("user_id").alias("pos"),
+        )
+        .groupBy("day", "event_type", "bkt")
+        .agg(F.bitmap_construct_agg("pos").alias("bm"))
+    )
+    both = (
+        per_type.groupBy("day", "bkt")
+        .agg(
+            F.bitmap_and_agg("bm").alias("bm_and"),
+            F.count(F.lit(1)).alias("n_types"),
+        )
+        .filter(F.col("n_types") == len(_INTERSECT_TYPES))
+    )
+    return (
+        both.groupBy("day")
+        .agg(F.sum(F.bitmap_count("bm_and")).alias("n_both"))
+        .filter(F.col("n_both") > 0)
+        .orderBy("day")
+    )

@@ -82,3 +82,82 @@ def test_kll_quantiles_within_rank_error(spark):
                 got,
                 rank,
             )
+
+
+def test_bitmap_state_is_mergeable_incrementally(spark):
+    """Substantiates the incremental-rollup claim in the lane docstrings:
+    per-half level-1 bitmaps folded with bitmap_or_agg must equal the
+    one-shot computation — i.e. yesterday's persisted sketch state plus
+    today's delta replaces a full rescan."""
+    from big_data_analytics_machine_learning_poc_spark.catalog import load_table
+
+    ev = load_table(spark, SF_DIR, "events")
+    halves = [
+        ev.filter(F.col("event_id") % 2 == i)
+        .select(
+            "event_type",
+            F.bitmap_bucket_number("user_id").alias("bkt"),
+            F.bitmap_bit_position("user_id").alias("pos"),
+        )
+        .groupBy("event_type", "bkt")
+        .agg(F.bitmap_construct_agg("pos").alias("bm"))
+        for i in (0, 1)
+    ]
+    folded = {
+        r["event_type"]: r["n"]
+        for r in halves[0]
+        .unionByName(halves[1])
+        .groupBy("event_type", "bkt")
+        .agg(F.bitmap_or_agg("bm").alias("bm"))
+        .groupBy("event_type")
+        .agg(F.sum(F.bitmap_count("bm")).alias("n"))
+        .collect()
+    }
+    oneshot = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert folded == oneshot
+
+
+def test_bitmap_intersection_semantics(spark):
+    """Planted check of the AND-bitmap funnel overlap: users present on both
+    sides are counted once; one-sided users and one-sided buckets are not."""
+    rows = [
+        # user 1: both types same day; user 2: view only; user 40000:
+        # purchase only (different bitmap bucket from the others);
+        # user 3: both, but on different days -> excluded
+        (1, "view", "2024-01-01"), (1, "purchase", "2024-01-01"),
+        (2, "view", "2024-01-01"),
+        (40000, "purchase", "2024-01-01"),
+        (3, "view", "2024-01-01"), (3, "purchase", "2024-01-02"),
+    ]
+    df = spark.createDataFrame(
+        [(u, t, f"{d} 00:00:00") for u, t, d in rows],
+        "user_id: long, event_type: string, ts_s: string",
+    ).select("user_id", "event_type", F.to_timestamp("ts_s").alias("ts"))
+    per_type = (
+        df.select(
+            F.to_date("ts").alias("day"),
+            "event_type",
+            F.bitmap_bucket_number("user_id").alias("bkt"),
+            F.bitmap_bit_position("user_id").alias("pos"),
+        )
+        .groupBy("day", "event_type", "bkt")
+        .agg(F.bitmap_construct_agg("pos").alias("bm"))
+    )
+    both = (
+        per_type.groupBy("day", "bkt")
+        .agg(F.bitmap_and_agg("bm").alias("bm_and"), F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") == 2)
+    )
+    got = {
+        str(r["day"]): r["n_both"]
+        for r in both.groupBy("day")
+        .agg(F.sum(F.bitmap_count("bm_and")).alias("n_both"))
+        .filter(F.col("n_both") > 0)
+        .collect()
+    }
+    assert got == {"2024-01-01": 1}
