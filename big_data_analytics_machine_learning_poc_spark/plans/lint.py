@@ -86,6 +86,10 @@ ALLOWED: dict[str, dict[str, str]] = {
         "nested_loop": "broadcast 1-row query vector against nprobe-pruned "
         "cluster subset"
     },
+    "ann_recall_at_k": {
+        "nested_loop": "broadcast 5-row sampled query batch for the exact "
+        "brute audit baseline (the ANN side under audit is an equi-join)"
+    },
     # Decorrelated scalar subqueries: a one-row aggregate broadcast onto the
     # probe side plans as BroadcastNestedLoopJoin — O(n·1), the DataFrame
     # rendering of SQL's scalar-subquery broadcast, not a quadratic stage.
