@@ -36,6 +36,34 @@ def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @REG.add(
+    "stream_distinct_users_tumbling",
+    sql="""
+    SELECT CAST(FLOOR(EPOCH(ts) / 300) * 300 AS BIGINT) AS window_start_epoch,
+           event_type, COUNT(DISTINCT user_id) AS n_users
+    FROM events GROUP BY 1, 2
+    """,
+)
+def stream_distinct_users_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct users per 5-minute window per event type, computed by
+    an actual streaming query whose state is per-bucket bitmaps (≤ 4 KiB
+    per (window, type, 32 768-id bucket) — bounded by the id space and the
+    watermark, not by event volume; see
+    streaming/events.tumbling_distinct_user_bitmaps). The emitted bitmap
+    rows are folded to counts by a stateless batch rollup — the
+    sketch-state-as-sink-output pattern that lets production re-aggregate
+    across windows with bitmap_or_agg instead of reprocessing events. The
+    oracle is plain batch COUNT(DISTINCT): event-time windows with a closed
+    watermark equal batch aggregation, and the bitmap lane is exact."""
+    bm = sev.tumbling_distinct_user_bitmaps(
+        spark, sf_dir, "5 minutes", output_mode="complete"
+    )
+    return (
+        bm.groupBy("window_start_epoch", "event_type")
+        .agg(F.sum(F.bitmap_count("bm")).alias("n_users"))
+    )
+
+
+@REG.add(
     "stream_sliding_counts",
     sql="""
     WITH cents AS (

@@ -126,6 +126,49 @@ def sliding_counts(
     return run_to_completion(agg, output_mode)
 
 
+def tumbling_distinct_user_bitmaps(
+    spark: SparkSession,
+    sf_dir: str,
+    window: str = "5 minutes",
+    output_mode: str = "append",
+) -> DataFrame:
+    """Per-window EXACT distinct-user state as bitmaps — streaming
+    cardinality without keeping raw user ids in the state store.
+
+    The stateful aggregation groups by (window, event_type,
+    bitmap_bucket_number(user_id)) and folds bit positions with
+    ``bitmap_construct_agg``: per-group state is one ≤ 4 KiB bitmap
+    covering 32 768 ids, merged incrementally as micro-batches arrive —
+    the same mergeable-sketch shape as the batch lane
+    (operators/sketches.py), which is what makes it streaming-safe: state
+    size is bounded by (open windows × types × id-buckets), NOT by event
+    volume, and the watermark evicts closed windows. The emitted rows ARE
+    the sketch state; the downstream rollup (`bitmap_count` + sum) is a
+    stateless batch fold over the sink — production persists these bitmaps
+    and rolls them up across windows/days with ``bitmap_or_agg`` without
+    reprocessing events.
+
+    ``output_mode`` contract as in ``tumbling_counts`` (append =
+    production; complete = bounded-input oracle comparison only)."""
+    ev = read_event_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(
+            F.window("ts", window),
+            "event_type",
+            F.bitmap_bucket_number("user_id").alias("bkt"),
+        )
+        .agg(F.bitmap_construct_agg(F.bitmap_bit_position("user_id")).alias("bm"))
+        .select(
+            F.col("window.start").cast("long").alias("window_start_epoch"),
+            "event_type",
+            "bkt",
+            "bm",
+        )
+    )
+    return run_to_completion(agg, output_mode)
+
+
 def session_windows(
     spark: SparkSession,
     sf_dir: str,

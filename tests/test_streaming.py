@@ -314,3 +314,32 @@ def test_stateful_totals_null_value_matches_sql_sum(spark, tmp_path):
     out = running_user_totals(spark, str(tmp_path), max_user=100)
     got = {r.user_id: (r.n_events, r.total_cents) for r in out.collect()}
     assert got == {7: (3, 375), 8: (1, 0)}
+
+
+def test_streaming_bitmap_distinct_append_consistent_with_batch(spark):
+    """Append-mode emitted bitmap state, folded to counts, must equal batch
+    COUNT(DISTINCT) for every window it emits (append only withholds
+    still-open trailing windows — the rows it DOES emit are final)."""
+    from big_data_analytics_machine_learning_poc_spark.catalog import load_table
+    from big_data_analytics_machine_learning_poc_spark.streaming import events as sev
+
+    bm = sev.tumbling_distinct_user_bitmaps(spark, SF_DIR, "5 minutes", output_mode="append")
+    folded = {
+        (r["window_start_epoch"], r["event_type"]): r["n"]
+        for r in bm.groupBy("window_start_epoch", "event_type")
+        .agg(F.sum(F.bitmap_count("bm")).alias("n"))
+        .collect()
+    }
+    assert folded, "append mode emitted nothing"
+    batch = {
+        (r["w"], r["event_type"]): r["n"]
+        for r in load_table(spark, SF_DIR, "events")
+        .groupBy(
+            (F.floor(F.unix_timestamp("ts") / 300) * 300).cast("long").alias("w"),
+            "event_type",
+        )
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for key, n in folded.items():
+        assert batch[key] == n, (key, n, batch.get(key))
