@@ -187,3 +187,53 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "merge_rank int, lhs string, rhs string, merged string, pair_count bigint"
     ).orderBy("merge_rank")
+
+
+@REG.add("bpe_encode_stats")  # rows-only: encoding applies the LEARNED merge
+# table (itself the product of the iterative trainer), so the oracle would
+# need the same iteration; verified instead by an independent pure-Python
+# encoder on the same corpus (tests/test_bpe.py::test_encode_stats_golden).
+def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize the corpus with the learned BPE merge table and report the
+    numbers a tokenizer change is judged by: per-language token counts,
+    tokens/doc, and chars/token (compression ratio).
+
+    The trainer runs first (vocabulary-sized work, see learn_bpe_merges);
+    encoding is then a MAP-ONLY pass over the corpus — each document's words
+    go through the merge table in merge order via the same JVM
+    ``aggregate``-fold used in training, chained N_MERGES times in one
+    projection (fixed small N ⇒ fixed expression depth, no Python in the
+    hot path, no shuffle until the final tiny per-lang aggregation).
+    Encoding distributes trivially at 100 TB: the merge table is a
+    broadcast-sized constant folded into the plan as literals."""
+    merges = learn_bpe_merges(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "lang", "doc_id", F.explode(tokens_col()).alias("word")
+    ).withColumn("symbols", F.expr("filter(split(word, ''), s -> s <> '')"))
+    sym = F.col("symbols")
+    for _, lhs, rhs, _, _ in merges:
+        sym = _merge_pair_fold(sym, lhs, rhs)
+    enc = words.select(
+        "lang",
+        "doc_id",
+        F.size(sym).alias("n_tokens"),
+        F.length("word").alias("n_chars"),
+    )
+    per_doc = enc.groupBy("lang", "doc_id").agg(
+        F.sum("n_tokens").alias("doc_tokens"), F.sum("n_chars").alias("doc_chars")
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_tokens").alias("n_tokens"),
+            F.round(
+                F.sum("doc_tokens") / F.count(F.lit(1)), 3
+            ).alias("tokens_per_doc"),
+            F.round(F.sum("doc_chars") / F.sum("doc_tokens"), 3).alias(
+                "chars_per_token"
+            ),
+        )
+        .orderBy("lang")
+    )

@@ -92,3 +92,47 @@ def test_learn_merges_dataframe_schema(spark):
     for r in rows:
         assert r["pair_count"] > 0
         assert r["merged"] == r["lhs"] + r["rhs"]
+
+
+def test_encode_stats_golden(spark):
+    """Cross-check the Spark fold-chain encoder against a pure-Python
+    encoder applying the same learned merge table in merge order."""
+    from big_data_analytics_machine_learning_poc_spark.catalog import load_table
+    from big_data_analytics_machine_learning_poc_spark.operators.text import tokens_col
+    from pyspark.sql import functions as F
+
+    merges = bpe.learn_bpe_merges(spark, SF_DIR)
+
+    def encode(word: str) -> list[str]:
+        syms = list(word)
+        for _, lhs, rhs, merged, _ in merges:
+            out = []
+            for s in syms:
+                if out and out[-1] == lhs and s == rhs:
+                    out[-1] = merged
+                else:
+                    out.append(s)
+            syms = out
+        return syms
+
+    docs = (
+        load_table(spark, SF_DIR, "documents")
+        .select("lang", "doc_id", F.explode(tokens_col()).alias("word"))
+        .collect()
+    )
+    from collections import defaultdict
+
+    agg = defaultdict(lambda: [0, 0, set()])  # lang -> [tokens, chars, docs]
+    for r in docs:
+        a = agg[r["lang"]]
+        a[0] += len(encode(r["word"]))
+        a[1] += len(r["word"])
+        a[2].add(r["doc_id"])
+    got = {r["lang"]: r for r in bpe.bpe_encode_stats(spark, SF_DIR).collect()}
+    assert set(got) == set(agg)
+    for lang, (toks, chars, dids) in agg.items():
+        g = got[lang]
+        assert g["n_tokens"] == toks, lang
+        assert g["n_docs"] == len(dids)
+        assert abs(g["tokens_per_doc"] - round(toks / len(dids), 3)) < 1e-9
+        assert abs(g["chars_per_token"] - round(chars / toks, 3)) < 1e-9
