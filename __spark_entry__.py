@@ -110,6 +110,15 @@ _DRIVER_WINDOW = (
     "corpus_vocab_coverage",
 )
 
+# ROUND-5 ROTATION PLAN (window above is frozen for the r4 driver run):
+# lead with the queries registered AFTER the freeze so they get their first
+# hard driver rows — agg_bitmap_distinct_users, agg_bitmap_intersection,
+# agg_hll_theta_distinct_audit*, agg_kll_value_quantiles*, bpe_pair_counts,
+# bpe_learn_merges*, bpe_encode_stats*, corpus_stratified_sample_exact,
+# corpus_temperature_mix, ann_recall_at_k, stream_distinct_users_tumbling
+# (* = rows-only by design) — then fill with re-confirm slots for whatever
+# r5 touches. All 11 pass tools/compare.py and plan lint locally today.
+
 
 # ---------------------------------------------------------------------------
 # Post-hoc diagnostics for driver-side runs. The round-3 reds proved the

@@ -927,7 +927,12 @@ def vacuum_table(table: str, retention_ms: int = 7 * 24 * 3600 * 1000) -> list[s
                     removed_at.pop(action["add"]["path"])  # re-added later
     deleted = []
     for rel, ts in sorted(removed_at.items()):
-        if rel in active or ts > cutoff_ms:
+        # retention 0 means "reclaim immediately", unconditionally: age
+        # checks compare a stored timestamp against time.time(), and the two
+        # clocks can disagree by more than the zero allowance (fs mtime
+        # granularity, VM clock-source skew) — a nonzero retention absorbs
+        # that skew, zero must not depend on it
+        if rel in active or (retention_ms > 0 and ts > cutoff_ms):
             continue
         full = os.path.join(table, rel)
         if os.path.exists(full):
@@ -945,7 +950,10 @@ def vacuum_table(table: str, retention_ms: int = 7 * 24 * 3600 * 1000) -> list[s
             rel = os.path.relpath(full, table)
             if not name.endswith(".parquet") or rel in ever_added:
                 continue
-            if os.path.getmtime(full) * 1000 <= cutoff_ms:
+            # same zero-retention rule as above: mtime comes from the
+            # filesystem clock, cutoff from time.time() — skew between them
+            # must never make "reclaim immediately" keep a file
+            if retention_ms == 0 or os.path.getmtime(full) * 1000 <= cutoff_ms:
                 os.remove(full)
                 deleted.append(rel)
     return sorted(set(deleted))
