@@ -265,3 +265,56 @@ def agg_bitmap_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_both") > 0)
         .orderBy("day")
     )
+
+
+@REG.add(
+    "events_cohort_retention",
+    sql="""
+    WITH ev AS (
+      SELECT user_id, CAST(ts AS DATE) AS day FROM events
+    ), first AS (
+      SELECT user_id, MIN(day) AS cohort_day FROM ev GROUP BY user_id
+    )
+    SELECT f.cohort_day,
+           CAST(e.day - f.cohort_day AS BIGINT) AS offset_days,
+           COUNT(DISTINCT e.user_id) AS n_users
+    FROM ev e JOIN first f ON f.user_id = e.user_id
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-seen day, distinct
+    active users per (cohort, day offset) — the product-analytics rollup.
+
+    Scale shape: ONE shuffle key does all the heavy work — the first-seen
+    aggregation hashes on user_id, and the events⋈first join consumes the
+    aggregated side at that exact partitioning (no re-exchange of it; at
+    small SF, AQE goes further and broadcasts the aggregate outright —
+    observed in the executed plan). The (cohort, offset) distinct count goes
+    through the bitmap lane (per-bucket bitmap state, see
+    agg_bitmap_distinct_users) instead of COUNT(DISTINCT)'s expand-shuffle
+    — with |cohorts| × |offsets| groups the expand would multiply the
+    events stream by every grouping set at 100 TB. Exact ⇒ full oracle."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    first = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    joined = ev.join(first, "user_id").select(
+        "cohort_day",
+        F.datediff("day", "cohort_day").cast("long").alias("offset_days"),
+        "user_id",
+    )
+    return (
+        joined.select(
+            "cohort_day",
+            "offset_days",
+            F.bitmap_bucket_number("user_id").alias("bkt"),
+            F.bitmap_bit_position("user_id").alias("pos"),
+        )
+        .groupBy("cohort_day", "offset_days", "bkt")
+        .agg(F.bitmap_construct_agg("pos").alias("bm"))
+        .groupBy("cohort_day", "offset_days")
+        .agg(F.sum(F.bitmap_count("bm")).alias("n_users"))
+        .orderBy("cohort_day", "offset_days")
+    )

@@ -161,3 +161,35 @@ def test_bitmap_intersection_semantics(spark):
         .collect()
     }
     assert got == {"2024-01-01": 1}
+
+
+def test_hll_sketch_state_survives_parquet_roundtrip(spark, tmp_path):
+    """Sketch state is STORABLE, not just mergeable in-plan: per-half HLL
+    sketches written to parquet as binary, read back, and hll_union_agg'd
+    must estimate the same value as the one-shot sketch — the persisted
+    daily-rollup pattern."""
+    from big_data_analytics_machine_learning_poc_spark.catalog import load_table
+
+    ev = load_table(spark, SF_DIR, "events")
+    path = str(tmp_path / "hll_state")
+    (
+        ev.withColumn("half", F.col("event_id") % 2)
+        .groupBy("event_type", "half")
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    folded = {
+        r["event_type"]: r["est"]
+        for r in spark.read.parquet(path)
+        .groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+        .collect()
+    }
+    oneshot = {
+        r["event_type"]: r["est"]
+        for r in ev.groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est"))
+        .collect()
+    }
+    assert folded == oneshot
