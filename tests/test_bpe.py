@@ -9,6 +9,7 @@ from __future__ import annotations
 from collections import Counter
 
 import pytest
+from pyspark.sql import functions as F
 
 from big_data_analytics_machine_learning_poc_spark.operators import bpe
 
@@ -136,3 +137,40 @@ def test_encode_stats_golden(spark):
         assert g["n_docs"] == len(dids)
         assert abs(g["tokens_per_doc"] - round(toks / len(dids), 3)) < 1e-9
         assert abs(g["chars_per_token"] - round(chars / toks, 3)) < 1e-9
+
+
+def test_merge_pair_fold_property(spark):
+    """Hypothesis-style property over random small-alphabet symbol arrays:
+    the JVM fold must equal the greedy-left Python merge for every input,
+    including runs of the merged pair and interleavings."""
+    import itertools
+    import random as _random
+
+    rng = _random.Random(3)
+    cases = [
+        list(word)
+        for word in (
+            "".join(rng.choice("ab") for _ in range(rng.randrange(0, 9)))
+            for _ in range(60)
+        )
+    ] + [list(w) for w in ("", "a", "b", "aa", "ab", "aab", "abab", "aaaa", "baaa")]
+
+    def ref(syms, lhs, rhs):
+        out = []
+        for s in syms:
+            if out and out[-1] == lhs and s == rhs:
+                out[-1] = lhs + rhs
+            else:
+                out.append(s)
+        return out
+
+    df = spark.createDataFrame([(c,) for c in cases], "symbols: array<string>")
+    for lhs, rhs in itertools.product("ab", repeat=2):
+        got = [
+            r["m"]
+            for r in df.select(
+                bpe._merge_pair_fold(F.col("symbols"), lhs, rhs).alias("m")
+            ).collect()
+        ]
+        want = [ref(c, lhs, rhs) for c in cases]
+        assert got == want, (lhs, rhs)

@@ -193,3 +193,18 @@ def test_hll_sketch_state_survives_parquet_roundtrip(spark, tmp_path):
         .collect()
     }
     assert folded == oneshot
+
+
+def test_bitmap_bijective_over_zero_and_negative_ids(spark):
+    """The lane's correctness rests on (bucket_number, bit_position) being a
+    bijection of the id. Pin that it holds beyond the testdata's positive
+    ids — zero and negative ids (plausible after an upstream cast bug or
+    surrogate-key scheme) must still count exactly."""
+    df = spark.range(-70_000, 70_000).select(F.col("id").alias("user_id"))
+    n = (
+        df.groupBy(F.bitmap_bucket_number("user_id").alias("bkt"))
+        .agg(F.bitmap_construct_agg(F.bitmap_bit_position("user_id")).alias("bm"))
+        .agg(F.sum(F.bitmap_count("bm")).alias("n"))
+        .collect()[0]["n"]
+    )
+    assert n == 140_000
