@@ -193,34 +193,42 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 # table (itself the product of the iterative trainer), so the oracle would
 # need the same iteration; verified instead by an independent pure-Python
 # encoder on the same corpus (tests/test_bpe.py::test_encode_stats_golden).
-def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+def bpe_encode_stats(
+    spark: SparkSession,
+    sf_dir: str,
+    merges: list[tuple[int, str, str, str, int]] | None = None,
+) -> DataFrame:
     """Tokenize the corpus with the learned BPE merge table and report the
     numbers a tokenizer change is judged by: per-language token counts,
     tokens/doc, and chars/token (compression ratio).
 
-    The trainer runs first (vocabulary-sized work, see learn_bpe_merges);
-    encoding is then a MAP-ONLY pass over the corpus — each document's words
-    go through the merge table in merge order via the same JVM
-    ``aggregate``-fold used in training, chained N_MERGES times in one
-    projection (fixed small N ⇒ fixed expression depth, no Python in the
-    hot path, no shuffle until the final tiny per-lang aggregation).
-    Encoding distributes trivially at 100 TB: the merge table is a
-    broadcast-sized constant folded into the plan as literals."""
-    merges = learn_bpe_merges(spark, sf_dir)
+    The trainer runs first (vocabulary-sized work, see learn_bpe_merges;
+    pass ``merges`` to reuse an already-learned table instead of paying for
+    the trainer again). The expensive expression — the merge-table fold,
+    chained N_MERGES deep — is evaluated once per DISTINCT word
+    (vocabulary-sized, the module's doctrine: never on the corpus again);
+    the per-occurrence work is a broadcast join of word → (n_tokens,
+    n_chars) back onto the exploded corpus, then a tiny per-lang
+    aggregation. Fixed small N ⇒ fixed expression depth, no Python in the
+    hot path; the merge table is folded into the plan as literals."""
+    if merges is None:
+        merges = learn_bpe_merges(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents")
-    words = docs.select(
-        "lang", "doc_id", F.explode(tokens_col()).alias("word")
-    ).withColumn("symbols", F.expr("filter(split(word, ''), s -> s <> '')"))
+    occ = docs.select("lang", "doc_id", F.explode(tokens_col()).alias("word"))
+    vocab = (
+        occ.select("word")
+        .distinct()
+        .withColumn("symbols", F.expr("filter(split(word, ''), s -> s <> '')"))
+    )
     sym = F.col("symbols")
     for _, lhs, rhs, _, _ in merges:
         sym = _merge_pair_fold(sym, lhs, rhs)
-    enc = words.select(
-        "lang",
-        "doc_id",
+    enc = vocab.select(
+        "word",
         F.size(sym).alias("n_tokens"),
         F.length("word").alias("n_chars"),
     )
-    per_doc = enc.groupBy("lang", "doc_id").agg(
+    per_doc = occ.join(F.broadcast(enc), "word").groupBy("lang", "doc_id").agg(
         F.sum("n_tokens").alias("doc_tokens"), F.sum("n_chars").alias("doc_chars")
     )
     return (

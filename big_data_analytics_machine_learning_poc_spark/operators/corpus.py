@@ -1092,20 +1092,28 @@ def corpus_stratified_sample_exact(spark: SparkSession, sf_dir: str) -> DataFram
     union of per-salt bottom-Ks equals the global bottom-K (every global
     winner is a winner within its salt), so the result is identical to the
     oracle's single-window form."""
-    docs = load_table(spark, sf_dir, "documents")
+    return stratified_bottom_k(load_table(spark, sf_dir, "documents"))
+
+
+def stratified_bottom_k(
+    docs: DataFrame, k: int = _STRAT_K, salts: int = _STRAT_SALTS
+) -> DataFrame:
+    """Core of corpus_stratified_sample_exact over any (lang, doc_id)
+    DataFrame — factored out so tests exercise the SHIPPED two-phase lane
+    under alternative partitionings (not an inline copy of it)."""
     hv = md5_hash32(F.concat(F.lit("strat:"), F.col("doc_id").cast("string")))
     h = docs.select("lang", "doc_id", hv.alias("hv"))
     w1 = ranked("hv", "doc_id", partition_by=["lang", "salt"])
     phase1 = (
-        h.withColumn("salt", F.col("hv") % _STRAT_SALTS)
+        h.withColumn("salt", F.col("hv") % salts)
         .withColumn("rn1", F.row_number().over(w1))
-        .filter(F.col("rn1") <= _STRAT_K)
+        .filter(F.col("rn1") <= k)
     )
     w2 = ranked("hv", "doc_id", partition_by="lang")
     return (
         phase1.select("lang", "doc_id", "hv")
         .withColumn("rn", F.row_number().over(w2))
-        .filter(F.col("rn") <= _STRAT_K)
+        .filter(F.col("rn") <= k)
         .select("lang", "doc_id", "rn")
         .orderBy("lang", "rn")
     )

@@ -529,11 +529,10 @@ def recall_audit(
     """Core of ann_recall_at_k over any (vec_id, embedding) DataFrame —
     factored out so tests can run the identical audit on planted clustered
     corpora."""
-    _RECALL_NQ_, _RECALL_K_, _RECALL_TABLES_ = nq, k, tables
-    q = emb.filter(F.col("vec_id") < _RECALL_NQ_).select(
+    q = emb.filter(F.col("vec_id") < nq).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
     )
-    corpus = emb.filter(F.col("vec_id") >= _RECALL_NQ_)
+    corpus = emb.filter(F.col("vec_id") >= nq)
     scored = corpus.crossJoin(F.broadcast(q)).select(
         "query_id",
         "vec_id",
@@ -542,7 +541,7 @@ def recall_audit(
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), "vec_id")
     brute = (
         scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= _RECALL_K_)
+        .filter(F.col("rn") <= k)
         .select("query_id", "vec_id")
     )
 
@@ -552,7 +551,7 @@ def recall_audit(
                 F.struct(
                     F.lit(t).alias("t"), bucket_col(e, s, n).alias("bkt")
                 )
-                for t, (s, n) in enumerate(_RECALL_TABLES_)
+                for t, (s, n) in enumerate(tables)
             ]
         )
 
@@ -566,7 +565,7 @@ def recall_audit(
     ann_top = (
         scored.join(cand, ["query_id", "vec_id"])
         .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= _RECALL_K_)
+        .filter(F.col("rn") <= k)
         .select("query_id", "vec_id")
     )
     hits = (
@@ -584,7 +583,7 @@ def recall_audit(
             F.coalesce(F.col("n_candidates"), F.lit(0)).alias("n_candidates"),
             F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
             F.round(
-                F.coalesce(F.col("n_hits"), F.lit(0)) / F.lit(float(_RECALL_K_)), 3
+                F.coalesce(F.col("n_hits"), F.lit(0)) / F.lit(float(k)), 3
             ).alias("recall_at_k"),
         )
         .orderBy("query_id")

@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..functions.sketch import bitmap_distinct_count, bitmap_level1, fold_bitmap_counts
 from ..registry import QueryRegistry
 
 REG = QueryRegistry()
@@ -77,27 +78,16 @@ def agg_bitmap_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     full value-hash check, not an estimate-tolerance check.
     """
     ev = load_table(spark, sf_dir, "events")
-    level1 = (
-        ev.select(
-            "event_type",
-            F.to_date("ts").alias("day"),
-            F.bitmap_bucket_number("user_id").alias("bkt"),
-            F.bitmap_bit_position("user_id").alias("pos"),
-        )
-        .groupBy("event_type", "day", "bkt")
-        .agg(
-            F.bitmap_construct_agg("pos").alias("bm"),
-            F.count(F.lit(1)).alias("n_events"),
-        )
+    level1 = bitmap_level1(
+        ev.select("event_type", F.to_date("ts").alias("day"), "user_id"),
+        ["event_type", "day"],
+        extra_aggs=(F.count(F.lit(1)).alias("n_events"),),
     )
-    return (
-        level1.groupBy("event_type", "day")
-        .agg(
-            F.sum(F.bitmap_count("bm")).alias("n_users"),
-            F.sum("n_events").alias("n_events"),
-        )
-        .orderBy("event_type", "day")
-    )
+    return fold_bitmap_counts(
+        level1,
+        ["event_type", "day"],
+        extra_aggs=(F.sum("n_events").alias("n_events"),),
+    ).orderBy("event_type", "day")
 
 
 # Audited relative-error bound for the HLL/theta lane at default sketch
@@ -132,17 +122,7 @@ def agg_hll_theta_distinct_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "theta_estimate_raw"
         ),
     )
-    exact = (
-        ev.select(
-            "event_type",
-            F.bitmap_bucket_number("user_id").alias("bkt"),
-            F.bitmap_bit_position("user_id").alias("pos"),
-        )
-        .groupBy("event_type", "bkt")
-        .agg(F.bitmap_construct_agg("pos").alias("bm"))
-        .groupBy("event_type")
-        .agg(F.sum(F.bitmap_count("bm")).alias("exact_users"))
-    )
+    exact = bitmap_distinct_count(ev, ["event_type"], alias="exact_users")
     return (
         sketches.join(exact, "event_type")
         .select(
@@ -241,15 +221,9 @@ def agg_bitmap_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("event_type").isin(*_INTERSECT_TYPES)
     )
-    per_type = (
-        ev.select(
-            F.to_date("ts").alias("day"),
-            "event_type",
-            F.bitmap_bucket_number("user_id").alias("bkt"),
-            F.bitmap_bit_position("user_id").alias("pos"),
-        )
-        .groupBy("day", "event_type", "bkt")
-        .agg(F.bitmap_construct_agg("pos").alias("bm"))
+    per_type = bitmap_level1(
+        ev.select(F.to_date("ts").alias("day"), "event_type", "user_id"),
+        ["day", "event_type"],
     )
     both = (
         per_type.groupBy("day", "bkt")
@@ -306,15 +280,6 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
     )
     return (
-        joined.select(
-            "cohort_day",
-            "offset_days",
-            F.bitmap_bucket_number("user_id").alias("bkt"),
-            F.bitmap_bit_position("user_id").alias("pos"),
-        )
-        .groupBy("cohort_day", "offset_days", "bkt")
-        .agg(F.bitmap_construct_agg("pos").alias("bm"))
-        .groupBy("cohort_day", "offset_days")
-        .agg(F.sum(F.bitmap_count("bm")).alias("n_users"))
+        bitmap_distinct_count(joined, ["cohort_day", "offset_days"])
         .orderBy("cohort_day", "offset_days")
     )

@@ -150,21 +150,17 @@ def tumbling_distinct_user_bitmaps(
 
     ``output_mode`` contract as in ``tumbling_counts`` (append =
     production; complete = bounded-input oracle comparison only)."""
+    from ..functions.sketch import bitmap_level1
+
     ev = read_event_stream(spark, sf_dir)
-    agg = (
-        ev.withWatermark("ts", "10 minutes")
-        .groupBy(
-            F.window("ts", window),
-            "event_type",
-            F.bitmap_bucket_number("user_id").alias("bkt"),
-        )
-        .agg(F.bitmap_construct_agg(F.bitmap_bit_position("user_id")).alias("bm"))
-        .select(
-            F.col("window.start").cast("long").alias("window_start_epoch"),
-            "event_type",
-            "bkt",
-            "bm",
-        )
+    agg = bitmap_level1(
+        ev.withWatermark("ts", "10 minutes"),
+        [F.window("ts", window), "event_type"],
+    ).select(
+        F.col("window.start").cast("long").alias("window_start_epoch"),
+        "event_type",
+        "bkt",
+        "bm",
     )
     return run_to_completion(agg, output_mode)
 

@@ -42,28 +42,11 @@ def test_stratified_sample_partitioning_independent(spark):
     }
     from big_data_analytics_machine_learning_poc_spark.catalog import load_table
 
+    # the SHIPPED lane core on a repartitioned input (not an inline copy)
     docs = load_table(spark, SF_DIR, "documents").repartition(13, "source")
-    docs.createOrReplaceTempView("__strat_reparted")
-    # rebuild the lane on the repartitioned input by monkey-free inline copy
-    from big_data_analytics_machine_learning_poc_spark.functions.hashing import md5_hash32
-    from big_data_analytics_machine_learning_poc_spark.functions.windows import ranked
-
-    hv = md5_hash32(F.concat(F.lit("strat:"), F.col("doc_id").cast("string")))
-    h = docs.select("lang", "doc_id", hv.alias("hv"))
-    phase1 = (
-        h.withColumn("salt", F.col("hv") % corpus._STRAT_SALTS)
-        .withColumn(
-            "rn1",
-            F.row_number().over(ranked("hv", "doc_id", partition_by=["lang", "salt"])),
-        )
-        .filter(F.col("rn1") <= corpus._STRAT_K)
-    )
     again = {
         (r["lang"], r["doc_id"])
-        for r in phase1.select("lang", "doc_id", "hv")
-        .withColumn("rn", F.row_number().over(ranked("hv", "doc_id", partition_by="lang")))
-        .filter(F.col("rn") <= corpus._STRAT_K)
-        .collect()
+        for r in corpus.stratified_bottom_k(docs).collect()
     }
     assert again == base
 
