@@ -1151,25 +1151,53 @@ def _isqrt_col(x: F.Column) -> F.Column:
     return k - F.when(k * k > x, 1).otherwise(0)
 
 
-@REG.add(
-    "corpus_temperature_mix",
-    sql=f"""
-    WITH per_source AS (
+# ONE definition of the quota CTE chain, shared by the plan query
+# (corpus_temperature_mix) and the executable fill (corpus_temperature_
+# sample_fill) so the two oracles cannot drift from each other.
+_MIXT_CTES = f"""per_source AS (
       SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
     ), weighted AS (
       SELECT source, n_docs,
-             {_isqrt_sql(f"n_docs * {_MIXT_SCALE}")} AS w
+             {{isqrt}} AS w
       FROM per_source
     ), denom AS (
       SELECT SUM(w) AS wsum, SUM(n_docs) AS total FROM weighted
+    ), quotas AS (
+      SELECT w.source, w.n_docs, w.w AS weight,
+             CAST(((d.total // {_MIXT_TARGET_DIV}) * w.w) // d.wsum AS BIGINT)
+               AS quota,
+             LEAST(CAST(((d.total // {_MIXT_TARGET_DIV}) * w.w) // d.wsum
+                        AS BIGINT), w.n_docs) AS n_sampled
+      FROM weighted w, denom d
+    )""".format(isqrt=_isqrt_sql(f"n_docs * {_MIXT_SCALE}"))
+
+
+def temperature_quotas(docs: DataFrame) -> DataFrame:
+    """Column-side twin of the quotas CTE: per-source integer quota under
+    the tau=0.5 temperature weighting (see corpus_temperature_mix)."""
+    per_source = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    weighted = per_source.withColumn(
+        "w", _isqrt_col(F.col("n_docs") * _MIXT_SCALE)
     )
-    SELECT w.source, w.n_docs, w.w AS weight,
-           CAST(((d.total // {_MIXT_TARGET_DIV}) * w.w) // d.wsum AS BIGINT)
-             AS quota,
-           LEAST(CAST(((d.total // {_MIXT_TARGET_DIV}) * w.w) // d.wsum
-                      AS BIGINT), w.n_docs) AS n_sampled
-    FROM weighted w, denom d
-    ORDER BY w.source
+    denom = weighted.agg(F.sum("w").alias("wsum"), F.sum("n_docs").alias("total"))
+    return weighted.crossJoin(F.broadcast(denom)).select(
+        "source",
+        "n_docs",
+        F.col("w").alias("weight"),
+        F.expr(f"(total DIV {_MIXT_TARGET_DIV}) * w DIV wsum").alias("quota"),
+        F.least(
+            F.expr(f"(total DIV {_MIXT_TARGET_DIV}) * w DIV wsum"),
+            F.col("n_docs"),
+        ).alias("n_sampled"),
+    )
+
+
+@REG.add(
+    "corpus_temperature_mix",
+    sql=f"""
+    WITH {_MIXT_CTES}
+    SELECT source, n_docs, weight, quota, n_sampled
+    FROM quotas ORDER BY source
     """,
 )
 def corpus_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1190,25 +1218,66 @@ def corpus_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one corpus scan → per-source counts (tiny key domain,
     partial agg), a one-row denominator broadcast back over the ≤ |sources|
     weighted rows — bounded at any corpus size."""
+    return temperature_quotas(load_table(spark, sf_dir, "documents")).orderBy(
+        "source"
+    )
+
+
+_MIXT_HASH_PREFIX = "mix:"  # independent of the strat lane's "strat:" salt
+
+
+@REG.add(
+    "corpus_temperature_sample_fill",
+    sql=f"""
+    WITH {_MIXT_CTES},
+    h AS (
+      SELECT source, doc_id,
+             {md5_hash32_sql(f"'{_MIXT_HASH_PREFIX}' || CAST(doc_id AS VARCHAR)")} AS hv
+      FROM documents
+    ), rnk AS (
+      SELECT source, doc_id, hv,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY hv, doc_id) AS rn
+      FROM h
+    )
+    SELECT r.source, r.doc_id, r.rn
+    FROM rnk r JOIN quotas q ON q.source = r.source
+    WHERE r.rn <= q.quota
+    ORDER BY r.source, r.rn
+    """,
+)
+def corpus_temperature_sample_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The EXECUTABLE half of the temperature mix: emit exactly the
+    documents that fill each source's tau=0.5 quota, selected by
+    content-independent hash bottom-K — quota planning
+    (corpus_temperature_mix) and sample materialization in one
+    deterministic, oracle-checked lane.
+
+    Scale shape: pass 1 computes the per-source quotas (tiny aggregate,
+    broadcast back); pass 2 joins the broadcast quota onto the corpus and
+    takes bottom-quota per source with the two-phase salted ranking of
+    `stratified_bottom_k` (phase 1 keeps ≤ quota per (source, salt) — a
+    superset of every global winner — phase 2 re-ranks the bounded
+    survivors), so no reducer streams a whole source. Rerun-stable and
+    partitioning-independent like every hash-selected lane here."""
     docs = load_table(spark, sf_dir, "documents")
-    per_source = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
-    weighted = per_source.withColumn(
-        "w", _isqrt_col(F.col("n_docs") * _MIXT_SCALE)
+    quotas = temperature_quotas(docs).select("source", "quota")
+    hv = md5_hash32(
+        F.concat(F.lit(_MIXT_HASH_PREFIX), F.col("doc_id").cast("string"))
     )
-    denom = weighted.agg(
-        F.sum("w").alias("wsum"), F.sum("n_docs").alias("total")
+    h = docs.select("source", "doc_id", hv.alias("hv")).join(
+        F.broadcast(quotas), "source"
     )
+    w1 = ranked("hv", "doc_id", partition_by=["source", "salt"])
+    phase1 = (
+        h.withColumn("salt", F.col("hv") % _STRAT_SALTS)
+        .withColumn("rn1", F.row_number().over(w1))
+        .filter(F.col("rn1") <= F.col("quota"))
+    )
+    w2 = ranked("hv", "doc_id", partition_by="source")
     return (
-        weighted.crossJoin(F.broadcast(denom))
-        .select(
-            "source",
-            "n_docs",
-            F.col("w").alias("weight"),
-            F.expr(f"(total DIV {_MIXT_TARGET_DIV}) * w DIV wsum").alias("quota"),
-            F.least(
-                F.expr(f"(total DIV {_MIXT_TARGET_DIV}) * w DIV wsum"),
-                F.col("n_docs"),
-            ).alias("n_sampled"),
-        )
-        .orderBy("source")
+        phase1.select("source", "doc_id", "hv", "quota")
+        .withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= F.col("quota"))
+        .select("source", "doc_id", "rn")
+        .orderBy("source", "rn")
     )

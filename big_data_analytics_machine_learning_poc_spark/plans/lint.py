@@ -109,6 +109,11 @@ ALLOWED: dict[str, dict[str, str]] = {
         "nested_loop": "broadcast one-row quota denominator onto the "
         "<=|sources|-row weighted aggregate"
     },
+    "corpus_temperature_sample_fill": {
+        "nested_loop": "same one-row denominator broadcast inside the "
+        "embedded temperature_quotas aggregate (the corpus-side selection "
+        "join is an equi-join on source)"
+    },
     # Bounded-input ranking windows: ranked() enforces the row cap /
     # justification at the call site (functions/windows.py).
     "window_rank_funcs": {

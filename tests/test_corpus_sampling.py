@@ -84,3 +84,18 @@ def test_isqrt_exactness(spark):
 
     for r in got:
         assert r["k"] == math.isqrt(r["x"]), r
+
+
+def test_temperature_fill_matches_plan(spark):
+    """The executable fill must deliver exactly n_sampled docs per source
+    (the planning lane's number), each source's selection being the hash
+    bottom-quota."""
+    plan = {r["source"]: r for r in corpus.corpus_temperature_mix(spark, SF_DIR).collect()}
+    fill = corpus.corpus_temperature_sample_fill(spark, SF_DIR).collect()
+    per_source = Counter(r["source"] for r in fill)
+    for source, row in plan.items():
+        assert per_source.get(source, 0) == row["n_sampled"], source
+    # ranks dense 1..n_sampled, no duplicate docs
+    seen = Counter((r["source"], r["rn"]) for r in fill)
+    assert all(v == 1 for v in seen.values())
+    assert len({r["doc_id"] for r in fill}) == len(fill)
