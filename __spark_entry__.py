@@ -115,9 +115,10 @@ _DRIVER_WINDOW = (
 # hard driver rows — agg_bitmap_distinct_users, agg_bitmap_intersection,
 # agg_hll_theta_distinct_audit*, agg_kll_value_quantiles*, bpe_pair_counts,
 # bpe_learn_merges*, bpe_encode_stats*, corpus_stratified_sample_exact,
-# corpus_temperature_mix, ann_recall_at_k, stream_distinct_users_tumbling
+# corpus_temperature_mix, corpus_temperature_sample_fill,
+# events_cohort_retention, ann_recall_at_k, stream_distinct_users_tumbling
 # (* = rows-only by design) — then fill with re-confirm slots for whatever
-# r5 touches. All 11 pass tools/compare.py and plan lint locally today.
+# r5 touches. All 13 pass tools/compare.py and plan lint locally today.
 
 
 # ---------------------------------------------------------------------------
