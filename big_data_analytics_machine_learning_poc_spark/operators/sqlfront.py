@@ -363,3 +363,61 @@ def layout_zorder_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     lays files out with."""
     _views(spark, sf_dir, "orders")
     return spark.sql(_zorder_cells_sql())
+
+
+@REG.add(
+    "sql_recursive_month_spine",
+    sql="""
+    WITH RECURSIVE spine AS (
+      SELECT CAST(date_trunc('month', MIN(o_orderdate)) AS DATE) AS m,
+             CAST(date_trunc('month', MAX(o_orderdate)) AS DATE) AS mx
+      FROM orders
+      UNION ALL
+      SELECT CAST(m + INTERVAL 1 MONTH AS DATE), mx FROM spine WHERE m < mx
+    ),
+    monthly AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+             COUNT(*) AS n_orders
+      FROM orders GROUP BY 1
+    )
+    SELECT s.m AS month, COALESCE(mo.n_orders, 0) AS n_orders
+    FROM spine s LEFT JOIN monthly mo ON mo.m = s.m
+    ORDER BY s.m
+    """,
+)
+def sql_recursive_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4 `WITH RECURSIVE`): generate the complete
+    month spine between the first and last order date and left-join the
+    monthly order counts onto it — the gap-free calendar axis every
+    reporting query wants (a plain GROUP BY silently drops empty months).
+
+    The anchor carries (min, max) in one row, so each recursion step is a
+    one-row increment — depth = month span (~80 here), comfortably inside
+    Spark's recursion level limit (spark.sql.cteRecursionLevelLimit,
+    default 100; raise it for decade-plus spans or recurse by year first).
+    Recursion fits BOUNDED-DEPTH series/hierarchies like this; data-sized
+    recursion (graph closure over verified near-dup edges) stays in the
+    iterative DataFrame lane (operators/dedup.py connected components),
+    where each iteration is a checkpointed distributed join, not a CTE
+    level. The monthly counts side is an ordinary partial+final agg on the
+    month key; the spine join is a broadcast of ≤ depth rows."""
+    _views(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        WITH RECURSIVE spine AS (
+          SELECT CAST(date_trunc('MONTH', MIN(o_orderdate)) AS DATE) AS m,
+                 CAST(date_trunc('MONTH', MAX(o_orderdate)) AS DATE) AS mx
+          FROM orders
+          UNION ALL
+          SELECT add_months(m, 1), mx FROM spine WHERE m < mx
+        ),
+        monthly AS (
+          SELECT CAST(date_trunc('MONTH', o_orderdate) AS DATE) AS m,
+                 COUNT(*) AS n_orders
+          FROM orders GROUP BY 1
+        )
+        SELECT s.m AS month, COALESCE(mo.n_orders, 0) AS n_orders
+        FROM spine s LEFT JOIN monthly mo ON mo.m = s.m
+        ORDER BY s.m
+        """
+    )
