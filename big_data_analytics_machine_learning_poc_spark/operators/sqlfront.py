@@ -421,3 +421,49 @@ def sql_recursive_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY s.m
         """
     )
+
+
+@REG.add(
+    "sql_session_variables",
+    sql="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_totalprice > 1000.0
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def sql_session_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL session variables (Spark 4 `DECLARE` / `SET VARIABLE`): the
+    stateful-scripting counterpart to named-parameter binding
+    (sql_parameterized_q6) — a variable is session-scoped state that MANY
+    statements can share (dashboards, SQL scripts, stored-procedure-style
+    flows), where args bind per statement. Variables resolve to typed
+    literals before optimization, so pushdown and constant folding see
+    concrete values; the oracle states the resolved text. The query shape
+    is an ordinary pushdown-friendly scan-aggregate — the lane exercises
+    the variable mechanism, not a new plan shape."""
+    _views(spark, sf_dir, "orders")
+    spark.sql(
+        "DECLARE OR REPLACE VARIABLE since TIMESTAMP DEFAULT TIMESTAMP '1995-01-01'"
+    )
+    spark.sql("DECLARE OR REPLACE VARIABLE min_price DOUBLE DEFAULT 0.0")
+    spark.sql("SET VARIABLE since = TIMESTAMP '1996-01-01'")
+    spark.sql("SET VARIABLE min_price = 1000.0")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS total_cents
+        FROM orders
+        WHERE o_orderdate >= since
+          AND o_totalprice > min_price
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """
+    )
