@@ -467,3 +467,38 @@ def sql_session_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY o_orderpriority
         """
     )
+
+
+@REG.add(
+    "sql_pipe_syntax",
+    sql="""
+    SELECT o.o_orderpriority,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_cents
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_quantity >= 30
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+    """,
+)
+def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4 `|>`): the same filter → join → aggregate →
+    order flow written as sequential pipe stages — the linear-dataflow SQL
+    dialect. Catalyst compiles pipes to the identical logical plan as the
+    standard form (the oracle IS the standard form), so pushdown, broadcast
+    selection, and partial aggregation all apply unchanged; the lane pins
+    that equivalence with a value-exact differential check."""
+    _views(spark, sf_dir, "lineitem", "orders")
+    return spark.sql(
+        """
+        FROM lineitem
+        |> WHERE l_quantity >= 30
+        |> JOIN orders ON o_orderkey = l_orderkey
+        |> AGGREGATE COUNT(*) AS n_items,
+                     CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                          AS BIGINT) AS revenue_cents
+           GROUP BY o_orderpriority
+        |> ORDER BY o_orderpriority
+        """
+    )
