@@ -393,3 +393,122 @@ def scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(nxt.isNull(), 1).otherwise(0).alias("is_current"),
         "n_events",
     )
+
+
+def _cdc_latest_per_user(df: DataFrame) -> DataFrame:
+    """Reduce a change batch to the latest row per user — struct-max on
+    (ts, event_id, ...) so ties on ts resolve deterministically by
+    event_id. Used both inside each micro-batch and when reconciling a
+    batch against already-applied state, so one definition decides
+    'newer' everywhere."""
+    return (
+        df.groupBy("user_id")
+        .agg(
+            F.max(
+                F.struct("ts", "event_id", "event_type", "value_cents")
+            ).alias("s")
+        )
+        .select(
+            "user_id", "s.ts", "s.event_id", "s.event_type", "s.value_cents"
+        )
+    )
+
+
+@REG.add(
+    "stream_cdc_user_state",
+    sql="""
+    WITH ranked AS (
+      SELECT user_id, event_id, event_type,
+             CAST(ROUND(value * 100) AS BIGINT) AS value_cents,
+             epoch_us(ts) AS ts_us,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    )
+    SELECT user_id, ts_us, event_id,
+           event_type AS last_event_type,
+           value_cents AS last_value_cents
+    FROM ranked WHERE rn = 1
+    ORDER BY user_id
+    """,
+)
+def stream_cdc_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC apply into the lakehouse: each micro-batch of the
+    event stream is reduced to its latest change per user and MERGEd into
+    a delta_lite table keyed on user_id — the "current state" table every
+    CDC pipeline maintains next to the append-only log.
+
+    Out-of-order batches are handled by reconciling against the already-
+    applied state BEFORE merging (read the matched keys, keep the newer row
+    per the same struct-max order), so the result is independent of batch
+    arrival order — asserted by the multi-batch shuffled-file test
+    (tests/test_streaming.py::test_cdc_upsert_order_independent). At scale
+    the merge's match probe is a broadcast semi join of a micro-batch's
+    keys into a years-deep table, and only matched files rewrite
+    (delta_lite.merge_delta's copy-on-write contract). The oracle is the
+    batch equivalence: the final table equals last-event-per-user over the
+    whole log."""
+    import tempfile
+
+    table = tempfile.mkdtemp(prefix="cdc_user_state_")
+    run_cdc_into_delta(spark, sf_dir, table)
+    from ..sources.delta_lite import read_delta
+
+    return (
+        read_delta(spark, table)
+        .select(
+            "user_id",
+            F.unix_micros("ts").alias("ts_us"),
+            "event_id",
+            F.col("event_type").alias("last_event_type"),
+            F.col("value_cents").alias("last_value_cents"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def run_cdc_into_delta(spark: SparkSession, sf_dir: str, table: str) -> None:
+    """Drive the event stream to completion, applying each micro-batch to
+    ``table`` with the reconcile-then-merge CDC step."""
+    ev = sev.read_event_stream(spark, sf_dir).select(
+        "user_id", "ts", "event_id", "event_type", cents("value").alias("value_cents")
+    )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        apply_cdc_batch(batch_df, table)
+
+    import uuid
+
+    q = (
+        ev.writeStream.foreachBatch(apply_batch)
+        .trigger(availableNow=True)
+        .option(
+            "checkpointLocation",
+            f"/tmp/ckpt_cdc_{uuid.uuid4().hex[:12]}",
+        )
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
+def apply_cdc_batch(batch_df: DataFrame, table: str) -> None:
+    """One CDC apply: reduce the batch to latest-per-user, reconcile
+    against current table state for those keys (newer row wins under the
+    same struct-max order), merge in one transaction."""
+    import os
+
+    from ..sources.delta_lite import merge_delta, read_delta, write_delta
+
+    spark = batch_df.sparkSession
+    latest = _cdc_latest_per_user(batch_df)
+    if not os.path.exists(os.path.join(table, "_delta_log")):
+        write_delta(latest, table)
+        return
+    current = read_delta(spark, table).join(
+        latest.select("user_id"), "user_id", "semi"
+    )
+    reconciled = _cdc_latest_per_user(latest.unionByName(current))
+    merge_delta(spark, table, reconciled, ["user_id"])

@@ -343,3 +343,34 @@ def test_streaming_bitmap_distinct_append_consistent_with_batch(spark):
     }
     for key, n in folded.items():
         assert batch[key] == n, (key, n, batch.get(key))
+
+
+def test_cdc_upsert_order_independent(spark, tmp_path):
+    """apply_cdc_batch's reconcile-then-merge must converge to the same
+    final state regardless of batch arrival order (out-of-order replay,
+    backfill): three disjoint event slices applied in two different orders
+    produce identical tables, equal to last-event-per-user over the union."""
+    from big_data_analytics_machine_learning_poc_spark.functions.exact import cents
+    from big_data_analytics_machine_learning_poc_spark.operators.streaming_ops import (
+        _cdc_latest_per_user,
+        apply_cdc_batch,
+    )
+    from big_data_analytics_machine_learning_poc_spark.sources.delta_lite import read_delta
+
+    ev = load_table(spark, SF_DIR, "events").select(
+        "user_id", "ts", "event_id", "event_type", cents("value").alias("value_cents")
+    )
+    slices = [ev.filter(F.col("event_id") % 3 == i) for i in range(3)]
+    t1, t2 = str(tmp_path / "cdc1"), str(tmp_path / "cdc2")
+    for s in slices:
+        apply_cdc_batch(s, t1)
+    for s in reversed(slices):
+        apply_cdc_batch(s, t2)
+    key = lambda df: {
+        r["user_id"]: (r["event_id"], r["event_type"], r["value_cents"])
+        for r in df.collect()
+    }
+    got1, got2 = key(read_delta(spark, t1)), key(read_delta(spark, t2))
+    want = key(_cdc_latest_per_user(ev))
+    assert got1 == want
+    assert got2 == want
