@@ -448,23 +448,31 @@ def stream_cdc_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     (delta_lite.merge_delta's copy-on-write contract). The oracle is the
     batch equivalence: the final table equals last-event-per-user over the
     whole log."""
+    import shutil
     import tempfile
 
     table = tempfile.mkdtemp(prefix="cdc_user_state_")
-    run_cdc_into_delta(spark, sf_dir, table)
-    from ..sources.delta_lite import read_delta
+    try:
+        run_cdc_into_delta(spark, sf_dir, table)
+        from ..sources.delta_lite import read_delta
 
-    return (
-        read_delta(spark, table)
-        .select(
-            "user_id",
-            F.unix_micros("ts").alias("ts_us"),
-            "event_id",
-            F.col("event_type").alias("last_event_type"),
-            F.col("value_cents").alias("last_value_cents"),
+        out = (
+            read_delta(spark, table)
+            .select(
+                "user_id",
+                F.unix_micros("ts").alias("ts_us"),
+                "event_id",
+                F.col("event_type").alias("last_event_type"),
+                F.col("value_cents").alias("last_value_cents"),
+            )
+            .orderBy("user_id")
         )
-        .orderBy("user_id")
-    )
+        # materialize before deleting the scratch table (the result is
+        # state-table-sized — same recipe as the streaming memory-sink
+        # harness); callers get a plain local-backed DataFrame
+        return spark.createDataFrame(out.collect(), schema=out.schema)
+    finally:
+        shutil.rmtree(table, ignore_errors=True)
 
 
 def run_cdc_into_delta(spark: SparkSession, sf_dir: str, table: str) -> None:
@@ -477,21 +485,21 @@ def run_cdc_into_delta(spark: SparkSession, sf_dir: str, table: str) -> None:
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         apply_cdc_batch(batch_df, table)
 
+    import shutil
     import uuid
 
+    ckpt = f"/tmp/ckpt_cdc_{uuid.uuid4().hex[:12]}"
     q = (
         ev.writeStream.foreachBatch(apply_batch)
         .trigger(availableNow=True)
-        .option(
-            "checkpointLocation",
-            f"/tmp/ckpt_cdc_{uuid.uuid4().hex[:12]}",
-        )
+        .option("checkpointLocation", ckpt)
         .start()
     )
     try:
         q.processAllAvailable()
     finally:
         q.stop()
+        shutil.rmtree(ckpt, ignore_errors=True)
 
 
 def apply_cdc_batch(batch_df: DataFrame, table: str) -> None:
