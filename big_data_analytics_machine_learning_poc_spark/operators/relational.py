@@ -1655,3 +1655,99 @@ def variant_shred_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@REG.add(
+    "basket_part_pairs",
+    sql="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), pairs AS (
+      SELECT a.l_partkey AS p1, b.l_partkey AS p2
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    )
+    SELECT p1, p2, COUNT(*) AS support
+    FROM pairs GROUP BY p1, p2
+    ORDER BY support DESC, p1, p2
+    LIMIT 20
+    """,
+)
+def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: the top part pairs appearing in the
+    same order (support counts, deterministic ties) — the frequent-itemset
+    statistics pass behind recommendations.
+
+    Scale shape: the pair generation is a SELF-EQUI-JOIN on the order key,
+    so the only quadratic factor is per-order basket size (bounded at 7 in
+    TPC-H, 13 in this testdata; real carts are similarly capped) — the
+    join never pairs items across orders. distinct() first so repeated
+    lineitems of one part don't inflate support. Partial aggregation
+    collapses pair counts before the shuffle; top-k is
+    TakeOrderedAndProject. For heavy-tailed catalogs, cap basket size
+    upstream (a 10 000-item 'order' would contribute 5·10^7 pairs — filter
+    or sample those baskets before the join, the standard A-priori
+    degree-cap)."""
+    items = (
+        _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    )
+    a, b = items.alias("a"), items.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2"))
+    return (
+        pairs.groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .orderBy(F.col("support").desc(), "p1", "p2")
+        .limit(20)
+    )
+
+
+@REG.add(
+    "scalar_try_funcs",
+    sql=r"""
+    WITH d AS (
+      SELECT source,
+             TRY_CAST(substr(source, 4, 10) AS INTEGER) AS src_num,
+             TRY_CAST(lang AS INTEGER) AS lang_num,
+             (list_filter(regexp_split_to_array(trim(text), '[ \t\n\r\f\x0B]+'),
+                          t -> t <> ''))[3] AS third_tok
+      FROM documents
+    )
+    SELECT source, src_num,
+           COUNT(*) AS n_docs,
+           COUNT(lang_num) AS n_lang_casts,
+           COUNT(third_tok) AS n_with_third_token
+    FROM d GROUP BY source, src_num
+    ORDER BY source
+    """,
+)
+def scalar_try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The error-safe scalar family (`try_cast`, `try_element_at`): malformed
+    data degrades to NULL instead of failing the job — the posture every
+    100 TB ingest needs under ANSI mode (default in Spark 4), where a plain
+    cast or element_at on ONE bad row kills the whole stage. src_num parses
+    the numeric suffix of `source`; the lang cast is always malformed
+    (count must be 0 — pinning that try_cast yields NULL, not an error);
+    try_element_at probes the 3rd token where short docs return NULL. All
+    outputs are integer-exact counts; the oracle states the same semantics
+    with DuckDB's TRY_CAST and native out-of-bounds-NULL list indexing."""
+    from .text import tokens_col
+
+    d = _t(spark, sf_dir, "documents").select(
+        "source",
+        F.expr("TRY_CAST(substring(source, 4, 10) AS INT)").alias("src_num"),
+        F.expr("TRY_CAST(lang AS INT)").alias("lang_num"),
+        F.try_element_at(tokens_col(), F.lit(3)).alias("third_tok"),
+    )
+    return (
+        d.groupBy("source", "src_num")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count("lang_num").alias("n_lang_casts"),
+            F.count("third_tok").alias("n_with_third_token"),
+        )
+        .orderBy("source")
+    )
