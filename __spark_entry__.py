@@ -111,18 +111,20 @@ _DRIVER_WINDOW = (
 )
 
 # ROUND-5 ROTATION PLAN (window above is frozen for the r4 driver run):
-# lead with the 18 queries that will still lack a hard driver row after r4
-# (computed from CORRECTNESS_r01-r03 keys + this window vs the registry):
-# agg_bitmap_distinct_users, agg_bitmap_intersection,
-# agg_hll_theta_distinct_audit*, agg_kll_value_quantiles*, ann_recall_at_k,
-# bpe_pair_counts, bpe_learn_merges*, bpe_encode_stats*,
+# lead with the 20 queries that will still lack a hard driver row after r4
+# (computed from CORRECTNESS_r01-r03 keys + this window vs the registry —
+# regenerate with the snippet in COVERAGE.md if more lanes land):
+# basket_part_pairs, scalar_try_funcs, ann_recall_at_k,
+# stream_distinct_users_tumbling, stream_cdc_user_state,
 # corpus_stratified_sample_exact, corpus_temperature_mix,
-# corpus_temperature_sample_fill, delta_merge_audit (registered after the
-# freeze in the earlier r4 session), events_cohort_retention,
-# sql_recursive_month_spine, sql_session_variables, sql_pipe_syntax,
-# stream_cdc_user_state, stream_distinct_users_tumbling (* = rows-only by
-# design) — then fill with re-confirm slots for whatever r5 touches. All 18
-# pass tools/compare.py (or their rows-only contract) and plan lint today.
+# corpus_temperature_sample_fill, sql_recursive_month_spine,
+# sql_session_variables, sql_pipe_syntax, delta_merge_audit,
+# agg_bitmap_distinct_users, agg_hll_theta_distinct_audit*,
+# agg_kll_value_quantiles*, agg_bitmap_intersection,
+# events_cohort_retention, bpe_pair_counts, bpe_learn_merges*,
+# bpe_encode_stats* (* = rows-only by design) — then fill with re-confirm
+# slots for whatever r5 touches. All 20 pass tools/compare.py (or their
+# rows-only contract) and plan lint today.
 
 
 # ---------------------------------------------------------------------------

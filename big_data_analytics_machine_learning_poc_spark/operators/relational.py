@@ -40,6 +40,7 @@ from ..functions.exact import (
     sum_revenue_sql,
 )
 from ..registry import QueryRegistry
+from .text import TOKENS_SQL
 
 REG = QueryRegistry()
 
@@ -1707,13 +1708,15 @@ def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @REG.add(
     "scalar_try_funcs",
-    sql=r"""
+    # tokenizer text comes from text.TOKENS_SQL — the single cross-engine
+    # tokenizer definition — so a tokenization change cannot silently fork
+    # this oracle from F.try_element_at(tokens_col(), 3)
+    sql=f"""
     WITH d AS (
       SELECT source,
              TRY_CAST(substr(source, 4, 10) AS INTEGER) AS src_num,
              TRY_CAST(lang AS INTEGER) AS lang_num,
-             (list_filter(regexp_split_to_array(trim(text), '[ \t\n\r\f\x0B]+'),
-                          t -> t <> ''))[3] AS third_tok
+             ({TOKENS_SQL})[3] AS third_tok
       FROM documents
     )
     SELECT source, src_num,

@@ -486,9 +486,9 @@ def run_cdc_into_delta(spark: SparkSession, sf_dir: str, table: str) -> None:
         apply_cdc_batch(batch_df, table)
 
     import shutil
-    import uuid
+    import tempfile
 
-    ckpt = f"/tmp/ckpt_cdc_{uuid.uuid4().hex[:12]}"
+    ckpt = tempfile.mkdtemp(prefix="ckpt_cdc_")
     q = (
         ev.writeStream.foreachBatch(apply_batch)
         .trigger(availableNow=True)
