@@ -1754,3 +1754,40 @@ def scalar_try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@REG.add(
+    "agg_listagg_median",
+    sql="""
+    SELECT lang,
+           string_agg(DISTINCT source, ',' ORDER BY source) AS source_roster,
+           ROUND(MEDIAN(CAST(n_chars AS DOUBLE)), 6) AS median_chars,
+           COUNT(*) AS n_docs
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+)
+def agg_listagg_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 ordered-set aggregates: `listagg(DISTINCT ...) WITHIN GROUP`
+    (deterministic CSV roster — ordered, so cross-engine comparable, unlike
+    collect_list whose order is partitioning-dependent) and exact
+    interpolated `median` (cast to double first: integer median is
+    discrete low-median in DuckDB but interpolated in Spark — the cast
+    aligns the two definitions, and the 6-dp round guards the float edge).
+    Scale: both are single-pass aggregates; listagg's state is the distinct
+    roster per group — bounded here (≤ |sources|), and a roster-style
+    aggregate over an UNBOUNDED value domain should become collect_set
+    size-capped or a sketch instead."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.expr(
+                "listagg(DISTINCT source, ',') WITHIN GROUP (ORDER BY source)"
+            ).alias("source_roster"),
+            F.round(F.expr("median(CAST(n_chars AS DOUBLE))"), 6).alias(
+                "median_chars"
+            ),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .orderBy("lang")
+    )
