@@ -111,7 +111,7 @@ _DRIVER_WINDOW = (
 )
 
 # ROUND-5 ROTATION PLAN (window above is frozen for the r4 driver run):
-# lead with the 20 queries that will still lack a hard driver row after r4
+# lead with the 21 queries that will still lack a hard driver row after r4
 # (computed from CORRECTNESS_r01-r03 keys + this window vs the registry —
 # regenerate with the snippet in COVERAGE.md if more lanes land):
 # basket_part_pairs, scalar_try_funcs, ann_recall_at_k,
@@ -122,8 +122,8 @@ _DRIVER_WINDOW = (
 # agg_bitmap_distinct_users, agg_hll_theta_distinct_audit*,
 # agg_kll_value_quantiles*, agg_bitmap_intersection,
 # events_cohort_retention, bpe_pair_counts, bpe_learn_merges*,
-# bpe_encode_stats* (* = rows-only by design) — then fill with re-confirm
-# slots for whatever r5 touches. All 20 pass tools/compare.py (or their
+# bpe_encode_stats*, agg_listagg_median (* = rows-only by design) — then fill with re-confirm
+# slots for whatever r5 touches. All 21 pass tools/compare.py (or their
 # rows-only contract) and plan lint today.
 
 
