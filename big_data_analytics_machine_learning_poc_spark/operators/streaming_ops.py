@@ -520,3 +520,64 @@ def apply_cdc_batch(batch_df: DataFrame, table: str) -> None:
     )
     reconciled = _cdc_latest_per_user(latest.unionByName(current))
     merge_delta(spark, table, reconciled, ["user_id"])
+
+
+_EWMA_ALPHA = 0.25  # binary-exact (2^-2) — the fold multiplies by exactly
+# representable constants, so both engines' IEEE folds agree bitwise
+
+
+@REG.add(
+    "events_user_ewma",
+    sql=f"""
+    WITH ordered AS (
+      SELECT user_id,
+             list(CAST(ROUND(value * 100) AS DOUBLE)
+                  ORDER BY ts, event_id) AS vs
+      FROM events WHERE user_id < 50 GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(len(vs) AS BIGINT) AS n_events,
+           ROUND(list_reduce(vs,
+                 (acc, x) -> {_EWMA_ALPHA} * x + {1.0 - _EWMA_ALPHA} * acc),
+                 6) AS ewma_cents
+    FROM ordered ORDER BY user_id
+    """,
+)
+def events_user_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially-weighted moving average of event value — the
+    time-series smoothing recurrence s_i = α·v_i + (1−α)·s_{i−1} (s_1 =
+    v_1), evaluated as a JVM ``aggregate`` fold over each user's
+    time-ordered series. Both engines fold left-to-right with the same
+    binary-exact α, so the doubles agree bitwise (6-dp round is
+    defensive).
+
+    Scale shape: ONE shuffle on user_id; each user's series is collected
+    and folded inside its task — state is bounded by events-per-entity
+    (~10³ here; fine for per-user/per-device series). An UNBOUNDED series
+    would instead use the linear-recurrence scan: EWMA composes
+    associatively as (m, b) pairs (s' = m·s + b), so partition-local folds
+    combine in a log-depth tree — the promotion path, not needed at this
+    per-key cardinality. Ordering inside the fold is (ts, event_id) — the
+    same deterministic tie-break as the CDC lane."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    series = (
+        ev.select(
+            "user_id",
+            F.struct("ts", "event_id", cents("value").cast("double").alias("vc")).alias("e"),
+        )
+        .groupBy("user_id")
+        .agg(F.array_sort(F.collect_list("e")).alias("es"))
+    )
+    a, b = _EWMA_ALPHA, 1.0 - _EWMA_ALPHA
+    ewma = F.aggregate(
+        F.col("es"),
+        F.lit(None).cast("double"),
+        lambda acc, x: F.when(acc.isNull(), x["vc"]).otherwise(
+            F.lit(a) * x["vc"] + F.lit(b) * acc
+        ),
+    )
+    return series.select(
+        "user_id",
+        F.size("es").cast("long").alias("n_events"),
+        F.round(ewma, 6).alias("ewma_cents"),
+    ).orderBy("user_id")

@@ -374,3 +374,32 @@ def test_cdc_upsert_order_independent(spark, tmp_path):
     want = key(_cdc_latest_per_user(ev))
     assert got1 == want
     assert got2 == want
+
+
+def test_ewma_planted_series(spark):
+    """Hand-checked recurrence on a planted series + constant-series
+    invariant (EWMA of a constant is that constant)."""
+    from big_data_analytics_machine_learning_poc_spark.operators.streaming_ops import _EWMA_ALPHA
+
+    a = _EWMA_ALPHA
+    rows = [(1, i, float(v)) for i, v in enumerate([100, 200, 50, 50])] + [
+        (2, i, 70.0) for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, "user_id: long, event_id: long, vc: double")
+    es = F.array_sort(F.collect_list(F.struct("event_id", "vc")))
+    ewma = F.aggregate(
+        es,
+        F.lit(None).cast("double"),
+        lambda acc, x: F.when(acc.isNull(), x["vc"]).otherwise(
+            F.lit(a) * x["vc"] + F.lit(1.0 - a) * acc
+        ),
+    )
+    got = {
+        r["user_id"]: r["e"]
+        for r in df.groupBy("user_id").agg(ewma.alias("e")).collect()
+    }
+    want = 100.0
+    for v in (200.0, 50.0, 50.0):
+        want = a * v + (1 - a) * want
+    assert got[1] == want
+    assert got[2] == 70.0
