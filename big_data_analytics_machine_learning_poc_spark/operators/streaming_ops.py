@@ -581,3 +581,76 @@ def events_user_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("es").cast("long").alias("n_events"),
         F.round(ewma, 6).alias("ewma_cents"),
     ).orderBy("user_id")
+
+
+_Z_WIN = 20  # trailing window (current row + 19 predecessors)
+_Z_THRESH_SQ = 9  # |z| > 3
+
+
+@REG.add(
+    "events_user_zscore_anomalies",
+    sql=f"""
+    WITH c AS (
+      SELECT user_id, ts, event_id,
+             CAST(ROUND(value * 100) AS BIGINT) AS vc
+      FROM events WHERE user_id < 100
+    ), w AS (
+      SELECT user_id, vc,
+             SUM(vc) OVER win AS s,
+             SUM(vc * vc) OVER win AS sq,
+             COUNT(*) OVER win AS n
+      FROM c
+      WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN {_Z_WIN - 1} PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id,
+           COUNT(*) FILTER (WHERE n = {_Z_WIN}) AS n_checked,
+           CAST(COALESCE(SUM(CASE WHEN n = {_Z_WIN}
+                 AND (n - 1) * (n * vc - s) * (n * vc - s)
+                     > {_Z_THRESH_SQ} * n * (n * sq - s * s)
+                 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_anomalies
+    FROM w GROUP BY user_id ORDER BY user_id
+    """,
+)
+def events_user_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly counts per user: a value is anomalous when it
+    sits more than 3 sample standard deviations from its own trailing
+    {_Z_WIN}-event window's mean — the streaming-telemetry outlier gate.
+
+    The threshold test is INTEGER-EXACT: with cents values, windowed sum s,
+    windowed sum-of-squares sq and n, ``z² > 9`` is equivalent to
+    ``(n−1)·(n·v−s)² > 9·n·(n·sq−s²)`` — pure int64 algebra (bounds: cents
+    ≤ 2.5·10⁴, n = {_Z_WIN} ⇒ every term < 2⁵⁰), so no float stddev
+    formulation (Welford vs two-pass, engine-dependent in the last ulp) can
+    flip a boundary case, and the oracle matches hash-exactly.
+
+    Scale shape: one shuffle on user_id, trailing ROWS frames computed in a
+    single pass per partition (bounded frame, no re-sort per row); warm-up
+    rows (n < {_Z_WIN}) are excluded from both the checked and anomaly
+    counts on both engines."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 100)
+    c = ev.select("user_id", "ts", "event_id", cents("value").alias("vc"))
+    win = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(_Z_WIN - 1), 0)
+    )
+    w = c.select(
+        "user_id",
+        "vc",
+        F.sum("vc").over(win).alias("s"),
+        F.sum(F.col("vc") * F.col("vc")).over(win).alias("sq"),
+        F.count(F.lit(1)).over(win).alias("n"),
+    )
+    full = F.col("n") == _Z_WIN
+    dev = F.col("n") * F.col("vc") - F.col("s")
+    var_n = F.col("n") * F.col("sq") - F.col("s") * F.col("s")
+    flag = full & ((F.col("n") - 1) * dev * dev > _Z_THRESH_SQ * F.col("n") * var_n)
+    return (
+        w.groupBy("user_id")
+        .agg(
+            F.sum(F.when(full, 1).otherwise(0)).cast("long").alias("n_checked"),
+            F.sum(F.when(flag, 1).otherwise(0)).cast("long").alias("n_anomalies"),
+        )
+        .orderBy("user_id")
+    )

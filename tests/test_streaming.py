@@ -403,3 +403,41 @@ def test_ewma_planted_series(spark):
         want = a * v + (1 - a) * want
     assert got[1] == want
     assert got[2] == 70.0
+
+
+def test_zscore_anomaly_planted(spark):
+    """A planted spike in an otherwise calm series must be flagged exactly
+    once; the calm series alone yields zero anomalies."""
+    from big_data_analytics_machine_learning_poc_spark.operators import streaming_ops as so
+
+    calm = [(1, i, 100 + (i % 3)) for i in range(40)]          # tiny jitter
+    spike = [(2, i, 100 + (i % 3)) for i in range(40)]
+    spike[30] = (2, 30, 5000)                                   # the outlier
+    rows = [
+        (u, e, f"2024-01-01 00:{e:02d}:00", float(v))
+        for u, e, v in calm + spike
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id: long, event_id: long, ts_s: string, value: double"
+    ).select("user_id", "event_id", F.to_timestamp("ts_s").alias("ts"), "value")
+    from big_data_analytics_machine_learning_poc_spark.functions.exact import cents
+    from pyspark.sql.window import Window as W
+
+    c = df.select("user_id", "ts", "event_id", cents("value").alias("vc"))
+    win = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-(so._Z_WIN - 1), 0)
+    w = c.select(
+        "user_id", "vc",
+        F.sum("vc").over(win).alias("s"),
+        F.sum(F.col("vc") * F.col("vc")).over(win).alias("sq"),
+        F.count(F.lit(1)).over(win).alias("n"),
+    )
+    full = F.col("n") == so._Z_WIN
+    dev = F.col("n") * F.col("vc") - F.col("s")
+    var_n = F.col("n") * F.col("sq") - F.col("s") * F.col("s")
+    flag = full & ((F.col("n") - 1) * dev * dev > so._Z_THRESH_SQ * F.col("n") * var_n)
+    got = {
+        r["user_id"]: r["a"]
+        for r in w.groupBy("user_id").agg(F.sum(F.when(flag, 1).otherwise(0)).alias("a")).collect()
+    }
+    assert got[1] == 0
+    assert got[2] == 1
