@@ -111,7 +111,7 @@ _DRIVER_WINDOW = (
 )
 
 # ROUND-5 ROTATION PLAN (window above is frozen for the r4 driver run):
-# lead with the 21 queries that will still lack a hard driver row after r4
+# lead with the 23 queries that will still lack a hard driver row after r4
 # (computed from CORRECTNESS_r01-r03 keys + this window vs the registry —
 # regenerate with the snippet in COVERAGE.md if more lanes land):
 # basket_part_pairs, scalar_try_funcs, ann_recall_at_k,
@@ -122,8 +122,9 @@ _DRIVER_WINDOW = (
 # agg_bitmap_distinct_users, agg_hll_theta_distinct_audit*,
 # agg_kll_value_quantiles*, agg_bitmap_intersection,
 # events_cohort_retention, bpe_pair_counts, bpe_learn_merges*,
-# bpe_encode_stats*, agg_listagg_median (* = rows-only by design) — then fill with re-confirm
-# slots for whatever r5 touches. All 21 pass tools/compare.py (or their
+# bpe_encode_stats*, agg_listagg_median, events_user_ewma,
+# events_user_zscore_anomalies (* = rows-only by design) — then fill with re-confirm
+# slots for whatever r5 touches. All 23 pass tools/compare.py (or their
 # rows-only contract) and plan lint today.
 
 
@@ -143,6 +144,28 @@ _DIAG_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "DIAG")
 # driver check this round): fingerprint both sides at the correctness SF.
 _FINGERPRINT_QUERIES = frozenset(
     {
+        # r5-pending lanes: their FIRST driver row should carry both-side
+        # fingerprints so any red localizes to a side immediately
+        "agg_bitmap_distinct_users",
+        "agg_bitmap_intersection",
+        "events_cohort_retention",
+        "events_user_ewma",
+        "events_user_zscore_anomalies",
+        "bpe_pair_counts",
+        "corpus_stratified_sample_exact",
+        "corpus_temperature_mix",
+        "corpus_temperature_sample_fill",
+        "ann_recall_at_k",
+        "stream_distinct_users_tumbling",
+        "stream_cdc_user_state",
+        "sql_recursive_month_spine",
+        "sql_session_variables",
+        "sql_pipe_syntax",
+        "basket_part_pairs",
+        "scalar_try_funcs",
+        "agg_listagg_median",
+        "delta_merge_audit",
+        # the 11 formerly-red rows + obs_ingest_metrics (r4 window)
         "sessionize_events",
         "stream_sliding_counts",
         "stream_stateful_user_totals",
