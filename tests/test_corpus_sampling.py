@@ -99,3 +99,35 @@ def test_temperature_fill_matches_plan(spark):
     seen = Counter((r["source"], r["rn"]) for r in fill)
     assert all(v == 1 for v in seen.values())
     assert len({r["doc_id"] for r in fill}) == len(fill)
+
+
+def test_stratified_bottom_k_equals_single_window_on_random_data(spark):
+    """The two-phase salted bottom-K must equal the single-window form on
+    arbitrary data, not just the shipped corpus — the exactness claim the
+    oracle rests on (bottom-K of per-salt bottom-Ks == global bottom-K)."""
+    import random as _random
+
+    from pyspark.sql.window import Window as W
+
+    from big_data_analytics_machine_learning_poc_spark.functions.hashing import md5_hash32
+
+    rng = _random.Random(99)
+    rows = [
+        (rng.choice(["aa", "bb", "cc"]), did)
+        for did in rng.sample(range(100_000), 700)
+    ]
+    docs = spark.createDataFrame(rows, "lang: string, doc_id: long").repartition(7)
+    got = {
+        (r["lang"], r["doc_id"], r["rn"])
+        for r in corpus.stratified_bottom_k(docs, k=25).collect()
+    }
+    hv = md5_hash32(F.concat(F.lit("strat:"), F.col("doc_id").cast("string")))
+    w = W.partitionBy("lang").orderBy("hv", "doc_id")
+    want = {
+        (r["lang"], r["doc_id"], r["rn"])
+        for r in docs.select("lang", "doc_id", hv.alias("hv"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 25)
+        .collect()
+    }
+    assert got == want

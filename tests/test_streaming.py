@@ -441,3 +441,43 @@ def test_zscore_anomaly_planted(spark):
     }
     assert got[1] == 0
     assert got[2] == 1
+
+
+def test_zscore_integer_algebra_matches_float_form(spark):
+    """On random series, the int64 threshold decision must equal the float
+    z-score decision everywhere the float z² isn't within epsilon of the
+    threshold (the integer form is exact; the float form is the familiar
+    definition)."""
+    import random as _random
+
+    from pyspark.sql.window import Window as W
+
+    from big_data_analytics_machine_learning_poc_spark.operators import streaming_ops as so
+
+    rng = _random.Random(5)
+    rows = [
+        (u, i, float(rng.randint(1, 25_000)))
+        for u in range(6)
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "user_id: long, event_id: long, vc_f: double")
+    c = df.select("user_id", "event_id", F.col("vc_f").cast("long").alias("vc"))
+    win = W.partitionBy("user_id").orderBy("event_id").rowsBetween(-(so._Z_WIN - 1), 0)
+    w = c.select(
+        "user_id", "event_id", "vc",
+        F.sum("vc").over(win).alias("s"),
+        F.sum(F.col("vc") * F.col("vc")).over(win).alias("sq"),
+        F.count(F.lit(1)).over(win).alias("n"),
+    ).filter(F.col("n") == so._Z_WIN)
+    dev = F.col("n") * F.col("vc") - F.col("s")
+    var_n = F.col("n") * F.col("sq") - F.col("s") * F.col("s")
+    int_flag = (F.col("n") - 1) * dev * dev > so._Z_THRESH_SQ * F.col("n") * var_n
+    # float z² = (v - mean)² / sample_var
+    mean = F.col("s").cast("double") / F.col("n")
+    svar = (F.col("sq").cast("double") - F.col("n") * mean * mean) / (F.col("n") - 1)
+    z2 = (F.col("vc").cast("double") - mean) ** 2 / svar
+    out = w.select(int_flag.alias("i"), z2.alias("z2")).collect()
+    assert out
+    for r in out:
+        if abs(r["z2"] - so._Z_THRESH_SQ) > 1e-6:
+            assert r["i"] == (r["z2"] > so._Z_THRESH_SQ), r
