@@ -1125,3 +1125,80 @@ def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_size")
     )
+
+
+@REG.add(
+    "dedup_modality_agreement",
+    sql=f"""
+    WITH text_edges AS (
+      {_verified_cte_sql()}
+      SELECT doc_a, doc_b FROM verified
+    ), emb_edges AS (
+      WITH {_emb_bucket_cte()}
+      SELECT cand.vec_a AS doc_a, cand.vec_b AS doc_b
+      FROM cand
+      JOIN normed a ON a.vec_id = cand.vec_a
+      JOIN normed b ON b.vec_id = cand.vec_b
+      WHERE a.nrm * b.nrm != 0
+        AND list_sum(list_transform(range(1, len(a.embedding) + 1),
+            i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+            / (a.nrm * b.nrm) >= 0.9
+    ), both_e AS (
+      SELECT doc_a, doc_b FROM text_edges
+      INTERSECT
+      SELECT doc_a, doc_b FROM emb_edges
+    )
+    SELECT
+      CAST((SELECT COUNT(*) FROM text_edges) AS BIGINT) AS n_text_pairs,
+      CAST((SELECT COUNT(*) FROM emb_edges) AS BIGINT) AS n_emb_pairs,
+      CAST((SELECT COUNT(*) FROM both_e) AS BIGINT) AS n_both,
+      ROUND(CAST((SELECT COUNT(*) FROM both_e) AS DOUBLE)
+            / NULLIF((SELECT COUNT(*) FROM text_edges)
+                     + (SELECT COUNT(*) FROM emb_edges)
+                     - (SELECT COUNT(*) FROM both_e), 0), 6)
+        AS pair_set_jaccard
+    """,
+)
+def dedup_modality_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modality dedup audit: how far do the TEXT near-dup detector
+    (shingle-minhash LSH → exact Jaccard ≥ 0.5) and the EMBEDDING near-dup
+    detector (sign-bucket LSH → exact cosine ≥ 0.9) agree on which pairs
+    are duplicates? Output: each modality's verified pair count, the
+    intersection, and the Jaccard of the two pair SETS — the one-row
+    health metric a multi-modal dedup pipeline tracks per corpus snapshot
+    (textual dups with unrelated embeddings point at a broken encoder;
+    embedding dups with unrelated text point at templated/boilerplate
+    docs). Doc ids and vec ids are aligned in the testdata (row i of
+    `documents` ↔ row i of `embeddings`); on its random embeddings the
+    intersection is honestly near-empty — the audit's value is the
+    MEASUREMENT, as with ann_recall_at_k.
+
+    Scale shape: both edge generators are the registered lanes' own
+    bucketed equi-joins (nothing quadratic); the final one-row counts
+    cross-join as broadcast singletons (lint ALLOWED, same class as
+    dedup_pipeline_survivors)."""
+    text_edges = verified_near_dup_edges(spark, sf_dir).select("doc_a", "doc_b")
+    emb_edges = dedup_embedding_cosine(spark, sf_dir).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    both = text_edges.join(emb_edges, ["doc_a", "doc_b"])
+    nt = text_edges.agg(F.count(F.lit(1)).alias("n_text_pairs"))
+    ne = emb_edges.agg(F.count(F.lit(1)).alias("n_emb_pairs"))
+    nb = both.agg(F.count(F.lit(1)).alias("n_both"))
+    return (
+        nt.crossJoin(ne)
+        .crossJoin(nb)
+        .select(
+            "n_text_pairs",
+            "n_emb_pairs",
+            "n_both",
+            F.round(
+                F.col("n_both").cast("double")
+                / F.nullif(
+                    F.col("n_text_pairs") + F.col("n_emb_pairs") - F.col("n_both"),
+                    F.lit(0),
+                ),
+                6,
+            ).alias("pair_set_jaccard"),
+        )
+    )
