@@ -541,21 +541,32 @@ def _emb_bucket_cte() -> str:
     )"""
 
 
+def _emb_verified_cte_sql() -> str:
+    """_emb_bucket_cte() extended through the exact-cosine verifier: adds an
+    ``everified(vec_a, vec_b, sim)`` CTE (cos ≥ 0.9, zero-norm guarded).
+    ONE definition of the embedding verify predicate — used by
+    dedup_embedding_cosine AND dedup_modality_agreement so the audit lane
+    can never measure a different edge set than the lane it audits."""
+    dot = (
+        "list_sum(list_transform(range(1, len(a.embedding) + 1), "
+        "i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))"
+    )
+    return f"""{_emb_bucket_cte()}, everified AS (
+      SELECT cand.vec_a, cand.vec_b,
+             ROUND({dot} / (a.nrm * b.nrm), 5) AS sim
+      FROM cand
+      JOIN normed a ON a.vec_id = cand.vec_a
+      JOIN normed b ON b.vec_id = cand.vec_b
+      WHERE a.nrm * b.nrm != 0
+        AND {dot} / (a.nrm * b.nrm) >= 0.9
+    )"""
+
+
 @REG.add(
     "dedup_embedding_cosine",
     sql=f"""
-    WITH {_emb_bucket_cte()}
-    SELECT cand.vec_a, cand.vec_b,
-           ROUND(list_sum(list_transform(range(1, len(a.embedding) + 1),
-                 i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
-                 / (a.nrm * b.nrm), 5) AS sim
-    FROM cand
-    JOIN normed a ON a.vec_id = cand.vec_a
-    JOIN normed b ON b.vec_id = cand.vec_b
-    WHERE a.nrm * b.nrm != 0
-      AND list_sum(list_transform(range(1, len(a.embedding) + 1),
-          i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
-          / (a.nrm * b.nrm) >= 0.9
+    WITH {_emb_verified_cte_sql()}
+    SELECT vec_a, vec_b, sim FROM everified
     """,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1134,15 +1145,8 @@ def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
       {_verified_cte_sql()}
       SELECT doc_a, doc_b FROM verified
     ), emb_edges AS (
-      WITH {_emb_bucket_cte()}
-      SELECT cand.vec_a AS doc_a, cand.vec_b AS doc_b
-      FROM cand
-      JOIN normed a ON a.vec_id = cand.vec_a
-      JOIN normed b ON b.vec_id = cand.vec_b
-      WHERE a.nrm * b.nrm != 0
-        AND list_sum(list_transform(range(1, len(a.embedding) + 1),
-            i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
-            / (a.nrm * b.nrm) >= 0.9
+      WITH {_emb_verified_cte_sql()}
+      SELECT vec_a AS doc_a, vec_b AS doc_b FROM everified
     ), both_e AS (
       SELECT doc_a, doc_b FROM text_edges
       INTERSECT
@@ -1162,43 +1166,42 @@ def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_modality_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-modality dedup audit: how far do the TEXT near-dup detector
     (shingle-minhash LSH → exact Jaccard ≥ 0.5) and the EMBEDDING near-dup
-    detector (sign-bucket LSH → exact cosine ≥ 0.9) agree on which pairs
-    are duplicates? Output: each modality's verified pair count, the
-    intersection, and the Jaccard of the two pair SETS — the one-row
-    health metric a multi-modal dedup pipeline tracks per corpus snapshot
-    (textual dups with unrelated embeddings point at a broken encoder;
-    embedding dups with unrelated text point at templated/boilerplate
-    docs). Doc ids and vec ids are aligned in the testdata (row i of
-    `documents` ↔ row i of `embeddings`); on its random embeddings the
+    detector (sign-bucket LSH → exact cosine ≥ 0.9, the SHARED
+    _emb_verified_cte_sql definition) agree on which pairs are duplicates?
+    Output: each modality's verified pair count, the intersection, and the
+    Jaccard of the two pair SETS — the one-row health metric a multi-modal
+    dedup pipeline tracks per corpus snapshot (textual dups with unrelated
+    embeddings point at a broken encoder; embedding dups with unrelated
+    text point at templated/boilerplate docs). Doc ids and vec ids are
+    aligned in the testdata (row i ↔ row i); on its random embeddings the
     intersection is honestly near-empty — the audit's value is the
     MEASUREMENT, as with ann_recall_at_k.
 
     Scale shape: both edge generators are the registered lanes' own
-    bucketed equi-joins (nothing quadratic); the final one-row counts
-    cross-join as broadcast singletons (lint ALLOWED, same class as
-    dedup_pipeline_survivors)."""
-    text_edges = verified_near_dup_edges(spark, sf_dir).select("doc_a", "doc_b")
+    bucketed equi-joins (nothing quadratic); the counts come from ONE
+    full-outer join of the two edge sets + one aggregation — each edge set
+    evaluated once, no broadcast-nested-loop singleton cross-joins."""
+    text_edges = (
+        verified_near_dup_edges(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .withColumn("t", F.lit(1))
+    )
     emb_edges = dedup_embedding_cosine(spark, sf_dir).select(
         F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
-    )
-    both = text_edges.join(emb_edges, ["doc_a", "doc_b"])
-    nt = text_edges.agg(F.count(F.lit(1)).alias("n_text_pairs"))
-    ne = emb_edges.agg(F.count(F.lit(1)).alias("n_emb_pairs"))
-    nb = both.agg(F.count(F.lit(1)).alias("n_both"))
-    return (
-        nt.crossJoin(ne)
-        .crossJoin(nb)
-        .select(
-            "n_text_pairs",
-            "n_emb_pairs",
-            "n_both",
-            F.round(
-                F.col("n_both").cast("double")
-                / F.nullif(
-                    F.col("n_text_pairs") + F.col("n_emb_pairs") - F.col("n_both"),
-                    F.lit(0),
-                ),
-                6,
-            ).alias("pair_set_jaccard"),
-        )
+    ).withColumn("e", F.lit(1))
+    j = text_edges.join(emb_edges, ["doc_a", "doc_b"], "full_outer")
+    n_text = F.coalesce(F.sum("t"), F.lit(0)).cast("long")
+    n_emb = F.coalesce(F.sum("e"), F.lit(0)).cast("long")
+    n_both = F.coalesce(
+        F.sum(F.when(F.col("t").isNotNull() & F.col("e").isNotNull(), 1)), F.lit(0)
+    ).cast("long")
+    return j.agg(
+        n_text.alias("n_text_pairs"),
+        n_emb.alias("n_emb_pairs"),
+        n_both.alias("n_both"),
+        F.round(
+            n_both.cast("double")
+            / F.nullif(n_text + n_emb - n_both, F.lit(0)),
+            6,
+        ).alias("pair_set_jaccard"),
     )

@@ -533,7 +533,8 @@ _EWMA_ALPHA = 0.25  # binary-exact (2^-2) — the fold multiplies by exactly
       SELECT user_id,
              list(CAST(ROUND(value * 100) AS DOUBLE)
                   ORDER BY ts, event_id) AS vs
-      FROM events WHERE user_id < 50 GROUP BY user_id
+      FROM events WHERE user_id < 50 AND value IS NOT NULL
+      GROUP BY user_id
     )
     SELECT user_id,
            CAST(len(vs) AS BIGINT) AS n_events,
@@ -558,29 +559,45 @@ def events_user_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     associatively as (m, b) pairs (s' = m·s + b), so partition-local folds
     combine in a log-depth tree — the promotion path, not needed at this
     per-key cardinality. Ordering inside the fold is (ts, event_id) — the
-    same deterministic tie-break as the CDC lane."""
-    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 50)
-    series = (
-        ev.select(
-            "user_id",
-            F.struct("ts", "event_id", cents("value").cast("double").alias("vc")).alias("e"),
+    same deterministic tie-break as the CDC lane. NULL values are EXCLUDED
+    from the series on both engines (filtered before the fold) — without
+    the filter Spark's null-init fold would skip a NULL while DuckDB's
+    list_reduce propagates it, a silent cross-engine fork."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter((F.col("user_id") < 50) & F.col("value").isNotNull())
+        .select(
+            "user_id", "ts", "event_id", cents("value").cast("double").alias("vc")
         )
+    )
+    return user_ewma(ev).orderBy("user_id")
+
+
+def user_ewma(
+    df: DataFrame,
+    order_cols: tuple[str, ...] = ("ts", "event_id"),
+    alpha: float = _EWMA_ALPHA,
+) -> DataFrame:
+    """Factored EWMA core over (user_id, *order_cols, vc) — the SHIPPED fold
+    the unit tests exercise directly (no inline copies). Input must be
+    NULL-free in ``vc`` (the registered lane filters; see its docstring)."""
+    series = (
+        df.select("user_id", F.struct(*order_cols, F.col("vc")).alias("e"))
         .groupBy("user_id")
         .agg(F.array_sort(F.collect_list("e")).alias("es"))
     )
-    a, b = _EWMA_ALPHA, 1.0 - _EWMA_ALPHA
     ewma = F.aggregate(
         F.col("es"),
         F.lit(None).cast("double"),
         lambda acc, x: F.when(acc.isNull(), x["vc"]).otherwise(
-            F.lit(a) * x["vc"] + F.lit(b) * acc
+            F.lit(alpha) * x["vc"] + F.lit(1.0 - alpha) * acc
         ),
     )
     return series.select(
         "user_id",
         F.size("es").cast("long").alias("n_events"),
         F.round(ewma, 6).alias("ewma_cents"),
-    ).orderBy("user_id")
+    )
 
 
 _Z_WIN = 20  # trailing window (current row + 19 predecessors)
@@ -613,29 +630,41 @@ _Z_THRESH_SQ = 9  # |z| > 3
     """,
 )
 def events_user_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rolling z-score anomaly counts per user: a value is anomalous when it
-    sits more than 3 sample standard deviations from its own trailing
-    {_Z_WIN}-event window's mean — the streaming-telemetry outlier gate.
+    """Rolling z-score anomaly counts per user: a value is anomalous when
+    it sits more than 3 sample standard deviations from its own trailing
+    20-event (_Z_WIN) window's mean — the streaming-telemetry outlier gate.
 
     The threshold test is INTEGER-EXACT: with cents values, windowed sum s,
     windowed sum-of-squares sq and n, ``z² > 9`` is equivalent to
-    ``(n−1)·(n·v−s)² > 9·n·(n·sq−s²)`` — pure int64 algebra (bounds: cents
-    ≤ 2.5·10⁴, n = {_Z_WIN} ⇒ every term < 2⁵⁰), so no float stddev
-    formulation (Welford vs two-pass, engine-dependent in the last ulp) can
-    flip a boundary case, and the oracle matches hash-exactly.
+    ``(n−1)·(n·v−s)² > 9·n·(n·sq−s²)`` — pure int64 algebra. Exactness
+    bound: with n = _Z_WIN = 20, the largest term (n−1)·(n·v−s)² stays inside
+    int64 for |cents| ≤ 3·10⁷ ($300k — testdata max is 56 021); beyond
+    that Spark's long arithmetic raises under ANSI while DuckDB widens to
+    HUGEINT, so larger money domains must downscale or use DECIMAL (see
+    functions/exact.py). Within the bound no float stddev formulation
+    (Welford vs two-pass, engine-dependent in the last ulp) can flip a
+    boundary case, and the oracle matches hash-exactly.
 
     Scale shape: one shuffle on user_id, trailing ROWS frames computed in a
     single pass per partition (bounded frame, no re-sort per row); warm-up
-    rows (n < {_Z_WIN}) are excluded from both the checked and anomaly
+    rows (n < _Z_WIN) are excluded from both the checked and anomaly
     counts on both engines."""
     ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 100)
     c = ev.select("user_id", "ts", "event_id", cents("value").alias("vc"))
+    return user_zscore_anomalies(c).orderBy("user_id")
+
+
+def user_zscore_anomalies(
+    df: DataFrame, order_cols: tuple[str, ...] = ("ts", "event_id")
+) -> DataFrame:
+    """Factored z-score core over (user_id, *order_cols, vc) — the SHIPPED
+    window + integer flag the unit tests exercise directly."""
     win = (
         Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
+        .orderBy(*order_cols)
         .rowsBetween(-(_Z_WIN - 1), 0)
     )
-    w = c.select(
+    w = df.select(
         "user_id",
         "vc",
         F.sum("vc").over(win).alias("s"),
@@ -645,12 +674,10 @@ def events_user_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     full = F.col("n") == _Z_WIN
     dev = F.col("n") * F.col("vc") - F.col("s")
     var_n = F.col("n") * F.col("sq") - F.col("s") * F.col("s")
-    flag = full & ((F.col("n") - 1) * dev * dev > _Z_THRESH_SQ * F.col("n") * var_n)
-    return (
-        w.groupBy("user_id")
-        .agg(
-            F.sum(F.when(full, 1).otherwise(0)).cast("long").alias("n_checked"),
-            F.sum(F.when(flag, 1).otherwise(0)).cast("long").alias("n_anomalies"),
-        )
-        .orderBy("user_id")
+    flag = full & (
+        (F.col("n") - 1) * dev * dev > _Z_THRESH_SQ * F.col("n") * var_n
+    )
+    return w.groupBy("user_id").agg(
+        F.sum(F.when(full, 1).otherwise(0)).cast("long").alias("n_checked"),
+        F.sum(F.when(flag, 1).otherwise(0)).cast("long").alias("n_anomalies"),
     )

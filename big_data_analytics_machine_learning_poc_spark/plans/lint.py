@@ -109,11 +109,6 @@ ALLOWED: dict[str, dict[str, str]] = {
         "nested_loop": "broadcast one-row quota denominator onto the "
         "<=|sources|-row weighted aggregate"
     },
-    "dedup_modality_agreement": {
-        "nested_loop": "broadcast one-row per-modality pair-count "
-        "aggregates (edge generators are the lanes' own bucketed "
-        "equi-joins)"
-    },
     "corpus_temperature_sample_fill": {
         "nested_loop": "same one-row denominator broadcast inside the "
         "embedded temperature_quotas aggregate (the corpus-side selection "

@@ -378,30 +378,23 @@ def test_cdc_upsert_order_independent(spark, tmp_path):
 
 def test_ewma_planted_series(spark):
     """Hand-checked recurrence on a planted series + constant-series
-    invariant (EWMA of a constant is that constant)."""
-    from big_data_analytics_machine_learning_poc_spark.operators.streaming_ops import _EWMA_ALPHA
+    invariant (EWMA of a constant is that constant) — runs the SHIPPED
+    user_ewma core, not an inline copy."""
+    from big_data_analytics_machine_learning_poc_spark.operators.streaming_ops import _EWMA_ALPHA, user_ewma
 
     a = _EWMA_ALPHA
     rows = [(1, i, float(v)) for i, v in enumerate([100, 200, 50, 50])] + [
         (2, i, 70.0) for i in range(5)
     ]
     df = spark.createDataFrame(rows, "user_id: long, event_id: long, vc: double")
-    es = F.array_sort(F.collect_list(F.struct("event_id", "vc")))
-    ewma = F.aggregate(
-        es,
-        F.lit(None).cast("double"),
-        lambda acc, x: F.when(acc.isNull(), x["vc"]).otherwise(
-            F.lit(a) * x["vc"] + F.lit(1.0 - a) * acc
-        ),
-    )
     got = {
-        r["user_id"]: r["e"]
-        for r in df.groupBy("user_id").agg(ewma.alias("e")).collect()
+        r["user_id"]: r["ewma_cents"]
+        for r in user_ewma(df, order_cols=("event_id",)).collect()
     }
     want = 100.0
     for v in (200.0, 50.0, 50.0):
         want = a * v + (1 - a) * want
-    assert got[1] == want
+    assert got[1] == round(want, 6)
     assert got[2] == 70.0
 
 
@@ -421,23 +414,12 @@ def test_zscore_anomaly_planted(spark):
         rows, "user_id: long, event_id: long, ts_s: string, value: double"
     ).select("user_id", "event_id", F.to_timestamp("ts_s").alias("ts"), "value")
     from big_data_analytics_machine_learning_poc_spark.functions.exact import cents
-    from pyspark.sql.window import Window as W
 
     c = df.select("user_id", "ts", "event_id", cents("value").alias("vc"))
-    win = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-(so._Z_WIN - 1), 0)
-    w = c.select(
-        "user_id", "vc",
-        F.sum("vc").over(win).alias("s"),
-        F.sum(F.col("vc") * F.col("vc")).over(win).alias("sq"),
-        F.count(F.lit(1)).over(win).alias("n"),
-    )
-    full = F.col("n") == so._Z_WIN
-    dev = F.col("n") * F.col("vc") - F.col("s")
-    var_n = F.col("n") * F.col("sq") - F.col("s") * F.col("s")
-    flag = full & ((F.col("n") - 1) * dev * dev > so._Z_THRESH_SQ * F.col("n") * var_n)
+    # the SHIPPED core, not an inline copy
     got = {
-        r["user_id"]: r["a"]
-        for r in w.groupBy("user_id").agg(F.sum(F.when(flag, 1).otherwise(0)).alias("a")).collect()
+        r["user_id"]: r["n_anomalies"]
+        for r in so.user_zscore_anomalies(c).collect()
     }
     assert got[1] == 0
     assert got[2] == 1
@@ -455,8 +437,9 @@ def test_zscore_integer_algebra_matches_float_form(spark):
     from big_data_analytics_machine_learning_poc_spark.operators import streaming_ops as so
 
     rng = _random.Random(5)
+    # domain covers the real data (max 56 021 cents at sf0.1) with margin
     rows = [
-        (u, i, float(rng.randint(1, 25_000)))
+        (u, i, float(rng.randint(1, 100_000)))
         for u in range(6)
         for i in range(120)
     ]
