@@ -681,3 +681,97 @@ def user_zscore_anomalies(
         F.sum(F.when(full, 1).otherwise(0)).cast("long").alias("n_checked"),
         F.sum(F.when(flag, 1).otherwise(0)).cast("long").alias("n_anomalies"),
     )
+
+
+# CUSUM reference and decision interval, in cents. The reference is the
+# a-priori process target (production: the calibrated process mean); the
+# decision interval H is ~5 sigma-equivalents. Both are committed constants
+# so the lane is a pure function of the data.
+_CUSUM_K = 6000
+_CUSUM_H = 50_000
+
+
+@REG.add(
+    "events_user_cusum_alarms",
+    sql=f"""
+    WITH c AS (
+      SELECT user_id, ts, event_id,
+             CAST(ROUND(value * 100) AS BIGINT) - {_CUSUM_K} AS d
+      FROM events WHERE user_id < 100 AND value IS NOT NULL
+    ), p AS (
+      SELECT user_id, ts, event_id,
+             SUM(d) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS pfx
+      FROM c
+    ), s AS (
+      SELECT user_id,
+             -- the running minimum must include the EMPTY prefix (P = 0):
+             -- S_i = P_i - min(0, min_j<=i P_j); without the 0 the first
+             -- row's own prefix cancels itself (caught by
+             -- tests/test_streaming.py::test_cusum_window_form_equals_recurrence)
+             GREATEST(pfx - LEAST(MIN(pfx) OVER (PARTITION BY user_id
+                                                 ORDER BY ts, event_id
+                                                 ROWS UNBOUNDED PRECEDING),
+                                  0),
+                      0) AS cusum
+      FROM p
+    )
+    SELECT user_id,
+           CAST(SUM(CASE WHEN cusum > {_CUSUM_H} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_alarm_rows,
+           CAST(MAX(cusum) AS BIGINT) AS max_cusum
+    FROM s GROUP BY user_id ORDER BY user_id
+    """,
+)
+def events_user_cusum_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM change detection per user: the control-chart statistic
+    S_i = max(0, S_{i-1} + (v_i − k)) with reference k and decision interval
+    H — upward level-shift detection for telemetry streams.
+
+    The recurrence LOOKS sequential, but has an exact window form:
+    S_i = P_i − min(0, min_{j ≤ i} P_j), where P is the running prefix sum of
+    (v − k) — so the whole lane is two trailing window passes per user
+    (prefix sum, running minimum of it), never a fold; the per-key series
+    does NOT need to fit in memory, unlike fold-evaluated recurrences
+    (contrast user_ewma's bounded-series fold and its documented scan
+    promotion path — CUSUM's max(0, ·) structure collapses to windows
+    outright). All arithmetic is int64 cents (|cents| ≤ 3·10⁷ over ≤ 10⁶
+    rows per key stays in range), so the oracle matches hash-exactly.
+    Output: per user, the count of rows in alarm state (S > H) and the
+    high-water mark of S."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        (F.col("user_id") < 100) & F.col("value").isNotNull()
+    )
+    c = ev.select(
+        "user_id", "ts", "event_id", (cents("value") - _CUSUM_K).alias("d")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    p = c.select("user_id", F.sum("d").over(w).alias("pfx"), "ts", "event_id")
+    w2 = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    # least(..., 0): the running minimum must include the empty prefix
+    # (P = 0) or the first row's own prefix cancels itself — see the oracle
+    # comment and the window-vs-recurrence identity test
+    s = p.select(
+        "user_id",
+        F.greatest(
+            F.col("pfx") - F.least(F.min("pfx").over(w2), F.lit(0)), F.lit(0)
+        ).alias("cusum"),
+    )
+    return (
+        s.groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("cusum") > _CUSUM_H, 1).otherwise(0))
+            .cast("long")
+            .alias("n_alarm_rows"),
+            F.max("cusum").cast("long").alias("max_cusum"),
+        )
+        .orderBy("user_id")
+    )

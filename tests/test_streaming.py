@@ -464,3 +464,35 @@ def test_zscore_integer_algebra_matches_float_form(spark):
     for r in out:
         if abs(r["z2"] - so._Z_THRESH_SQ) > 1e-6:
             assert r["i"] == (r["z2"] > so._Z_THRESH_SQ), r
+
+
+def test_cusum_window_form_equals_recurrence(spark):
+    """The window identity S_i = P_i - min_{j<=i} P_j must equal the
+    textbook recurrence S_i = max(0, S_{i-1} + d_i) on random series —
+    the exactness claim the CUSUM oracle rests on."""
+    import random as _random
+
+    from pyspark.sql.window import Window as W
+
+    rng = _random.Random(17)
+    rows = [
+        (u, i, rng.randint(-500, 520)) for u in range(4) for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "user_id: long, event_id: long, d: long")
+    w = W.partitionBy("user_id").orderBy("event_id").rowsBetween(W.unboundedPreceding, 0)
+    p = df.select("user_id", "event_id", "d", F.sum("d").over(w).alias("pfx"))
+    s = p.select(
+        "user_id",
+        "event_id",
+        F.greatest(
+            F.col("pfx") - F.least(F.min("pfx").over(w), F.lit(0)), F.lit(0)
+        ).alias("cusum"),
+    )
+    got = {
+        (r["user_id"], r["event_id"]): r["cusum"] for r in s.collect()
+    }
+    by_user: dict = {}
+    for u, i, d in sorted(rows):
+        acc = max(0, by_user.get(u, 0) + d)
+        by_user[u] = acc
+        assert got[(u, i)] == acc, (u, i, got[(u, i)], acc)
