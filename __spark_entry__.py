@@ -111,7 +111,7 @@ _DRIVER_WINDOW = (
 )
 
 # ROUND-5 ROTATION PLAN (window above is frozen for the r4 driver run):
-# lead with the 24 queries that will still lack a hard driver row after r4
+# lead with the 25 queries that will still lack a hard driver row after r4
 # (computed from CORRECTNESS_r01-r03 keys + this window vs the registry —
 # regenerate with the snippet in COVERAGE.md if more lanes land):
 # basket_part_pairs, scalar_try_funcs, ann_recall_at_k,
@@ -123,9 +123,9 @@ _DRIVER_WINDOW = (
 # agg_kll_value_quantiles*, agg_bitmap_intersection,
 # events_cohort_retention, bpe_pair_counts, bpe_learn_merges*,
 # bpe_encode_stats*, agg_listagg_median, events_user_ewma,
-# events_user_zscore_anomalies, dedup_modality_agreement (* = rows-only
-# by design) — then fill with re-confirm
-# slots for whatever r5 touches. All 24 pass tools/compare.py (or their
+# events_user_zscore_anomalies, events_user_cusum_alarms,
+# dedup_modality_agreement (* = rows-only by design) — then fill with re-confirm
+# slots for whatever r5 touches. All 25 pass tools/compare.py (or their
 # rows-only contract) and plan lint today.
 
 
@@ -152,6 +152,7 @@ _FINGERPRINT_QUERIES = frozenset(
         "events_cohort_retention",
         "events_user_ewma",
         "events_user_zscore_anomalies",
+        "events_user_cusum_alarms",
         "bpe_pair_counts",
         "corpus_stratified_sample_exact",
         "corpus_temperature_mix",
