@@ -50,10 +50,37 @@ def _median_times(run, n=5):
     return round(statistics.median(times), 4)
 
 
+def _await_quiet_machine(threshold: float = 2.0, max_wait_sec: float = 120.0) -> list:
+    """Loadavg guard (VERDICT r4 ask #2): r4's uniform +10% bench drift
+    landed under 1-min loadavg 6.79 with zero benched-code change — machine
+    load, not a plan regression. To keep future deltas attributable, wait
+    (bounded) for the 1-min loadavg to drop below ``threshold`` before
+    measuring; if it never does, WARN on stderr and measure anyway (the
+    driver must always get its JSON line). Returns the loadavg recorded at
+    measurement start."""
+    deadline = time.monotonic() + max_wait_sec
+    while True:
+        try:
+            load1 = os.getloadavg()[0]
+        except OSError:
+            return []
+        if load1 < threshold or time.monotonic() >= deadline:
+            if load1 >= threshold:
+                print(
+                    f"WARN bench: measuring under load (1-min loadavg {load1:.2f} "
+                    f">= {threshold}) after waiting {max_wait_sec:.0f}s — treat "
+                    f"deltas vs quieter rounds as noise-suspect",
+                    file=sys.stderr,
+                )
+            return [round(x, 2) for x in os.getloadavg()]
+        time.sleep(5.0)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    loadavg_start = _await_quiet_machine()
 
     from big_data_analytics_machine_learning_poc_spark.operators import relational
     from big_data_analytics_machine_learning_poc_spark.session import get_session
@@ -62,6 +89,16 @@ def main() -> None:
     # sub-second, so adaptive re-planning only adds overhead (session.py
     # documents the measurement; a cluster-scale run uses the default profile)
     spark = get_session("bench", cpus=cpus, profile="micro")
+
+    # Global JIT warmup: run the WHOLE suite three times before measuring
+    # anything. The r5 investigation (quiet machine, loadavg 0.3) showed the
+    # per-query medians keep dropping for ~2 full suite cycles as C2
+    # compilation kicks in (cycle-1 total 172 ms -> cycle-3 124 ms with zero
+    # config change); without this, the first-measured queries pay the JIT
+    # bill and round-over-round deltas are warmup artifacts, not plans.
+    for _ in range(3):
+        for name in BENCH_QUERIES:
+            relational.REG.queries[name](spark, sf_dir).collect()
 
     prepared: dict[str, float] = {}
     fresh: dict[str, float] = {}
@@ -104,6 +141,7 @@ def main() -> None:
                 "sf": _sf_number(sf),
                 "timing": "median-of-5 per query (see _median_times)",
                 "loadavg": loadavg,
+                "loadavg_start": loadavg_start,
             }
         )
     )
