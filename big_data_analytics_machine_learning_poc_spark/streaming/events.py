@@ -21,6 +21,10 @@ and an equivalence test so they cannot diverge again.
 
 from __future__ import annotations
 
+import atexit
+import os
+import shutil
+import tempfile
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -28,6 +32,36 @@ from pyspark.sql import functions as F
 
 from ..catalog import events_stream_schema, normalize_events_ts, probe_events_ts_type
 from ..functions.exact import cents
+
+# Hard ceiling for results that must pass through the driver (the memory
+# sink below). Streaming results in this repo are aggregate/state-table
+# sized (windows x types, |users|); anything past this is a misuse of the
+# oracle-only complete/update path and must fail LOUDLY instead of
+# OOM-ing the driver (VERDICT r4 ask #3).
+STREAM_RESULT_ROW_CEILING = 2_000_000
+
+_SPILL_ROOT: str | None = None
+
+
+def _session_spill_dir(tag: str) -> str:
+    """A fresh subdir under a session-scoped temp root (removed at
+    interpreter exit) for spilling streaming results to parquet."""
+    global _SPILL_ROOT
+    if _SPILL_ROOT is None:
+        _SPILL_ROOT = tempfile.mkdtemp(prefix="spark_graft_stream_")
+        atexit.register(shutil.rmtree, _SPILL_ROOT, ignore_errors=True)
+    return os.path.join(_SPILL_ROOT, f"{tag}_{uuid.uuid4().hex[:12]}")
+
+
+def spill_to_session_parquet(df: DataFrame, tag: str) -> DataFrame:
+    """Write ``df`` to session-temp parquet and return the LAZY read —
+    the bounded-or-spill contract: nothing stays resident on the driver
+    (or pinned in a memory-sink temp view) after this returns. The read
+    passes the writer's schema explicitly so a 0-row result (no part
+    files) still round-trips instead of failing schema inference."""
+    path = _session_spill_dir(tag)
+    df.write.parquet(path)
+    return df.sparkSession.read.schema(df.schema).parquet(path)
 
 
 def read_event_stream(spark: SparkSession, sf_dir: str, ts_type=None) -> DataFrame:
@@ -47,9 +81,40 @@ def read_event_stream(spark: SparkSession, sf_dir: str, ts_type=None) -> DataFra
 
 
 def run_to_completion(agg: DataFrame, output_mode: str) -> DataFrame:
-    """Drive a bounded stream to completion through a memory sink and return
-    the result as a batch DataFrame (the local-test harness; production uses
-    writeStream.format('parquet') + checkpointLocation)."""
+    """Drive a bounded stream to completion and return the result as a
+    lazily-read batch DataFrame (the bounded-or-spill contract, VERDICT r4
+    ask #3 — no unbounded driver materialization on any path):
+
+    - ``append``: the PRODUCTION shape — a real parquet file sink writing
+      to a session-temp dir with a checkpoint; the result never touches
+      the driver at all, executors write it and the returned DataFrame is
+      the lazy read of the sink directory.
+    - ``complete`` / ``update``: only the memory sink supports these modes
+      (they exist here solely for bounded-input oracle comparison —
+      docstrings on each caller). The sink inherently pins its rows on the
+      driver DURING the run, so the result row count is asserted against
+      ``STREAM_RESULT_ROW_CEILING`` (loud error, not an OOM), then the
+      rows are spilled to session-temp parquet, the sink temp view is
+      dropped (so nothing stays pinned for the session lifetime), and the
+      lazy read is returned.
+    """
+    spark = agg.sparkSession
+    if output_mode == "append":
+        path = _session_spill_dir("sink")
+        q = (
+            agg.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", path)
+            .option("checkpointLocation", os.path.join(path, "_checkpoint"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return spark.read.schema(agg.schema).parquet(path)
+
     name = f"out_{uuid.uuid4().hex[:12]}"
     q = (
         agg.writeStream.outputMode(output_mode)
@@ -62,14 +127,18 @@ def run_to_completion(agg: DataFrame, output_mode: str) -> DataFrame:
         q.processAllAvailable()
     finally:
         q.stop()
-    spark = agg.sparkSession
     sink = spark.table(name)
-    # materialize and DROP the memory sink: each sink pins its full result
-    # in driver memory for the session lifetime, so repeated runs (driver
-    # sweeps, the test suite) would accumulate unbounded copies. Streaming
-    # results here are aggregate-sized; the production path is the parquet
-    # sink and never holds results in memory at all.
-    out = spark.createDataFrame(sink.collect(), schema=sink.schema)
+    n = sink.count()
+    if n > STREAM_RESULT_ROW_CEILING:
+        spark.catalog.dropTempView(name)
+        raise RuntimeError(
+            f"streaming {output_mode}-mode result has {n} rows, past the "
+            f"memory-sink ceiling {STREAM_RESULT_ROW_CEILING}: complete/"
+            f"update are oracle-comparison modes for aggregate-sized "
+            f"results only — use the append-mode parquet-sink path for "
+            f"row-count-unbounded outputs"
+        )
+    out = spill_to_session_parquet(sink, "memsink")
     spark.catalog.dropTempView(name)
     return out
 

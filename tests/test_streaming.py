@@ -496,3 +496,25 @@ def test_cusum_window_form_equals_recurrence(spark):
         acc = max(0, by_user.get(u, 0) + d)
         by_user[u] = acc
         assert got[(u, i)] == acc, (u, i, got[(u, i)], acc)
+
+
+def test_memory_sink_row_ceiling_is_loud(spark, monkeypatch):
+    """Bounded-or-spill contract (VERDICT r4 ask #3): a complete/update
+    result past STREAM_RESULT_ROW_CEILING must raise a loud RuntimeError
+    naming the append-mode escape hatch — never silently OOM the driver."""
+    import pytest
+
+    monkeypatch.setattr(sev, "STREAM_RESULT_ROW_CEILING", 1)
+    with pytest.raises(RuntimeError, match="memory-sink ceiling"):
+        sev.tumbling_counts(spark, SF_DIR, "5 minutes", output_mode="complete")
+
+
+def test_run_to_completion_returns_lazy_spilled_frame(spark):
+    """No path out of run_to_completion may pin rows on the driver: both
+    the append file-sink path and the complete memory-sink spill path must
+    return a DataFrame backed by parquet files (lazy re-scan), not a
+    driver-local createDataFrame."""
+    for mode in ("append", "complete"):
+        df = sev.tumbling_counts(spark, SF_DIR, "5 minutes", output_mode=mode)
+        files = df.inputFiles()
+        assert files and all(f.endswith(".parquet") for f in files), (mode, files)
