@@ -99,3 +99,50 @@ def test_salted_sum_equals_plain_sum(spark):
         .collect()
     }
     assert salted == plain
+
+
+def test_recursive_month_spine_survives_deep_span(spark, tmp_path):
+    """VERDICT r4 ask #7: a >100-month order-date span must not trip the
+    default cteRecursionLevelLimit (100). 180 months of synthetic orders
+    -> a 180-row gap-free spine with per-month counts."""
+    import datetime as dt
+
+    from big_data_analytics_machine_learning_poc_spark.operators.sqlfront import (
+        sql_recursive_month_spine,
+    )
+
+    rows = [
+        (i, i, "O", 100.0, dt.date(2000 + i // 12, i % 12 + 1, 15), "1-URGENT")
+        for i in range(180)  # 15 years: one order per month
+        if i % 3 != 1  # leave gaps so COALESCE(0) months exist
+    ]
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate date, o_orderpriority string",
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+    out = sql_recursive_month_spine(spark, str(tmp_path)).collect()
+    assert len(out) == 180
+    assert sum(1 for r in out if r["n_orders"] == 0) == 60
+    assert all(r["n_orders"] in (0, 1) for r in out)
+
+
+def test_session_variables_cleaned_up(spark):
+    """ADVICE r4: sql_session_variables must DROP its session-scoped
+    variables after materializing the statement, so a later query over a
+    bare `since` identifier cannot silently resolve to stale values."""
+    import pytest
+    from pyspark.errors import AnalysisException
+
+    from big_data_analytics_machine_learning_poc_spark.operators.sqlfront import (
+        sql_session_variables,
+    )
+
+    from .conftest import SF_DIR
+
+    df = sql_session_variables(spark, SF_DIR)
+    assert df.count() > 0  # analyzed statement still executes post-DROP
+    with pytest.raises(AnalysisException):
+        spark.sql("SELECT since").collect()
+    with pytest.raises(AnalysisException):
+        spark.sql("SELECT min_price").collect()
