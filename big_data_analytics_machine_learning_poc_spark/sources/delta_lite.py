@@ -902,7 +902,11 @@ def merge_delta(
     return version
 
 
-def vacuum_table(table: str, retention_ms: int = 7 * 24 * 3600 * 1000) -> list[str]:
+def vacuum_table(
+    table: str,
+    retention_ms: int = 7 * 24 * 3600 * 1000,
+    orphan_grace_ms: int = 5_000,
+) -> list[str]:
     """Physically delete data files no longer referenced by the LATEST
     snapshot whose tombstone (remove action) is older than ``retention_ms``
     — after which time travel to versions needing those files fails, the
@@ -911,7 +915,16 @@ def vacuum_table(table: str, retention_ms: int = 7 * 24 * 3600 * 1000) -> list[s
     then lost the commit race or died before committing) past retention by
     mtime — without this, every lost overwrite race leaks a snapshot's
     worth of storage forever. Returns the deleted relative paths.
-    ``retention_ms=0`` reclaims immediately (tests / aggressive cleanup)."""
+    ``retention_ms=0`` reclaims immediately (tests / aggressive cleanup).
+
+    ``orphan_grace_ms`` (ADVICE r4): an ORPHAN younger than this is kept
+    even at ``retention_ms=0`` — a parquet on disk with no log entry is
+    indistinguishable from an IN-FLIGHT write_delta/merge_delta that has
+    written data but not yet committed its log record, and reference Delta
+    guards VACUUM with a minimum-retention check for exactly this race.
+    Clock-skew direction is safe: a future-dated mtime looks YOUNG and is
+    kept. Tombstoned files are exempt (their remove action proves no
+    writer owns them). Pass 0 only when no concurrent writers exist."""
     active, _meta, _ = _replay(table, None)
     cutoff_ms = int(time.time() * 1000) - retention_ms
     removed_at: dict[str, int] = {}
@@ -950,10 +963,11 @@ def vacuum_table(table: str, retention_ms: int = 7 * 24 * 3600 * 1000) -> list[s
             rel = os.path.relpath(full, table)
             if not name.endswith(".parquet") or rel in ever_added:
                 continue
-            # same zero-retention rule as above: mtime comes from the
-            # filesystem clock, cutoff from time.time() — skew between them
-            # must never make "reclaim immediately" keep a file
-            if retention_ms == 0 or os.path.getmtime(full) * 1000 <= cutoff_ms:
+            # orphans get the grace window ON TOP of retention: unlike a
+            # tombstoned file, nothing in the log proves this parquet is
+            # abandoned rather than mid-commit (see docstring)
+            age_ms = time.time() * 1000 - os.path.getmtime(full) * 1000
+            if age_ms >= max(retention_ms, orphan_grace_ms):
                 os.remove(full)
                 deleted.append(rel)
     return sorted(set(deleted))

@@ -62,3 +62,28 @@ def test_recall_audit_floor_on_random_data(spark):
     out = similarity.recall_audit(emb, nq=5, k=10, tables=((0, 8), (8, 8))).collect()
     mean_recall = sum(r["recall_at_k"] for r in out) / len(out)
     assert mean_recall <= 0.5, out
+
+
+def test_ivf_partitioned_index_prunes_and_matches_in_memory_lane(spark):
+    """VERDICT r4 ask #8: the materialized IVF index must (a) show
+    PartitionFilters on the probed cells in the probe plan — whole-
+    directory pruning, the scan never touches (k-nprobe)/k of the corpus —
+    and (b) return exactly the in-memory IVF lane's result (same seed,
+    same parameters, same data)."""
+    import re
+
+    from big_data_analytics_machine_learning_poc_spark.operators.similarity import (
+        ann_ivf_cosine,
+        ann_ivf_partitioned,
+    )
+
+    from .conftest import SF_DIR
+
+    out = ann_ivf_partitioned(spark, SF_DIR)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m, f"no PartitionFilters in probe plan:\n{plan[:2000]}"
+    assert "cluster" in m.group(1), m.group(1)
+    got = [(r.vec_id, r.sim) for r in out.collect()]
+    want = [(r.vec_id, r.sim) for r in ann_ivf_cosine(spark, SF_DIR).collect()]
+    assert got == want

@@ -262,10 +262,15 @@ def test_delta_lite_compaction_and_vacuum(spark, tmp_path):
     orphan = _os.path.join(table, "part-orphan-deadbeef.parquet")
     _shutil.copyfile(_os.path.join(table, any_file), orphan)
     assert vacuum_table(table, retention_ms=3_600_000) == []  # young: kept
+    # retention 0 reclaims tombstoned files immediately, but a FRESH orphan
+    # survives the default grace window: with no log entry it could be an
+    # in-flight writer's staged-and-moved data (ADVICE r4 race)
     deleted = vacuum_table(table, retention_ms=0)
-    assert set(deleted) == (set(pre_active) - set(post_active)) | {
-        "part-orphan-deadbeef.parquet"
-    }
+    assert set(deleted) == set(pre_active) - set(post_active)
+    assert _os.path.exists(orphan)
+    # grace 0 = caller asserts no concurrent writers -> orphan reclaimed
+    deleted = vacuum_table(table, retention_ms=0, orphan_grace_ms=0)
+    assert set(deleted) == {"part-orphan-deadbeef.parquet"}
     assert not _os.path.exists(orphan)
     assert read_delta(spark, table).count() == cust.count() + 50
 
