@@ -389,3 +389,75 @@ def delta_merge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, schema="version int, n_rows long, sum_custkey long, n_merged long"
     ).orderBy("version")
+
+
+@REG.add(
+    "delta_incremental_agg",
+    sql="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def delta_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance over the lakehouse: a per-priority
+    (COUNT, SUM-cents) aggregate table is MAINTAINED as orders arrive in
+    three commits — each step computes the new batch's partial aggregate
+    and folds it into the stored aggregate (union + re-aggregate on the
+    ≤|groups|-row state), never re-reading earlier raw data. The oracle is
+    the full recompute over all orders: green proves the IVM identity
+    fold(partials) == full for the decomposable aggregates (COUNT/SUM),
+    which is exactly why production maintains dashboards this way.
+
+    Scale shape: per refresh, cost = one partial agg over the NEW batch
+    (map-side combine, shuffle of |groups| rows) + a rewrite of the
+    |groups|-row aggregate table. A full recompute re-scans the whole
+    history every refresh; at 100 TB with daily increments that is the
+    difference between touching ~1/1000 of the data and all of it.
+    Non-decomposable aggregates (exact median) need the sketch lane
+    (operators/sketches.py KLL) — same fold, mergeable state."""
+    import shutil
+    import tempfile
+
+    from ..sources.delta_lite import read_delta, write_delta
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    agg_table = tempfile.mkdtemp(prefix="ivm_agg_")
+
+    def partial(batch: DataFrame) -> DataFrame:
+        return batch.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "total_cents"
+            ),
+        )
+
+    try:
+        for i in range(3):  # three "daily" increments by key residue
+            batch = orders.filter(F.col("o_orderkey") % 3 == i)
+            inc = partial(batch)
+            if i == 0:
+                write_delta(inc, agg_table, mode="overwrite")
+            else:
+                current = read_delta(spark, agg_table)
+                folded = (
+                    current.unionByName(inc)
+                    .groupBy("o_orderpriority")
+                    .agg(
+                        F.sum("n_orders").alias("n_orders"),
+                        F.sum("total_cents").alias("total_cents"),
+                    )
+                )
+                write_delta(folded, agg_table, mode="overwrite")
+        from ..streaming.events import spill_to_session_parquet
+
+        out = read_delta(spark, agg_table).orderBy("o_orderpriority")
+        # the maintained table dies with the tempdir — spill the ≤5-row
+        # result to session scope and hand back the lazy read
+        return spill_to_session_parquet(out, "ivm_agg")
+    finally:
+        shutil.rmtree(agg_table, ignore_errors=True)

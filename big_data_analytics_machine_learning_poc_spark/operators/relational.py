@@ -580,6 +580,39 @@ def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @REG.add(
+    "grouping_sets_agg",
+    sql=f"""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+           COUNT(*) AS n, {sum_money_sql("o_totalprice", "total")}
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+    """,
+)
+def grouping_sets_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form rollup/cube desugar to) via
+    the Spark 4 DataFrame ``groupingSets`` API, with ``grouping_id`` to
+    disambiguate a grouped-out NULL from a data NULL — both engines use
+    the same bit encoding (left column = high bit: detail=0, status-only=1,
+    grand total=3). One Expand + one hash aggregate; at scale the Expand
+    multiplies input by the set count, so sets are chosen explicitly here
+    rather than paying cube's full 2^n blowup."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupingSets(
+            [["o_orderstatus", "o_orderpriority"], ["o_orderstatus"], []],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            sum_money("o_totalprice", "total"),
+        )
+    )
+
+
+@REG.add(
     "pivot_status",
     sql="""
     SELECT o_orderpriority,

@@ -519,6 +519,47 @@ def sql_session_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @REG.add(
+    "sql_lateral_topk",
+    sql="""
+    WITH ranked AS (
+      SELECT c_nationkey, c_name,
+             CAST(ROUND(c_acctbal * 100) AS BIGINT) AS acctbal_cents,
+             ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                                ORDER BY c_acctbal DESC, c_name) AS rn
+      FROM customer
+    )
+    SELECT n.n_name, r.c_name, r.acctbal_cents
+    FROM nation n JOIN ranked r ON r.c_nationkey = n.n_nationkey
+    WHERE r.rn <= 2
+    ORDER BY n.n_name, r.acctbal_cents DESC, r.c_name
+    """,
+)
+def sql_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery (Spark 4): per-nation top-2 customers by
+    account balance, written as the join-each-row-to-a-dependent-subquery
+    form. Catalyst plans the correlated ORDER BY+LIMIT as a partitioned
+    window top-k (DomainJoin rewrite), so the execution is the same
+    rank-and-filter shape the oracle states directly — there is no
+    per-nation re-scan. The oracle deliberately uses the ROW_NUMBER
+    formulation, so the two engines run independently-derived plans."""
+    _views(spark, sf_dir, "nation", "customer")
+    return spark.sql(
+        """
+        SELECT n.n_name, t.c_name, t.acctbal_cents
+        FROM nation n,
+        LATERAL (
+          SELECT c_name,
+                 CAST(ROUND(c_acctbal * 100) AS BIGINT) AS acctbal_cents
+          FROM customer c
+          WHERE c.c_nationkey = n.n_nationkey
+          ORDER BY c_acctbal DESC, c_name LIMIT 2
+        ) t
+        ORDER BY n.n_name, t.acctbal_cents DESC, t.c_name
+        """
+    )
+
+
+@REG.add(
     "sql_pipe_syntax",
     sql="""
     SELECT o.o_orderpriority,

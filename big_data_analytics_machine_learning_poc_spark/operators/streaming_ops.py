@@ -780,3 +780,117 @@ def events_user_cusum_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@REG.add(
+    "events_daily_peak_concurrency",
+    sql="""
+    WITH pts AS (
+      SELECT CAST(ts AS DATE) AS day, epoch_us(ts) AS t, 1 AS d
+      FROM events WHERE user_id < 100
+      UNION ALL
+      SELECT CAST(ts AS DATE), epoch_us(ts) + 300000000, -1
+      FROM events WHERE user_id < 100
+    ), run AS (
+      SELECT day, d,
+             SUM(d) OVER (PARTITION BY day ORDER BY t, d
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+      FROM pts
+    )
+    SELECT day,
+           CAST(MAX(c) AS BIGINT) AS peak_concurrency,
+           CAST(SUM(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_events
+    FROM run GROUP BY day ORDER BY day
+    """,
+)
+def events_daily_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrency per day by sweep-line: each event occupies
+    [ts, ts+5min); emit +1 at start and -1 at end, running-sum the deltas
+    in time order, take the per-day max. The interval is attributed to its
+    START day so each day's sweep is self-contained.
+
+    This is THE scale shape for interval-overlap questions: a self-join
+    ("count rows whose interval overlaps mine") is O(n·k) candidates and
+    quadratic in dense regions, while the sweep is one union (map-only),
+    one partitioned window, one small agg. The window partitions by DAY —
+    never a global sort; at 100 TB the day key fans the sweep across
+    executors and each partition holds one day's boundary points. Ties at
+    the same instant order ends (-1) before starts (+1), so back-to-back
+    intervals don't double-count; within equal (t, d) the running sum's
+    intermediate order is engine-dependent but every intermediate value
+    the MAX can observe is identical (all ties carry the same delta).
+
+    Exactness: integer microseconds end-to-end — no float time math."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 100)
+    t = F.unix_micros("ts")
+    starts = ev.select(F.to_date("ts").alias("day"), t.alias("t"), F.lit(1).alias("d"))
+    ends = ev.select(
+        F.to_date("ts").alias("day"),
+        (t + F.lit(300_000_000)).alias("t"),
+        F.lit(-1).alias("d"),
+    )
+    w = (
+        Window.partitionBy("day")
+        .orderBy("t", "d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    run = starts.unionByName(ends).select("day", "d", F.sum("d").over(w).alias("c"))
+    return (
+        run.groupBy("day")
+        .agg(
+            F.max("c").cast("long").alias("peak_concurrency"),
+            F.sum(F.when(F.col("d") == 1, 1).otherwise(0)).cast("long").alias("n_events"),
+        )
+        .orderBy("day")
+    )
+
+
+@REG.add(
+    "events_cumulative_distinct_users",
+    sql="""
+    WITH firstday AS (
+      SELECT event_type, user_id, MIN(CAST(ts AS DATE)) AS day
+      FROM events GROUP BY event_type, user_id
+    ), newbyday AS (
+      SELECT event_type, day, COUNT(*) AS n_new
+      FROM firstday GROUP BY event_type, day
+    )
+    SELECT event_type, day,
+           CAST(n_new AS BIGINT) AS n_new_users,
+           CAST(SUM(n_new) OVER (PARTITION BY event_type ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum_distinct_users
+    FROM newbyday ORDER BY event_type, day
+    """,
+)
+def events_cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running distinct-user count per event type, reported at each day a
+    new user first appears — the growth-curve query behind every DAU/
+    cumulative-reach dashboard.
+
+    A naive COUNT(DISTINCT) OVER (ORDER BY day) is unsupported in Spark
+    (and where supported it re-deduplicates the full prefix per row —
+    O(days · users)). The exact decomposition here does the distinct work
+    ONCE: min-day per (type, user) — an ordinary partial-agg groupBy on
+    the high-cardinality key — then a count per (type, day), then a
+    cumulative sum over the day-grain rows. The only window runs over
+    ≤ |days| rows per type, so the 100 TB cost is the one (type, user)
+    shuffle; state never exceeds the day grid."""
+    ev = load_table(spark, sf_dir, "events")
+    firstday = ev.groupBy("event_type", "user_id").agg(
+        F.min(F.to_date("ts")).alias("day")
+    )
+    newbyday = firstday.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).alias("n_new")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return newbyday.select(
+        "event_type",
+        "day",
+        F.col("n_new").cast("long").alias("n_new_users"),
+        F.sum("n_new").over(w).cast("long").alias("cum_distinct_users"),
+    ).orderBy("event_type", "day")

@@ -444,7 +444,13 @@ def write_delta(
             )
         partition_cols = logged_parts
         table_schema = StructType.fromJson(json.loads(meta["schemaString"]))
-        if df.schema != table_schema:
+        # nullability-insensitive: an aggregate rewrite flips count()'s
+        # non-null to sum()'s nullable with identical storage semantics —
+        # reference Delta likewise treats nullability as advisory on write
+        # (only name/type conflicts, drops, or unmerged adds reject)
+        if [(f.name, f.dataType) for f in df.schema.fields] != [
+            (f.name, f.dataType) for f in table_schema.fields
+        ]:
             existing = {f.name: f.dataType for f in table_schema.fields}
             incoming = {f.name: f.dataType for f in df.schema.fields}
             conflicts = [

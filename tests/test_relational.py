@@ -62,3 +62,20 @@ def test_topk_uses_take_ordered(spark):
     df = relational.topk_orders(spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_grouping_sets_totals_consistent(spark):
+    """gid encodes the set (detail=0, status-only=1, grand=3); the grand
+    total must equal the table count and each level must re-sum to it."""
+    from big_data_analytics_machine_learning_poc_spark.operators.relational import REG
+
+    from .conftest import SF_DIR
+
+    rows = REG.queries["grouping_sets_agg"](spark, SF_DIR).collect()
+    total = spark.read.parquet(f"{SF_DIR}/orders.parquet").count()
+    gids = {r["gid"] for r in rows}
+    assert gids == {0, 1, 3}
+    assert sum(r["n"] for r in rows if r["gid"] == 0) == total
+    assert sum(r["n"] for r in rows if r["gid"] == 1) == total
+    [grand] = [r for r in rows if r["gid"] == 3]
+    assert grand["n"] == total and grand["o_orderstatus"] is None

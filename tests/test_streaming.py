@@ -518,3 +518,67 @@ def test_run_to_completion_returns_lazy_spilled_frame(spark):
         df = sev.tumbling_counts(spark, SF_DIR, "5 minutes", output_mode=mode)
         files = df.inputFiles()
         assert files and all(f.endswith(".parquet") for f in files), (mode, files)
+
+
+def test_daily_peak_concurrency_planted(spark, tmp_path):
+    """Sweep-line correctness on hand-computed intervals: 3 events at
+    10:00/10:02/10:04 (5-min spans) overlap pairwise-chained to peak 3;
+    an isolated event the next day peaks at 1; a back-to-back pair at
+    12:00/12:05 must NOT double-count at the boundary (end sorts before
+    start) -> peak 1."""
+    import datetime as dt
+
+    from big_data_analytics_machine_learning_poc_spark.operators.streaming_ops import (
+        events_daily_peak_concurrency,
+    )
+
+    def ev(i, t, u=1):
+        return (i, t, u, "click", 1.0, "{}")
+
+    d1 = dt.datetime(2024, 1, 1)
+    rows = [
+        ev(1, d1.replace(hour=10, minute=0)),
+        ev(2, d1.replace(hour=10, minute=2)),
+        ev(3, d1.replace(hour=10, minute=4)),
+        ev(4, d1.replace(hour=12, minute=0)),
+        ev(5, d1.replace(hour=12, minute=5)),
+        ev(6, dt.datetime(2024, 1, 2, 9, 0)),
+    ]
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    out = {
+        r["day"].isoformat(): (r["peak_concurrency"], r["n_events"])
+        for r in events_daily_peak_concurrency(spark, str(tmp_path)).collect()
+    }
+    assert out == {"2024-01-01": (3, 5), "2024-01-02": (1, 1)}
+
+
+def test_cumulative_distinct_users_monotone_and_totals(spark):
+    """Per type: the running count is strictly increasing, each step adds
+    exactly n_new_users, and the final value equals the type's true
+    distinct-user count."""
+    from big_data_analytics_machine_learning_poc_spark.catalog import load_table
+    from big_data_analytics_machine_learning_poc_spark.operators.streaming_ops import (
+        events_cumulative_distinct_users,
+    )
+
+    from .conftest import SF_DIR
+
+    rows = events_cumulative_distinct_users(spark, SF_DIR).collect()
+    truth = {
+        r["event_type"]: r["n"]
+        for r in load_table(spark, SF_DIR, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    by_type: dict = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r)
+    for t, rs in by_type.items():
+        cum = 0
+        for r in rs:  # lane orders by (type, day)
+            cum += r["n_new_users"]
+            assert r["cum_distinct_users"] == cum
+        assert cum == truth[t]
