@@ -1281,3 +1281,59 @@ def corpus_temperature_sample_fill(spark: SparkSession, sf_dir: str) -> DataFram
         .select("source", "doc_id", "rn")
         .orderBy("source", "rn")
     )
+
+
+@REG.add(
+    "corpus_template_phrases",
+    sql="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ), grams AS (
+      SELECT DISTINCT doc_id, array_to_string(ws[i:i+1], ' ') AS gram
+      FROM toks, LATERAL (SELECT unnest(range(1, len(ws))) AS i)
+      WHERE len(ws) >= 2
+    ), total AS (SELECT COUNT(*) AS n FROM documents)
+    SELECT gram, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM grams, total
+    GROUP BY gram, total.n
+    HAVING COUNT(*) * 100 >= 8 * total.n
+    ORDER BY n_docs DESC, gram
+    """,
+)
+def corpus_template_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Template/boilerplate phrase detection by DOCUMENT frequency: bigrams
+    appearing in >= 8% of all documents (counted once per doc —
+    array_distinct before the explode — so a phrase repeated inside one
+    page can't fake corpus-wide presence). This is the CCNet-style
+    boilerplate censor: phrases this common across distinct pages are
+    navigation chrome / licence footers / scaffolding, and a cleaning
+    pass strips or downweights them before training.
+
+    Scale shape: one map pass (split + per-doc distinct bigrams), one
+    groupBy on the gram key with partial aggregation, and the corpus total
+    enters as a 1-row collected literal in the HAVING comparison (integer
+    cross-multiplied — no float share, no broadcast join). The DISTINCT
+    inside each doc bounds the explode at tokens-1 rows per doc."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    n_total = docs.count()  # 1-row scalar, same role as the oracle's total CTE
+    grams = (
+        docs.select("doc_id", F.split("text", " ").alias("ws"))
+        .filter(F.size("ws") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.expr(
+                        "transform(sequence(0, size(ws) - 2),"
+                        " i -> concat(element_at(ws, i + 1), ' ', element_at(ws, i + 2)))"
+                    )
+                )
+            ).alias("gram"),
+        )
+    )
+    return (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .filter(F.col("n_docs") * 100 >= 8 * n_total)
+        .orderBy(F.col("n_docs").desc(), "gram")
+    )

@@ -1205,3 +1205,53 @@ def dedup_modality_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("pair_set_jaccard"),
     )
+
+
+@REG.add(
+    "er_customer_blocking",
+    sql="""
+    SELECT a.c_custkey AS a_key, b.c_custkey AS b_key,
+           CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+    FROM customer a JOIN customer b
+      ON a.c_nationkey = b.c_nationkey
+     AND a.c_mktsegment = b.c_mktsegment
+     AND a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= 2
+    ORDER BY a_key, b_key
+    """,
+)
+def er_customer_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution / record linkage over a structured table —
+    blocking then verify, the same candidates-not-all-pairs discipline as
+    the document dedup family but on entity attributes: candidate pairs
+    come from an EQUI-join on the blocking key (nationkey, mktsegment),
+    and only candidates pay the O(len^2) levenshtein verify (<= 2 edits).
+    A direct all-pairs name comparison is |customer|^2; blocking divides
+    the quadratic term by the number of blocks, and at 100 TB the
+    blocking key is the shuffle key, so each block's pair generation is
+    partition-local. Production tightens blocks further (phonetic keys,
+    name prefixes, sorted-neighbourhood windows) — the plan shape is
+    identical, only the key changes; pairs emit a < b once."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_mktsegment"
+    )
+    a = cust.select(
+        F.col("c_custkey").alias("a_key"),
+        F.col("c_name").alias("a_name"),
+        F.col("c_nationkey").alias("nk"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    b = cust.select(
+        F.col("c_custkey").alias("b_key"),
+        F.col("c_name").alias("b_name"),
+        F.col("c_nationkey").alias("nk"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    return (
+        a.join(b, ["nk", "seg"])
+        .filter(F.col("a_key") < F.col("b_key"))
+        .withColumn("dist", F.levenshtein("a_name", "b_name").cast("long"))
+        .filter(F.col("dist") <= 2)
+        .select("a_key", "b_key", "dist")
+        .orderBy("a_key", "b_key")
+    )

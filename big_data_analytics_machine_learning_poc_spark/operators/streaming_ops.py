@@ -16,6 +16,9 @@ from ..catalog import load_table
 from ..functions.exact import cents
 from ..registry import QueryRegistry
 from ..streaming import events as sev
+from ..sources import delta_lite as _delta_lite  # noqa: F401 — module-level so
+# tools/rotation.py's import-closure hash flags these lanes when delta_lite changes
+
 
 REG = QueryRegistry()
 

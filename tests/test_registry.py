@@ -60,3 +60,55 @@ def test_observe_does_not_poison_mllib_evaluator_closures():
         model.transform(df)
     )
     assert 0.0 <= acc <= 1.0
+
+
+def test_rotation_tool_window_policy():
+    """tools/rotation.py (VERDICT r4 ask #6) must (a) rank every
+    never-driver-checked lane ahead of re-confirms, (b) keep the window
+    within the 50-slot driver budget, and (c) agree with _DRIVER_WINDOW on
+    never-checked coverage (the --check contract)."""
+    import __spark_entry__ as entrymod
+    from tools import rotation
+
+    plan = rotation.plan_window(50)
+    assert len(plan["window"]) <= 50
+    assert plan["total_registered"] == len(entrymod._registry().queries)
+    # every never-checked lane is in the window, before any green re-confirm
+    n_never = len(plan["never"])
+    assert plan["window"][:n_never] == plan["never"] or n_never > 50
+    for name in plan["never"]:
+        assert name in entrymod._DRIVER_WINDOW, (
+            f"never-driver-checked lane {name!r} missing from _DRIVER_WINDOW "
+            f"(regenerate with: python tools/rotation.py)"
+        )
+
+
+def test_rotation_ledger_flags_changed_lanes(tmp_path, monkeypatch):
+    """A lane whose source or oracle hash differs from the ledger snapshot
+    must be classified 'changed' (rotated in for re-confirm)."""
+    import json
+
+    from tools import rotation
+
+    hist = {"q1": {"round": 1, "green": True}, "q2": {"round": 2, "green": True}}
+
+    class FakeReg:
+        def __init__(self):
+            self.queries = {"q1": lambda s, d: None, "q2": lambda s, d: None}
+            self.oracles = {"q1": "SELECT 1", "q2": "SELECT 2"}
+
+    reg = FakeReg()
+    ledger_path = tmp_path / "ledger.json"
+    monkeypatch.setattr(rotation, "_registry", lambda: reg)
+    monkeypatch.setattr(rotation, "driver_history", lambda: hist)
+    monkeypatch.setattr(rotation, "LEDGER_PATH", str(ledger_path))
+    n = rotation.update_ledger()
+    assert n == 2
+    # mutate q2's oracle -> hash differs from the pinned snapshot
+    reg.oracles["q2"] = "SELECT 999"
+    plan = rotation.plan_window(50)
+    assert plan["changed"] == ["q2"]
+    assert plan["never"] == [] and plan["red"] == []
+    assert plan["window"][0] == "q2"  # changed outranks stale greens
+    ledger = json.loads(ledger_path.read_text())
+    assert set(ledger) == {"q1", "q2"}

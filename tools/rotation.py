@@ -64,18 +64,62 @@ def _registry():
     return entry._registry()
 
 
+_PKG_PREFIX = "big_data_analytics_machine_learning_poc_spark"
+_closure_cache: dict[str, str] = {}
+
+
+def _module_closure_digest(mod_name: str | None) -> str:
+    """Digest of the package files the lane's defining module imports at
+    module level (one hop, intra-package, excluding the module's own file
+    — the lane's own source is hashed separately at function granularity).
+    This is what lets a HARNESS edit (streaming/events.py, catalog.py,
+    functions/*) flag every dependent lane as changed-since-last-green,
+    not just lanes whose own body was touched. Limitation (documented):
+    imports made INSIDE function bodies are invisible here — keep shared
+    helpers imported at module level in operator modules."""
+    if not mod_name:
+        return "nomod"
+    if mod_name in _closure_cache:
+        return _closure_cache[mod_name]
+    import sys
+    import types
+
+    mod = sys.modules.get(mod_name)
+    files: set[str] = set()
+    own = getattr(mod, "__file__", None)
+    for v in vars(mod).values() if mod else ():
+        m = v if isinstance(v, types.ModuleType) else sys.modules.get(getattr(v, "__module__", "") or "")
+        f = getattr(m, "__file__", None)
+        if m and getattr(m, "__name__", "").startswith(_PKG_PREFIX) and f and f != own:
+            files.add(f)
+    h = hashlib.sha256()
+    for f in sorted(files):
+        try:
+            h.update(re.sub(rb"\s+", b" ", open(f, "rb").read()))
+        except OSError:
+            h.update(f.encode())
+        h.update(b"\x00")
+    digest = h.hexdigest()[:16]
+    _closure_cache[mod_name] = digest
+    return digest
+
+
 def lane_hash(fn, oracle: str | None) -> str:
     """Hash of the lane's current definition: the query function's source
-    (falling back to module source for non-introspectable callables) plus
-    the oracle SQL text. Whitespace-normalized so reformatting alone does
-    not force a re-confirm."""
+    (falling back to module source for non-introspectable callables), the
+    oracle SQL text, and the defining module's intra-package import
+    closure (see _module_closure_digest). Whitespace-normalized so
+    reformatting alone does not force a re-confirm."""
     try:
         src = inspect.getsource(fn)
     except (OSError, TypeError):
         src = getattr(fn, "__module__", "") + getattr(fn, "__qualname__", repr(fn))
     norm = re.sub(r"\s+", " ", src).strip()
     onorm = re.sub(r"\s+", " ", oracle or "").strip()
-    return hashlib.sha256(f"{norm}\n--oracle--\n{onorm}".encode()).hexdigest()[:16]
+    closure = _module_closure_digest(getattr(fn, "__module__", None))
+    return hashlib.sha256(
+        f"{norm}\n--oracle--\n{onorm}\n--deps--\n{closure}".encode()
+    ).hexdigest()[:16]
 
 
 def driver_history() -> dict[str, dict]:
