@@ -464,3 +464,61 @@ def delta_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spill_to_session_parquet(out, "ivm_agg")
     finally:
         shutil.rmtree(agg_table, ignore_errors=True)
+
+
+@REG.add(
+    "pyds_delta_scan",
+    sql="""
+    SELECT c_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+             AS acctbal_cents
+    FROM customer WHERE c_mktsegment = 'BUILDING'
+    GROUP BY c_nationkey ORDER BY c_nationkey
+    """,
+)
+def pyds_delta_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The lakehouse through Spark's first-class connector surface: load
+    customer into a delta_lite table partitioned by market segment, then
+    read it back with ``spark.read.format("delta_lite")`` — the Python
+    Data Source connector (``sources/pyds.py``) — filter one segment, and
+    aggregate per nation. The segment filter is PUSHED into the connector
+    (spark.sql.python.filterPushdown.enabled), whose planner prunes
+    non-matching partition files against the log's partitionValues before
+    any task is scheduled: 1 of 5 partition directories is read, the data
+    dir is never LISTed, and the oracle proves the pruned scan loses no
+    rows. tests/test_sources.py asserts the 5-to-1 partition pruning, the
+    zone-map file skipping, and time travel through the same connector."""
+    import shutil
+    import tempfile
+
+    from ..sources.delta_lite import write_delta
+    from ..sources.pyds import DeltaLiteDataSource
+    from ..streaming.events import spill_to_session_parquet
+
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(DeltaLiteDataSource)
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal", "c_mktsegment"
+    )
+    table = tempfile.mkdtemp(prefix="pyds_scan_")
+    try:
+        write_delta(
+            cust.repartition("c_mktsegment"), table, partition_cols=["c_mktsegment"]
+        )
+        out = (
+            spark.read.format("delta_lite")
+            .load(table)
+            .filter(F.col("c_mktsegment") == "BUILDING")
+            .groupBy("c_nationkey")
+            .agg(
+                F.count(F.lit(1)).alias("n_customers"),
+                F.sum(F.round(F.col("c_acctbal") * 100).cast("long")).alias(
+                    "acctbal_cents"
+                ),
+            )
+            .orderBy("c_nationkey")
+        )
+        return spill_to_session_parquet(out, "pyds_scan")
+    finally:
+        shutil.rmtree(table, ignore_errors=True)

@@ -71,6 +71,11 @@ def get_session(
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+        # Python Data Source filter pushdown (sources/pyds.py): off by
+        # default in Spark 4.1; a reader implementing pushFilters() FAILS
+        # at plan time unless enabled (runtime-settable — lanes also set
+        # it defensively for driver-provided sessions)
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         # managed tables (bucketed-join surface) land under /tmp, never cwd
         .config(
             "spark.sql.warehouse.dir",

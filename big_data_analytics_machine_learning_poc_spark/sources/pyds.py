@@ -1,0 +1,191 @@
+"""Spark 4 Python Data Source connector for delta_lite tables.
+
+The lakehouse lane (``sources/delta_lite.py``) exposes snapshot reads via
+``read_delta(spark, table, ...)`` — a function call. This module exposes the
+SAME log-as-scan-index semantics through Spark's first-class connector
+surface (the Python Data Source API, SPARK-44076), so standard reader code
+works unchanged::
+
+    spark.dataSource.register(DeltaLiteDataSource)
+    df = (spark.read.format("delta_lite")
+          .option("versionAsOf", "1")       # optional time travel
+          .load("/path/to/table"))
+
+Scan planning is driver-side and log-driven — the data directory is never
+LISTed:
+
+- ``partitions()`` emits one input partition per ACTIVE data file from the
+  replayed log, so parallelism = live file count and tombstoned/orphan
+  files are invisible;
+- ``pushFilters`` prunes files before planning: EqualTo/In on partition
+  columns match ``add.partitionValues`` exactly, and comparison filters on
+  data columns drop files whose logged per-file min/max can't overlap
+  (reusing ``_file_may_match`` — the SAME zone-map test read_delta uses).
+  Every filter is returned as unsupported, so Spark still applies it
+  row-level: skipping is an optimization, never a correctness dependency.
+- ``read()`` streams Arrow record batches from one parquet file
+  (vectorized, no per-row Python), attaching partition-column constants
+  typed from the logged schema.
+
+At 100 TB this is the connector shape that matters: the log bounds the
+planning cost (no object-store LIST), pruning happens before any task is
+scheduled, and each task reads exactly one file.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Iterator
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+)
+from pyspark.sql.types import (
+    BooleanType,
+    DateType,
+    DoubleType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructType,
+)
+
+from .delta_lite import _file_may_match, _replay
+
+
+class DeltaLiteInputPartition(InputPartition):
+    def __init__(self, file_path: str, partition_values: dict):
+        self.file_path = file_path
+        self.partition_values = partition_values
+
+
+class DeltaLiteDataSource(DataSource):
+    """``spark.read.format("delta_lite")`` — see module docstring."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "delta_lite"
+
+    def _table_and_version(self) -> tuple[str, int | None]:
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("delta_lite datasource requires a path: .load(<table dir>)")
+        v = self.options.get("versionasof")
+        return path, (int(v) if v is not None else None)
+
+    def schema(self) -> StructType:
+        table, version = self._table_and_version()
+        _active, meta, _ = _replay(table, version)
+        return StructType.fromJson(json.loads(meta["schemaString"]))
+
+    def reader(self, schema: StructType) -> "DeltaLiteReader":
+        table, version = self._table_and_version()
+        return DeltaLiteReader(table, version, schema)
+
+
+def _partition_value(dt, raw: str | None):
+    """Typed partition value from the log's string encoding (hive-style:
+    None encodes SQL NULL)."""
+    if raw is None:
+        return None
+    if isinstance(dt, (LongType, IntegerType)):
+        return int(raw)
+    if isinstance(dt, (DoubleType, FloatType)):
+        return float(raw)
+    if isinstance(dt, BooleanType):
+        return raw.lower() == "true"
+    if isinstance(dt, DateType):
+        import datetime
+
+        return datetime.date.fromisoformat(raw)
+    if isinstance(dt, StringType):
+        return raw
+    raise NotImplementedError(f"partition column type {dt} not supported by delta_lite datasource")
+
+
+class DeltaLiteReader(DataSourceReader):
+    def __init__(self, table: str, version: int | None, schema: StructType):
+        self.table = table
+        self.schema = schema  # Spark passes the PRUNED (required) schema
+        active, meta, _ = _replay(table, version)
+        self.adds = sorted(active.items())
+        self.full_schema = StructType.fromJson(json.loads(meta["schemaString"]))
+        self.partition_cols = meta.get("partitionColumns", [])
+        self._eq: dict[str, set] = {}  # partition col -> allowed raw strings
+        self._ranges: dict[str, list] = {}  # data col -> [lo, hi]
+
+    def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
+        """Record prunable predicates, then hand EVERY filter back to Spark
+        (yield = unsupported): file skipping must stay an optimization."""
+        for f in filters:
+            attr = getattr(f, "attribute", None)
+            col = attr[0] if attr and len(attr) == 1 else None
+            if col is None:
+                yield f
+                continue
+            if col in self.partition_cols:
+                if isinstance(f, EqualTo):
+                    self._eq.setdefault(col, set()).add(str(f.value))
+                elif isinstance(f, In):
+                    self._eq.setdefault(col, set()).update(str(v) for v in f.value)
+            else:
+                # zone-map range narrowing on data columns; stats min/max
+                # are JSON scalars, so only narrow for directly comparable
+                # types (numbers / strings)
+                if isinstance(f, (EqualTo, GreaterThan, GreaterThanOrEqual)) and isinstance(
+                    f.value, (int, float, str)
+                ):
+                    r = self._ranges.setdefault(col, [None, None])
+                    if not isinstance(f, (LessThan, LessThanOrEqual)):
+                        r[0] = f.value if r[0] is None else max(r[0], f.value)
+                if isinstance(f, (EqualTo, LessThan, LessThanOrEqual)) and isinstance(
+                    f.value, (int, float, str)
+                ):
+                    r = self._ranges.setdefault(col, [None, None])
+                    r[1] = f.value if r[1] is None else min(r[1], f.value)
+            yield f
+
+    def partitions(self) -> list[DeltaLiteInputPartition]:
+        import os
+
+        out = []
+        for rel, add in self.adds:
+            pv = add.get("partitionValues", {})
+            if any(pv.get(c) not in allowed for c, allowed in self._eq.items()):
+                continue
+            if any(
+                not _file_may_match(add, c, lo, hi) for c, (lo, hi) in self._ranges.items()
+            ):
+                continue
+            out.append(DeltaLiteInputPartition(os.path.join(self.table, rel), dict(pv)))
+        return out
+
+    def read(self, partition: DeltaLiteInputPartition):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        want = self.schema.fieldNames()
+        data_cols = [c for c in want if c not in self.partition_cols]
+        tbl = pq.read_table(partition.file_path, columns=data_cols)
+        n = tbl.num_rows
+        arrays, names = [], []
+        by_name = {f.name: f for f in self.full_schema.fields}
+        for c in want:
+            if c in self.partition_cols:
+                val = _partition_value(by_name[c].dataType, partition.partition_values.get(c))
+                arrays.append(pa.array([val] * n))
+                names.append(c)
+            else:
+                arrays.append(tbl.column(c))
+                names.append(c)
+        yield from pa.table(dict(zip(names, arrays))).to_batches()

@@ -1104,3 +1104,65 @@ def test_zorder_column_builders_match_sql(spark):
     )
     diffs = via_sql.exceptAll(via_cols).count() + via_cols.exceptAll(via_sql).count()
     assert diffs == 0
+
+
+def test_pyds_connector_reads_prunes_and_time_travels(spark, tmp_path):
+    """The Python Data Source connector (sources/pyds.py) must (a) read a
+    partitioned snapshot identically to read_delta, (b) prune partition
+    files from an EqualTo pushdown (5 segments -> 1 file set), (c) skip
+    files by zone-map range on a data column, and (d) time-travel via
+    versionAsOf."""
+    from pyspark.sql.datasource import EqualTo, GreaterThan
+
+    from big_data_analytics_machine_learning_poc_spark.sources.delta_lite import (
+        read_delta,
+        write_delta,
+    )
+    from big_data_analytics_machine_learning_poc_spark.sources.pyds import (
+        DeltaLiteDataSource,
+    )
+
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(DeltaLiteDataSource)
+    cust = spark.read.parquet(f"{SF_DIR}/customer.parquet").select(
+        "c_custkey", "c_nationkey", "c_acctbal", "c_mktsegment"
+    )
+    table = str(tmp_path / "t")
+    write_delta(cust.repartition("c_mktsegment"), table, partition_cols=["c_mktsegment"])
+
+    # (a) full equality with the function-call reader
+    via_pyds = spark.read.format("delta_lite").load(table)
+    assert sorted(map(tuple, via_pyds.collect())) == sorted(
+        map(tuple, read_delta(spark, table).collect())
+    )
+
+    # (b) partition pruning: unit-level, same planner the executor uses
+    ds = DeltaLiteDataSource(options={"path": table})
+    r = ds.reader(ds.schema())
+    n_all = len(r.partitions())
+    unsupported = list(r.pushFilters([EqualTo(("c_mktsegment",), "BUILDING")]))
+    assert len(unsupported) == 1  # every filter handed back for row-level apply
+    assert 0 < len(r.partitions()) < n_all
+
+    # (c) zone-map skipping on a data column needs key-ranged layout
+    table2 = str(tmp_path / "t2")
+    write_delta(cust.repartitionByRange(4, "c_custkey"), table2)
+    ds2 = DeltaLiteDataSource(options={"path": table2})
+    r2 = ds2.reader(ds2.schema())
+    assert len(r2.partitions()) == 4
+    list(r2.pushFilters([GreaterThan(("c_custkey",), 10_000_000)]))
+    assert len(r2.partitions()) < 4  # top-key files can't match -> skipped
+    # correctness unaffected: Spark re-applies the filter row-level
+    hi = (
+        spark.read.format("delta_lite")
+        .load(table2)
+        .filter(F.col("c_custkey") > 100)
+        .count()
+    )
+    assert hi == cust.filter(F.col("c_custkey") > 100).count()
+
+    # (d) time travel: append then read v0 through the connector
+    write_delta(cust.limit(7), table, mode="append")
+    v0 = spark.read.format("delta_lite").option("versionAsOf", "0").load(table)
+    assert v0.count() == cust.count()
+    assert spark.read.format("delta_lite").load(table).count() == cust.count() + 7
