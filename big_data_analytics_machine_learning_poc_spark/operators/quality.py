@@ -522,3 +522,70 @@ def pyds_delta_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spill_to_session_parquet(out, "pyds_scan")
     finally:
         shutil.rmtree(table, ignore_errors=True)
+
+
+@REG.add(
+    "delta_change_feed",
+    sql="""
+    SELECT 'delete' AS change_type,
+           CAST(SUM(CASE WHEN c_custkey % 10 = 4 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_rows,
+           CAST(SUM(CASE WHEN c_custkey % 10 = 4 THEN c_custkey ELSE 0 END)
+                AS BIGINT) AS sum_custkey
+    FROM customer
+    UNION ALL
+    SELECT 'insert',
+           CAST(SUM(CASE WHEN c_custkey % 10 IN (3, 4) THEN 1 ELSE 0 END)
+                AS BIGINT),
+           CAST(SUM(CASE WHEN c_custkey % 10 IN (3, 4) THEN c_custkey ELSE 0 END)
+                AS BIGINT)
+    FROM customer
+    ORDER BY change_type
+    """,
+)
+def delta_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change data feed derived from snapshots (delta_lite.snapshot_diff):
+    replay the merge-audit timeline — v0 load, v1 copy-on-write DELETE of
+    the %10=3 keys, v2 MERGE that updates the %10=4 rows (segment ->
+    'MERGED') and re-inserts the deleted keys — then ask "what NET changed
+    between v1 and v2": the updates surface as delete(old)+insert(new),
+    the re-inserts as inserts, and every row the rewrite merely copied
+    cancels in the multiset difference. The audit aggregates per
+    change_type on (count, key-sum), which the oracle reproduces from the
+    source table alone: deletes = the %10=4 old images; inserts = the
+    %10=4 new images plus the restored %10=3 rows.
+
+    Scale shape: snapshot_diff reads ONLY files present in exactly one
+    snapshot — cost follows the change volume, not table size; the
+    exceptAll is a shuffle over those changed-file rows alone."""
+    import shutil
+    import tempfile
+
+    from ..streaming.events import spill_to_session_parquet
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    table = tempfile.mkdtemp(prefix="delta_cdf_")
+    try:
+        _delta_lite.write_delta(cust.repartitionByRange(4, "c_custkey"), table)
+        _delta_lite.delete_where(spark, table, "c_custkey % 10 = 3")
+        updates = cust.filter(F.col("c_custkey") % 10 == 4).withColumn(
+            "c_mktsegment", F.lit("MERGED")
+        )
+        reinserts = cust.filter(F.col("c_custkey") % 10 == 3)
+        _delta_lite.merge_delta(
+            spark, table, updates.unionByName(reinserts), ["c_custkey"]
+        )
+        out = (
+            _delta_lite.snapshot_diff(spark, table, 1, 2)
+            .groupBy(F.col("_change_type").alias("change_type"))
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("c_custkey").cast("long").alias("sum_custkey"),
+            )
+            .orderBy("change_type")
+        )
+        return spill_to_session_parquet(out, "delta_cdf")
+    finally:
+        shutil.rmtree(table, ignore_errors=True)

@@ -27,7 +27,9 @@ O(#commits since checkpoint)), history, optimistic commit conflict
 detection (O_EXCL on the next version's log file — the same primitive
 real Delta uses on filesystems with atomic put-if-absent).
 NOT implemented (documented subset): deletion vectors, column mapping,
-generated columns, CDC. Tables written here are readable by a real Delta
+generated columns, the _change_data directory (``snapshot_diff`` below
+derives an equivalent net change feed from snapshots instead, reading
+only changed files). Tables written here are readable by a real Delta
 reader for the feature subset used, and `read_delta` refuses tables whose
 `protocol` action demands a reader version above 1.
 
@@ -1003,3 +1005,43 @@ def snapshot_summary(table: str, version: int | None = None) -> dict:
         "n_records": n_records,
         "partition_columns": meta.get("partitionColumns", []),
     }
+
+
+def snapshot_diff(
+    spark: "SparkSession", table: str, from_version: int, to_version: int
+) -> "DataFrame":
+    """NET row-level changes between two snapshots (change data feed from
+    snapshots): each output row carries ``_change_type`` ('insert' |
+    'delete') plus the table columns — an UPDATE under copy-on-write
+    surfaces as its old row deleted and its new row inserted.
+
+    The computation is FILE-diff optimized: only files present in exactly
+    one of the two snapshots are read (added set vs removed set), and the
+    net change is the symmetric multiset difference between their rows —
+    rows a rewrite merely copied into a new file cancel out. Rows in
+    files common to both snapshots are untouched by definition and are
+    never read, so at 100 TB the cost scales with the CHANGE volume, not
+    the table: a delete that rewrote 3 of 10 000 files reads 3 old + 3
+    new files. exceptAll (multiset) keeps duplicate-row multiplicity
+    honest on tables without a unique key."""
+    from pyspark.sql import functions as F  # noqa: PLC0415 — avoid cycle at import
+
+    old_active, meta, _ = _replay(table, from_version)
+    new_active, _meta2, _ = _replay(table, to_version)
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    removed = sorted(set(old_active) - set(new_active))
+    added = sorted(set(new_active) - set(old_active))
+
+    def read_files(rels: list[str]) -> "DataFrame":
+        reader = spark.read.schema(schema)
+        if meta.get("partitionColumns"):
+            reader = reader.option("basePath", table)
+        if not rels:
+            return spark.createDataFrame([], schema)
+        return reader.parquet(*[os.path.join(table, r) for r in rels])
+
+    old_rows = read_files(removed)
+    new_rows = read_files(added)
+    deletes = old_rows.exceptAll(new_rows).withColumn("_change_type", F.lit("delete"))
+    inserts = new_rows.exceptAll(old_rows).withColumn("_change_type", F.lit("insert"))
+    return deletes.unionByName(inserts)

@@ -1166,3 +1166,31 @@ def test_pyds_connector_reads_prunes_and_time_travels(spark, tmp_path):
     v0 = spark.read.format("delta_lite").option("versionAsOf", "0").load(table)
     assert v0.count() == cust.count()
     assert spark.read.format("delta_lite").load(table).count() == cust.count() + 7
+
+
+def test_snapshot_diff_rewrite_rows_cancel(spark, tmp_path):
+    """snapshot_diff (CDF from snapshots): updating ONE row in a file that
+    holds five must emit exactly 1 delete + 1 insert — the four rows the
+    copy-on-write rewrite duplicated into the new file cancel in the
+    multiset diff, and untouched files are never read."""
+    from big_data_analytics_machine_learning_poc_spark.sources.delta_lite import (
+        merge_delta,
+        snapshot_diff,
+        write_delta,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(10)], "id long, val string"
+    ).coalesce(2)
+    table = str(tmp_path / "cdf")
+    write_delta(df, table)
+    merge_delta(
+        spark,
+        table,
+        spark.createDataFrame([(3, "CHANGED")], "id long, val string"),
+        ["id"],
+    )
+    changes = sorted(
+        (r["_change_type"], r.id, r.val) for r in snapshot_diff(spark, table, 0, 1).collect()
+    )
+    assert changes == [("delete", 3, "v3"), ("insert", 3, "CHANGED")]
