@@ -189,3 +189,103 @@ class DeltaLiteReader(DataSourceReader):
                 arrays.append(tbl.column(c))
                 names.append(c)
         yield from pa.table(dict(zip(names, arrays))).to_batches()
+
+
+# --------------------------------------------------------------- streaming
+from pyspark.sql.datasource import DataSourceStreamReader  # noqa: E402
+
+
+class DeltaLiteStreamReader(DataSourceStreamReader):
+    """Structured Streaming FROM a delta_lite table: offsets are log
+    versions, each micro-batch is the set of files ADDED by the commits in
+    (start, end] — the same commit-granular semantics as Delta's streaming
+    source. Append-only contract: a data-changing remove action in the
+    range (overwrite/delete/merge) raises instead of silently replaying
+    rewritten rows; compaction commits (dataChange=false) are transparent
+    — their adds AND removes are skipped, so OPTIMIZE never re-emits data.
+
+    Scale shape: this is the PARTITIONED stream reader (not the
+    driver-side Simple variant): ``partitions`` plans one input partition
+    per added file from the log alone, executors read the parquet as Arrow
+    batches, and offset progression is O(new commits) — tailing a 100 TB
+    table costs only its ingest rate."""
+
+    def __init__(self, table: str):
+        self.table = table
+        _active, meta, self._latest = _replay(table, None)
+        self.partition_cols = meta.get("partitionColumns", [])
+        self.full_schema = StructType.fromJson(json.loads(meta["schemaString"]))
+
+    def initialOffset(self) -> dict:
+        # start BEFORE version 0 so the initial snapshot commit is batch 0
+        return {"version": -1}
+
+    def latestOffset(self) -> dict:
+        from .delta_lite import _list_versions
+
+        versions = _list_versions(self.table)
+        return {"version": versions[-1] if versions else -1}
+
+    def partitions(self, start: dict, end: dict):
+        import os
+
+        from .delta_lite import _read_log
+
+        out = []
+        for v in range(start["version"] + 1, end["version"] + 1):
+            for action in _read_log(self.table, v):
+                if "remove" in action and action["remove"].get("dataChange", True):
+                    raise RuntimeError(
+                        f"delta_lite stream source is append-only: commit {v} "
+                        f"removed data file {action['remove']['path']!r} "
+                        f"(overwrite/delete/merge upstream of a streaming "
+                        f"reader requires a CDF-aware consumer — see "
+                        f"snapshot_diff)"
+                    )
+                if "add" in action and action["add"].get("dataChange", True):
+                    out.append(
+                        DeltaLiteInputPartition(
+                            os.path.join(self.table, action["add"]["path"]),
+                            dict(action["add"].get("partitionValues", {})),
+                        )
+                    )
+        return out
+
+    def read(self, partition: DeltaLiteInputPartition):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        want = self.full_schema.fieldNames()
+        data_cols = [c for c in want if c not in self.partition_cols]
+        tbl = pq.read_table(partition.file_path, columns=data_cols)
+        n = tbl.num_rows
+        by_name = {f.name: f for f in self.full_schema.fields}
+        cols = {}
+        for c in want:
+            if c in self.partition_cols:
+                val = _partition_value(by_name[c].dataType, partition.partition_values.get(c))
+                cols[c] = pa.array([val] * n)
+            else:
+                cols[c] = tbl.column(c)
+        yield from pa.table(cols).to_batches()
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets are durable in the query checkpoint, nothing to ack
+
+
+class DeltaLiteStreamDataSource(DataSource):
+    """``spark.readStream.format("delta_lite_stream").load(table)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "delta_lite_stream"
+
+    def schema(self) -> StructType:
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("delta_lite_stream requires a path: .load(<table dir>)")
+        _active, meta, _ = _replay(path, None)
+        return StructType.fromJson(json.loads(meta["schemaString"]))
+
+    def streamReader(self, schema) -> DeltaLiteStreamReader:
+        return DeltaLiteStreamReader(self.options["path"])

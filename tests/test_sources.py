@@ -1194,3 +1194,57 @@ def test_snapshot_diff_rewrite_rows_cancel(spark, tmp_path):
         (r["_change_type"], r.id, r.val) for r in snapshot_diff(spark, table, 0, 1).collect()
     )
     assert changes == [("delete", 3, "v3"), ("insert", 3, "CHANGED")]
+
+
+def test_pyds_stream_source_tails_commits_append_only(spark, tmp_path):
+    """The delta_lite streaming source must emit every appended row exactly
+    once across multiple commits (offset = log version), stay silent for
+    compaction commits (dataChange=false), and refuse data-changing
+    removes (append-only contract)."""
+    import pytest as _pytest
+
+    from big_data_analytics_machine_learning_poc_spark.sources.delta_lite import (
+        compact_table,
+        delete_where,
+        write_delta,
+    )
+    from big_data_analytics_machine_learning_poc_spark.sources.pyds import (
+        DeltaLiteStreamDataSource,
+        DeltaLiteStreamReader,
+    )
+
+    spark.dataSource.register(DeltaLiteStreamDataSource)
+    table = str(tmp_path / "st")
+    nation = spark.read.parquet(f"{SF_DIR}/nation.parquet")
+    write_delta(nation, table)
+    write_delta(nation.limit(5), table, mode="append")
+    write_delta(nation.limit(3), table, mode="append")
+
+    q = (
+        spark.readStream.format("delta_lite_stream")
+        .load(table)
+        .writeStream.format("memory")
+        .queryName("dl_stream_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.table("dl_stream_out").count()
+    assert got == nation.count() + 5 + 3
+    spark.catalog.dropTempView("dl_stream_out")
+
+    # compaction is transparent: dataChange=false adds/removes plan nothing
+    r = DeltaLiteStreamReader(table)
+    before = r.latestOffset()
+    compact_table(spark, table)
+    after = r.latestOffset()
+    assert after["version"] == before["version"] + 1
+    assert r.partitions(before, after) == []
+
+    # a data-changing remove violates the append-only contract loudly
+    delete_where(spark, table, "n_nationkey = 0")
+    with _pytest.raises(RuntimeError, match="append-only"):
+        r.partitions(after, r.latestOffset())
