@@ -400,3 +400,93 @@ def text_udtf_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM docs_for_udtf d, LATERAL tokens_udtf(d.text) t
         """
     )
+
+
+@REG.add(
+    "udtf_dynamic_csv_parse",
+    sql="""
+    SELECT c_custkey, c_nationkey,
+           CAST(ROUND(c_acctbal * 100) AS BIGINT) AS acctbal_cents
+    FROM customer WHERE c_custkey < 200 ORDER BY c_custkey
+    """,
+)
+def udtf_dynamic_csv_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POLYMORPHIC Python UDTF (Spark 4 ``analyze()``): the output schema
+    is not declared statically — the UDTF's static ``analyze`` method runs
+    at ANALYSIS time, reads the constant schema-hint argument, and returns
+    the output StructType, so one table function parses any delimited
+    layout a caller names (the dynamic-schema half of the UDTF surface;
+    ``text_udtf_tokens`` covers the static-schema half). The lane
+    round-trips customer rows through a CSV encode -> dynamic-UDTF parse
+    and must reproduce the source columns bit-exactly, which the oracle
+    states directly off the table.
+
+    Scale note: the parse is Arrow-batched per ANALYZE-resolved schema;
+    like every Python surface it is the slow lane vs from_csv (JVM), and
+    production parsing uses the native reader — the lane exists for the
+    API surface and for formats no JVM parser speaks."""
+    from pyspark.sql.functions import udtf
+
+    # NB: StructType.fromDDL needs an active SparkContext, which the
+    # analyze/eval WORKER processes don't have — the hint grammar is
+    # parsed in pure Python ("name type, ..." with bigint/double/string)
+    def _hint_fields(hint: str) -> list[tuple[str, str]]:
+        out = []
+        for part in hint.split(","):
+            name, typ = part.strip().rsplit(" ", 1)
+            if typ not in ("bigint", "double", "string"):
+                raise ValueError(f"unsupported hint type {typ!r}")
+            out.append((name.strip(), typ))
+        return out
+
+    @udtf(useArrow=True)
+    class CsvParse:
+        @staticmethod
+        def analyze(line, hint):
+            from pyspark.sql.functions import AnalyzeResult
+            from pyspark.sql.types import (
+                DoubleType,
+                LongType,
+                StringType,
+                StructField,
+                StructType,
+            )
+
+            if hint.value is None:
+                raise ValueError("schema hint must be a constant string")
+            types = {"bigint": LongType(), "double": DoubleType(), "string": StringType()}
+            return AnalyzeResult(
+                StructType(
+                    [StructField(n, types[t]) for n, t in _hint_fields(hint.value)]
+                )
+            )
+
+        def eval(self, line: str, hint: str):
+            if line is None:
+                return
+            casts = {"bigint": int, "double": float, "string": str}
+            yield tuple(
+                casts[t](raw)
+                for raw, (_n, t) in zip(line.split(","), _hint_fields(hint))
+            )
+
+    spark.udtf.register("csv_parse_udtf", CsvParse)
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 200)
+    cust.select(
+        F.concat_ws(
+            ",",
+            F.col("c_custkey"),
+            F.col("c_nationkey"),
+            F.round(F.col("c_acctbal") * 100).cast("long"),
+        ).alias("line")
+    ).createOrReplaceTempView("cust_csv_lines")
+    return spark.sql(
+        """
+        SELECT t.c_custkey, t.c_nationkey, t.acctbal_cents
+        FROM cust_csv_lines c,
+        LATERAL csv_parse_udtf(
+          c.line,
+          'c_custkey bigint, c_nationkey bigint, acctbal_cents bigint') t
+        ORDER BY t.c_custkey
+        """
+    )
