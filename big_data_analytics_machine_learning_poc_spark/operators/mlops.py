@@ -311,3 +311,82 @@ def grouped_ols_applyinpandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@REG.add(
+    "ml_auc_rank_sum",
+    sql="""
+    WITH scored AS (
+      SELECT n_chars AS score,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+      FROM documents
+    ), ranked AS (
+      SELECT pos,
+             2 * RANK() OVER (ORDER BY score)
+               + COUNT(*) OVER (PARTITION BY score) - 1 AS mid2
+      FROM scored
+    ), tot AS (
+      SELECT CAST(SUM(pos) AS BIGINT) AS p,
+             CAST(COUNT(*) - SUM(pos) AS BIGINT) AS n
+      FROM scored
+    )
+    SELECT tot.p AS p_count, tot.n AS n_count,
+           CAST(SUM(CASE WHEN pos = 1 THEN mid2 ELSE 0 END)
+                - tot.p * (tot.p + 1) AS BIGINT) AS auc_num2,
+           ROUND(CAST(SUM(CASE WHEN pos = 1 THEN mid2 ELSE 0 END)
+                      - tot.p * (tot.p + 1) AS DOUBLE)
+                 / (2.0 * tot.p * tot.n), 6) AS auc
+    FROM ranked, tot GROUP BY tot.p, tot.n
+    """,
+)
+def ml_auc_rank_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distributed ROC-AUC by the tie-corrected Mann-Whitney
+    rank-sum identity: AUC = (sum of positive midranks − P(P+1)/2)/(P·N).
+    Naive AUC sweeps a sorted score list on one machine; this form is one
+    per-score aggregation plus a prefix sum over the DISTINCT-score frame,
+    so the full-row sort never happens and ties are handled exactly —
+    doubled midranks (2·mid = 2·rows_before + ties + 1) keep every
+    intermediate an int64, so the oracle comparison is hash-exact, not
+    tolerance-based. The evaluator-side twin (MLlib's
+    BinaryClassificationEvaluator) approximates via thresholds; this lane
+    is the exact reference a model-eval pipeline certifies against.
+
+    The audited predictor here is deterministic (n_chars scoring
+    lang='en', AUC ≈ 0.5 by construction) so the DuckDB oracle can
+    reproduce the numbers exactly; plug a model's score column into the
+    same shape for real evaluation. The oracle deliberately uses the
+    per-ROW midrank window formulation while Spark aggregates per
+    DISTINCT score first — independently-derived plans, identical
+    integers. Scale: the only window runs over the <=|distinct scores|
+    aggregated frame (lint ALLOWED; promotion path: range-partitioned
+    two-phase prefix sum)."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("n_chars").alias("score"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("pos"),
+    )
+    per_score = docs.groupBy("score").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("pos").alias("npos")
+    )
+    w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
+    contrib = per_score.select(
+        "cnt",
+        "npos",
+        (
+            F.col("npos")
+            * (2 * F.coalesce(F.sum("cnt").over(w), F.lit(0)) + F.col("cnt") + 1)
+        ).alias("pos_mid2"),
+    )
+    return contrib.agg(
+        F.sum("npos").cast("long").alias("p_count"),
+        (F.sum("cnt") - F.sum("npos")).cast("long").alias("n_count"),
+        (
+            F.sum("pos_mid2") - F.sum("npos") * (F.sum("npos") + 1)
+        ).cast("long").alias("auc_num2"),
+        F.round(
+            (F.sum("pos_mid2") - F.sum("npos") * (F.sum("npos") + 1)).cast("double")
+            / (2.0 * F.sum("npos") * (F.sum("cnt") - F.sum("npos"))),
+            6,
+        ).alias("auc"),
+    )

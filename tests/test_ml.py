@@ -119,3 +119,54 @@ def test_ml_confusion_deterministic(spark):
     a = sorted(map(tuple, mlops.ml_rf_confusion(spark, SF_DIR).collect()))
     b = sorted(map(tuple, mlops.ml_rf_confusion(spark, SF_DIR).collect()))
     assert a == b
+
+
+def test_auc_rank_sum_planted(spark, tmp_path):
+    """Exact AUC identity on hand-computable cases: perfect separation -> 1,
+    perfect inversion -> 0, and an all-tied score -> exactly 0.5."""
+    from big_data_analytics_machine_learning_poc_spark.operators.mlops import REG as MREG
+
+    def run(rows):
+        spark.createDataFrame(
+            [(i, "x", lang, "src0", n) for i, (n, lang) in enumerate(rows)],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+        [r] = MREG.queries["ml_auc_rank_sum"](spark, str(tmp_path)).collect()
+        return r
+
+    # positives (en) all score higher -> AUC 1
+    r = run([(10, "de"), (20, "de"), (30, "en"), (40, "en")])
+    assert (r.p_count, r.n_count, r.auc) == (2, 2, 1.0)
+    # positives all score lower -> AUC 0
+    r = run([(30, "en"), (40, "en"), (50, "de"), (60, "de")])
+    assert r.auc == 0.0
+    # every score tied -> midranks make AUC exactly 0.5
+    r = run([(7, "en"), (7, "de"), (7, "en"), (7, "de")])
+    # auc_num2 = 2*P*N*AUC, so 0.5 -> exactly P*N
+    assert r.auc == 0.5 and r.auc_num2 == r.p_count * r.n_count
+
+
+def test_pagerank_matches_pure_python_reference(spark):
+    """PageRank on a planted 4-node graph vs an independent pure-Python
+    implementation (uniform dangling-mass redistribution), to 1e-9."""
+    from big_data_analytics_machine_learning_poc_spark.operators.graph import pagerank
+
+    edge_list = [("a", "b"), ("a", "c"), ("b", "c"), ("d", "a")]  # c dangles
+    edges = spark.createDataFrame(edge_list, "src string, dst string")
+    got = {r.node: r.rank for r in pagerank(edges, iterations=10).collect()}
+
+    nodes = sorted({n for e in edge_list for n in e})
+    out = {}
+    for s, _ in edge_list:
+        out[s] = out.get(s, 0) + 1
+    ranks = {n: 1.0 / len(nodes) for n in nodes}
+    for _ in range(10):
+        dangling = sum(r for n, r in ranks.items() if n not in out)
+        base = 0.15 / len(nodes) + 0.85 * dangling / len(nodes)
+        nxt = {n: base for n in nodes}
+        for s, d in edge_list:
+            nxt[d] += 0.85 * ranks[s] / out[s]
+        ranks = nxt
+    assert abs(sum(got.values()) - 1.0) < 1e-9  # mass conserved
+    for n in nodes:
+        assert abs(got[n] - ranks[n]) < 1e-9, (n, got[n], ranks[n])
