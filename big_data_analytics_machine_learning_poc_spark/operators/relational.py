@@ -1824,3 +1824,129 @@ def agg_listagg_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@REG.add(
+    "transpose_priority_metrics",
+    sql="""
+    WITH m AS (
+      SELECT o_orderpriority,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS total_cents
+      FROM orders GROUP BY o_orderpriority
+    )
+    SELECT 'n_orders' AS key,
+           CAST(MAX(CASE WHEN o_orderpriority = '1-URGENT' THEN n_orders END) AS BIGINT) AS "1-URGENT",
+           CAST(MAX(CASE WHEN o_orderpriority = '2-HIGH' THEN n_orders END) AS BIGINT) AS "2-HIGH",
+           CAST(MAX(CASE WHEN o_orderpriority = '3-MEDIUM' THEN n_orders END) AS BIGINT) AS "3-MEDIUM",
+           CAST(MAX(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN n_orders END) AS BIGINT) AS "4-NOT SPECIFIED",
+           CAST(MAX(CASE WHEN o_orderpriority = '5-LOW' THEN n_orders END) AS BIGINT) AS "5-LOW"
+    FROM m
+    UNION ALL
+    SELECT 'total_cents',
+           MAX(CASE WHEN o_orderpriority = '1-URGENT' THEN total_cents END),
+           MAX(CASE WHEN o_orderpriority = '2-HIGH' THEN total_cents END),
+           MAX(CASE WHEN o_orderpriority = '3-MEDIUM' THEN total_cents END),
+           MAX(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN total_cents END),
+           MAX(CASE WHEN o_orderpriority = '5-LOW' THEN total_cents END)
+    FROM m
+    ORDER BY key
+    """,
+)
+def transpose_priority_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFrame.transpose (Spark 4): flip a small per-priority metrics
+    aggregate so metrics become rows and priorities become columns — the
+    report/crosstab orientation. transpose is driver-materializing by
+    nature (column names come from DATA), so the contract is
+    aggregate-sized frames only: here 5 groups x 2 metrics; the oracle is
+    the manual conditional-aggregation pivot. The index-column values
+    ('n_orders'/'total_cents') become the `key` column; both metrics are
+    pre-cast to BIGINT so the transposed columns share one type (transpose
+    requires a least common type across the row)."""
+    m = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("total_cents"),
+        )
+    )
+    return m.transpose(F.col("o_orderpriority")).withColumnRenamed(
+        "key", "key"
+    ).orderBy("key")
+
+
+@REG.add(
+    "unpivot_api_part_metrics",
+    sql="""
+    SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS val
+    FROM part WHERE p_partkey < 100
+    UNION ALL
+    SELECT p_partkey, 'p_retailprice', p_retailprice
+    FROM part WHERE p_partkey < 100
+    """,
+)
+def unpivot_api_part_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFrame.unpivot/melt (the API twin of unpivot_customer's SQL
+    stack()): wide part metrics to long (key, value) rows — the Expand
+    node, one output row per (row x metric), no shuffle."""
+    return (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") < 100)
+        .select("p_partkey", F.col("p_size").cast("double"), "p_retailprice")
+        .unpivot("p_partkey", ["p_size", "p_retailprice"], "metric", "val")
+    )
+
+
+@REG.add(
+    "join_null_safe",
+    sql="""
+    WITH a AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_orderkey % 5 END AS k
+      FROM orders WHERE o_orderkey < 2000
+    ), b AS (
+      SELECT CASE WHEN o_orderkey % 3 = 0 THEN NULL ELSE o_orderkey % 5 END AS k,
+             COUNT(*) AS n
+      FROM orders WHERE o_orderkey < 2000 GROUP BY 1
+    )
+    SELECT a.o_orderkey, a.k, CAST(b.n AS BIGINT) AS n_matches
+    FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+    ORDER BY a.o_orderkey
+    """,
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (<=> / IS NOT DISTINCT FROM): NULL keys MATCH
+    each other instead of dropping — the semantics dimension the plain
+    equi-join family can't express (a NULL FK bucket joining to a NULL
+    dimension row). Catalyst still plans a hash join: the null-safe
+    equality is a single composite key, not a nested loop."""
+    base = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 2000)
+        .select(
+            "o_orderkey",
+            F.when(F.col("o_orderkey") % 7 == 0, None)
+            .otherwise(F.col("o_orderkey") % 5)
+            .alias("k"),
+        )
+    )
+    b = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 2000)
+        .select(
+            F.when(F.col("o_orderkey") % 3 == 0, None)
+            .otherwise(F.col("o_orderkey") % 5)
+            .alias("kb"),
+        )
+        .groupBy("kb")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_matches"))
+    )
+    return (
+        base.join(b, base.k.eqNullSafe(b.kb))
+        .select("o_orderkey", "k", "n_matches")
+        .orderBy("o_orderkey")
+    )
