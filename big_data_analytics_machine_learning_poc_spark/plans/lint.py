@@ -105,11 +105,6 @@ ALLOWED: dict[str, dict[str, str]] = {
     "dedup_pipeline_survivors": {
         "nested_loop": "broadcast one-row corpus/survivor count aggregates"
     },
-    "ml_auc_rank_sum": {
-        "global_window": "prefix sum over the <=|distinct scores| per-score "
-        "aggregate, not base rows (promotion: range-partitioned two-phase "
-        "prefix sum)"
-    },
     "corpus_temperature_mix": {
         "nested_loop": "broadcast one-row quota denominator onto the "
         "<=|sources|-row weighted aggregate"

@@ -269,3 +269,39 @@ def test_delta_lite_model_based(spark, ops):
         assert sorted(got) == sorted(by_version[latest])
     finally:
         shutil.rmtree(table, ignore_errors=True)
+
+
+def test_partitioned_prefix_sum_equals_global_window(spark):
+    """The two-phase range-partitioned prefix sum (functions/prefix.py)
+    must equal the single-task global-window form for unique order keys,
+    at several partition counts (incl. more partitions than rows), with
+    negative values, both inclusive and exclusive."""
+    import random
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from big_data_analytics_machine_learning_poc_spark.functions.prefix import (
+        partitioned_prefix_sum,
+    )
+
+    rng = random.Random(7)
+    keys = rng.sample(range(100_000), 500)
+    rows = [(k, rng.randint(-50, 50)) for k in keys]
+    df = spark.createDataFrame(rows, "k long, v long")
+    for hi, excl in ((0, False), (-1, True)):
+        w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, hi)
+        want = {
+            r.k: r.c
+            for r in df.withColumn(
+                "c", F.coalesce(F.sum("v").over(w), F.lit(0))
+            ).collect()
+        }
+        for parts in (1, 4, 32, 1000):
+            got = {
+                r.k: r.c
+                for r in partitioned_prefix_sum(
+                    df, "k", "v", "c", num_partitions=parts, exclusive=excl
+                ).collect()
+            }
+            assert got == want, (parts, excl)
