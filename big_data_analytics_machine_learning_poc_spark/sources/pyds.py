@@ -175,8 +175,16 @@ class DeltaLiteReader(DataSourceReader):
         import pyarrow.parquet as pq
 
         want = self.schema.fieldNames()
+        # schema evolution: a file committed before a merge_schema
+        # column-add lacks the new column — read what the footer has and
+        # null-fill the rest (read_delta's explicit-schema read does the
+        # same), instead of crashing pq.read_table on a missing column
+        pf = pq.ParquetFile(partition.file_path)
+        have = set(pf.schema_arrow.names)
         data_cols = [c for c in want if c not in self.partition_cols]
-        tbl = pq.read_table(partition.file_path, columns=data_cols)
+        tbl = pq.read_table(
+            partition.file_path, columns=[c for c in data_cols if c in have]
+        )
         n = tbl.num_rows
         arrays, names = [], []
         by_name = {f.name: f for f in self.full_schema.fields}
@@ -184,10 +192,13 @@ class DeltaLiteReader(DataSourceReader):
             if c in self.partition_cols:
                 val = _partition_value(by_name[c].dataType, partition.partition_values.get(c))
                 arrays.append(pa.array([val] * n))
-                names.append(c)
+            elif c not in have:
+                from pyspark.sql.pandas.types import to_arrow_type
+
+                arrays.append(pa.nulls(n, type=to_arrow_type(by_name[c].dataType)))
             else:
                 arrays.append(tbl.column(c))
-                names.append(c)
+            names.append(c)
         yield from pa.table(dict(zip(names, arrays))).to_batches()
 
 

@@ -1248,3 +1248,30 @@ def test_pyds_stream_source_tails_commits_append_only(spark, tmp_path):
     delete_where(spark, table, "n_nationkey = 0")
     with _pytest.raises(RuntimeError, match="append-only"):
         r.partitions(after, r.latestOffset())
+
+
+def test_pyds_connector_schema_evolution_null_fills(spark, tmp_path):
+    """After a merge_schema column-add, the connector must null-fill the
+    new column for pre-evolution files instead of crashing on the missing
+    parquet column."""
+    from big_data_analytics_machine_learning_poc_spark.sources.delta_lite import (
+        write_delta,
+    )
+    from big_data_analytics_machine_learning_poc_spark.sources.pyds import (
+        DeltaLiteDataSource,
+    )
+
+    spark.dataSource.register(DeltaLiteDataSource)
+    table = str(tmp_path / "evo")
+    write_delta(spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string"), table)
+    write_delta(
+        spark.createDataFrame([(3, "c", 9.5)], "id long, v string, w double"),
+        table,
+        mode="append",
+        merge_schema=True,
+    )
+    got = {
+        r.id: (r.v, r.w)
+        for r in spark.read.format("delta_lite").load(table).collect()
+    }
+    assert got == {1: ("a", None), 2: ("b", None), 3: ("c", 9.5)}
