@@ -897,3 +897,53 @@ def events_cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFr
         F.col("n_new").cast("long").alias("n_new_users"),
         F.sum("n_new").over(w).cast("long").alias("cum_distinct_users"),
     ).orderBy("event_type", "day")
+
+
+@REG.add(
+    "stream_from_delta_counts",
+    sql="""
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+    FROM events WHERE user_id < 100
+    GROUP BY event_type
+    """,
+)
+def stream_from_delta_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming FROM the lakehouse: land the (bounded) event
+    slice into a delta_lite table across three append commits, then run a
+    real streaming aggregation over ``format("delta_lite_stream")`` (the
+    Python Data Source stream reader tailing the commit log — offsets are
+    log versions, one input partition per added file) and prove
+    exactly-once delivery against the batch aggregate of the same rows.
+
+    This closes the lakehouse streaming loop: stream INTO delta
+    (delta_foreach_batch_sink, exactly-once txn) and now stream OUT of it
+    — the table-as-a-queue pattern every medallion architecture chains
+    bronze->silver with. At scale the reader's offset progression is
+    O(new commits) and each micro-batch reads only the files those
+    commits added; the aggregation state is |event_type|-sized."""
+    import shutil
+    import tempfile
+
+    from ..sources.pyds import DeltaLiteStreamDataSource
+
+    spark.dataSource.register(DeltaLiteStreamDataSource)
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 100).select(
+        "event_id", "event_type", cents("value").alias("value_cents")
+    )
+    table = tempfile.mkdtemp(prefix="delta_stream_src_")
+    try:
+        for i in range(3):
+            _delta_lite.write_delta(
+                ev.filter(F.col("event_id") % 3 == i),
+                table,
+                mode="append" if i else "overwrite",
+            )
+        stream = spark.readStream.format("delta_lite_stream").load(table)
+        agg = stream.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value_cents").alias("value_cents"),
+        )
+        return sev.run_to_completion(agg, "complete")
+    finally:
+        shutil.rmtree(table, ignore_errors=True)
