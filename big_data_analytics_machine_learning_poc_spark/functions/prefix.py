@@ -1,7 +1,7 @@
 """Range-partitioned two-phase prefix (cumulative) sum.
 
-A ``Window.orderBy(key)`` with no partition key forces EVERY row through
-one task — the classic scale killer the plan lint bans. The distributed
+An ordered window with no partition key forces EVERY row through one
+task — the classic scale killer the plan lint bans. The distributed
 rendering is the textbook two-phase scan:
 
 1. range-partition by the order key (each partition holds a contiguous

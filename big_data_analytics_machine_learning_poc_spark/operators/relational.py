@@ -1950,3 +1950,109 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey", "k", "n_matches")
         .orderBy("o_orderkey")
     )
+
+
+@REG.add(
+    "corr_matrix_onepass",
+    sql="""
+    SELECT 'o_totalprice~o_custkey' AS pair,
+           ROUND(corr(o_totalprice, o_custkey), 6) AS r
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice~o_orderkey', ROUND(corr(o_totalprice, o_orderkey), 6)
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey~o_orderkey', ROUND(corr(o_custkey, o_orderkey), 6)
+    FROM orders
+    ORDER BY pair
+    """,
+)
+def corr_matrix_onepass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full pairwise Pearson correlation matrix from ONE scan: aggregate
+    the sufficient statistics (n, Σx, Σx², Σxy per pair) in a single
+    groupBy-less pass, then assemble every coefficient from the one
+    result row. k columns need k(k+1)/2 running products in ONE partial
+    aggregate — the naive per-pair `df.corr(a, b)` loop scans the table
+    k(k-1)/2 times. The oracle is DuckDB's native corr() per pair, so
+    the sufficient-statistics assembly (the textbook
+    (nΣxy − ΣxΣy)/√((nΣx²−(Σx)²)(nΣy²−(Σy)²)) identity) is verified
+    against an independent implementation to 6 dp."""
+    cols = ("o_totalprice", "o_custkey", "o_orderkey")
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for c in cols:
+        aggs.append(F.sum(F.col(c).cast("double")).alias(f"s_{c}"))
+        aggs.append(F.sum((F.col(c) * F.col(c)).cast("double")).alias(f"q_{c}"))
+    for i, a in enumerate(cols):
+        for b in cols[i + 1 :]:
+            aggs.append(F.sum((F.col(a) * F.col(b)).cast("double")).alias(f"p_{a}_{b}"))
+    stats = _t(spark, sf_dir, "orders").agg(*aggs)
+
+    def r(a: str, b: str) -> Column:
+        n = F.col("n")
+        num = n * F.col(f"p_{a}_{b}") - F.col(f"s_{a}") * F.col(f"s_{b}")
+        da = n * F.col(f"q_{a}") - F.col(f"s_{a}") * F.col(f"s_{a}")
+        db = n * F.col(f"q_{b}") - F.col(f"s_{b}") * F.col(f"s_{b}")
+        return F.round(num / F.sqrt(da * db), 6)
+
+    pairs = None
+    for i, a in enumerate(cols):
+        for b in cols[i + 1 :]:
+            row = stats.select(
+                F.lit(f"{a}~{b}").alias("pair"), r(a, b).alias("r")
+            )
+            pairs = row if pairs is None else pairs.unionByName(row)
+    return pairs.orderBy("pair")
+
+
+@REG.add(
+    "skew_report_custkey",
+    sql="""
+    WITH per_key AS (
+      SELECT o_custkey, COUNT(*) AS c FROM orders GROUP BY o_custkey
+    ), tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+             CAST(SUM(c) AS BIGINT) AS n_rows,
+             CAST(MAX(c) AS BIGINT) AS max_per_key
+      FROM per_key
+    ), topk AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS top10_rows
+      FROM (SELECT c FROM per_key ORDER BY c DESC, o_custkey LIMIT 10)
+    )
+    SELECT tot.n_keys, tot.n_rows, tot.max_per_key, topk.top10_rows,
+           ROUND(CAST(topk.top10_rows AS DOUBLE) / tot.n_rows, 6)
+             AS top10_share
+    FROM tot, topk
+    """,
+)
+def skew_report_custkey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew diagnosis report for a prospective shuffle key: key
+    cardinality, max rows behind one key, and the row share of the top-10
+    keys — the numbers that decide between a plain shuffle, AQE skew
+    handling, and explicit salting (operators/skew.py) BEFORE a job
+    ships. One partial-agg groupBy + a 10-row TakeOrderedAndProject +
+    1-row aggregates; nothing here is heavier than the shuffle being
+    diagnosed."""
+    per_key = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = per_key.agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum("c").cast("long").alias("n_rows"),
+        F.max("c").cast("long").alias("max_per_key"),
+    )
+    top10 = (
+        per_key.orderBy(F.col("c").desc(), "o_custkey")
+        .limit(10)
+        .agg(F.sum("c").cast("long").alias("top10_rows"))
+    )
+    return tot.crossJoin(top10).select(
+        "n_keys",
+        "n_rows",
+        "max_per_key",
+        "top10_rows",
+        F.round(F.col("top10_rows").cast("double") / F.col("n_rows"), 6).alias(
+            "top10_share"
+        ),
+    )

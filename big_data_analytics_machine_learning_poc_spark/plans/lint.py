@@ -105,6 +105,10 @@ ALLOWED: dict[str, dict[str, str]] = {
     "dedup_pipeline_survivors": {
         "nested_loop": "broadcast one-row corpus/survivor count aggregates"
     },
+    "skew_report_custkey": {
+        "nested_loop": "1-row totals aggregate crossed with the 1-row "
+        "top-10 aggregate — a scalar-subquery broadcast, not a data join"
+    },
     "corpus_temperature_mix": {
         "nested_loop": "broadcast one-row quota denominator onto the "
         "<=|sources|-row weighted aggregate"
