@@ -263,6 +263,41 @@ def test_delta_lite_model_based(spark, ops):
         for v, expect in by_version.items():
             got = [(r.id, r.val) for r in read_delta(spark, table, version=v).collect()]
             assert sorted(got) == sorted(expect), f"version {v}"
+            # the Python DataSource connector must see the identical
+            # snapshot through versionAsOf (same log, independent reader)
+            from big_data_analytics_machine_learning_poc_spark.sources.pyds import (
+                DeltaLiteDataSource,
+            )
+
+            spark.dataSource.register(DeltaLiteDataSource)
+            via_pyds = [
+                (r.id, r.val)
+                for r in spark.read.format("delta_lite")
+                .option("versionAsOf", str(v))
+                .load(table)
+                .collect()
+            ]
+            assert sorted(via_pyds) == sorted(expect), f"pyds version {v}"
+        # snapshot_diff: for each adjacent recorded pair, the net change
+        # feed must transform the earlier model into the later one as
+        # MULTISETS (delete rows all present before; inserts all present
+        # after; old - deletes + inserts == new)
+        from collections import Counter
+
+        from big_data_analytics_machine_learning_poc_spark.sources.delta_lite import (
+            snapshot_diff,
+        )
+
+        recorded = sorted(by_version)
+        for v1, v2 in zip(recorded, recorded[1:]):
+            changes = snapshot_diff(spark, table, v1, v2).collect()
+            dels = Counter((r.id, r.val) for r in changes if r._change_type == "delete")
+            ins = Counter((r.id, r.val) for r in changes if r._change_type == "insert")
+            old_c = Counter(tuple(r) for r in by_version[v1])
+            new_c = Counter(tuple(r) for r in by_version[v2])
+            assert dels <= old_c, f"diff {v1}->{v2}: phantom delete"
+            assert ins <= new_c, f"diff {v1}->{v2}: phantom insert"
+            assert old_c - dels + ins == new_c, f"diff {v1}->{v2} doesn't replay"
         vacuum_table(table, retention_ms=0)
         latest = max(by_version)
         got = [(r.id, r.val) for r in read_delta(spark, table).collect()]
