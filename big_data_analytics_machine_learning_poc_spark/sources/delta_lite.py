@@ -1045,3 +1045,98 @@ def snapshot_diff(
     deletes = old_rows.exceptAll(new_rows).withColumn("_change_type", F.lit("delete"))
     inserts = new_rows.exceptAll(old_rows).withColumn("_change_type", F.lit("insert"))
     return deletes.unionByName(inserts)
+
+
+def optimize_zorder(
+    spark: SparkSession,
+    table: str,
+    cols: list[str],
+    n_files: int = 8,
+    bits: int = 8,
+) -> int | None:
+    """``OPTIMIZE ... ZORDER BY`` — rewrite each partition's active files
+    in Morton-interleaved order over ``cols`` and commit the swap with
+    ``dataChange: false``: the row set is untouched, so streaming/
+    incremental readers skip the commit entirely (the same contract as
+    ``compact_table``), while every listed column's per-file min/max
+    stats tighten and ``range_filters`` / connector zone-map skipping
+    starts pruning on ALL of them — the post-ingest re-cluster job every
+    lakehouse schedules. Returns the committed version, or None for an
+    empty table. Bounds are computed per partition (one 1-row aggregate
+    each); clustering is WITHIN partitions, like real Delta's ZORDER.
+
+    Scale shape per partition: one bounds aggregate, one range shuffle on
+    the interleaved key, a per-file local sort — no global sort; old
+    files stay until VACUUM so time travel keeps working."""
+    from ..functions.layout import zorder_key_sql  # local: layout imports us
+
+    active, meta, latest = _replay(table, None)
+    if not active:
+        return None
+    partition_cols = meta.get("partitionColumns", [])
+    by_part: dict[tuple, list[dict]] = {}
+    for a in active.values():
+        key = tuple(sorted(a.get("partitionValues", {}).items()))
+        by_part.setdefault(key, []).append(a)
+
+    now_ms = int(time.time() * 1000)
+    actions: list[dict] = []
+    reader = _snapshot_reader(spark, table, meta)
+    from pyspark.sql import functions as F
+
+    for adds in by_part.values():
+        files = [os.path.join(table, a["path"]) for a in adds]
+        df = reader.parquet(*files).drop(*partition_cols)
+        row = df.agg(
+            *[F.min(c).alias(f"lo_{c}") for c in cols],
+            *[F.max(c).alias(f"hi_{c}") for c in cols],
+        ).collect()[0]
+        if any(row[f"lo_{c}"] is None for c in cols):
+            continue  # empty partition or all-null key: nothing to cluster
+        bounds = {c: (int(row[f"lo_{c}"]), int(row[f"hi_{c}"])) for c in cols}
+        laid = (
+            df.withColumn("_zorder", F.expr(zorder_key_sql(cols, bounds, bits)))
+            .repartitionByRange(min(n_files, len(adds)), "_zorder")
+            .sortWithinPartitions("_zorder")
+            .drop("_zorder")
+        )
+        part_dir = os.path.dirname(adds[0]["path"])
+        staging = os.path.join(table, f".compact-{uuid.uuid4().hex}")
+        laid.write.mode("overwrite").parquet(staging)
+        for rel, size, stats in _publish_staged(staging, table, dest_dir=part_dir):
+            actions.append(
+                {
+                    "add": {
+                        "path": rel,
+                        "partitionValues": dict(adds[0]["partitionValues"]),
+                        "size": size,
+                        "modificationTime": now_ms,
+                        "dataChange": False,
+                        "stats": json.dumps(stats),
+                    }
+                }
+            )
+        for a in adds:
+            actions.append(
+                {
+                    "remove": {
+                        "path": a["path"],
+                        "deletionTimestamp": now_ms,
+                        "dataChange": False,
+                    }
+                }
+            )
+    if not actions:
+        return None
+    actions.append(
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": "OPTIMIZE",
+                "operationParameters": {"zOrderBy": json.dumps(cols)},
+            }
+        }
+    )
+    version = latest + 1
+    _commit(table, version, actions)
+    return version

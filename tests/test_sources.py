@@ -1275,3 +1275,57 @@ def test_pyds_connector_schema_evolution_null_fills(spark, tmp_path):
         for r in spark.read.format("delta_lite").load(table).collect()
     }
     assert got == {1: ("a", None), 2: ("b", None), 3: ("c", 9.5)}
+
+
+def test_optimize_zorder_tightens_stats_and_stays_invisible(spark, tmp_path):
+    """OPTIMIZE ZORDER: after re-clustering on (c_custkey, c_nationkey),
+    (a) the row set is byte-identical, (b) zone-map skipping prunes files
+    on BOTH dimensions where the random layout pruned (almost) nothing,
+    (c) the commit is dataChange=false so the streaming source plans NO
+    partitions for it, and (d) time travel to the pre-optimize version
+    still works."""
+    from big_data_analytics_machine_learning_poc_spark.sources.delta_lite import (
+        _file_may_match,
+        _replay,
+        optimize_zorder,
+        read_delta,
+        write_delta,
+    )
+    from big_data_analytics_machine_learning_poc_spark.sources.pyds import (
+        DeltaLiteStreamReader,
+    )
+
+    # sf0.01 (not conftest's sf0.001): z-bucket resolution needs enough
+    # rows per file for the per-dimension ranges to separate measurably
+    cust = spark.read.parquet("/root/testdata/sf0.01/customer.parquet").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    table = str(tmp_path / "zt")
+    # adversarial layout: shuffle by acctbal so neither key clusters
+    write_delta(cust.repartition(8, "c_acctbal"), table)
+
+    def n_matching(col, lo, hi):
+        active, _, _ = _replay(table, None)
+        return sum(1 for a in active.values() if _file_may_match(a, col, lo, hi)), len(active)
+
+    before_k, total_before = n_matching("c_custkey", 0, 100)
+    reader = DeltaLiteStreamReader(table)
+    off0 = reader.latestOffset()
+
+    v = optimize_zorder(spark, table, ["c_custkey", "c_nationkey"], n_files=8)
+    assert v == 1
+
+    after_k, total_after = n_matching("c_custkey", 0, 100)
+    after_n, _ = n_matching("c_nationkey", 0, 1)
+    assert after_k < total_after, "custkey range must prune files post-zorder"
+    assert after_n < total_after, "nationkey range must prune files post-zorder"
+    assert before_k == total_before  # random layout pruned nothing
+
+    got = sorted(map(tuple, read_delta(spark, table).collect()))
+    assert got == sorted(map(tuple, cust.collect()))
+    assert sorted(map(tuple, read_delta(spark, table, version=0).collect())) == got
+
+    # dataChange=false: the streaming reader sees the commit but plans nothing
+    off1 = reader.latestOffset()
+    assert off1["version"] == off0["version"] + 1
+    assert reader.partitions(off0, off1) == []
