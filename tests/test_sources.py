@@ -1329,3 +1329,44 @@ def test_optimize_zorder_tightens_stats_and_stays_invisible(spark, tmp_path):
     off1 = reader.latestOffset()
     assert off1["version"] == off0["version"] + 1
     assert reader.partitions(off0, off1) == []
+
+
+def test_delta_concurrent_appenders_all_land(spark, tmp_path):
+    """ACID under real concurrency: 6 threads blind-append simultaneously;
+    every append must land exactly once (the rebase path absorbs lost
+    commit races), versions must be contiguous, and the final row
+    multiset must be the union of all appends."""
+    import threading
+
+    from big_data_analytics_machine_learning_poc_spark.sources.delta_lite import (
+        _list_versions,
+        read_delta,
+        write_delta,
+    )
+
+    table = str(tmp_path / "conc")
+    write_delta(spark.createDataFrame([(-1, -1)], "id long, w long"), table)
+
+    errs = []
+
+    def appender(tid: int):
+        try:
+            for j in range(3):
+                df = spark.createDataFrame([(tid, j)], "id long, w long")
+                write_delta(df, table, mode="append")
+        except Exception as e:  # noqa: BLE001 — surfaced below
+            errs.append((tid, repr(e)))
+
+    threads = [threading.Thread(target=appender, args=(t,)) for t in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs, errs
+
+    rows = sorted((r.id, r.w) for r in read_delta(spark, table).collect())
+    want = sorted([(-1, -1)] + [(t, j) for t in range(6) for j in range(3)])
+    assert rows == want
+    versions = _list_versions(table)
+    assert versions == list(range(len(versions)))  # contiguous, no holes
+    assert versions[-1] == 18  # 1 initial + 18 appends
