@@ -589,3 +589,58 @@ def delta_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spill_to_session_parquet(out, "delta_cdf")
     finally:
         shutil.rmtree(table, ignore_errors=True)
+
+
+@REG.add(
+    "delta_optimize_audit",
+    sql="""
+    SELECT 0 AS version,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(c_custkey) AS BIGINT) AS sum_custkey
+    FROM customer
+    UNION ALL
+    SELECT 1, CAST(COUNT(*) AS BIGINT), CAST(SUM(c_custkey) AS BIGINT)
+    FROM customer
+    UNION ALL
+    SELECT 2, CAST(COUNT(*) AS BIGINT), CAST(SUM(c_custkey) AS BIGINT)
+    FROM customer
+    ORDER BY version
+    """,
+)
+def delta_optimize_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maintenance commits must be metadata-only: load customer across 8
+    acctbal-shuffled files (v0), OPTIMIZE ZORDER BY (c_custkey,
+    c_nationkey) (v1), then bin-pack compact (v2) — and audit every
+    version on (row count, key sum). The oracle states the invariant from
+    the source table alone: all three versions carry IDENTICAL content,
+    because dataChange=false rewrites reorganize bytes, never rows. The
+    unit suite covers the layout consequences (multi-dimension file
+    pruning, streaming-reader silence); this lane puts the invariant
+    under the driver's differential gate."""
+    import shutil
+    import tempfile
+
+    from ..streaming.events import spill_to_session_parquet
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    table = tempfile.mkdtemp(prefix="delta_opt_")
+    try:
+        _delta_lite.write_delta(cust.repartition(8, "c_acctbal"), table)
+        _delta_lite.optimize_zorder(spark, table, ["c_custkey", "c_nationkey"], n_files=8)
+        _delta_lite.compact_table(spark, table, min_files_per_partition=2)
+        rows = []
+        for version in (0, 1, 2):
+            snap = _delta_lite.read_delta(spark, table, version=version)
+            agg = snap.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("c_custkey").alias("s"),
+            ).first()
+            rows.append((version, int(agg["n"]), int(agg["s"])))
+        out = spark.createDataFrame(
+            rows, schema="version int, n_rows long, sum_custkey long"
+        ).orderBy("version")
+        return spill_to_session_parquet(out, "delta_opt")
+    finally:
+        shutil.rmtree(table, ignore_errors=True)

@@ -2056,3 +2056,45 @@ def skew_report_custkey(spark: SparkSession, sf_dir: str) -> DataFrame:
             "top10_share"
         ),
     )
+
+
+@REG.add(
+    "agg_argminmax_family",
+    sql="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) FILTER (WHERE o_totalprice > 100000) AS BIGINT)
+             AS n_big,
+           CAST(BOOL_AND(o_totalprice > 1000) AS INT) AS all_over_1k,
+           CAST(BOOL_OR(o_orderstatus = 'P') AS INT) AS any_pending,
+           CAST(MAX_BY(o_orderkey,
+                CAST(ROUND(o_totalprice * 100) AS BIGINT) * 10000000
+                  + o_orderkey) AS BIGINT) AS priciest_order,
+           CAST(MIN_BY(o_orderkey,
+                CAST(ROUND(o_totalprice * 100) AS BIGINT) * 10000000
+                  + o_orderkey) AS BIGINT) AS cheapest_order
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def agg_argminmax_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The modern aggregate family: count_if (filtered count), bool_and/
+    bool_or (predicate folds), max_by/min_by (argmax/argmin). Ties in
+    max_by are engine-arbitrary, so the ordering key is the composite
+    integer cents*1e7 + orderkey — unique by construction — making
+    argmax/argmin deterministic and hash-exact cross-engine. All five are
+    single-pass partial-aggregable: one shuffle of 5 small states per
+    group, same plan class as SUM."""
+    cents_key = F.round(F.col("o_totalprice") * 100).cast("long") * 10_000_000 + F.col(
+        "o_orderkey"
+    )
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count_if(F.col("o_totalprice") > 100000).cast("long").alias("n_big"),
+            F.bool_and(F.col("o_totalprice") > 1000).cast("int").alias("all_over_1k"),
+            F.bool_or(F.col("o_orderstatus") == "P").cast("int").alias("any_pending"),
+            F.max_by("o_orderkey", cents_key).cast("long").alias("priciest_order"),
+            F.min_by("o_orderkey", cents_key).cast("long").alias("cheapest_order"),
+        )
+        .orderBy("o_orderpriority")
+    )

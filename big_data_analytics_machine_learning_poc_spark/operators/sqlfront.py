@@ -592,3 +592,27 @@ def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
         |> ORDER BY o_orderpriority
         """
     )
+
+
+@REG.add(
+    "sql_identifier_clause",
+    sql="""
+    SELECT o_orderpriority, COUNT(*) AS n
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def sql_identifier_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDENTIFIER() clause (Spark 4): table and column names supplied as
+    PARAMETERS instead of spliced strings — the injection-safe way to
+    template object names (a dashboard iterating tables, a quality job
+    iterating columns). The identifier resolves during analysis, so the
+    plan is byte-identical to the literal form the oracle states."""
+    _views(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT IDENTIFIER(:col) AS o_orderpriority, COUNT(*) AS n
+        FROM IDENTIFIER(:tab)
+        GROUP BY IDENTIFIER(:col) ORDER BY IDENTIFIER(:col)
+        """,
+        args={"tab": "orders", "col": "o_orderpriority"},
+    )
