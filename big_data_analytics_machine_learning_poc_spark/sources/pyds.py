@@ -113,6 +113,28 @@ def _partition_value(dt, raw: str | None):
     raise NotImplementedError(f"partition column type {dt} not supported by delta_lite datasource")
 
 
+
+def _arrow_cast_to_schema(tbl, want_fields):
+    """Cast a pyarrow table's columns to the logged schema's Arrow types.
+    Spark writes INT96 timestamps by default; pyarrow reads those as
+    timestamp[ns], which Spark's Arrow ingest rejects (UNSUPPORTED_
+    ARROWTYPE) — and other width drifts (int96/ns, int32-vs-int64) are
+    possible across writers. Casting to ``to_arrow_type(logged type)``
+    normalizes every batch to exactly what Spark expects."""
+    import pyarrow as pa
+
+    from pyspark.sql.pandas.types import to_arrow_type
+
+    arrays = []
+    for name, dt in want_fields:
+        col = tbl.column(name)
+        target = to_arrow_type(dt)
+        if col.type != target:
+            col = col.cast(target)
+        arrays.append(col)
+    return pa.table(dict(zip([n for n, _ in want_fields], arrays)))
+
+
 class DeltaLiteReader(DataSourceReader):
     def __init__(self, table: str, version: int | None, schema: StructType):
         self.table = table
@@ -199,7 +221,9 @@ class DeltaLiteReader(DataSourceReader):
             else:
                 arrays.append(tbl.column(c))
             names.append(c)
-        yield from pa.table(dict(zip(names, arrays))).to_batches()
+        out = pa.table(dict(zip(names, arrays)))
+        out = _arrow_cast_to_schema(out, [(c, by_name[c].dataType) for c in names])
+        yield from out.to_batches()
 
 
 # --------------------------------------------------------------- streaming
@@ -278,7 +302,9 @@ class DeltaLiteStreamReader(DataSourceStreamReader):
                 cols[c] = pa.array([val] * n)
             else:
                 cols[c] = tbl.column(c)
-        yield from pa.table(cols).to_batches()
+        out = pa.table(cols)
+        out = _arrow_cast_to_schema(out, [(c, by_name[c].dataType) for c in want])
+        yield from out.to_batches()
 
     def commit(self, end: dict) -> None:
         pass  # offsets are durable in the query checkpoint, nothing to ack

@@ -582,3 +582,69 @@ def test_cumulative_distinct_users_monotone_and_totals(spark):
             cum += r["n_new_users"]
             assert r["cum_distinct_users"] == cum
         assert cum == truth[t]
+
+
+def test_medallion_chain_bronze_to_silver(spark, tmp_path):
+    """Bronze->silver medallion chain composed from the engine's own
+    parts: raw events land in a bronze delta table across 3 append
+    commits; a streaming query tails it via format('delta_lite_stream')
+    and foreachBatch-applies the CDC latest-per-user merge into a silver
+    delta table. The silver state must equal the batch truth (last event
+    per user over all bronze rows) — exactly-once, commit-granular."""
+    from big_data_analytics_machine_learning_poc_spark.catalog import load_table
+    from big_data_analytics_machine_learning_poc_spark.functions.exact import cents
+    from big_data_analytics_machine_learning_poc_spark.operators.streaming_ops import (
+        apply_cdc_batch,
+    )
+    from big_data_analytics_machine_learning_poc_spark.sources.delta_lite import (
+        read_delta,
+        write_delta,
+    )
+    from big_data_analytics_machine_learning_poc_spark.sources.pyds import (
+        DeltaLiteStreamDataSource,
+    )
+
+    spark.dataSource.register(DeltaLiteStreamDataSource)
+    ev = (
+        load_table(spark, SF_DIR, "events")
+        .filter(F.col("user_id") < 40)
+        .select("user_id", "ts", "event_id", "event_type",
+                cents("value").alias("value_cents"))
+    )
+    bronze = str(tmp_path / "bronze")
+    for i in range(3):
+        write_delta(
+            ev.filter(F.col("event_id") % 3 == i),
+            bronze,
+            mode="append" if i else "overwrite",
+        )
+
+    silver = str(tmp_path / "silver")
+    q = (
+        spark.readStream.format("delta_lite_stream")
+        .load(bronze)
+        .writeStream.foreachBatch(lambda df, _bid: apply_cdc_batch(df, silver))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        r.user_id: (r.ts, r.event_id, r.event_type, r.value_cents)
+        for r in read_delta(spark, silver).collect()
+    }
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    want = {
+        r.user_id: (r.ts, r.event_id, r.event_type, r.value_cents)
+        for r in ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+        .collect()
+    }
+    assert got == want
