@@ -245,15 +245,20 @@ class DeltaLiteStreamReader(DataSourceStreamReader):
     batches, and offset progression is O(new commits) — tailing a 100 TB
     table costs only its ingest rate."""
 
-    def __init__(self, table: str):
+    def __init__(self, table: str, starting_version: int = 0):
         self.table = table
+        self.starting_version = starting_version
         _active, meta, self._latest = _replay(table, None)
         self.partition_cols = meta.get("partitionColumns", [])
         self.full_schema = StructType.fromJson(json.loads(meta["schemaString"]))
 
     def initialOffset(self) -> dict:
-        # start BEFORE version 0 so the initial snapshot commit is batch 0
-        return {"version": -1}
+        # start BEFORE startingVersion so that commit is the first batch
+        # (default 0 = replay the whole log; a table whose history holds
+        # overwrites/deletes BEFORE the tail begins needs
+        # option("startingVersion", N) to skip them — the same contract as
+        # Delta's streaming startingVersion)
+        return {"version": self.starting_version - 1}
 
     def latestOffset(self) -> dict:
         from .delta_lite import _list_versions
@@ -325,4 +330,5 @@ class DeltaLiteStreamDataSource(DataSource):
         return StructType.fromJson(json.loads(meta["schemaString"]))
 
     def streamReader(self, schema) -> DeltaLiteStreamReader:
-        return DeltaLiteStreamReader(self.options["path"])
+        sv = int(self.options.get("startingversion", 0))
+        return DeltaLiteStreamReader(self.options["path"], starting_version=sv)

@@ -1370,3 +1370,41 @@ def test_delta_concurrent_appenders_all_land(spark, tmp_path):
     versions = _list_versions(table)
     assert versions == list(range(len(versions)))  # contiguous, no holes
     assert versions[-1] == 18  # 1 initial + 18 appends
+
+
+def test_pyds_stream_starting_version_skips_history(spark, tmp_path):
+    """option('startingVersion', N) must begin the tail at commit N,
+    skipping earlier history — including pre-tail overwrites that would
+    otherwise trip the append-only contract."""
+    from big_data_analytics_machine_learning_poc_spark.sources.delta_lite import (
+        write_delta,
+    )
+    from big_data_analytics_machine_learning_poc_spark.sources.pyds import (
+        DeltaLiteStreamDataSource,
+    )
+
+    spark.dataSource.register(DeltaLiteStreamDataSource)
+    table = str(tmp_path / "sv")
+    df = spark.createDataFrame([(1,), (2,)], "id long")
+    write_delta(df, table)                      # v0
+    write_delta(df, table, mode="overwrite")    # v1: rewrite (remove+add)
+    write_delta(
+        spark.createDataFrame([(9,)], "id long"), table, mode="append"
+    )                                           # v2
+
+    q = (
+        spark.readStream.format("delta_lite_stream")
+        .option("startingVersion", "2")
+        .load(table)
+        .writeStream.format("memory")
+        .queryName("sv_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(r.id for r in spark.table("sv_out").collect())
+    spark.catalog.dropTempView("sv_out")
+    assert got == [9]  # only the v2 append; v0/v1 history skipped
