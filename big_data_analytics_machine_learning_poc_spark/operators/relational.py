@@ -2098,3 +2098,141 @@ def agg_argminmax_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@REG.add(
+    "orders_monthly_yoy",
+    sql="""
+    WITH monthly AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev_cents
+      FROM orders GROUP BY 1
+    )
+    SELECT m.month, m.rev_cents,
+           p.rev_cents AS prior_year_cents,
+           ROUND(CAST(m.rev_cents - p.rev_cents AS DOUBLE)
+                 / p.rev_cents, 6) AS yoy_growth
+    FROM monthly m JOIN monthly p ON p.month = m.month - INTERVAL 1 YEAR
+    ORDER BY m.month
+    """,
+)
+def orders_monthly_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year monthly revenue growth — the BI staple. The Spark
+    side partitions the month grain by MONTH-OF-YEAR and takes lag(1)
+    within each of the 12 partitions — same-month-last-year with no
+    global window; the oracle deliberately uses the self-JOIN-on-shifted-month
+    formulation, so the two engines compute the same comparison through
+    different plans. Revenue in exact cents; only the final growth ratio
+    is floating (rounded 6 dp). Months with no prior-year counterpart
+    are excluded on both sides (inner join <=> non-null lag at 12)."""
+    from pyspark.sql.window import Window
+
+    monthly = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.trunc("o_orderdate", "month").alias("month"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("rev_cents")
+        )
+    )
+    # partition by MONTH-OF-YEAR: "same month last year" becomes lag(1)
+    # inside a 12-way partition — no global window, and a different
+    # formulation from the oracle's shifted self-join
+    w = Window.partitionBy(F.month("month")).orderBy("month")
+    out = monthly.select(
+        "month",
+        "rev_cents",
+        F.lag("rev_cents", 1).over(w).alias("prior_year_cents"),
+        F.lag("month", 1).over(w).alias("prior_month"),
+    )
+    return (
+        out.filter(
+            F.col("prior_year_cents").isNotNull()
+            # lag(12) is only "same month last year" when the month grid is
+            # gap-free; guard explicitly so a sparse grid can't misalign
+            & (F.add_months(F.col("month"), -12) == F.col("prior_month"))
+        )
+        .drop("prior_month")
+        .select(
+            "month",
+            "rev_cents",
+            "prior_year_cents",
+            F.round(
+                (F.col("rev_cents") - F.col("prior_year_cents")).cast("double")
+                / F.col("prior_year_cents"),
+                6,
+            ).alias("yoy_growth"),
+        )
+        .orderBy("month")
+    )
+
+
+@REG.add(
+    "parts_pareto_share",
+    sql="""
+    WITH per_part AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev_cents
+      FROM lineitem GROUP BY l_partkey
+    ), ranked AS (
+      SELECT l_partkey, rev_cents,
+             SUM(rev_cents) OVER (ORDER BY rev_cents DESC, l_partkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_cents,
+             SUM(rev_cents) OVER () AS total_cents,
+             ROW_NUMBER() OVER (ORDER BY rev_cents DESC, l_partkey) AS rnk
+      FROM per_part
+    )
+    SELECT CAST(rnk AS BIGINT) AS rnk, l_partkey, rev_cents,
+           CAST(cum_cents AS BIGINT) AS cum_cents,
+           ROUND(CAST(cum_cents AS DOUBLE) / total_cents, 6) AS cum_share
+    FROM ranked WHERE rnk <= 100 ORDER BY rnk
+    """,
+)
+def parts_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto (cumulative-share) analysis: top-100 parts by revenue with
+    their running share of total — the 80/20 concentration question. The
+    cumulative sum over the revenue-DESC order uses the range-partitioned
+    two-phase prefix sum (functions/prefix.py) keyed on a composite
+    (-rev, partkey) integer — unique, so the prefix is well-defined — and
+    the grand total is one 1-row aggregate collected to a literal: NO
+    global window over the data-sized per-part frame anywhere in the
+    plan (the oracle states the same numbers with ordinary windows).
+    Scale: per-part agg shuffles once; the prefix machinery adds one
+    range shuffle + a |partitions|-row broadcast."""
+    from ..functions.prefix import partitioned_prefix_sum
+
+    per_part = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+            .cast("long")
+            .alias("rev_cents")
+        )
+    )
+    total = per_part.agg(F.sum("rev_cents")).collect()[0][0]
+    # unique, order-preserving integer key for rev DESC, partkey ASC:
+    # (-rev) * 10^7 + partkey  (partkey < 10^7 at any SF here)
+    keyed = per_part.withColumn(
+        "_ord", (-F.col("rev_cents")) * 10_000_000 + F.col("l_partkey")
+    )
+    pref = partitioned_prefix_sum(keyed, "_ord", "rev_cents", "cum_cents", 16)
+    ranked = partitioned_prefix_sum(
+        pref, "_ord", F.lit(1), "rnk", 16
+    )
+    return (
+        ranked.filter(F.col("rnk") <= 100)
+        .select(
+            F.col("rnk").cast("long"),
+            "l_partkey",
+            "rev_cents",
+            F.col("cum_cents").cast("long"),
+            F.round(F.col("cum_cents").cast("double") / F.lit(float(total)), 6).alias(
+                "cum_share"
+            ),
+        )
+        .orderBy("rnk")
+    )
