@@ -40,8 +40,20 @@ def partitioned_prefix_sum(
     rows only). ``order_col`` values must be unique — see module
     docstring."""
     value = F.col(value_col) if isinstance(value_col, str) else value_col
-    ranged = df.repartitionByRange(num_partitions, order_col).withColumn(
-        "_pp_pid", F.spark_partition_id()
+    # localCheckpoint: the frame is evaluated by TWO jobs below (the
+    # totals collect and the final result), and pid assignment must be
+    # IDENTICAL in both — RangePartitioner samples boundaries from the
+    # input, and an upstream re-evaluation that spills or reorders rows
+    # could sample different boundaries, silently shifting a
+    # boundary-adjacent row's carry by a whole partition total.
+    # Materializing once makes the pid map a fact, not a replay; it also
+    # avoids re-running the upstream plan per job. Callers pass
+    # aggregate-grain frames (per-score, per-part), so the checkpoint is
+    # small relative to the data that produced it.
+    ranged = (
+        df.repartitionByRange(num_partitions, order_col)
+        .withColumn("_pp_pid", F.spark_partition_id())
+        .localCheckpoint()
     )
     hi = -1 if exclusive else 0
     w = (

@@ -48,7 +48,12 @@ def pagerank(
         .distinct()
     ).localCheckpoint()
     n_nodes = nodes.count()
-    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    # edges/outdeg are referenced by THREE jobs per iteration (dangling
+    # collect, contribs join, next iteration's join) — checkpoint both so
+    # the edge-derivation lineage (a join+distinct in the procurement
+    # lane) runs once, not ~30 times over 10 iterations
+    edges = edges.localCheckpoint()
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")).localCheckpoint()
     ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
     for i in range(iterations):
         with_deg = ranks.join(outdeg, ranks.node == outdeg.src, "left").select(

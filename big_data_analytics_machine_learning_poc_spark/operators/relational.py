@@ -1874,9 +1874,7 @@ def transpose_priority_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_cents"),
         )
     )
-    return m.transpose(F.col("o_orderpriority")).withColumnRenamed(
-        "key", "key"
-    ).orderBy("key")
+    return m.transpose(F.col("o_orderpriority")).orderBy("key")
 
 
 @REG.add(
@@ -1978,30 +1976,40 @@ def corr_matrix_onepass(spark: SparkSession, sf_dir: str) -> DataFrame:
     (nΣxy − ΣxΣy)/√((nΣx²−(Σx)²)(nΣy²−(Σy)²)) identity) is verified
     against an independent implementation to 6 dp."""
     cols = ("o_totalprice", "o_custkey", "o_orderkey")
-    aggs = [F.count(F.lit(1)).alias("n")]
+    # operands cast to double BEFORE multiplying: long*long cross-products
+    # of key columns overflow int64 at scale (orderkey^2 past ~3e9 keys) —
+    # the sufficient-statistics identity is float arithmetic throughout
+    aggs = [F.count(F.lit(1)).cast("double").alias("n")]
     for c in cols:
-        aggs.append(F.sum(F.col(c).cast("double")).alias(f"s_{c}"))
-        aggs.append(F.sum((F.col(c) * F.col(c)).cast("double")).alias(f"q_{c}"))
+        d = F.col(c).cast("double")
+        aggs.append(F.sum(d).alias(f"s_{c}"))
+        aggs.append(F.sum(d * d).alias(f"q_{c}"))
     for i, a in enumerate(cols):
         for b in cols[i + 1 :]:
-            aggs.append(F.sum((F.col(a) * F.col(b)).cast("double")).alias(f"p_{a}_{b}"))
-    stats = _t(spark, sf_dir, "orders").agg(*aggs)
-
-    def r(a: str, b: str) -> Column:
-        n = F.col("n")
-        num = n * F.col(f"p_{a}_{b}") - F.col(f"s_{a}") * F.col(f"s_{b}")
-        da = n * F.col(f"q_{a}") - F.col(f"s_{a}") * F.col(f"s_{a}")
-        db = n * F.col(f"q_{b}") - F.col(f"s_{b}") * F.col(f"s_{b}")
-        return F.round(num / F.sqrt(da * db), 6)
-
-    pairs = None
-    for i, a in enumerate(cols):
-        for b in cols[i + 1 :]:
-            row = stats.select(
-                F.lit(f"{a}~{b}").alias("pair"), r(a, b).alias("r")
+            aggs.append(
+                F.sum(F.col(a).cast("double") * F.col(b).cast("double")).alias(f"p_{a}_{b}")
             )
-            pairs = row if pairs is None else pairs.unionByName(row)
-    return pairs.orderBy("pair")
+    # ONE structural scan: collect the 1-row stats and assemble every
+    # coefficient from driver literals (a 3-way union of selects over the
+    # aggregate would only be single-scan if ReuseExchange dedupes it —
+    # optimizer-dependent, and exactly what the lane claims NOT to rely on)
+    row = _t(spark, sf_dir, "orders").agg(*aggs).collect()[0]
+
+    def r(a: str, b: str) -> float:
+        n = row["n"]
+        num = n * row[f"p_{a}_{b}"] - row[f"s_{a}"] * row[f"s_{b}"]
+        da = n * row[f"q_{a}"] - row[f"s_{a}"] * row[f"s_{a}"]
+        db = n * row[f"q_{b}"] - row[f"s_{b}"] * row[f"s_{b}"]
+        return num / (da * db) ** 0.5
+
+    pairs = [(f"{a}~{b}", r(a, b)) for i, a in enumerate(cols) for b in cols[i + 1 :]]
+    # rounding stays an ENGINE expression (Spark HALF_UP == the oracle's
+    # ROUND; Python's round() is banker's and could differ at a .5 tie)
+    return (
+        spark.createDataFrame(pairs, "pair string, r_raw double")
+        .select("pair", F.round("r_raw", 6).alias("r"))
+        .orderBy("pair")
+    )
 
 
 @REG.add(

@@ -925,14 +925,18 @@ def vacuum_table(
     worth of storage forever. Returns the deleted relative paths.
     ``retention_ms=0`` reclaims immediately (tests / aggressive cleanup).
 
-    ``orphan_grace_ms`` (ADVICE r4): an ORPHAN younger than this is kept
-    even at ``retention_ms=0`` — a parquet on disk with no log entry is
+    ``orphan_grace_ms`` (ADVICE r4): an ORPHAN is kept — even at
+    ``retention_ms=0`` — until some LOG COMMIT postdates its mtime by the
+    grace, because a parquet on disk with no log entry is
     indistinguishable from an IN-FLIGHT write_delta/merge_delta that has
-    written data but not yet committed its log record, and reference Delta
-    guards VACUUM with a minimum-retention check for exactly this race.
-    Clock-skew direction is safe: a future-dated mtime looks YOUNG and is
-    kept. Tombstoned files are exempt (their remove action proves no
-    writer owns them). Pass 0 only when no concurrent writers exist."""
+    written data but not yet committed its log record (reference Delta
+    guards VACUUM with a minimum-retention check for exactly this race).
+    The grace compares the orphan's mtime to the newest log file's mtime
+    — the SAME filesystem clock — so driver-vs-fs clock skew (the r4
+    flake class) cannot delete an in-flight file in either skew
+    direction. Tombstoned files are exempt (their remove action proves no
+    writer owns them). Pass grace 0 only when no concurrent writers
+    exist."""
     active, _meta, _ = _replay(table, None)
     cutoff_ms = int(time.time() * 1000) - retention_ms
     removed_at: dict[str, int] = {}
@@ -971,11 +975,31 @@ def vacuum_table(
             rel = os.path.relpath(full, table)
             if not name.endswith(".parquet") or rel in ever_added:
                 continue
-            # orphans get the grace window ON TOP of retention: unlike a
+            # Orphans get the grace window ON TOP of retention: unlike a
             # tombstoned file, nothing in the log proves this parquet is
-            # abandoned rather than mid-commit (see docstring)
+            # abandoned rather than mid-commit. The grace test compares
+            # the orphan's mtime against the NEWEST LOG FILE's mtime —
+            # the SAME filesystem clock, so driver-vs-fs clock skew (the
+            # r4 flake class) cannot fire in either direction: an
+            # in-flight writer's file is newer than every committed log
+            # entry and is kept no matter what the clocks disagree on; a
+            # lost-race orphan becomes reclaimable once a LATER commit
+            # postdates it by the grace. retention (a wall-clock policy)
+            # still applies via the stored-timestamp path only for
+            # nonzero retention, same as tombstones.
             age_ms = time.time() * 1000 - os.path.getmtime(full) * 1000
-            if age_ms >= max(retention_ms, orphan_grace_ms):
+            if orphan_grace_ms <= 0:
+                reclaim = retention_ms == 0 or age_ms >= retention_ms
+            else:
+                newest_log_ms = max(
+                    (os.path.getmtime(_log_path(table, v)) for v in _list_versions(table)),
+                    default=0.0,
+                ) * 1000
+                fs_clock_age_ms = newest_log_ms - os.path.getmtime(full) * 1000
+                reclaim = fs_clock_age_ms >= orphan_grace_ms and (
+                    retention_ms == 0 or age_ms >= retention_ms
+                )
+            if reclaim:
                 os.remove(full)
                 deleted.append(rel)
     return sorted(set(deleted))

@@ -135,6 +135,38 @@ def _arrow_cast_to_schema(tbl, want_fields):
     return pa.table(dict(zip([n for n, _ in want_fields], arrays)))
 
 
+
+def _read_file_batches(file_path, want, partition_cols, partition_values, full_schema):
+    """Read ONE data file as Arrow batches shaped exactly like ``want``
+    (column subset + order): partition columns become typed constants,
+    columns missing from the file footer (pre-schema-evolution files)
+    are null-filled, and every column is cast to the logged schema's
+    Arrow type (see _arrow_cast_to_schema). Shared by the batch reader
+    and the stream reader so evolution/INT96 handling cannot diverge."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark.sql.pandas.types import to_arrow_type
+
+    by_name = {f.name: f for f in full_schema.fields}
+    pf = pq.ParquetFile(file_path)
+    have = set(pf.schema_arrow.names)
+    data_cols = [c for c in want if c not in partition_cols]
+    tbl = pq.read_table(file_path, columns=[c for c in data_cols if c in have])
+    n = tbl.num_rows
+    cols = {}
+    for c in want:
+        if c in partition_cols:
+            val = _partition_value(by_name[c].dataType, partition_values.get(c))
+            cols[c] = pa.array([val] * n)
+        elif c not in have:
+            cols[c] = pa.nulls(n, type=to_arrow_type(by_name[c].dataType))
+        else:
+            cols[c] = tbl.column(c)
+    out = _arrow_cast_to_schema(pa.table(cols), [(c, by_name[c].dataType) for c in want])
+    yield from out.to_batches()
+
+
 class DeltaLiteReader(DataSourceReader):
     def __init__(self, table: str, version: int | None, schema: StructType):
         self.table = table
@@ -168,8 +200,7 @@ class DeltaLiteReader(DataSourceReader):
                     f.value, (int, float, str)
                 ):
                     r = self._ranges.setdefault(col, [None, None])
-                    if not isinstance(f, (LessThan, LessThanOrEqual)):
-                        r[0] = f.value if r[0] is None else max(r[0], f.value)
+                    r[0] = f.value if r[0] is None else max(r[0], f.value)
                 if isinstance(f, (EqualTo, LessThan, LessThanOrEqual)) and isinstance(
                     f.value, (int, float, str)
                 ):
@@ -193,37 +224,13 @@ class DeltaLiteReader(DataSourceReader):
         return out
 
     def read(self, partition: DeltaLiteInputPartition):
-        import pyarrow as pa
-        import pyarrow.parquet as pq
-
-        want = self.schema.fieldNames()
-        # schema evolution: a file committed before a merge_schema
-        # column-add lacks the new column — read what the footer has and
-        # null-fill the rest (read_delta's explicit-schema read does the
-        # same), instead of crashing pq.read_table on a missing column
-        pf = pq.ParquetFile(partition.file_path)
-        have = set(pf.schema_arrow.names)
-        data_cols = [c for c in want if c not in self.partition_cols]
-        tbl = pq.read_table(
-            partition.file_path, columns=[c for c in data_cols if c in have]
+        yield from _read_file_batches(
+            partition.file_path,
+            self.schema.fieldNames(),  # the PRUNED column set
+            self.partition_cols,
+            partition.partition_values,
+            self.full_schema,
         )
-        n = tbl.num_rows
-        arrays, names = [], []
-        by_name = {f.name: f for f in self.full_schema.fields}
-        for c in want:
-            if c in self.partition_cols:
-                val = _partition_value(by_name[c].dataType, partition.partition_values.get(c))
-                arrays.append(pa.array([val] * n))
-            elif c not in have:
-                from pyspark.sql.pandas.types import to_arrow_type
-
-                arrays.append(pa.nulls(n, type=to_arrow_type(by_name[c].dataType)))
-            else:
-                arrays.append(tbl.column(c))
-            names.append(c)
-        out = pa.table(dict(zip(names, arrays)))
-        out = _arrow_cast_to_schema(out, [(c, by_name[c].dataType) for c in names])
-        yield from out.to_batches()
 
 
 # --------------------------------------------------------------- streaming
@@ -236,8 +243,9 @@ class DeltaLiteStreamReader(DataSourceStreamReader):
     (start, end] — the same commit-granular semantics as Delta's streaming
     source. Append-only contract: a data-changing remove action in the
     range (overwrite/delete/merge) raises instead of silently replaying
-    rewritten rows; compaction commits (dataChange=false) are transparent
-    — their adds AND removes are skipped, so OPTIMIZE never re-emits data.
+    rewritten rows; compaction/OPTIMIZE commits (dataChange=false) are
+    transparent — their adds AND removes are skipped, so a rewrite never
+    re-emits data.
 
     Scale shape: this is the PARTITIONED stream reader (not the
     driver-side Simple variant): ``partitions`` plans one input partition
@@ -292,24 +300,13 @@ class DeltaLiteStreamReader(DataSourceStreamReader):
         return out
 
     def read(self, partition: DeltaLiteInputPartition):
-        import pyarrow as pa
-        import pyarrow.parquet as pq
-
-        want = self.full_schema.fieldNames()
-        data_cols = [c for c in want if c not in self.partition_cols]
-        tbl = pq.read_table(partition.file_path, columns=data_cols)
-        n = tbl.num_rows
-        by_name = {f.name: f for f in self.full_schema.fields}
-        cols = {}
-        for c in want:
-            if c in self.partition_cols:
-                val = _partition_value(by_name[c].dataType, partition.partition_values.get(c))
-                cols[c] = pa.array([val] * n)
-            else:
-                cols[c] = tbl.column(c)
-        out = pa.table(cols)
-        out = _arrow_cast_to_schema(out, [(c, by_name[c].dataType) for c in want])
-        yield from out.to_batches()
+        yield from _read_file_batches(
+            partition.file_path,
+            self.full_schema.fieldNames(),
+            self.partition_cols,
+            partition.partition_values,
+            self.full_schema,
+        )
 
     def commit(self, end: dict) -> None:
         pass  # offsets are durable in the query checkpoint, nothing to ack

@@ -1408,3 +1408,40 @@ def test_pyds_stream_starting_version_skips_history(spark, tmp_path):
     got = sorted(r.id for r in spark.table("sv_out").collect())
     spark.catalog.dropTempView("sv_out")
     assert got == [9]  # only the v2 append; v0/v1 history skipped
+
+
+def test_pyds_stream_source_null_fills_evolved_columns(spark, tmp_path):
+    """The STREAM reader must null-fill pre-evolution files exactly like
+    the batch reader (shared _read_file_batches): tailing a bronze table
+    across a merge_schema column-add must not kill the query."""
+    from big_data_analytics_machine_learning_poc_spark.sources.delta_lite import (
+        write_delta,
+    )
+    from big_data_analytics_machine_learning_poc_spark.sources.pyds import (
+        DeltaLiteStreamDataSource,
+    )
+
+    spark.dataSource.register(DeltaLiteStreamDataSource)
+    table = str(tmp_path / "sevo")
+    write_delta(spark.createDataFrame([(1, "a")], "id long, v string"), table)
+    write_delta(
+        spark.createDataFrame([(2, "b", 7.0)], "id long, v string, w double"),
+        table,
+        mode="append",
+        merge_schema=True,
+    )
+    q = (
+        spark.readStream.format("delta_lite_stream")
+        .load(table)
+        .writeStream.format("memory")
+        .queryName("sevo_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {r.id: (r.v, r.w) for r in spark.table("sevo_out").collect()}
+    spark.catalog.dropTempView("sevo_out")
+    assert got == {1: ("a", None), 2: ("b", 7.0)}
