@@ -20,7 +20,8 @@ and implements the protocol subset
     commitInfo(operation, operationParameters, timestamp)
 
 Supported: overwrite + append writes, partitioned tables, snapshot reads,
-time travel by version, log-level partition pruning, per-file stats with
+time travel by version AND timestamp (version_at_timestamp), RESTORE to a
+prior version (one metadata-only commit), log-level partition pruning, per-file stats with
 data skipping, OPTIMIZE compaction + VACUUM, txn actions (exactly-once
 streaming), parquet checkpoints + `_last_checkpoint` (replay cost
 O(#commits since checkpoint)), history, optimistic commit conflict
@@ -1164,3 +1165,78 @@ def optimize_zorder(
     version = latest + 1
     _commit(table, version, actions)
     return version
+
+
+def version_at_timestamp(table: str, ts_ms: int) -> int:
+    """Time travel BY TIMESTAMP (Delta's ``timestampAsOf``): the newest
+    version whose commitInfo.timestamp is at or before ``ts_ms``. Commit
+    timestamps are monotone in practice but the scan tolerates clock
+    wobble by taking the max matching version. Raises if the requested
+    time predates the table's first commit (same contract as Delta)."""
+    best = None
+    for v in _list_versions(table):
+        info = next(
+            (a["commitInfo"] for a in _read_log(table, v) if "commitInfo" in a), {}
+        )
+        if info.get("timestamp", 0) <= ts_ms:
+            best = v
+    if best is None:
+        raise ValueError(
+            f"timestamp {ts_ms} predates the first commit of {table}"
+        )
+    return best
+
+
+def restore_table(spark: SparkSession, table: str, version: int) -> int:
+    """Delta ``RESTORE TABLE ... TO VERSION AS OF``: make snapshot
+    ``version`` current again with ONE metadata-only commit — adds back
+    the files the old snapshot referenced that are no longer active, and
+    removes the currently-active files the old snapshot lacked. No data
+    is copied or rewritten; the restored files must still exist (i.e.
+    not vacuumed past), which is checked up front so a half-restorable
+    table fails loudly instead of committing a snapshot with missing
+    files. Returns the new version."""
+    old_active, old_meta, _ = _replay(table, version)
+    cur_active, cur_meta, latest = _replay(table, None)
+    if old_meta.get("schemaString") != cur_meta.get("schemaString"):
+        # re-commit the old metaData alongside so the restored snapshot
+        # reads with its own schema (schema evolution between the two)
+        remeta = [{"metaData": old_meta}]
+    else:
+        remeta = []
+    missing = [
+        rel
+        for rel in set(old_active) - set(cur_active)
+        if not os.path.exists(os.path.join(table, rel))
+    ]
+    if missing:
+        raise FileNotFoundError(
+            f"cannot RESTORE {table} to v{version}: {len(missing)} required "
+            f"file(s) were vacuumed, e.g. {missing[0]!r}"
+        )
+    now_ms = int(time.time() * 1000)
+    actions: list[dict] = list(remeta)
+    for rel in sorted(set(old_active) - set(cur_active)):
+        actions.append({"add": {**old_active[rel], "dataChange": True}})
+    for rel in sorted(set(cur_active) - set(old_active)):
+        actions.append(
+            {
+                "remove": {
+                    "path": rel,
+                    "deletionTimestamp": now_ms,
+                    "dataChange": True,
+                }
+            }
+        )
+    actions.append(
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": "RESTORE",
+                "operationParameters": {"version": version},
+            }
+        }
+    )
+    new_version = latest + 1
+    _commit(table, new_version, actions)
+    return new_version

@@ -81,6 +81,13 @@ class DeltaLiteDataSource(DataSource):
         if not path:
             raise ValueError("delta_lite datasource requires a path: .load(<table dir>)")
         v = self.options.get("versionasof")
+        ts = self.options.get("timestampasof")
+        if v is not None and ts is not None:
+            raise ValueError("pass versionAsOf OR timestampAsOf, not both")
+        if ts is not None:
+            from .delta_lite import version_at_timestamp
+
+            return path, version_at_timestamp(path, int(ts))
         return path, (int(v) if v is not None else None)
 
     def schema(self) -> StructType:

@@ -1445,3 +1445,59 @@ def test_pyds_stream_source_null_fills_evolved_columns(spark, tmp_path):
     got = {r.id: (r.v, r.w) for r in spark.table("sevo_out").collect()}
     spark.catalog.dropTempView("sevo_out")
     assert got == {1: ("a", None), 2: ("b", 7.0)}
+
+
+def test_timestamp_time_travel_and_restore(spark, tmp_path):
+    """timestampAsOf resolves to the newest commit at-or-before the asked
+    time (function + connector option), and RESTORE makes an old snapshot
+    current again with one metadata-only commit — no files copied, time
+    travel to every version intact, restore-past-vacuum fails loudly."""
+    import time as _time
+
+    import pytest as _pytest
+
+    from big_data_analytics_machine_learning_poc_spark.sources.delta_lite import (
+        read_delta,
+        restore_table,
+        table_history,
+        vacuum_table,
+        version_at_timestamp,
+        write_delta,
+    )
+    from big_data_analytics_machine_learning_poc_spark.sources.pyds import (
+        DeltaLiteDataSource,
+    )
+
+    spark.dataSource.register(DeltaLiteDataSource)
+    table = str(tmp_path / "tt")
+    write_delta(spark.createDataFrame([(1,)], "id long"), table)      # v0
+    t_after_v0 = int(_time.time() * 1000)
+    _time.sleep(0.05)
+    write_delta(spark.createDataFrame([(2,)], "id long"), table, mode="append")  # v1
+
+    assert version_at_timestamp(table, t_after_v0) == 0
+    assert version_at_timestamp(table, int(_time.time() * 1000)) == 1
+    with _pytest.raises(ValueError, match="predates"):
+        version_at_timestamp(table, 1)
+    via_ts = (
+        spark.read.format("delta_lite")
+        .option("timestampAsOf", str(t_after_v0))
+        .load(table)
+    )
+    assert [r.id for r in via_ts.collect()] == [1]
+
+    # RESTORE to v0: current snapshot = v0's rows; history gains a RESTORE
+    v = restore_table(spark, table, 0)
+    assert v == 2
+    assert [r.id for r in read_delta(spark, table).collect()] == [1]
+    assert [r.id for r in sorted(read_delta(spark, table, version=1).collect())] == [1, 2]
+    assert table_history(table)[0]["operation"] == "RESTORE"
+    # restore FORWARD to v1 works too (files still on disk)
+    restore_table(spark, table, 1)
+    assert sorted(r.id for r in read_delta(spark, table).collect()) == [1, 2]
+
+    # vacuum away v-old files, then restoring to a snapshot needing them fails
+    restore_table(spark, table, 0)          # v4: only file A active
+    vacuum_table(table, retention_ms=0)     # reclaims v1's extra file
+    with _pytest.raises(FileNotFoundError, match="RESTORE"):
+        restore_table(spark, table, 1)
