@@ -192,6 +192,7 @@ _delta_op = st.one_of(
     st.tuples(st.just("merge"), st.lists(st.tuples(st.integers(0, 9), st.integers(0, 99)), min_size=1, max_size=6)),
     st.tuples(st.just("compact"), st.just(None)),
     st.tuples(st.just("checkpoint"), st.just(None)),
+    st.tuples(st.just("restore"), st.integers(0, 4)),
 )
 
 
@@ -254,6 +255,19 @@ def test_delta_lite_model_based(spark, ops):
                 v = compact_table(spark, table)
                 if v is None:
                     continue
+            elif kind == "restore":
+                # restore to the arg-th recorded version (mod history);
+                # model snaps back to that version's rows
+                if not by_version:
+                    continue
+                targets = sorted(by_version)
+                tv = targets[arg % len(targets)]
+                from big_data_analytics_machine_learning_poc_spark.sources.delta_lite import (
+                    restore_table,
+                )
+
+                v = restore_table(spark, table, tv)
+                model = list(by_version[tv])
             else:  # checkpoint — no new version
                 checkpoint_table(table)
                 continue
