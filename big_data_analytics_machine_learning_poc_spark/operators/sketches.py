@@ -32,6 +32,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..catalog import load_table
 from ..functions.sketch import bitmap_distinct_count, bitmap_level1, fold_bitmap_counts
@@ -282,4 +283,63 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         bitmap_distinct_count(joined, ["cohort_day", "offset_days"])
         .orderBy("cohort_day", "offset_days")
+    )
+
+
+@REG.add(
+    "events_wau_rolling_bitmap",
+    sql="""
+    WITH days AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events)
+    SELECT d.day, CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS wau
+    FROM days d
+    JOIN events e ON CAST(e.ts AS DATE) BETWEEN d.day - 6 AND d.day
+    GROUP BY d.day ORDER BY d.day
+    """,
+)
+def events_wau_rolling_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day active users (WAU) per day — the executable proof of
+    the mergeable-bitmap promise: per-(day, bucket) bitmaps are built
+    ONCE from the events (the same <=4 KiB level-1 state every bitmap
+    lane shuffles), then OR-folded across each day's trailing 7-day
+    window with ``bitmap_or_agg`` as a WINDOW aggregate and counted.
+    Nothing re-touches raw events per window: the rollup runs over the
+    |days| x |buckets| day-grain bitmap frame, so a year of WAU over
+    petabytes of events costs one events pass + a window over ~365 x
+    buckets tiny rows. A naive formulation (the oracle's) re-joins every
+    event into 7 windows and re-deduplicates each — COUNT(DISTINCT) work
+    multiplied by the window width.
+
+    Exactness: bitmaps are exact (no HLL error); the oracle is plain
+    COUNT(DISTINCT) over the range join. RANGE frame over day ordinals
+    handles date gaps (a missing day contributes nothing but windows
+    still span calendar days, not 7 rows)."""
+    from ..catalog import load_table
+    from ..functions.sketch import bitmap_level1
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "user_id"
+    )
+    per_day = bitmap_level1(ev, ["day"])  # (day, bkt, bm)
+    w = (
+        Window.partitionBy("bkt")
+        .orderBy(F.datediff(F.col("day"), F.lit("1970-01-01")))
+        .rangeBetween(-6, 0)
+    )
+    # Seed the full |days| x |buckets| grid with empty bitmaps first: a
+    # bucket with activity in a day's trailing window but NOT on the day
+    # itself would otherwise have no row to anchor that day's window on,
+    # silently undercounting. The grid is day-grain x bucket-grain — tiny.
+    days = ev.select("day").distinct()
+    buckets = per_day.select("bkt").distinct()
+    grid = days.crossJoin(buckets)  # |days| x |buckets| tiny frame
+    seeded = grid.join(per_day, ["day", "bkt"], "left").select(
+        "day", "bkt", F.coalesce(F.col("bm"), F.lit(bytes(4096))).alias("bm")  # empty 4 KiB bitmap
+    )
+    rolled = seeded.select(
+        "day", "bkt", F.expr("bitmap_or_agg(bm)").over(w).alias("bm7")
+    )
+    return (
+        rolled.groupBy("day")
+        .agg(F.sum(F.bitmap_count("bm7")).cast("long").alias("wau"))
+        .orderBy("day")
     )

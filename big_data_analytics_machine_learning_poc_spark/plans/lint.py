@@ -105,6 +105,11 @@ ALLOWED: dict[str, dict[str, str]] = {
     "dedup_pipeline_survivors": {
         "nested_loop": "broadcast one-row corpus/survivor count aggregates"
     },
+    "events_wau_rolling_bitmap": {
+        "nested_loop": "day-grid x bucket-grid seeding cross (|days| x "
+        "<=|id-buckets| rows — both grain tables, not data) so windows "
+        "anchor on activity-less (day, bucket) cells"
+    },
     "skew_report_custkey": {
         "nested_loop": "1-row totals aggregate crossed with the 1-row "
         "top-10 aggregate — a scalar-subquery broadcast, not a data join"
