@@ -208,3 +208,44 @@ def test_bitmap_bijective_over_zero_and_negative_ids(spark):
         .collect()[0]["n"]
     )
     assert n == 140_000
+
+
+def test_wau_rolling_bitmap_planted(spark, tmp_path):
+    """Hand-computed rolling 7-day WAU: user 1 active on days 1 and 10,
+    user 2 on day 3, user 3 daily on days 8-9. Windows must count each
+    user once however often they appear in the trailing week, and the
+    empty-bitmap grid seeding must anchor windows on days where a bucket
+    has trailing-window activity but none on the day itself."""
+    import datetime as dt
+
+    from big_data_analytics_machine_learning_poc_spark.operators.sketches import (
+        events_wau_rolling_bitmap,
+    )
+
+    def ev(i, day, user):
+        return (i, dt.datetime(2024, 1, day, 12, 0), user, "click", 1.0, "{}")
+
+    rows = [
+        ev(1, 1, 1),
+        ev(2, 3, 2),
+        ev(3, 8, 3),
+        ev(4, 9, 3),
+        ev(5, 9, 3),  # same user twice in window -> still 1
+        ev(6, 10, 1),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    got = {
+        r["day"].isoformat(): r["wau"]
+        for r in events_wau_rolling_bitmap(spark, str(tmp_path)).collect()
+    }
+    # days with events: 1, 3, 8, 9, 10; window = [d-6, d] inclusive
+    assert got == {
+        "2024-01-01": 1,  # {u1}
+        "2024-01-03": 2,  # {u1@d1, u2@d3}
+        "2024-01-08": 2,  # {u2@d3, u3@d8}; u1@d1 aged out (d8-6 = d2)
+        "2024-01-09": 2,  # {u2@d3 (d9-6 = d3, boundary INCLUDED), u3}
+        "2024-01-10": 2,  # {u3@d8-9, u1@d10}; u2 aged out
+    }
