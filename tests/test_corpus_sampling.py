@@ -131,3 +131,32 @@ def test_stratified_bottom_k_equals_single_window_on_random_data(spark):
         .collect()
     }
     assert got == want
+
+
+def test_template_phrases_threshold_boundary(spark, tmp_path):
+    """The >= 8% document-frequency gate is an integer cross-multiply:
+    a bigram in exactly 8 of 100 docs is IN, one in 7 is OUT, and
+    repeating a phrase many times inside one doc cannot fake corpus-wide
+    presence (distinct-per-doc)."""
+    from big_data_analytics_machine_learning_poc_spark.operators.corpus import (
+        corpus_template_phrases,
+    )
+
+    docs = []
+    for i in range(100):
+        words = [f"u{i}a", f"u{i}b"]  # unique filler bigram per doc
+        if i < 8:
+            words += ["tpl", "in"]  # "tpl in" -> 8 docs = exactly 8%
+        if i < 7:
+            words += ["tpl", "out"]  # "tpl out" -> 7 docs < 8%
+        if i == 0:
+            words += ["spam", "spam", "spam", "spam"]  # intra-doc repeats
+        text = " ".join(words)
+        docs.append((i, text, "en", "src0", len(text)))
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    grams = {r.gram: r.n_docs for r in corpus_template_phrases(spark, str(tmp_path)).collect()}
+    assert grams.get("tpl in") == 8
+    assert "tpl out" not in grams
+    assert "spam spam" not in grams  # 1 doc, however many repeats

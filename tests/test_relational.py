@@ -79,3 +79,23 @@ def test_grouping_sets_totals_consistent(spark):
     assert sum(r["n"] for r in rows if r["gid"] == 1) == total
     [grand] = [r for r in rows if r["gid"] == 3]
     assert grand["n"] == total and grand["o_orderstatus"] is None
+
+
+def test_corr_matrix_identity_and_antithesis(spark, tmp_path):
+    """Sufficient-statistics assembly sanity: y = 2x gives r = 1, y = -x
+    gives r = -1, on a synthetic orders table."""
+    from big_data_analytics_machine_learning_poc_spark.operators.relational import REG
+
+    rows = [
+        (i, 2 * i, "O", float(-i), __import__("datetime").date(1995, 1, 1), "1-URGENT")
+        for i in range(1, 200)
+    ]
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate date, o_orderpriority string",
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+    got = {r.pair: r.r for r in REG.queries["corr_matrix_onepass"](spark, str(tmp_path)).collect()}
+    assert got["o_custkey~o_orderkey"] == 1.0  # custkey = 2*orderkey
+    assert got["o_totalprice~o_orderkey"] == -1.0
+    assert got["o_totalprice~o_custkey"] == -1.0
