@@ -34,12 +34,26 @@ def partitioned_prefix_sum(
     out_col: str,
     num_partitions: int = 32,
     exclusive: bool = False,
+    check_unique: bool = False,
 ) -> DataFrame:
     """Add ``out_col`` = cumulative sum of ``value_col`` in ``order_col``
     order (inclusive by default; ``exclusive=True`` sums strictly-earlier
     rows only). ``order_col`` values must be unique — see module
-    docstring."""
+    docstring; with duplicates the prefix over a tie group is
+    order-DEPENDENT and silently nondeterministic, so ``check_unique``
+    (one extra count-distinct aggregate — pay it in tests/first runs,
+    skip it in steady state) makes the contract loud instead."""
     value = F.col(value_col) if isinstance(value_col, str) else value_col
+    if check_unique:
+        n, d = df.agg(
+            F.count(order_col).alias("n"), F.count_distinct(order_col).alias("d")
+        ).collect()[0]
+        if n != d:
+            raise ValueError(
+                f"partitioned_prefix_sum: order column {order_col!r} has "
+                f"{n - d} duplicate value(s) — the prefix over a tie group "
+                f"is order-dependent; pass a composite unique key"
+            )
     # localCheckpoint: the frame is evaluated by TWO jobs below (the
     # totals collect and the final result), and pid assignment must be
     # IDENTICAL in both — RangePartitioner samples boundaries from the

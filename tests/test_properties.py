@@ -354,3 +354,20 @@ def test_partitioned_prefix_sum_equals_global_window(spark):
                 ).collect()
             }
             assert got == want, (parts, excl)
+
+
+def test_partitioned_prefix_sum_check_unique_guard(spark):
+    """check_unique makes the duplicate-order-key contract loud."""
+    import pytest as _pytest
+
+    from big_data_analytics_machine_learning_poc_spark.functions.prefix import (
+        partitioned_prefix_sum,
+    )
+
+    df = spark.createDataFrame([(1, 10), (1, 20), (2, 30)], "k long, v long")
+    with _pytest.raises(ValueError, match="duplicate"):
+        partitioned_prefix_sum(df, "k", "v", "c", check_unique=True)
+    ok = partitioned_prefix_sum(
+        df.dropDuplicates(["k"]), "k", "v", "c", check_unique=True
+    )
+    assert ok.count() == 2

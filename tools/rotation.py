@@ -172,6 +172,13 @@ def plan_window(slots: int = 50) -> dict:
     changed.sort()
     greens.sort()
     ordered = never + red + [n for _, n in changed] + [n for _, n in greens]
+    if len(never) + len(red) > slots:
+        print(
+            f"WARNING: {len(never)} never-checked + {len(red)} red lanes exceed "
+            f"the {slots}-slot window — {len(never) + len(red) - slots} lane(s) "
+            f"will get NO driver row this round; stop adding lanes or raise slots",
+            file=sys.stderr,
+        )
     return {
         "window": ordered[:slots],
         "never": never,
