@@ -112,3 +112,20 @@ def test_rotation_ledger_flags_changed_lanes(tmp_path, monkeypatch):
     assert plan["window"][0] == "q2"  # changed outranks stale greens
     ledger = json.loads(ledger_path.read_text())
     assert set(ledger) == {"q1", "q2"}
+
+
+def test_rotation_warns_when_window_overflows(monkeypatch, capsys):
+    """51 never-checked lanes against 50 slots must WARN (lanes silently
+    losing driver coverage) and still emit a full 50-lane window."""
+    from tools import rotation
+
+    class FakeReg:
+        def __init__(self):
+            self.queries = {f"q{i:03d}": (lambda s, d: None) for i in range(51)}
+            self.oracles = {}
+
+    monkeypatch.setattr(rotation, "_registry", lambda: FakeReg())
+    monkeypatch.setattr(rotation, "driver_history", lambda: {})
+    plan = rotation.plan_window(50)
+    assert len(plan["window"]) == 50 and len(plan["never"]) == 51
+    assert "NO driver row" in capsys.readouterr().err
