@@ -43,6 +43,14 @@ log for planning. The file moves below use the local filesystem API; a
 cloud deployment swaps them for the store's rename/put — the log protocol
 is unchanged.
 
+Known interop caveat (documented divergence): ``add.path`` is logged as
+the raw on-disk relative path; the Delta protocol percent-encodes it, so
+a native reader URL-decoding paths would mangle partition VALUES that
+contain percent-escapable characters (`a b` → dir `c=a%20b`). Tables
+whose partition values are alphanumeric (every lane here) round-trip
+exactly; encode-on-log/decode-on-read is the listed follow-up if
+special-character partition values ever need native-reader interop.
+
 Reference parity: the reference clients (SURVEY.md §0) stop at CSV in /
 console out; lakehouse tables are part of the BASELINE.json extension
 surface.
@@ -196,7 +204,13 @@ def checkpoint_table(table: str) -> int:
         {"txn": {"appId": app, "version": v}} for app, v in sorted(_txn_state(table).items())
     ]
     tbl = pa.table({"action_json": [json.dumps(a, separators=(",", ":")) for a in actions]})
-    pq.write_table(tbl, _checkpoint_path(table, version))
+    # temp + rename (review r5): the checkpoint file itself is PARSED by
+    # readers (the pointer fallback scan trusts any *.checkpoint.parquet),
+    # so a crash mid-write must never leave a torn one
+    ckpt_path = _checkpoint_path(table, version)
+    ckpt_tmp = ckpt_path + f".tmp-{uuid.uuid4().hex}"
+    pq.write_table(tbl, ckpt_tmp)
+    os.replace(ckpt_tmp, ckpt_path)
     # temp + rename: a crash mid-write must not leave a partial pointer
     # (the read side also tolerates one by falling back to a scan)
     pointer = os.path.join(table, _LOG_DIR, "_last_checkpoint")
@@ -254,13 +268,25 @@ def _commit(table: str, version: int, actions: list[dict]) -> None:
     commit — concurrent writers race on the filename and exactly one wins."""
     path = _log_path(table, version)
     os.makedirs(os.path.dirname(path), exist_ok=True)
-    try:
-        fd = os.open(path, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
-    except FileExistsError as exc:
-        raise DeltaCommitConflict(f"version {version} already committed at {table}") from exc
-    with os.fdopen(fd, "w") as f:
+    # Full-content atomicity (review r5): write the COMPLETE action list
+    # to a temp file (fsynced), then hard-link it to the version name —
+    # link(2) is the same put-if-absent primitive as O_EXCL, but a crash
+    # mid-write can now only leave a stray temp (vacuum-invisible: not
+    # .parquet), never a torn log file that poisons every later replay.
+    tmp = os.path.join(os.path.dirname(path), f".commit-{uuid.uuid4().hex}.tmp")
+    with open(tmp, "w") as f:
         for action in actions:
             f.write(json.dumps(action, separators=(",", ":")) + "\n")
+        f.flush()
+        os.fsync(f.fileno())
+    try:
+        os.link(tmp, path)
+    except FileExistsError as exc:
+        raise DeltaCommitConflict(
+            f"version {version} already committed at {table}"
+        ) from exc
+    finally:
+        os.unlink(tmp)
 
 
 # ---------------------------------------------------------------------------
@@ -283,6 +309,7 @@ def _file_stats(pq_meta) -> dict:
     mins: dict = {}
     maxs: dict = {}
     nulls: dict = {}
+    null_covered: dict = {}  # row groups contributing null_count per column
     covered: dict = {}  # row groups contributing min/max per column
     for rg in range(pq_meta.num_row_groups):
         group = pq_meta.row_group(rg)
@@ -296,6 +323,7 @@ def _file_stats(pq_meta) -> dict:
                 continue
             if st.null_count is not None:
                 nulls[name] = nulls.get(name, 0) + st.null_count
+                null_covered[name] = null_covered.get(name, 0) + 1
             if not st.has_min_max or st.physical_type not in _STATS_PHYSICAL_TYPES:
                 continue
             covered[name] = covered.get(name, 0) + 1
@@ -308,7 +336,17 @@ def _file_stats(pq_meta) -> dict:
     # bounds covering part of the file logged as exact would let the
     # skipping reader drop a file whose stats-less row group matches
     complete = {n for n, k in covered.items() if k == pq_meta.num_row_groups}
-    stats: dict = {"numRecords": num_records, "nullCount": nulls}
+    # same soundness rule for nullCount (review r5): a row group without
+    # statistics may hold NULLs — logging a partial sum as exact would let
+    # a null-aware reader (IS NULL pruning) drop a matching file
+    stats: dict = {
+        "numRecords": num_records,
+        "nullCount": {
+            n: c
+            for n, c in nulls.items()
+            if null_covered.get(n) == pq_meta.num_row_groups
+        },
+    }
     if complete:
         stats["minValues"] = {k: _json_scalar(v) for k, v in mins.items() if k in complete}
         stats["maxValues"] = {k: _json_scalar(v) for k, v in maxs.items() if k in complete}
@@ -383,7 +421,10 @@ def _partition_values(rel_path: str, partition_cols: list[str]) -> dict[str, str
         if "=" in piece:
             k, _, v = piece.partition("=")
             if k in partition_cols:
-                values[k] = unquote(v)
+                raw = unquote(v)
+                # hive encodes SQL NULL as a sentinel directory; the log
+                # (and the Delta protocol) store null, not the sentinel
+                values[k] = None if raw == "__HIVE_DEFAULT_PARTITION__" else raw
     return values
 
 
@@ -867,7 +908,13 @@ def merge_delta(
 
     active, meta, latest = _replay(table, None)
     partition_cols = meta.get("partitionColumns", [])
-    if source.schema != StructType.fromJson(json.loads(meta["schemaString"])):
+    table_schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    # nullability-insensitive, matching write_delta's contract: a CDC
+    # source built from aggregations flips nullability with identical
+    # storage semantics (review r5)
+    if [(f.name, f.dataType) for f in source.schema.fields] != [
+        (f.name, f.dataType) for f in table_schema.fields
+    ]:
         raise ValueError("merge source schema must match the table schema")
     keys = source.select(*key_cols).distinct()
     snap = read_delta(spark, table).withColumn("_dl_file", F.input_file_name())
@@ -1051,18 +1098,21 @@ def snapshot_diff(
     honest on tables without a unique key."""
     from pyspark.sql import functions as F  # noqa: PLC0415 — avoid cycle at import
 
-    old_active, meta, _ = _replay(table, from_version)
-    new_active, _meta2, _ = _replay(table, to_version)
+    old_active, _meta_from, _ = _replay(table, from_version)
+    new_active, meta, _ = _replay(table, to_version)
+    # TO_version's schema on BOTH sides (review r5): a merge_schema
+    # column-add between the versions must surface in the feed — reading
+    # with from_version's schema would drop the new column and changes
+    # touching only it would cancel as "no change". Old files null-fill
+    # the added columns under the explicit schema, exactly like read_delta.
     schema = StructType.fromJson(json.loads(meta["schemaString"]))
     removed = sorted(set(old_active) - set(new_active))
     added = sorted(set(new_active) - set(old_active))
 
     def read_files(rels: list[str]) -> "DataFrame":
-        reader = spark.read.schema(schema)
-        if meta.get("partitionColumns"):
-            reader = reader.option("basePath", table)
         if not rels:
             return spark.createDataFrame([], schema)
+        reader = _snapshot_reader(spark, table, meta)
         return reader.parquet(*[os.path.join(table, r) for r in rels])
 
     old_rows = read_files(removed)

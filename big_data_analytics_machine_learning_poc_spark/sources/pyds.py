@@ -100,6 +100,22 @@ class DeltaLiteDataSource(DataSource):
         return DeltaLiteReader(table, version, schema)
 
 
+def _encode_pv(value) -> str | None:
+    """Encode a pushed filter value the way the log encodes partition
+    values (hive text form): booleans are 'true'/'false' (str(True) is
+    'True' and would silently prune EVERY matching file), dates ISO,
+    None stays None (matches a null partition)."""
+    import datetime
+
+    if value is None:
+        return None
+    if isinstance(value, bool):
+        return "true" if value else "false"
+    if isinstance(value, (datetime.date, datetime.datetime)):
+        return value.isoformat()
+    return str(value)
+
+
 def _partition_value(dt, raw: str | None):
     """Typed partition value from the log's string encoding (hive-style:
     None encodes SQL NULL)."""
@@ -196,9 +212,9 @@ class DeltaLiteReader(DataSourceReader):
                 continue
             if col in self.partition_cols:
                 if isinstance(f, EqualTo):
-                    self._eq.setdefault(col, set()).add(str(f.value))
+                    self._eq.setdefault(col, set()).add(_encode_pv(f.value))
                 elif isinstance(f, In):
-                    self._eq.setdefault(col, set()).update(str(v) for v in f.value)
+                    self._eq.setdefault(col, set()).update(_encode_pv(v) for v in f.value)
             else:
                 # zone-map range narrowing on data columns; stats min/max
                 # are JSON scalars, so only narrow for directly comparable

@@ -1501,3 +1501,93 @@ def test_timestamp_time_travel_and_restore(spark, tmp_path):
     vacuum_table(table, retention_ms=0)     # reclaims v1's extra file
     with _pytest.raises(FileNotFoundError, match="RESTORE"):
         restore_table(spark, table, 1)
+
+
+def test_pyds_boolean_partition_pushdown_prunes_correctly(spark, tmp_path):
+    """Pushed boolean partition filters must encode as hive 'true'/'false'
+    (str(True) is 'True' and silently pruned EVERYTHING before the fix)."""
+    from pyspark.sql.datasource import EqualTo
+
+    from big_data_analytics_machine_learning_poc_spark.sources.delta_lite import (
+        write_delta,
+    )
+    from big_data_analytics_machine_learning_poc_spark.sources.pyds import (
+        DeltaLiteDataSource,
+    )
+
+    spark.dataSource.register(DeltaLiteDataSource)
+    table = str(tmp_path / "bp")
+    df = spark.createDataFrame([(1, True), (2, True), (3, False)], "id long, flag boolean")
+    write_delta(df.repartition("flag"), table, partition_cols=["flag"])
+
+    got = (
+        spark.read.format("delta_lite")
+        .load(table)
+        .filter(F.col("flag") == True)  # noqa: E712 — the pushed form under test
+        .count()
+    )
+    assert got == 2
+    ds = DeltaLiteDataSource(options={"path": table})
+    r = ds.reader(ds.schema())
+    list(r.pushFilters([EqualTo(("flag",), True)]))
+    parts = r.partitions()
+    assert 0 < len(parts) < 2 + 1  # only the flag=true file set survives
+
+
+def test_null_partition_value_round_trips_as_null(spark, tmp_path):
+    """NULL in a partition column: hive writes the sentinel directory, the
+    log (per protocol) stores null, the connector reads it back as NULL,
+    and equality filters never match the null partition."""
+    from big_data_analytics_machine_learning_poc_spark.sources.delta_lite import (
+        _replay,
+        read_delta,
+        write_delta,
+    )
+    from big_data_analytics_machine_learning_poc_spark.sources.pyds import (
+        DeltaLiteDataSource,
+    )
+
+    spark.dataSource.register(DeltaLiteDataSource)
+    table = str(tmp_path / "np")
+    df = spark.createDataFrame([(1, 10), (2, None), (3, 10)], "id long, grp long")
+    write_delta(df.repartition("grp"), table, partition_cols=["grp"])
+    active, _, _ = _replay(table, None)
+    pvs = {a["partitionValues"]["grp"] for a in active.values()}
+    assert None in pvs and "10" in pvs and "__HIVE_DEFAULT_PARTITION__" not in pvs
+
+    got = {(r.id, r.grp) for r in spark.read.format("delta_lite").load(table).collect()}
+    assert got == {(1, 10), (2, None), (3, 10)}
+    assert {tuple(r) for r in read_delta(spark, table).collect()} == got
+    eq = spark.read.format("delta_lite").load(table).filter(F.col("grp") == 10)
+    assert {r.id for r in eq.collect()} == {1, 3}
+
+
+def test_snapshot_diff_sees_changes_in_evolved_columns(spark, tmp_path):
+    """CDF across a merge_schema boundary: a merge that changes ONLY the
+    newly-added column must surface as delete(old)+insert(new), not cancel
+    (the diff reads both sides with TO-version's schema)."""
+    from big_data_analytics_machine_learning_poc_spark.sources.delta_lite import (
+        merge_delta,
+        snapshot_diff,
+        write_delta,
+    )
+
+    table = str(tmp_path / "cdfe")
+    write_delta(spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string"), table)
+    write_delta(
+        spark.createDataFrame([(3, "c", 1.5)], "id long, v string, w double"),
+        table,
+        mode="append",
+        merge_schema=True,
+    )
+    # v2: change ONLY w for id=3
+    merge_delta(
+        spark,
+        table,
+        spark.createDataFrame([(3, "c", 9.9)], "id long, v string, w double"),
+        ["id"],
+    )
+    changes = sorted(
+        (r._change_type, r.id, r.v, r.w) for r in snapshot_diff(spark, table, 1, 2).collect()
+    )
+    assert changes == [("delete", 3, "c", 1.5), ("insert", 3, "c", 9.9)]
