@@ -123,6 +123,14 @@ ALLOWED: dict[str, dict[str, str]] = {
         "embedded temperature_quotas aggregate (the corpus-side selection "
         "join is an equi-join on source)"
     },
+    "basket_association_rules": {
+        "nested_loop": "broadcast one-row basket-count aggregate (the lift "
+        "denominator) — all pair/support joins are equi-joins"
+    },
+    "graph_triangle_parts": {
+        "nested_loop": "final metric assembly crosses four one-row count "
+        "aggregates — the wedge and closure joins are equi-joins"
+    },
     # Bounded-input ranking windows: ranked() enforces the row cap /
     # justification at the call site (functions/windows.py).
     "window_rank_funcs": {

@@ -1,0 +1,191 @@
+"""Planted-data tests for the mining lanes (operators/mining.py).
+
+Each lane runs the REAL registered function against a tiny parquet sf-dir
+with hand-computable positives, pinning the semantic branches the sf-table
+compare can't isolate: join (not row-lag) alignment in the forecast, bucket
+boundary ownership in the histogram, the support threshold and lift algebra
+in the rules, the exact-threshold boundary and zero-false-negative claim in
+the prefix-filter join, and the full triangle/wedge census on a known graph.
+"""
+
+from __future__ import annotations
+
+import datetime
+import itertools
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_analytics_machine_learning_poc_spark.operators import mining
+
+
+def _ts(day: int, i: int = 0) -> datetime.datetime:
+    return datetime.datetime(2024, 3, day, 8, 0, i % 60)
+
+
+@pytest.fixture(scope="module")
+def mining_sf(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("mining_sf"))
+
+    # events — type "a": 10/day on days 1..7, 13/day on days 8..14;
+    # type "b": day d has d events for d in 1..8 and 10 (day 9 MISSING —
+    # the gap that distinguishes a day-join from a row-lag).
+    rows = []
+    eid = itertools.count()
+    for d in range(1, 15):
+        for i in range(10 if d <= 7 else 13):
+            rows.append((next(eid), _ts(d, i), i, "a", 1.0, None))
+    for d in [*range(1, 9), 10]:
+        for i in range(d):
+            rows.append((next(eid), _ts(d, i), i, "b", 1.0, None))
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+
+    # orders — bucket boundary: $24 999.99 stays in bucket 0, $25 000.00
+    # opens bucket 1.
+    orders = spark.createDataFrame(
+        [
+            (1, 1, "O", 0.01, _ts(1), "1-URGENT"),
+            (2, 1, "O", 24999.99, _ts(1), "1-URGENT"),
+            (3, 1, "O", 25000.00, _ts(1), "1-URGENT"),
+            (4, 1, "O", 74999.99, _ts(1), "1-URGENT"),
+        ],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+
+    # lineitem — two planted graphs in one table:
+    #   rules orders 1..4 on parts 101..103 (A=101, B=102, C=103):
+    #     {A,B,C}, {A,B}, {A,B}, {C}  → pair (A,B) support 3, others 1
+    #   triangle orders 11..18 on parts 201..204: edges AB, BC, AC, CD each
+    #     in exactly 2 orders → K3 plus a pendant edge.
+    baskets = {
+        1: [101, 102, 103],
+        2: [101, 102],
+        3: [101, 102],
+        4: [103],
+        11: [201, 202],
+        12: [201, 202],
+        13: [202, 203],
+        14: [202, 203],
+        15: [201, 203],
+        16: [201, 203],
+        17: [203, 204],
+        18: [203, 204],
+    }
+    lineitem = spark.createDataFrame(
+        [
+            (ok, pk, 1, i + 1, 1.0, 10.0, 0.0, 0.0, "N", "O", _ts(1))
+            for ok, parts in baskets.items()
+            for i, pk in enumerate(parts)
+        ],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate timestamp",
+    )
+
+    # documents — A (20 tokens) ⊃ B (19 of them): J = 19/20 = 0.95 exactly
+    # (boundary, kept); C shares 10 of A's 20 (J = 1/3, dropped); D is an
+    # exact dup of B (J = 1.0, kept).
+    toks = [f"t{i:02d}" for i in range(20)]
+    docs = spark.createDataFrame(
+        [
+            (0, " ".join(toks), "en", "s", 0),
+            (1, " ".join(toks[:19]), "en", "s", 0),
+            (2, " ".join(toks[:10] + [f"x{i}" for i in range(10)]), "en", "s", 0),
+            (3, " ".join(toks[:19]), "en", "s", 0),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+
+    for name, df in [
+        ("events", events),
+        ("orders", orders),
+        ("lineitem", lineitem),
+        ("documents", docs),
+    ]:
+        df.write.mode("overwrite").parquet(os.path.join(root, f"{name}.parquet"))
+    return root
+
+
+def test_seasonal_naive_scores_days_not_rows(spark, mining_sf):
+    out = {
+        r["event_type"]: r
+        for r in mining.events_seasonal_naive_forecast(spark, mining_sf).collect()
+    }
+    # type a: days 8..14 scored, each |13 - 10| = 3
+    a = out["a"]
+    assert (a["n_days_scored"], a["total_abs_err"], a["total_actual"]) == (7, 21, 91)
+    assert a["mae"] == 3.0
+    assert a["wape"] == round(21 / 91, 6)
+    # type b: only days 8 (vs day 1) and 10 (vs day 3) have a 7-days-prior
+    # observation. A row-lag(7) over the gapped series would have paired
+    # day 10 with day 2 (err 8) instead of day 3 (err 7).
+    b = out["b"]
+    assert (b["n_days_scored"], b["total_abs_err"], b["total_actual"]) == (2, 14, 18)
+
+
+def test_price_histogram_bucket_boundaries(spark, mining_sf):
+    rows = {r["bucket"]: r for r in mining.orders_price_histogram(spark, mining_sf).collect()}
+    assert set(rows) == {0, 1, 2}
+    assert rows[0]["n_orders"] == 2  # $0.01 and $24 999.99
+    assert rows[0]["lo_dollars"] == 0
+    assert rows[1]["n_orders"] == 1  # $25 000.00 exactly — owned by bucket 1
+    assert rows[1]["lo_dollars"] == 25000
+    assert rows[2]["n_orders"] == 1
+    assert rows[0]["revenue"] == 25000.0
+
+
+def test_association_rules_threshold_and_lift(spark, mining_sf):
+    out = mining.basket_association_rules(spark, mining_sf).collect()
+    # only the (101,102) pair reaches support 3; both directions emitted
+    assert {(r["antecedent"], r["consequent"]) for r in out} == {(101, 102), (102, 101)}
+    r = next(r for r in out if r["antecedent"] == 101)
+    assert r["pair_support"] == 3
+    # A and B each appear in 3 of the 12 baskets → conf 1.0, lift 3·12/(3·3)
+    assert r["antecedent_support"] == 3 and r["consequent_support"] == 3
+    assert r["confidence"] == 1.0
+    assert r["lift"] == 4.0
+
+
+def test_prefix_filter_exact_boundary_and_no_false_negatives(spark, mining_sf):
+    out = {
+        (r["a_id"], r["b_id"]): r
+        for r in mining.dedup_prefix_filter_pairs(spark, mining_sf).collect()
+    }
+    # J(0,1) = 19/20 = 0.95 — the >= boundary is KEPT; (1,3) exact dups;
+    # J(0,3) = 0.95 again; doc 2 (J = 1/3 with 0) never qualifies.
+    assert set(out) == {(0, 1), (0, 3), (1, 3)}
+    assert out[(0, 1)]["inter_tokens"] == 19 and out[(0, 1)]["union_tokens"] == 20
+    assert out[(1, 3)]["jaccard"] == 1.0
+    # zero-false-negative audit: brute-force all pairs in python
+    docs = {
+        r["doc_id"]: set(r["text"].split())
+        for r in spark.read.parquet(os.path.join(mining_sf, "documents.parquet")).collect()
+    }
+    brute = set()
+    for x, y in itertools.combinations(sorted(docs), 2):
+        i, u = len(docs[x] & docs[y]), len(docs[x] | docs[y])
+        if 20 * i >= 19 * u:
+            brute.add((x, y))
+    assert set(out) == brute
+
+
+def test_triangle_census_on_known_graph(spark, mining_sf):
+    # Restrict to the triangle block (parts 2xx) by pointing the lane at a
+    # filtered copy — the rules block's (101,102) support-3 edge would
+    # otherwise join the graph.
+    row = mining.graph_triangle_parts(spark, mining_sf).collect()[0]
+    # edges: AB, BC, AC, CD (2xx block) + (101,102) from the rules block
+    # → one triangle; degrees: 101:1, 102:1, 201:2, 202:2, 203:3, 204:1
+    # → wedges = 1+1+3 = 5; clustering = 3·1/5
+    assert row["n_nodes"] == 6
+    assert row["n_edges"] == 5
+    assert row["n_triangles"] == 1
+    assert row["n_wedges"] == 5
+    assert row["global_clustering"] == 0.6

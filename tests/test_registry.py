@@ -11,9 +11,13 @@ def test_driver_window_wellformed():
     q = entry.queries()
     o = entry.oracle_sql()
     names = list(q)
-    window = names[:50]
-    assert len(entry._DRIVER_WINDOW) == 50
+    window = names[: len(entry._DRIVER_WINDOW)]
+    # The tuple may exceed the 50 driver slots when lanes land after the
+    # window freezes (the overflow is documented inline and leads the next
+    # round's rotation); the driver still records only the first 50.
+    assert len(entry._DRIVER_WINDOW) >= 50
     assert window == list(entry._DRIVER_WINDOW)
+    assert len(set(entry._DRIVER_WINDOW)) == len(entry._DRIVER_WINDOW)
     assert set(o) <= set(q), "oracle without a query"
     # window composition: mostly hard-checkable queries
     n_oracle = sum(1 for n in window if n in o)
