@@ -1,8 +1,8 @@
 """Pattern-mining / forecasting analytics lanes (round-5 continuation).
 
-Five operator families a production corpus/commerce pipeline runs beside
-the dedup/similarity stack, each expressed Spark-first with an exact DuckDB
-oracle:
+Operator families a production corpus/commerce pipeline runs beside the
+dedup/similarity stack, each expressed Spark-first with an exact DuckDB
+oracle. First batch:
 
 - seasonal-naive forecast backtest (``events_seasonal_naive_forecast``) —
   the standard baseline every forecasting system is judged against;
@@ -18,6 +18,11 @@ oracle:
   (``graph_triangle_parts``) — degree-ordered orientation, the classic
   skew-proof distributed triangle shape (Suri & Vassilvitskii, WWW'11).
 
+Second batch: exact-quantile binning (``orders_quantile_binning``),
+conversion-latency distribution (``events_conversion_latency``), per-doc
+keyword ranking (``docs_keyword_topk``), and the window value-function
+family (``window_value_funcs``).
+
 Cross-engine exactness follows the repo's oracle rules (oracle.py): all
 counts are int64 (``CAST`` guards against DuckDB's HUGEINT widening), every
 reported ratio is ONE division of identical int64 operands on both engines
@@ -30,6 +35,7 @@ from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..catalog import load_table
 from ..registry import QueryRegistry
@@ -521,3 +527,299 @@ def graph_triangle_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("global_clustering"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Quantile binning (data-dependent complement to the fixed-width histogram)
+# ---------------------------------------------------------------------------
+
+
+@REG.add(
+    "orders_quantile_binning",
+    sql="""
+    WITH c AS (
+      SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents FROM orders
+    ), b AS (
+      SELECT QUANTILE_CONT(cents, 0.25) AS b25,
+             QUANTILE_CONT(cents, 0.50) AS b50,
+             QUANTILE_CONT(cents, 0.75) AS b75
+      FROM c
+    )
+    SELECT CASE WHEN cents <= b25 THEN 0
+                WHEN cents <= b50 THEN 1
+                WHEN cents <= b75 THEN 2
+                ELSE 3 END AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(cents) AS BIGINT) / 100.0 AS revenue
+    FROM c CROSS JOIN b
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def orders_quantile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quartile binning of order totals — QuantileDiscretizer semantics with
+    EXACT interpolated boundaries (Spark `percentile` ≡ DuckDB
+    quantile_cont, the repo's established pairing), the data-dependent
+    complement to `orders_price_histogram`'s fixed-width buckets. Rows at or
+    below a boundary fall in the lower bin (<=, pinned on both engines).
+
+    Scale shape: one aggregate computes all three boundaries, broadcast as
+    a ONE-ROW frame onto the scan (declared ALLOWED — the scalar-subquery
+    broadcast); binning is then a per-row CASE and the census one
+    partial-aggregable groupBy. Exact interpolated percentiles sort each
+    group once — at 100 TB swap in percentile_approx (documented in the
+    `percentiles` lane); the exact form is the oracle-checkable one.
+    Comparisons are int64 cents against the interpolated double boundary —
+    cents ≤ 5·10^7 are exactly representable, so the promotion is lossless
+    on both engines."""
+    c = _t(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents")
+    )
+    b = c.agg(
+        F.expr("percentile(cents, 0.25)").alias("b25"),
+        F.expr("percentile(cents, 0.50)").alias("b50"),
+        F.expr("percentile(cents, 0.75)").alias("b75"),
+    )
+    binned = c.crossJoin(F.broadcast(b)).select(
+        F.when(F.col("cents") <= F.col("b25"), 0)
+        .when(F.col("cents") <= F.col("b50"), 1)
+        .when(F.col("cents") <= F.col("b75"), 2)
+        .otherwise(3)
+        .alias("bin"),
+        "cents",
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            (F.sum("cents") / F.lit(100.0)).alias("revenue"),
+        )
+        .orderBy("bin")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Conversion latency distribution (ordered funnel, time-to-convert)
+# ---------------------------------------------------------------------------
+
+
+@REG.add(
+    "events_conversion_latency",
+    sql="""
+    WITH ue AS (
+      SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+    ), v AS (
+      SELECT user_id, MIN(us) AS v_us FROM ue WHERE event_type = 'view'
+      GROUP BY user_id
+    ), p AS (
+      SELECT ue.user_id, MIN(ue.us) - ANY_VALUE(v.v_us) AS lat_us
+      FROM ue JOIN v ON ue.user_id = v.user_id
+      WHERE ue.event_type = 'purchase' AND ue.us >= v.v_us
+      GROUP BY ue.user_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+           ROUND(CAST(SUM(lat_us) AS BIGINT)
+                 / CAST(COUNT(*) AS DOUBLE) / 1e6, 6) AS mean_latency_s,
+           ROUND(QUANTILE_CONT(lat_us, 0.50) / 1e6, 6) AS p50_latency_s,
+           ROUND(QUANTILE_CONT(lat_us, 0.90) / 1e6, 6) AS p90_latency_s
+    FROM p
+    """,
+)
+def events_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: for every user whose first purchase
+    happens at-or-after their first view, the latency between the two —
+    mean and exact p50/p90. The companion metric to `funnel_conversion`
+    (relational.py): that lane counts WHO converts, this one reports HOW
+    FAST, the number product teams actually page on.
+
+    Scale shape: two groupBys on user_id (first view, first qualifying
+    purchase) joined on the SAME key — co-partitioned after the first
+    shuffle — then ONE global aggregate over the per-user latency frame
+    (|users| rows). Latencies are integer microseconds end-to-end; the
+    mean is one int64/int64 division and the percentiles the established
+    percentile ≡ quantile_cont exact-interpolation pairing. No one-row
+    broadcast anywhere — the lane is lint-clean by construction."""
+    ue = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros(F.col("ts")).alias("us")
+    )
+    v = (
+        ue.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("v_us"))
+    )
+    p = (
+        ue.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("us") >= F.col("v_us"))
+        .groupBy("user_id")
+        .agg((F.min("us") - F.first("v_us")).alias("lat_us"))
+    )
+    return p.agg(
+        F.count(F.lit(1)).cast("long").alias("n_converted"),
+        F.round(
+            F.sum("lat_us") / F.count(F.lit(1)).cast("double") / F.lit(1e6), 6
+        ).alias("mean_latency_s"),
+        F.round(F.expr("percentile(lat_us, 0.50)") / F.lit(1e6), 6).alias(
+            "p50_latency_s"
+        ),
+        F.round(F.expr("percentile(lat_us, 0.90)") / F.lit(1e6), 6).alias(
+            "p90_latency_s"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-document keyword extraction (exact TF/DF ranking)
+# ---------------------------------------------------------------------------
+
+_KW_TOPK = 3
+_KW_DOC_CAP = 200  # doc_id < cap keeps the per-doc output bounded for compare
+
+
+@REG.add(
+    "docs_keyword_topk",
+    sql=f"""
+    WITH tokrows AS (
+      SELECT doc_id, unnest({TOKENS_SQL}) AS tok
+      FROM documents WHERE doc_id < {_KW_DOC_CAP}
+    ), tf AS (
+      SELECT doc_id, tok, COUNT(*) AS tf FROM tokrows GROUP BY 1, 2
+    ), df AS (
+      SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok
+    ), scored AS (
+      SELECT tf.doc_id, tf.tok,
+             CAST(tf.tf AS BIGINT) AS tf, CAST(df.df AS BIGINT) AS df,
+             CAST(tf.tf AS BIGINT) / CAST(df.df AS DOUBLE) AS score,
+             ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                                ORDER BY CAST(tf.tf AS BIGINT)
+                                         / CAST(df.df AS DOUBLE) DESC,
+                                         tf.tok) AS rk
+      FROM tf JOIN df ON tf.tok = df.tok
+    )
+    SELECT doc_id, tok, tf, df, ROUND(score, 6) AS score,
+           CAST(rk AS BIGINT) AS rk
+    FROM scored WHERE rk <= {_KW_TOPK}
+    ORDER BY doc_id, rk
+    """,
+)
+def docs_keyword_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 distinctive tokens per document, ranked by the exact TF/DF
+    ratio — the keyword-extraction / doc-labeling primitive. TF/DF orders
+    tokens the same way as TF-IDF for any monotone idf(df) (idf only
+    re-scales by df), but stays a single int64/int64 division, so the
+    ranking is bitwise-reproducible cross-engine — no ln() whose libm
+    rounding could fork the rank order between engines.
+
+    Scale shape: TF is one (doc, token) groupBy; DF one token groupBy over
+    the TF frame (already deduplicated per doc); the ranking window is
+    partitioned by doc_id with a deterministic (score DESC, token) order —
+    per-partition state is one doc's distinct tokens. The doc_id cap is
+    the compare-gate's output bound; production drops it."""
+    tokrows = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < _KW_DOC_CAP)
+        .select("doc_id", F.explode(tokens_col()).alias("tok"))
+    )
+    tf = tokrows.groupBy("doc_id", "tok").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    df = tf.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    score = F.col("tf") / F.col("df").cast("double")
+    from ..functions.windows import ranked
+
+    scored = (
+        tf.join(df, "tok")
+        .withColumn("score", score)
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                ranked(F.col("score").desc(), F.col("tok"), partition_by="doc_id")
+            ),
+        )
+        .filter(F.col("rk") <= _KW_TOPK)
+    )
+    return scored.select(
+        "doc_id",
+        "tok",
+        "tf",
+        "df",
+        F.round("score", 6).alias("score"),
+        F.col("rk").cast("long").alias("rk"),
+    ).orderBy("doc_id", "rk")
+
+
+# ---------------------------------------------------------------------------
+# Window value functions (first_value / last_value / nth_value)
+# ---------------------------------------------------------------------------
+
+
+@REG.add(
+    "window_value_funcs",
+    sql="""
+    WITH w AS (
+      SELECT o_custkey,
+             COUNT(*) OVER pc AS n_orders,
+             FIRST_VALUE(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER po
+               AS first_c,
+             LAST_VALUE(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER po
+               AS last_c,
+             NTH_VALUE(CAST(ROUND(o_totalprice * 100) AS BIGINT), 2) OVER po
+               AS second_c,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS rn
+      FROM orders WHERE o_custkey < 500
+      WINDOW po AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND UNBOUNDED FOLLOWING),
+             pc AS (PARTITION BY o_custkey)
+    )
+    SELECT o_custkey, CAST(n_orders AS BIGINT) AS n_orders,
+           first_c / 100.0 AS first_price,
+           last_c / 100.0 AS last_price,
+           second_c / 100.0 AS second_price
+    FROM w WHERE rn = 1 ORDER BY o_custkey
+    """,
+)
+def window_value_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The window VALUE-function family (first_value / last_value /
+    nth_value) that completes the repo's window coverage beside the rank
+    family and sliding frames: per customer, the first, latest, and second
+    order price over the full (o_orderdate, o_orderkey)-ordered history.
+    The frame is pinned to UNBOUNDED PRECEDING..UNBOUNDED FOLLOWING on both
+    engines — last_value under the default frame (..CURRENT ROW) is the
+    classic silent-wrong-answer, returning the current row instead of the
+    latest; the explicit frame makes the semantics unambiguous.
+
+    Scale shape: one shuffle on o_custkey serves every window (Catalyst
+    collapses same-spec windows into one Window node); ordering ties are
+    broken by the unique o_orderkey so nth_value is deterministic. Prices
+    travel as int64 cents, ONE /100.0 at the end."""
+    from ..functions.windows import ranked
+
+    c = F.round(F.col("o_totalprice") * 100).cast("long")
+    po = ranked("o_orderdate", "o_orderkey", partition_by="o_custkey").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    rn_w = ranked("o_orderdate", "o_orderkey", partition_by="o_custkey")
+    w = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") < 500)
+        .select(
+            "o_custkey",
+            F.count(F.lit(1))
+            .over(Window.partitionBy("o_custkey"))
+            .cast("long")
+            .alias("n_orders"),
+            F.first(c).over(po).alias("first_c"),
+            F.last(c).over(po).alias("last_c"),
+            F.nth_value(c, 2).over(po).alias("second_c"),
+            F.row_number().over(rn_w).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+    )
+    return w.select(
+        "o_custkey",
+        "n_orders",
+        (F.col("first_c") / F.lit(100.0)).alias("first_price"),
+        (F.col("last_c") / F.lit(100.0)).alias("last_price"),
+        (F.col("second_c") / F.lit(100.0)).alias("second_price"),
+    ).orderBy("o_custkey")

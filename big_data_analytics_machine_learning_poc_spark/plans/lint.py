@@ -131,6 +131,10 @@ ALLOWED: dict[str, dict[str, str]] = {
         "nested_loop": "final metric assembly crosses four one-row count "
         "aggregates — the wedge and closure joins are equi-joins"
     },
+    "orders_quantile_binning": {
+        "nested_loop": "broadcast one-row quartile-boundary aggregate onto "
+        "the scan (the scalar-subquery shape)"
+    },
     # Bounded-input ranking windows: ranked() enforces the row cap /
     # justification at the call site (functions/windows.py).
     "window_rank_funcs": {

@@ -39,6 +39,16 @@ def mining_sf(spark, tmp_path_factory):
     for d in [*range(1, 9), 10]:
         for i in range(d):
             rows.append((next(eid), _ts(d, i), i, "b", 1.0, None))
+    # conversion-latency plants: user 100 converts in 30 s, user 102 in
+    # 90 s; user 101's only purchase PRECEDES their first view (excluded).
+    rows += [
+        (next(eid), datetime.datetime(2024, 3, 20, 8, 0, 0), 100, "view", 1.0, None),
+        (next(eid), datetime.datetime(2024, 3, 20, 8, 0, 30), 100, "purchase", 1.0, None),
+        (next(eid), datetime.datetime(2024, 3, 20, 9, 0, 0), 101, "purchase", 1.0, None),
+        (next(eid), datetime.datetime(2024, 3, 21, 9, 0, 0), 101, "view", 1.0, None),
+        (next(eid), datetime.datetime(2024, 3, 22, 8, 0, 0), 102, "view", 1.0, None),
+        (next(eid), datetime.datetime(2024, 3, 22, 8, 1, 30), 102, "purchase", 1.0, None),
+    ]
     events = spark.createDataFrame(
         rows,
         "event_id long, ts timestamp, user_id long, event_type string, "
@@ -174,6 +184,49 @@ def test_prefix_filter_exact_boundary_and_no_false_negatives(spark, mining_sf):
         if 20 * i >= 19 * u:
             brute.add((x, y))
     assert set(out) == brute
+
+
+def test_quantile_binning_boundaries(spark, mining_sf):
+    # cents = [1, 2499999, 2500000, 7499999]; interpolated quartiles put
+    # exactly one order in each bin
+    rows = {r["bin"]: r for r in mining.orders_quantile_binning(spark, mining_sf).collect()}
+    assert set(rows) == {0, 1, 2, 3}
+    assert all(rows[b]["n_orders"] == 1 for b in rows)
+    assert rows[3]["revenue"] == 74999.99
+
+
+def test_conversion_latency_ordered_and_exact(spark, mining_sf):
+    row = mining.events_conversion_latency(spark, mining_sf).collect()[0]
+    # users 100 (30 s) and 102 (90 s) convert; 101's purchase-before-view
+    # must NOT count
+    assert row["n_converted"] == 2
+    assert row["mean_latency_s"] == 60.0
+    assert row["p50_latency_s"] == 60.0
+    assert row["p90_latency_s"] == 84.0  # 30 + 0.9·(90−30)
+
+
+def test_keyword_topk_ranks_by_tf_over_df(spark, mining_sf):
+    out = mining.docs_keyword_topk(spark, mining_sf).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r["tok"])
+    # doc 0: t19 is unique to it (df=1 → score 1.0); t10..t18 (df=3,
+    # score 1/3) beat t00..t09 (df=4); ties break on token
+    assert by_doc[0] == ["t19", "t10", "t11"]
+    # doc 2's x-tokens are unique to it
+    assert by_doc[2] == ["x0", "x1", "x2"]
+    assert all(len(v) == 3 for v in by_doc.values())
+
+
+def test_window_value_funcs_full_frame(spark, mining_sf):
+    rows = {r["o_custkey"]: r for r in mining.window_value_funcs(spark, mining_sf).collect()}
+    r = rows[1]
+    # 4 orders, same date — ordered by o_orderkey: first/second/last pinned
+    assert r["n_orders"] == 4
+    assert r["first_price"] == 0.01
+    assert r["second_price"] == 24999.99
+    # last_value must see the FULL frame, not default ..CURRENT ROW
+    assert r["last_price"] == 74999.99
 
 
 def test_triangle_census_on_known_graph(spark, mining_sf):
