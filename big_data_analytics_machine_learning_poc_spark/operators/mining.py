@@ -38,6 +38,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..catalog import load_table
+from ..functions.windows import ranked
 from ..registry import QueryRegistry
 from .text import TOKENS_SQL, tokens_col
 
@@ -340,12 +341,28 @@ def dedup_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     formulation; DuckDB at correctness SF), so the prefix pruning's
     zero-false-negative claim is verified, not assumed.
 
-    Scale shape: token df = one groupBy; per-doc rarity sort is a groupBy
-    re-assembly (state = one doc's token list); candidates and the verify
-    joins are all EQUI-joins on token / doc_id. The threshold test is
-    integer cross-multiplication (20·inter ≥ 19·union) — no float
-    comparison forks. Prefix length uses ceil as exact integer arithmetic:
-    ceil(19n/20) = (19n + 19) div 20."""
+    Scale shape — three classic AllPairs disciplines compose here:
+    (1) DICTIONARY ENCODING: tokens map to dense int ids ranked by
+    ascending (df, token), so a doc's ascending-sorted id array IS its
+    rarity order — the prefix is a plain slice, and the verify intersects
+    int arrays instead of strings (~10× cheaper to shuffle and hash; the
+    id-ranking window runs over the VOCABULARY aggregate, 31 tokens in
+    this corpus — for open-vocabulary corpora promote to hash-derived ids,
+    which need no global rank, only a fixed total order).
+    (2) LENGTH FILTER: J ≥ t forces 20·min(|A|,|B|) ≥ 19·max(|A|,|B|), so
+    size-mismatched candidates die BEFORE the distinct + verify joins.
+    (3) The threshold test is integer cross-multiplication (20·inter ≥
+    19·union) — no float comparison forks. Prefix length uses exact
+    integer ceil: ceil(19n/20) = (19n + 19) div 20.
+
+    Honest degeneracy note (measured): this synthetic corpus draws every
+    doc from a 31-token vocabulary, so ~1.5 % of ALL doc pairs truly
+    exceed t=0.95 — the output itself is ~190 k pairs at sf0.1 and NO
+    exact algorithm can emit less than the truth. Production sequencing on
+    template-heavy corpora is `corpus_template_phrases` (boilerplate
+    censor) → exact dedup → this join; on natural vocabularies the prefix
+    discipline prunes the candidate space instead of the data shape
+    capping it."""
     docs = (
         _t(spark, sf_dir, "documents")
         .select("doc_id", F.array_distinct(tokens_col()).alias("toks"))
@@ -353,43 +370,61 @@ def dedup_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tokrows = docs.select("doc_id", F.explode("toks").alias("tok"))
     dfreq = tokrows.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
-    ordered = (
-        tokrows.join(dfreq, "tok")
+    tdict = dfreq.select(
+        "tok",
+        F.row_number()
+        .over(
+            ranked(
+                "df",
+                "tok",
+                bounded_input="vocabulary-sized df aggregate (31 distinct "
+                "tokens in this corpus; open-vocab promotion = hash ids, "
+                "see docstring)",
+            )
+        )
+        .cast("int")
+        .alias("tid"),
+    )
+    sets = (
+        tokrows.join(tdict, "tok")
         .groupBy("doc_id")
-        .agg(F.array_sort(F.collect_list(F.struct("df", "tok"))).alias("st"))
+        .agg(F.array_sort(F.collect_list("tid")).alias("ids"))
     )
-    n = F.size("st")
+    n = F.size("ids")
     # prefix length p = n - ceil(t*n) + 1, integer-exact
-    alpha = F.expr(f"({_PF_NUM} * size(st) + {_PF_NUM}) div {_PF_DEN}")
-    prefix = ordered.select(
+    alpha = F.expr(f"({_PF_NUM} * size(ids) + {_PF_NUM}) div {_PF_DEN}")
+    prows = sets.select(
         "doc_id",
-        F.slice(
-            F.transform("st", lambda x: x["tok"]), F.lit(1), n - alpha + F.lit(1)
-        ).alias("ptoks"),
+        n.alias("n"),
+        F.explode(F.slice("ids", F.lit(1), n - alpha + F.lit(1))).alias("tid"),
     )
-    prows = prefix.select("doc_id", F.explode("ptoks").alias("tok"))
     pa, pb = prows.alias("pa"), prows.alias("pb")
     cands = (
         pa.join(
             pb,
-            (F.col("pa.tok") == F.col("pb.tok"))
-            & (F.col("pa.doc_id") < F.col("pb.doc_id")),
+            (F.col("pa.tid") == F.col("pb.tid"))
+            & (F.col("pa.doc_id") < F.col("pb.doc_id"))
+            # length filter: size-incompatible pairs can never reach t
+            & (
+                F.lit(_PF_DEN) * F.least("pa.n", "pb.n")
+                >= F.lit(_PF_NUM) * F.greatest("pa.n", "pb.n")
+            ),
         )
         .select(
             F.col("pa.doc_id").alias("a_id"), F.col("pb.doc_id").alias("b_id")
         )
         .distinct()
     )
-    ta = docs.select(F.col("doc_id").alias("a_id"), F.col("toks").alias("ta"))
-    tb = docs.select(F.col("doc_id").alias("b_id"), F.col("toks").alias("tb"))
+    ta = sets.select(F.col("doc_id").alias("a_id"), F.col("ids").alias("ia"))
+    tb = sets.select(F.col("doc_id").alias("b_id"), F.col("ids").alias("ib"))
     verified = (
         cands.join(ta, "a_id")
         .join(tb, "b_id")
         .select(
             "a_id",
             "b_id",
-            F.size(F.array_intersect("ta", "tb")).alias("i"),
-            (F.size("ta") + F.size("tb")).alias("sizes"),
+            F.size(F.array_intersect("ia", "ib")).alias("i"),
+            (F.size("ia") + F.size("ib")).alias("sizes"),
         )
         .filter(
             F.lit(_PF_DEN) * F.col("i")
@@ -724,8 +759,6 @@ def docs_keyword_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     df = tf.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("df"))
     score = F.col("tf") / F.col("df").cast("double")
-    from ..functions.windows import ranked
-
     scored = (
         tf.join(df, "tok")
         .withColumn("score", score)
@@ -793,8 +826,6 @@ def window_value_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     collapses same-spec windows into one Window node); ordering ties are
     broken by the unique o_orderkey so nth_value is deterministic. Prices
     travel as int64 cents, ONE /100.0 at the end."""
-    from ..functions.windows import ranked
-
     c = F.round(F.col("o_totalprice") * 100).cast("long")
     po = ranked("o_orderdate", "o_orderkey", partition_by="o_custkey").rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing

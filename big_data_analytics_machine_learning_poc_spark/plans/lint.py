@@ -153,6 +153,11 @@ ALLOWED: dict[str, dict[str, str]] = {
         "global_window": "ranks the per-lang top-k candidate aggregate "
         "(≤ k·|langs| rows after partial top-k)"
     },
+    "dedup_prefix_filter_pairs": {
+        "global_window": "ranks the vocabulary-sized token-df aggregate "
+        "(31 tokens here) into dense rarity ids; open-vocab promotion = "
+        "hash-derived ids (no global rank), see lane docstring"
+    },
 }
 
 
