@@ -228,30 +228,43 @@ def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair join keeps ``a.part <> b.part`` instead of ``<``), because
     confidence is asymmetric.
 
-    Scale shape: pair generation is the same self-EQUI-join on the order
-    key as `basket_part_pairs` (quadratic only in bounded basket size);
-    item supports are one partial-agg groupBy; the lift denominator's
-    basket count is a ONE-ROW aggregate broadcast (declared in the plan
-    lint's ALLOWED ledger — the scalar-subquery shape, not a quadratic
-    stage). Confidence and lift are each ONE division of identical int64
-    operands cross-engine (the lift numerator/denominator are int64
-    products of small counts — no float accumulation anywhere)."""
-    items = (
-        _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    Scale shape: ONE shuffle builds per-order baskets (`collect_set` —
+    partial-aggregable set union, deduping repeated lineitems in the agg
+    itself); ordered pairs are then generated IN-ROW by a codegen'd
+    nested-array transform — quadratic only in bounded basket size and
+    free of the self-join shuffle the naive formulation pays (measured at
+    sf0.1: the join-based plan shuffles ~7 M pair rows twice; this plan
+    once). Item supports ride the same basket frame; the lift
+    denominator's basket count is a ONE-ROW aggregate broadcast (declared
+    in the plan lint's ALLOWED ledger — the scalar-subquery shape).
+    Confidence and lift are each ONE division of identical int64 operands
+    cross-engine (the lift numerator/denominator are int64 products of
+    small counts — no float accumulation anywhere). A pathological basket
+    (10^4 items → 10^8 in-row pairs) is where the A-priori degree cap
+    (slice/filter the array before pairing) applies — same doctrine as
+    `basket_part_pairs`."""
+    baskets = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.collect_set("l_partkey").alias("parts"))
     )
-    nb = items.agg(F.countDistinct("l_orderkey").alias("n_baskets"))
-    isupp = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("s"))
-    a, b = items.alias("a"), items.alias("b")
+    nb = baskets.agg(F.count(F.lit(1)).alias("n_baskets"))
+    isupp = (
+        baskets.select(F.explode("parts").alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("s"))
+    )
     ps = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(parts, x -> transform("
+                    "filter(parts, y -> y != x), "
+                    "y -> named_struct('antecedent', x, 'consequent', y))))"
+                )
+            ).alias("pr")
         )
-        .select(
-            F.col("a.l_partkey").alias("antecedent"),
-            F.col("b.l_partkey").alias("consequent"),
-        )
+        .select("pr.antecedent", "pr.consequent")
         .groupBy("antecedent", "consequent")
         .agg(F.count(F.lit(1)).alias("pair_support"))
         .filter(F.col("pair_support") >= _RULE_MIN_PAIR_SUPPORT)
@@ -499,21 +512,32 @@ def graph_triangle_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     a<b<c formulation. The final one-row metric assembly cross-joins four
     one-row aggregates (declared ALLOWED — scalar broadcasts, not a
     quadratic stage). Clustering coefficient = ONE int64/int64 division."""
-    items = (
-        _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    baskets = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.collect_set("l_partkey").alias("parts"))
     )
-    a, b = items.alias("a"), items.alias("b")
     edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        baskets.select(
+            # canonical p1 < p2 pairs generated in-row (no self-join
+            # shuffle — same basket-local expansion as the rules lane)
+            F.explode(
+                F.expr(
+                    "flatten(transform(parts, x -> transform("
+                    "filter(parts, y -> y > x), "
+                    "y -> named_struct('p1', x, 'p2', y))))"
+                )
+            ).alias("e")
         )
-        .select(F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2"))
+        .select("e.p1", "e.p2")
         .groupBy("p1", "p2")
         .agg(F.count(F.lit(1)).alias("m"))
         .filter(F.col("m") >= _TRI_MIN_SUPPORT)
         .select("p1", "p2")
+        # the edge list feeds degree, both wedge sides, the closure probe
+        # and two one-row aggregates — materialize the (small) edge set
+        # once instead of re-running the basket expansion per consumer
+        .localCheckpoint()
     )
     deg = (
         edges.select(F.explode(F.array("p1", "p2")).alias("node"))
