@@ -878,3 +878,239 @@ def window_value_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("last_c") / F.lit(100.0)).alias("last_price"),
         (F.col("second_c") / F.lit(100.0)).alias("second_price"),
     ).orderBy("o_custkey")
+
+
+# ---------------------------------------------------------------------------
+# GROUP BY ALL / ORDER BY ALL (Spark 4 SQL sugar)
+# ---------------------------------------------------------------------------
+
+
+@REG.add(
+    "sql_group_order_by_all",
+    sql="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             / 100.0 AS revenue
+    FROM orders
+    GROUP BY o_orderstatus, o_orderpriority
+    ORDER BY o_orderstatus, o_orderpriority, n_orders, revenue
+    """,
+)
+def sql_group_order_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`GROUP BY ALL` / `ORDER BY ALL` — the Spark 4 SQL sugar that groups
+    by every non-aggregate select item and orders by every output column,
+    eliminating the classic copy-paste drift between the SELECT list and
+    the GROUP BY list. The oracle spells both lists out explicitly, so the
+    sugar's resolution rule (non-aggregate items, in select order) is what
+    is being verified. Plans identically to the explicit form — one
+    partial-aggregable hash aggregate; money as int64 cents, ONE /100.0."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("v_orders_all")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 / CAST(100 AS DOUBLE) AS revenue
+        FROM v_orders_all
+        GROUP BY ALL
+        ORDER BY ALL
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Day-of-week seasonality profile
+# ---------------------------------------------------------------------------
+
+
+@REG.add(
+    "events_dow_seasonality",
+    sql="""
+    WITH d AS (
+      SELECT event_type, dayofweek(CAST(ts AS DATE)) + 1 AS dow, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ), t AS (
+      SELECT event_type, SUM(n) AS tot FROM d GROUP BY event_type
+    )
+    SELECT d.event_type AS event_type, CAST(d.dow AS BIGINT) AS dow,
+           CAST(d.n AS BIGINT) AS n_events,
+           ROUND(CAST(d.n AS BIGINT) / CAST(t.tot AS DOUBLE), 6)
+             AS share_of_type
+    FROM d JOIN t ON d.event_type = t.event_type
+    ORDER BY d.event_type, dow
+    """,
+)
+def events_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality profile per event type (count + share of the
+    type's total) — the weekly-rhythm census that seasonal models (and the
+    lag-7 seasonal-naive backtest above) presuppose. Day-of-week uses the
+    1=Sunday..7=Saturday convention shared by Spark's dayofweek() and
+    DuckDB's dayofweek()+1 — pinned here by computing BOTH sides from the
+    same civil date (see below) rather than trusting engine defaults.
+
+    Scale shape: one (type, dow) groupBy (≤ 7·|types| rows), one tiny
+    per-type total join — the share denominator is a |types|-row EQUI-join,
+    not a broadcast scalar. Shares are ONE int64/int64 division each.
+
+    Cross-engine note: DuckDB's dayofweek() returns 0=Sunday..6 while
+    Spark's returns 1=Sunday..7 — the oracle adds +1 explicitly, and a
+    planted known-weekday test pins the alignment."""
+    ev = _t(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type", F.dayofweek(F.to_date("ts")).cast("long").alias("dow")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    t = d.groupBy("event_type").agg(F.sum("n").alias("tot"))
+    return (
+        d.join(t, "event_type")
+        .select(
+            "event_type",
+            "dow",
+            F.col("n").cast("long").alias("n_events"),
+            F.round(F.col("n") / F.col("tot").cast("double"), 6).alias(
+                "share_of_type"
+            ),
+        )
+        .orderBy("event_type", "dow")
+    )
+
+
+# ---------------------------------------------------------------------------
+# RFM customer segmentation (exact quintile scores)
+# ---------------------------------------------------------------------------
+
+
+@REG.add(
+    "customer_rfm_segments",
+    sql="""
+    WITH base AS (
+      SELECT o_custkey,
+             MAX(CAST(o_orderdate AS DATE)) AS last_day,
+             COUNT(*) AS freq,
+             SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+      FROM orders GROUP BY o_custkey
+    ), ref AS (
+      SELECT MAX(last_day) AS ref_day FROM base
+    ), rfm AS (
+      SELECT o_custkey,
+             CAST(ref.ref_day - base.last_day AS BIGINT) AS rec_days,
+             CAST(freq AS BIGINT) AS freq,
+             CAST(cents AS BIGINT) AS cents
+      FROM base CROSS JOIN ref
+    ), b AS (
+      SELECT QUANTILE_CONT(rec_days, 0.5) AS r50,
+             QUANTILE_CONT(freq, 0.5) AS f50,
+             QUANTILE_CONT(cents, 0.5) AS m50
+      FROM rfm
+    )
+    SELECT CASE WHEN rec_days <= r50 THEN 2 ELSE 1 END AS r_score,
+           CASE WHEN freq > f50 THEN 2 ELSE 1 END AS f_score,
+           CASE WHEN cents > m50 THEN 2 ELSE 1 END AS m_score,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(cents) AS BIGINT) / 100.0 AS segment_revenue
+    FROM rfm CROSS JOIN b
+    GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+    """,
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer segmentation with
+    EXACT median splits — the classic CRM segmentation: each customer is
+    scored high/low on each dimension against the exact interpolated
+    median, and the 8 cells report size and revenue. Recent-is-good means
+    recency uses <= (low days → high score) while frequency/monetary use >
+    (strictly-above-median is high) — both pinned on both engines.
+
+    Scale shape: one o_custkey groupBy builds the per-customer base; the
+    reference day and the three medians are two ONE-ROW aggregate
+    broadcasts (the scalar-subquery shape, ALLOWED ledger); the final cell
+    census is a ≤8-row groupBy. Recency is integer days, money int64
+    cents; the only doubles are the interpolated medians (percentile ≡
+    quantile_cont) and the final /100.0."""
+    base = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.max(F.to_date("o_orderdate")).alias("last_day"),
+            F.count(F.lit(1)).alias("freq"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "cents"
+            ),
+        )
+    )
+    ref = base.agg(F.max("last_day").alias("ref_day"))
+    rfm = base.crossJoin(F.broadcast(ref)).select(
+        "o_custkey",
+        F.datediff("ref_day", "last_day").cast("long").alias("rec_days"),
+        F.col("freq").cast("long").alias("freq"),
+        F.col("cents").cast("long").alias("cents"),
+    )
+    b = rfm.agg(
+        F.expr("percentile(rec_days, 0.5)").alias("r50"),
+        F.expr("percentile(freq, 0.5)").alias("f50"),
+        F.expr("percentile(cents, 0.5)").alias("m50"),
+    )
+    return (
+        rfm.crossJoin(F.broadcast(b))
+        .select(
+            F.when(F.col("rec_days") <= F.col("r50"), 2).otherwise(1).alias("r_score"),
+            F.when(F.col("freq") > F.col("f50"), 2).otherwise(1).alias("f_score"),
+            F.when(F.col("cents") > F.col("m50"), 2).otherwise(1).alias("m_score"),
+            "cents",
+        )
+        .groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            (F.sum("cents") / F.lit(100.0)).alias("segment_revenue"),
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MLlib FPGrowth frequent itemsets (rows-only: tree construction order is
+# MLlib-internal; goldens + cross-lane parity pin the semantics)
+# ---------------------------------------------------------------------------
+
+_FP_MIN_SUPPORT = 0.0002  # ~count >= 3 at sf0.01 basket counts
+
+
+# rows-only by design: FPGrowth enumerates frequent itemsets of EVERY size,
+# which SQL can only mirror by unbounded self-joins; the counts themselves
+# are exact and are pinned two ways instead: tests/test_mining.py checks
+# (a) a pure-Python Apriori reference on a planted basket set and (b) that
+# every size-2 itemset's freq equals basket_association_rules' exact
+# pair_support on the same sf-dir.
+@REG.add("ml_fpgrowth_itemsets")
+def ml_fpgrowth_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib FPGrowth frequent-itemset mining over order baskets — the
+    all-sizes generalization of `basket_association_rules`' exact pair
+    statistics, via the FP-tree algorithm (no candidate generation, two
+    scans). Output: itemset as a SORTED array (deterministic presentation
+    of MLlib's arbitrary item order), its exact basket frequency, and the
+    itemset size; ordered by (freq DESC, size, items) for stable reporting.
+
+    Scale shape: Spark's distributed FPGrowth partitions work by
+    conditional bases (PFP, Li et al. 2008): each worker mines the
+    conditional FP-tree of its item partition — communication is one
+    groupBy on item suffixes, memory is bounded by per-partition tree
+    size, not corpus size. minSupport is a fraction, so the lane is
+    SF-stable. The basket build is the same single collect_set shuffle as
+    the exact lanes."""
+    from pyspark.ml.fpm import FPGrowth
+
+    baskets = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.collect_set("l_partkey").alias("items"))
+    )
+    model = FPGrowth(
+        itemsCol="items", minSupport=_FP_MIN_SUPPORT, minConfidence=0.5
+    ).fit(baskets)
+    return (
+        model.freqItemsets.select(
+            F.array_sort("items").alias("items"),
+            F.col("freq").cast("long").alias("freq"),
+            F.size("items").cast("long").alias("set_size"),
+        )
+        .orderBy(F.col("freq").desc(), "set_size", "items")
+    )

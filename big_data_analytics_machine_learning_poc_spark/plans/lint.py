@@ -135,6 +135,10 @@ ALLOWED: dict[str, dict[str, str]] = {
         "nested_loop": "broadcast one-row quartile-boundary aggregate onto "
         "the scan (the scalar-subquery shape)"
     },
+    "customer_rfm_segments": {
+        "nested_loop": "two one-row aggregate broadcasts (reference day, "
+        "then the three medians) onto the per-customer frame"
+    },
     # Bounded-input ranking windows: ranked() enforces the row cap /
     # justification at the call site (functions/windows.py).
     "window_rank_funcs": {

@@ -242,3 +242,72 @@ def test_triangle_census_on_known_graph(spark, mining_sf):
     assert row["n_triangles"] == 1
     assert row["n_wedges"] == 5
     assert row["global_clustering"] == 0.6
+
+
+def test_dow_seasonality_alignment(spark, mining_sf):
+    out = [
+        r
+        for r in mining.events_dow_seasonality(spark, mining_sf).collect()
+        if r["event_type"] == "b"
+    ]
+    by_dow = {r["dow"]: r["n_events"] for r in out}
+    # type b plants count=d on 2024-03-d for d in 1..8,10; 2024-03-03 and
+    # 03-10 are Sundays (Spark dow=1) -> 3+10; 03-01/03-08 Fridays (dow=6)
+    assert by_dow[1] == 13
+    assert by_dow[6] == 9
+    assert set(by_dow) <= set(range(1, 8))
+    total = sum(by_dow.values())
+    assert total == 46
+    for r in out:
+        assert r["share_of_type"] == round(r["n_events"] / total, 6)
+
+
+def test_group_order_by_all_resolution(spark, mining_sf):
+    out = mining.sql_group_order_by_all(spark, mining_sf).collect()
+    # all four planted orders share status/priority -> ONE group
+    assert len(out) == 1
+    assert out[0]["n_orders"] == 4
+    assert out[0]["revenue"] == 124999.99
+
+
+def test_rfm_single_customer_cell(spark, mining_sf):
+    out = mining.customer_rfm_segments(spark, mining_sf).collect()
+    # one customer: recency 0 <= median -> 2; freq/cents equal their own
+    # median (strict > is False) -> 1
+    assert len(out) == 1
+    r = out[0]
+    assert (r["r_score"], r["f_score"], r["m_score"]) == (2, 1, 1)
+    assert r["n_customers"] == 1
+    assert r["segment_revenue"] == 124999.99
+
+
+def test_fpgrowth_matches_apriori_reference(spark, mining_sf):
+    got = {
+        tuple(r["items"]): r["freq"]
+        for r in mining.ml_fpgrowth_itemsets(spark, mining_sf).collect()
+    }
+    # independent pure-python enumeration over the SAME parquet baskets
+    rows = spark.read.parquet(os.path.join(mining_sf, "lineitem.parquet")).collect()
+    baskets = {}
+    for r in rows:
+        baskets.setdefault(r["l_orderkey"], set()).add(r["l_partkey"])
+    from collections import Counter
+
+    ref = Counter()
+    for items in baskets.values():
+        s = sorted(items)
+        for size in range(1, len(s) + 1):
+            for combo in itertools.combinations(s, size):
+                ref[combo] += 1
+    minc = max(1, -(-len(baskets) * 2 // 10000))  # ceil(0.0002 * n)
+    ref = {k: v for k, v in ref.items() if v >= minc}
+    assert got == ref
+    # cross-lane parity: every size-2 itemset's freq equals the exact
+    # pair_support of basket_association_rules (direction antecedent<cons)
+    rules = {
+        (r["antecedent"], r["consequent"]): r["pair_support"]
+        for r in mining.basket_association_rules(spark, mining_sf).collect()
+    }
+    for (a, b), support in rules.items():
+        if a < b:
+            assert got.get((a, b)) == support
