@@ -1114,3 +1114,220 @@ def ml_fpgrowth_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("freq").desc(), "set_size", "items")
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming top-k per window (trending entities)
+# ---------------------------------------------------------------------------
+
+_TOPK_PER_WINDOW = 3
+
+
+@REG.add(
+    "stream_topk_users_per_window",
+    sql=f"""
+    WITH wc AS (
+      SELECT CAST(FLOOR(EPOCH(ts) / 300) * 300 AS BIGINT)
+               AS window_start_epoch,
+             user_id, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT window_start_epoch, CAST(rk AS BIGINT) AS rk, user_id,
+           CAST(n AS BIGINT) AS n
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY window_start_epoch
+                                   ORDER BY n DESC, user_id) AS rk
+      FROM wc
+    ) WHERE rk <= {_TOPK_PER_WINDOW}
+    ORDER BY window_start_epoch, rk
+    """,
+)
+def stream_topk_users_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending-entities: the top-{k} most active users per 5-minute
+    tumbling window, fed by an ACTUAL streaming aggregation — the
+    "trending hashtags" topology every event platform runs. The streaming
+    stage holds (window, user) counts (state bounded by open windows ×
+    active users, watermark-evicted); the rank is a BATCH window over the
+    already-aggregated sink output, partitioned by window — streaming
+    emits the counts, a stateless rollup picks winners, so the stream's
+    state never holds a heap, only counters.
+
+    complete-mode contract: same as `stream_tumbling_counts` — the oracle
+    needs the trailing still-open windows that append-mode suppresses;
+    the memory sink's row ceiling guards the bounded-input assumption
+    loudly (streaming/events.run_to_completion). Ties rank
+    deterministically by (n DESC, user_id)."""
+    from ..streaming import events as sev
+
+    ev = sev.read_event_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "5 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("window.start").cast("long").alias("window_start_epoch"),
+            "user_id",
+            "n",
+        )
+    )
+    counts = sev.run_to_completion(agg, "complete")
+    ranked_counts = counts.withColumn(
+        "rk",
+        F.row_number().over(
+            ranked(
+                F.col("n").desc(),
+                F.col("user_id"),
+                partition_by="window_start_epoch",
+            )
+        ),
+    )
+    return (
+        ranked_counts.filter(F.col("rk") <= _TOPK_PER_WINDOW)
+        .select(
+            "window_start_epoch",
+            F.col("rk").cast("long").alias("rk"),
+            "user_id",
+            F.col("n").cast("long").alias("n"),
+        )
+        .orderBy("window_start_epoch", "rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# One-pass PCA (covariance sufficient statistics + driver-side eigen)
+# ---------------------------------------------------------------------------
+
+_PCA_TOP = 4
+
+
+# rows-only by design: eigendecomposition outputs have no SQL form and the
+# float32 sums are reduction-order-dependent; tests/test_mining.py pins the
+# result against an independent numpy PCA on the same rows (rtol 1e-6).
+@REG.add("emb_pca_covariance")
+def emb_pca_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA of the embedding table via ONE distributed pass: count, per-dim
+    sums, and the upper-triangle of raw cross-products accumulate in a
+    single partial-aggregable aggregate (k=64 here → 2 144 running
+    scalars); the k×k covariance assembles on the driver and numpy's
+    symmetric eigensolver runs on 64×64 — the production small-k PCA shape
+    (the same sufficient-statistics discipline as `corr_matrix_onepass`,
+    which this lane extends from correlations to spectra). Output: the top
+    components' eigenvalue, explained-variance ratio, and cumulative ratio.
+
+    The embedding dimensionality is PROBED from the data (min==max size
+    asserted — a ragged table fails loudly), not hardcoded: the first
+    version of this lane assumed k=16 against 64-dim vectors and silently
+    did PCA on a prefix, caught by the numpy golden test.
+
+    Scale shape: the data-sized work is one aggregate whose state is k(k+3)/2
+    scalars regardless of row count; the driver-side eigen is O(k³) on a
+    64×64 matrix. For k in the thousands (where the k²-column aggregate
+    stops being practical) the promotion path is posexplode'd (i,j,x·y)
+    partial aggregation or distributed Gram via BlockMatrix — documented,
+    not needed at embedding dims."""
+    import numpy as np
+
+    dims = (
+        _t(spark, sf_dir, "embeddings")
+        .agg(
+            F.min(F.size("embedding")).alias("kmin"),
+            F.max(F.size("embedding")).alias("kmax"),
+        )
+        .collect()[0]
+    )
+    if dims["kmin"] != dims["kmax"]:
+        raise ValueError(
+            f"ragged embedding table: sizes {dims['kmin']}..{dims['kmax']}"
+        )
+    k = dims["kmin"]
+    emb = _t(spark, sf_dir, "embeddings").select(
+        *[F.col("embedding")[i].cast("double").alias(f"e{i}") for i in range(k)]
+    )
+    aggs = [F.count(F.lit(1)).alias("n")]
+    aggs += [F.sum(f"e{i}").alias(f"s{i}") for i in range(k)]
+    aggs += [
+        F.sum(F.col(f"e{i}") * F.col(f"e{j}")).alias(f"p{i}_{j}")
+        for i in range(k)
+        for j in range(i, k)
+    ]
+    row = emb.agg(*aggs).collect()[0]
+    n = row["n"]
+    mean = np.array([row[f"s{i}"] for i in range(k)]) / n
+    cov = np.empty((k, k))
+    for i in range(k):
+        for j in range(i, k):
+            cov[i, j] = cov[j, i] = row[f"p{i}_{j}"] / n - mean[i] * mean[j]
+    evals = np.linalg.eigvalsh(cov)[::-1]  # descending
+    total = float(evals.sum())
+    out = []
+    cum = 0.0
+    for c in range(_PCA_TOP):
+        ev = float(evals[c])
+        cum += ev
+        out.append((c + 1, round(ev, 9), round(ev / total, 6), round(cum / total, 6)))
+    return spark.createDataFrame(
+        out, "component int, eigenvalue double, evr double, cum_evr double"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Data-quality: day-over-day volume anomaly flags
+# ---------------------------------------------------------------------------
+
+
+@REG.add(
+    "dq_volume_anomaly",
+    sql="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ), lagged AS (
+      SELECT event_type, day, CAST(n AS BIGINT) AS n,
+             CAST(LAG(n) OVER (PARTITION BY event_type ORDER BY day)
+                  AS BIGINT) AS prev_n
+      FROM daily
+    )
+    SELECT event_type, day, n, prev_n,
+           CAST(ABS(n - prev_n) * 2 > prev_n AS BOOLEAN) AS flagged
+    FROM lagged WHERE prev_n IS NOT NULL
+    ORDER BY event_type, day
+    """,
+)
+def dq_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline-observability volume monitor: per event type, each day's
+    row count vs the previous OBSERVED day, flagged when the change
+    exceeds 50 % — the day-over-day canary every ingest dashboard pages
+    on. The threshold test is integer cross-multiplication
+    (2·|Δ| > prev), no float ratio to fork across engines; first observed
+    day per type has no baseline and is excluded on both sides.
+
+    Scale shape: one (type, day) partial-aggregable groupBy, then a lag
+    window over the DAY-GRAIN aggregate partitioned by type — per-partition
+    state is the day grid, never raw events."""
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    lagged = daily.select(
+        "event_type",
+        "day",
+        F.col("n").cast("long").alias("n"),
+        F.lag("n")
+        .over(ranked("day", partition_by="event_type"))
+        .cast("long")
+        .alias("prev_n"),
+    )
+    return (
+        lagged.filter(F.col("prev_n").isNotNull())
+        .select(
+            "event_type",
+            "day",
+            "n",
+            "prev_n",
+            (F.abs(F.col("n") - F.col("prev_n")) * 2 > F.col("prev_n")).alias(
+                "flagged"
+            ),
+        )
+        .orderBy("event_type", "day")
+    )

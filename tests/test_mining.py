@@ -119,7 +119,22 @@ def mining_sf(spark, tmp_path_factory):
         ("lineitem", lineitem),
         ("documents", docs),
     ]:
-        df.write.mode("overwrite").parquet(os.path.join(root, f"{name}.parquet"))
+        if name == "events":
+            # the streaming source's pathGlobFilter matches leaf FILES, so
+            # events.parquet must be a single file like the driver testdata,
+            # not a directory of part files
+            import glob
+            import shutil
+
+            staging = os.path.join(root, "_events_staging")
+            df.coalesce(1).write.mode("overwrite").parquet(staging)
+            part = glob.glob(os.path.join(staging, "part-*.parquet"))[0]
+            shutil.copy(part, os.path.join(root, "events.parquet"))
+            shutil.rmtree(staging)
+        else:
+            df.write.mode("overwrite").parquet(
+                os.path.join(root, f"{name}.parquet")
+            )
     return root
 
 
@@ -311,3 +326,62 @@ def test_fpgrowth_matches_apriori_reference(spark, mining_sf):
     for (a, b), support in rules.items():
         if a < b:
             assert got.get((a, b)) == support
+
+
+def test_stream_topk_users_matches_batch_semantics(spark, mining_sf):
+    out = mining.stream_topk_users_per_window(spark, mining_sf).collect()
+    epoch = int(
+        datetime.datetime(
+            2024, 3, 5, 8, 0, tzinfo=datetime.timezone.utc
+        ).timestamp()
+    )
+    win = [r for r in out if r["window_start_epoch"] == epoch]
+    # 2024-03-05 08:00 window: type a users 0..9 (1 each) + type b users
+    # 0..4 (1 each) -> users 0..4 have n=2; deterministic ties by user_id
+    assert [(r["rk"], r["user_id"], r["n"]) for r in win] == [
+        (1, 0, 2),
+        (2, 1, 2),
+        (3, 2, 2),
+    ]
+    assert all(r["rk"] <= 3 for r in out)
+
+
+def test_pca_matches_numpy_reference(spark):
+    import numpy as np
+
+    lane = mining.emb_pca_covariance(spark, "/root/testdata/sf0.001").collect()
+    X = np.array(
+        [
+            r["embedding"]
+            for r in spark.read.parquet(
+                "/root/testdata/sf0.001/embeddings.parquet"
+            ).collect()
+        ],
+        dtype="float64",
+    )
+    cov = np.cov(X, rowvar=False, ddof=0)
+    evals = np.linalg.eigvalsh(cov)[::-1]
+    evr = evals / evals.sum()
+    for r in lane:
+        c = r["component"] - 1
+        assert abs(r["eigenvalue"] - evals[c]) < 1e-6 * max(1.0, abs(evals[c]))
+        assert abs(r["evr"] - evr[c]) < 1e-5
+    assert [r["component"] for r in lane] == [1, 2, 3, 4]
+    # eigenvalues descending, cum_evr monotone
+    assert all(lane[i]["eigenvalue"] >= lane[i + 1]["eigenvalue"] for i in range(3))
+    assert all(lane[i]["cum_evr"] <= lane[i + 1]["cum_evr"] for i in range(3))
+
+
+def test_volume_anomaly_strict_threshold_and_gap(spark, mining_sf):
+    out = {
+        (r["event_type"], str(r["day"])): r
+        for r in mining.dq_volume_anomaly(spark, mining_sf).collect()
+    }
+    # type b counts = day number on days 1..8,10
+    assert out[("b", "2024-03-02")]["flagged"] is True  # 1 -> 2: 2*1 > 1
+    assert out[("b", "2024-03-03")]["flagged"] is False  # 2 -> 3: 2*1 > 2 is strict-False
+    gap = out[("b", "2024-03-10")]
+    assert gap["prev_n"] == 8  # previous OBSERVED day (9 missing)
+    assert gap["flagged"] is False  # |10-8|*2 = 4 > 8 is False
+    # first observed day per type has no row
+    assert ("b", "2024-03-01") not in out
