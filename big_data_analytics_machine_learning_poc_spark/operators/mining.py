@@ -1205,58 +1205,60 @@ _PCA_TOP = 4
 # result against an independent numpy PCA on the same rows (rtol 1e-6).
 @REG.add("emb_pca_covariance")
 def emb_pca_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PCA of the embedding table via ONE distributed pass: count, per-dim
-    sums, and the upper-triangle of raw cross-products accumulate in a
-    single partial-aggregable aggregate (k=64 here → 2 144 running
-    scalars); the k×k covariance assembles on the driver and numpy's
-    symmetric eigensolver runs on 64×64 — the production small-k PCA shape
-    (the same sufficient-statistics discipline as `corr_matrix_onepass`,
-    which this lane extends from correlations to spectra). Output: the top
-    components' eigenvalue, explained-variance ratio, and cumulative ratio.
+    """PCA of the embedding table via ONE distributed pass of Arrow-batched
+    partial sufficient statistics: every task's mapInPandas batch reduces
+    to (count, Σx, X'X) with numpy BLAS — one k + k² block per PARTITION
+    reaches the driver, which sums the handful of partials, assembles the
+    k×k covariance, and runs the symmetric eigensolver on 64×64. The same
+    sufficient-statistics discipline as `corr_matrix_onepass`, extended
+    from correlations to spectra. Output: the top components' eigenvalue,
+    explained-variance ratio, and cumulative ratio.
 
-    The embedding dimensionality is PROBED from the data (min==max size
-    asserted — a ragged table fails loudly), not hardcoded: the first
-    version of this lane assumed k=16 against 64-dim vectors and silently
-    did PCA on a prefix, caught by the numpy golden test.
+    Why mapInPandas and not a 2 000-column SQL aggregate: the widths are
+    Catalyst-hostile — k(k+3)/2 sum expressions at k=64 spent ~20 s in
+    expression compilation for 5 000 rows (measured), while the Arrow
+    path's per-batch X'X is a single dgemm. This is the distributed-BLAS
+    pattern: JVM moves batches, numpy does the flops, the shuffle carries
+    ONE (1+k+k²)-double row per partition regardless of row count.
 
-    Scale shape: the data-sized work is one aggregate whose state is k(k+3)/2
-    scalars regardless of row count; the driver-side eigen is O(k³) on a
-    64×64 matrix. For k in the thousands (where the k²-column aggregate
-    stops being practical) the promotion path is posexplode'd (i,j,x·y)
-    partial aggregation or distributed Gram via BlockMatrix — documented,
-    not needed at embedding dims."""
+    The embedding dimensionality comes from the data (np.vstack fails
+    loudly on a ragged table), not hardcoded: the first version of this
+    lane assumed k=16 against 64-dim vectors and silently did PCA on a
+    prefix — caught by the numpy golden test, kept as a cautionary note.
+
+    Scale shape: data-sized work is one map pass; driver work is
+    O(partitions·k²) + O(k³). For k in the thousands the promotion path is
+    blocked Gram accumulation (BlockMatrix) or randomized sketching."""
     import numpy as np
+    import pandas as pd
 
-    dims = (
+    def partial_stats(batches):
+        n = 0
+        s = None
+        g = None
+        for pdf in batches:
+            X = np.vstack(pdf["embedding"].to_numpy()).astype("float64")
+            n += X.shape[0]
+            s = X.sum(axis=0) if s is None else s + X.sum(axis=0)
+            gram = X.T @ X
+            g = gram if g is None else g + gram
+        if n:
+            yield pd.DataFrame(
+                {"n": [n], "s": [s.tolist()], "g": [g.ravel().tolist()]}
+            )
+
+    parts = (
         _t(spark, sf_dir, "embeddings")
-        .agg(
-            F.min(F.size("embedding")).alias("kmin"),
-            F.max(F.size("embedding")).alias("kmax"),
-        )
-        .collect()[0]
+        .select("embedding")
+        .mapInPandas(partial_stats, "n long, s array<double>, g array<double>")
+        .collect()
     )
-    if dims["kmin"] != dims["kmax"]:
-        raise ValueError(
-            f"ragged embedding table: sizes {dims['kmin']}..{dims['kmax']}"
-        )
-    k = dims["kmin"]
-    emb = _t(spark, sf_dir, "embeddings").select(
-        *[F.col("embedding")[i].cast("double").alias(f"e{i}") for i in range(k)]
-    )
-    aggs = [F.count(F.lit(1)).alias("n")]
-    aggs += [F.sum(f"e{i}").alias(f"s{i}") for i in range(k)]
-    aggs += [
-        F.sum(F.col(f"e{i}") * F.col(f"e{j}")).alias(f"p{i}_{j}")
-        for i in range(k)
-        for j in range(i, k)
-    ]
-    row = emb.agg(*aggs).collect()[0]
-    n = row["n"]
-    mean = np.array([row[f"s{i}"] for i in range(k)]) / n
-    cov = np.empty((k, k))
-    for i in range(k):
-        for j in range(i, k):
-            cov[i, j] = cov[j, i] = row[f"p{i}_{j}"] / n - mean[i] * mean[j]
+    n = sum(p["n"] for p in parts)
+    k = len(parts[0]["s"])
+    s = np.sum([np.array(p["s"]) for p in parts], axis=0)
+    g = np.sum([np.array(p["g"]).reshape(k, k) for p in parts], axis=0)
+    mean = s / n
+    cov = g / n - np.outer(mean, mean)
     evals = np.linalg.eigvalsh(cov)[::-1]  # descending
     total = float(evals.sum())
     out = []
