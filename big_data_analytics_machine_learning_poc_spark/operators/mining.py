@@ -40,6 +40,7 @@ from pyspark.sql.window import Window
 from ..catalog import load_table
 from ..functions.windows import ranked
 from ..registry import QueryRegistry
+from ..streaming import events as sev  # module-level: rotation closure hash
 from .text import TOKENS_SQL, tokens_col
 
 REG = QueryRegistry()
@@ -47,6 +48,34 @@ REG = QueryRegistry()
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
+
+
+def _baskets(
+    spark: SparkSession, sf_dir: str, items_col: str = "parts"
+) -> DataFrame:
+    """Per-order distinct-part baskets — ONE collect_set shuffle (set union
+    is partial-aggregable, deduping repeated lineitems inside the agg).
+    Shared by the rules / triangle / FPGrowth lanes so the basket
+    discipline (and any future A-priori degree cap) lives in one place."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.collect_set("l_partkey").alias(items_col))
+    )
+
+
+def _inrow_pairs(cmp: str, f1: str, f2: str):
+    """In-row ordered-pair expansion over a `parts` basket array: quadratic
+    only in bounded basket size, no self-join shuffle. ``cmp`` picks the
+    pair space: 'y != x' emits both directions (rules), 'y > x' canonical
+    p1<p2 edges (triangles)."""
+    return F.explode(
+        F.expr(
+            "flatten(transform(parts, x -> transform("
+            f"filter(parts, y -> y {cmp} x), "
+            f"y -> named_struct('{f1}', x, '{f2}', y))))"
+        )
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -243,11 +272,7 @@ def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     (10^4 items → 10^8 in-row pairs) is where the A-priori degree cap
     (slice/filter the array before pairing) applies — same doctrine as
     `basket_part_pairs`."""
-    baskets = (
-        _t(spark, sf_dir, "lineitem")
-        .groupBy("l_orderkey")
-        .agg(F.collect_set("l_partkey").alias("parts"))
-    )
+    baskets = _baskets(spark, sf_dir)
     nb = baskets.agg(F.count(F.lit(1)).alias("n_baskets"))
     isupp = (
         baskets.select(F.explode("parts").alias("l_partkey"))
@@ -255,15 +280,7 @@ def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("s"))
     )
     ps = (
-        baskets.select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(parts, x -> transform("
-                    "filter(parts, y -> y != x), "
-                    "y -> named_struct('antecedent', x, 'consequent', y))))"
-                )
-            ).alias("pr")
-        )
+        baskets.select(_inrow_pairs("!=", "antecedent", "consequent").alias("pr"))
         .select("pr.antecedent", "pr.consequent")
         .groupBy("antecedent", "consequent")
         .agg(F.count(F.lit(1)).alias("pair_support"))
@@ -512,23 +529,11 @@ def graph_triangle_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     a<b<c formulation. The final one-row metric assembly cross-joins four
     one-row aggregates (declared ALLOWED — scalar broadcasts, not a
     quadratic stage). Clustering coefficient = ONE int64/int64 division."""
-    baskets = (
-        _t(spark, sf_dir, "lineitem")
-        .groupBy("l_orderkey")
-        .agg(F.collect_set("l_partkey").alias("parts"))
-    )
+    baskets = _baskets(spark, sf_dir)
     edges = (
-        baskets.select(
-            # canonical p1 < p2 pairs generated in-row (no self-join
-            # shuffle — same basket-local expansion as the rules lane)
-            F.explode(
-                F.expr(
-                    "flatten(transform(parts, x -> transform("
-                    "filter(parts, y -> y > x), "
-                    "y -> named_struct('p1', x, 'p2', y))))"
-                )
-            ).alias("e")
-        )
+        # canonical p1 < p2 pairs generated in-row (no self-join shuffle —
+        # the shared basket-local expansion)
+        baskets.select(_inrow_pairs(">", "p1", "p2").alias("e"))
         .select("e.p1", "e.p2")
         .groupBy("p1", "p2")
         .agg(F.count(F.lit(1)).alias("m"))
@@ -1098,11 +1103,7 @@ def ml_fpgrowth_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exact lanes."""
     from pyspark.ml.fpm import FPGrowth
 
-    baskets = (
-        _t(spark, sf_dir, "lineitem")
-        .groupBy("l_orderkey")
-        .agg(F.collect_set("l_partkey").alias("items"))
-    )
+    baskets = _baskets(spark, sf_dir, items_col="items")
     model = FPGrowth(
         itemsCol="items", minSupport=_FP_MIN_SUPPORT, minConfidence=0.5
     ).fit(baskets)
@@ -1157,8 +1158,6 @@ def stream_topk_users_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     the memory sink's row ceiling guards the bounded-input assumption
     loudly (streaming/events.run_to_completion). Ties rank
     deterministically by (n DESC, user_id)."""
-    from ..streaming import events as sev
-
     ev = sev.read_event_stream(spark, sf_dir)
     agg = (
         ev.withWatermark("ts", "10 minutes")

@@ -245,9 +245,8 @@ def test_window_value_funcs_full_frame(spark, mining_sf):
 
 
 def test_triangle_census_on_known_graph(spark, mining_sf):
-    # Restrict to the triangle block (parts 2xx) by pointing the lane at a
-    # filtered copy — the rules block's (101,102) support-3 edge would
-    # otherwise join the graph.
+    # The lane sees BOTH planted blocks: the triangle block's four edges
+    # (parts 2xx) plus the rules block's (101,102) support-3 edge.
     row = mining.graph_triangle_parts(spark, mining_sf).collect()[0]
     # edges: AB, BC, AC, CD (2xx block) + (101,102) from the rules block
     # → one triangle; degrees: 101:1, 102:1, 201:2, 202:2, 203:3, 204:1
