@@ -1332,3 +1332,210 @@ def dq_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+# ---------------------------------------------------------------------------
+# Event-sequence transition matrix (first-order Markov)
+# ---------------------------------------------------------------------------
+
+
+@REG.add(
+    "events_markov_transitions",
+    sql="""
+    WITH seq AS (
+      SELECT user_id, event_type AS cur,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS nxt
+      FROM events
+    ), pairs AS (
+      SELECT cur, nxt, COUNT(*) AS n FROM seq WHERE nxt IS NOT NULL
+      GROUP BY cur, nxt
+    ), tot AS (
+      SELECT cur, SUM(n) AS t FROM pairs GROUP BY cur
+    )
+    SELECT p.cur AS cur, p.nxt AS nxt, CAST(p.n AS BIGINT) AS n,
+           ROUND(CAST(p.n AS BIGINT) / CAST(t.t AS DOUBLE), 6) AS prob
+    FROM pairs p JOIN tot t ON p.cur = t.cur
+    ORDER BY cur, nxt
+    """,
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of user event sequences:
+    P(next event type | current), estimated from each user's
+    (ts, event_id)-ordered stream — the sequence model behind
+    next-action prediction, funnel design, and bot detection (bots show
+    degenerate rows). The last event of each user has no successor and is
+    excluded on both engines.
+
+    Scale shape: the successor pairing is ONE lead() window per user
+    (user_id shuffle, per-partition state = one user's events — the
+    same per-entity series discipline as the EWMA/CUSUM lanes); the
+    matrix is a |types|² groupBy and the row-normalization an equi-join
+    with the |types|-row totals (not a broadcast scalar). Probabilities
+    are ONE int64/int64 division each. Deterministic (ts, event_id)
+    ordering — the repo's standard tie-break."""
+    seq = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("event_type").alias("cur"),
+        F.lead("event_type")
+        .over(ranked("ts", "event_id", partition_by="user_id"))
+        .alias("nxt"),
+    )
+    pairs = (
+        seq.filter(F.col("nxt").isNotNull())
+        .groupBy("cur", "nxt")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = pairs.groupBy("cur").agg(F.sum("n").alias("t"))
+    return (
+        pairs.join(tot, "cur")
+        .select(
+            "cur",
+            "nxt",
+            F.col("n").cast("long").alias("n"),
+            F.round(F.col("n") / F.col("t").cast("double"), 6).alias("prob"),
+        )
+        .orderBy("cur", "nxt")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cohort LTV triangle (first-order-month cohorts x months-since)
+# ---------------------------------------------------------------------------
+
+
+@REG.add(
+    "orders_cohort_ltv",
+    sql="""
+    WITH firstm AS (
+      SELECT o_custkey,
+             MIN(year(o_orderdate) * 12 + month(o_orderdate)) AS cm
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT CAST(f.cm AS BIGINT) AS cohort_month_idx,
+           CAST(year(o.o_orderdate) * 12 + month(o.o_orderdate) - f.cm
+                AS BIGINT) AS month_age,
+           CAST(COUNT(DISTINCT o.o_custkey) AS BIGINT) AS n_active,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             / 100.0 AS revenue
+    FROM orders o JOIN firstm f ON o.o_custkey = f.o_custkey
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value triangle: customers grouped by their FIRST
+    order month, revenue and active-customer counts tracked by month-age —
+    the curve every retention/LTV model is fit to (the commerce twin of
+    `events_cohort_retention`). Months are exact integers (year·12+month),
+    so cohort assignment and age can never drift on timezone or
+    month-length arithmetic; the cohort month is reported as that index.
+
+    Scale shape: first-month per customer is one partial-aggregable
+    groupBy; the cohort join is on the SAME o_custkey key (co-partitioned
+    after the first shuffle, AQE reuses the exchange); the triangle is a
+    (cohort, age) groupBy whose COUNT(DISTINCT) uses the standard
+    two-phase expand on 8-byte keys. Money int64 cents, ONE /100.0."""
+    o = _t(spark, sf_dir, "orders")
+    midx = (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("m")
+    firstm = o.select("o_custkey", midx).groupBy("o_custkey").agg(
+        F.min("m").alias("cm")
+    )
+    return (
+        o.select(
+            "o_custkey",
+            midx,
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        .join(firstm, "o_custkey")
+        .groupBy(
+            F.col("cm").cast("long").alias("cohort_month_idx"),
+            (F.col("m") - F.col("cm")).cast("long").alias("month_age"),
+        )
+        .agg(
+            F.countDistinct("o_custkey").cast("long").alias("n_active"),
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            (F.sum("cents") / F.lit(100.0)).alias("revenue"),
+        )
+        .orderBy("cohort_month_idx", "month_age")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Supplier concentration (HHI) per part
+# ---------------------------------------------------------------------------
+
+_HHI_TOP = 100
+
+
+@REG.add(
+    "supplier_concentration_hhi",
+    sql=f"""
+    WITH ps AS (
+      SELECT l_partkey, l_suppkey,
+             SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS c
+      FROM lineitem GROUP BY 1, 2
+    ), agg AS (
+      SELECT l_partkey,
+             CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+             CAST(SUM(c) AS BIGINT) AS total_cents,
+             CAST(SUM(c * c) AS BIGINT) AS sq_cents,
+             CAST(MAX(c) AS BIGINT) AS top_cents
+      FROM ps GROUP BY l_partkey
+    )
+    SELECT l_partkey, n_suppliers,
+           CAST(total_cents AS BIGINT) / 100.0 AS total_revenue,
+           ROUND(CAST(sq_cents AS DOUBLE)
+                 / (CAST(total_cents AS DOUBLE) * total_cents), 6) AS hhi,
+           ROUND(CAST(top_cents AS BIGINT)
+                 / CAST(total_cents AS DOUBLE), 6) AS top_share
+    FROM agg
+    ORDER BY hhi DESC, l_partkey LIMIT {_HHI_TOP}
+    """,
+)
+def supplier_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supply-chain concentration risk: the Herfindahl–Hirschman index of
+    supplier revenue share per part (1.0 = sole-sourced), plus the top
+    supplier's share — the procurement-risk ranking behind dual-sourcing
+    decisions. HHI = Σsᵢ²/total² is computed from INTEGER sufficient
+    statistics (Σcᵢ², Σcᵢ in cents) and becomes a double in exactly one
+    division, so the top-100 ranking is bitwise-identical cross-engine
+    (ties broken by part key). int64 headroom: Σcᵢ² stays exact while any
+    single (part, supplier) revenue < ~$30 M — loud overflow under ANSI
+    mode otherwise, not silent wraparound.
+
+    Scale shape: one (part, supplier) groupBy, one part groupBy — both
+    partial-aggregable on co-hashed keys — and a TakeOrderedAndProject
+    top-100; no window, no broadcast."""
+    ps = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
+                "c"
+            )
+        )
+    )
+    agg = ps.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+        F.sum("c").cast("long").alias("total_cents"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("sq_cents"),
+        F.max("c").cast("long").alias("top_cents"),
+    )
+    return (
+        agg.select(
+            "l_partkey",
+            "n_suppliers",
+            (F.col("total_cents") / F.lit(100.0)).alias("total_revenue"),
+            F.round(
+                F.col("sq_cents").cast("double")
+                / (F.col("total_cents").cast("double") * F.col("total_cents")),
+                6,
+            ).alias("hhi"),
+            F.round(
+                F.col("top_cents") / F.col("total_cents").cast("double"), 6
+            ).alias("top_share"),
+        )
+        .orderBy(F.col("hhi").desc(), "l_partkey")
+        .limit(_HHI_TOP)
+    )

@@ -384,3 +384,64 @@ def test_volume_anomaly_strict_threshold_and_gap(spark, mining_sf):
     assert gap["flagged"] is False  # |10-8|*2 = 4 > 8 is False
     # first observed day per type has no row
     assert ("b", "2024-03-01") not in out
+
+
+def test_markov_transitions_funnel_cells(spark, mining_sf):
+    out = {
+        (r["cur"], r["nxt"]): r
+        for r in mining.events_markov_transitions(spark, mining_sf).collect()
+    }
+    # users 100 and 102: view -> purchase; user 101: purchase -> view
+    # (their purchase precedes their view); terminal events emit nothing
+    assert out[("view", "purchase")]["n"] == 2
+    assert out[("view", "purchase")]["prob"] == 1.0
+    assert out[("purchase", "view")]["n"] == 1
+    assert out[("purchase", "view")]["prob"] == 1.0
+    # rows normalize: per cur, probs sum to ~1
+    from collections import defaultdict
+
+    sums = defaultdict(float)
+    for (cur, _), r in out.items():
+        sums[cur] += r["prob"]
+    for cur, s in sums.items():
+        assert abs(s - 1.0) < 1e-4, (cur, s)
+
+
+def test_cohort_ltv_single_cohort(spark, mining_sf):
+    out = mining.orders_cohort_ltv(spark, mining_sf).collect()
+    # all four planted orders: customer 1, March 2024 -> one (cohort, 0) cell
+    assert len(out) == 1
+    r = out[0]
+    assert r["cohort_month_idx"] == 2024 * 12 + 3
+    assert r["month_age"] == 0
+    assert (r["n_active"], r["n_orders"]) == (1, 4)
+    assert r["revenue"] == 124999.99
+
+
+def test_hhi_exact_shares(spark, tmp_path):
+    # dedicated mini table: part 301 sourced 3:1 from two suppliers,
+    # part 302 sole-sourced
+    li = spark.createDataFrame(
+        [
+            (1, 301, 1, 1, 1.0, 15.0, 0.0, 0.0, "N", "O", _ts(1)),
+            (2, 301, 1, 1, 1.0, 15.0, 0.0, 0.0, "N", "O", _ts(1)),
+            (3, 301, 2, 1, 1.0, 10.0, 0.0, 0.0, "N", "O", _ts(1)),
+            (4, 302, 7, 1, 1.0, 99.0, 0.0, 0.0, "N", "O", _ts(1)),
+        ],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate timestamp",
+    )
+    root = str(tmp_path)
+    li.write.parquet(os.path.join(root, "lineitem.parquet"))
+    rows = {
+        r["l_partkey"]: r
+        for r in mining.supplier_concentration_hhi(spark, root).collect()
+    }
+    # 302 sole-sourced: hhi 1.0 ranks first
+    assert rows[302]["hhi"] == 1.0 and rows[302]["n_suppliers"] == 1
+    # 301: shares 30/40 and 10/40 -> hhi = (900+100)/1600, top 0.75
+    assert rows[301]["hhi"] == 0.625
+    assert rows[301]["top_share"] == 0.75
+    assert rows[301]["total_revenue"] == 40.0
