@@ -398,6 +398,16 @@ def dedup_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.array_distinct(tokens_col()).alias("toks"))
         .filter(F.size("toks") > 0)
     )
+    return prefix_filter_pairs_frame(docs)
+
+
+def prefix_filter_pairs_frame(
+    docs: DataFrame, num: int = _PF_NUM, den: int = _PF_DEN
+) -> DataFrame:
+    """The SHIPPED prefix-filter join core over a (doc_id, toks) frame at
+    Jaccard threshold num/den — factored so the Hypothesis property test
+    (random corpora vs brute force) exercises the exact production plan.
+    See `dedup_prefix_filter_pairs` for the algorithm narrative."""
     tokrows = docs.select("doc_id", F.explode("toks").alias("tok"))
     dfreq = tokrows.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     tdict = dfreq.select(
@@ -422,7 +432,7 @@ def dedup_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = F.size("ids")
     # prefix length p = n - ceil(t*n) + 1, integer-exact
-    alpha = F.expr(f"({_PF_NUM} * size(ids) + {_PF_NUM}) div {_PF_DEN}")
+    alpha = F.expr(f"({num} * size(ids) + {num}) div {den}")
     prows = sets.select(
         "doc_id",
         n.alias("n"),
@@ -436,8 +446,8 @@ def dedup_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("pa.doc_id") < F.col("pb.doc_id"))
             # length filter: size-incompatible pairs can never reach t
             & (
-                F.lit(_PF_DEN) * F.least("pa.n", "pb.n")
-                >= F.lit(_PF_NUM) * F.greatest("pa.n", "pb.n")
+                F.lit(den) * F.least("pa.n", "pb.n")
+                >= F.lit(num) * F.greatest("pa.n", "pb.n")
             ),
         )
         .select(
@@ -457,8 +467,8 @@ def dedup_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.size("ia") + F.size("ib")).alias("sizes"),
         )
         .filter(
-            F.lit(_PF_DEN) * F.col("i")
-            >= F.lit(_PF_NUM) * (F.col("sizes") - F.col("i"))
+            F.lit(den) * F.col("i")
+            >= F.lit(num) * (F.col("sizes") - F.col("i"))
         )
     )
     return verified.select(
@@ -506,9 +516,11 @@ _TRI_MIN_SUPPORT = 2  # co-purchase edge = pair in >= 2 distinct orders
            (SELECT CAST(c AS BIGINT) FROM tri) AS n_triangles,
            (SELECT CAST(SUM(d * (d - 1) // 2) AS BIGINT) FROM deg)
              AS n_wedges,
-           ROUND(CAST(3 * (SELECT c FROM tri) AS BIGINT)
-                 / CAST((SELECT SUM(d * (d - 1) // 2) FROM deg) AS DOUBLE),
-                 6) AS global_clustering
+           CASE WHEN (SELECT SUM(d * (d - 1) // 2) FROM deg) > 0 THEN
+             ROUND(CAST(3 * (SELECT c FROM tri) AS BIGINT)
+                   / CAST((SELECT SUM(d * (d - 1) // 2) FROM deg) AS DOUBLE),
+                   6)
+           END AS global_clustering
     """,
 )
 def graph_triangle_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -544,6 +556,14 @@ def graph_triangle_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         # once instead of re-running the basket expansion per consumer
         .localCheckpoint()
     )
+    return triangle_census_frame(edges)
+
+
+def triangle_census_frame(edges: DataFrame) -> DataFrame:
+    """The SHIPPED degree-ordered triangle census over a canonical
+    (p1 < p2) edge frame — factored so the Hypothesis property test
+    (random graphs vs brute enumeration) exercises the exact production
+    plan. See `graph_triangle_parts` for the algorithm narrative."""
     deg = (
         edges.select(F.explode(F.array("p1", "p2")).alias("node"))
         .groupBy("node")
@@ -585,10 +605,15 @@ def graph_triangle_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_edges",
         "n_triangles",
         "n_wedges",
-        F.round(
-            (F.lit(3) * F.col("n_triangles")).cast("long")
-            / F.col("n_wedges").cast("double"),
-            6,
+        # a wedge-free graph (isolated edges) has no defined clustering —
+        # NULL, not a divide-by-zero under ANSI (hypothesis-found edge case)
+        F.when(
+            F.col("n_wedges") > 0,
+            F.round(
+                (F.lit(3) * F.col("n_triangles")).cast("long")
+                / F.col("n_wedges").cast("double"),
+                6,
+            ),
         ).alias("global_clustering"),
     )
 

@@ -371,3 +371,88 @@ def test_partitioned_prefix_sum_check_unique_guard(spark):
         df.dropDuplicates(["k"]), "k", "v", "c", check_unique=True
     )
     assert ok.count() == 2
+
+
+# ---------------------------------------------------------------------------
+# Mining lanes (operators/mining.py): the factored production cores vs
+# brute-force references on random inputs
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from("abcdefgh"), min_size=1, max_size=8),
+        min_size=2,
+        max_size=12,
+    ),
+    st.sampled_from([(1, 2), (3, 5), (4, 5), (19, 20)]),
+)
+def test_prefix_filter_join_equals_bruteforce(spark, docs, thresh):
+    """Zero-false-negative/zero-false-positive property of the AllPairs
+    prefix-filter join (dictionary encoding + length filter + prefix
+    candidates) on random small corpora at several thresholds."""
+    from big_data_analytics_machine_learning_poc_spark.operators.mining import (
+        prefix_filter_pairs_frame,
+    )
+
+    num, den = thresh
+    sets = {i: set(toks) for i, toks in enumerate(docs)}
+    df = spark.createDataFrame(
+        [(i, sorted(s)) for i, s in sets.items()],
+        "doc_id long, toks array<string>",
+    )
+    got = {
+        (r["a_id"], r["b_id"]): (r["inter_tokens"], r["union_tokens"])
+        for r in prefix_filter_pairs_frame(df, num, den).collect()
+    }
+    want = {}
+    ids = sorted(sets)
+    for x in ids:
+        for y in ids:
+            if x < y:
+                i = len(sets[x] & sets[y])
+                u = len(sets[x] | sets[y])
+                if den * i >= num * u:
+                    want[(x, y)] = (i, u)
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.sets(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)).filter(
+            lambda e: e[0] < e[1]
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_triangle_census_equals_bruteforce(spark, edges):
+    """Degree-ordered triangle census == brute enumeration on random
+    graphs (including hubs, isolated stars, and multi-component shapes)."""
+    import itertools as it
+
+    from big_data_analytics_machine_learning_poc_spark.operators.mining import (
+        triangle_census_frame,
+    )
+
+    df = spark.createDataFrame(sorted(edges), "p1 long, p2 long")
+    row = triangle_census_frame(df).collect()[0]
+    nodes = sorted({n for e in edges for n in e})
+    adj = {n: set() for n in nodes}
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    tri = sum(
+        1
+        for a, b, c in it.combinations(nodes, 3)
+        if b in adj[a] and c in adj[a] and c in adj[b]
+    )
+    wedges = sum(len(adj[n]) * (len(adj[n]) - 1) // 2 for n in nodes)
+    assert row["n_nodes"] == len(nodes)
+    assert row["n_edges"] == len(edges)
+    assert row["n_triangles"] == tri
+    assert row["n_wedges"] == wedges
+    if wedges:
+        assert row["global_clustering"] == round(3 * tri / wedges, 6)

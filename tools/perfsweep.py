@@ -1,0 +1,152 @@
+"""Registry-wide performance sweep — the perf twin of tools/rotation.py.
+
+The correctness gate proves every lane RIGHT; nothing mechanically proved
+lanes stayed FAST: a plan regression (lost broadcast, new shuffle, codegen
+fallback) that keeps results identical would previously surface only if a
+human re-read `.explain` output. This tool measures every registered lane
+at a given sf-dir and diffs against a committed baseline, so a perf
+regression fails loudly the same way a hash mismatch does.
+
+Per lane: one untimed warm-up execution, then the median of N timed
+executions (each = build the DataFrame from the registered callable +
+``collect()``, so lanes that do driver-side assembly — PCA, BPE — are
+charged their real cost). Results land in one JSON file.
+
+Usage::
+
+    python tools/perfsweep.py /root/testdata/sf0.1                   # sweep
+    python tools/perfsweep.py /root/testdata/sf0.1 lane1 lane2       # subset
+    python tools/perfsweep.py /root/testdata/sf0.1 --runs 5
+    python tools/perfsweep.py /root/testdata/sf0.1 \
+        --baseline tools/perf_baseline.json --tolerance 3.0
+        # exit 1 listing every lane slower than tolerance x its baseline
+    python tools/perfsweep.py /root/testdata/sf0.1 \
+        --write-baseline tools/perf_baseline.json
+
+Baseline policy: the committed baseline records medians from a QUIET
+machine (the sweep records loadavg; re-baseline only when loadavg_start
+is low). The default tolerance is deliberately loose (3x) — this gate
+exists to catch order-of-magnitude plan regressions, not scheduler noise;
+Spark local-mode medians at sf0.1 wobble ~1.5x run-to-run.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import statistics
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def build_session(cpus: int):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+
+
+def sweep(sf_dir: str, only: list[str], runs: int, cpus: int) -> dict:
+    import __spark_entry__ as entry
+
+    spark = build_session(cpus)
+    queries = entry.queries()
+    names = only or list(queries)
+    unknown = [n for n in names if n not in queries]
+    if unknown:
+        raise SystemExit(f"unknown lanes: {unknown}")
+
+    results: dict[str, dict] = {}
+    for i, name in enumerate(names, 1):
+        fn = queries[name]
+        try:
+            t0 = time.perf_counter()
+            n_rows = len(fn(spark, sf_dir).collect())  # warm-up / one-shot
+            oneshot = time.perf_counter() - t0
+            times = []
+            for _ in range(runs):
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).collect()
+                times.append(time.perf_counter() - t0)
+            results[name] = {
+                "median_s": round(statistics.median(times), 4),
+                "oneshot_s": round(oneshot, 4),
+                "rows": n_rows,
+            }
+            print(
+                f"[{i}/{len(names)}] {name}: {results[name]['median_s']:.3f}s "
+                f"(one-shot {oneshot:.2f}s, {n_rows} rows)",
+                file=sys.stderr,
+            )
+        except Exception as e:  # noqa: BLE001 — record, keep sweeping
+            results[name] = {"error": f"{type(e).__name__}: {str(e)[:200]}"}
+            print(f"[{i}/{len(names)}] {name}: ERROR {e}", file=sys.stderr)
+    return {
+        "sf_dir": sf_dir,
+        "cpus": cpus,
+        "runs": runs,
+        "loadavg_start": os.getloadavg(),
+        "lanes": results,
+    }
+
+
+def diff_baseline(report: dict, baseline_path: str, tolerance: float) -> int:
+    base = json.load(open(baseline_path))["lanes"]
+    slow, errors = [], []
+    for name, row in report["lanes"].items():
+        if "error" in row:
+            errors.append((name, row["error"]))
+            continue
+        b = base.get(name)
+        if not b or "median_s" not in b:
+            continue  # new lane — no baseline yet
+        # floor at 0.2s: sub-200ms medians are scheduler noise territory
+        if row["median_s"] > max(0.2, b["median_s"]) * tolerance:
+            slow.append((name, b["median_s"], row["median_s"]))
+    for name, err in errors:
+        print(f"ERROR {name}: {err}")
+    for name, was, now in sorted(slow, key=lambda t: -t[2] / t[1]):
+        print(f"SLOW  {name}: {was:.3f}s -> {now:.3f}s ({now / was:.1f}x)")
+    print(
+        f"{len(report['lanes']) - len(slow) - len(errors)} ok, "
+        f"{len(slow)} slow (> {tolerance}x baseline), {len(errors)} errors"
+    )
+    return 1 if slow or errors else 0
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("sf_dir")
+    ap.add_argument("lanes", nargs="*", help="subset of lane names")
+    ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    ap.add_argument("--out", default=None, help="write the report JSON here")
+    ap.add_argument("--baseline", default=None)
+    ap.add_argument("--tolerance", type=float, default=3.0)
+    ap.add_argument("--write-baseline", default=None)
+    args = ap.parse_args()
+
+    report = sweep(args.sf_dir, args.lanes, args.runs, args.cpus)
+    out_path = args.out or args.write_baseline
+    if out_path:
+        with open(out_path, "w") as f:
+            json.dump(report, f, indent=1, sort_keys=True)
+        print(f"report -> {out_path}", file=sys.stderr)
+    else:
+        print(json.dumps(report, indent=1, sort_keys=True))
+    if args.baseline:
+        return diff_baseline(report, args.baseline, args.tolerance)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
