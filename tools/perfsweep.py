@@ -44,16 +44,12 @@ sys.path.insert(0, REPO)
 
 
 def build_session(cpus: int):
-    from pyspark.sql import SparkSession
+    # the repo's scale-profile factory (AQE, UTC, Arrow, 24g driver): perf
+    # numbers must reflect the tuned profile — a bare builder's 1g default
+    # heap OOMs the heavy streaming lanes at local[32]/sf0.1 (measured)
+    from big_data_analytics_machine_learning_poc_spark.session import get_session
 
-    return (
-        SparkSession.builder.master(f"local[{cpus}]")
-        .config("spark.sql.shuffle.partitions", str(cpus))
-        .config("spark.ui.enabled", "false")
-        .config("spark.ui.showConsoleProgress", "false")
-        .config("spark.sql.session.timeZone", "UTC")
-        .getOrCreate()
-    )
+    return get_session("perfsweep", cpus=cpus)
 
 
 def sweep(sf_dir: str, only: list[str], runs: int, cpus: int) -> dict:
@@ -142,7 +138,7 @@ def main() -> int:
         with open(out_path, "w") as f:
             json.dump(report, f, indent=1, sort_keys=True)
         print(f"report -> {out_path}", file=sys.stderr)
-    else:
+    elif not args.baseline:  # diff mode prints its own summary
         print(json.dumps(report, indent=1, sort_keys=True))
     if args.baseline:
         return diff_baseline(report, args.baseline, args.tolerance)
