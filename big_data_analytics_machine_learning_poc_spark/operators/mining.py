@@ -1564,3 +1564,54 @@ def supplier_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("hhi").desc(), "l_partkey")
         .limit(_HHI_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# Top event paths (order-2 sequence mining)
+# ---------------------------------------------------------------------------
+
+_PATH_TOPK = 10
+
+
+@REG.add(
+    "events_trigram_paths",
+    sql=f"""
+    WITH seq AS (
+      SELECT user_id, event_type AS e0,
+             LEAD(event_type, 1) OVER w AS e1,
+             LEAD(event_type, 2) OVER w AS e2
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT e0 || '>' || e1 || '>' || e2 AS path, CAST(COUNT(*) AS BIGINT) AS n
+    FROM seq WHERE e2 IS NOT NULL
+    GROUP BY 1 ORDER BY n DESC, path LIMIT {_PATH_TOPK}
+    """,
+)
+def events_trigram_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top event PATHS: the most common 3-step user journeys
+    (view>click>purchase, ...) — order-2 sequence mining, the natural
+    widening of `events_markov_transitions`' order-1 matrix and the
+    clickstream query behind journey dashboards. Sequences end-truncate
+    (a user's last two events start no trigram) on both engines.
+
+    Scale shape: two lead() offsets over ONE window spec — Catalyst
+    collapses them into a single Window node, so per-user state is one
+    ordered pass regardless of path length; the path census is a
+    |types|³-bounded groupBy and the top-10 a TakeOrderedAndProject.
+    Deterministic ties by path string."""
+    w = ranked("ts", "event_id", partition_by="user_id")
+    seq = _t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("e0"),
+        F.lead("event_type", 1).over(w).alias("e1"),
+        F.lead("event_type", 2).over(w).alias("e2"),
+    )
+    return (
+        seq.filter(F.col("e2").isNotNull())
+        .select(F.concat_ws(">", "e0", "e1", "e2").alias("path"))
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("path", F.col("n").cast("long").alias("n"))
+        .orderBy(F.col("n").desc(), "path")
+        .limit(_PATH_TOPK)
+    )

@@ -445,3 +445,14 @@ def test_hhi_exact_shares(spark, tmp_path):
     assert rows[301]["hhi"] == 0.625
     assert rows[301]["top_share"] == 0.75
     assert rows[301]["total_revenue"] == 40.0
+
+
+def test_trigram_paths_end_truncation(spark, mining_sf):
+    out = {r["path"]: r["n"] for r in mining.events_trigram_paths(spark, mining_sf).collect()}
+    # users 100/102 have exactly 2 events (view, purchase) -> no trigram;
+    # user 101 has 2 -> none. Type a/b interleavings dominate; just pin
+    # that no path contains view or purchase (they never form trigrams)
+    assert out
+    assert all("view" not in p and "purchase" not in p for p in out)
+    # every path has exactly 3 steps
+    assert all(p.count(">") == 2 for p in out)
