@@ -1615,3 +1615,161 @@ def events_trigram_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "path")
         .limit(_PATH_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# Order inter-arrival distribution (purchase-frequency modeling)
+# ---------------------------------------------------------------------------
+
+
+@REG.add(
+    "orders_interarrival_stats",
+    sql="""
+    WITH gaps AS (
+      SELECT CAST(o_orderdate AS DATE)
+             - LAG(CAST(o_orderdate AS DATE))
+               OVER (PARTITION BY o_custkey
+                     ORDER BY o_orderdate, o_orderkey) AS gap_days
+      FROM orders
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_gaps,
+           ROUND(CAST(SUM(gap_days) AS BIGINT)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS mean_gap_days,
+           ROUND(QUANTILE_CONT(gap_days, 0.50), 6) AS p50_gap_days,
+           ROUND(QUANTILE_CONT(gap_days, 0.90), 6) AS p90_gap_days
+    FROM gaps WHERE gap_days IS NOT NULL
+    """,
+)
+def orders_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of days between a customer's consecutive orders — the
+    inter-arrival statistic behind purchase-frequency / churn-hazard
+    models (and the empirical check on the Poisson assumption most LTV
+    models make). Gaps are exact integer day differences from a lag()
+    over each customer's (date, orderkey)-ordered history; first orders
+    have no gap and are excluded on both engines.
+
+    Scale shape: one o_custkey shuffle for the lag window (per-partition
+    state = one customer's orders), then ONE global aggregate over the
+    gap column; mean is one int64/int64 division and the percentiles the
+    established percentile ≡ quantile_cont pairing (100 TB promotion:
+    percentile_approx, documented in the `percentiles` lane)."""
+    gaps = _t(spark, sf_dir, "orders").select(
+        (
+            F.datediff(
+                F.to_date("o_orderdate"),
+                F.lag(F.to_date("o_orderdate")).over(
+                    ranked("o_orderdate", "o_orderkey", partition_by="o_custkey")
+                ),
+            )
+        ).alias("gap_days")
+    )
+    return gaps.filter(F.col("gap_days").isNotNull()).agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.round(
+            F.sum("gap_days") / F.count(F.lit(1)).cast("double"), 6
+        ).alias("mean_gap_days"),
+        F.round(F.expr("percentile(gap_days, 0.50)"), 6).alias("p50_gap_days"),
+        F.round(F.expr("percentile(gap_days, 0.90)"), 6).alias("p90_gap_days"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# MLlib model-family depth: GBT spam classifier + ALS recommender
+# ---------------------------------------------------------------------------
+
+
+# rows-only by design: tree-ensemble scores have no SQL form;
+# tests/test_mining.py pins accuracy > 0.8 on the deterministic fixture
+# (same golden discipline as ml_reference_spam's RF/DT).
+@REG.add("ml_gbt_spam")
+def ml_gbt_spam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gradient-boosted trees on the spam task — the third tree-family
+    member beside the reference's RandomForest and DecisionTree
+    (SpamClassification.java:86-89), through the SAME 7-stage pipeline
+    (`ml/spam.build_pipeline`), so the comparison isolates the model.
+    GBT is the boosting counterpart (sequential residual fitting) to
+    RF's bagging; Spark parallelizes WITHIN each boosting iteration.
+
+    Scale shape: identical to the reference pipeline — tokenize/TF/IDF
+    are map-only, each boosting iteration is a distributed tree fit."""
+    from pyspark.ml.classification import GBTClassifier
+    from pyspark.ml.evaluation import MulticlassClassificationEvaluator
+
+    from ..ml import fixtures
+    from ..ml.spam import build_pipeline
+
+    raw = fixtures.spam(spark, n=2000)
+    clean = raw.select("v1", "v2").na.drop()
+    train, test = clean.randomSplit([0.7, 0.3], seed=42)
+    clf = GBTClassifier(
+        labelCol="label", featuresCol="features", maxIter=10, seed=42
+    )
+    model = build_pipeline(clf).fit(train)
+    acc = MulticlassClassificationEvaluator(
+        labelCol="label", predictionCol="prediction", metricName="accuracy"
+    ).evaluate(model.transform(test))
+    rows = [
+        ("gbt_accuracy", round(acc, 6)),
+        ("gbt_test_error", round(1.0 - acc, 6)),
+        ("n_trees", float(model.stages[-1].getNumTrees)),
+    ]
+    return spark.createDataFrame(rows, "metric string, value double")
+
+
+_ALS_TOPK = 3
+
+
+# rows-only by design: ALS factor matrices are seeded but not
+# SQL-reproducible; tests pin the output contract (exactly k
+# recommendations per user, scores finite and non-increasing) and that
+# recommendations reconstruct known preferences better than chance.
+@REG.add("ml_als_recommend")
+def ml_als_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALS collaborative filtering over the purchase matrix (customer ×
+    part, implicit quantity preferences) — the recommender that the
+    market-basket statistics (`basket_association_rules`) feed in
+    production: rules give the global co-purchase priors, factorization
+    personalizes them. Top-3 part recommendations per customer for a
+    bounded customer subset.
+
+    Scale shape: MLlib ALS is the canonical distributed factorization —
+    users/items are block-partitioned, each alternating solve is a
+    per-block least squares with only factor-block shuffles (never the
+    ratings matrix); implicitPrefs uses the Hu-Koren-Volinsky confidence
+    weighting. recommendForUserSubset bounds the serving fan-out."""
+    from pyspark.ml.recommendation import ALS
+
+    ratings = (
+        _t(spark, sf_dir, "lineitem")
+        .join(
+            _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy(
+            F.col("o_custkey").cast("int").alias("user"),
+            F.col("l_partkey").cast("int").alias("item"),
+        )
+        .agg(F.sum("l_quantity").cast("float").alias("rating"))
+    )
+    als = ALS(
+        rank=8,
+        maxIter=5,
+        seed=42,
+        implicitPrefs=True,
+        userCol="user",
+        itemCol="item",
+        ratingCol="rating",
+        coldStartStrategy="drop",
+    )
+    model = als.fit(ratings)
+    users = ratings.select("user").distinct().filter(F.col("user") < 100)
+    recs = model.recommendForUserSubset(users, _ALS_TOPK)
+    return recs.select(
+        "user",
+        F.posexplode("recommendations").alias("rk", "rec"),
+    ).select(
+        F.col("user").cast("long").alias("user"),
+        (F.col("rk") + 1).cast("long").alias("rk"),
+        F.col("rec.item").cast("long").alias("item"),
+        F.round(F.col("rec.rating").cast("double"), 6).alias("score"),
+    ).orderBy("user", "rk")

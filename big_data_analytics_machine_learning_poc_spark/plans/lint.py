@@ -139,6 +139,13 @@ ALLOWED: dict[str, dict[str, str]] = {
         "nested_loop": "two one-row aggregate broadcasts (reference day, "
         "then the three medians) onto the per-customer frame"
     },
+    "ml_als_recommend": {
+        "cartesian": "MLlib ALS recommendForUserSubset scores candidates "
+        "by a BLOCKED factor cross-product (user-factor blocks x "
+        "item-factor blocks, per-block top-k inside the kernel) — the "
+        "factorization serving shape, rank-sized rows, never the ratings "
+        "matrix"
+    },
     # Bounded-input ranking windows: ranked() enforces the row cap /
     # justification at the call site (functions/windows.py).
     "window_rank_funcs": {

@@ -456,3 +456,33 @@ def test_trigram_paths_end_truncation(spark, mining_sf):
     assert all("view" not in p and "purchase" not in p for p in out)
     # every path has exactly 3 steps
     assert all(p.count(">") == 2 for p in out)
+
+
+def test_interarrival_gaps_exact(spark, mining_sf):
+    # all four planted orders share one date -> every gap is 0 days
+    row = mining.orders_interarrival_stats(spark, mining_sf).collect()[0]
+    assert row["n_gaps"] == 3
+    assert row["mean_gap_days"] == 0.0
+    assert row["p50_gap_days"] == 0.0
+
+
+def test_gbt_spam_golden_accuracy(spark):
+    out = {r["metric"]: r["value"] for r in mining.ml_gbt_spam(spark, "/root/testdata/sf0.001").collect()}
+    assert out["gbt_accuracy"] > 0.8
+    assert out["n_trees"] == 10.0
+    assert abs(out["gbt_accuracy"] + out["gbt_test_error"] - 1.0) < 1e-9
+
+
+def test_als_recommendation_contract(spark):
+    rows = mining.ml_als_recommend(spark, "/root/testdata/sf0.001").collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user"], []).append(r)
+    assert by_user, "no recommendations produced"
+    for user, recs in by_user.items():
+        assert [r["rk"] for r in recs] == [1, 2, 3]
+        scores = [r["score"] for r in recs]
+        # scores finite and non-increasing in rank
+        assert all(s == s and abs(s) < 1e6 for s in scores)
+        assert scores == sorted(scores, reverse=True)
+        assert len({r["item"] for r in recs}) == 3
