@@ -486,3 +486,21 @@ def test_als_recommendation_contract(spark):
         assert all(s == s and abs(s) < 1e6 for s in scores)
         assert scores == sorted(scores, reverse=True)
         assert len({r["item"] for r in recs}) == 3
+
+
+def test_mining_plan_shapes(spark, mining_sf):
+    """Plan assertions for the scale claims: top-k lanes plan
+    TakeOrderedAndProject (no global sort), and the trigram lane's two
+    lead() offsets collapse into ONE Window node."""
+    from big_data_analytics_machine_learning_poc_spark.plans.explain import executed_plan
+
+    hhi = executed_plan(mining.supplier_concentration_hhi(spark, mining_sf))
+    assert "TakeOrderedAndProject" in hhi
+    tri = executed_plan(mining.events_trigram_paths(spark, mining_sf))
+    assert "TakeOrderedAndProject" in tri
+    assert tri.count("Window") == 1
+    rules = executed_plan(mining.basket_association_rules(spark, mining_sf))
+    assert "CartesianProduct" not in rules
+    # fixed-width histogram: single aggregate pair (partial+final), no join
+    hist = executed_plan(mining.orders_price_histogram(spark, mining_sf))
+    assert "Join" not in hist
