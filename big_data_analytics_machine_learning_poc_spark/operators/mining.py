@@ -936,7 +936,7 @@ def sql_group_order_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     is being verified. Plans identically to the explicit form — one
     partial-aggregable hash aggregate; money as int64 cents, ONE /100.0."""
     _t(spark, sf_dir, "orders").createOrReplaceTempView("v_orders_all")
-    return spark.sql(
+    df = spark.sql(
         """
         SELECT o_orderstatus, o_orderpriority,
                CAST(COUNT(*) AS BIGINT) AS n_orders,
@@ -947,6 +947,11 @@ def sql_group_order_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY ALL
         """
     )
+    # the analyzed plan holds the resolved relation — drop the scratch view
+    # so nothing leaks into the shared session (the same hygiene as
+    # sql_session_variables' post-analysis DROP)
+    spark.catalog.dropTempView("v_orders_all")
+    return df
 
 
 # ---------------------------------------------------------------------------
