@@ -1778,3 +1778,140 @@ def ml_als_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rec.item").cast("long").alias("item"),
         F.round(F.col("rec.rating").cast("double"), 6).alias("score"),
     ).orderBy("user", "rk")
+
+
+# ---------------------------------------------------------------------------
+# Behavioral anomaly: per-user self-transition (bot) report
+# ---------------------------------------------------------------------------
+
+_BOT_TOPK = 20
+
+
+@REG.add(
+    "events_user_selfloop_report",
+    sql=f"""
+    WITH seq AS (
+      SELECT user_id, event_type AS cur,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS nxt
+      FROM events
+    ), peru AS (
+      SELECT user_id,
+             COUNT(nxt) AS n_pairs,
+             COUNT(CASE WHEN nxt = cur THEN 1 END) AS n_self
+      FROM seq GROUP BY user_id HAVING COUNT(nxt) > 0
+    )
+    SELECT user_id, CAST(n_pairs AS BIGINT) AS n_pairs,
+           CAST(n_self AS BIGINT) AS n_self,
+           ROUND(CAST(n_self AS BIGINT) / CAST(n_pairs AS DOUBLE), 6)
+             AS self_share
+    FROM peru
+    ORDER BY self_share DESC, user_id LIMIT {_BOT_TOPK}
+    """,
+)
+def events_user_selfloop_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bot-likeness report: the users whose event streams most repeat the
+    SAME action back-to-back (self-transition share of their consecutive
+    pairs) — scripted clients show degenerate self-loop rates where human
+    sessions mix actions. The per-user counterpart of
+    `events_markov_transitions`' global matrix; ranked top-{k} so the
+    output is the triage list, not a threshold guess.
+
+    Scale shape: one lead() window per user (the sequence-family shuffle),
+    one per-user aggregate, TakeOrderedAndProject top-k; the ranking
+    double is ONE int64/int64 division so the order is bitwise
+    cross-engine (ties by user_id)."""
+    w = ranked("ts", "event_id", partition_by="user_id")
+    seq = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    )
+    peru = (
+        seq.groupBy("user_id")
+        .agg(
+            F.count("nxt").alias("n_pairs"),
+            F.count(F.when(F.col("nxt") == F.col("cur"), 1)).alias("n_self"),
+        )
+        .filter(F.col("n_pairs") > 0)
+    )
+    return (
+        peru.select(
+            "user_id",
+            F.col("n_pairs").cast("long").alias("n_pairs"),
+            F.col("n_self").cast("long").alias("n_self"),
+            F.round(
+                F.col("n_self") / F.col("n_pairs").cast("double"), 6
+            ).alias("self_share"),
+        )
+        .orderBy(F.col("self_share").desc(), "user_id")
+        .limit(_BOT_TOPK)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cross-source near-duplicate matrix (contamination direction audit)
+# ---------------------------------------------------------------------------
+
+
+@REG.add(
+    "dedup_cross_source_matrix",
+    sql=f"""
+    WITH toks AS (
+      SELECT doc_id, source, list_distinct({TOKENS_SQL}) AS t FROM documents
+    ), sized AS (
+      SELECT doc_id, source, t, len(t) AS n FROM toks WHERE len(t) > 0
+    ), rows_ AS (
+      SELECT doc_id, unnest(t) AS tok FROM sized
+    ), inter AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS i
+      FROM rows_ a JOIN rows_ b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT sa.source AS src_a, sb.source AS src_b
+      FROM inter i
+      JOIN sized sa ON i.a_id = sa.doc_id
+      JOIN sized sb ON i.b_id = sb.doc_id
+      WHERE {_PF_DEN} * i.i >= {_PF_NUM} * (sa.n + sb.n - i.i)
+    )
+    SELECT LEAST(src_a, src_b) AS source_x,
+           GREATEST(src_a, src_b) AS source_y,
+           CAST(src_a = src_b AS BOOLEAN) AS within_source,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM pairs GROUP BY 1, 2, 3 ORDER BY 1, 2
+    """,
+)
+def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHERE the near-duplicates live: the exact J≥0.95 pair census from
+    `dedup_prefix_filter_pairs` aggregated into a source×source matrix —
+    within-source counts measure internal redundancy, cross-source counts
+    expose mirroring/contamination between ingestion feeds (the audit that
+    decides which feed gets deduped against which). Reuses the SHIPPED
+    prefix-filter core, so the matrix and the pair lane can never drift.
+
+    Scale shape: the pair generation is the prefix-filter join (equi-joins
+    only); source attribution is two equi-joins on doc_id; the matrix is a
+    ≤|sources|²-row groupBy."""
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select(
+            "doc_id", "source", F.array_distinct(tokens_col()).alias("toks")
+        )
+        .filter(F.size("toks") > 0)
+    )
+    pairs = prefix_filter_pairs_frame(docs.select("doc_id", "toks"))
+    src = docs.select("doc_id", "source")
+    sa = src.select(F.col("doc_id").alias("a_id"), F.col("source").alias("src_a"))
+    sb = src.select(F.col("doc_id").alias("b_id"), F.col("source").alias("src_b"))
+    return (
+        pairs.join(sa, "a_id")
+        .join(sb, "b_id")
+        .select(
+            F.least("src_a", "src_b").alias("source_x"),
+            F.greatest("src_a", "src_b").alias("source_y"),
+            (F.col("src_a") == F.col("src_b")).alias("within_source"),
+        )
+        .groupBy("source_x", "source_y", "within_source")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        .orderBy("source_x", "source_y")
+    )

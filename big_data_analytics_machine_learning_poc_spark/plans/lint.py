@@ -169,6 +169,10 @@ ALLOWED: dict[str, dict[str, str]] = {
         "(31 tokens here) into dense rarity ids; open-vocab promotion = "
         "hash-derived ids (no global rank), see lane docstring"
     },
+    "dedup_cross_source_matrix": {
+        "global_window": "inherits the prefix-filter core's vocabulary "
+        "rarity-id rank (same justification as dedup_prefix_filter_pairs)"
+    },
 }
 
 

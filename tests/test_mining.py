@@ -504,3 +504,28 @@ def test_mining_plan_shapes(spark, mining_sf):
     # fixed-width histogram: single aggregate pair (partial+final), no join
     hist = executed_plan(mining.orders_price_histogram(spark, mining_sf))
     assert "Join" not in hist
+
+
+def test_selfloop_report_ranks_repeaters(spark, mining_sf):
+    out = mining.events_user_selfloop_report(spark, mining_sf).collect()
+    assert out
+    shares = [r["self_share"] for r in out]
+    assert shares == sorted(shares, reverse=True)
+    for r in out:
+        assert 0.0 <= r["self_share"] <= 1.0
+        assert r["n_self"] <= r["n_pairs"]
+    # user 101's two events are purchase->view: 1 pair, 0 self
+    u101 = [r for r in out if r["user_id"] == 101]
+    if u101:
+        assert u101[0]["self_share"] == 0.0
+
+
+def test_cross_source_matrix_counts_match_pair_lane(spark, mining_sf):
+    # the matrix must total exactly the pair lane's output (shared core)
+    pairs = mining.dedup_prefix_filter_pairs(spark, mining_sf).collect()
+    matrix = mining.dedup_cross_source_matrix(spark, mining_sf).collect()
+    assert sum(r["n_pairs"] for r in matrix) == len(pairs)
+    # fixture docs all share source 's' -> single within-source cell
+    assert len(matrix) == 1
+    assert matrix[0]["within_source"] is True
+    assert (matrix[0]["source_x"], matrix[0]["source_y"]) == ("s", "s")
