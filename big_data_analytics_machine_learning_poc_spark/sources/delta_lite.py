@@ -58,6 +58,7 @@ surface.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import time
@@ -359,6 +360,88 @@ def _json_scalar(v):
     return v.isoformat() if hasattr(v, "isoformat") else v
 
 
+# ---------------------------------------------------------------------------
+# Per-file Bloom filters (equality data skipping beyond zone maps)
+# ---------------------------------------------------------------------------
+
+_BLOOM_BITS_DEFAULT = 8192  # 1 KiB of log per (file, column)
+_BLOOM_K = 4  # ~2.4% false-positive rate at 1000 distinct values / 8192 bits
+
+
+def _bloom_positions(value, m: int, k: int) -> list[int]:
+    """k bit positions for a value — md5-derived (the repo's cross-process
+    stable hash family; hash() is seed-dependent), value canonicalized to
+    str so the WRITE side (python scalars from pyarrow) and the READ side
+    (predicate literals) agree. Restricted to string/int values — float
+    str() forms are representation-fragile and are rejected at build time."""
+    digest = hashlib.md5(str(value).encode("utf-8")).digest()
+    return [
+        int.from_bytes(digest[4 * i : 4 * i + 4], "big") % m for i in range(k)
+    ]
+
+
+def _bloom_build(values, m: int, k: int) -> bytes:
+    bits = bytearray(m // 8)
+    for v in values:
+        if v is None:
+            continue
+        if isinstance(v, float):
+            raise TypeError(
+                "bloom_columns must be string/int typed: float equality "
+                "is not a meaningful skipping predicate"
+            )
+        for pos in _bloom_positions(v, m, k):
+            bits[pos >> 3] |= 1 << (pos & 7)
+    return bytes(bits)
+
+
+def _augment_bloom(
+    table: str,
+    staged: list[tuple[str, int, dict]],
+    bloom_columns: list[str],
+    bits: int = _BLOOM_BITS_DEFAULT,
+) -> None:
+    """Enrich each staged file's stats dict with per-column Bloom filters
+    (read-back of just those columns — write-side cost, like parquet's own
+    bloom filters). Stored under stats["bloom"] as base64; readers that
+    don't know the field ignore it, so the addition is fully backward/
+    forward compatible with every existing snapshot operation."""
+    import base64
+
+    import pyarrow.parquet as pq
+
+    for rel, _size, stats in staged:
+        tbl = pq.read_table(os.path.join(table, rel), columns=bloom_columns)
+        blooms = {}
+        for col in bloom_columns:
+            vals = tbl.column(col).to_pylist()
+            blooms[col] = {
+                "m": bits,
+                "k": _BLOOM_K,
+                "b64": base64.b64encode(_bloom_build(vals, bits, _BLOOM_K)).decode(),
+            }
+        stats["bloom"] = blooms
+
+
+def _bloom_may_contain(add: dict, col: str, value) -> bool:
+    """Definite-absence test against the file's logged Bloom filter. A file
+    without a bloom for the column is conservatively kept (same contract as
+    `_file_may_match`: skipping is an optimization, never correctness) —
+    which also makes the feature additive: compaction/merge rewrites that
+    don't rebuild blooms simply lose the skipping, never rows."""
+    import base64
+
+    stats = json.loads(add.get("stats") or "{}")
+    bl = stats.get("bloom", {}).get(col)
+    if not bl:
+        return True
+    bits = base64.b64decode(bl["b64"])
+    return all(
+        bits[pos >> 3] & (1 << (pos & 7))
+        for pos in _bloom_positions(value, bl["m"], bl["k"])
+    )
+
+
 def _stage_files(
     df: DataFrame, table: str, partition_cols: list[str]
 ) -> list[tuple[str, int, dict]]:
@@ -435,6 +518,7 @@ def write_delta(
     partition_cols: list[str] | None = None,
     txn: tuple[str, int] | None = None,
     merge_schema: bool = False,
+    bloom_columns: list[str] | None = None,
 ) -> int:
     """Commit ``df`` to the Delta-layout table at ``table``; returns the
     committed version. ``mode``: 'overwrite' (remove the previous snapshot's
@@ -514,6 +598,10 @@ def write_delta(
             actions.append({"metaData": meta})
 
     staged = _stage_files(df, table, partition_cols)
+    if bloom_columns:
+        # per-file Bloom filters for equality skipping on columns zone maps
+        # can't serve (strings, high-cardinality ids); see _augment_bloom
+        _augment_bloom(table, staged, list(bloom_columns))
     if mode == "overwrite":
         for rel in prior_active:
             actions.append(
@@ -672,6 +760,7 @@ def read_delta(
     version: int | None = None,
     partition_filters: dict[str, str] | None = None,
     range_filters: dict[str, tuple] | None = None,
+    equality_filters: dict | None = None,
 ) -> DataFrame:
     """Snapshot read. ``version`` time-travels; ``partition_filters`` prunes
     files DRIVER-SIDE against the log's ``add.partitionValues`` — at 100 TB
@@ -710,6 +799,19 @@ def read_delta(
             a
             for a in adds
             if all(_file_may_match(a, c, lo, hi) for c, (lo, hi) in norm.items())
+        ]
+    if equality_filters:
+        # zone maps (lo==hi) where logged, plus Bloom definite-absence for
+        # columns written with bloom_columns= (strings/ids that zone maps
+        # can't serve); files without either are conservatively read
+        adds = [
+            a
+            for a in adds
+            if all(
+                _file_may_match(a, c, _json_scalar(v), _json_scalar(v))
+                and _bloom_may_contain(a, c, v)
+                for c, v in equality_filters.items()
+            )
         ]
     if not adds:
         return spark.createDataFrame([], schema)

@@ -60,7 +60,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from .delta_lite import _file_may_match, _replay
+from .delta_lite import _bloom_may_contain, _file_may_match, _replay
 
 
 class DeltaLiteInputPartition(InputPartition):
@@ -200,6 +200,7 @@ class DeltaLiteReader(DataSourceReader):
         self.partition_cols = meta.get("partitionColumns", [])
         self._eq: dict[str, set] = {}  # partition col -> allowed raw strings
         self._ranges: dict[str, list] = {}  # data col -> [lo, hi]
+        self._bloom_eqs: dict[str, list] = {}  # data col -> equality literals
 
     def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
         """Record prunable predicates, then hand EVERY filter back to Spark
@@ -229,6 +230,11 @@ class DeltaLiteReader(DataSourceReader):
                 ):
                     r = self._ranges.setdefault(col, [None, None])
                     r[1] = f.value if r[1] is None else min(r[1], f.value)
+                # Bloom definite-absence on equality literals — serves the
+                # string/id columns zone maps can't (floats excluded: bloom
+                # canonicalization is str/int only, see delta_lite)
+                if isinstance(f, EqualTo) and isinstance(f.value, (int, str)):
+                    self._bloom_eqs.setdefault(col, []).append(f.value)
             yield f
 
     def partitions(self) -> list[DeltaLiteInputPartition]:
@@ -241,6 +247,12 @@ class DeltaLiteReader(DataSourceReader):
                 continue
             if any(
                 not _file_may_match(add, c, lo, hi) for c, (lo, hi) in self._ranges.items()
+            ):
+                continue
+            if any(
+                not _bloom_may_contain(add, c, v)
+                for c, vs in self._bloom_eqs.items()
+                for v in vs
             ):
                 continue
             out.append(DeltaLiteInputPartition(os.path.join(self.table, rel), dict(pv)))
