@@ -70,6 +70,27 @@ from pyspark.sql.types import StructType
 _LOG_DIR = "_delta_log"
 _PROTOCOL = {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
 
+# Reader features this implementation understands beyond protocol v1. A
+# table acquires {minReaderVersion: 2, readerFeatures: [...]} the moment a
+# feature is first used (deletion vectors); readers refuse any feature they
+# don't recognize instead of silently mis-reading (the protocol's intent —
+# a v1-only reader would resurrect DV-deleted rows).
+_SUPPORTED_READER_FEATURES = {"deletionVectors-u32z"}
+
+
+def _check_protocol(action: dict) -> None:
+    p = action["protocol"]
+    rv = p.get("minReaderVersion", 1)
+    if rv <= 1:
+        return
+    unknown = set(p.get("readerFeatures") or []) - _SUPPORTED_READER_FEATURES
+    if rv > 2 or unknown:
+        raise NotImplementedError(
+            f"table requires Delta reader version {rv} with features "
+            f"{sorted(unknown)}; delta_lite reads version ≤2 with "
+            f"{sorted(_SUPPORTED_READER_FEATURES)}"
+        )
+
 
 class DeltaCommitConflict(RuntimeError):
     """Another writer committed this version first (optimistic-concurrency
@@ -141,11 +162,7 @@ def _load_checkpoint(table: str, version: int) -> tuple[dict[str, dict], dict, d
     for row in rows:
         action = json.loads(row["action_json"])
         if "protocol" in action:
-            rv = action["protocol"].get("minReaderVersion", 1)
-            if rv > 1:
-                raise NotImplementedError(
-                    f"table requires Delta reader version {rv}; delta_lite reads version 1"
-                )
+            _check_protocol(action)
         elif "metaData" in action:
             meta = action["metaData"]
         elif "add" in action:
@@ -153,6 +170,30 @@ def _load_checkpoint(table: str, version: int) -> tuple[dict[str, dict], dict, d
         elif "txn" in action:
             txns[action["txn"]["appId"]] = action["txn"]["version"]
     return active, meta, txns
+
+
+def _table_protocol(table: str) -> dict:
+    """The latest protocol action committed to the table (checkpoint state
+    included), falling back to the baseline."""
+    proto = dict(_PROTOCOL)
+    versions = _list_versions(table)
+    start_after = -1
+    ckpt = _last_checkpoint_version(table, versions[-1]) if versions else None
+    if ckpt is not None:
+        import pyarrow.parquet as pq
+
+        for row in pq.read_table(_checkpoint_path(table, ckpt)).to_pylist():
+            action = json.loads(row["action_json"])
+            if "protocol" in action:
+                proto = action
+        start_after = ckpt
+    for v in versions:
+        if v <= start_after:
+            continue
+        for action in _read_log(table, v):
+            if "protocol" in action:
+                proto = action
+    return proto
 
 
 def _txn_state(table: str) -> dict[str, int]:
@@ -199,7 +240,10 @@ def checkpoint_table(table: str) -> int:
     import pyarrow.parquet as pq
 
     active, meta, version = _replay(table, None)
-    actions = [dict(_PROTOCOL), {"metaData": meta}]
+    # the table's ACTUAL protocol (it may have been upgraded, e.g. by a
+    # deletion-vector commit) — re-writing the baseline constant here
+    # would silently downgrade the record and let a v1 reader mis-read
+    actions = [_table_protocol(table), {"metaData": meta}]
     actions += [{"add": a} for a in active.values()]
     actions += [
         {"txn": {"appId": app, "version": v}} for app, v in sorted(_txn_state(table).items())
@@ -248,11 +292,7 @@ def _replay(table: str, version: int | None) -> tuple[dict[str, dict], dict, int
             continue
         for action in _read_log(table, v):
             if "protocol" in action:
-                rv = action["protocol"].get("minReaderVersion", 1)
-                if rv > 1:
-                    raise NotImplementedError(
-                        f"table requires Delta reader version {rv}; delta_lite reads version 1"
-                    )
+                _check_protocol(action)
             elif "metaData" in action:
                 meta = action["metaData"]
             elif "add" in action:
@@ -439,6 +479,97 @@ def _bloom_may_contain(add: dict, col: str, value) -> bool:
     return all(
         bits[pos >> 3] & (1 << (pos & 7))
         for pos in _bloom_positions(value, bl["m"], bl["k"])
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deletion vectors (merge-on-read DELETE — the sparse-delete lever)
+# ---------------------------------------------------------------------------
+#
+# Public Delta protocol concept (PROTOCOL.md "Deletion Vectors"): an ``add``
+# action may carry a ``deletionVector`` descriptor marking row INDICES of the
+# data file as logically deleted, so a sparse DELETE (GDPR erasure, late
+# correction) commits kilobytes of log instead of rewriting gigabyte files.
+# Honest divergence, same spirit as the checkpoint note: real Delta encodes
+# DVs as RoaringBitmaps in sidecar files or inline (storageType 'i'); this
+# implementation always inlines — zlib-compressed packed uint32 sorted
+# indices, base64 in the log — under a hard per-file cardinality cap.
+# Deletes denser than the cap fall back to copy-on-write per file (which is
+# the better plan for dense deletes anyway). Readers that predate the field
+# would silently resurrect rows, so DV tables bump minReaderVersion to 2 —
+# delta_lite refuses protocol >1 unless it recognizes every feature, exactly
+# the protocol's intent (see _replay).
+
+_DV_STORAGE = "u32z"  # delta_lite's inline encoding tag
+_DV_MAX_ROWS_PER_FILE = 100_000  # inline-size guard: ~400 KB raw before zlib
+
+
+def _dv_encode(indices) -> dict:
+    """deletionVector descriptor from an iterable of physical row indices."""
+    import base64
+    import struct
+    import zlib
+
+    idx = sorted(set(int(i) for i in indices))
+    if not idx:
+        raise ValueError("refusing to encode an empty deletion vector")
+    raw = struct.pack(f"<{len(idx)}I", *idx)
+    return {
+        "storageType": _DV_STORAGE,
+        "cardinality": len(idx),
+        "b64": base64.b64encode(zlib.compress(raw)).decode(),
+    }
+
+
+def _dv_indices(add: dict) -> list[int]:
+    """Deleted physical row indices of an add action ([] when no DV)."""
+    import base64
+    import struct
+    import zlib
+
+    dv = add.get("deletionVector")
+    if not dv:
+        return []
+    if dv.get("storageType") != _DV_STORAGE:
+        raise NotImplementedError(
+            f"unknown deletionVector storageType {dv.get('storageType')!r}"
+        )
+    raw = zlib.decompress(base64.b64decode(dv["b64"]))
+    return list(struct.unpack(f"<{len(raw) // 4}I", raw))
+
+
+def _read_adds(spark: SparkSession, table: str, meta: dict, adds: list[dict]) -> DataFrame:
+    """THE snapshot read core: the given add-actions' files under the
+    logged schema, with each file's deletion vector applied. Every reader
+    of active files — read_delta, DELETE/MERGE keep-side, OPTIMIZE
+    rewrites, snapshot_diff — comes through here, so a DV'd row cannot be
+    resurrected by any code path. Application is one broadcast left-anti
+    join on (file_name, row_index) against the union of inline DVs —
+    executor-side, arbitrarily many data rows; the driver holds only the
+    DV indices themselves, bounded by _DV_MAX_ROWS_PER_FILE per file
+    (the promotion path past that bound is DV sidecar files loaded
+    executor-side — but past that bound copy-on-write already wins)."""
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    if not adds:
+        return spark.createDataFrame([], schema)
+    from pyspark.sql import functions as F
+
+    df = _snapshot_reader(spark, table, meta).parquet(
+        *[os.path.join(table, a["path"]) for a in adds]
+    )
+    dv_adds = [a for a in adds if a.get("deletionVector")]
+    if not dv_adds:
+        return df
+    pairs = [
+        (os.path.basename(a["path"]), i) for a in dv_adds for i in _dv_indices(a)
+    ]
+    deleted = spark.createDataFrame(pairs, "_dl_fname string, _dl_ridx long")
+    out_cols = df.columns
+    return (
+        df.withColumn("_dl_fname", F.col("_metadata.file_name"))
+        .withColumn("_dl_ridx", F.col("_metadata.row_index"))
+        .join(F.broadcast(deleted), ["_dl_fname", "_dl_ridx"], "left_anti")
+        .select(*out_cols)
     )
 
 
@@ -815,11 +946,10 @@ def read_delta(
         ]
     if not adds:
         return spark.createDataFrame([], schema)
-    files = [os.path.join(table, a["path"]) for a in adds]
-    # _snapshot_reader: logged schema + basePath — explicit schema (not
-    # inference) is what makes schema evolution work; old files simply
-    # lack the new columns and read as nulls.
-    return _snapshot_reader(spark, table, meta).parquet(*files)
+    # _read_adds: logged schema (not inference — evolution can mix file
+    # shapes; old files null-fill new columns) + each file's deletion
+    # vector applied, so merge-on-read deletes are invisible here too.
+    return _read_adds(spark, table, meta, adds)
 
 
 def compact_table(
@@ -849,16 +979,15 @@ def compact_table(
 
     now_ms = int(time.time() * 1000)
     actions: list[dict] = []
-    # the LOGGED schema, not inference: after merge_schema evolution a
-    # partition can hold files with and without the new columns — inference
-    # from an arbitrary first file would silently drop them from the
-    # compacted rewrite
-    reader = _snapshot_reader(spark, table, meta)
+    # _read_adds: the LOGGED schema, not inference (after merge_schema
+    # evolution a partition can hold files with and without the new
+    # columns), and deletion vectors applied — compaction physically drops
+    # DV'd rows, which is exactly what keeps dataChange=false truthful
+    # (logical row set unchanged) while clearing merge-on-read debt
     for adds in groups:
-        files = [os.path.join(table, a["path"]) for a in adds]
         # drop the hive partition columns Spark re-derived: the rewritten
         # file must have the same physical columns as the originals
-        df = reader.parquet(*files).drop(*partition_cols).coalesce(1)
+        df = _read_adds(spark, table, meta, adds).drop(*partition_cols).coalesce(1)
         part_dir = os.path.dirname(adds[0]["path"])
         staging = os.path.join(table, f".compact-{uuid.uuid4().hex}")
         df.write.mode("overwrite").parquet(staging)
@@ -950,18 +1079,40 @@ def _affected_adds(spark: SparkSession, table: str, active: dict, hit_df: DataFr
     return [a for p, a in active.items() if p in hit_files]
 
 
-def delete_where(spark: SparkSession, table: str, predicate: str) -> int | None:
-    """Transactional row-level DELETE, copy-on-write: ONE scan finds the
-    files holding matching rows, only those files are rewritten without
-    their matching rows (NULL-predicate rows are kept, SQL DELETE
-    semantics), and remove+add publish atomically. Returns the committed
-    version, or None if nothing matched. Files without matches are never
-    touched — at 100 TB a targeted delete (GDPR erasure, bad-batch
-    rollback) rewrites a handful of files, not the table; zone-map/
-    partition locality of the delete key (see write_zordered_delta)
-    decides how few."""
+def delete_where(
+    spark: SparkSession,
+    table: str,
+    predicate: str,
+    mode: str = "cow",
+    dv_max_fraction: float = 0.15,
+) -> int | None:
+    """Transactional row-level DELETE. ONE scan finds the files holding
+    matching rows (NULL-predicate rows are kept, SQL DELETE semantics);
+    only those files are touched; everything publishes atomically. Returns
+    the committed version, or None if nothing matched.
+
+    ``mode='cow'`` (copy-on-write): matched files are rewritten without
+    their matching rows — at 100 TB a targeted delete (GDPR erasure,
+    bad-batch rollback) rewrites a handful of files, not the table;
+    zone-map/partition locality of the delete key (see
+    write_zordered_delta) decides how few.
+
+    ``mode='dv'`` (merge-on-read, Delta deletion vectors): matched files
+    are NOT rewritten — each gets a deletion vector of the matching
+    physical row indices committed in the log (union'd with any existing
+    DV), and every reader applies it via _read_adds. This is the
+    sparse-delete lever: erasing 100 rows scattered over 100 one-GB files
+    costs kilobytes of log instead of 100 GB of rewrite. Per file, when
+    the accumulated DV would exceed ``dv_max_fraction`` of its rows (or
+    the inline cap _DV_MAX_ROWS_PER_FILE), that file falls back to
+    copy-on-write in the same commit — dense deletes want the rewrite
+    anyway, and read amplification stays bounded. The table's protocol is
+    upgraded to minReaderVersion 2 + readerFeatures on the first DV so a
+    DV-unaware reader refuses loudly instead of resurrecting rows."""
     from pyspark.sql import functions as F
 
+    if mode not in ("cow", "dv"):
+        raise ValueError(f"mode must be 'cow' or 'dv', got {mode!r}")
     active, meta, latest = _replay(table, None)
     pred = F.expr(predicate)
     snap = read_delta(spark, table).withColumn("_dl_file", F.input_file_name())
@@ -969,19 +1120,137 @@ def delete_where(spark: SparkSession, table: str, predicate: str) -> int | None:
     if not affected:
         return None
     now_ms = int(time.time() * 1000)
-    files = [os.path.join(table, a["path"]) for a in affected]
-    keep = (
-        _snapshot_reader(spark, table, meta)
-        .parquet(*files)
-        .filter(~F.coalesce(pred, F.lit(False)))
-    )
-    actions = _rewrite_files(spark, table, meta, affected, keep, now_ms)
+    actions: list[dict] = []
+    if mode == "cow":
+        keep = _read_adds(spark, table, meta, affected).filter(
+            ~F.coalesce(pred, F.lit(False))
+        )
+        actions += _rewrite_files(spark, table, meta, affected, keep, now_ms)
+    else:
+        # physical row indices of matching rows, grouped per file —
+        # driver-resident, but bounded: each file contributes at most
+        # dv_max_fraction · numRecords indices or it falls back to rewrite.
+        # The scan is RAW (pre-DV): an already-deleted row that re-matches
+        # just lands back in the union it is already part of, while
+        # `affected` (computed from the DV-applied snapshot) guarantees at
+        # least one LIVE row matched per file touched.
+        raw = _snapshot_reader(spark, table, meta).parquet(
+            *[os.path.join(table, a["path"]) for a in affected]
+        )
+        fname = F.col("_metadata.file_name")
+        by_name = {os.path.basename(a["path"]): a for a in affected}
+        # pass 1 — per-file match COUNTS only (tiny), so the density
+        # decision happens before any index list touches the driver: a
+        # half-the-file delete in dv mode must not collect millions of
+        # indices just to discover it wants the rewrite. The bound uses
+        # old_cardinality + new_matches, an upper bound on the union —
+        # conservative toward copy-on-write, which dense deletes want.
+        counts = raw.filter(pred).groupBy(fname.alias("_f")).count().collect()
+        cow_adds: list[dict] = []
+        dv_names: list[str] = []
+        for row in counts:
+            add = by_name[row["_f"]]
+            stats = json.loads(add.get("stats") or "{}")
+            n_phys = int(stats.get("numRecords") or 0)
+            bound = len(_dv_indices(add)) + row["count"]
+            dense = n_phys and bound > dv_max_fraction * n_phys
+            if dense or bound > _DV_MAX_ROWS_PER_FILE:
+                cow_adds.append(add)
+            else:
+                dv_names.append(row["_f"])
+        # pass 2 — indices for the (bounded) dv-bound files only
+        if dv_names:
+            matched = (
+                raw.filter(pred)
+                .filter(fname.isin(dv_names))
+                .groupBy(fname.alias("_f"))
+                .agg(F.collect_list(F.col("_metadata.row_index")).alias("_idx"))
+                .collect()
+            )
+            for row in matched:
+                add = by_name[row["_f"]]
+                merged = sorted(set(_dv_indices(add)) | set(int(i) for i in row["_idx"]))
+                actions.append(
+                    {"remove": {"path": add["path"], "deletionTimestamp": now_ms, "dataChange": True}}
+                )
+                actions.append({"add": {**add, "deletionVector": _dv_encode(merged)}})
+        if cow_adds:
+            keep = _read_adds(spark, table, meta, cow_adds).filter(
+                ~F.coalesce(pred, F.lit(False))
+            )
+            actions += _rewrite_files(spark, table, meta, cow_adds, keep, now_ms)
+        if any("deletionVector" in a.get("add", {}) for a in actions):
+            proto = _table_protocol(table)["protocol"]
+            if proto.get("minReaderVersion", 1) < 2:
+                actions.insert(
+                    0,
+                    {
+                        "protocol": {
+                            "minReaderVersion": 2,
+                            "minWriterVersion": max(2, proto.get("minWriterVersion", 2)),
+                            "readerFeatures": sorted(_SUPPORTED_READER_FEATURES),
+                        }
+                    },
+                )
     actions.append(
         {
             "commitInfo": {
                 "timestamp": now_ms,
                 "operation": "DELETE",
-                "operationParameters": {"predicate": predicate},
+                "operationParameters": {"predicate": predicate, "mode": mode},
+            }
+        }
+    )
+    version = latest + 1
+    _commit(table, version, actions)
+    return version
+
+
+def purge_deletion_vectors(spark: SparkSession, table: str) -> int | None:
+    """REORG TABLE ... APPLY (PURGE): physically rewrite every active file
+    that carries a deletion vector, dropping the DV — committed with
+    ``dataChange: false`` because the LOGICAL row set is untouched
+    (streaming/incremental readers skip the commit, like OPTIMIZE). Run it
+    when accumulated merge-on-read debt makes scans pay too much anti-join,
+    or before handing the table to a DV-unaware reader. Returns the
+    committed version, or None when no file has a DV."""
+    active, meta, latest = _replay(table, None)
+    dv_adds = [a for a in active.values() if a.get("deletionVector")]
+    if not dv_adds:
+        return None
+    now_ms = int(time.time() * 1000)
+    actions: list[dict] = []
+    partition_cols = meta.get("partitionColumns", [])
+    by_dir: dict[str, list[dict]] = {}
+    for a in dv_adds:
+        by_dir.setdefault(os.path.dirname(a["path"]), []).append(a)
+    for part_dir, adds in sorted(by_dir.items()):
+        df = _read_adds(spark, table, meta, adds).drop(*partition_cols)
+        staging = os.path.join(table, f".compact-{uuid.uuid4().hex}")
+        df.write.mode("overwrite").parquet(staging)
+        for rel, size, stats in _publish_staged(staging, table, dest_dir=part_dir):
+            actions.append(
+                {
+                    "add": {
+                        "path": rel,
+                        "partitionValues": dict(adds[0].get("partitionValues", {})),
+                        "size": size,
+                        "modificationTime": now_ms,
+                        "dataChange": False,
+                        "stats": json.dumps(stats),
+                    }
+                }
+            )
+        for a in adds:
+            actions.append(
+                {"remove": {"path": a["path"], "deletionTimestamp": now_ms, "dataChange": False}}
+            )
+    actions.append(
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": "REORG",
+                "operationParameters": {"applyPurge": True},
             }
         }
     )
@@ -1025,11 +1294,10 @@ def merge_delta(
     now_ms = int(time.time() * 1000)
     actions: list[dict] = []
     if affected:
-        files = [os.path.join(table, a["path"]) for a in affected]
-        keep = (
-            _snapshot_reader(spark, table, meta)
-            .parquet(*files)
-            .join(keys, on=key_cols, how="left_anti")
+        # _read_adds applies any deletion vectors — a DV-deleted row must
+        # not be resurrected into the rewritten keep-side files
+        keep = _read_adds(spark, table, meta, affected).join(
+            keys, on=key_cols, how="left_anti"
         )
         actions += _rewrite_files(spark, table, meta, affected, keep, now_ms)
     # the inserted/updated rows: the whole source, as fresh files
@@ -1169,14 +1437,20 @@ def snapshot_summary(table: str, version: int | None = None) -> dict:
     snapshot without touching a data file."""
     active, meta, version = _replay(table, version)
     n_records = 0
+    n_dv_deleted = 0
     for a in active.values():
         stats = json.loads(a.get("stats") or "{}")
         n_records += int(stats.get("numRecords") or 0)
+        dv = a.get("deletionVector")
+        if dv:
+            n_dv_deleted += int(dv["cardinality"])
     return {
         "version": version,
         "n_files": len(active),
         "n_bytes": sum(a["size"] for a in active.values()),
-        "n_records": n_records,
+        # LOGICAL row count: physical stats minus deletion-vector debt
+        "n_records": n_records - n_dv_deleted,
+        "n_dv_deleted": n_dv_deleted,
         "partition_columns": meta.get("partitionColumns", []),
     }
 
@@ -1207,18 +1481,25 @@ def snapshot_diff(
     # with from_version's schema would drop the new column and changes
     # touching only it would cancel as "no change". Old files null-fill
     # the added columns under the explicit schema, exactly like read_delta.
-    schema = StructType.fromJson(json.loads(meta["schemaString"]))
     removed = sorted(set(old_active) - set(new_active))
     added = sorted(set(new_active) - set(old_active))
-
-    def read_files(rels: list[str]) -> "DataFrame":
-        if not rels:
-            return spark.createDataFrame([], schema)
-        reader = _snapshot_reader(spark, table, meta)
-        return reader.parquet(*[os.path.join(table, r) for r in rels])
-
-    old_rows = read_files(removed)
-    new_rows = read_files(added)
+    # a merge-on-read DELETE keeps the PATH active and only swaps its
+    # deletion vector — those files are in neither set difference, so the
+    # diff must read them on BOTH sides (old DV vs new DV applied; the
+    # unchanged rows cancel in exceptAll, leaving exactly the newly
+    # DV-deleted rows). Cost stays change-proportional: only DV-changed
+    # files are read twice.
+    dv_changed = sorted(
+        p
+        for p in set(old_active) & set(new_active)
+        if old_active[p].get("deletionVector") != new_active[p].get("deletionVector")
+    )
+    old_rows = _read_adds(
+        spark, table, meta, [old_active[p] for p in removed + dv_changed]
+    )
+    new_rows = _read_adds(
+        spark, table, meta, [new_active[p] for p in added + dv_changed]
+    )
     deletes = old_rows.exceptAll(new_rows).withColumn("_change_type", F.lit("delete"))
     inserts = new_rows.exceptAll(old_rows).withColumn("_change_type", F.lit("insert"))
     return deletes.unionByName(inserts)
@@ -1258,12 +1539,12 @@ def optimize_zorder(
 
     now_ms = int(time.time() * 1000)
     actions: list[dict] = []
-    reader = _snapshot_reader(spark, table, meta)
     from pyspark.sql import functions as F
 
     for adds in by_part.values():
-        files = [os.path.join(table, a["path"]) for a in adds]
-        df = reader.parquet(*files).drop(*partition_cols)
+        # _read_adds applies deletion vectors: the re-clustered files are
+        # physically purged, like compact_table
+        df = _read_adds(spark, table, meta, adds).drop(*partition_cols)
         row = df.agg(
             *[F.min(c).alias(f"lo_{c}") for c in cols],
             *[F.max(c).alias(f"hi_{c}") for c in cols],
@@ -1380,6 +1661,15 @@ def restore_table(spark: SparkSession, table: str, version: int) -> int:
                 }
             }
         )
+    # a path active in BOTH snapshots can still differ by deletion vector
+    # (a merge-on-read DELETE between the versions): restore the OLD add
+    # action — including its DV or absence thereof — via remove+re-add
+    for rel in sorted(set(old_active) & set(cur_active)):
+        if old_active[rel].get("deletionVector") != cur_active[rel].get("deletionVector"):
+            actions.append(
+                {"remove": {"path": rel, "deletionTimestamp": now_ms, "dataChange": True}}
+            )
+            actions.append({"add": {**old_active[rel], "dataChange": True}})
     actions.append(
         {
             "commitInfo": {

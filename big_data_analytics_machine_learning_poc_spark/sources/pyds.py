@@ -60,13 +60,17 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from .delta_lite import _bloom_may_contain, _file_may_match, _replay
+from .delta_lite import _bloom_may_contain, _dv_indices, _file_may_match, _replay
 
 
 class DeltaLiteInputPartition(InputPartition):
-    def __init__(self, file_path: str, partition_values: dict):
+    def __init__(self, file_path: str, partition_values: dict, deleted_rows=None):
         self.file_path = file_path
         self.partition_values = partition_values
+        # physical row indices masked by the file's deletion vector —
+        # decoded driver-side (inline DVs are cardinality-capped) and
+        # shipped with the partition, applied as an Arrow filter in read()
+        self.deleted_rows = deleted_rows or []
 
 
 class DeltaLiteDataSource(DataSource):
@@ -159,13 +163,17 @@ def _arrow_cast_to_schema(tbl, want_fields):
 
 
 
-def _read_file_batches(file_path, want, partition_cols, partition_values, full_schema):
+def _read_file_batches(
+    file_path, want, partition_cols, partition_values, full_schema, deleted_rows=()
+):
     """Read ONE data file as Arrow batches shaped exactly like ``want``
     (column subset + order): partition columns become typed constants,
     columns missing from the file footer (pre-schema-evolution files)
     are null-filled, and every column is cast to the logged schema's
-    Arrow type (see _arrow_cast_to_schema). Shared by the batch reader
-    and the stream reader so evolution/INT96 handling cannot diverge."""
+    Arrow type (see _arrow_cast_to_schema). ``deleted_rows`` (the file's
+    deletion-vector indices) are dropped with one vectorized Arrow filter
+    before anything is yielded. Shared by the batch reader and the stream
+    reader so evolution/INT96 handling cannot diverge."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -177,6 +185,14 @@ def _read_file_batches(file_path, want, partition_cols, partition_values, full_s
     data_cols = [c for c in want if c not in partition_cols]
     tbl = pq.read_table(file_path, columns=[c for c in data_cols if c in have])
     n = tbl.num_rows
+    if deleted_rows:
+        import numpy as np
+
+        keep = np.ones(n, dtype=bool)
+        keep[np.asarray(deleted_rows, dtype=np.int64)] = False
+        n = int(keep.sum())
+        if tbl.num_columns:  # a partition-cols-only projection has none
+            tbl = tbl.filter(pa.array(keep))
     cols = {}
     for c in want:
         if c in partition_cols:
@@ -255,7 +271,11 @@ class DeltaLiteReader(DataSourceReader):
                 for v in vs
             ):
                 continue
-            out.append(DeltaLiteInputPartition(os.path.join(self.table, rel), dict(pv)))
+            out.append(
+                DeltaLiteInputPartition(
+                    os.path.join(self.table, rel), dict(pv), _dv_indices(add)
+                )
+            )
         return out
 
     def read(self, partition: DeltaLiteInputPartition):
@@ -265,6 +285,7 @@ class DeltaLiteReader(DataSourceReader):
             self.partition_cols,
             partition.partition_values,
             self.full_schema,
+            partition.deleted_rows,
         )
 
 
