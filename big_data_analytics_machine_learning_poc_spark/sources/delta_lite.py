@@ -65,7 +65,7 @@ import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql.types import StructType
+from pyspark.sql.types import StructField, StructType
 
 _LOG_DIR = "_delta_log"
 _PROTOCOL = {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
@@ -75,7 +75,7 @@ _PROTOCOL = {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
 # feature is first used (deletion vectors); readers refuse any feature they
 # don't recognize instead of silently mis-reading (the protocol's intent —
 # a v1-only reader would resurrect DV-deleted rows).
-_SUPPORTED_READER_FEATURES = {"deletionVectors-u32z"}
+_SUPPORTED_READER_FEATURES = {"deletionVectors-u32z", "columnMapping"}
 
 
 def _check_protocol(action: dict) -> None:
@@ -538,6 +538,197 @@ def _dv_indices(add: dict) -> list[int]:
     return list(struct.unpack(f"<{len(raw) // 4}I", raw))
 
 
+# ---------------------------------------------------------------------------
+# Column mapping (metadata-only RENAME / DROP / ADD COLUMN)
+# ---------------------------------------------------------------------------
+#
+# Public Delta protocol feature (PROTOCOL.md "Column Mapping", mode 'name'):
+# every schema field carries a stable PHYSICAL name in its metadata; data
+# files store physical names, readers translate physical -> logical. A
+# column rename is then ONE metaData commit — on a 100 TB table the
+# alternative is rewriting every file. Dropping a column is likewise
+# metadata-only (the bytes stay until files naturally rewrite), and a
+# re-added column gets a FRESH physical name so it can never alias the
+# dropped column's leftover data — the correctness reason mapping exists.
+# Enablement is restricted to unpartitioned tables here (partition
+# directories embed physical names on disk; honest scope bound, documented).
+
+
+def _mapping_enabled(meta: dict) -> bool:
+    return (meta.get("configuration") or {}).get("delta.columnMapping.mode") == "name"
+
+
+def _phys_map(meta: dict) -> dict[str, str]:
+    """logical field name -> physical (parquet) column name. Identity for
+    tables without column mapping."""
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    if not _mapping_enabled(meta):
+        return {f.name: f.name for f in schema.fields}
+    return {
+        f.name: (f.metadata or {}).get("delta.columnMapping.physicalName", f.name)
+        for f in schema.fields
+    }
+
+
+def _physical_schema(meta: dict) -> StructType:
+    """The schema as data files store it: physical names, logical types."""
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    if not _mapping_enabled(meta):
+        return schema
+    pm = _phys_map(meta)
+    return StructType(
+        [StructField(pm[f.name], f.dataType, f.nullable) for f in schema.fields]
+    )
+
+
+def _to_physical(df: DataFrame, meta: dict) -> DataFrame:
+    """Rename a logical-named frame to physical names for staging writes.
+    Identity (no projection) when mapping is off, so unmapped write paths
+    are byte-for-byte unchanged."""
+    if not _mapping_enabled(meta):
+        return df
+    from pyspark.sql import functions as F
+
+    pm = _phys_map(meta)
+    return df.select(*[F.col(c).alias(pm.get(c, c)) for c in df.columns])
+
+
+def _mapping_protocol_action(table: str) -> dict:
+    """Protocol upgrade action for a mapping enablement (merging any
+    features the table already acquired, e.g. deletion vectors)."""
+    proto = _table_protocol(table)["protocol"]
+    feats = set(proto.get("readerFeatures") or []) | {"columnMapping"}
+    return {
+        "protocol": {
+            "minReaderVersion": 2,
+            "minWriterVersion": max(2, proto.get("minWriterVersion", 2)),
+            "readerFeatures": sorted(feats),
+        }
+    }
+
+
+def _mapped_meta_commit(table: str, new_meta: dict, operation: str, params: dict) -> int:
+    now_ms = int(time.time() * 1000)
+    _active, _meta, latest = _replay(table, None)
+    actions = [
+        {"metaData": new_meta},
+        {"commitInfo": {"timestamp": now_ms, "operation": operation, "operationParameters": params}},
+    ]
+    proto = _table_protocol(table)["protocol"]
+    if "columnMapping" not in (proto.get("readerFeatures") or []):
+        actions.insert(0, _mapping_protocol_action(table))
+    version = latest + 1
+    _commit(table, version, actions)
+    return version
+
+
+def enable_column_mapping(table: str) -> int:
+    """Turn on column-mapping mode 'name': every existing field's physical
+    name is pinned to its CURRENT name (matching the bytes already on
+    disk), the config + a column-id watermark land in metaData, and the
+    protocol upgrades so mapping-unaware readers refuse instead of
+    misreading renamed columns. Metadata-only; returns the version."""
+    _active, meta, _ = _replay(table, None)
+    if meta.get("partitionColumns"):
+        raise NotImplementedError(
+            "column mapping on partitioned tables is not supported by "
+            "delta_lite (partition directories embed physical names)"
+        )
+    if _mapping_enabled(meta):
+        raise ValueError(f"column mapping already enabled on {table}")
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    fields = []
+    for i, f in enumerate(schema.fields):
+        md = dict(f.metadata or {})
+        md["delta.columnMapping.id"] = i + 1
+        md["delta.columnMapping.physicalName"] = f.name
+        fields.append(StructField(f.name, f.dataType, f.nullable, md))
+    conf = dict(meta.get("configuration") or {})
+    conf["delta.columnMapping.mode"] = "name"
+    conf["delta.columnMapping.maxColumnId"] = str(len(fields))
+    new_meta = {
+        **meta,
+        "schemaString": StructType(fields).json(),
+        "configuration": conf,
+    }
+    return _mapped_meta_commit(
+        table, new_meta, "SET TBLPROPERTIES", {"delta.columnMapping.mode": "name"}
+    )
+
+
+def rename_column(table: str, old: str, new: str) -> int:
+    """ALTER TABLE ... RENAME COLUMN — one metadata commit, zero data
+    rewritten: the field keeps its physical name (and therefore every
+    existing file, stats entry, and Bloom filter), only the logical name
+    changes. Requires column mapping (enable_column_mapping)."""
+    _active, meta, _ = _replay(table, None)
+    if not _mapping_enabled(meta):
+        raise ValueError("rename_column requires enable_column_mapping first")
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    names = [f.name for f in schema.fields]
+    if old not in names:
+        raise KeyError(f"no column {old!r} in {names}")
+    if new in names:
+        raise ValueError(f"column {new!r} already exists")
+    fields = [
+        StructField(new if f.name == old else f.name, f.dataType, f.nullable, f.metadata)
+        for f in schema.fields
+    ]
+    new_meta = {**meta, "schemaString": StructType(fields).json()}
+    return _mapped_meta_commit(
+        table, new_meta, "RENAME COLUMN", {"from": old, "to": new}
+    )
+
+
+def drop_column(table: str, name: str) -> int:
+    """ALTER TABLE ... DROP COLUMN — metadata-only: the field leaves the
+    logical schema; its bytes stay in existing files (reclaimed as files
+    naturally rewrite) but are unreachable, because any re-added column
+    with the same logical name gets a FRESH physical name. Requires
+    column mapping."""
+    _active, meta, _ = _replay(table, None)
+    if not _mapping_enabled(meta):
+        raise ValueError("drop_column requires enable_column_mapping first")
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    fields = [f for f in schema.fields if f.name != name]
+    if len(fields) == len(schema.fields):
+        raise KeyError(f"no column {name!r}")
+    if not fields:
+        raise ValueError("cannot drop the last column")
+    new_meta = {**meta, "schemaString": StructType(fields).json()}
+    return _mapped_meta_commit(table, new_meta, "DROP COLUMNS", {"column": name})
+
+
+def add_column(table: str, name: str, dtype) -> int:
+    """ALTER TABLE ... ADD COLUMN (nullable) — metadata-only: existing
+    files surface the new column as NULL (same explicit-schema mechanics
+    as merge_schema evolution). Under column mapping the field gets a
+    fresh ``col-<id>`` physical name so it can NEVER alias a previously
+    dropped column's leftover bytes. ``dtype`` is a pyspark DataType."""
+    _active, meta, _ = _replay(table, None)
+    if not _mapping_enabled(meta):
+        raise ValueError("add_column requires enable_column_mapping first")
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    if name in [f.name for f in schema.fields]:
+        raise ValueError(f"column {name!r} already exists")
+    conf = dict(meta.get("configuration") or {})
+    next_id = int(conf.get("delta.columnMapping.maxColumnId", "0")) + 1
+    md = {
+        "delta.columnMapping.id": next_id,
+        "delta.columnMapping.physicalName": f"col-{next_id}",
+    }
+    fields = list(schema.fields) + [StructField(name, dtype, True, md)]
+    conf["delta.columnMapping.maxColumnId"] = str(next_id)
+    new_meta = {
+        **meta,
+        "schemaString": StructType(fields).json(),
+        "configuration": conf,
+    }
+    return _mapped_meta_commit(
+        table, new_meta, "ADD COLUMNS", {"column": name, "type": str(dtype)}
+    )
+
+
 def _read_adds(spark: SparkSession, table: str, meta: dict, adds: list[dict]) -> DataFrame:
     """THE snapshot read core: the given add-actions' files under the
     logged schema, with each file's deletion vector applied. Every reader
@@ -551,26 +742,31 @@ def _read_adds(spark: SparkSession, table: str, meta: dict, adds: list[dict]) ->
     executor-side — but past that bound copy-on-write already wins)."""
     schema = StructType.fromJson(json.loads(meta["schemaString"]))
     if not adds:
-        return spark.createDataFrame([], schema)
+        return spark.createDataFrame(
+            [], StructType([StructField(f.name, f.dataType, f.nullable) for f in schema.fields])
+        )
     from pyspark.sql import functions as F
 
     df = _snapshot_reader(spark, table, meta).parquet(
         *[os.path.join(table, a["path"]) for a in adds]
     )
     dv_adds = [a for a in adds if a.get("deletionVector")]
-    if not dv_adds:
-        return df
-    pairs = [
-        (os.path.basename(a["path"]), i) for a in dv_adds for i in _dv_indices(a)
-    ]
-    deleted = spark.createDataFrame(pairs, "_dl_fname string, _dl_ridx long")
-    out_cols = df.columns
-    return (
-        df.withColumn("_dl_fname", F.col("_metadata.file_name"))
-        .withColumn("_dl_ridx", F.col("_metadata.row_index"))
-        .join(F.broadcast(deleted), ["_dl_fname", "_dl_ridx"], "left_anti")
-        .select(*out_cols)
-    )
+    if dv_adds:
+        pairs = [
+            (os.path.basename(a["path"]), i) for a in dv_adds for i in _dv_indices(a)
+        ]
+        deleted = spark.createDataFrame(pairs, "_dl_fname string, _dl_ridx long")
+        out_cols = df.columns
+        df = (
+            df.withColumn("_dl_fname", F.col("_metadata.file_name"))
+            .withColumn("_dl_ridx", F.col("_metadata.row_index"))
+            .join(F.broadcast(deleted), ["_dl_fname", "_dl_ridx"], "left_anti")
+            .select(*out_cols)
+        )
+    if _mapping_enabled(meta):
+        pm = _phys_map(meta)
+        df = df.select(*[F.col(pm[f.name]).alias(f.name) for f in schema.fields])
+    return df
 
 
 def _stage_files(
@@ -724,15 +920,27 @@ def write_delta(
                     f"{[f.name for f in new_cols]}); pass merge_schema=True to "
                     f"add columns"
                 )
+            if _mapping_enabled(meta):
+                # a merge-schema field would default physical==logical and
+                # could alias a DROPPED column's leftover bytes — column-id
+                # assignment belongs to add_column
+                raise ValueError(
+                    "merge_schema is not allowed on a column-mapped table; "
+                    "use add_column() then write the new shape"
+                )
             merged = StructType(list(table_schema.fields) + new_cols)
             meta = {**meta, "schemaString": merged.json()}
             actions.append({"metaData": meta})
 
-    staged = _stage_files(df, table, partition_cols)
+    # under column mapping, files store PHYSICAL names (identity otherwise)
+    table_meta = meta if versions else {"schemaString": df.schema.json()}
+    staged = _stage_files(_to_physical(df, table_meta), table, partition_cols)
     if bloom_columns:
         # per-file Bloom filters for equality skipping on columns zone maps
-        # can't serve (strings, high-cardinality ids); see _augment_bloom
-        _augment_bloom(table, staged, list(bloom_columns))
+        # can't serve (strings, high-cardinality ids); see _augment_bloom —
+        # logged under the columns' PHYSICAL names, like the footer stats
+        pm = _phys_map(table_meta) if versions else {}
+        _augment_bloom(table, staged, [pm.get(c, c) for c in bloom_columns])
     if mode == "overwrite":
         for rel in prior_active:
             actions.append(
@@ -862,8 +1070,10 @@ def delta_foreach_batch_sink(table: str, app_id: str, partition_cols: list[str] 
 def _snapshot_reader(spark: SparkSession, table: str, meta: dict):
     """DataFrameReader for a snapshot's files: the LOGGED schema (never
     inference — evolution can mix file shapes) plus basePath so hive
-    partition directories re-derive their columns."""
-    reader = spark.read.schema(StructType.fromJson(json.loads(meta["schemaString"])))
+    partition directories re-derive their columns. Under column mapping
+    the applied schema uses PHYSICAL names — what the files store;
+    _read_adds aliases back to logical."""
+    reader = spark.read.schema(_physical_schema(meta))
     if meta.get("partitionColumns"):
         reader = reader.option("basePath", table)
     return reader
@@ -917,13 +1127,14 @@ def read_delta(
             for a in adds
             if all(a["partitionValues"].get(k) == v for k, v in partition_filters.items())
         ]
+    pm = _phys_map(meta)  # stats/blooms are keyed by PHYSICAL column names
     if range_filters:
         # bounds normalized like the logged stats (_json_scalar): a
         # date/datetime bound becomes its ISO string, comparable with the
         # stored min/max; numerics pass through
         norm = {
-            c: (_json_scalar(lo) if lo is not None else None,
-                _json_scalar(hi) if hi is not None else None)
+            pm.get(c, c): (_json_scalar(lo) if lo is not None else None,
+                           _json_scalar(hi) if hi is not None else None)
             for c, (lo, hi) in range_filters.items()
         }
         adds = [
@@ -939,8 +1150,8 @@ def read_delta(
             a
             for a in adds
             if all(
-                _file_may_match(a, c, _json_scalar(v), _json_scalar(v))
-                and _bloom_may_contain(a, c, v)
+                _file_may_match(a, pm.get(c, c), _json_scalar(v), _json_scalar(v))
+                and _bloom_may_contain(a, pm.get(c, c), v)
                 for c, v in equality_filters.items()
             )
         ]
@@ -990,7 +1201,7 @@ def compact_table(
         df = _read_adds(spark, table, meta, adds).drop(*partition_cols).coalesce(1)
         part_dir = os.path.dirname(adds[0]["path"])
         staging = os.path.join(table, f".compact-{uuid.uuid4().hex}")
-        df.write.mode("overwrite").parquet(staging)
+        _to_physical(df, meta).write.mode("overwrite").parquet(staging)
         for rel, size, stats in _publish_staged(staging, table, dest_dir=part_dir):
             actions.append(
                 {
@@ -1037,10 +1248,11 @@ def _rewrite_files(
     now_ms: int,
 ) -> list[dict]:
     """Copy-on-write core shared by DELETE and MERGE: stage ``keep_df``
-    as replacement files (partitioned like the table) and return the
+    (logical names — converted to physical here under column mapping) as
+    replacement files (partitioned like the table) and return the
     remove+add actions. Untouched files are never rewritten."""
     partition_cols = meta.get("partitionColumns", [])
-    staged = _stage_files(keep_df, table, partition_cols)
+    staged = _stage_files(_to_physical(keep_df, meta), table, partition_cols)
     actions: list[dict] = []
     for a in affected:
         actions.append(
@@ -1134,10 +1346,18 @@ def delete_where(
         # just lands back in the union it is already part of, while
         # `affected` (computed from the DV-applied snapshot) guarantees at
         # least one LIVE row matched per file touched.
-        raw = _snapshot_reader(spark, table, meta).parquet(
-            *[os.path.join(table, a["path"]) for a in affected]
+        pm = _phys_map(meta)
+        raw = (
+            _snapshot_reader(spark, table, meta)
+            .parquet(*[os.path.join(table, a["path"]) for a in affected])
+            .select(
+                F.col("_metadata.file_name").alias("_dl_f"),
+                F.col("_metadata.row_index").alias("_dl_i"),
+                # physical -> logical so ``predicate`` resolves under mapping
+                *[F.col(p).alias(c) for c, p in pm.items()],
+            )
         )
-        fname = F.col("_metadata.file_name")
+        fname = F.col("_dl_f")
         by_name = {os.path.basename(a["path"]): a for a in affected}
         # pass 1 — per-file match COUNTS only (tiny), so the density
         # decision happens before any index list touches the driver: a
@@ -1164,7 +1384,7 @@ def delete_where(
                 raw.filter(pred)
                 .filter(fname.isin(dv_names))
                 .groupBy(fname.alias("_f"))
-                .agg(F.collect_list(F.col("_metadata.row_index")).alias("_idx"))
+                .agg(F.collect_list(F.col("_dl_i")).alias("_idx"))
                 .collect()
             )
             for row in matched:
@@ -1181,14 +1401,20 @@ def delete_where(
             actions += _rewrite_files(spark, table, meta, cow_adds, keep, now_ms)
         if any("deletionVector" in a.get("add", {}) for a in actions):
             proto = _table_protocol(table)["protocol"]
-            if proto.get("minReaderVersion", 1) < 2:
+            feats = set(proto.get("readerFeatures") or []) | {"deletionVectors-u32z"}
+            if proto.get("minReaderVersion", 1) < 2 or feats != set(
+                proto.get("readerFeatures") or []
+            ):
+                # declare only features the table ACTUALLY uses (merging any
+                # already acquired, e.g. columnMapping) — not everything this
+                # writer knows about
                 actions.insert(
                     0,
                     {
                         "protocol": {
                             "minReaderVersion": 2,
                             "minWriterVersion": max(2, proto.get("minWriterVersion", 2)),
-                            "readerFeatures": sorted(_SUPPORTED_READER_FEATURES),
+                            "readerFeatures": sorted(feats),
                         }
                     },
                 )
@@ -1227,7 +1453,7 @@ def purge_deletion_vectors(spark: SparkSession, table: str) -> int | None:
     for part_dir, adds in sorted(by_dir.items()):
         df = _read_adds(spark, table, meta, adds).drop(*partition_cols)
         staging = os.path.join(table, f".compact-{uuid.uuid4().hex}")
-        df.write.mode("overwrite").parquet(staging)
+        _to_physical(df, meta).write.mode("overwrite").parquet(staging)
         for rel, size, stats in _publish_staged(staging, table, dest_dir=part_dir):
             actions.append(
                 {
@@ -1301,7 +1527,8 @@ def merge_delta(
         )
         actions += _rewrite_files(spark, table, meta, affected, keep, now_ms)
     # the inserted/updated rows: the whole source, as fresh files
-    for rel, size, stats in _stage_files(source, table, partition_cols):
+    # (physical names under column mapping, like every staged write)
+    for rel, size, stats in _stage_files(_to_physical(source, meta), table, partition_cols):
         actions.append(
             {
                 "add": {
@@ -1560,7 +1787,7 @@ def optimize_zorder(
         )
         part_dir = os.path.dirname(adds[0]["path"])
         staging = os.path.join(table, f".compact-{uuid.uuid4().hex}")
-        laid.write.mode("overwrite").parquet(staging)
+        _to_physical(laid, meta).write.mode("overwrite").parquet(staging)
         for rel, size, stats in _publish_staged(staging, table, dest_dir=part_dir):
             actions.append(
                 {

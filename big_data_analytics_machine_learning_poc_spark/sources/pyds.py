@@ -60,7 +60,13 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from .delta_lite import _bloom_may_contain, _dv_indices, _file_may_match, _replay
+from .delta_lite import (
+    _bloom_may_contain,
+    _dv_indices,
+    _file_may_match,
+    _phys_map,
+    _replay,
+)
 
 
 class DeltaLiteInputPartition(InputPartition):
@@ -164,7 +170,13 @@ def _arrow_cast_to_schema(tbl, want_fields):
 
 
 def _read_file_batches(
-    file_path, want, partition_cols, partition_values, full_schema, deleted_rows=()
+    file_path,
+    want,
+    partition_cols,
+    partition_values,
+    full_schema,
+    deleted_rows=(),
+    phys=None,
 ):
     """Read ONE data file as Arrow batches shaped exactly like ``want``
     (column subset + order): partition columns become typed constants,
@@ -179,11 +191,14 @@ def _read_file_batches(
 
     from pyspark.sql.pandas.types import to_arrow_type
 
+    phys = phys or {}  # logical -> physical column name (column mapping)
     by_name = {f.name: f for f in full_schema.fields}
     pf = pq.ParquetFile(file_path)
-    have = set(pf.schema_arrow.names)
+    have = set(pf.schema_arrow.names)  # PHYSICAL names as stored
     data_cols = [c for c in want if c not in partition_cols]
-    tbl = pq.read_table(file_path, columns=[c for c in data_cols if c in have])
+    tbl = pq.read_table(
+        file_path, columns=[phys.get(c, c) for c in data_cols if phys.get(c, c) in have]
+    )
     n = tbl.num_rows
     if deleted_rows:
         import numpy as np
@@ -198,10 +213,10 @@ def _read_file_batches(
         if c in partition_cols:
             val = _partition_value(by_name[c].dataType, partition_values.get(c))
             cols[c] = pa.array([val] * n)
-        elif c not in have:
+        elif phys.get(c, c) not in have:
             cols[c] = pa.nulls(n, type=to_arrow_type(by_name[c].dataType))
         else:
-            cols[c] = tbl.column(c)
+            cols[c] = tbl.column(phys.get(c, c))
     out = _arrow_cast_to_schema(pa.table(cols), [(c, by_name[c].dataType) for c in want])
     yield from out.to_batches()
 
@@ -214,9 +229,10 @@ class DeltaLiteReader(DataSourceReader):
         self.adds = sorted(active.items())
         self.full_schema = StructType.fromJson(json.loads(meta["schemaString"]))
         self.partition_cols = meta.get("partitionColumns", [])
+        self.phys = _phys_map(meta)  # logical -> physical (column mapping)
         self._eq: dict[str, set] = {}  # partition col -> allowed raw strings
-        self._ranges: dict[str, list] = {}  # data col -> [lo, hi]
-        self._bloom_eqs: dict[str, list] = {}  # data col -> equality literals
+        self._ranges: dict[str, list] = {}  # PHYSICAL data col -> [lo, hi]
+        self._bloom_eqs: dict[str, list] = {}  # PHYSICAL data col -> eq literals
 
     def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
         """Record prunable predicates, then hand EVERY filter back to Spark
@@ -235,22 +251,24 @@ class DeltaLiteReader(DataSourceReader):
             else:
                 # zone-map range narrowing on data columns; stats min/max
                 # are JSON scalars, so only narrow for directly comparable
-                # types (numbers / strings)
+                # types (numbers / strings). Keys are the PHYSICAL names —
+                # what footer stats and Bloom entries are logged under.
+                pcol = self.phys.get(col, col)
                 if isinstance(f, (EqualTo, GreaterThan, GreaterThanOrEqual)) and isinstance(
                     f.value, (int, float, str)
                 ):
-                    r = self._ranges.setdefault(col, [None, None])
+                    r = self._ranges.setdefault(pcol, [None, None])
                     r[0] = f.value if r[0] is None else max(r[0], f.value)
                 if isinstance(f, (EqualTo, LessThan, LessThanOrEqual)) and isinstance(
                     f.value, (int, float, str)
                 ):
-                    r = self._ranges.setdefault(col, [None, None])
+                    r = self._ranges.setdefault(pcol, [None, None])
                     r[1] = f.value if r[1] is None else min(r[1], f.value)
                 # Bloom definite-absence on equality literals — serves the
                 # string/id columns zone maps can't (floats excluded: bloom
                 # canonicalization is str/int only, see delta_lite)
                 if isinstance(f, EqualTo) and isinstance(f.value, (int, str)):
-                    self._bloom_eqs.setdefault(col, []).append(f.value)
+                    self._bloom_eqs.setdefault(pcol, []).append(f.value)
             yield f
 
     def partitions(self) -> list[DeltaLiteInputPartition]:
@@ -286,6 +304,7 @@ class DeltaLiteReader(DataSourceReader):
             partition.partition_values,
             self.full_schema,
             partition.deleted_rows,
+            self.phys,
         )
 
 
@@ -315,6 +334,7 @@ class DeltaLiteStreamReader(DataSourceStreamReader):
         _active, meta, self._latest = _replay(table, None)
         self.partition_cols = meta.get("partitionColumns", [])
         self.full_schema = StructType.fromJson(json.loads(meta["schemaString"]))
+        self.phys = _phys_map(meta)
 
     def initialOffset(self) -> dict:
         # start BEFORE startingVersion so that commit is the first batch
@@ -362,6 +382,8 @@ class DeltaLiteStreamReader(DataSourceStreamReader):
             self.partition_cols,
             partition.partition_values,
             self.full_schema,
+            (),
+            self.phys,
         )
 
     def commit(self, end: dict) -> None:

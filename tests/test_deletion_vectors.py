@@ -98,11 +98,11 @@ def test_unknown_reader_feature_refused(spark, tmp_path):
     with open(os.path.join(table, "_delta_log", "00000000000000000001.json"), "w") as f:
         f.write(
             json.dumps(
-                {"protocol": {"minReaderVersion": 2, "readerFeatures": ["columnMapping"]}}
+                {"protocol": {"minReaderVersion": 2, "readerFeatures": ["v2Checkpoint"]}}
             )
             + "\n"
         )
-    with pytest.raises(NotImplementedError, match="columnMapping"):
+    with pytest.raises(NotImplementedError, match="v2Checkpoint"):
         read_delta(spark, table)
 
 
