@@ -1432,6 +1432,68 @@ def delete_where(
     return version
 
 
+def update_where(
+    spark: SparkSession,
+    table: str,
+    assignments: dict[str, str],
+    predicate: str,
+) -> int | None:
+    """Transactional row-level UPDATE (SQL ``UPDATE ... SET col = expr
+    WHERE pred``), copy-on-write — completing the DML triad beside
+    delete_where and merge_delta. ONE scan finds the files holding
+    matching rows; only those rewrite, with ``assignments`` applied to
+    matching rows and every other row copied verbatim; remove+add publish
+    atomically. Returns the committed version, or None if nothing
+    matched. Set expressions may reference any table column; all
+    assignments see the PRE-update row (simultaneous semantics, one
+    projection — standard SQL UPDATE, so ``{"a": "b", "b": "a"}`` swaps).
+    Each expression is cast back to the column's declared type: an UPDATE
+    must never fork the table schema. NULL-predicate rows are left
+    untouched (SQL three-valued logic, same as delete_where)."""
+    from pyspark.sql import functions as F
+
+    active, meta, latest = _replay(table, None)
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    by_name = {f.name: f for f in schema.fields}
+    unknown = sorted(set(assignments) - set(by_name))
+    if unknown:
+        raise KeyError(f"UPDATE targets not in table schema: {unknown}")
+    pred = F.expr(predicate)
+    hit = F.coalesce(pred, F.lit(False))
+    snap = read_delta(spark, table).withColumn("_dl_file", F.input_file_name())
+    affected = _affected_adds(spark, table, active, snap.filter(pred))
+    if not affected:
+        return None
+    now_ms = int(time.time() * 1000)
+    cur = _read_adds(spark, table, meta, affected)
+    updated = cur.select(
+        *[
+            F.when(hit, F.expr(assignments[f.name]).cast(f.dataType))
+            .otherwise(F.col(f.name))
+            .alias(f.name)
+            if f.name in assignments
+            else F.col(f.name)
+            for f in schema.fields
+        ]
+    )
+    actions = _rewrite_files(spark, table, meta, affected, updated, now_ms)
+    actions.append(
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": "UPDATE",
+                "operationParameters": {
+                    "predicate": predicate,
+                    "set": dict(assignments),
+                },
+            }
+        }
+    )
+    version = latest + 1
+    _commit(table, version, actions)
+    return version
+
+
 def purge_deletion_vectors(spark: SparkSession, table: str) -> int | None:
     """REORG TABLE ... APPLY (PURGE): physically rewrite every active file
     that carries a deletion vector, dropping the DV — committed with

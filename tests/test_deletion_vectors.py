@@ -228,3 +228,72 @@ def test_stream_reader_refuses_dv_delete_commits(spark, tmp_path):
     r = DeltaLiteStreamReader(table)
     with pytest.raises(RuntimeError, match="append-only"):
         r.partitions({"version": 0}, {"version": 1})
+
+
+# ------------------------------------------------------------------ UPDATE
+# update_where lives here with its DML siblings: the DV interplay (an
+# UPDATE rewriting a DV'd file must not resurrect deleted rows) is the
+# subtle contract.
+
+
+def test_update_where_basic_and_null_predicate(spark, tmp_path):
+    from big_data_analytics_machine_learning_poc_spark.sources.delta_lite import (
+        update_where,
+    )
+
+    table = str(tmp_path / "u")
+    df = spark.createDataFrame(
+        [(1, 10, "a"), (2, None, "b"), (3, 30, "c")],
+        "id long, val long, tag string",
+    )
+    write_delta(df, table)
+    v = update_where(spark, table, {"tag": "upper(tag)", "val": "val * 2"}, "val >= 20")
+    assert v == 1
+    rows = {r["id"]: (r["val"], r["tag"]) for r in read_delta(spark, table).collect()}
+    # matched row updated; NULL-predicate and non-matching rows untouched
+    assert rows == {1: (10, "a"), 2: (None, "b"), 3: (60, "C")}
+    # no match -> no commit
+    assert update_where(spark, table, {"val": "0"}, "id = 99") is None
+    # unknown target column refused
+    with pytest.raises(KeyError, match="nope"):
+        update_where(spark, table, {"nope": "1"}, "id = 1")
+
+
+def test_update_swap_is_simultaneous_and_casts_to_declared_type(spark, tmp_path):
+    from big_data_analytics_machine_learning_poc_spark.sources.delta_lite import (
+        update_where,
+    )
+
+    table = str(tmp_path / "swap")
+    df = spark.createDataFrame([(1, 100, 200)], "id long, a long, b long")
+    write_delta(df, table)
+    update_where(spark, table, {"a": "b", "b": "a"}, "id = 1")
+    r = read_delta(spark, table).first()
+    assert (r["a"], r["b"]) == (200, 100)  # swap, not chained assignment
+    # expression yielding a wider type is cast back to the declared type
+    update_where(spark, table, {"a": "a / 2"}, "id = 1")  # double -> long
+    out = read_delta(spark, table)
+    assert dict(out.dtypes)["a"] == "bigint"
+    assert out.first()["a"] == 100
+
+
+def test_update_does_not_resurrect_dv_rows_and_works_mapped(spark, tmp_path):
+    from big_data_analytics_machine_learning_poc_spark.sources.delta_lite import (
+        enable_column_mapping,
+        rename_column,
+        update_where,
+    )
+
+    table = _make(spark, tmp_path, name="udv")
+    delete_where(spark, table, "id = 42", mode="dv")
+    enable_column_mapping(table)
+    rename_column(table, "label", "tag")
+    # update rewrites the file holding id 43 (same file as the DV'd 42)
+    update_where(spark, table, {"tag": "'hit'"}, "id = 43")
+    out = read_delta(spark, table)
+    assert out.count() == 99
+    assert out.filter(F.col("id") == 42).count() == 0   # still deleted
+    assert out.filter(F.col("id") == 43).first()["tag"] == "hit"
+    # time travel: pre-update snapshot unchanged
+    pre = read_delta(spark, table, version=1)
+    assert pre.filter(F.col("id") == 43).first()["label"] == "row_0043"
