@@ -644,3 +644,94 @@ def delta_optimize_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spill_to_session_parquet(out, "delta_opt")
     finally:
         shutil.rmtree(table, ignore_errors=True)
+
+
+@REG.add(
+    "delta_dml_audit",
+    sql="""
+    SELECT 0 AS version,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(c_custkey) AS BIGINT) AS sum_custkey,
+           CAST(0 AS BIGINT) AS n_vip
+    FROM customer
+    UNION ALL
+    SELECT 1,
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(c_custkey) AS BIGINT),
+           CAST(SUM(CASE WHEN c_custkey % 100 = 8 THEN 1 ELSE 0 END) AS BIGINT)
+    FROM customer
+    UNION ALL
+    SELECT v.version,
+           CAST(SUM(CASE WHEN c_custkey % 100 <> 7 THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(SUM(CASE WHEN c_custkey % 100 <> 7 THEN c_custkey ELSE 0 END)
+                AS BIGINT),
+           CAST(SUM(CASE WHEN c_custkey % 100 = 8 THEN 1 ELSE 0 END) AS BIGINT)
+    FROM customer CROSS JOIN (SELECT 2 AS version UNION ALL SELECT 3) v
+    GROUP BY v.version
+    ORDER BY version
+    """,
+)
+def delta_dml_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-5 lakehouse DML surface end-to-end under the oracle gate:
+    load customer into a Delta table (v0), **update_where** setting
+    ``c_mktsegment = 'VIP'`` on the ``% 100 = 8`` key residue (v1 —
+    copy-on-write with simultaneous SET semantics), **deletion-vector**
+    DELETE of the sparse ``% 100 = 7`` residue (v2 — merge-on-read,
+    kilobytes of log, no file rewritten), then **purge_deletion_vectors**
+    (v3 — REORG APPLY PURGE, dataChange=false; the UPDATE runs FIRST so
+    the DVs are still outstanding when the purge runs). Every version is
+    time-traveled and audited on (row count, key sum, VIP count) —
+    integer-exact arithmetic the oracle reproduces from the source table
+    alone. v3 ≡ v2 is the load-bearing row: physical purge of the DV debt
+    changed NOTHING logically, i.e. deleted rows stayed deleted and
+    updated rows stayed updated through every representation change
+    (inline DV → rewritten file).
+
+    Scale shape: the DV delete commits row indices instead of rewriting
+    gigabyte files (the GDPR-erasure shape); the UPDATE rewrites only
+    files holding matched rows; purge cost is proportional to remaining
+    DV debt, not table size; each audit read is an explicit log-derived
+    file list with the DV anti-join applied (sources/delta_lite.py
+    `_read_adds`)."""
+    import shutil
+    import tempfile
+
+    from ..sources.delta_lite import (
+        delete_where,
+        purge_deletion_vectors,
+        read_delta,
+        update_where,
+        write_delta,
+    )
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    table = tempfile.mkdtemp(prefix="delta_dml_")
+    try:
+        write_delta(cust.repartitionByRange(4, "c_custkey"), table)
+        update_where(
+            spark, table, {"c_mktsegment": "'VIP'"}, "c_custkey % 100 = 8"
+        )
+        delete_where(spark, table, "c_custkey % 100 = 7", mode="dv")
+        if purge_deletion_vectors(spark, table) is None:
+            raise RuntimeError(
+                "delta_dml_audit expected outstanding deletion vectors at "
+                "purge time — the dv-mode delete fell back to copy-on-write"
+            )
+        rows = []
+        for version in (0, 1, 2, 3):
+            snap = read_delta(spark, table, version=version)
+            agg = snap.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.coalesce(F.sum("c_custkey"), F.lit(0)).alias("s"),
+                F.coalesce(
+                    F.sum((F.col("c_mktsegment") == "VIP").cast("long")), F.lit(0)
+                ).alias("v"),
+            ).first()
+            rows.append((version, int(agg["n"]), int(agg["s"]), int(agg["v"])))
+    finally:
+        shutil.rmtree(table, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, schema="version int, n_rows long, sum_custkey long, n_vip long"
+    ).orderBy("version")
