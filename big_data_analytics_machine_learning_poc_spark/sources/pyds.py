@@ -57,6 +57,7 @@ from pyspark.sql.types import (
     IntegerType,
     LongType,
     StringType,
+    StructField,
     StructType,
 )
 
@@ -108,6 +109,20 @@ class DeltaLiteDataSource(DataSource):
     def reader(self, schema: StructType) -> "DeltaLiteReader":
         table, version = self._table_and_version()
         return DeltaLiteReader(table, version, schema)
+
+    def writer(self, schema: StructType, overwrite: bool) -> "DeltaLiteBatchWriter":
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("delta_lite writes require a path: .save(<table dir>)")
+        return DeltaLiteBatchWriter(path, schema, overwrite)
+
+    def streamWriter(self, schema: StructType, overwrite: bool) -> "DeltaLiteStreamWriter":
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("delta_lite stream writes require a path option")
+        return DeltaLiteStreamWriter(
+            path, schema, self.options.get("appid", "delta_lite_stream_sink")
+        )
 
 
 def _encode_pv(value) -> str | None:
@@ -407,3 +422,252 @@ class DeltaLiteStreamDataSource(DataSource):
     def streamReader(self, schema) -> DeltaLiteStreamReader:
         sv = int(self.options.get("startingversion", 0))
         return DeltaLiteStreamReader(self.options["path"], starting_version=sv)
+
+
+# ----------------------------------------------------------------- writers
+import os  # noqa: E402
+import time  # noqa: E402
+import uuid as _uuid  # noqa: E402
+from dataclasses import dataclass  # noqa: E402
+
+from pyspark.sql.datasource import (  # noqa: E402
+    DataSourceArrowWriter,
+    DataSourceStreamArrowWriter,
+    WriterCommitMessage,
+)
+
+
+@dataclass
+class DeltaLiteCommitMessage(WriterCommitMessage):
+    """(relative path, size, footer stats) of ONE task's staged file —
+    empty rel means the task saw no rows and staged nothing."""
+
+    rel: str
+    size: int
+    stats: str
+
+
+class _DeltaLiteWriterCore:
+    """Shared task/driver logic for the batch and streaming writers.
+
+    Write protocol = delta_lite's native one: each task stages a uniquely
+    named parquet file directly in the table directory (invisible to every
+    reader until a log entry references it — the log IS the index, so
+    staged files are simply orphans until commit; vacuum's grace window
+    already tolerates them), ships (path, size, stats) back as its commit
+    message, and the DRIVER publishes one atomic log commit. Task failure/
+    speculation is safe for the same reason: losers' files are never
+    referenced and abort() unlinks what it can."""
+
+    def __init__(self, table: str, schema: StructType, overwrite: bool):
+        self.table = table
+        self.overwrite = overwrite
+        self.schema = schema
+        try:
+            _active, meta, _ = _replay(table, None)
+        except FileNotFoundError:
+            meta = None
+        self.exists = meta is not None
+        if self.exists:
+            if meta.get("partitionColumns"):
+                raise NotImplementedError(
+                    "delta_lite connector writes to partitioned tables are "
+                    "not supported; use sources.delta_lite.write_delta"
+                )
+            table_schema = StructType.fromJson(json.loads(meta["schemaString"]))
+            if [(f.name, f.dataType) for f in schema.fields] != [
+                (f.name, f.dataType) for f in table_schema.fields
+            ]:
+                raise ValueError(
+                    f"write schema {[f.name for f in schema.fields]} does not "
+                    f"match table schema {[f.name for f in table_schema.fields]}"
+                )
+            self.phys = _phys_map(meta)
+            self.base_schema_string = meta["schemaString"]
+        else:
+            if overwrite:
+                raise ValueError(
+                    "overwrite of a non-existent table: create it with "
+                    "mode='append' (or write_delta) first"
+                )
+            self.phys = {f.name: f.name for f in schema.fields}
+            self.base_schema_string = None
+
+    # ---- task side (pickled to executors)
+    def write_batches(self, iterator) -> DeltaLiteCommitMessage:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from .delta_lite import _file_stats
+
+        batches = [b for b in iterator if b.num_rows]
+        if not batches:
+            return DeltaLiteCommitMessage(rel="", size=0, stats="")
+        tbl = pa.Table.from_batches(batches)
+        # logical -> stable physical names (column mapping); identity otherwise
+        tbl = tbl.rename_columns([self.phys.get(n, n) for n in tbl.column_names])
+        rel = f"part-{_uuid.uuid4().hex}.parquet"
+        dest = os.path.join(self.table, rel)
+        os.makedirs(self.table, exist_ok=True)
+        pq.write_table(tbl, dest)
+        stats = _file_stats(pq.ParquetFile(dest).metadata)
+        return DeltaLiteCommitMessage(
+            rel=rel, size=os.path.getsize(dest), stats=json.dumps(stats)
+        )
+
+    # ---- driver side
+    def _add_actions(self, messages, now_ms: int) -> list[dict]:
+        return [
+            {
+                "add": {
+                    "path": m.rel,
+                    "partitionValues": {},
+                    "size": m.size,
+                    "modificationTime": now_ms,
+                    "dataChange": True,
+                    "stats": m.stats,
+                }
+            }
+            for m in messages
+            if m is not None and m.rel
+        ]
+
+    def publish(self, messages, extra_actions=()) -> None:
+        from .delta_lite import (
+            _PROTOCOL,
+            _commit,
+            _commit_append_rebase,
+            _list_versions,
+        )
+
+        now_ms = int(time.time() * 1000)
+        adds = self._add_actions(messages, now_ms)
+        if not self.exists:
+            schema_clean = StructType(
+                [StructField(f.name, f.dataType, f.nullable) for f in self.schema.fields]
+            )
+            actions = [
+                dict(_PROTOCOL),
+                {
+                    "metaData": {
+                        "id": _uuid.uuid4().hex,
+                        "format": {"provider": "parquet", "options": {}},
+                        "schemaString": schema_clean.json(),
+                        "partitionColumns": [],
+                        "configuration": {},
+                        "createdTime": now_ms,
+                    }
+                },
+                *adds,
+                *extra_actions,
+                {
+                    "commitInfo": {
+                        "timestamp": now_ms,
+                        "operation": "WRITE",
+                        "operationParameters": {"mode": "ErrorIfExists", "via": "datasource"},
+                    }
+                },
+            ]
+            _commit(self.table, 0, actions)
+            return
+        if self.overwrite:
+            # removes computed at COMMIT time against the then-current
+            # snapshot (not planning time), published with the adds in one
+            # atomic commit: readers see old XOR new
+            active, _meta, latest = _replay(self.table, None)
+            actions = [
+                {"remove": {"path": rel, "deletionTimestamp": now_ms, "dataChange": True}}
+                for rel in active
+            ]
+            actions += adds
+            actions += list(extra_actions)
+            actions.append(
+                {
+                    "commitInfo": {
+                        "timestamp": now_ms,
+                        "operation": "WRITE",
+                        "operationParameters": {"mode": "Overwrite", "via": "datasource"},
+                    }
+                }
+            )
+            _commit(self.table, latest + 1, actions)
+            return
+        actions = [
+            *adds,
+            *extra_actions,
+            {
+                "commitInfo": {
+                    "timestamp": now_ms,
+                    "operation": "WRITE",
+                    "operationParameters": {"mode": "Append", "via": "datasource"},
+                }
+            },
+        ]
+        version = _list_versions(self.table)[-1] + 1
+        # blind appends REBASE past concurrent winners (delta_lite's
+        # protocol conflict rule) — N connector writers serialize cleanly
+        _commit_append_rebase(
+            self.table, version, actions, "append", [],
+            base_schema_string=self.base_schema_string,
+        )
+
+    def discard(self, messages) -> None:
+        for m in messages:
+            if m is not None and m.rel:
+                try:
+                    os.unlink(os.path.join(self.table, m.rel))
+                except OSError:
+                    pass
+
+
+class DeltaLiteBatchWriter(DataSourceArrowWriter):
+    """``df.write.format("delta_lite").mode("append"|"overwrite").save(t)``."""
+
+    def __init__(self, table: str, schema: StructType, overwrite: bool):
+        self.core = _DeltaLiteWriterCore(table, schema, overwrite)
+
+    def write(self, iterator):
+        return self.core.write_batches(iterator)
+
+    def commit(self, messages):
+        self.core.publish(messages)
+
+    def abort(self, messages):
+        self.core.discard(messages)
+
+
+class DeltaLiteStreamWriter(DataSourceStreamArrowWriter):
+    """``df.writeStream.format("delta_lite")`` — EXACTLY-ONCE via the log's
+    transaction identifiers: every micro-batch commit carries a
+    ``txn {appId, version=batchId}`` action atomically with its files, so
+    a foreachBatch-style replay after a crash detects the already-applied
+    batch (``last_txn_version``) and discards its re-staged files instead
+    of double-appending. appId defaults to a checkpoint-stable constant;
+    pass ``.option("appId", ...)`` when several independent streams append
+    to one table."""
+
+    def __init__(self, table: str, schema: StructType, app_id: str):
+        self.core = _DeltaLiteWriterCore(table, schema, overwrite=False)
+        self.app_id = app_id
+
+    def write(self, iterator):
+        return self.core.write_batches(iterator)
+
+    def commit(self, messages, batchId: int):
+        from .delta_lite import last_txn_version
+
+        if self.core.exists:
+            last = last_txn_version(self.core.table, self.app_id)
+            if last is not None and last >= batchId:
+                self.core.discard(messages)  # replayed batch: already in
+                return
+        self.core.publish(
+            messages,
+            extra_actions=[
+                {"txn": {"appId": self.app_id, "version": int(batchId)}}
+            ],
+        )
+        self.core.exists = True
+
+    def abort(self, messages, batchId: int):
+        self.core.discard(messages)
