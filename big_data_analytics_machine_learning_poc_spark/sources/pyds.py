@@ -30,6 +30,19 @@ LISTed:
 At 100 TB this is the connector shape that matters: the log bounds the
 planning cost (no object-store LIST), pruning happens before any task is
 scheduled, and each task reads exactly one file.
+
+WRITES go through the same surface (round 5)::
+
+    df.write.format("delta_lite").mode("append" | "overwrite").save(table)
+    df.writeStream.format("delta_lite").option("checkpointLocation", c).start(table)
+
+Batch: each task stages a uniquely named parquet file (Arrow writer, no
+row-Python) that stays INVISIBLE until the driver's one atomic log commit
+— task failure/speculation can only leave vacuum-grace orphans, never
+corrupt a snapshot; appends rebase past concurrent winners. Streaming:
+exactly-once via the protocol's ``txn {appId, version=batchId}`` action
+committed atomically with the batch's files — replayed batches are
+detected and their re-staged files discarded.
 """
 
 from __future__ import annotations
