@@ -10,6 +10,8 @@ run at scan speed and compose with everything else.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -735,3 +737,70 @@ def delta_dml_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, schema="version int, n_rows long, sum_custkey long, n_vip long"
     ).orderBy("version")
+
+
+@REG.add(
+    "pyds_write_roundtrip",
+    sql="""
+    WITH t AS (
+      SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
+      WHERE o_orderkey % 2 = 0
+      UNION ALL
+      SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
+      WHERE o_orderkey % 2 = 1
+    )
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM t GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def pyds_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The connector WRITE path under the oracle gate: create a delta_lite
+    table with ``df.write.format("delta_lite")`` (even-key orders), APPEND
+    the odd-key half through the same surface, read the union back through
+    ``spark.read.format("delta_lite")``, and aggregate per priority. The
+    oracle rebuilds the identical union from the source table, so green
+    proves the task-staged-files + one-atomic-log-commit write protocol
+    (sources/pyds.py `_DeltaLiteWriterCore`) loses, duplicates, and
+    corrupts nothing across create + append.
+
+    Scale shape: each write task stages exactly one parquet file and
+    ships only (path, size, footer-stats) to the driver; commit cost is
+    O(tasks) metadata, independent of row volume; the read back is the
+    log-planned per-file scan every other pyds lane uses."""
+    import shutil
+    import tempfile
+
+    from ..sources.pyds import DeltaLiteDataSource
+    from ..streaming.events import spill_to_session_parquet
+
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(DeltaLiteDataSource)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    table = tempfile.mkdtemp(prefix="pyds_write_") + "/t"
+    try:
+        even = orders.filter(F.col("o_orderkey") % 2 == 0)
+        odd = orders.filter(F.col("o_orderkey") % 2 == 1)
+        even.write.format("delta_lite").mode("append").save(table)   # creates
+        odd.write.format("delta_lite").mode("append").save(table)    # appends
+        out = (
+            spark.read.format("delta_lite")
+            .load(table)
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum("o_orderkey").alias("key_sum"),
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                    "total_cents"
+                ),
+            )
+            .orderBy("o_orderpriority")
+        )
+        return spill_to_session_parquet(out, "pyds_write_roundtrip")
+    finally:
+        shutil.rmtree(os.path.dirname(table), ignore_errors=True)
