@@ -616,3 +616,86 @@ def sql_identifier_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"tab": "orders", "col": "o_orderpriority"},
     )
+
+
+@REG.add(
+    "sql_scripting_leaky_sum",
+    sql="""
+    WITH RECURSIVE mrev AS (
+      SELECT CAST(date_part('month', o_orderdate) AS INT) AS m,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev_cents
+      FROM orders
+      WHERE date_part('year', o_orderdate) = 1995
+      GROUP BY 1
+    ), rec AS (
+      SELECT 1 AS m,
+             COALESCE((SELECT rev_cents FROM mrev WHERE m = 1), 0) AS rev_cents,
+             COALESCE((SELECT rev_cents FROM mrev WHERE m = 1), 0) AS acc_cents
+      UNION ALL
+      SELECT r.m + 1,
+             COALESCE((SELECT rev_cents FROM mrev WHERE m = r.m + 1), 0),
+             r.acc_cents - r.acc_cents // 2
+               + COALESCE((SELECT rev_cents FROM mrev WHERE m = r.m + 1), 0)
+      FROM rec r WHERE r.m < 12
+    )
+    SELECT m AS month, CAST(rev_cents AS BIGINT) AS rev_cents,
+           CAST(acc_cents AS BIGINT) AS acc_cents
+    FROM rec ORDER BY m
+    """,
+)
+def sql_scripting_leaky_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL scripting (Spark 4.1: BEGIN/END, DECLARE, WHILE, compound
+    statements) driving a SEQUENTIAL recurrence single-statement SQL can't
+    express without recursion: a leaky accumulator over 1995's monthly
+    revenue, ``acc_m = acc_{m-1} - acc_{m-1} div 2 + rev_m`` — the "decay
+    by half, add this month" integer recurrence (integer division makes it
+    engine-exact; no float forks). The script accumulates (month, rev,
+    acc) rows into an ARRAY<STRUCT> variable across WHILE iterations and
+    explodes it as the script's result — procedural control flow with a
+    relational result, the migration path for warehouse stored procedures.
+    The oracle is the INDEPENDENT formulation: DuckDB runs the same
+    recurrence as a recursive CTE.
+
+    Scale shape: the loop runs 12 scalar lookups against a 12-row
+    aggregated temp view (the one heavy scan happened ONCE building it) —
+    the script's per-iteration cost is analysis overhead, not data. A
+    recurrence over a DATA-sized series belongs in a window identity
+    (events_user_cusum_alarms) — scripting is for bounded orchestration,
+    and the docstring saying so is the point."""
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.year("o_orderdate") == 1995)
+        .groupBy(F.month("o_orderdate").cast("int").alias("m"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "rev_cents"
+            )
+        )
+        .createOrReplaceTempView("sql_script_mrev")
+    )
+    return spark.sql(
+        """
+        BEGIN
+          -- loop variable named mi: an unqualified `m` inside the scalar
+          -- subquery resolves to the VIEW's column (column-over-variable
+          -- precedence), turning the lookup into a 12-row tautology
+          DECLARE mi INT DEFAULT 1;
+          DECLARE rev BIGINT DEFAULT 0;
+          DECLARE acc BIGINT DEFAULT 0;
+          DECLARE rows ARRAY<STRUCT<month: INT, rev_cents: BIGINT, acc_cents: BIGINT>>
+            DEFAULT ARRAY();
+          WHILE mi <= 12 DO
+            SET rev = COALESCE(
+              (SELECT rev_cents FROM sql_script_mrev WHERE m = mi), 0);
+            SET acc = acc - acc DIV 2 + rev;
+            SET rows = array_append(rows, named_struct(
+              'month', mi, 'rev_cents', rev, 'acc_cents', acc));
+            SET mi = mi + 1;
+          END WHILE;
+          SELECT t.month, t.rev_cents, t.acc_cents
+          FROM (SELECT explode(rows) AS t) ORDER BY t.month;
+        END
+        """
+    )
