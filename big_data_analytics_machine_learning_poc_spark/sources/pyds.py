@@ -356,9 +356,16 @@ class DeltaLiteStreamReader(DataSourceStreamReader):
     batches, and offset progression is O(new commits) — tailing a 100 TB
     table costs only its ingest rate."""
 
-    def __init__(self, table: str, starting_version: int = 0):
+    def __init__(
+        self,
+        table: str,
+        starting_version: int = 0,
+        max_commits_per_trigger: int | None = None,
+    ):
         self.table = table
         self.starting_version = starting_version
+        self.max_commits = max_commits_per_trigger
+        self._last_committed = starting_version - 1  # refined by commit()
         _active, meta, self._latest = _replay(table, None)
         self.partition_cols = meta.get("partitionColumns", [])
         self.full_schema = StructType.fromJson(json.loads(meta["schemaString"]))
@@ -376,13 +383,27 @@ class DeltaLiteStreamReader(DataSourceStreamReader):
         from .delta_lite import _list_versions
 
         versions = _list_versions(self.table)
-        return {"version": versions[-1] if versions else -1}
+        latest = versions[-1] if versions else -1
+        if self.max_commits is not None:
+            # BACKPRESSURE (Delta's maxFilesPerTrigger analog at commit
+            # granularity): after a burst — bulk backfill, compaction storm
+            # — advance at most N commits per micro-batch instead of
+            # planning one giant catch-up batch that blows executor memory
+            # and checkpoint latency. commit() tells us where the last
+            # batch ended; progress is monotone and nothing is skipped.
+            latest = min(latest, self._last_committed + self.max_commits)
+        return {"version": latest}
 
     def partitions(self, start: dict, end: dict):
         import os
 
         from .delta_lite import _read_log
 
+        # floor the pacing state with the TRUE batch start (from the query
+        # checkpoint): a restarted planning worker would otherwise reset
+        # _last_committed and make latestOffset regress below the
+        # checkpointed offset
+        self._last_committed = max(self._last_committed, start["version"])
         out = []
         for v in range(start["version"] + 1, end["version"] + 1):
             for action in _read_log(self.table, v):
@@ -415,11 +436,16 @@ class DeltaLiteStreamReader(DataSourceStreamReader):
         )
 
     def commit(self, end: dict) -> None:
-        pass  # offsets are durable in the query checkpoint, nothing to ack
+        # offsets are durable in the query checkpoint; remembered here only
+        # to pace latestOffset when maxCommitsPerTrigger is set
+        self._last_committed = end["version"]
 
 
 class DeltaLiteStreamDataSource(DataSource):
-    """``spark.readStream.format("delta_lite_stream").load(table)``."""
+    """``spark.readStream.format("delta_lite_stream").load(table)``.
+    Options: ``startingVersion`` / ``startingTimestamp`` (exclusive) pick
+    where the tail begins; ``maxCommitsPerTrigger`` bounds catch-up batch
+    size (backpressure)."""
 
     @classmethod
     def name(cls) -> str:
@@ -433,8 +459,22 @@ class DeltaLiteStreamDataSource(DataSource):
         return StructType.fromJson(json.loads(meta["schemaString"]))
 
     def streamReader(self, schema) -> DeltaLiteStreamReader:
-        sv = int(self.options.get("startingversion", 0))
-        return DeltaLiteStreamReader(self.options["path"], starting_version=sv)
+        sv = self.options.get("startingversion")
+        ts = self.options.get("startingtimestamp")
+        if sv is not None and ts is not None:
+            raise ValueError("pass startingVersion OR startingTimestamp, not both")
+        if ts is not None:
+            from .delta_lite import version_at_timestamp
+
+            start = version_at_timestamp(self.options["path"], int(ts))
+        else:
+            start = int(sv) if sv is not None else 0
+        mc = self.options.get("maxcommitspertrigger")
+        return DeltaLiteStreamReader(
+            self.options["path"],
+            starting_version=start,
+            max_commits_per_trigger=int(mc) if mc is not None else None,
+        )
 
 
 # ----------------------------------------------------------------- writers

@@ -177,3 +177,45 @@ def test_abort_unlinks_staged_files(spark, tmp_path):
     w.abort([DeltaLiteCommitMessage(rel=rel, size=10, stats="{}"), None])
     assert not os.path.exists(os.path.join(t, rel))
     assert read_delta(spark, t).count() == 2
+
+
+def test_stream_reader_backpressure_and_starting_timestamp(spark, tmp_path):
+    """maxCommitsPerTrigger paces catch-up (a 4-commit backlog drains in
+    ceil(4/2) batches, nothing skipped); startingTimestamp resolves to the
+    version at-or-before the wall time like the batch reader's
+    timestampAsOf."""
+    from big_data_analytics_machine_learning_poc_spark.sources.delta_lite import (
+        table_history,
+    )
+    from big_data_analytics_machine_learning_poc_spark.sources.pyds import (
+        DeltaLiteStreamReader,
+    )
+
+    t = str(tmp_path / "bp")
+    for i in range(4):  # 4 commits, 2 rows each
+        write_delta(
+            spark.range(i * 2, i * 2 + 2).select(F.col("id").cast("long")),
+            t,
+            mode="append" if i else "overwrite",
+        )
+    r = DeltaLiteStreamReader(t, starting_version=0, max_commits_per_trigger=2)
+    seen = []
+    start = r.initialOffset()
+    for _ in range(3):
+        end = r.latestOffset()
+        if end["version"] <= start["version"]:
+            break
+        seen.append((start["version"], end["version"]))
+        r.partitions(start, end)
+        r.commit(end)
+        start = end
+    # 4-commit backlog drained in two paced batches of <=2 commits
+    assert seen == [(-1, 1), (1, 3)]
+    # startingTimestamp: begin at the LAST commit's wall time -> only v3
+    hist = table_history(t)
+    last_ts = max(h["timestamp"] for h in hist)
+    from big_data_analytics_machine_learning_poc_spark.sources.delta_lite import (
+        version_at_timestamp,
+    )
+
+    assert version_at_timestamp(t, last_ts) == 3
