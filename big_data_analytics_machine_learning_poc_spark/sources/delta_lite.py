@@ -1291,6 +1291,100 @@ def _affected_adds(spark: SparkSession, table: str, active: dict, hit_df: DataFr
     return [a for p, a in active.items() if p in hit_files]
 
 
+def _dv_mark(
+    spark: SparkSession,
+    table: str,
+    meta: dict,
+    affected: list[dict],
+    pred,
+    dv_max_fraction: float,
+    now_ms: int,
+) -> tuple[list[dict], list[dict]]:
+    """Merge-on-read core shared by DELETE and UPDATE in dv mode: mark
+    every matching physical row of ``affected`` as deleted via per-file
+    deletion vectors. Returns (actions, cow_adds) — actions carry the
+    remove+re-add-with-DV pairs; cow_adds are the files whose accumulated
+    DV would exceed ``dv_max_fraction`` (or the inline cap) and must be
+    rewritten copy-on-write by the caller instead.
+
+    The scan is RAW (pre-DV): an already-deleted row that re-matches just
+    lands back in the union it is already part of. Per-file match COUNTS
+    are collected first (tiny), so the density decision happens before
+    any index list touches the driver — a half-the-file operation must
+    not collect millions of indices just to discover it wants the
+    rewrite. The bound uses old_cardinality + new_matches, an upper bound
+    on the union — conservative toward copy-on-write, which dense
+    operations want anyway."""
+    from pyspark.sql import functions as F
+
+    pm = _phys_map(meta)
+    raw = (
+        _snapshot_reader(spark, table, meta)
+        .parquet(*[os.path.join(table, a["path"]) for a in affected])
+        .select(
+            F.col("_metadata.file_name").alias("_dl_f"),
+            F.col("_metadata.row_index").alias("_dl_i"),
+            # physical -> logical so ``pred`` resolves under column mapping
+            *[F.col(p).alias(c) for c, p in pm.items()],
+        )
+    )
+    fname = F.col("_dl_f")
+    by_name = {os.path.basename(a["path"]): a for a in affected}
+    counts = raw.filter(pred).groupBy(fname.alias("_f")).count().collect()
+    actions: list[dict] = []
+    cow_adds: list[dict] = []
+    dv_names: list[str] = []
+    for row in counts:
+        add = by_name[row["_f"]]
+        stats = json.loads(add.get("stats") or "{}")
+        n_phys = int(stats.get("numRecords") or 0)
+        bound = len(_dv_indices(add)) + row["count"]
+        dense = n_phys and bound > dv_max_fraction * n_phys
+        if dense or bound > _DV_MAX_ROWS_PER_FILE:
+            cow_adds.append(add)
+        else:
+            dv_names.append(row["_f"])
+    if dv_names:
+        matched = (
+            raw.filter(pred)
+            .filter(fname.isin(dv_names))
+            .groupBy(fname.alias("_f"))
+            .agg(F.collect_list(F.col("_dl_i")).alias("_idx"))
+            .collect()
+        )
+        for row in matched:
+            add = by_name[row["_f"]]
+            merged = sorted(set(_dv_indices(add)) | set(int(i) for i in row["_idx"]))
+            actions.append(
+                {"remove": {"path": add["path"], "deletionTimestamp": now_ms, "dataChange": True}}
+            )
+            actions.append({"add": {**add, "deletionVector": _dv_encode(merged)}})
+    return actions, cow_adds
+
+
+def _dv_protocol_upgrade(table: str, actions: list[dict]) -> None:
+    """Prepend the protocol-upgrade action when this commit introduces the
+    table's first deletion vector — declaring only features the table
+    ACTUALLY uses (merging any already acquired, e.g. columnMapping)."""
+    if not any("deletionVector" in a.get("add", {}) for a in actions):
+        return
+    proto = _table_protocol(table)["protocol"]
+    feats = set(proto.get("readerFeatures") or []) | {"deletionVectors-u32z"}
+    if proto.get("minReaderVersion", 1) < 2 or feats != set(
+        proto.get("readerFeatures") or []
+    ):
+        actions.insert(
+            0,
+            {
+                "protocol": {
+                    "minReaderVersion": 2,
+                    "minWriterVersion": max(2, proto.get("minWriterVersion", 2)),
+                    "readerFeatures": sorted(feats),
+                }
+            },
+        )
+
+
 def delete_where(
     spark: SparkSession,
     table: str,
@@ -1339,85 +1433,15 @@ def delete_where(
         )
         actions += _rewrite_files(spark, table, meta, affected, keep, now_ms)
     else:
-        # physical row indices of matching rows, grouped per file —
-        # driver-resident, but bounded: each file contributes at most
-        # dv_max_fraction · numRecords indices or it falls back to rewrite.
-        # The scan is RAW (pre-DV): an already-deleted row that re-matches
-        # just lands back in the union it is already part of, while
-        # `affected` (computed from the DV-applied snapshot) guarantees at
-        # least one LIVE row matched per file touched.
-        pm = _phys_map(meta)
-        raw = (
-            _snapshot_reader(spark, table, meta)
-            .parquet(*[os.path.join(table, a["path"]) for a in affected])
-            .select(
-                F.col("_metadata.file_name").alias("_dl_f"),
-                F.col("_metadata.row_index").alias("_dl_i"),
-                # physical -> logical so ``predicate`` resolves under mapping
-                *[F.col(p).alias(c) for c, p in pm.items()],
-            )
+        actions, cow_adds = _dv_mark(
+            spark, table, meta, affected, pred, dv_max_fraction, now_ms
         )
-        fname = F.col("_dl_f")
-        by_name = {os.path.basename(a["path"]): a for a in affected}
-        # pass 1 — per-file match COUNTS only (tiny), so the density
-        # decision happens before any index list touches the driver: a
-        # half-the-file delete in dv mode must not collect millions of
-        # indices just to discover it wants the rewrite. The bound uses
-        # old_cardinality + new_matches, an upper bound on the union —
-        # conservative toward copy-on-write, which dense deletes want.
-        counts = raw.filter(pred).groupBy(fname.alias("_f")).count().collect()
-        cow_adds: list[dict] = []
-        dv_names: list[str] = []
-        for row in counts:
-            add = by_name[row["_f"]]
-            stats = json.loads(add.get("stats") or "{}")
-            n_phys = int(stats.get("numRecords") or 0)
-            bound = len(_dv_indices(add)) + row["count"]
-            dense = n_phys and bound > dv_max_fraction * n_phys
-            if dense or bound > _DV_MAX_ROWS_PER_FILE:
-                cow_adds.append(add)
-            else:
-                dv_names.append(row["_f"])
-        # pass 2 — indices for the (bounded) dv-bound files only
-        if dv_names:
-            matched = (
-                raw.filter(pred)
-                .filter(fname.isin(dv_names))
-                .groupBy(fname.alias("_f"))
-                .agg(F.collect_list(F.col("_dl_i")).alias("_idx"))
-                .collect()
-            )
-            for row in matched:
-                add = by_name[row["_f"]]
-                merged = sorted(set(_dv_indices(add)) | set(int(i) for i in row["_idx"]))
-                actions.append(
-                    {"remove": {"path": add["path"], "deletionTimestamp": now_ms, "dataChange": True}}
-                )
-                actions.append({"add": {**add, "deletionVector": _dv_encode(merged)}})
         if cow_adds:
             keep = _read_adds(spark, table, meta, cow_adds).filter(
                 ~F.coalesce(pred, F.lit(False))
             )
             actions += _rewrite_files(spark, table, meta, cow_adds, keep, now_ms)
-        if any("deletionVector" in a.get("add", {}) for a in actions):
-            proto = _table_protocol(table)["protocol"]
-            feats = set(proto.get("readerFeatures") or []) | {"deletionVectors-u32z"}
-            if proto.get("minReaderVersion", 1) < 2 or feats != set(
-                proto.get("readerFeatures") or []
-            ):
-                # declare only features the table ACTUALLY uses (merging any
-                # already acquired, e.g. columnMapping) — not everything this
-                # writer knows about
-                actions.insert(
-                    0,
-                    {
-                        "protocol": {
-                            "minReaderVersion": 2,
-                            "minWriterVersion": max(2, proto.get("minWriterVersion", 2)),
-                            "readerFeatures": sorted(feats),
-                        }
-                    },
-                )
+        _dv_protocol_upgrade(table, actions)
     actions.append(
         {
             "commitInfo": {
@@ -1437,21 +1461,35 @@ def update_where(
     table: str,
     assignments: dict[str, str],
     predicate: str,
+    mode: str = "cow",
+    dv_max_fraction: float = 0.15,
 ) -> int | None:
     """Transactional row-level UPDATE (SQL ``UPDATE ... SET col = expr
-    WHERE pred``), copy-on-write — completing the DML triad beside
-    delete_where and merge_delta. ONE scan finds the files holding
-    matching rows; only those rewrite, with ``assignments`` applied to
-    matching rows and every other row copied verbatim; remove+add publish
-    atomically. Returns the committed version, or None if nothing
-    matched. Set expressions may reference any table column; all
-    assignments see the PRE-update row (simultaneous semantics, one
-    projection — standard SQL UPDATE, so ``{"a": "b", "b": "a"}`` swaps).
-    Each expression is cast back to the column's declared type: an UPDATE
-    must never fork the table schema. NULL-predicate rows are left
-    untouched (SQL three-valued logic, same as delete_where)."""
+    WHERE pred``) — completing the DML triad beside delete_where and
+    merge_delta. ONE scan finds the files holding matching rows; only
+    those are touched; everything publishes atomically. Returns the
+    committed version, or None if nothing matched. Set expressions may
+    reference any table column; all assignments see the PRE-update row
+    (simultaneous semantics, one projection — standard SQL UPDATE, so
+    ``{"a": "b", "b": "a"}`` swaps). Each expression is cast back to the
+    column's declared type: an UPDATE must never fork the table schema.
+    NULL-predicate rows are left untouched (SQL three-valued logic).
+
+    ``mode='cow'``: matched files rewrite in place with assignments
+    applied to matching rows and every other row copied verbatim.
+
+    ``mode='dv'`` (merge-on-read UPDATE, like Delta's DV-enabled UPDATE):
+    matched rows are deletion-vector-marked in their ORIGINAL files
+    (kilobytes of log) and their updated images land as NEW appended
+    files — updating 100 rows scattered over 100 one-GB files writes one
+    small file instead of 100 rewrites. Per file, dense updates fall back
+    to copy-on-write under the same ``dv_max_fraction`` bound as
+    delete_where; the old-image mark and the new-image add publish in ONE
+    commit, so readers see pre-update XOR post-update."""
     from pyspark.sql import functions as F
 
+    if mode not in ("cow", "dv"):
+        raise ValueError(f"mode must be 'cow' or 'dv', got {mode!r}")
     active, meta, latest = _replay(table, None)
     schema = StructType.fromJson(json.loads(meta["schemaString"]))
     by_name = {f.name: f for f in schema.fields}
@@ -1465,17 +1503,79 @@ def update_where(
     if not affected:
         return None
     now_ms = int(time.time() * 1000)
-    cur = _read_adds(spark, table, meta, affected)
-    updated = cur.select(
-        *[
-            F.when(hit, F.expr(assignments[f.name]).cast(f.dataType))
-            .otherwise(F.col(f.name))
-            .alias(f.name)
-            if f.name in assignments
-            else F.col(f.name)
-            for f in schema.fields
-        ]
-    )
+
+    def apply_set(df: DataFrame) -> DataFrame:
+        return df.select(
+            *[
+                F.when(hit, F.expr(assignments[f.name]).cast(f.dataType))
+                .otherwise(F.col(f.name))
+                .alias(f.name)
+                if f.name in assignments
+                else F.col(f.name)
+                for f in schema.fields
+            ]
+        )
+
+    if mode == "dv":
+        actions, cow_adds = _dv_mark(
+            spark, table, meta, affected, pred, dv_max_fraction, now_ms
+        )
+        dv_adds = [a for a in affected if a not in cow_adds]
+        if dv_adds:
+            # new images of the LIVE matching rows (DV-applied read: an
+            # already-deleted row never spawns an updated copy), appended
+            # as fresh files in the same commit as their old-image marks.
+            # coalesce(1): the image set is sparse by the dv_max_fraction
+            # bound — one small file per commit, not one per source file
+            # (small-file discipline; compaction folds it away later)
+            images = apply_set(
+                _read_adds(spark, table, meta, dv_adds).filter(hit)
+            ).coalesce(1)
+            for rel, size, stats in _stage_files(
+                _to_physical(images, meta), table, meta.get("partitionColumns", [])
+            ):
+                actions.append(
+                    {
+                        "add": {
+                            "path": rel,
+                            "partitionValues": _partition_values(
+                                rel, meta.get("partitionColumns", [])
+                            ),
+                            "size": size,
+                            "modificationTime": now_ms,
+                            "dataChange": True,
+                            "stats": json.dumps(stats),
+                        }
+                    }
+                )
+        if cow_adds:
+            actions += _rewrite_files(
+                spark,
+                table,
+                meta,
+                cow_adds,
+                apply_set(_read_adds(spark, table, meta, cow_adds)),
+                now_ms,
+            )
+        _dv_protocol_upgrade(table, actions)
+        actions.append(
+            {
+                "commitInfo": {
+                    "timestamp": now_ms,
+                    "operation": "UPDATE",
+                    "operationParameters": {
+                        "predicate": predicate,
+                        "set": dict(assignments),
+                        "mode": mode,
+                    },
+                }
+            }
+        )
+        version = latest + 1
+        _commit(table, version, actions)
+        return version
+
+    updated = apply_set(_read_adds(spark, table, meta, affected))
     actions = _rewrite_files(spark, table, meta, affected, updated, now_ms)
     actions.append(
         {

@@ -297,3 +297,57 @@ def test_update_does_not_resurrect_dv_rows_and_works_mapped(spark, tmp_path):
     # time travel: pre-update snapshot unchanged
     pre = read_delta(spark, table, version=1)
     assert pre.filter(F.col("id") == 43).first()["label"] == "row_0043"
+
+
+def test_update_where_dv_mode_marks_and_appends(spark, tmp_path):
+    """Merge-on-read UPDATE: original files keep their bytes (old rows
+    DV-marked), updated images land as a new appended file in the SAME
+    commit; a second dv update and a dv delete compose on top."""
+    from big_data_analytics_machine_learning_poc_spark.sources.delta_lite import (
+        update_where,
+    )
+
+    table = _make(spark, tmp_path, name="morv")
+    before = {p: a["size"] for p, a in _active(table).items()}
+    v = update_where(
+        spark, table, {"label": "concat(label, '_x')"}, "id IN (3, 57)", mode="dv"
+    )
+    assert v == 1
+    out = read_delta(spark, table)
+    assert out.count() == 100  # update, not delete
+    got = {r["id"]: r["label"] for r in out.filter(F.col("id").isin(3, 57)).collect()}
+    assert got == {3: "row_0003_x", 57: "row_0057_x"}
+    after = _active(table)
+    # original files untouched on disk; one new image file appended
+    for p, size in before.items():
+        assert p in after and after[p]["size"] == size
+    assert len(after) == len(before) + 1
+    assert sum(
+        a["deletionVector"]["cardinality"] for a in after.values() if a.get("deletionVector")
+    ) == 2
+    # compose: dv update of an already-updated row, then dv delete of one
+    update_where(spark, table, {"label": "upper(label)"}, "id = 3", mode="dv")
+    assert read_delta(spark, table).filter(F.col("id") == 3).first()["label"] == "ROW_0003_X"
+    delete_where(spark, table, "id = 57", mode="dv")
+    out = read_delta(spark, table)
+    assert out.count() == 99
+    assert out.filter(F.col("id") == 57).count() == 0
+    # time travel: v1 still shows the first update only
+    t1 = read_delta(spark, table, version=1)
+    assert t1.filter(F.col("id") == 3).first()["label"] == "row_0003_x"
+    assert t1.count() == 100
+
+
+def test_update_where_dv_dense_falls_back(spark, tmp_path):
+    from big_data_analytics_machine_learning_poc_spark.sources.delta_lite import (
+        update_where,
+    )
+
+    table = _make(spark, tmp_path, name="mord")
+    update_where(spark, table, {"grp": "grp + 100"}, "id % 10 < 4", mode="dv")
+    out = read_delta(spark, table)
+    assert out.count() == 100
+    assert out.filter(F.col("grp") >= 100).count() == 40
+    # dense -> rewrite: no DVs, no protocol upgrade
+    assert not any(a.get("deletionVector") for a in _active(table).values())
+    assert _table_protocol(table)["protocol"]["minReaderVersion"] == 1
