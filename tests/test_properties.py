@@ -189,10 +189,15 @@ _delta_op = st.one_of(
     st.tuples(st.just("overwrite"), st.lists(st.tuples(st.integers(0, 9), st.integers(0, 99)), max_size=12)),
     st.tuples(st.just("append"), st.lists(st.tuples(st.integers(0, 9), st.integers(0, 99)), max_size=12)),
     st.tuples(st.just("delete_le"), st.integers(0, 9)),
+    st.tuples(st.just("delete_dv"), st.integers(0, 9)),
+    st.tuples(st.just("update_cow"), st.tuples(st.integers(0, 9), st.integers(1, 50))),
+    st.tuples(st.just("update_dv"), st.tuples(st.integers(0, 9), st.integers(1, 50))),
     st.tuples(st.just("merge"), st.lists(st.tuples(st.integers(0, 9), st.integers(0, 99)), min_size=1, max_size=6)),
     st.tuples(st.just("compact"), st.just(None)),
+    st.tuples(st.just("purge"), st.just(None)),
     st.tuples(st.just("checkpoint"), st.just(None)),
     st.tuples(st.just("restore"), st.integers(0, 4)),
+    st.tuples(st.just("rename_roundtrip"), st.just(None)),
 )
 
 
@@ -200,12 +205,14 @@ _delta_op = st.one_of(
 @given(st.lists(_delta_op, min_size=1, max_size=5))
 def test_delta_lite_model_based(spark, ops):
     """Model check for the Delta lane: an arbitrary sequence of
-    overwrite / append / DELETE / MERGE / OPTIMIZE / checkpoint commits
-    must leave every SNAPSHOT (current and time-traveled) equal to a pure
-    Python list-of-rows model, and vacuum(0) must never change the latest
-    snapshot. Covers the interactions no example-based test enumerates:
-    merge-after-delete, compaction between checkpoints, empty frames,
-    duplicate keys in a merge source (last-writer-wins dedup), etc."""
+    overwrite / append / DELETE (cow + deletion-vector) / UPDATE (cow +
+    merge-on-read) / MERGE / OPTIMIZE / REORG-PURGE / checkpoint /
+    RESTORE / column-mapping-rename commits must leave every SNAPSHOT
+    (current and time-traveled) equal to a pure Python list-of-rows
+    model, and vacuum(0) must never change the latest snapshot. Covers
+    the interactions no example-based test enumerates: merge-after-
+    dv-delete, purge between checkpoints, dv-update on a dv-deleted file,
+    restore across DV transitions, renamed schema under every op, etc."""
     import shutil
     import tempfile
 
@@ -213,8 +220,12 @@ def test_delta_lite_model_based(spark, ops):
         checkpoint_table,
         compact_table,
         delete_where,
+        enable_column_mapping,
         merge_delta,
+        purge_deletion_vectors,
         read_delta,
+        rename_column,
+        update_where,
         vacuum_table,
         write_delta,
     )
@@ -246,6 +257,38 @@ def test_delta_lite_model_based(spark, ops):
                 model = [r for r in model if r[0] > arg]
                 if v is None:
                     continue
+            elif kind == "delete_dv":
+                v = delete_where(spark, table, f"id <= {arg}", mode="dv")
+                model = [r for r in model if r[0] > arg]
+                if v is None:
+                    continue
+            elif kind in ("update_cow", "update_dv"):
+                k, d = arg
+                v = update_where(
+                    spark,
+                    table,
+                    {"val": f"val + {d}"},
+                    f"id <= {k}",
+                    mode="dv" if kind == "update_dv" else "cow",
+                )
+                model = [(r[0], r[1] + d) if r[0] <= k else r for r in model]
+                if v is None:
+                    continue
+            elif kind == "purge":
+                v = purge_deletion_vectors(spark, table)
+                if v is None:
+                    continue
+            elif kind == "rename_roundtrip":
+                # metadata-only schema evolution interleaved with DML:
+                # val -> tmpv -> val nets the original logical schema, so
+                # the model stays valid; the intermediate commits are NOT
+                # recorded (their snapshot has a different column name)
+                try:
+                    enable_column_mapping(table)
+                except ValueError:
+                    pass  # already enabled by an earlier rename op
+                rename_column(table, "val", "tmpv")
+                v = rename_column(table, "tmpv", "val")
             elif kind == "merge":
                 src = list({r[0]: r for r in arg}.values())  # unique keys
                 v = merge_delta(spark, table, df_of(src), ["id"])
