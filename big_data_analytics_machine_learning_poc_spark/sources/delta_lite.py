@@ -729,6 +729,116 @@ def add_column(table: str, name: str, dtype) -> int:
     )
 
 
+# ---------------------------------------------------------------------------
+# CHECK constraints (writer-enforced invariants — delta.constraints.*)
+# ---------------------------------------------------------------------------
+
+
+def _constraints(meta: dict) -> dict[str, str]:
+    """{name: expr} of the table's CHECK constraints (Delta protocol:
+    ``delta.constraints.<name>`` keys in metaData.configuration)."""
+    conf = meta.get("configuration") or {}
+    pre = "delta.constraints."
+    return {k[len(pre):]: v for k, v in conf.items() if k.startswith(pre)}
+
+
+def _enforce_constraints(df: DataFrame, meta: dict, context: str) -> None:
+    """Reject ``df`` if any row makes any constraint expression FALSE —
+    SQL CHECK semantics: TRUE and NULL pass, FALSE fails (so a constraint
+    on a nullable column doesn't reject its NULLs; add `x IS NOT NULL`
+    explicitly for that). Cost: ONE extra aggregate scan of the BATCH
+    (all constraints folded into a single conditional-agg pass), never of
+    the table. Runs BEFORE staging, so a rejected write stages nothing."""
+    cons = _constraints(meta)
+    if not cons:
+        return
+    from pyspark.sql import functions as F
+
+    counts = df.agg(
+        *[
+            F.sum(
+                (~F.coalesce(F.expr(expr), F.lit(True))).cast("long")
+            ).alias(name)
+            for name, expr in cons.items()
+        ]
+    ).first()
+    bad = {n: int(counts[n] or 0) for n in cons if counts[n]}
+    if bad:
+        detail = ", ".join(
+            f"{n} (CHECK {cons[n]!r}): {c} row(s)" for n, c in sorted(bad.items())
+        )
+        raise ValueError(f"CHECK constraint violation in {context}: {detail}")
+
+
+def add_check_constraint(spark: SparkSession, table: str, name: str, expr: str) -> int:
+    """ALTER TABLE ... ADD CONSTRAINT (Delta CHECK constraints): validate
+    the EXISTING rows first (one scan — same contract as Delta, which
+    refuses to add a constraint the table already violates), then commit
+    the expression into metaData.configuration. Every later write path —
+    write_delta, merge_delta, update_where — enforces it against the new
+    batch; the connector writer refuses constrained tables loudly rather
+    than silently bypassing. minWriterVersion rises to 3 (the protocol's
+    checkConstraints writer feature) so a constraint-unaware writer
+    refuses instead of inserting violations."""
+    if not name.isidentifier():
+        raise ValueError(f"constraint name must be an identifier, got {name!r}")
+    _active, meta, latest = _replay(table, None)
+    if name in _constraints(meta):
+        raise ValueError(f"constraint {name!r} already exists")
+    _enforce_constraints(
+        read_delta(spark, table), {**meta, "configuration": {f"delta.constraints.{name}": expr}},
+        "existing table data",
+    )
+    conf = dict(meta.get("configuration") or {})
+    conf[f"delta.constraints.{name}"] = expr
+    new_meta = {**meta, "configuration": conf}
+    now_ms = int(time.time() * 1000)
+    proto = _table_protocol(table)["protocol"]
+    actions: list[dict] = []
+    if proto.get("minWriterVersion", 2) < 3:
+        actions.append(
+            {"protocol": {**proto, "minWriterVersion": 3}}
+        )
+    actions += [
+        {"metaData": new_meta},
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": "ADD CONSTRAINT",
+                "operationParameters": {"name": name, "expr": expr},
+            }
+        },
+    ]
+    version = latest + 1
+    _commit(table, version, actions)
+    return version
+
+
+def drop_check_constraint(table: str, name: str) -> int:
+    """ALTER TABLE ... DROP CONSTRAINT — metadata-only."""
+    _active, meta, latest = _replay(table, None)
+    key = f"delta.constraints.{name}"
+    conf = dict(meta.get("configuration") or {})
+    if key not in conf:
+        raise KeyError(f"no constraint {name!r}")
+    del conf[key]
+    new_meta = {**meta, "configuration": conf}
+    now_ms = int(time.time() * 1000)
+    actions = [
+        {"metaData": new_meta},
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": "DROP CONSTRAINT",
+                "operationParameters": {"name": name},
+            }
+        },
+    ]
+    version = latest + 1
+    _commit(table, version, actions)
+    return version
+
+
 def _read_adds(spark: SparkSession, table: str, meta: dict, adds: list[dict]) -> DataFrame:
     """THE snapshot read core: the given add-actions' files under the
     logged schema, with each file's deletion vector applied. Every reader
@@ -934,6 +1044,8 @@ def write_delta(
 
     # under column mapping, files store PHYSICAL names (identity otherwise)
     table_meta = meta if versions else {"schemaString": df.schema.json()}
+    if versions:
+        _enforce_constraints(df, meta, f"WRITE ({mode}) batch")
     staged = _stage_files(_to_physical(df, table_meta), table, partition_cols)
     if bloom_columns:
         # per-file Bloom filters for equality skipping on columns zone maps
@@ -1517,6 +1629,10 @@ def update_where(
         )
 
     if mode == "dv":
+        # validate only the CHANGED rows (unchanged rows hold by invariant)
+        _enforce_constraints(
+            apply_set(read_delta(spark, table).filter(hit)), meta, "UPDATE result"
+        )
         actions, cow_adds = _dv_mark(
             spark, table, meta, affected, pred, dv_max_fraction, now_ms
         )
@@ -1575,6 +1691,10 @@ def update_where(
         _commit(table, version, actions)
         return version
 
+    # validate only the CHANGED rows (unchanged rows hold by invariant)
+    _enforce_constraints(
+        apply_set(read_delta(spark, table).filter(hit)), meta, "UPDATE result"
+    )
     updated = apply_set(_read_adds(spark, table, meta, affected))
     actions = _rewrite_files(spark, table, meta, affected, updated, now_ms)
     actions.append(
@@ -1675,6 +1795,7 @@ def merge_delta(
         (f.name, f.dataType) for f in table_schema.fields
     ]:
         raise ValueError("merge source schema must match the table schema")
+    _enforce_constraints(source, meta, "MERGE source")
     keys = source.select(*key_cols).distinct()
     snap = read_delta(spark, table).withColumn("_dl_file", F.input_file_name())
     hits = snap.join(keys, on=key_cols, how="left_semi")

@@ -527,6 +527,18 @@ class _DeltaLiteWriterCore:
                     "delta_lite connector writes to partitioned tables are "
                     "not supported; use sources.delta_lite.write_delta"
                 )
+            from .delta_lite import _constraints
+
+            cons = _constraints(meta)
+            if cons:
+                # refuse LOUDLY rather than silently bypassing enforcement
+                # (the connector's commit hook has no SparkSession to
+                # validate the batch with; write_delta enforces)
+                raise NotImplementedError(
+                    f"table has CHECK constraints {sorted(cons)}; the "
+                    "connector writer does not enforce them — use "
+                    "sources.delta_lite.write_delta"
+                )
             table_schema = StructType.fromJson(json.loads(meta["schemaString"]))
             if [(f.name, f.dataType) for f in schema.fields] != [
                 (f.name, f.dataType) for f in table_schema.fields
