@@ -194,6 +194,7 @@ _delta_op = st.one_of(
     st.tuples(st.just("update_dv"), st.tuples(st.integers(0, 9), st.integers(1, 50))),
     st.tuples(st.just("merge"), st.lists(st.tuples(st.integers(0, 9), st.integers(0, 99)), min_size=1, max_size=6)),
     st.tuples(st.just("compact"), st.just(None)),
+    st.tuples(st.just("zorder"), st.just(None)),
     st.tuples(st.just("purge"), st.just(None)),
     st.tuples(st.just("checkpoint"), st.just(None)),
     st.tuples(st.just("restore"), st.integers(0, 4)),
@@ -272,6 +273,14 @@ def test_delta_lite_model_based(spark, ops):
                     mode="dv" if kind == "update_dv" else "cow",
                 )
                 model = [(r[0], r[1] + d) if r[0] <= k else r for r in model]
+                if v is None:
+                    continue
+            elif kind == "zorder":
+                from big_data_analytics_machine_learning_poc_spark.sources.delta_lite import (
+                    optimize_zorder,
+                )
+
+                v = optimize_zorder(spark, table, ["id"], n_files=2)
                 if v is None:
                     continue
             elif kind == "purge":
