@@ -92,6 +92,27 @@ def _check_protocol(action: dict) -> None:
         )
 
 
+# Writer-side protocol ceiling: 3 = CHECK constraints (enforced in every
+# write path here). A table whose log demands more — or lists writer
+# features we don't recognize — must be REFUSED for writing (reading can
+# still be fine): a constraint- or invariant-unaware writer inserting rows
+# is exactly the corruption writer versioning exists to prevent.
+_MAX_WRITER_VERSION = 3
+_SUPPORTED_WRITER_FEATURES = {"checkConstraints", "columnMapping", "deletionVectors-u32z"}
+
+
+def _check_writer_protocol(table: str) -> None:
+    p = _table_protocol(table)["protocol"]
+    wv = p.get("minWriterVersion", 2)
+    unknown = set(p.get("writerFeatures") or []) - _SUPPORTED_WRITER_FEATURES
+    if wv > _MAX_WRITER_VERSION or unknown:
+        raise NotImplementedError(
+            f"table requires Delta writer version {wv} with features "
+            f"{sorted(unknown)}; delta_lite writes version "
+            f"≤{_MAX_WRITER_VERSION} with {sorted(_SUPPORTED_WRITER_FEATURES)}"
+        )
+
+
 class DeltaCommitConflict(RuntimeError):
     """Another writer committed this version first (optimistic-concurrency
     loss). Callers retry: re-read the snapshot, re-stage, re-commit."""
@@ -610,6 +631,7 @@ def _mapping_protocol_action(table: str) -> dict:
 def _mapped_meta_commit(table: str, new_meta: dict, operation: str, params: dict) -> int:
     now_ms = int(time.time() * 1000)
     _active, _meta, latest = _replay(table, None)
+    _check_writer_protocol(table)
     actions = [
         {"metaData": new_meta},
         {"commitInfo": {"timestamp": now_ms, "operation": operation, "operationParameters": params}},
@@ -1001,6 +1023,7 @@ def write_delta(
         prior_active: dict[str, dict] = {}
     else:
         prior_active, meta, _ = _replay(table, None)
+        _check_writer_protocol(table)
         version = versions[-1] + 1
         logged_parts = meta.get("partitionColumns", [])
         if partition_cols and partition_cols != logged_parts:
@@ -1532,6 +1555,7 @@ def delete_where(
     if mode not in ("cow", "dv"):
         raise ValueError(f"mode must be 'cow' or 'dv', got {mode!r}")
     active, meta, latest = _replay(table, None)
+    _check_writer_protocol(table)
     pred = F.expr(predicate)
     snap = read_delta(spark, table).withColumn("_dl_file", F.input_file_name())
     affected = _affected_adds(spark, table, active, snap.filter(pred))
@@ -1603,6 +1627,7 @@ def update_where(
     if mode not in ("cow", "dv"):
         raise ValueError(f"mode must be 'cow' or 'dv', got {mode!r}")
     active, meta, latest = _replay(table, None)
+    _check_writer_protocol(table)
     schema = StructType.fromJson(json.loads(meta["schemaString"]))
     by_name = {f.name: f for f in schema.fields}
     unknown = sorted(set(assignments) - set(by_name))
@@ -1786,6 +1811,7 @@ def merge_delta(
     from pyspark.sql import functions as F
 
     active, meta, latest = _replay(table, None)
+    _check_writer_protocol(table)
     partition_cols = meta.get("partitionColumns", [])
     table_schema = StructType.fromJson(json.loads(meta["schemaString"]))
     # nullability-insensitive, matching write_delta's contract: a CDC

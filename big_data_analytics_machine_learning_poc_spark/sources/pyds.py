@@ -522,6 +522,9 @@ class _DeltaLiteWriterCore:
             meta = None
         self.exists = meta is not None
         if self.exists:
+            from .delta_lite import _check_writer_protocol
+
+            _check_writer_protocol(table)
             if meta.get("partitionColumns"):
                 raise NotImplementedError(
                     "delta_lite connector writes to partitioned tables are "

@@ -95,3 +95,21 @@ def test_drop_and_connector_refusal(spark, tmp_path):
         drop_check_constraint(table, "nope")
     with pytest.raises(ValueError, match="identifier"):
         add_check_constraint(spark, table, "bad name", "id > 0")
+
+
+def test_writer_version_ceiling_refused(spark, tmp_path):
+    """A table demanding a writer version (or writer feature) we don't
+    implement must refuse WRITES loudly while reads keep working — the
+    corruption-prevention contract of Delta writer versioning."""
+    import json as J
+    import os
+
+    table = _make(spark, tmp_path, name="wv")
+    with open(os.path.join(table, "_delta_log", "00000000000000000001.json"), "w") as f:
+        f.write(J.dumps({"protocol": {"minReaderVersion": 1, "minWriterVersion": 7}}) + "\n")
+    assert read_delta(spark, table).count() == 3  # reading still fine
+    row = spark.createDataFrame([(5, 1, "e")], "id long, score long, tag string")
+    with pytest.raises(NotImplementedError, match="writer version 7"):
+        write_delta(row, table, mode="append")
+    with pytest.raises(NotImplementedError, match="writer version 7"):
+        update_where(spark, table, {"score": "0"}, "id = 1")
