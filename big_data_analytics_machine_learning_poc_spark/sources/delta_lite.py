@@ -1314,6 +1314,7 @@ def compact_table(
     readers of the pre-compaction snapshot keep their file list (old files
     are not deleted until `vacuum_table`), so time travel still works."""
     active, meta, latest = _replay(table, None)
+    _check_writer_protocol(table)
     partition_cols = meta.get("partitionColumns", [])
     by_part: dict[tuple, list[dict]] = {}
     for a in active.values():
@@ -1748,6 +1749,7 @@ def purge_deletion_vectors(spark: SparkSession, table: str) -> int | None:
     or before handing the table to a DV-unaware reader. Returns the
     committed version, or None when no file has a DV."""
     active, meta, latest = _replay(table, None)
+    _check_writer_protocol(table)
     dv_adds = [a for a in active.values() if a.get("deletionVector")]
     if not dv_adds:
         return None
@@ -2065,6 +2067,7 @@ def optimize_zorder(
     from ..functions.layout import zorder_key_sql  # local: layout imports us
 
     active, meta, latest = _replay(table, None)
+    _check_writer_protocol(table)
     if not active:
         return None
     partition_cols = meta.get("partitionColumns", [])
@@ -2167,6 +2170,7 @@ def restore_table(spark: SparkSession, table: str, version: int) -> int:
     files. Returns the new version."""
     old_active, old_meta, _ = _replay(table, version)
     cur_active, cur_meta, latest = _replay(table, None)
+    _check_writer_protocol(table)
     if old_meta.get("schemaString") != cur_meta.get("schemaString"):
         # re-commit the old metaData alongside so the restored snapshot
         # reads with its own schema (schema evolution between the two)
