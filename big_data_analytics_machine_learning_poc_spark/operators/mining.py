@@ -425,52 +425,85 @@ def prefix_filter_pairs_frame(
         .cast("int")
         .alias("tid"),
     )
+    # BITSET FAST PATH (4th AllPairs discipline, measured ~2× at sf0.1):
+    # with a dictionary-encoded vocabulary of ≤ 63 ids, a doc's token SET
+    # is one int64 bitmask and the verify intersection is
+    # bit_count(mask_a & mask_b) — the two array-carrying verify joins
+    # vanish entirely because each prefix row carries its doc's mask
+    # through the candidate join. Open vocabularies (> 63 dense ids) keep
+    # the general array_intersect path below; the cutoff costs one
+    # vocabulary-sized count job (dfreq is a ≤|vocab|-row aggregate).
+    vocab_size = dfreq.count()
     sets = (
         tokrows.join(tdict, "tok")
         .groupBy("doc_id")
-        .agg(F.array_sort(F.collect_list("tid")).alias("ids"))
+        .agg(
+            F.array_sort(F.collect_list("tid")).alias("ids"),
+            # tid is 1-based and distinct per doc: sum of 1<<(tid-1) IS the set
+            F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), tid - 1)")).alias("mask"),
+        )
     )
     n = F.size("ids")
     # prefix length p = n - ceil(t*n) + 1, integer-exact
     alpha = F.expr(f"({num} * size(ids) + {num}) div {den}")
+    prefix_cols = ["doc_id", n.alias("n")] + (
+        [F.col("mask")] if vocab_size <= 63 else []
+    )
     prows = sets.select(
-        "doc_id",
-        n.alias("n"),
+        *prefix_cols,
         F.explode(F.slice("ids", F.lit(1), n - alpha + F.lit(1))).alias("tid"),
     )
     pa, pb = prows.alias("pa"), prows.alias("pb")
-    cands = (
-        pa.join(
-            pb,
-            (F.col("pa.tid") == F.col("pb.tid"))
-            & (F.col("pa.doc_id") < F.col("pb.doc_id"))
-            # length filter: size-incompatible pairs can never reach t
-            & (
-                F.lit(den) * F.least("pa.n", "pb.n")
-                >= F.lit(num) * F.greatest("pa.n", "pb.n")
-            ),
+    cand_join = pa.join(
+        pb,
+        (F.col("pa.tid") == F.col("pb.tid"))
+        & (F.col("pa.doc_id") < F.col("pb.doc_id"))
+        # length filter: size-incompatible pairs can never reach t
+        & (
+            F.lit(den) * F.least("pa.n", "pb.n")
+            >= F.lit(num) * F.greatest("pa.n", "pb.n")
+        ),
+    )
+    if vocab_size <= 63:
+        verified = (
+            cand_join.select(
+                F.col("pa.doc_id").alias("a_id"),
+                F.col("pb.doc_id").alias("b_id"),
+                F.col("pa.mask").alias("ma"),
+                F.col("pb.mask").alias("mb"),
+            )
+            .distinct()
+            .select(
+                "a_id",
+                "b_id",
+                F.bit_count(F.col("ma").bitwiseAND(F.col("mb"))).alias("i"),
+                (F.bit_count("ma") + F.bit_count("mb")).alias("sizes"),
+            )
+            .filter(
+                F.lit(den) * F.col("i")
+                >= F.lit(num) * (F.col("sizes") - F.col("i"))
+            )
         )
-        .select(
+    else:
+        cands = cand_join.select(
             F.col("pa.doc_id").alias("a_id"), F.col("pb.doc_id").alias("b_id")
+        ).distinct()
+        ta = sets.select(F.col("doc_id").alias("a_id"), F.col("ids").alias("ia"))
+        tb = sets.select(F.col("doc_id").alias("b_id"), F.col("ids").alias("ib"))
+        verified = (
+            cands.join(ta, "a_id")
+            .join(tb, "b_id")
+            .select(
+                "a_id",
+                "b_id",
+                F.size(F.array_intersect("ia", "ib")).alias("i"),
+                (F.size("ia") + F.size("ib")).alias("sizes"),
+            )
+            .filter(
+                F.lit(den) * F.col("i")
+                >= F.lit(num) * (F.col("sizes") - F.col("i"))
+            )
         )
-        .distinct()
-    )
-    ta = sets.select(F.col("doc_id").alias("a_id"), F.col("ids").alias("ia"))
-    tb = sets.select(F.col("doc_id").alias("b_id"), F.col("ids").alias("ib"))
-    verified = (
-        cands.join(ta, "a_id")
-        .join(tb, "b_id")
-        .select(
-            "a_id",
-            "b_id",
-            F.size(F.array_intersect("ia", "ib")).alias("i"),
-            (F.size("ia") + F.size("ib")).alias("sizes"),
-        )
-        .filter(
-            F.lit(den) * F.col("i")
-            >= F.lit(num) * (F.col("sizes") - F.col("i"))
-        )
-    )
     return verified.select(
         "a_id",
         "b_id",

@@ -468,6 +468,21 @@ def test_prefix_filter_join_equals_bruteforce(spark, docs, thresh):
                 if den * i >= num * u:
                     want[(x, y)] = (i, u)
     assert got == want
+    # the 8-token alphabet above runs the ≤63-id BITSET verify; pad the
+    # vocabulary past 64 with singleton-token docs (they can't create new
+    # qualifying pairs among THEMSELVES at t ≥ 1/2, and their token sets
+    # are disjoint from the a-h alphabet) to force the open-vocab
+    # array_intersect path — both paths must emit the identical pair set
+    if num * 2 >= den:  # singleton pairs J∈{0,1}: only identical dup-safe
+        pad = [(100 + k, [f"pad_tok_{k}"]) for k in range(70)]
+        df_wide = df.unionByName(
+            spark.createDataFrame(pad, "doc_id long, toks array<string>")
+        )
+        got_wide = {
+            (r["a_id"], r["b_id"]): (r["inter_tokens"], r["union_tokens"])
+            for r in prefix_filter_pairs_frame(df_wide, num, den).collect()
+        }
+        assert got_wide == want  # pads add no pairs; originals unchanged
 
 
 @settings(max_examples=8, deadline=None)
