@@ -65,7 +65,7 @@ import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql.types import StructField, StructType
+from pyspark.sql.types import LongType, StringType, StructField, StructType
 
 _LOG_DIR = "_delta_log"
 _PROTOCOL = {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
@@ -92,13 +92,19 @@ def _check_protocol(action: dict) -> None:
         )
 
 
-# Writer-side protocol ceiling: 3 = CHECK constraints (enforced in every
-# write path here). A table whose log demands more — or lists writer
-# features we don't recognize — must be REFUSED for writing (reading can
-# still be fine): a constraint- or invariant-unaware writer inserting rows
-# is exactly the corruption writer versioning exists to prevent.
-_MAX_WRITER_VERSION = 3
-_SUPPORTED_WRITER_FEATURES = {"checkConstraints", "columnMapping", "deletionVectors-u32z"}
+# Writer-side protocol ceiling: 3 = CHECK constraints, 4 = change data
+# feed (both enforced in every write path here). A table whose log demands
+# more — or lists writer features we don't recognize — must be REFUSED for
+# writing (reading can still be fine): a constraint- or invariant-unaware
+# writer inserting rows is exactly the corruption writer versioning exists
+# to prevent.
+_MAX_WRITER_VERSION = 4
+_SUPPORTED_WRITER_FEATURES = {
+    "changeDataFeed",
+    "checkConstraints",
+    "columnMapping",
+    "deletionVectors-u32z",
+}
 
 
 def _check_writer_protocol(table: str) -> None:
@@ -861,6 +867,179 @@ def drop_check_constraint(table: str, name: str) -> int:
     return version
 
 
+# ---------------------------------------------------------------------------
+# Change Data Feed (delta.enableChangeDataFeed — written CDF)
+# ---------------------------------------------------------------------------
+#
+# Delta's CDF contract: when enabled, every DML commit that changes rows
+# WITHOUT the add/remove actions fully describing the change (DELETE,
+# UPDATE, MERGE) also writes typed change files under ``_change_data/``
+# and references them with ``cdc`` actions in the SAME commit. Readers of
+# the feed (table_changes / the streaming CDF source) then reconstruct
+# per-commit row-level changes without any cross-file diffing: appends are
+# inserts by their add actions; cdc actions carry delete/update_preimage/
+# update_postimage rows verbatim. This is the WRITTEN feed — the derived
+# companion is snapshot_diff (net changes between any two snapshots,
+# CDF-enabled or not).
+
+_CDF_DIR = "_change_data"
+_CDF_COL = "_change_type"
+
+
+def _cdf_enabled(meta: dict) -> bool:
+    return (meta.get("configuration") or {}).get(
+        "delta.enableChangeDataFeed"
+    ) == "true"
+
+
+def enable_change_data_feed(table: str) -> int:
+    """SET TBLPROPERTIES (delta.enableChangeDataFeed = true): later DML
+    commits write typed change files; the protocol's minWriterVersion
+    rises to 4 (the CDF writer feature) so CDF-unaware writers refuse
+    instead of committing feed-less changes."""
+    _active, meta, latest = _replay(table, None)
+    _check_writer_protocol(table)
+    if _cdf_enabled(meta):
+        raise ValueError(f"change data feed already enabled on {table}")
+    conf = dict(meta.get("configuration") or {})
+    conf["delta.enableChangeDataFeed"] = "true"
+    new_meta = {**meta, "configuration": conf}
+    now_ms = int(time.time() * 1000)
+    actions: list[dict] = []
+    proto = _table_protocol(table)["protocol"]
+    if proto.get("minWriterVersion", 2) < 4:
+        actions.append({"protocol": {**proto, "minWriterVersion": 4}})
+    actions += [
+        {"metaData": new_meta},
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": "SET TBLPROPERTIES",
+                "operationParameters": {"delta.enableChangeDataFeed": "true"},
+            }
+        },
+    ]
+    version = latest + 1
+    _commit(table, version, actions)
+    return version
+
+
+def _stage_cdf(table: str, meta: dict, change_df: DataFrame | None) -> list[dict]:
+    """Stage a (table columns + _change_type) frame under _change_data/
+    and return its cdc actions. No-op when CDF is off or the frame is
+    None. Data columns are stored under physical names (column mapping),
+    like every data file; _change_type passes through verbatim."""
+    if change_df is None or not _cdf_enabled(meta):
+        return []
+    staging = os.path.join(table, f".staging-{uuid.uuid4().hex}")
+    _to_physical(change_df, meta).write.mode("overwrite").parquet(staging)
+    return [
+        {
+            "cdc": {
+                "path": rel,
+                "partitionValues": {},
+                "size": size,
+                "dataChange": False,
+            }
+        }
+        for rel, size, _stats in _publish_staged(staging, table, dest_dir=_CDF_DIR)
+    ]
+
+
+def table_changes(
+    spark: SparkSession, table: str, from_version: int, to_version: int | None = None
+) -> DataFrame:
+    """Read the WRITTEN change feed for commits in (from_version,
+    to_version] — each row is a table row plus ``_change_type`` ('insert'
+    | 'delete' | 'update_preimage' | 'update_postimage') and
+    ``_commit_version``. Per commit: cdc actions are read verbatim;
+    data-changing add actions without cdc are inserts (appends / the new
+    half of an overwrite); data-changing removes without cdc are only
+    legal for OVERWRITE commits (the removed snapshot's rows re-emerge as
+    deletes, each file read under its as-of deletion vector) — a RESTORE
+    raises, because its remove/add sets don't carry row-level meaning
+    without cross-file diffing (use snapshot_diff for that). Commits with
+    ``dataChange: false`` only (OPTIMIZE / ZORDER / PURGE) emit nothing.
+
+    Scale shape: cost is proportional to the CHANGE volume — cdc files
+    hold exactly the changed rows, and only overwritten files are re-read
+    for their deletes; unchanged data is never touched."""
+    from pyspark.sql import functions as F
+
+    _active, meta, latest = _replay(table, to_version)
+    if to_version is None:
+        to_version = latest
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    out_cols = [f.name for f in schema.fields] + [_CDF_COL, "_commit_version"]
+    pieces: list[DataFrame] = []
+
+    def lift(df: DataFrame, ctype, version: int) -> DataFrame:
+        cols = [F.col(f.name) for f in schema.fields]
+        cols.append(
+            (F.col(_CDF_COL) if ctype is None else F.lit(ctype)).alias(_CDF_COL)
+        )
+        cols.append(F.lit(version).alias("_commit_version"))
+        return df.select(*cols)
+
+    pm = _phys_map(meta)
+    for v in range(from_version + 1, to_version + 1):
+        actions = _read_log(table, v)
+        cdcs = [a["cdc"] for a in actions if "cdc" in a]
+        adds = [a["add"] for a in actions if "add" in a and a["add"].get("dataChange", True)]
+        removes = [
+            a["remove"] for a in actions if "remove" in a and a["remove"].get("dataChange", True)
+        ]
+        if cdcs:
+            # typed change rows, stored physical + _change_type
+            phys_fields = [
+                StructField(pm[f.name], f.dataType, True) for f in schema.fields
+            ]
+            cdf_schema = StructType(phys_fields + [StructField(_CDF_COL, StringType(), True)])
+            raw = spark.read.schema(cdf_schema).parquet(
+                *[os.path.join(table, c["path"]) for c in cdcs]
+            )
+            raw = raw.select(
+                *[F.col(pm[f.name]).alias(f.name) for f in schema.fields], F.col(_CDF_COL)
+            )
+            pieces.append(lift(raw, None, v))
+            # adds in a cdc-carrying commit are the rewrite/new-image files
+            # the cdc rows already describe — never re-emitted
+            continue
+        info = next((a["commitInfo"] for a in actions if "commitInfo" in a), {})
+        if removes:
+            op = info.get("operation")
+            params = info.get("operationParameters", {})
+            if op == "WRITE" and params.get("mode", "").lower() == "overwrite":
+                prior, prior_meta, _ = _replay(table, v - 1)
+                gone = [prior[r["path"]] for r in removes if r["path"] in prior]
+                pieces.append(
+                    lift(_read_adds(spark, table, prior_meta, gone), "delete", v)
+                )
+            else:
+                raise ValueError(
+                    f"commit {v} ({op}) removed data files without a change "
+                    f"feed (committed before CDF was enabled, or RESTORE) — "
+                    f"use snapshot_diff for net changes across it"
+                )
+        if adds:
+            pieces.append(lift(_read_adds(spark, table, meta, adds), "insert", v))
+    if not pieces:
+        return spark.createDataFrame(
+            [],
+            StructType(
+                [StructField(f.name, f.dataType, True) for f in schema.fields]
+                + [
+                    StructField(_CDF_COL, StringType(), True),
+                    StructField("_commit_version", LongType(), True),
+                ]
+            ),
+        )
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.unionByName(p)
+    return out.select(*out_cols)
+
+
 def _read_adds(spark: SparkSession, table: str, meta: dict, adds: list[dict]) -> DataFrame:
     """THE snapshot read core: the given add-actions' files under the
     logged schema, with each file's deletion vector applied. Every reader
@@ -1563,6 +1742,15 @@ def delete_where(
     if not affected:
         return None
     now_ms = int(time.time() * 1000)
+    cdf_actions = _stage_cdf(
+        table,
+        meta,
+        _read_adds(spark, table, meta, affected)
+        .filter(pred)
+        .withColumn(_CDF_COL, F.lit("delete"))
+        if _cdf_enabled(meta)
+        else None,
+    )
     actions: list[dict] = []
     if mode == "cow":
         keep = _read_adds(spark, table, meta, affected).filter(
@@ -1579,6 +1767,7 @@ def delete_where(
             )
             actions += _rewrite_files(spark, table, meta, cow_adds, keep, now_ms)
         _dv_protocol_upgrade(table, actions)
+    actions += cdf_actions
     actions.append(
         {
             "commitInfo": {
@@ -1654,6 +1843,17 @@ def update_where(
             ]
         )
 
+    cdf_actions: list[dict] = []
+    if _cdf_enabled(meta):
+        pre = _read_adds(spark, table, meta, affected).filter(hit)
+        cdf_actions = _stage_cdf(
+            table,
+            meta,
+            pre.withColumn(_CDF_COL, F.lit("update_preimage")).unionByName(
+                apply_set(pre).withColumn(_CDF_COL, F.lit("update_postimage"))
+            ),
+        )
+
     if mode == "dv":
         # validate only the CHANGED rows (unchanged rows hold by invariant)
         _enforce_constraints(
@@ -1700,6 +1900,7 @@ def update_where(
                 now_ms,
             )
         _dv_protocol_upgrade(table, actions)
+        actions += cdf_actions
         actions.append(
             {
                 "commitInfo": {
@@ -1723,6 +1924,7 @@ def update_where(
     )
     updated = apply_set(_read_adds(spark, table, meta, affected))
     actions = _rewrite_files(spark, table, meta, affected, updated, now_ms)
+    actions += cdf_actions
     actions.append(
         {
             "commitInfo": {
@@ -1830,6 +2032,26 @@ def merge_delta(
     affected = _affected_adds(spark, table, active, hits)
     now_ms = int(time.time() * 1000)
     actions: list[dict] = []
+    if _cdf_enabled(meta):
+        # matched old rows are preimages, matched source rows postimages,
+        # unmatched source rows inserts — per key, pairs line up because
+        # the source is unique per key (the function's contract above)
+        tkeys = snap.select(*key_cols).distinct()
+        cdf = (
+            hits.drop("_dl_file")
+            .withColumn(_CDF_COL, F.lit("update_preimage"))
+            .unionByName(
+                source.join(tkeys, on=key_cols, how="left_semi").withColumn(
+                    _CDF_COL, F.lit("update_postimage")
+                )
+            )
+            .unionByName(
+                source.join(tkeys, on=key_cols, how="left_anti").withColumn(
+                    _CDF_COL, F.lit("insert")
+                )
+            )
+        )
+        actions += _stage_cdf(table, meta, cdf)
     if affected:
         # _read_adds applies any deletion vectors — a DV-deleted row must
         # not be resurrected into the rewritten keep-side files
@@ -1906,6 +2128,11 @@ def vacuum_table(
                 ever_added.add(action["add"]["path"])
                 if action["add"]["path"] in removed_at:
                     removed_at.pop(action["add"]["path"])  # re-added later
+            elif "cdc" in action:
+                # change-data-feed files are log-referenced (never active,
+                # never tombstoned) — not orphans; they live as long as
+                # their commit does (CDF retention piggybacks on the log)
+                ever_added.add(action["cdc"]["path"])
     deleted = []
     for rel, ts in sorted(removed_at.items()):
         # retention 0 means "reclaim immediately", unconditionally: age

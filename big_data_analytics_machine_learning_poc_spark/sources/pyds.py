@@ -739,3 +739,168 @@ class DeltaLiteStreamWriter(DataSourceStreamArrowWriter):
 
     def abort(self, messages, batchId: int):
         self.core.discard(messages)
+
+
+# ------------------------------------------------------- streaming CDF source
+class DeltaLiteCDFPartition(InputPartition):
+    def __init__(self, file_path, version, change_type, deleted_rows, is_cdc):
+        self.file_path = file_path
+        self.version = version
+        self.change_type = change_type  # constant for data files; None for cdc
+        self.deleted_rows = deleted_rows or []
+        self.is_cdc = is_cdc
+
+
+class DeltaLiteCDFStreamReader(DataSourceStreamReader):
+    """``spark.readStream.format("delta_lite_cdf")`` — stream the CHANGE
+    FEED instead of raw appends: each micro-batch emits the typed
+    row-level changes of the commits in (start, end], so DELETE/UPDATE/
+    MERGE upstream no longer break the consumer (the append-only
+    ``delta_lite_stream`` source raises on them by design). Planning is
+    log-only and session-free: cdc actions map to their change files,
+    append adds to 'insert' partitions, and an overwrite's removed files
+    re-emerge as 'delete' partitions read under their as-of deletion
+    vectors (replayed driver-side). RESTORE or pre-CDF DML commits raise
+    — their remove sets carry no row-level meaning without cross-file
+    diffing (snapshot_diff is the batch answer there). dataChange=false
+    commits (OPTIMIZE/ZORDER/PURGE) are transparent."""
+
+    def __init__(self, table: str, starting_version: int = 0):
+        self.table = table
+        self.starting_version = starting_version
+        _active, meta, self._latest = _replay(table, None)
+        if meta.get("partitionColumns"):
+            raise NotImplementedError(
+                "delta_lite_cdf streaming from partitioned tables is not "
+                "supported (use the unpartitioned CDF layout)"
+            )
+        self.schema = StructType.fromJson(json.loads(meta["schemaString"]))
+        self.phys = _phys_map(meta)
+
+    def initialOffset(self) -> dict:
+        return {"version": self.starting_version - 1}
+
+    def latestOffset(self) -> dict:
+        from .delta_lite import _list_versions
+
+        versions = _list_versions(self.table)
+        return {"version": versions[-1] if versions else -1}
+
+    def partitions(self, start: dict, end: dict):
+        import os
+
+        from .delta_lite import _dv_indices, _read_log
+
+        out = []
+        for v in range(start["version"] + 1, end["version"] + 1):
+            actions = _read_log(self.table, v)
+            cdcs = [a["cdc"] for a in actions if "cdc" in a]
+            adds = [
+                a["add"]
+                for a in actions
+                if "add" in a and a["add"].get("dataChange", True)
+            ]
+            removes = [
+                a["remove"]
+                for a in actions
+                if "remove" in a and a["remove"].get("dataChange", True)
+            ]
+            if cdcs:
+                for c in cdcs:
+                    out.append(
+                        DeltaLiteCDFPartition(
+                            os.path.join(self.table, c["path"]), v, None, [], True
+                        )
+                    )
+                continue
+            info = next((a["commitInfo"] for a in actions if "commitInfo" in a), {})
+            if removes:
+                op = info.get("operation")
+                params = info.get("operationParameters", {})
+                if op == "WRITE" and str(params.get("mode", "")).lower() == "overwrite":
+                    prior, _pm, _ = _replay(self.table, v - 1)
+                    for r in removes:
+                        add = prior.get(r["path"])
+                        if add is None:
+                            continue
+                        out.append(
+                            DeltaLiteCDFPartition(
+                                os.path.join(self.table, add["path"]),
+                                v,
+                                "delete",
+                                _dv_indices(add),
+                                False,
+                            )
+                        )
+                else:
+                    raise RuntimeError(
+                        f"delta_lite_cdf: commit {v} ({op}) removed data "
+                        f"files without a change feed (pre-CDF DML or "
+                        f"RESTORE) — start after it via startingVersion, or "
+                        f"use snapshot_diff"
+                    )
+            for a in adds:
+                out.append(
+                    DeltaLiteCDFPartition(
+                        os.path.join(self.table, a["path"]), v, "insert", [], False
+                    )
+                )
+        return out
+
+    def read(self, partition: DeltaLiteCDFPartition):
+        import pyarrow as pa
+
+        base_cols = [f.name for f in self.schema.fields]
+        if partition.is_cdc:
+            want = base_cols + ["_change_type"]
+            full = StructType(
+                list(self.schema.fields)
+                + [StructField("_change_type", StringType(), True)]
+            )
+        else:
+            want = base_cols
+            full = self.schema
+        for b in _read_file_batches(
+            partition.file_path, want, [], {}, full, partition.deleted_rows, self.phys
+        ):
+            t = pa.Table.from_batches([b])
+            n = t.num_rows
+            if not partition.is_cdc:
+                t = t.append_column(
+                    "_change_type", pa.array([partition.change_type] * n, pa.string())
+                )
+            t = t.append_column(
+                "_commit_version", pa.array([partition.version] * n, pa.int64())
+            )
+            yield from t.to_batches()
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets live in the query checkpoint
+
+
+class DeltaLiteCDFStreamDataSource(DataSource):
+    """``spark.readStream.format("delta_lite_cdf").load(table)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "delta_lite_cdf"
+
+    def schema(self) -> StructType:
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("delta_lite_cdf requires a path: .load(<table dir>)")
+        _active, meta, _ = _replay(path, None)
+        base = StructType.fromJson(json.loads(meta["schemaString"]))
+        from pyspark.sql.types import LongType
+
+        return StructType(
+            [StructField(f.name, f.dataType, True) for f in base.fields]
+            + [
+                StructField("_change_type", StringType(), True),
+                StructField("_commit_version", LongType(), True),
+            ]
+        )
+
+    def streamReader(self, schema) -> DeltaLiteCDFStreamReader:
+        sv = int(self.options.get("startingversion", 0))
+        return DeltaLiteCDFStreamReader(self.options["path"], starting_version=sv)
