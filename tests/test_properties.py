@@ -199,6 +199,7 @@ _delta_op = st.one_of(
     st.tuples(st.just("checkpoint"), st.just(None)),
     st.tuples(st.just("restore"), st.integers(0, 4)),
     st.tuples(st.just("rename_roundtrip"), st.just(None)),
+    st.tuples(st.just("enable_cdf"), st.just(None)),
 )
 
 
@@ -287,6 +288,18 @@ def test_delta_lite_model_based(spark, ops):
                 v = purge_deletion_vectors(spark, table)
                 if v is None:
                     continue
+            elif kind == "enable_cdf":
+                # snapshots are CDF-invariant; the op makes every LATER
+                # DML in the sequence also stage typed change files, so
+                # the model exercises cdc-action composition with all ops
+                from big_data_analytics_machine_learning_poc_spark.sources.delta_lite import (
+                    enable_change_data_feed,
+                )
+
+                try:
+                    v = enable_change_data_feed(table)
+                except ValueError:
+                    continue  # already enabled
             elif kind == "rename_roundtrip":
                 # metadata-only schema evolution interleaved with DML:
                 # val -> tmpv -> val nets the original logical schema, so
