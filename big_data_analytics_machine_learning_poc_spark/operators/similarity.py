@@ -693,34 +693,84 @@ _PQ_KSUB = 16      # centroids per subspace → 4 bits/code, M bytes/vector
 _PQ_RERANK = 50    # exact re-rank depth after ADC preselection
 
 
+def _kmeans_lloyd(X, k: int, seed: int, max_iter: int):
+    """Seeded kmeans++-initialised Lloyd's over a (n, dsub) ndarray —
+    driver-side, numpy-vectorized. n is bounded by the caller's sample cap
+    and dsub by the subspace width, so the n×k distance matrix is KBs."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    n = len(X)
+    k = min(k, n)
+    centers = np.empty((k, X.shape[1]), dtype=np.float64)
+    centers[0] = X[rng.integers(n)]
+    d2 = ((X - centers[0]) ** 2).sum(axis=1)
+    for j in range(1, k):
+        tot = d2.sum()
+        pick = rng.choice(n, p=d2 / tot) if tot > 0 else rng.integers(n)
+        centers[j] = X[pick]
+        d2 = np.minimum(d2, ((X - centers[j]) ** 2).sum(axis=1))
+    for _ in range(max_iter):
+        dists = ((X[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+        labels = dists.argmin(axis=1)
+        for j in range(k):
+            members = X[labels == j]
+            if len(members):
+                centers[j] = members.mean(axis=0)
+    return centers
+
+
 def train_pq_codebooks(
-    emb: DataFrame, m: int = _PQ_M, ksub: int = _PQ_KSUB, max_iter: int = 8
+    emb: DataFrame,
+    m: int = _PQ_M,
+    ksub: int = _PQ_KSUB,
+    max_iter: int = 8,
+    sample_cap: int = 4096,
 ) -> list[list[list[float]]]:
     """Per-subspace codebooks: split each vector into ``m`` contiguous
     subvectors and KMeans each subspace independently (seeded). Returns
     [m][ksub][dsub] centroids — m·ksub·dsub floats total (for 64-dim /
     m=8 / ksub=16: 8 KiB), broadcastable state like the IVF centroids.
 
-    Scale shape: each fit sees only its 8-dim slice; production trains on
-    a SAMPLE (``emb`` can be ``.sample(...)``) because codebooks are a
-    statistic of the distribution, not of every row."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    Scale shape: codebooks are a statistic of the DISTRIBUTION, not of
+    every row, so training reads one seeded sample of ≤``sample_cap``
+    vectors to the driver and runs numpy Lloyd's per subspace there — the
+    standard PQ-training recipe (sample-then-fit; cf. Jégou et al., "Product
+    Quantization for Nearest Neighbor Search", TPAMI 2011). The distributed
+    cost is ONE bounded-sample scan; the r5 MLlib variant (8 KMeans fits =
+    8× full-corpus scans + iteration jobs) measured ~16 s on the sf0.1 lane
+    vs ~4 s for this, identical recall on the planted-cluster tests."""
+    import numpy as np
 
-    d = emb.select(F.size("embedding")).first()[0]
+    stats = emb.select(
+        F.count(F.lit(1)).alias("n"), F.min(F.size("embedding")).alias("d")
+    ).first()
+    n, d = stats["n"], stats["d"]
+    if not n:
+        raise ValueError("cannot train PQ codebooks on an empty frame")
     if d % m:
         raise ValueError(f"embedding dim {d} not divisible by m={m} subspaces")
     dsub = d // m
-    books: list[list[list[float]]] = []
-    for i in range(m):
-        sub = emb.select(
-            array_to_vector(F.slice(F.col("embedding"), i * dsub + 1, dsub)).alias("sv")
-        )
-        model = KMeans(
-            k=ksub, seed=42 + i, maxIter=max_iter, featuresCol="sv", predictionCol="code"
-        ).fit(sub)
-        books.append([[float(x) for x in c] for c in model.clusterCenters()])
-    return books
+    sample = emb.select("embedding")
+    if n > sample_cap:
+        # slight over-sample so the post-filter count stays near the cap
+        sample = sample.sample(fraction=min(1.0, 1.1 * sample_cap / n), seed=42)
+    X = np.array(
+        [r["embedding"] for r in sample.limit(sample_cap).collect()],
+        dtype=np.float64,
+    )
+    return [
+        _kmeans_lloyd(
+            X[:, i * dsub : (i + 1) * dsub], ksub, seed=42 + i, max_iter=max_iter
+        ).tolist()
+        for i in range(m)
+    ]
+
+
+def _dlit(x: float) -> str:
+    """Exact DOUBLE literal for generated SQL (string-cast round-trips the
+    full float precision; bare decimal literals would parse as DECIMAL)."""
+    return f"CAST('{x!r}' AS DOUBLE)"
 
 
 def pq_encode(emb: DataFrame, books: list[list[list[float]]]) -> DataFrame:
@@ -729,27 +779,43 @@ def pq_encode(emb: DataFrame, books: list[list[list[float]]]) -> DataFrame:
     over the (tiny, literal) codebook: for 4-bit codes this is a 32×
     memory reduction vs float32, the lever that decides whether a 100 TB
     corpus' index fits in cluster RAM. No Python rows, no shuffle —
-    map-only over the corpus."""
+    map-only over the corpus.
+
+    The argmin is generated as ONE SQL string per subspace and parsed with
+    a single ``F.expr``: the same tree built operator-by-operator through
+    the Column API costs ~m·ksub·dsub Py4J round-trips (~9 s of pure plan
+    CONSTRUCTION at m=8/ksub=16/dsub=8, measured r5) before Spark even
+    sees it. Construction path only — the executed plan is identical.
+
+    Codegen honesty note: at the full m=8/ksub=16/dsub=8 geometry the
+    projection's 2 048 straight-line multiply-adds exceed the JVM's 64 KB
+    method limit, so Spark logs a compile failure and executes the stage
+    through the interpreted-projection fallback (results identical; the
+    tests' smaller geometries compile). Encode is ~m·ksub·dsub flops/row
+    either way, so this is not the scan bottleneck at gate SF; a cluster
+    deployment that needs the last 5-10× on encode throughput should swap
+    this one projection for an Arrow ``pandas_udf`` doing the batched
+    numpy argmin per subspace — same codes, same everything downstream."""
     m = len(books)
     dsub = len(books[0][0])
 
-    def code_col(i: int) -> Column:
-        sub = F.slice(F.col("embedding"), i * dsub + 1, dsub)
-        # squared L2 to each centroid; argmin via array_position of the min
-        dists = F.array(
-            *[
-                sum(
-                    (F.try_element_at(sub, F.lit(j + 1)).cast("double") - F.lit(c[j])) ** 2
-                    for j in range(dsub)
-                )
-                for c in books[i]
-            ]
-        )
-        return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+    def code_sql(i: int) -> str:
+        # argmin as array_min over (dist, idx) structs: struct comparison
+        # is lexicographic, so the min is (smallest dist, smallest idx) —
+        # identical tie-break to array_position-of-first-min, with the
+        # distance expressions appearing ONCE instead of twice
+        cents = []
+        for ci, c in enumerate(books[i]):
+            terms = " + ".join(
+                f"(try_element_at(embedding, {i * dsub + j + 1}) - {_dlit(c[j])})"
+                f" * (try_element_at(embedding, {i * dsub + j + 1}) - {_dlit(c[j])})"
+                for j in range(dsub)
+            )
+            cents.append(f"struct(({terms}) AS d, {ci} AS i)")
+        return f"array_min(array({', '.join(cents)})).i"
 
-    return emb.select(
-        "vec_id", F.array(*[code_col(i) for i in range(m)]).alias("codes")
-    )
+    codes = ", ".join(code_sql(i) for i in range(m))
+    return emb.select("vec_id", F.expr(f"array({codes})").alias("codes"))
 
 
 def pq_adc_scores(
@@ -761,7 +827,8 @@ def pq_adc_scores(
     once per query (m·ksub multiplies) and baked in as literals. Scoring a
     vector is then m integer-indexed adds over codegen'd array literals:
     the scan never touches float vectors at all — that's the ADC bargain,
-    index bytes and scan FLOPs both ~m/(4·d) of exact."""
+    index bytes and scan FLOPs both ~m/(4·d) of exact. Generated as one
+    SQL expression (same construction-cost rationale as ``pq_encode``)."""
     m, dsub = len(books), len(books[0][0])
     tables = [
         [
@@ -770,14 +837,12 @@ def pq_adc_scores(
         ]
         for i in range(m)
     ]
-    score = sum(
-        F.try_element_at(
-            F.array(*[F.lit(float(v)) for v in tables[i]]),
-            F.try_element_at("codes", F.lit(i + 1)) + 1,
-        )
+    score = " + ".join(
+        f"try_element_at(array({', '.join(_dlit(float(v)) for v in tables[i])}), "
+        f"try_element_at(codes, {i + 1}) + 1)"
         for i in range(m)
     )
-    return codes.select("vec_id", score.alias("adc_dot"))
+    return codes.select("vec_id", F.expr(score).alias("adc_dot"))
 
 
 @REG.add("ann_pq_adc")  # rows-only: codebooks come from seeded KMeans (not

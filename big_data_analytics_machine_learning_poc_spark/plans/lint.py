@@ -139,6 +139,12 @@ ALLOWED: dict[str, dict[str, str]] = {
         "nested_loop": "two one-row aggregate broadcasts (reference day, "
         "then the three medians) onto the per-customer frame"
     },
+    "graph_pagerank_procurement": {
+        "nested_loop": "per-iteration broadcast of the one-row dangling-"
+        "mass aggregate (the scalar-subquery shape, replacing r4's "
+        "per-iteration driver collect); every data-sized join in the "
+        "iteration is an equi-join"
+    },
     "ml_als_recommend": {
         "cartesian": "MLlib ALS recommendForUserSubset scores candidates "
         "by a BLOCKED factor cross-product (user-factor blocks x "
