@@ -358,6 +358,137 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Incremental dedup: an arriving batch vs the already-indexed corpus
+# --------------------------------------------------------------------------
+
+# The lane's "arriving batch" at the driver's sf-dirs: the two newest
+# sources (~10% of docs). Production passes any predicate/frame instead.
+_INCR_NEW_SOURCES = ("src18", "src19")
+
+
+def incremental_minhash_pairs(
+    docs: DataFrame,
+    is_new: Column,
+    threshold: float = 0.5,
+    perms: tuple[tuple[int, int], ...] = ORACLE_PERMS,
+    rows_per_band: int = ORACLE_ROWS_PER_BAND,
+) -> DataFrame:
+    """Near-dup pairs TOUCHING an arriving batch — the production ingest
+    shape: when a new crawl lands on an already-deduped 100 TB corpus, the
+    question is never "all pairs in corpus∪batch" (that re-pays the full
+    corpus×corpus sweep per ingest) but "which new docs duplicate anything
+    (old or new)". Candidate generation is batch-bands ⋈ all-bands — an
+    equi-join whose left side is |batch|-sized, so per-ingest cost scales
+    with the BATCH, and the corpus side is exactly the persisted signature/
+    band index a warehouse maintains incrementally (signatures are map-only
+    per doc, so indexing the batch never touches old rows).
+
+    Returns (doc_a, doc_b, est_jaccard, pair_kind) with doc_a < doc_b and
+    pair_kind ∈ {'new_new', 'new_old'}; corpus-internal pairs are excluded
+    by construction, not by filtering.
+    """
+    sh = doc_shingle_hashes_from(docs)
+    sig = minhash_signatures_from(sh, perms)
+    n = len(perms)
+    newdocs = docs.filter(is_new).select("doc_id")
+    keys = F.array(
+        *[
+            md5_hash32(F.concat_ws(",", *[F.col(f"mh{i}").cast("string") for i in sl]))
+            for sl in _band_slices(n, rows_per_band)
+        ]
+    )
+    bands = sig.select("doc_id", F.posexplode(keys).alias("band", "bkey"))
+    new_bands = bands.join(newdocs, "doc_id", "left_semi")
+    a, b = new_bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .select(
+            F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_a"),
+            F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_b"),
+        )
+        .distinct()
+    )
+    sa, sb = sig.alias("sa"), sig.alias("sb")
+    matches = sum(
+        F.when(F.col(f"sa.mh{i}") == F.col(f"sb.mh{i}"), 1).otherwise(0)
+        for i in range(n)
+    )
+    est = matches.cast("double") / F.lit(n)
+    na, nb = newdocs.alias("na"), newdocs.alias("nb")
+    return (
+        cand.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
+        .filter(est >= threshold)
+        .join(na, F.col("na.doc_id") == F.col("doc_a"), "left")
+        .join(nb, F.col("nb.doc_id") == F.col("doc_b"), "left")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(est, 6).alias("est_jaccard"),
+            F.when(
+                F.col("na.doc_id").isNotNull() & F.col("nb.doc_id").isNotNull(),
+                F.lit("new_new"),
+            )
+            .otherwise(F.lit("new_old"))
+            .alias("pair_kind"),
+        )
+    )
+
+
+def _incr_pairs_sql(
+    threshold: float = 0.5,
+    perms: tuple[tuple[int, int], ...] = ORACLE_PERMS,
+    rows_per_band: int = ORACLE_ROWS_PER_BAND,
+) -> str:
+    n = len(perms)
+    band_selects = "\n      UNION ALL\n      ".join(
+        f"SELECT doc_id, {bi} AS band, {_band_key_sql(sl)} AS bkey FROM sig"
+        for bi, sl in enumerate(_band_slices(n, rows_per_band))
+    )
+    sim = " + ".join(f"CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END" for i in range(n))
+    srcs = ", ".join(f"'{s}'" for s in _INCR_NEW_SOURCES)
+    return f"""{_SHINGLE_HASH_CTE}, sig AS (
+      {_sig_select_sql(perms)}
+    ), newdocs AS (
+      SELECT doc_id FROM documents WHERE source IN ({srcs})
+    ), bands AS (
+      {band_selects}
+    ), cand AS (
+      SELECT DISTINCT LEAST(a.doc_id, b.doc_id) AS doc_a,
+                      GREATEST(a.doc_id, b.doc_id) AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id <> b.doc_id
+      WHERE a.doc_id IN (SELECT doc_id FROM newdocs)
+    )
+    SELECT doc_a, doc_b,
+           ROUND(CAST(({sim}) AS DOUBLE) / {n}, 6) AS est_jaccard,
+           CASE WHEN doc_a IN (SELECT doc_id FROM newdocs)
+                 AND doc_b IN (SELECT doc_id FROM newdocs)
+                THEN 'new_new' ELSE 'new_old' END AS pair_kind
+    FROM cand
+    JOIN sig sa ON sa.doc_id = doc_a
+    JOIN sig sb ON sb.doc_id = doc_b
+    WHERE CAST(({sim}) AS DOUBLE) / {n} >= {threshold}
+    """
+
+
+@REG.add("dedup_incremental_pairs", sql=_incr_pairs_sql())
+def dedup_incremental_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``incremental_minhash_pairs`` with sources {src18, src19} as the
+    arriving batch at the 8-perm oracle geometry (production geometry runs
+    the same code path via the ``perms``/``rows_per_band`` parameters)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return incremental_minhash_pairs(
+        docs, F.col("source").isin(*_INCR_NEW_SOURCES)
+    )
+
+
+# --------------------------------------------------------------------------
 # SimHash (16-bit)
 # --------------------------------------------------------------------------
 

@@ -401,3 +401,39 @@ def test_embedding_guards_zero_norm_and_ragged(spark):
     assert got[1][0] == 255 and abs(got[1][1] - 1.0) < 1e-9
     assert got[2][0] == 255 and got[2][1] is None  # zero vector: NULL cosine
     assert got[3][0] == 0b00000001  # dim2 negative, dims 3..8 NULL -> 0 bits
+
+
+def test_incremental_dedup_reports_only_batch_touching_pairs(spark):
+    """Planted ingest: the batch-vs-corpus lane must surface new-old and
+    new-new near-dups with the right pair_kind, and must EXCLUDE
+    corpus-internal duplicates by construction (that's the whole point —
+    an ingest never re-pays the corpus x corpus sweep)."""
+    from pyspark.sql import functions as F
+
+    from big_data_analytics_machine_learning_poc_spark.operators.dedup import (
+        incremental_minhash_pairs,
+    )
+
+    boiler = "the quick brown fox jumps over the lazy dog every sunny morning"
+    other = "completely different prose about distributed query planning engines"
+    docs = spark.createDataFrame(
+        [
+            (1, boiler, "old"),   # old dup pair (1,2): must NOT be reported
+            (2, boiler, "old"),
+            (3, "unrelated corpus text mentioning neither animals nor engines at all", "old"),
+            (10, boiler, "new"),  # duplicates old 1 and 2 -> two new_old pairs
+            (11, other, "new"),   # duplicates fellow batch doc 12 -> new_new
+            (12, other, "new"),
+            (13, "a singleton arrival with no duplicate anywhere in sight today", "new"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    got = {
+        (r.doc_a, r.doc_b): (r.pair_kind, r.est_jaccard)
+        for r in incremental_minhash_pairs(docs, F.col("source") == "new").collect()
+    }
+    assert got[(1, 10)] == ("new_old", 1.0)
+    assert got[(2, 10)] == ("new_old", 1.0)
+    assert got[(11, 12)] == ("new_new", 1.0)
+    assert (1, 2) not in got, "corpus-internal pair leaked into the ingest result"
+    assert all(10 <= a or 10 <= b for a, b in got), got
