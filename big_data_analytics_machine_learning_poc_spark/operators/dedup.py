@@ -366,40 +366,30 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _INCR_NEW_SOURCES = ("src18", "src19")
 
 
-def incremental_minhash_pairs(
-    docs: DataFrame,
-    is_new: Column,
-    threshold: float = 0.5,
-    perms: tuple[tuple[int, int], ...] = ORACLE_PERMS,
-    rows_per_band: int = ORACLE_ROWS_PER_BAND,
-) -> DataFrame:
-    """Near-dup pairs TOUCHING an arriving batch — the production ingest
-    shape: when a new crawl lands on an already-deduped 100 TB corpus, the
-    question is never "all pairs in corpus∪batch" (that re-pays the full
-    corpus×corpus sweep per ingest) but "which new docs duplicate anything
-    (old or new)". Candidate generation is batch-bands ⋈ all-bands — an
-    equi-join whose left side is |batch|-sized, so per-ingest cost scales
-    with the BATCH, and the corpus side is exactly the persisted signature/
-    band index a warehouse maintains incrementally (signatures are map-only
-    per doc, so indexing the batch never touches old rows).
-
-    Returns (doc_a, doc_b, est_jaccard, pair_kind) with doc_a < doc_b and
-    pair_kind ∈ {'new_new', 'new_old'}; corpus-internal pairs are excluded
-    by construction, not by filtering.
-    """
-    sh = doc_shingle_hashes_from(docs)
-    sig = minhash_signatures_from(sh, perms)
-    n = len(perms)
-    newdocs = docs.filter(is_new).select("doc_id")
+def _band_rows(sig: DataFrame, n_perms: int, rows_per_band: int) -> DataFrame:
+    """(doc_id, band, bkey) band-bucket rows from a signature frame — ONE
+    posexplode emission (see minhash_candidate_pairs for why not a union)."""
     keys = F.array(
         *[
             md5_hash32(F.concat_ws(",", *[F.col(f"mh{i}").cast("string") for i in sl]))
-            for sl in _band_slices(n, rows_per_band)
+            for sl in _band_slices(n_perms, rows_per_band)
         ]
     )
-    bands = sig.select("doc_id", F.posexplode(keys).alias("band", "bkey"))
-    new_bands = bands.join(newdocs, "doc_id", "left_semi")
-    a, b = new_bands.alias("a"), bands.alias("b")
+    return sig.select("doc_id", F.posexplode(keys).alias("band", "bkey"))
+
+
+def _batch_touching_pairs(
+    batch_bands: DataFrame,
+    all_bands: DataFrame,
+    sig: DataFrame,
+    newdocs: DataFrame,
+    n: int,
+    threshold: float,
+) -> DataFrame:
+    """Shared pair core of the incremental lane and the persisted index:
+    candidates = batch-bands ⋈ all-bands (equi-join, batch-sized left),
+    est = signature agreement, pair_kind from membership in ``newdocs``."""
+    a, b = batch_bands.alias("a"), all_bands.alias("b")
     cand = (
         a.join(
             b,
@@ -440,6 +430,36 @@ def incremental_minhash_pairs(
     )
 
 
+def incremental_minhash_pairs(
+    docs: DataFrame,
+    is_new: Column,
+    threshold: float = 0.5,
+    perms: tuple[tuple[int, int], ...] = ORACLE_PERMS,
+    rows_per_band: int = ORACLE_ROWS_PER_BAND,
+) -> DataFrame:
+    """Near-dup pairs TOUCHING an arriving batch — the production ingest
+    shape: when a new crawl lands on an already-deduped 100 TB corpus, the
+    question is never "all pairs in corpus∪batch" (that re-pays the full
+    corpus×corpus sweep per ingest) but "which new docs duplicate anything
+    (old or new)". Candidate generation is batch-bands ⋈ all-bands — an
+    equi-join whose left side is |batch|-sized, so per-ingest cost scales
+    with the BATCH, and the corpus side is exactly the persisted signature/
+    band index a warehouse maintains incrementally (signatures are map-only
+    per doc, so indexing the batch never touches old rows).
+
+    Returns (doc_a, doc_b, est_jaccard, pair_kind) with doc_a < doc_b and
+    pair_kind ∈ {'new_new', 'new_old'}; corpus-internal pairs are excluded
+    by construction, not by filtering.
+    """
+    sig = minhash_signatures_from(doc_shingle_hashes_from(docs), perms)
+    newdocs = docs.filter(is_new).select("doc_id")
+    bands = _band_rows(sig, len(perms), rows_per_band)
+    new_bands = bands.join(newdocs, "doc_id", "left_semi")
+    return _batch_touching_pairs(
+        new_bands, bands, sig, newdocs, len(perms), threshold
+    )
+
+
 def _incr_pairs_sql(
     threshold: float = 0.5,
     perms: tuple[tuple[int, int], ...] = ORACLE_PERMS,
@@ -475,6 +495,72 @@ def _incr_pairs_sql(
     JOIN sig sb ON sb.doc_id = doc_b
     WHERE CAST(({sim}) AS DOUBLE) / {n} >= {threshold}
     """
+
+
+def build_minhash_index(
+    docs: DataFrame,
+    root: str,
+    perms: tuple[tuple[int, int], ...] = ORACLE_PERMS,
+    rows_per_band: int = ORACLE_ROWS_PER_BAND,
+) -> None:
+    """Persist the corpus' minhash dedup index as two delta_lite tables —
+    ``<root>/sigs`` (doc_id, mh*) and ``<root>/bands`` (doc_id, band, bkey)
+    — making the "the warehouse maintains the band index incrementally"
+    story EXECUTABLE: later ``ingest_batch`` calls join arriving docs
+    against these tables and append to them, so no ingest ever recomputes
+    corpus signatures (map-only per doc, written once). Normalized two-table
+    layout on purpose: at the production 128-perm geometry a denormalized
+    band row would carry 128 mh values × 32 band copies per doc."""
+    from ..sources.delta_lite import write_delta
+
+    sig = minhash_signatures_from(doc_shingle_hashes_from(docs), perms)
+    write_delta(sig, f"{root}/sigs", mode="overwrite")
+    write_delta(
+        _band_rows(sig, len(perms), rows_per_band), f"{root}/bands", mode="overwrite"
+    )
+
+
+def ingest_batch(
+    spark: SparkSession,
+    batch_docs: DataFrame,
+    root: str,
+    threshold: float = 0.5,
+    perms: tuple[tuple[int, int], ...] = ORACLE_PERMS,
+    rows_per_band: int = ORACLE_ROWS_PER_BAND,
+) -> DataFrame:
+    """Ingest an arriving batch against a ``build_minhash_index`` root:
+    computes batch signatures/bands (map-only over the BATCH), finds
+    near-dup pairs touching the batch (vs index ∪ batch, so intra-batch
+    dups surface too), appends the batch to the index tables, and returns
+    the MATERIALIZED pair frame (computed against the pre-append snapshot —
+    delta_lite reads pin a version, so the append cannot double-count).
+
+    Per-ingest distributed cost: |batch| signature maps + a batch-sized
+    equi-join against the persisted bands — never |corpus|² and never a
+    corpus rescan. pair_kind marks 'new_new' (both in this batch) vs
+    'new_old'; a previous ingest's docs are corpus ('old') by then, which
+    the round-trip test pins."""
+    from ..sources.delta_lite import read_delta, write_delta
+
+    n = len(perms)
+    batch_sig = minhash_signatures_from(
+        doc_shingle_hashes_from(batch_docs), perms
+    ).localCheckpoint()
+    batch_bands = _band_rows(batch_sig, n, rows_per_band).localCheckpoint()
+    idx_sigs = read_delta(spark, f"{root}/sigs")
+    idx_bands = read_delta(spark, f"{root}/bands")
+    newdocs = batch_sig.select("doc_id")
+    pairs = _batch_touching_pairs(
+        batch_bands,
+        idx_bands.unionByName(batch_bands),
+        idx_sigs.unionByName(batch_sig),
+        newdocs,
+        n,
+        threshold,
+    ).localCheckpoint()  # materialize BEFORE the index grows
+    write_delta(batch_sig, f"{root}/sigs", mode="append")
+    write_delta(batch_bands, f"{root}/bands", mode="append")
+    return pairs
 
 
 @REG.add("dedup_incremental_pairs", sql=_incr_pairs_sql())

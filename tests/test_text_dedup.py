@@ -437,3 +437,51 @@ def test_incremental_dedup_reports_only_batch_touching_pairs(spark):
     assert got[(11, 12)] == ("new_new", 1.0)
     assert (1, 2) not in got, "corpus-internal pair leaked into the ingest result"
     assert all(10 <= a or 10 <= b for a, b in got), got
+
+
+def test_minhash_index_ingest_roundtrip(spark, tmp_path):
+    """Persisted band index: ingest-vs-index must equal the one-shot
+    incremental lane on the combined frame, and a SECOND ingest must see
+    the first batch as corpus (its dups become new_old) — the property
+    that makes the index incremental rather than a cached batch job."""
+    from pyspark.sql import functions as F
+
+    from big_data_analytics_machine_learning_poc_spark.operators.dedup import (
+        build_minhash_index,
+        incremental_minhash_pairs,
+        ingest_batch,
+    )
+
+    boiler = "the quick brown fox jumps over the lazy dog every sunny morning"
+    other = "completely different prose about distributed query planning engines"
+    schema = "doc_id long, text string, source string"
+    old = spark.createDataFrame(
+        [(1, boiler, "old"), (2, boiler, "old"),
+         (3, "unrelated corpus text mentioning neither animals nor engines at all", "old")],
+        schema,
+    )
+    batch1 = spark.createDataFrame(
+        [(10, boiler, "new"), (11, other, "new"), (12, other, "new")], schema
+    )
+    root = str(tmp_path / "mhidx")
+    build_minhash_index(old, root)
+    got1 = {
+        (r.doc_a, r.doc_b): (r.pair_kind, r.est_jaccard)
+        for r in ingest_batch(spark, batch1, root).collect()
+    }
+    want1 = {
+        (r.doc_a, r.doc_b): (r.pair_kind, r.est_jaccard)
+        for r in incremental_minhash_pairs(
+            old.unionByName(batch1), F.col("source") == "new"
+        ).collect()
+    }
+    assert got1 == want1 and (11, 12) in got1 and got1[(11, 12)][0] == "new_new"
+
+    # batch2 duplicates batch1's doc 11 -> now a new_OLD pair (11 is corpus)
+    batch2 = spark.createDataFrame([(20, other, "new")], schema)
+    got2 = {
+        (r.doc_a, r.doc_b): r.pair_kind
+        for r in ingest_batch(spark, batch2, root).collect()
+    }
+    assert got2[(11, 20)] == "new_old" and got2[(12, 20)] == "new_old"
+    assert all(20 in p for p in got2), got2
