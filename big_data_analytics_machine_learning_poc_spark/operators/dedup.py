@@ -527,6 +527,7 @@ def ingest_batch(
     threshold: float = 0.5,
     perms: tuple[tuple[int, int], ...] = ORACLE_PERMS,
     rows_per_band: int = ORACLE_ROWS_PER_BAND,
+    txn: tuple[str, int] | None = None,
 ) -> DataFrame:
     """Ingest an arriving batch against a ``build_minhash_index`` root:
     computes batch signatures/bands (map-only over the BATCH), finds
@@ -539,27 +540,48 @@ def ingest_batch(
     equi-join against the persisted bands — never |corpus|² and never a
     corpus rescan. pair_kind marks 'new_new' (both in this batch) vs
     'new_old'; a previous ingest's docs are corpus ('old') by then, which
-    the round-trip test pins."""
-    from ..sources.delta_lite import read_delta, write_delta
+    the round-trip test pins.
+
+    Contract: doc_ids must be globally unique across all ingests (the
+    index has no primary key — re-ingesting an id duplicates its rows).
+    For crash-replayed drivers pass ``txn=(app_id, batch_no)``: an ingest
+    whose batch_no was already committed to the sigs table skips the
+    appends (delta_lite's exactly-once transaction-identifier handshake)
+    and only re-returns the pair frame."""
+    from ..sources.delta_lite import last_txn_version, read_delta, write_delta
 
     n = len(perms)
+
+    def committed(table: str) -> bool:
+        return (
+            txn is not None and (last_txn_version(table, txn[0]) or -1) >= txn[1]
+        )
+
+    # per-TABLE replay detection: a crash between the two appends leaves
+    # one table with the batch and one without; each side independently
+    # decides "already in my snapshot" (skip union + skip append) so every
+    # interleaving converges to exactly-once rows in both tables
+    sigs_t, bands_t = f"{root}/sigs", f"{root}/bands"
+    sigs_done, bands_done = committed(sigs_t), committed(bands_t)
     batch_sig = minhash_signatures_from(
         doc_shingle_hashes_from(batch_docs), perms
     ).localCheckpoint()
     batch_bands = _band_rows(batch_sig, n, rows_per_band).localCheckpoint()
-    idx_sigs = read_delta(spark, f"{root}/sigs")
-    idx_bands = read_delta(spark, f"{root}/bands")
+    idx_sigs = read_delta(spark, sigs_t)
+    idx_bands = read_delta(spark, bands_t)
     newdocs = batch_sig.select("doc_id")
     pairs = _batch_touching_pairs(
         batch_bands,
-        idx_bands.unionByName(batch_bands),
-        idx_sigs.unionByName(batch_sig),
+        idx_bands if bands_done else idx_bands.unionByName(batch_bands),
+        idx_sigs if sigs_done else idx_sigs.unionByName(batch_sig),
         newdocs,
         n,
         threshold,
     ).localCheckpoint()  # materialize BEFORE the index grows
-    write_delta(batch_sig, f"{root}/sigs", mode="append")
-    write_delta(batch_bands, f"{root}/bands", mode="append")
+    if not sigs_done:
+        write_delta(batch_sig, sigs_t, mode="append", txn=txn)
+    if not bands_done:
+        write_delta(batch_bands, bands_t, mode="append", txn=txn)
     return pairs
 
 

@@ -485,3 +485,28 @@ def test_minhash_index_ingest_roundtrip(spark, tmp_path):
     }
     assert got2[(11, 20)] == "new_old" and got2[(12, 20)] == "new_old"
     assert all(20 in p for p in got2), got2
+
+
+def test_minhash_index_ingest_replay_is_exactly_once(spark, tmp_path):
+    """A crash-replayed ingest with the same txn marker must not duplicate
+    index rows, and must return the same pair frame."""
+    from big_data_analytics_machine_learning_poc_spark.operators.dedup import (
+        build_minhash_index,
+        ingest_batch,
+    )
+    from big_data_analytics_machine_learning_poc_spark.sources.delta_lite import read_delta
+
+    boiler = "the quick brown fox jumps over the lazy dog every sunny morning"
+    schema = "doc_id long, text string, source string"
+    old = spark.createDataFrame([(1, boiler, "old")], schema)
+    batch = spark.createDataFrame([(10, boiler, "new")], schema)
+    root = str(tmp_path / "mhidx")
+    build_minhash_index(old, root)
+    p1 = {(r.doc_a, r.doc_b) for r in ingest_batch(spark, batch, root, txn=("ing", 1)).collect()}
+    n_sigs = read_delta(spark, f"{root}/sigs").count()
+    n_bands = read_delta(spark, f"{root}/bands").count()
+    # replay the same batch number: no new rows, same pairs
+    p2 = {(r.doc_a, r.doc_b) for r in ingest_batch(spark, batch, root, txn=("ing", 1)).collect()}
+    assert p1 == p2 == {(1, 10)}
+    assert read_delta(spark, f"{root}/sigs").count() == n_sigs == 2
+    assert read_delta(spark, f"{root}/bands").count() == n_bands
