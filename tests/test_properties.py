@@ -536,3 +536,67 @@ def test_triangle_census_equals_bruteforce(spark, edges):
     assert row["n_wedges"] == wedges
     if wedges:
         assert row["global_clustering"] == round(3 * tri / wedges, 6)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.lists(st.sampled_from(["red fox", "blue sky", "tall tree", "old dog", "wet rain"]),
+                     min_size=2, max_size=5),
+            st.booleans(),
+        ),
+        min_size=2,
+        max_size=10,
+    )
+)
+def test_incremental_pairs_equal_full_sweep_restricted(spark, corpus):
+    """The incremental lane's batch-restricted candidate generation loses
+    nothing: pairs touching the batch == the FULL pair sweep filtered to
+    batch-touching pairs, on random phrase corpora (same geometry, same
+    threshold). This is the no-false-negative property that justifies
+    never re-paying corpus x corpus at ingest."""
+    import pyspark.sql.functions as F
+
+    from big_data_analytics_machine_learning_poc_spark.operators.dedup import (
+        ORACLE_PERMS,
+        ORACLE_ROWS_PER_BAND,
+        doc_shingle_hashes_from,
+        incremental_minhash_pairs,
+        minhash_candidate_pairs,
+        minhash_signatures_from,
+    )
+
+    rows = [
+        (i, " ".join(phrases), "new" if is_new else "old")
+        for i, (phrases, is_new) in enumerate(corpus)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {
+        (r.doc_a, r.doc_b): (r.est_jaccard, r.pair_kind)
+        for r in incremental_minhash_pairs(docs, F.col("source") == "new").collect()
+    }
+    # full sweep at identical geometry/threshold, then restrict
+    sig = minhash_signatures_from(doc_shingle_hashes_from(docs), ORACLE_PERMS)
+    cand = minhash_candidate_pairs(sig, len(ORACLE_PERMS), ORACLE_ROWS_PER_BAND)
+    sa, sb = sig.alias("sa"), sig.alias("sb")
+    matches = sum(
+        F.when(F.col(f"sa.mh{i}") == F.col(f"sb.mh{i}"), 1).otherwise(0)
+        for i in range(len(ORACLE_PERMS))
+    )
+    est = matches.cast("double") / F.lit(len(ORACLE_PERMS))
+    full = {
+        (r.doc_a, r.doc_b): r.est_jaccard
+        for r in cand.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
+        .filter(est >= 0.5)
+        .select("doc_a", "doc_b", F.round(est, 6).alias("est_jaccard"))
+        .collect()
+    }
+    new_ids = {i for i, (_, is_new) in enumerate(corpus) if is_new}
+    want = {
+        p: e for p, e in full.items() if p[0] in new_ids or p[1] in new_ids
+    }
+    assert {p: e for p, (e, _) in got.items()} == want
+    for (a, b), (_, kind) in got.items():
+        assert kind == ("new_new" if a in new_ids and b in new_ids else "new_old")
