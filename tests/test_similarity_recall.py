@@ -144,3 +144,29 @@ def test_ann_pq_adc_lane_runs_on_testdata(spark):
     assert len(out) == 5
     sims = [r["sim"] for r in out]
     assert sims == sorted(sims, reverse=True)
+
+
+def test_kmeans_lloyd_edge_cases():
+    """Driver-side codebook trainer: k is clamped to n when the sample is
+    tiny, duplicate points don't crash the kmeans++ seeding (zero total
+    distance falls back to uniform picks), and centroids live in the
+    input's convex hull."""
+    import numpy as np
+
+    from big_data_analytics_machine_learning_poc_spark.operators.similarity import (
+        _kmeans_lloyd,
+    )
+
+    X = np.array([[0.0, 0.0], [1.0, 1.0], [2.0, 2.0]])
+    c = _kmeans_lloyd(X, k=8, seed=1, max_iter=4)
+    assert c.shape == (3, 2)  # clamped to n
+    dup = np.ones((5, 3))
+    c2 = _kmeans_lloyd(dup, k=2, seed=1, max_iter=4)
+    assert c2.shape == (2, 3) and np.allclose(c2, 1.0)
+    rng = np.random.default_rng(0)
+    Y = rng.normal(size=(50, 4))
+    c3 = _kmeans_lloyd(Y, k=4, seed=2, max_iter=6)
+    assert c3.shape == (4, 4)
+    assert c3.min() >= Y.min() and c3.max() <= Y.max()
+    # determinism: same seed, same centroids
+    assert np.array_equal(c3, _kmeans_lloyd(Y, k=4, seed=2, max_iter=6))
