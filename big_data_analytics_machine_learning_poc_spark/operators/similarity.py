@@ -231,6 +231,38 @@ def build_ivf_index(
     return [[float(x) for x in c] for c in model.clusterCenters()]
 
 
+def ingest_vectors(
+    batch: DataFrame, index_dir: str, centers: list[list[float]]
+) -> None:
+    """Append a batch of (vec_id, embedding) rows to a materialized IVF
+    index WITHOUT refitting: cells are assigned against the existing
+    centroids (index statistics are fixed between rebuilds — the same
+    contract as PQ codebooks), so ingest cost is one map-only argmin pass
+    over the BATCH plus a dynamic-partition append of only the touched
+    cells. Assignment is squared-L2 argmin with lowest-index tie-break —
+    identical to KMeans.transform, so an index grown by ingests equals an
+    index assigned in one shot with the same centers (pinned by test).
+
+    Built as one generated-SQL argmin (see pq_encode for why not the
+    Column API: plan-construction RPCs) over the KB-sized centroid list."""
+    k, d = len(centers), len(centers[0])
+    cents = []
+    for ci, c in enumerate(centers):
+        terms = " + ".join(
+            f"(try_element_at(embedding, {j + 1}) - {_dlit(c[j])})"
+            f" * (try_element_at(embedding, {j + 1}) - {_dlit(c[j])})"
+            for j in range(d)
+        )
+        cents.append(f"struct(({terms}) AS d, {ci} AS i)")
+    assign = f"array_min(array({', '.join(cents)})).i"
+    (
+        batch.select("vec_id", "embedding", F.expr(assign).alias("cluster"))
+        .write.partitionBy("cluster")
+        .mode("append")
+        .parquet(index_dir)
+    )
+
+
 def ivf_probe_index(
     spark: SparkSession,
     index_dir: str,

@@ -170,3 +170,49 @@ def test_kmeans_lloyd_edge_cases():
     assert c3.min() >= Y.min() and c3.max() <= Y.max()
     # determinism: same seed, same centroids
     assert np.array_equal(c3, _kmeans_lloyd(Y, k=4, seed=2, max_iter=6))
+
+
+def test_ivf_ingest_equals_one_shot_assignment(spark, tmp_path):
+    """An IVF index grown by ingest_vectors must be indistinguishable from
+    one assigned in a single pass with the same centroids: same per-cell
+    membership, same probe results. This is the no-refit ingest contract
+    (centroids are fixed statistics between rebuilds)."""
+    from .conftest import SF_DIR
+
+    emb = similarity.load_table(spark, SF_DIR, "embeddings")
+    old = emb.filter(F.col("vec_id") % 10 != 7)
+    new = emb.filter(F.col("vec_id") % 10 == 7)
+    grown_dir = str(tmp_path / "grown")
+    centers = similarity.build_ivf_index(spark, SF_DIR, grown_dir, k=4)
+
+    # rebuild 'grown' from the old subset + ingest of the new subset
+    import shutil
+
+    shutil.rmtree(grown_dir)
+    similarity.ingest_vectors(old, grown_dir, centers)
+    similarity.ingest_vectors(new, grown_dir, centers)
+    oneshot_dir = str(tmp_path / "oneshot")
+    similarity.ingest_vectors(emb, oneshot_dir, centers)
+
+    def membership(d):
+        return {
+            (r.vec_id, r.cluster)
+            for r in spark.read.parquet(d).select("vec_id", "cluster").collect()
+        }
+
+    assert membership(grown_dir) == membership(oneshot_dir)
+
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).head().embedding]
+    got = [
+        (r.vec_id, r.sim)
+        for r in similarity.ivf_probe_index(
+            spark, grown_dir, centers, qv, nprobe=2, topk=5, exclude_vec_id=0
+        ).collect()
+    ]
+    want = [
+        (r.vec_id, r.sim)
+        for r in similarity.ivf_probe_index(
+            spark, oneshot_dir, centers, qv, nprobe=2, topk=5, exclude_vec_id=0
+        ).collect()
+    ]
+    assert got == want and len(got) == 5
