@@ -51,18 +51,20 @@ def stream_distinct_users_tumbling(spark: SparkSession, sf_dir: str) -> DataFram
     an actual streaming query whose state is per-bucket bitmaps (≤ 4 KiB
     per (window, type, 32 768-id bucket) — bounded by the id space and the
     watermark, not by event volume; see
-    streaming/events.tumbling_distinct_user_bitmaps). The emitted bitmap
-    rows are folded to counts by a stateless batch rollup — the
-    sketch-state-as-sink-output pattern that lets production re-aggregate
-    across windows with bitmap_or_agg instead of reprocessing events. The
+    streaming/events.tumbling_distinct_user_bitmaps). The stream emits
+    per-bucket COUNTS (a stateless bitmap_count projection after the
+    stateful agg — the sink carries ints, not 4 KiB blobs), and a batch
+    rollup sums buckets per window; production keeps the bitmap emission
+    (as_counts=False) to re-aggregate across windows with bitmap_or_agg
+    instead of reprocessing events. The
     oracle is plain batch COUNT(DISTINCT): event-time windows with a closed
     watermark equal batch aggregation, and the bitmap lane is exact."""
     bm = sev.tumbling_distinct_user_bitmaps(
-        spark, sf_dir, "5 minutes", output_mode="complete"
+        spark, sf_dir, "5 minutes", output_mode="complete", as_counts=True
     )
     return (
         bm.groupBy("window_start_epoch", "event_type")
-        .agg(F.sum(F.bitmap_count("bm")).alias("n_users"))
+        .agg(F.sum("bucket_users").alias("n_users"))
     )
 
 
@@ -496,13 +498,16 @@ def run_cdc_into_delta(spark: SparkSession, sf_dir: str, table: str) -> None:
     import shutil
     import tempfile
 
+    from ..streaming.events import stream_state_partitions
+
     ckpt = tempfile.mkdtemp(prefix="ckpt_cdc_")
-    q = (
-        ev.writeStream.foreachBatch(apply_batch)
-        .trigger(availableNow=True)
-        .option("checkpointLocation", ckpt)
-        .start()
-    )
+    with stream_state_partitions(spark):
+        q = (
+            ev.writeStream.foreachBatch(apply_batch)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
     try:
         q.processAllAvailable()
     finally:

@@ -26,6 +26,7 @@ import os
 import shutil
 import tempfile
 import uuid
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -39,6 +40,25 @@ from ..functions.exact import cents
 # oracle-only complete/update path and must fail LOUDLY instead of
 # OOM-ing the driver (VERDICT r4 ask #3).
 STREAM_RESULT_ROW_CEILING = 2_000_000
+
+# State-partition fan-out for bounded harness streams (see the
+# run_to_completion docstring; a deployment knob, not semantics).
+_STREAM_STATE_PARTITIONS = 8
+
+
+@contextmanager
+def stream_state_partitions(spark: SparkSession, n: int = _STREAM_STATE_PARTITIONS):
+    """Start streams under ``spark.sql.shuffle.partitions = n`` and restore
+    the previous value afterwards. A streaming query pins its state
+    partition count at .start(), so only the start call needs to sit inside
+    this window; batch plans built after restore are unaffected."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
 
 _SPILL_ROOT: str | None = None
 
@@ -97,18 +117,28 @@ def run_to_completion(agg: DataFrame, output_mode: str) -> DataFrame:
       rows are spilled to session-temp parquet, the sink temp view is
       dropped (so nothing stays pinned for the session lifetime), and the
       lazy read is returned.
+
+    State fan-out: the stream starts under ``spark.sql.shuffle.partitions
+    = {_STREAM_STATE_PARTITIONS}`` (set/restore around .start(); a
+    streaming query pins its state-partition count at start). Partition
+    count is a DEPLOYMENT knob, not semantics — results are identical —
+    and 32 HDFS-backed state-store instances per stateful operator per
+    micro-batch is pure commit overhead on a single-machine bounded
+    harness (measured r5-tail: stream-stream join 6.3 s at 32 → 2.6 s at
+    8). A cluster deployment sizes it to executor parallelism instead.
     """
     spark = agg.sparkSession
     if output_mode == "append":
         path = _session_spill_dir("sink")
-        q = (
-            agg.writeStream.outputMode("append")
-            .format("parquet")
-            .option("path", path)
-            .option("checkpointLocation", os.path.join(path, "_checkpoint"))
-            .trigger(availableNow=True)
-            .start()
-        )
+        with stream_state_partitions(spark):
+            q = (
+                agg.writeStream.outputMode("append")
+                .format("parquet")
+                .option("path", path)
+                .option("checkpointLocation", os.path.join(path, "_checkpoint"))
+                .trigger(availableNow=True)
+                .start()
+            )
         try:
             q.processAllAvailable()
         finally:
@@ -116,13 +146,14 @@ def run_to_completion(agg: DataFrame, output_mode: str) -> DataFrame:
         return spark.read.schema(agg.schema).parquet(path)
 
     name = f"out_{uuid.uuid4().hex[:12]}"
-    q = (
-        agg.writeStream.outputMode(output_mode)
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
+    with stream_state_partitions(spark):
+        q = (
+            agg.writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
     try:
         q.processAllAvailable()
     finally:
@@ -200,6 +231,7 @@ def tumbling_distinct_user_bitmaps(
     sf_dir: str,
     window: str = "5 minutes",
     output_mode: str = "append",
+    as_counts: bool = False,
 ) -> DataFrame:
     """Per-window EXACT distinct-user state as bitmaps — streaming
     cardinality without keeping raw user ids in the state store.
@@ -218,7 +250,15 @@ def tumbling_distinct_user_bitmaps(
     reprocessing events.
 
     ``output_mode`` contract as in ``tumbling_counts`` (append =
-    production; complete = bounded-input oracle comparison only)."""
+    production; complete = bounded-input oracle comparison only).
+
+    ``as_counts=True`` swaps the emitted ``bm`` bitmap for its
+    ``bitmap_count`` — a stateless projection AFTER the stateful agg, so
+    the state story is unchanged but the sink carries one int per bucket
+    instead of a 4 KiB blob. Use it whenever the consumer only needs
+    cardinalities: the complete-mode memory sink otherwise pushes
+    |windows×types×buckets| bitmaps (~150 MB at sf0.1) through the driver
+    heap, which measured as multi-second GC wobble on the lane."""
     from ..functions.sketch import bitmap_level1
 
     ev = read_event_stream(spark, sf_dir)
@@ -229,7 +269,7 @@ def tumbling_distinct_user_bitmaps(
         F.col("window.start").cast("long").alias("window_start_epoch"),
         "event_type",
         "bkt",
-        "bm",
+        F.bitmap_count("bm").alias("bucket_users") if as_counts else F.col("bm"),
     )
     return run_to_completion(agg, output_mode)
 
