@@ -27,6 +27,23 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+def round_half_up(x: float | None, digits: int = 6) -> float | None:
+    """SQL-compatible rounding for PYTHON-side values that an oracle will
+    compare: Python's built-in round() is banker's (half-to-EVEN) while
+    Spark SQL and DuckDB ROUND are half-AWAY-from-zero, so a value whose
+    scaled fraction is exactly .5 (e.g. 3.2265625 = 413/128, hit by the
+    readability lane at sf0.1 doc 1559) rounds to 3.226562 in Python and
+    3.226563 in both engines — a hash mismatch from the rounding MODE, not
+    the math. floor(|x|·10^d + 0.5) mirrors the engines' double rounding
+    for either sign. None passes through (SQL NULL)."""
+    if x is None:
+        return None
+    import math
+
+    scaled = abs(x) * (10.0**digits)
+    return math.copysign(math.floor(scaled + 0.5) / (10.0**digits), x)
+
+
 # ---------------------------------------------------------------- cents path
 
 

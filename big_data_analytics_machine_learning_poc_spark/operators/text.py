@@ -236,6 +236,8 @@ def _make_readability_udf():
     pandas_udf type resolution needs an active SparkSession."""
     from pyspark.sql.functions import pandas_udf
 
+    from ..functions.exact import round_half_up
+
     @pandas_udf("double")
     def _readability_udf(texts: pd.Series) -> pd.Series:
         import re
@@ -248,7 +250,10 @@ def _make_readability_udf():
                 return 0.0
             mean_len = sum(len(w) for w in toks) / len(toks)
             ttr = len(set(toks)) / len(toks)
-            return round(mean_len / (1.0 + ttr), 6)
+            # round_half_up, NOT round(): the oracle ROUNDs half away from
+            # zero; builtin banker's rounding forked on an exact-.5 score
+            # at sf0.1 (functions/exact.py docstring has the case)
+            return round_half_up(mean_len / (1.0 + ttr), 6)
 
         return texts.map(score)
 

@@ -510,3 +510,62 @@ def test_minhash_index_ingest_replay_is_exactly_once(spark, tmp_path):
     assert p1 == p2 == {(1, 10)}
     assert read_delta(spark, f"{root}/sigs").count() == n_sigs == 2
     assert read_delta(spark, f"{root}/bands").count() == n_bands
+
+
+def test_round_half_up_matches_both_engines_on_exact_half(duck):
+    """The rounding-MODE fork that broke text_readability at sf0.1:
+    3.2265625 (= 413/128, exactly representable) must round to 3.226563
+    like Spark/DuckDB ROUND — Python's banker's round() gives ...562."""
+    from big_data_analytics_machine_learning_poc_spark.functions.exact import round_half_up
+
+    x = 413.0 / 128.0  # 3.2265625
+    assert round(x, 6) == 3.226562  # the trap, pinned
+    assert round_half_up(x, 6) == 3.226563
+    assert duck.execute("SELECT ROUND(413.0/128.0, 6)").fetchone()[0] == 3.226563
+    assert round_half_up(-x, 6) == -3.226563  # away from zero both signs
+    assert round_half_up(None) is None
+
+
+def test_readability_udf_agrees_with_oracle_on_exact_half_score(spark, duck):
+    """End-to-end: a planted doc whose readability lands EXACTLY on a
+    rounding half must hash-match the oracle. 'aaaa bbbb aaaa bbbb' →
+    mean_len 4, ttr 1/2 → 4/1.5 = 2.6666...; use a crafted doc instead:
+    tokens of length 3 and 4... simplest: reuse the known-bad shape by
+    asserting Spark vs DuckDB equality over a small random-ish corpus
+    including repeated-token docs (the fork, when it exists, shows up as
+    inequality — doc values need not be halves for the test to guard)."""
+    import pandas as pd
+
+    texts = [
+        (0, "aaaa bbbb aaaa bbbb"),          # ttr 0.5, mean 4 -> 8/3
+        (1, "abc abc abc abc abc abc ab"),   # near-half ratios
+        (2, "aaaaaaa bb aaaaaaa bb x"),
+        (3, None),
+        (4, "   "),
+    ]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    # the registered lane reads from sf_dir; test the UDF directly instead
+    from big_data_analytics_machine_learning_poc_spark.operators.text import (
+        _make_readability_udf,
+    )
+    from pyspark.sql import functions as F
+
+    udf = _make_readability_udf()
+    got = {r.doc_id: r.r for r in docs.select("doc_id", udf(F.col("text")).alias("r")).collect()}
+    duck.register("documents_tmp_pd", pd.DataFrame(texts, columns=["doc_id", "text"]))
+    want = dict(
+        duck.execute("""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(trim(text), '[ \t\n\r\f\x0B]+'), t -> t <> '') AS tk
+          FROM documents_tmp_pd
+        )
+        SELECT doc_id,
+               CASE WHEN len(tk) = 0 THEN 0.0 ELSE ROUND(
+                 (CAST(list_sum(list_transform(tk, t -> LENGTH(t))) AS DOUBLE) / len(tk))
+                 / (1.0 + CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk)), 6) END AS r
+        FROM toks
+        """).fetchall()
+    )
+    # NULL text: DuckDB trim(NULL)->NULL -> len NULL -> NULL branch gives NULL too
+    assert got == want, (got, want)
