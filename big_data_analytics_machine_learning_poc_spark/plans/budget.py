@@ -1,0 +1,71 @@
+"""Shuffle-budget accounting: count the Exchange nodes in a query's
+executed plan, split by cost class.
+
+`lint.py` rejects plan anti-patterns (cartesian joins, row-Python,
+global windows); this module guards the OTHER scale axis — the number of
+data shuffles. Every `Exchange hashpartitioning/rangepartitioning/
+SinglePartition` node is a full materialize-and-redistribute of its
+input: at 100 TB each one is minutes of network and spill, so a code
+change that silently adds a shuffle to a lane (a lost bucketing, a
+needless `repartition`, a join that stopped broadcasting) is a
+performance regression even when every correctness gate stays green.
+
+`tools/shufflebudget.py` sweeps the full registry and compares each
+lane's counts against the committed ledger `tools/shuffle_budget.json`;
+growth fails the sweep. tests/test_plans.py pins the counter itself and
+the headline lanes' budgets.
+
+Cost classes:
+
+- ``shuffle`` — `Exchange <partitioning>` (hash / range /
+  SinglePartition): the expensive class; this is what the budget gates.
+- ``broadcast`` — `BroadcastExchange`: collect-and-replicate of a
+  SMALL side; cheap by construction (the planner only picks it under
+  `autoBroadcastJoinThreshold`, and our explicit `F.broadcast` hints
+  are KB-sized dimension/centroid/denominator frames). Recorded for
+  information, not gated — a shuffle that BECOMES a broadcast is an
+  improvement, not a regression.
+- ``reused`` — `ReusedExchange`: a pointer at an exchange counted
+  elsewhere in the plan; free at runtime.
+
+Caveats (documented, deliberate):
+
+- Counts are taken from the pre-execution `executedPlan` (AQE's
+  `isFinalPlan=false` initial plan). AQE may later COALESCE partitions
+  or convert a sort-merge join to broadcast at runtime; the static count
+  is the upper bound we budget against, and it is stable run-to-run,
+  which a post-execution count under AQE is not.
+- Lanes that return a `localCheckpoint()`-ed frame (iterative
+  algorithms, the streaming harness's materialized results) truncate
+  their lineage: the count covers the post-checkpoint plan only. Their
+  per-iteration shape is covered by the operator tests instead.
+- Join-strategy choice depends on table statistics, so the ledger is
+  pinned AT the sweep's sf_dir (sf0.01, same as the lint sweep). A lane
+  whose count differs at another SF is AQE/stats doing its job.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+from .explain import executed_plan
+
+# `Exchange` as a node name at the start of a tree-drawn line; the tree
+# prefix is whitespace/branch glyphs (`:  +- ` etc). `BroadcastExchange`
+# and `ReusedExchange` never match (different node names).
+_SHUFFLE = re.compile(r"(?m)^[\s:+*\-()0-9]*Exchange ")
+_BROADCAST = re.compile(r"(?m)^[\s:+*\-()0-9]*BroadcastExchange")
+_REUSED = re.compile(r"(?m)^[\s:+*\-()0-9]*ReusedExchange")
+
+
+def exchange_counts(df: DataFrame) -> dict[str, int]:
+    """Counts of exchange nodes by cost class in ``df``'s executed plan:
+    ``{"shuffle": n, "broadcast": n, "reused": n}``."""
+    plan = executed_plan(df)
+    return {
+        "shuffle": len(_SHUFFLE.findall(plan)),
+        "broadcast": len(_BROADCAST.findall(plan)),
+        "reused": len(_REUSED.findall(plan)),
+    }

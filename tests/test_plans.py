@@ -402,3 +402,78 @@ def test_bucketed_join_eliminates_shuffle(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved_abt)
         spark.sql("DROP TABLE IF EXISTS bt_orders")
         spark.sql("DROP TABLE IF EXISTS bt_lineitem")
+
+
+# --------------------------------------------------------------------------
+# Shuffle budget (plans/budget.py + tools/shufflebudget.py)
+# --------------------------------------------------------------------------
+
+
+def test_exchange_counts_classifies_shuffle_vs_broadcast(spark):
+    """The counter must separate data shuffles from broadcast replication:
+    a groupBy plans exactly one hash Exchange; a small-side join plans a
+    BroadcastExchange that must NOT be counted as a shuffle."""
+    from big_data_analytics_machine_learning_poc_spark.plans.budget import exchange_counts
+
+    agg = spark.range(100).groupBy((F.col("id") % 3).alias("k")).count()
+    c = exchange_counts(agg)
+    assert c["shuffle"] == 1 and c["broadcast"] == 0, c
+
+    dim = spark.range(3).withColumnRenamed("id", "k")
+    joined = agg.join(F.broadcast(dim), "k")
+    c = exchange_counts(joined)
+    assert c["broadcast"] == 1 and c["shuffle"] == 1, c
+
+
+def test_exchange_counts_sees_single_partition_and_range(spark):
+    """Global aggregates (Exchange SinglePartition) and global sorts
+    (Exchange rangepartitioning) are both real shuffles."""
+    from big_data_analytics_machine_learning_poc_spark.plans.budget import exchange_counts
+
+    glob = spark.range(100).agg(F.sum("id"))
+    assert exchange_counts(glob)["shuffle"] == 1
+
+    ranked = spark.range(100).withColumn("v", F.col("id") % 7).orderBy("v")
+    assert exchange_counts(ranked)["shuffle"] == 1
+
+
+def test_headline_lane_shuffle_budgets(spark):
+    """Pin the headline lanes' shuffle budgets: a regression that adds an
+    Exchange to these plans is a scale bug even while correctness stays
+    green. (Full-registry growth is gated by tools/shufflebudget.py
+    against tools/shuffle_budget.json.)"""
+    from big_data_analytics_machine_learning_poc_spark.plans.budget import exchange_counts
+
+    budgets = {
+        # lane -> max shuffles: agg + presentation sort
+        "group_count": 2,
+        "agg_avg_max": 2,
+        "group_filter": 2,
+        # star join: dims broadcast, fact aggregated then sorted
+        "join3_agg": 2,
+        # flagship adds an exact COUNT(DISTINCT o_orderkey): Spark plans it
+        # as two agg shuffles (re-key on (r_name, o_orderkey), then r_name)
+        # + the presentation sort — 3 is the floor for exact distinct.
+        "flagship_regional_revenue": 3,
+    }
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    for lane, cap in budgets.items():
+        c = exchange_counts(qs[lane](spark, SF_DIR))
+        assert c["shuffle"] <= cap, (lane, c)
+
+
+def test_shuffle_budget_ledger_in_sync_with_registry():
+    """Every registry lane appears in the committed ledger (regenerate via
+    tools/shufflebudget.py --baseline after adding lanes)."""
+    import json
+    from pathlib import Path
+
+    import __spark_entry__ as entrymod
+
+    ledger = json.loads(
+        (Path(__file__).resolve().parent.parent / "tools" / "shuffle_budget.json").read_text()
+    )["lanes"]
+    missing = sorted(set(entrymod.queries()) - set(ledger))
+    assert not missing, f"lanes missing from shuffle_budget.json: {missing}"
