@@ -106,16 +106,34 @@ def test_rotation_ledger_flags_changed_lanes(tmp_path, monkeypatch):
     monkeypatch.setattr(rotation, "_registry", lambda: reg)
     monkeypatch.setattr(rotation, "driver_history", lambda: hist)
     monkeypatch.setattr(rotation, "LEDGER_PATH", str(ledger_path))
+    # r6 semantics: update_ledger pins ONLY lanes whose latest green row is
+    # from the most recent round (q2 @ r2). q1's r1-green row does NOT get a
+    # fresh pin — its code may have changed since r1 without the driver
+    # re-seeing it, and re-pinning would silently clear that flag.
     n = rotation.update_ledger()
-    assert n == 2
-    # mutate q2's oracle -> hash differs from the pinned snapshot
+    assert n == 1
+    ledger = json.loads(ledger_path.read_text())
+    assert set(ledger) == {"q2"}
+    # q1 absent from the ledger -> conservatively 'changed' (re-confirm once)
+    plan = rotation.plan_window(50)
+    assert plan["changed"] == ["q1"]
+    # pin q1 by hand at its current hash (as if its r1 green just happened),
+    # then mutate q2's oracle -> only q2 flags changed
+    ledger["q1"] = {"hash": rotation.lane_hash(reg.queries["q1"], reg.oracles["q1"]), "round": 1}
+    ledger_path.write_text(json.dumps(ledger))
     reg.oracles["q2"] = "SELECT 999"
     plan = rotation.plan_window(50)
     assert plan["changed"] == ["q2"]
     assert plan["never"] == [] and plan["red"] == []
     assert plan["window"][0] == "q2"  # changed outranks stale greens
-    ledger = json.loads(ledger_path.read_text())
-    assert set(ledger) == {"q1", "q2"}
+    # regression (the r6 bug): a later update_ledger run must NOT re-pin the
+    # edited-but-not-re-driven q2... unless q2's green IS the latest round,
+    # which it is here — so simulate q1 getting a newer r3 green instead:
+    # q2's r2 row is now stale and its changed flag must survive the re-pin.
+    hist["q1"] = {"round": 3, "green": True}
+    rotation.update_ledger()
+    plan = rotation.plan_window(50)
+    assert plan["changed"] == ["q2"], "stale-green lane lost its changed flag on re-pin"
 
 
 def test_rotation_warns_when_window_overflows(monkeypatch, capsys):

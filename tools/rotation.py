@@ -190,13 +190,22 @@ def plan_window(slots: int = 50) -> dict:
 
 
 def update_ledger() -> int:
+    """Pin CURRENT lane hashes — but only for lanes whose latest green row
+    came from the most recent CORRECTNESS round. A green row at round N
+    certifies the lane as of round N's final code; re-pinning an r1-green
+    lane with today's hash would silently clear its changed-since-last-green
+    flag even though the driver never saw the edited code (r6 fix: the
+    previous unconditional re-pin did exactly that). Run this at ROUND START,
+    before any edits, so "current hash" == "hash the just-finished driver
+    round actually ran"."""
     reg = _registry()
     hist = driver_history()
     ledger = load_ledger()
+    latest = max((row["round"] for row in hist.values()), default=0)
     n = 0
     for name, fn in reg.queries.items():
         row = hist.get(name)
-        if row and row["green"]:
+        if row and row["green"] and row["round"] == latest:
             ledger[name] = {"hash": lane_hash(fn, reg.oracles.get(name)), "round": row["round"]}
             n += 1
     with open(LEDGER_PATH, "w") as f:
