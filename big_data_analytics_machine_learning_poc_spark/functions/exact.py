@@ -28,14 +28,22 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 def round_half_up(x: float | None, digits: int = 6) -> float | None:
-    """SQL-compatible rounding for PYTHON-side values that an oracle will
-    compare: Python's built-in round() is banker's (half-to-EVEN) while
-    Spark SQL and DuckDB ROUND are half-AWAY-from-zero, so a value whose
-    scaled fraction is exactly .5 (e.g. 3.2265625 = 413/128, hit by the
-    readability lane at sf0.1 doc 1559) rounds to 3.226562 in Python and
-    3.226563 in both engines — a hash mismatch from the rounding MODE, not
-    the math. floor(|x|·10^d + 0.5) mirrors the engines' double rounding
-    for either sign. None passes through (SQL NULL)."""
+    """Oracle-compatible rounding for PYTHON-side values that a DuckDB
+    oracle will compare: Python's built-in round() is banker's
+    (half-to-EVEN) while DuckDB ROUND on DOUBLE is half-AWAY-from-zero
+    (std::round on the scaled double), so a value whose scaled fraction
+    is exactly .5 (e.g. 3.2265625 = 413/128, hit by the readability lane
+    at sf0.1 doc 1559) rounds to 3.226562 in Python and 3.226563 in
+    DuckDB — a hash mismatch from the rounding MODE, not the math.
+    floor(|x|·10^d + 0.5) mirrors exactly the DuckDB scaled-double path
+    (which is what the gate compares against). It is NOT a universal
+    mirror of Spark SQL ROUND: Spark routes doubles through
+    BigDecimal.valueOf (shortest-decimal repr) then HALF_UP, which can
+    disagree with scaled-floor on values like 2.675 at 2 digits (Spark
+    2.68, scaled-floor 2.67, because 2.675 the double is
+    2.67499999999999982...). Use this helper when matching the ORACLE,
+    not when reproducing Spark's own ROUND. None passes through
+    (SQL NULL). (Scope per ADVICE r5 #2.)"""
     if x is None:
         return None
     import math

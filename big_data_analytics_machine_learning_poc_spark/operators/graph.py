@@ -48,11 +48,16 @@ def pagerank(
     redistributed uniformly (total mass == 1 every iteration).
 
     ``ckpt_every`` bounds LINEAGE DEPTH, the silent killer of iterative
-    DataFrame algorithms: each iteration adds ~4 joins to the logical plan,
-    and Catalyst (re)optimization cost is superlinear in plan size —
-    measured on sf0.1: checkpoint-every-5 ≈ 8 s, every-1 ≈ 14 s (pure job
-    overhead), NO checkpoint over 10 iterations ≈ 124 s (analysis blow-up).
-    Five keeps both failure modes bounded and is scale-independent: the
+    DataFrame algorithms — and the growth between checkpoints is
+    EXPONENTIAL, not linear: each iteration references the previous
+    ``ranks`` frame TWICE (the dangling_row aggregate and the contribs
+    join), so the un-checkpointed logical plan roughly DOUBLES per
+    iteration (~2^ckpt_every subtree copies between checkpoints). Raising
+    ckpt_every therefore degrades superlinearly — do NOT tune it upward
+    expecting a linear job-count trade (ADVICE r5 #3). Measured on
+    sf0.1: checkpoint-every-5 ≈ 8 s, every-1 ≈ 14 s (pure job overhead),
+    NO checkpoint over 10 iterations ≈ 124 s (analysis blow-up). Five
+    keeps both failure modes bounded and is scale-independent: the
     checkpoint materializes only the n_nodes-row rank vector."""
     spark = edges.sparkSession
     nodes = (

@@ -2205,11 +2205,15 @@ def parts_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     cumulative sum over the revenue-DESC order uses the range-partitioned
     two-phase prefix sum (functions/prefix.py) keyed on a composite
     (-rev, partkey) integer — unique, so the prefix is well-defined — and
-    the grand total is one 1-row aggregate collected to a literal: NO
-    global window over the data-sized per-part frame anywhere in the
-    plan (the oracle states the same numbers with ordinary windows).
-    Scale: per-part agg shuffles once; the prefix machinery adds one
-    range shuffle + a |partitions|-row broadcast."""
+    the grand total is a one-row aggregate broadcast-crossed onto the
+    top-100 frame (the scalar-subquery shape, declared in
+    plans/lint.py::ALLOWED; r6 replaced the former driver-side
+    ``collect()`` of the scalar per VERDICT r5 nit #4): NO global window
+    over the data-sized per-part frame anywhere in the plan (the oracle
+    states the same numbers with ordinary windows). Scale: per-part agg
+    shuffles once; the prefix machinery adds one range shuffle + a
+    |partitions|-row broadcast; the total broadcast crosses 1 row with
+    the 100-row filtered result."""
     from ..functions.prefix import partitioned_prefix_sum
 
     per_part = (
@@ -2221,7 +2225,6 @@ def parts_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("rev_cents")
         )
     )
-    total = per_part.agg(F.sum("rev_cents")).collect()[0][0]
     # unique, order-preserving integer key for rev DESC, partkey ASC:
     # (-rev) * 10^7 + partkey  (partkey < 10^7 at any SF here)
     keyed = per_part.withColumn(
@@ -2231,16 +2234,24 @@ def parts_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = partitioned_prefix_sum(
         pref, "_ord", F.lit(1), "rnk", 16
     )
+    # grand total summed over the prefix helper's localCheckpoint'ed
+    # per-part frame, NOT a second lineitem scan+agg; summing rev_cents
+    # (not max(cum_cents)) lets column pruning drop the Window recompute
+    # from this branch — one tiny aggregate Exchange is the whole cost
+    total = pref.agg(F.sum("rev_cents").alias("total_cents"))
     return (
         ranked.filter(F.col("rnk") <= 100)
+        .crossJoin(F.broadcast(total))
         .select(
             F.col("rnk").cast("long"),
             "l_partkey",
             "rev_cents",
             F.col("cum_cents").cast("long"),
-            F.round(F.col("cum_cents").cast("double") / F.lit(float(total)), 6).alias(
-                "cum_share"
-            ),
+            F.round(
+                F.col("cum_cents").cast("double")
+                / F.col("total_cents").cast("double"),
+                6,
+            ).alias("cum_share"),
         )
         .orderBy("rnk")
     )

@@ -30,11 +30,18 @@ Cost classes:
 
 Caveats (documented, deliberate):
 
-- Counts are taken from the pre-execution `executedPlan` (AQE's
-  `isFinalPlan=false` initial plan). AQE may later COALESCE partitions
-  or convert a sort-merge join to broadcast at runtime; the static count
-  is the upper bound we budget against, and it is stable run-to-run,
-  which a post-execution count under AQE is not.
+- Counts are taken from AQE's INITIAL plan. AQE may later COALESCE
+  partitions or convert a sort-merge join to broadcast at runtime; the
+  static count is the upper bound we budget against, and it is stable
+  run-to-run, which a post-execution count under AQE is not. r6 fix: an
+  `AdaptiveSparkPlan` that HAS executed renders toString as
+  "== Final Plan == ... == Initial Plan == ..." — counting the whole
+  string double-counted every Exchange for any frame that had been
+  collected before measurement (the entry module's fingerprint wrapper
+  collects at sf0.01, so a lane's count depended on its
+  `_FINGERPRINT_QUERIES` membership). `exchange_counts` now slices to
+  the Initial-Plan section when the marker is present, making the count
+  invariant to whether the frame was executed.
 - Lanes that return a `localCheckpoint()`-ed frame (iterative
   algorithms, the streaming harness's materialized results) truncate
   their lineage: the count covers the post-checkpoint plan only. Their
@@ -60,10 +67,32 @@ _BROADCAST = re.compile(r"(?m)^[\s:+*\-()0-9]*BroadcastExchange")
 _REUSED = re.compile(r"(?m)^[\s:+*\-()0-9]*ReusedExchange")
 
 
+def _drop_final_plan_sections(plan: str) -> str:
+    """Strip every "== Final Plan ==" section, keeping the matching
+    "== Initial Plan ==" that follows it. Line-wise state machine rather
+    than a single split: a cached/inner adaptive plan can contribute its
+    own Final/Initial pair nested inside an un-executed outer plan."""
+    out, skipping = [], False
+    for line in plan.splitlines():
+        if "== Final Plan ==" in line:
+            skipping = True
+            continue
+        if "== Initial Plan ==" in line:
+            skipping = False
+            continue
+        if not skipping:
+            out.append(line)
+    return "\n".join(out)
+
+
 def exchange_counts(df: DataFrame) -> dict[str, int]:
-    """Counts of exchange nodes by cost class in ``df``'s executed plan:
-    ``{"shuffle": n, "broadcast": n, "reused": n}``."""
-    plan = executed_plan(df)
+    """Counts of exchange nodes by cost class in ``df``'s plan:
+    ``{"shuffle": n, "broadcast": n, "reused": n}``. Counts the AQE
+    INITIAL plan only (see module caveats): for an already-executed
+    adaptive plan, toString carries both Final and Initial sections —
+    dropping the Final sections keeps the count identical to what an
+    un-executed frame reports."""
+    plan = _drop_final_plan_sections(executed_plan(df))
     return {
         "shuffle": len(_SHUFFLE.findall(plan)),
         "broadcast": len(_BROADCAST.findall(plan)),

@@ -139,6 +139,11 @@ ALLOWED: dict[str, dict[str, str]] = {
         "nested_loop": "two one-row aggregate broadcasts (reference day, "
         "then the three medians) onto the per-customer frame"
     },
+    "parts_pareto_share": {
+        "nested_loop": "broadcast one-row revenue-total aggregate onto the "
+        "100-row filtered Pareto frame (r6: replaced the driver-side "
+        "collect of the scalar with the repo's scalar-subquery shape)"
+    },
     "graph_pagerank_procurement": {
         "nested_loop": "per-iteration broadcast of the one-row dangling-"
         "mass aggregate (the scalar-subquery shape, replacing r4's "

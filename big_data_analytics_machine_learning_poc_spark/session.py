@@ -31,7 +31,6 @@ def get_session(
     app_name: str = "bdaml-poc-spark",
     cpus: int | None = None,
     profile: str = "scale",
-    extra_confs: dict[str, str] | None = None,
 ) -> SparkSession:
     """Build (or reuse) a local SparkSession tuned for this machine.
 
@@ -92,11 +91,6 @@ def get_session(
         # probed footer type). Set once, engine-wide (batch + stream).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
-    # Caller overrides (e.g. tools/shufflevolume.py re-enables the UI for
-    # its REST metrics). Applied last so they win over the profile; the
-    # getOrCreate-reuse caveat below applies to these too.
-    for k, v in (extra_confs or {}).items():
-        builder = builder.config(k, v)
     spark = builder.getOrCreate()
     ensure_session_defaults(spark)  # getOrCreate may reuse a pre-existing session
     # getOrCreate silently IGNORES every config above when it reuses an

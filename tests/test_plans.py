@@ -437,6 +437,25 @@ def test_exchange_counts_sees_single_partition_and_range(spark):
     assert exchange_counts(ranked)["shuffle"] == 1
 
 
+def test_exchange_counts_invariant_to_execution(spark):
+    """An executed AdaptiveSparkPlan's toString carries BOTH '== Final
+    Plan ==' and '== Initial Plan ==' sections; counting the raw string
+    doubled every Exchange for any frame collected before measurement
+    (the entry module's fingerprint wrapper does exactly that at sf0.01).
+    The count must be identical before and after an action. (r6 fix)"""
+    from big_data_analytics_machine_learning_poc_spark.plans.budget import exchange_counts
+
+    df = spark.range(100).withColumn("v", F.col("id") % 7).orderBy("v")
+    before = exchange_counts(df)
+    df.collect()
+    from big_data_analytics_machine_learning_poc_spark.plans.explain import executed_plan
+
+    assert "== Initial Plan ==" in executed_plan(df), (
+        "precondition: collect() should finalize the adaptive plan"
+    )
+    assert exchange_counts(df) == before
+
+
 def test_headline_lane_shuffle_budgets(spark):
     """Pin the headline lanes' shuffle budgets: a regression that adds an
     Exchange to these plans is a scale bug even while correctness stays

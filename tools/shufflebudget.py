@@ -14,7 +14,12 @@ committed ledger ``tools/shuffle_budget.json``:
 - lane not in ledger         -> note it (new lane: run --baseline)
 
 Broadcast/reused counts are recorded in the ledger for plan-shape
-diffing but never gated. Exit 1 on any growth or construction error.
+diffing but (in general) not gated — a shuffle that becomes a broadcast
+is an improvement. EXCEPTION (VERDICT r5 ask #8): for the headline star
+joins in ``_BROADCAST_PINNED``, a broadcast-count DROP also fails — a
+lost dimension broadcast that degrades to a different broadcast shape
+(rather than a shuffle) would otherwise slip through. Exit 1 on any
+gated regression or construction error.
 """
 
 from __future__ import annotations
@@ -26,6 +31,10 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 LEDGER = os.path.join(os.path.dirname(os.path.abspath(__file__)), "shuffle_budget.json")
+
+# Headline star joins whose dimension broadcasts are load-bearing for the
+# bench numbers: broadcast count must not DROP below the ledger either.
+_BROADCAST_PINNED = frozenset({"flagship_regional_revenue", "join3_agg"})
 
 
 def main() -> int:
@@ -62,6 +71,12 @@ def main() -> int:
         elif counts["shuffle"] > prior[name]["shuffle"]:
             print(f"GREW   {name}: shuffle {prior[name]['shuffle']} -> {counts['shuffle']}")
             n_grew += 1
+        elif name in _BROADCAST_PINNED and counts["broadcast"] < prior[name]["broadcast"]:
+            print(
+                f"LOST   {name}: broadcast {prior[name]['broadcast']} -> "
+                f"{counts['broadcast']} (broadcast-pinned lane)"
+            )
+            n_grew += 1
         elif counts["shuffle"] < prior[name]["shuffle"]:
             print(f"shrank {name}: shuffle {prior[name]['shuffle']} -> {counts['shuffle']}")
             n_shrank += 1
@@ -70,11 +85,31 @@ def main() -> int:
     spark.stop()
 
     if baseline:
-        merged = dict(prior) if only else {}
+        # Always seed from the prior ledger (full sweeps included): a lane
+        # that ERRORED this sweep keeps its previous entry instead of
+        # silently vanishing from the ledger. If it errored AND has no
+        # prior entry, refuse to write — a ledger missing lanes would make
+        # the registry-sync test the only thing standing between a broken
+        # lane and an ungated shuffle regression. (ADVICE r5 #4)
+        merged = dict(prior)
         merged.update(lanes)
+        # drop ledger entries for lanes no longer in the registry
+        merged = {n: v for n, v in merged.items() if n in entrymod.queries()}
+        missing = [
+            n for n in entrymod.queries() if (not only or n in only) and n not in merged
+        ]
+        if missing:
+            print(
+                f"\nREFUSING to write ledger: {len(missing)} lane(s) errored "
+                f"with no prior entry: {missing[:10]}"
+            )
+            return 1
         with open(LEDGER, "w") as f:
             json.dump({"sf_dir": sf_dir, "lanes": dict(sorted(merged.items()))}, f, indent=1)
-        print(f"\nledger written: {len(merged)} lanes -> {LEDGER}")
+        print(
+            f"\nledger written: {len(merged)} lanes -> {LEDGER}"
+            + (f" ({n_err} errored lane(s) kept their prior entries)" if n_err else "")
+        )
         return 1 if n_err else 0
 
     print(f"\n{n_ok} ok, {n_grew} grew, {n_shrank} shrank, {n_new} new, {n_err} errors")
