@@ -1,6 +1,10 @@
 """Local mimic of the driver's DuckDB differential gate.
 
     python tools/compare.py [sf_dir] [query ...]
+
+``sweep()`` is importable — tools/sweep3.py reuses it to run the same
+gate at several scale factors in one session (VERDICT r5 ask #6: the
+sf0.1 sweep caught a banker's-rounding fork the gate SF could not see).
 """
 
 from __future__ import annotations
@@ -14,31 +18,24 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import duckdb
 
 
-def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
-
+def sweep(spark, sf_dir: str, only: set[str] | None = None, sidecar_suffix: str = ""):
+    """Run the differential gate for ``only`` (or every) registered lane at
+    ``sf_dir``; returns (n_pass, n_fail, n_rowsonly). ``sidecar_suffix``
+    keeps multi-SF runs from clobbering the canonical sf0.01 DIAG
+    sidecars."""
     import __spark_entry__ as entrymod
     from big_data_analytics_machine_learning_poc_spark.oracle import compare_query, register_views
-    from big_data_analytics_machine_learning_poc_spark.session import get_session
 
-    spark = get_session("compare", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "16")))
     con = duckdb.connect()
     register_views(con, sf_dir)
 
     # RAW registry, not entrymod.queries(): the instrumented wrappers would
-    # run the 12 _FINGERPRINT_QUERIES' Spark job + oracle SQL a second time
+    # run the _FINGERPRINT_QUERIES' Spark job + oracle SQL a second time
     # each at the correctness SF (the sidecars below already capture both
     # fingerprints)
     reg = entrymod._registry()
     qs = reg.queries
     oracles = reg.oracles
-    unknown = only - set(qs)
-    if unknown:
-        # a typo'd name silently matching nothing would print '0 pass,
-        # 0 fail' and exit 0 — fail loudly instead
-        print(f"ERROR unknown query names: {sorted(unknown)}")
-        return 2
     n_pass = n_fail = n_rowsonly = 0
     for name, fn in qs.items():
         if only and name not in only:
@@ -59,7 +56,9 @@ def main() -> int:
                 continue
             # sidecar always on: full-sweep reds must leave a DIAG artifact
             # (r2 ask)
-            problems = compare_query(sdf, con, oracles[name], sidecar=name)
+            problems = compare_query(
+                sdf, con, oracles[name], sidecar=name + sidecar_suffix
+            )
         except Exception as e:  # noqa: BLE001 — report and keep sweeping
             print(f"FAIL  {name}: {type(e).__name__}: {str(e)[:300]}")
             n_fail += 1
@@ -70,6 +69,26 @@ def main() -> int:
         else:
             print(f"PASS  {name} [{time.time()-t0:.1f}s]")
             n_pass += 1
+    con.close()
+    return n_pass, n_fail, n_rowsonly
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as entrymod
+    from big_data_analytics_machine_learning_poc_spark.session import get_session
+
+    unknown = only - set(entrymod._registry().queries)
+    if unknown:
+        # a typo'd name silently matching nothing would print '0 pass,
+        # 0 fail' and exit 0 — fail loudly instead
+        print(f"ERROR unknown query names: {sorted(unknown)}")
+        return 2
+
+    spark = get_session("compare", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "16")))
+    n_pass, n_fail, n_rowsonly = sweep(spark, sf_dir, only)
     print(f"\n{n_pass} pass, {n_fail} fail, {n_rowsonly} rows-only")
     spark.stop()
     return 1 if n_fail else 0
