@@ -135,6 +135,15 @@ def main() -> int:
     report = sweep(args.sf_dir, args.lanes, args.runs, args.cpus)
     out_path = args.out or args.write_baseline
     if out_path:
+        # subset --write-baseline MERGES into an existing baseline instead
+        # of truncating it to the subset (the same dropped-lanes hazard
+        # ADVICE r5 #4 flagged for shufflebudget --baseline)
+        if args.write_baseline and args.lanes and os.path.exists(out_path):
+            with open(out_path) as f:
+                prior = json.load(f)
+            prior["lanes"].update(report["lanes"])
+            prior["loadavg_start"] = report["loadavg_start"]
+            report = prior
         with open(out_path, "w") as f:
             json.dump(report, f, indent=1, sort_keys=True)
         print(f"report -> {out_path}", file=sys.stderr)
