@@ -496,3 +496,48 @@ def test_shuffle_budget_ledger_in_sync_with_registry():
     )["lanes"]
     missing = sorted(set(entrymod.queries()) - set(ledger))
     assert not missing, f"lanes missing from shuffle_budget.json: {missing}"
+
+
+def test_perfsweep_subset_write_baseline_merges(tmp_path, monkeypatch):
+    """perfsweep --write-baseline with a lane SUBSET must merge into the
+    existing baseline, not truncate it to the subset (the dropped-lanes
+    hazard class from ADVICE r5 #4)."""
+    import json
+    import sys
+
+    from tools import perfsweep
+
+    base = tmp_path / "perf_baseline.json"
+    base.write_text(
+        json.dumps(
+            {
+                "cpus": 4,
+                "runs": 3,
+                "sf_dir": "sfX",
+                "loadavg_start": [0.5],
+                "lanes": {
+                    "kept_lane": {"median_s": 1.0, "oneshot_s": 2.0, "rows": 1},
+                    "swept_lane": {"median_s": 9.0, "oneshot_s": 9.0, "rows": 1},
+                },
+            }
+        )
+    )
+    fake_report = {
+        "cpus": 4,
+        "runs": 3,
+        "sf_dir": "sfX",
+        "loadavg_start": [0.7],
+        "lanes": {"swept_lane": {"median_s": 1.5, "oneshot_s": 2.5, "rows": 1}},
+    }
+    monkeypatch.setattr(perfsweep, "sweep", lambda *a, **k: fake_report)
+    monkeypatch.setattr(
+        sys,
+        "argv",
+        ["perfsweep.py", "sfX", "swept_lane", "--write-baseline", str(base)],
+    )
+    assert perfsweep.main() == 0
+    merged = json.loads(base.read_text())
+    assert set(merged["lanes"]) == {"kept_lane", "swept_lane"}
+    assert merged["lanes"]["swept_lane"]["median_s"] == 1.5
+    assert merged["lanes"]["kept_lane"]["median_s"] == 1.0
+    assert merged["loadavg_start"] == [0.7]
