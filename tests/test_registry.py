@@ -114,12 +114,17 @@ def test_rotation_ledger_flags_changed_lanes(tmp_path, monkeypatch):
     assert n == 1
     ledger = json.loads(ledger_path.read_text())
     assert set(ledger) == {"q2"}
+    assert ledger["q2"].get("v") == rotation.LEDGER_VERSION
     # q1 absent from the ledger -> conservatively 'changed' (re-confirm once)
     plan = rotation.plan_window(50)
     assert plan["changed"] == ["q1"]
     # pin q1 by hand at its current hash (as if its r1 green just happened),
     # then mutate q2's oracle -> only q2 flags changed
-    ledger["q1"] = {"hash": rotation.lane_hash(reg.queries["q1"], reg.oracles["q1"]), "round": 1}
+    ledger["q1"] = {
+        "hash": rotation.lane_hash(reg.queries["q1"], reg.oracles["q1"]),
+        "round": 1,
+        "v": rotation.LEDGER_VERSION,
+    }
     ledger_path.write_text(json.dumps(ledger))
     reg.oracles["q2"] = "SELECT 999"
     plan = rotation.plan_window(50)
@@ -151,3 +156,71 @@ def test_rotation_warns_when_window_overflows(monkeypatch, capsys):
     plan = rotation.plan_window(50)
     assert len(plan["window"]) == 50 and len(plan["never"]) == 51
     assert "NO driver row" in capsys.readouterr().err
+
+
+def test_rotation_v1_pins_compare_under_v1(tmp_path, monkeypatch):
+    """A ledger entry without a version marker (v1 era) must be compared
+    under the v1 formula: bumping LEDGER_VERSION alone must not flag the
+    lane as changed."""
+    import json
+
+    from tools import rotation
+
+    hist = {"q1": {"round": 1, "green": True}}
+
+    class FakeReg:
+        def __init__(self):
+            self.queries = {"q1": lambda s, d: None}
+            self.oracles = {"q1": "SELECT 1"}
+
+    reg = FakeReg()
+    ledger_path = tmp_path / "ledger.json"
+    monkeypatch.setattr(rotation, "_registry", lambda: reg)
+    monkeypatch.setattr(rotation, "driver_history", lambda: hist)
+    monkeypatch.setattr(rotation, "LEDGER_PATH", str(ledger_path))
+    # v1-era pin: hash computed under version 1, no "v" key
+    ledger_path.write_text(
+        json.dumps(
+            {"q1": {"hash": rotation.lane_hash(reg.queries["q1"], "SELECT 1", 1), "round": 1}}
+        )
+    )
+    plan = rotation.plan_window(50)
+    assert plan["changed"] == [], "v1 pin spuriously flagged under v2 formula"
+    # ...but a real oracle edit still flags it
+    reg.oracles["q1"] = "SELECT 2"
+    plan = rotation.plan_window(50)
+    assert plan["changed"] == ["q1"]
+
+
+def test_rotation_v2_sees_body_imports_and_local_helpers():
+    """The two v1 blind spots, pinned closed: (a) a lane whose BODY does a
+    relative import must fold that file into its v2 hash; (b) a lane
+    calling a same-module helper must fold the helper's source in
+    (transitively)."""
+    import __spark_entry__ as entrymod
+    from tools import rotation
+
+    reg = entrymod._registry()
+    # (a) parts_pareto_share imports functions/prefix.py inside its body;
+    # delta_dml_audit imports sources/delta_lite.py via a multiline
+    # parenthesized import
+    pareto_files = rotation._body_import_files(reg.queries["parts_pareto_share"])
+    assert any(f.endswith("functions/prefix.py") for f in pareto_files), pareto_files
+    dml_files = rotation._body_import_files(reg.queries["delta_dml_audit"])
+    assert any(f.endswith("sources/delta_lite.py") for f in dml_files), dml_files
+    # (b) ann_pq_adc calls pq_encode/train_pq_codebooks in its own module:
+    # its local-refs digest must include their sources — assert by checking
+    # the digest is real (not the no-refs sentinel) and includes the
+    # transitive helper _kmeans_lloyd via train_pq_codebooks
+    import sys
+    import types
+
+    fn = reg.queries["ann_pq_adc"]
+    assert rotation._local_refs_digest(fn) not in ("norefs", "nomod")
+    mod = sys.modules[fn.__module__]
+    assert isinstance(getattr(mod, "_kmeans_lloyd"), types.FunctionType)
+    # digest changes when a referenced helper's source would change: pin by
+    # recomputing against a monkeypatched getsource is overkill — instead
+    # pin that v2 != v1 for this lane (the extra terms are load-bearing)
+    oracle = reg.oracles.get("ann_pq_adc")
+    assert rotation.lane_hash(fn, oracle, 1) != rotation.lane_hash(fn, oracle, 2)

@@ -74,9 +74,10 @@ def _module_closure_digest(mod_name: str | None) -> str:
     — the lane's own source is hashed separately at function granularity).
     This is what lets a HARNESS edit (streaming/events.py, catalog.py,
     functions/*) flag every dependent lane as changed-since-last-green,
-    not just lanes whose own body was touched. Limitation (documented):
-    imports made INSIDE function bodies are invisible here — keep shared
-    helpers imported at module level in operator modules."""
+    not just lanes whose own body was touched. Imports made INSIDE
+    function bodies are invisible here — covered since v2 by
+    _body_import_digest; same-module helper references by
+    _local_refs_digest."""
     if not mod_name:
         return "nomod"
     if mod_name in _closure_cache:
@@ -104,12 +105,143 @@ def _module_closure_digest(mod_name: str | None) -> str:
     return digest
 
 
-def lane_hash(fn, oracle: str | None) -> str:
+# Ledger hash-formula version. v1: function source + oracle + module-level
+# import closure. v2 (r6) closes v1's two documented blind spots:
+# (a) files named by RELATIVE IMPORTS INSIDE the function body — 42
+#     operator-lane bodies do `from ..sources.delta_lite import ...`-style
+#     local imports, so an edit to delta_lite.py never dep-flagged those
+#     lanes unless their MODULE also imported it at top level;
+# (b) SAME-MODULE helpers — the closure digest excludes the defining
+#     module's own file (the lane's source is hashed at function
+#     granularity), so an edit to a helper like similarity.pq_encode never
+#     flagged the lanes calling it. v2 hashes the transitive same-module
+#     function references (via co_names) plus referenced module constants.
+# Entries record their version; plan_window compares each pin under the
+# formula it was written with, so bumping the formula does not spuriously
+# flag every lane — lanes migrate to v2 as they re-confirm. (No bulk
+# migration on purpose: re-stamping an OLD v1 pin at v2 would certify
+# body-import dependency states the driver never re-saw.)
+LEDGER_VERSION = 2
+
+_BODY_IMPORT_RE = re.compile(
+    # names: either a same-line list, or a parenthesized (possibly
+    # multiline) list — DOTALL-free by matching non-')' inside the parens
+    r"(?m)^\s*from\s+(\.+)([\w.]*)\s+import\s+(?:\(([^)]*)\)|([\w, ]+))"
+)
+
+
+def _body_import_files(fn) -> set[str]:
+    """Package files referenced by relative imports INSIDE the function's
+    own source, resolved textually against the defining module's package
+    (the modules need not be imported yet — lanes do these imports lazily
+    at call time)."""
+    mod_name = getattr(fn, "__module__", "") or ""
+    try:
+        src = inspect.getsource(fn)
+    except (OSError, TypeError):
+        return set()
+    pkg_parts = mod_name.split(".")[:-1]
+    files: set[str] = set()
+    for m in _BODY_IMPORT_RE.finditer(src):
+        dots, rel = m.group(1), m.group(2)
+        names = m.group(3) or m.group(4) or ""
+        up = len(dots) - 1
+        if up > len(pkg_parts):
+            continue
+        base = pkg_parts[: len(pkg_parts) - up] if up else list(pkg_parts)
+        target = base + [p for p in rel.split(".") if p]
+        root = os.path.join(REPO, *target)
+        if os.path.isfile(root + ".py"):
+            files.add(root + ".py")
+        elif os.path.isdir(root):
+            init = os.path.join(root, "__init__.py")
+            if os.path.isfile(init):
+                files.add(init)
+            # `from ..pkg import submodule` — include named submodules too
+            for nm in names.split(","):
+                f = os.path.join(root, nm.strip() + ".py")
+                if os.path.isfile(f):
+                    files.add(f)
+    return files
+
+
+def _local_refs_digest(fn) -> str:
+    """Digest of the SAME-MODULE functions ``fn`` references, transitively
+    (helper → helper), plus referenced module-level simple constants —
+    the v2 fix for blind spot (b): an edit to a module-local helper now
+    changes every calling lane's hash without flagging the module's
+    unrelated lanes. References are taken from co_names (including nested
+    code objects, so lambdas/inner defs count)."""
+    import sys
+    import types
+
+    mod = sys.modules.get(getattr(fn, "__module__", "") or "")
+    if mod is None:
+        return "nomod"
+    payload: list[str] = []
+    seen: set[str] = set()
+    visited_fns: set[int] = {id(fn)}
+    stack = [fn]
+    while stack:
+        f = stack.pop()
+        code = getattr(f, "__code__", None)
+        if code is None:
+            continue
+        names = set(code.co_names)
+        consts = list(code.co_consts)
+        while consts:
+            c = consts.pop()
+            if isinstance(c, types.CodeType):
+                names |= set(c.co_names)
+                consts.extend(c.co_consts)
+        for nm in names:
+            if nm in seen or nm.startswith("__"):
+                continue
+            seen.add(nm)
+            v = getattr(mod, nm, None)
+            if (
+                isinstance(v, types.FunctionType)
+                and getattr(v, "__module__", None) == fn.__module__
+                and id(v) not in visited_fns
+            ):
+                visited_fns.add(id(v))
+                try:
+                    payload.append(re.sub(r"\s+", " ", inspect.getsource(v)))
+                except (OSError, TypeError):
+                    payload.append(nm)
+                stack.append(v)
+            elif isinstance(v, (int, float, str, bytes, tuple, frozenset)):
+                payload.append(f"{nm}={v!r}")
+    if not payload:
+        return "norefs"
+    h = hashlib.sha256()
+    for p in sorted(payload):
+        h.update(p.encode())
+        h.update(b"\x00")
+    return h.hexdigest()[:16]
+
+
+def _body_import_digest(fn) -> str:
+    files = _body_import_files(fn)
+    if not files:
+        return "nobody"
+    h = hashlib.sha256()
+    for f in sorted(files):
+        try:
+            h.update(re.sub(rb"\s+", b" ", open(f, "rb").read()))
+        except OSError:
+            h.update(f.encode())
+        h.update(b"\x00")
+    return h.hexdigest()[:16]
+
+
+def lane_hash(fn, oracle: str | None, version: int = LEDGER_VERSION) -> str:
     """Hash of the lane's current definition: the query function's source
     (falling back to module source for non-introspectable callables), the
-    oracle SQL text, and the defining module's intra-package import
-    closure (see _module_closure_digest). Whitespace-normalized so
-    reformatting alone does not force a re-confirm."""
+    oracle SQL text, the defining module's intra-package import closure
+    (see _module_closure_digest), and — from v2 — the files its body-level
+    relative imports name. Whitespace-normalized so reformatting alone
+    does not force a re-confirm."""
     try:
         src = inspect.getsource(fn)
     except (OSError, TypeError):
@@ -117,9 +249,13 @@ def lane_hash(fn, oracle: str | None) -> str:
     norm = re.sub(r"\s+", " ", src).strip()
     onorm = re.sub(r"\s+", " ", oracle or "").strip()
     closure = _module_closure_digest(getattr(fn, "__module__", None))
-    return hashlib.sha256(
-        f"{norm}\n--oracle--\n{onorm}\n--deps--\n{closure}".encode()
-    ).hexdigest()[:16]
+    payload = f"{norm}\n--oracle--\n{onorm}\n--deps--\n{closure}"
+    if version >= 2:
+        payload += (
+            f"\n--bodydeps--\n{_body_import_digest(fn)}"
+            f"\n--localrefs--\n{_local_refs_digest(fn)}"
+        )
+    return hashlib.sha256(payload.encode()).hexdigest()[:16]
 
 
 def driver_history() -> dict[str, dict]:
@@ -156,13 +292,16 @@ def plan_window(slots: int = 50) -> dict:
 
     never, red, changed, greens = [], [], [], []
     for name, fn in reg.queries.items():
-        h = lane_hash(fn, reg.oracles.get(name))
         row = hist.get(name)
+        entry = ledger.get(name, {})
+        # compare each pin under the formula version it was written with
+        # (absent version = v1) so a formula bump alone flags nothing
+        h = lane_hash(fn, reg.oracles.get(name), entry.get("v", 1))
         if row is None:
             never.append(name)
         elif not row["green"]:
             red.append(name)
-        elif ledger.get(name, {}).get("hash") != h:
+        elif entry.get("hash") != h:
             changed.append((row["round"], name))
         else:
             greens.append((row["round"], name))
@@ -206,7 +345,11 @@ def update_ledger() -> int:
     for name, fn in reg.queries.items():
         row = hist.get(name)
         if row and row["green"] and row["round"] == latest:
-            ledger[name] = {"hash": lane_hash(fn, reg.oracles.get(name)), "round": row["round"]}
+            ledger[name] = {
+                "hash": lane_hash(fn, reg.oracles.get(name)),
+                "round": row["round"],
+                "v": LEDGER_VERSION,
+            }
             n += 1
     with open(LEDGER_PATH, "w") as f:
         json.dump(ledger, f, indent=1, sort_keys=True)
