@@ -541,3 +541,48 @@ def test_perfsweep_subset_write_baseline_merges(tmp_path, monkeypatch):
     assert merged["lanes"]["swept_lane"]["median_s"] == 1.5
     assert merged["lanes"]["kept_lane"]["median_s"] == 1.0
     assert merged["loadavg_start"] == [0.7]
+
+
+def test_benchfloor_gate_logic(monkeypatch, capsys):
+    """benchfloor must (a) SKIP (exit 0) when bench measured under load,
+    (b) pass when all prepared medians are under 2x their quiet pins,
+    (c) fail listing the breaching lane otherwise. bench.py itself is
+    monkeypatched out — this pins the gate logic, not the measurement."""
+    import json
+    import subprocess
+    import types
+
+    from tools import benchfloor
+
+    def fake_bench(queries, load):
+        payload = {
+            "metric": "bench_total_6q",
+            "value": round(sum(queries.values()), 4),
+            "queries": queries,
+            "loadavg_start": [load],
+        }
+        return types.SimpleNamespace(
+            returncode=0, stdout=json.dumps(payload) + "\n", stderr=""
+        )
+
+    quiet = dict(benchfloor._QUIET_MEDIANS_S)
+
+    # (a) loud machine -> skip
+    monkeypatch.setattr(
+        subprocess, "run", lambda *a, **k: fake_bench(quiet, 7.5)
+    )
+    assert benchfloor.main() == 0
+    assert "SKIP" in capsys.readouterr().out
+
+    # (b) quiet + at-pin medians -> pass
+    monkeypatch.setattr(subprocess, "run", lambda *a, **k: fake_bench(quiet, 0.4))
+    assert benchfloor.main() == 0
+    assert "within 2x quiet floor" in capsys.readouterr().out
+
+    # (c) quiet + one lane at 2.5x its pin -> fail, named
+    slow = dict(quiet)
+    slow["group_count"] = quiet["group_count"] * 2.5
+    monkeypatch.setattr(subprocess, "run", lambda *a, **k: fake_bench(slow, 0.4))
+    assert benchfloor.main() == 1
+    out = capsys.readouterr().out
+    assert "BREACH" in out and "group_count" in out
