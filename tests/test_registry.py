@@ -216,7 +216,7 @@ def test_rotation_v2_sees_body_imports_and_local_helpers():
     import types
 
     fn = reg.queries["ann_pq_adc"]
-    assert rotation._local_refs_digest(fn) not in ("norefs", "nomod")
+    assert rotation._local_refs_digest(fn, 2) not in ("norefs", "nomod")
     mod = sys.modules[fn.__module__]
     assert isinstance(getattr(mod, "_kmeans_lloyd"), types.FunctionType)
     # digest changes when a referenced helper's source would change: pin by
@@ -224,3 +224,38 @@ def test_rotation_v2_sees_body_imports_and_local_helpers():
     # pin that v2 != v1 for this lane (the extra terms are load-bearing)
     oracle = reg.oracles.get("ann_pq_adc")
     assert rotation.lane_hash(fn, oracle, 1) != rotation.lane_hash(fn, oracle, 2)
+
+
+def test_rotation_v3_ignores_comment_and_docstring_edits():
+    """v3 pins survive pure-documentation edits (the r6 ADVICE doc-only
+    fixes re-flagged ~24 behavior-unchanged lanes under v2 — that churn is
+    what v3 removes) while still flagging any executable-token change."""
+    from tools import rotation
+
+    base = (
+        "def lane(spark, sf):\n"
+        '    """original docstring"""\n'
+        "    # original comment\n"
+        "    x = 1\n"
+        "    return x\n"
+    )
+    doc_edit = (
+        "def lane(spark, sf):\n"
+        '    """REWRITTEN docstring, twice as long and totally different"""\n'
+        "    # a brand-new comment\n"
+        "    x = 1  # trailing note\n"
+        "    return x\n"
+    )
+    code_edit = base.replace("x = 1", "x = 2")
+    n = rotation._norm_src
+    assert n(base, 3) == n(doc_edit, 3), "doc-only edit changed the v3 form"
+    assert n(base, 3) != n(code_edit, 3), "code edit must change the v3 form"
+    # v2 stays doc-sensitive (existing pins keep their recorded semantics)
+    assert n(base, 2) != n(doc_edit, 2)
+    # same insensitivity for whole-file (closure/body-import) bytes
+    nb = rotation._norm_file_bytes
+    assert nb(base.encode(), 3) == nb(doc_edit.encode(), 3)
+    assert nb(base.encode(), 3) != nb(code_edit.encode(), 3)
+    # unparseable text falls back to whitespace normalization, never raises
+    assert rotation._stripped_source("def broken(:") is None
+    assert n("def broken(:", 3) == "def broken(:"

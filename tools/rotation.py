@@ -65,10 +65,63 @@ def _registry():
 
 
 _PKG_PREFIX = "big_data_analytics_machine_learning_poc_spark"
-_closure_cache: dict[str, str] = {}
+_closure_cache: dict[tuple[str, int], str] = {}
 
 
-def _module_closure_digest(mod_name: str | None) -> str:
+def _stripped_source(src: str) -> str | None:
+    """Comment- and docstring-free canonical rendering (v3): parse →
+    replace every docstring Expr with ``pass`` → ast.unparse (comments
+    never survive parsing, so they vanish for free). Returns None when the
+    text isn't standalone-parseable (caller falls back to the v1/v2
+    whitespace normalization)."""
+    import ast
+    import textwrap
+
+    try:
+        tree = ast.parse(textwrap.dedent(src))
+    except SyntaxError:
+        return None
+    for node in ast.walk(tree):
+        body = getattr(node, "body", None)
+        if (
+            isinstance(body, list)
+            and body
+            and isinstance(body[0], ast.Expr)
+            and isinstance(body[0].value, ast.Constant)
+            and isinstance(body[0].value.value, str)
+        ):
+            body[0] = ast.Pass()
+    return ast.unparse(tree)
+
+
+def _norm_src(src: str, version: int) -> str:
+    """Version-correct source normalization. v1/v2: whitespace-collapsed
+    raw text (reformatting-insensitive, but a docstring or comment edit
+    still changes the hash). v3: AST-rendered with docstrings/comments
+    stripped — a pure-documentation edit no longer dep-flags a lane (the
+    r6 ADVICE/VERDICT doc-only fixes to exact.py/graph.py re-flagged ~24
+    already-green lanes whose behavior was untouched; that churn is what
+    v3 removes). Behavior edits still flag: the AST rendering preserves
+    every executable token."""
+    if version >= 3:
+        s = _stripped_source(src)
+        if s is not None:
+            return s
+    return re.sub(r"\s+", " ", src).strip()
+
+
+def _norm_file_bytes(raw: bytes, version: int) -> bytes:
+    if version >= 3:
+        try:
+            s = _stripped_source(raw.decode("utf-8"))
+        except UnicodeDecodeError:
+            s = None
+        if s is not None:
+            return s.encode("utf-8")
+    return re.sub(rb"\s+", b" ", raw)
+
+
+def _module_closure_digest(mod_name: str | None, version: int) -> str:
     """Digest of the package files the lane's defining module imports at
     module level (one hop, intra-package, excluding the module's own file
     — the lane's own source is hashed separately at function granularity).
@@ -80,8 +133,9 @@ def _module_closure_digest(mod_name: str | None) -> str:
     _local_refs_digest."""
     if not mod_name:
         return "nomod"
-    if mod_name in _closure_cache:
-        return _closure_cache[mod_name]
+    key = (mod_name, version)
+    if key in _closure_cache:
+        return _closure_cache[key]
     import sys
     import types
 
@@ -96,12 +150,12 @@ def _module_closure_digest(mod_name: str | None) -> str:
     h = hashlib.sha256()
     for f in sorted(files):
         try:
-            h.update(re.sub(rb"\s+", b" ", open(f, "rb").read()))
+            h.update(_norm_file_bytes(open(f, "rb").read(), version))
         except OSError:
             h.update(f.encode())
         h.update(b"\x00")
     digest = h.hexdigest()[:16]
-    _closure_cache[mod_name] = digest
+    _closure_cache[key] = digest
     return digest
 
 
@@ -116,12 +170,17 @@ def _module_closure_digest(mod_name: str | None) -> str:
 #     granularity), so an edit to a helper like similarity.pq_encode never
 #     flagged the lanes calling it. v2 hashes the transitive same-module
 #     function references (via co_names) plus referenced module constants.
+# v3 (r6) makes every hashed source COMMENT- AND DOCSTRING-INSENSITIVE
+# (_norm_src/_norm_file_bytes): v2's whitespace collapse still flagged a
+# lane when only documentation changed — the r6 ADVICE doc-only edits to
+# exact.py/graph.py re-flagged ~24 green lanes with untouched behavior,
+# inflating the re-confirm backlog the window budget has to drain.
 # Entries record their version; plan_window compares each pin under the
 # formula it was written with, so bumping the formula does not spuriously
-# flag every lane — lanes migrate to v2 as they re-confirm. (No bulk
-# migration on purpose: re-stamping an OLD v1 pin at v2 would certify
-# body-import dependency states the driver never re-saw.)
-LEDGER_VERSION = 2
+# flag every lane — lanes migrate to the current formula as they
+# re-confirm. (No bulk migration on purpose: re-stamping an OLD v1 pin at
+# v2+ would certify body-import dependency states the driver never re-saw.)
+LEDGER_VERSION = 3
 
 _BODY_IMPORT_RE = re.compile(
     # names: either a same-line list, or a parenthesized (possibly
@@ -165,7 +224,7 @@ def _body_import_files(fn) -> set[str]:
     return files
 
 
-def _local_refs_digest(fn) -> str:
+def _local_refs_digest(fn, version: int) -> str:
     """Digest of the SAME-MODULE functions ``fn`` references, transitively
     (helper → helper), plus referenced module-level simple constants —
     the v2 fix for blind spot (b): an edit to a module-local helper now
@@ -206,7 +265,7 @@ def _local_refs_digest(fn) -> str:
             ):
                 visited_fns.add(id(v))
                 try:
-                    payload.append(re.sub(r"\s+", " ", inspect.getsource(v)))
+                    payload.append(_norm_src(inspect.getsource(v), version))
                 except (OSError, TypeError):
                     payload.append(nm)
                 stack.append(v)
@@ -221,14 +280,14 @@ def _local_refs_digest(fn) -> str:
     return h.hexdigest()[:16]
 
 
-def _body_import_digest(fn) -> str:
+def _body_import_digest(fn, version: int) -> str:
     files = _body_import_files(fn)
     if not files:
         return "nobody"
     h = hashlib.sha256()
     for f in sorted(files):
         try:
-            h.update(re.sub(rb"\s+", b" ", open(f, "rb").read()))
+            h.update(_norm_file_bytes(open(f, "rb").read(), version))
         except OSError:
             h.update(f.encode())
         h.update(b"\x00")
@@ -240,20 +299,22 @@ def lane_hash(fn, oracle: str | None, version: int = LEDGER_VERSION) -> str:
     (falling back to module source for non-introspectable callables), the
     oracle SQL text, the defining module's intra-package import closure
     (see _module_closure_digest), and — from v2 — the files its body-level
-    relative imports name. Whitespace-normalized so reformatting alone
-    does not force a re-confirm."""
+    relative imports name. v1/v2 are whitespace-normalized (reformatting
+    alone never forces a re-confirm); v3 additionally strips comments and
+    docstrings everywhere (_norm_src), so documentation edits don't
+    either."""
     try:
         src = inspect.getsource(fn)
     except (OSError, TypeError):
         src = getattr(fn, "__module__", "") + getattr(fn, "__qualname__", repr(fn))
-    norm = re.sub(r"\s+", " ", src).strip()
+    norm = _norm_src(src, version)
     onorm = re.sub(r"\s+", " ", oracle or "").strip()
-    closure = _module_closure_digest(getattr(fn, "__module__", None))
+    closure = _module_closure_digest(getattr(fn, "__module__", None), version)
     payload = f"{norm}\n--oracle--\n{onorm}\n--deps--\n{closure}"
     if version >= 2:
         payload += (
-            f"\n--bodydeps--\n{_body_import_digest(fn)}"
-            f"\n--localrefs--\n{_local_refs_digest(fn)}"
+            f"\n--bodydeps--\n{_body_import_digest(fn, version)}"
+            f"\n--localrefs--\n{_local_refs_digest(fn, version)}"
         )
     return hashlib.sha256(payload.encode()).hexdigest()[:16]
 
