@@ -155,7 +155,12 @@ ALLOWED: dict[str, dict[str, str]] = {
         "by a BLOCKED factor cross-product (user-factor blocks x "
         "item-factor blocks, per-block top-k inside the kernel) — the "
         "factorization serving shape, rank-sized rows, never the ratings "
-        "matrix"
+        "matrix",
+        "nested_loop": "the SAME blocked factor cross-product: Spark "
+        "plans it as BroadcastNestedLoopJoin instead of CartesianProduct "
+        "whenever one factor-block side's size estimate fits the "
+        "broadcast threshold (SF/statistics dependent) — both spellings "
+        "are rank-sized factor blocks, never the ratings matrix",
     },
     # Bounded-input ranking windows: ranked() enforces the row cap /
     # justification at the call site (functions/windows.py).
