@@ -259,3 +259,10 @@ def test_rotation_v3_ignores_comment_and_docstring_edits():
     # unparseable text falls back to whitespace normalization, never raises
     assert rotation._stripped_source("def broken(:") is None
     assert n("def broken(:", 3) == "def broken(:"
+    # v3 constant reprs are PYTHONHASHSEED-independent: frozensets (bare or
+    # tuple-nested) render sorted, so a pin written by a seed-pinned driver
+    # process matches one computed by an unpinned local tool run
+    fs = frozenset({"zeta", "alpha", "mid"})
+    assert rotation._const_repr(fs, 3) == "frozenset(['alpha', 'mid', 'zeta'])"
+    assert rotation._const_repr((1, fs), 3) == "(1, frozenset(['alpha', 'mid', 'zeta']),)"
+    assert rotation._const_repr(fs, 2) == repr(fs)  # v2 pins keep raw repr

@@ -224,6 +224,21 @@ def _body_import_files(fn) -> set[str]:
     return files
 
 
+def _const_repr(v, version: int) -> str:
+    """repr for module-constant payload entries. From v3, frozensets (and
+    frozensets nested in tuples) render in sorted order: native set repr
+    follows hash-iteration order, which varies with PYTHONHASHSEED — the
+    driver pins it to 0 but local tool runs don't, so an unsorted repr
+    would make a lane's pin process-dependent. v1/v2 keep the raw repr
+    their existing pins were written with."""
+    if version >= 3:
+        if isinstance(v, frozenset):
+            return "frozenset([" + ", ".join(sorted(repr(x) for x in v)) + "])"
+        if isinstance(v, tuple):
+            return "(" + ", ".join(_const_repr(x, version) for x in v) + ",)"
+    return repr(v)
+
+
 def _local_refs_digest(fn, version: int) -> str:
     """Digest of the SAME-MODULE functions ``fn`` references, transitively
     (helper → helper), plus referenced module-level simple constants —
@@ -270,7 +285,7 @@ def _local_refs_digest(fn, version: int) -> str:
                     payload.append(nm)
                 stack.append(v)
             elif isinstance(v, (int, float, str, bytes, tuple, frozenset)):
-                payload.append(f"{nm}={v!r}")
+                payload.append(f"{nm}={_const_repr(v, version)}")
     if not payload:
         return "norefs"
     h = hashlib.sha256()
