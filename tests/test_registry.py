@@ -266,3 +266,23 @@ def test_rotation_v3_ignores_comment_and_docstring_edits():
     assert rotation._const_repr(fs, 3) == "frozenset(['alpha', 'mid', 'zeta'])"
     assert rotation._const_repr((1, fs), 3) == "(1, frozenset(['alpha', 'mid', 'zeta']),)"
     assert rotation._const_repr(fs, 2) == repr(fs)  # v2 pins keep raw repr
+
+
+def test_rotation_v3_stripper_parses_every_package_file():
+    """If a package file stops AST-parsing, _norm_file_bytes silently falls
+    back to whitespace normalization — quietly reintroducing the
+    doc-edit sensitivity v3 exists to remove. Keep the property loud."""
+    import glob
+    import os
+
+    from tools import rotation
+
+    pkg = os.path.join(rotation.REPO, "big_data_analytics_machine_learning_poc_spark")
+    files = glob.glob(os.path.join(pkg, "**", "*.py"), recursive=True)
+    assert len(files) > 30  # sanity: the glob found the real package
+    unparseable = [
+        f
+        for f in files
+        if rotation._stripped_source(open(f, encoding="utf-8").read()) is None
+    ]
+    assert unparseable == [], f"v3 stripper fell back on: {unparseable}"
