@@ -1130,8 +1130,19 @@ def verified_near_dup_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     bigram-shingle Jaccard ≥ 0.5 — the verified near-dup edge set the
     pipeline/connected-components queries consume. Candidates come from
     SHINGLE-minhash signatures so candidacy estimates the verifier's own
-    measure (see _SHINGLE_HASH_CTE)."""
-    sh0 = doc_shingle_hashes(spark, sf_dir)
+    measure (see _SHINGLE_HASH_CTE).
+
+    The shingle-hash frame is materialized ONCE (localCheckpoint): six
+    consumers sit downstream — the signature agg, both band-join sides
+    through it, both intersection sides, and the size agg — and Catalyst
+    re-planned the scan→tokenize→shingle→explode→distinct subtree for
+    each (measured at sf0.1: 6 scans of documents.parquet, 0
+    ReusedExchange; 2.43 s → 2.13 s median with the checkpoint, and the
+    downstream lanes — connected components, cluster histogram, corpus
+    prep — inherit the saving). Same doctrine as mllib_lsh_pairs. At
+    100 TB the frame is |docs|·|shingles| 12-byte rows — the thing you
+    materialize precisely so the corpus scan happens once."""
+    sh0 = doc_shingle_hashes(spark, sf_dir).localCheckpoint()
     sig = minhash_signatures_from(sh0)
     cand = minhash_candidate_pairs(sig, N_PERMS, ORACLE_ROWS_PER_BAND)
     inter, sizes = _shingle_intersections(cand, sh0)
