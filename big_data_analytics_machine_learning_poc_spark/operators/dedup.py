@@ -1289,9 +1289,17 @@ def dedup_pipeline_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     verify at J=1.0. All three pair-level counts come from ONE aggregation
     over the candidate frame (left-join the intersection counts, flag, agg),
     so the candidate DAG is computed once, not once per count.
+
+    The shingle-hash frame is materialized once (localCheckpoint), same
+    doctrine as verified_near_dup_edges: uncheckpointed, this plan scanned
+    documents.parquet NINE times (sig→band self-join ×2, intersections
+    ×2, two size aggs, plus re-plans) with 0 ReusedExchange at sf0.1 —
+    at 100 TB that is nine corpus scans for one dedup report. NOT applied
+    to dedup_edit_distance_verify: there the banded-DP dominates and the
+    extra eager job measured net-negative (3.61 s → 3.82 s).
     """
     docs = load_table(spark, sf_dir, "documents")
-    sh0 = doc_shingle_hashes(spark, sf_dir)
+    sh0 = doc_shingle_hashes(spark, sf_dir).localCheckpoint()
     sig = minhash_signatures_from(sh0)
     cand = minhash_candidate_pairs(sig, N_PERMS, ORACLE_ROWS_PER_BAND)
 
