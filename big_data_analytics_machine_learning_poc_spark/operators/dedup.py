@@ -786,9 +786,16 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     2·min) drops hopeless pairs before the counting aggregation. Contract:
     pairs sharing ONLY >DF_CAP-frequency shingles are not reported — at
     corpus scale those are boilerplate collisions, not near-dups.
+
+    The distinct shingle frame is materialized once (localCheckpoint) for
+    its SEVEN plan consumers (doc-size agg ×2 via na/nb, DF posting-list
+    agg, capped self-join ×2, intersection ×2): uncheckpointed, the
+    executed plan scanned documents.parquet 10× with 0 ReusedExchange —
+    the multi-consumer doctrine of verified_near_dup_edges, and at 100 TB
+    the difference between one corpus scan and ten.
     """
     docs = load_table(spark, sf_dir, "documents")
-    sh0 = doc_shingles(docs, "doc_id").distinct()
+    sh0 = doc_shingles(docs, "doc_id").distinct().localCheckpoint()
     sizes = sh0.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     rare = (
         sh0.groupBy("shingle")
