@@ -1540,40 +1540,62 @@ def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel (view → click → purchase): users counted at each stage
     only if the stage event happens at-or-after their previous stage's first
-    event — the standard product-analytics conversion query. Scale shape:
-    every stage is a groupBy on user_id, and each stage's join is on that
-    SAME key, so after the first shuffle the funnel stays co-partitioned
-    (AQE reuses the exchange); timestamps compare as integer microseconds
+    event — the standard product-analytics conversion query.
+
+    Scale shape (rewritten r6): ONE events scan and ONE user_id shuffle.
+    The three stage timestamps are stacked same-partitioning window
+    aggregates — ``c_us = min(click us ≥ v_us)`` may reference the
+    ``v_us`` window column because consecutive WindowExec nodes over the
+    same partitioning share the single exchange — followed by a
+    co-partitioned per-user collapse and a one-row count. The previous
+    stage-join formulation (each stage a groupBy + join on user_id)
+    re-planned the events scan per stage reference: 6 scans, 0
+    ReusedExchange in the executed plan, and 2.1× slower at sf0.1
+    (0.58 s → 0.27 s). Semantics pinned by a planted out-of-order test
+    (tests/test_relational.py) because the sf corpora never exercise the
+    at-or-after conditions. Timestamps compare as integer microseconds
     (unix_micros ↔ epoch_us), never floats."""
     ev = _t(spark, sf_dir, "events")
     ue = ev.select(
         "user_id", "event_type", F.unix_micros(F.col("ts")).alias("us")
     )
-    v = (
-        ue.filter(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("us").alias("v_us"))
+    return funnel_from(ue)
+
+
+def funnel_from(ue: DataFrame) -> DataFrame:
+    """Ordered-funnel counts over any (user_id, event_type, us) frame —
+    the body of funnel_conversion, factored so the planted-semantics test
+    can feed out-of-order event histories."""
+    w = Window.partitionBy("user_id")
+    is_ = lambda t: F.col("event_type") == t  # noqa: E731 — local sugar
+    staged = (
+        ue.withColumn("v_us", F.min(F.when(is_("view"), F.col("us"))).over(w))
+        .withColumn(
+            "c_us",
+            F.min(
+                F.when(is_("click") & (F.col("us") >= F.col("v_us")), F.col("us"))
+            ).over(w),
+        )
+        .withColumn(
+            "p_us",
+            F.min(
+                F.when(is_("purchase") & (F.col("us") >= F.col("c_us")), F.col("us"))
+            ).over(w),
+        )
     )
-    c = (
-        ue.filter(F.col("event_type") == "click")
-        .join(v, "user_id")
-        .filter(F.col("us") >= F.col("v_us"))
-        .groupBy("user_id")
-        .agg(F.min("us").alias("c_us"))
+    # per-user collapse is co-partitioned with the window shuffle; count()
+    # skips nulls, so each stage count is "users whose stage fired"
+    peru = staged.groupBy("user_id").agg(
+        F.first("v_us").alias("v_us"),
+        F.first("c_us").alias("c_us"),
+        F.first("p_us").alias("p_us"),
     )
-    p = (
-        ue.filter(F.col("event_type") == "purchase")
-        .join(c, "user_id")
-        .filter(F.col("us") >= F.col("c_us"))
-        .groupBy("user_id")
-        .agg(F.min("us").alias("p_us"))
-    )
-    nv = v.agg(F.count(F.lit(1)).alias("n_viewed"))
-    nc = c.agg(F.count(F.lit(1)).alias("n_clicked_after"))
-    np_ = p.agg(F.count(F.lit(1)).alias("n_purchased_after"))
     return (
-        nv.crossJoin(nc)
-        .crossJoin(np_)
+        peru.agg(
+            F.count("v_us").alias("n_viewed"),
+            F.count("c_us").alias("n_clicked_after"),
+            F.count("p_us").alias("n_purchased_after"),
+        )
         .select(
             "n_viewed",
             "n_clicked_after",

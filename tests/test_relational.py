@@ -99,3 +99,30 @@ def test_corr_matrix_identity_and_antithesis(spark, tmp_path):
     assert got["o_custkey~o_orderkey"] == 1.0  # custkey = 2*orderkey
     assert got["o_totalprice~o_orderkey"] == -1.0
     assert got["o_totalprice~o_custkey"] == -1.0
+
+
+def test_funnel_ordered_semantics_planted(spark):
+    """The sf corpora never exercise the funnel's at-or-after conditions
+    (every viewer clicks and purchases in order, so all three counts are
+    equal and the oracle comparison can't discriminate). Plant the
+    out-of-order histories the r6 one-scan window rewrite must preserve:
+
+    - A: click@5 BEFORE first view@10 doesn't count; click@20 does
+    - B: click with no view at all -> not even n_viewed
+    - C: view then purchase but no click -> purchase can't fire
+    - D: fully ordered chain -> all three stages
+    - E: purchase@11 lands BEFORE the first qualifying click@12 -> no
+    """
+    from big_data_analytics_machine_learning_poc_spark.operators.relational import funnel_from
+
+    rows = [
+        ("A", "click", 5), ("A", "view", 10), ("A", "click", 20),
+        ("B", "click", 5),
+        ("C", "view", 10), ("C", "purchase", 15),
+        ("D", "view", 1), ("D", "click", 2), ("D", "purchase", 3),
+        ("E", "view", 10), ("E", "click", 12), ("E", "purchase", 11),
+    ]
+    ue = spark.createDataFrame(rows, "user_id string, event_type string, us long")
+    [got] = funnel_from(ue).collect()
+    assert (got.n_viewed, got.n_clicked_after, got.n_purchased_after) == (4, 3, 1)
+    assert got.conversion == 0.25
