@@ -400,12 +400,17 @@ def corpus_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash, and the membership test is a shingle-hash equi-join — the same
     no-quadratic-stage discipline as the LSH dedup family. Docs with <2
     tokens have no shingles and drop out of the accounting (both engines).
+    The shingle-hash frame is materialized once (localCheckpoint) for its
+    two consumers (train membership set, test probe side) — the dedup
+    family's multi-consumer doctrine: one shingle pipeline over the
+    corpus, not two. The three remaining scans are the (doc_id, lang,
+    split) projection — column-pruned, no tokenization.
     """
     from .dedup import doc_shingle_hashes
 
     docs = load_table(spark, sf_dir, "documents")
     sp = docs.select("doc_id", "lang", _split_col().alias("split"))
-    sh = doc_shingle_hashes(spark, sf_dir)
+    sh = doc_shingle_hashes(spark, sf_dir).localCheckpoint()
     train_sh = (
         sh.join(sp.filter(F.col("split") == "train"), "doc_id")
         .select("h")
