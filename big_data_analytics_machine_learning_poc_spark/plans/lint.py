@@ -99,9 +99,6 @@ ALLOWED: dict[str, dict[str, str]] = {
     "tpch_q22_global_sales_opportunity": {
         "nested_loop": "broadcast one-row average-balance aggregate"
     },
-    "funnel_conversion": {
-        "nested_loop": "broadcast one-row per-stage count aggregates"
-    },
     "dedup_pipeline_survivors": {
         "nested_loop": "broadcast one-row corpus/survivor count aggregates"
     },
@@ -180,15 +177,13 @@ ALLOWED: dict[str, dict[str, str]] = {
         "global_window": "ranks the per-lang top-k candidate aggregate "
         "(≤ k·|langs| rows after partial top-k)"
     },
-    "dedup_prefix_filter_pairs": {
-        "global_window": "ranks the vocabulary-sized token-df aggregate "
-        "(31 tokens here) into dense rarity ids; open-vocab promotion = "
-        "hash-derived ids (no global rank), see lane docstring"
-    },
-    "dedup_cross_source_matrix": {
-        "global_window": "inherits the prefix-filter core's vocabulary "
-        "rarity-id rank (same justification as dedup_prefix_filter_pairs)"
-    },
+    # Removed r6 (stale-entry hygiene — a pre-authorization nothing hits
+    # weakens the gate; lint fails LOUDLY if a pattern returns, which is
+    # the desired ratchet): funnel_conversion's one-row-count crossJoins
+    # (lane rewritten to stacked windows, no BNLJ remains) and the two
+    # prefix-filter lanes' vocabulary rarity-rank global_window (now
+    # behind the sets-frame localCheckpoint barrier; if that checkpoint
+    # is ever dropped the rank resurfaces and must be re-justified here).
 }
 
 
