@@ -1,0 +1,75 @@
+"""Registry-wide same-table scan audit (the r6 lens that found six lanes
+re-scanning their corpus per plan consumer).
+
+    python tools/scanaudit.py [sf_dir] [--min N]    # default sf0.01, N=4
+
+For every registered lane, counts how often each parquet table appears in
+the EXECUTED plan and prints lanes whose worst table is scanned >= N
+times, plus the plan's ReusedExchange count. A high count with zero reuse
+usually means a multi-consumer subtree Catalyst re-plans per reference —
+the fix is one localCheckpoint at the compact frame (see SCALE.md
+"Multi-consumer scan audit" for the r6 fixes AND the measured cases where
+the checkpoint was net-negative and declined: the audit flags candidates,
+the A/B measurement decides).
+
+Lanes that return a localCheckpoint'ed frame under-report (the count
+covers the post-checkpoint plan only) — same caveat as plans/budget.py.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def audit(spark, sf_dir: str, min_scans: int = 4) -> list[tuple[int, int, str, list]]:
+    import __spark_entry__ as entrymod
+
+    reg = entrymod._registry()
+    rows = []
+    for name, fn in reg.queries.items():
+        try:
+            df = fn(spark, sf_dir)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+        except Exception as e:  # noqa: BLE001 — audit sweeps must finish
+            print(f"ERR   {name}: {e!r}"[:160])
+            continue
+        tabs: dict[str, int] = {}
+        for m in re.finditer(r"(\w+)\.parquet", plan):
+            tabs[m.group(1)] = tabs.get(m.group(1), 0) + 1
+        worst = max(tabs.values()) if tabs else 0
+        if worst >= min_scans:
+            rows.append(
+                (
+                    worst,
+                    plan.count("ReusedExchange"),
+                    name,
+                    sorted(tabs.items(), key=lambda kv: -kv[1])[:3],
+                )
+            )
+    rows.sort(reverse=True)
+    return rows
+
+
+def main() -> int:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    min_scans = 4
+    if "--min" in sys.argv:
+        min_scans = int(sys.argv[sys.argv.index("--min") + 1])
+
+    from big_data_analytics_machine_learning_poc_spark.session import get_session
+
+    spark = get_session()
+    rows = audit(spark, sf_dir, min_scans)
+    for worst, reused, name, tabs in rows:
+        print(f"{worst:3d} scans  reused={reused:2d}  {name:40s} {tabs}")
+    print(f"\n{len(rows)} lane(s) with >= {min_scans} same-table scans")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
