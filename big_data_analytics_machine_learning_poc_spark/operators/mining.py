@@ -1160,9 +1160,13 @@ def ml_fpgrowth_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MLlib FPGrowth frequent-itemset mining over order baskets — the
     all-sizes generalization of `basket_association_rules`' exact pair
     statistics, via the FP-tree algorithm (no candidate generation, two
-    scans). Output: itemset as a SORTED array (deterministic presentation
-    of MLlib's arbitrary item order), its exact basket frequency, and the
-    itemset size; ordered by (freq DESC, size, items) for stable reporting.
+    scans). Output: itemset as a comma-joined string of the SORTED item
+    ids (deterministic presentation of MLlib's arbitrary item order; the
+    string form is the engine's driver-boundary convention for array
+    results — cf. `agg_collect_sorted` — because raw array columns are
+    unhashable at the pandas canonicalizer, the exact failure recorded in
+    CORRECTNESS_r06), its exact basket frequency, and the itemset size;
+    ordered by (freq DESC, size, items) for stable reporting.
 
     Scale shape: Spark's distributed FPGrowth partitions work by
     conditional bases (PFP, Li et al. 2008): each worker mines the
@@ -1179,7 +1183,12 @@ def ml_fpgrowth_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).fit(baskets)
     return (
         model.freqItemsets.select(
-            F.array_sort("items").alias("items"),
+            F.array_join(
+                F.transform(
+                    F.array_sort("items"), lambda x: x.cast("string")
+                ),
+                ",",
+            ).alias("items"),
             F.col("freq").cast("long").alias("freq"),
             F.size("items").cast("long").alias("set_size"),
         )

@@ -296,8 +296,10 @@ def test_rfm_single_customer_cell(spark, mining_sf):
 
 
 def test_fpgrowth_matches_apriori_reference(spark, mining_sf):
+    # items is the driver-boundary string form (comma-joined sorted ids);
+    # parse it back to the tuple the reference enumeration produces
     got = {
-        tuple(r["items"]): r["freq"]
+        tuple(int(x) for x in r["items"].split(",")): r["freq"]
         for r in mining.ml_fpgrowth_itemsets(spark, mining_sf).collect()
     }
     # independent pure-python enumeration over the SAME parquet baskets

@@ -24,6 +24,46 @@ def test_driver_window_wellformed():
     assert n_oracle >= 40, f"window carries only {n_oracle} oracle-checked queries"
 
 
+def test_every_lane_output_schema_is_driver_atomic(spark):
+    """Driver-safety guard (VERDICT r6 ask #2): the external driver
+    canonicalizes each recorded lane's collected result through pandas
+    ``sort_values``, which cannot hash Python lists/dicts — a lane surfacing
+    a raw ArrayType/MapType/StructType/UDT column crashes the driver BEFORE
+    it records even a row count (the `ml_fpgrowth_itemsets` red in
+    CORRECTNESS_r06; the local comparator handles nested values, so only
+    this sweep catches the class pre-freeze). Convention: surface arrays as
+    `array_join(sort_array(...), ",")` — cf. `agg_collect_sorted`."""
+    from tools.schemaaudit import nonatomic_fields
+
+    bad = {}
+    for name, fn in entry.queries().items():
+        fields = nonatomic_fields(fn(spark, "/root/testdata/sf0.001").schema)
+        if fields:
+            bad[name] = fields
+    assert not bad, f"non-atomic driver-boundary columns: {bad}"
+
+
+def test_nonatomic_detector_catches_the_r6_failure_shape(spark):
+    """Self-test of the guard's predicate: the exact column shapes that
+    crashed (array) or would crash (map/struct/vector) the driver's
+    canonicalizer must be flagged; their string presentations must pass."""
+    import pyspark.sql.functions as F
+    from pyspark.ml.linalg import Vectors
+
+    from tools.schemaaudit import nonatomic_fields
+
+    df = spark.createDataFrame([([1, 2], {"a": 1}, (1, "x"))], ["arr", "mp", "st"])
+    assert len(nonatomic_fields(df.schema)) == 3
+    vec = spark.createDataFrame([(Vectors.dense([1.0]),)], ["v"])
+    assert nonatomic_fields(vec.schema) == ["v:vector"]
+    ok = df.select(
+        F.array_join(F.transform("arr", lambda x: x.cast("string")), ",").alias("arr"),
+        F.to_json("mp").alias("mp"),
+        F.to_json("st").alias("st"),
+    )
+    assert nonatomic_fields(ok.schema) == []
+
+
 def test_all_queries_are_callables_with_contract_arity():
     import inspect
 
