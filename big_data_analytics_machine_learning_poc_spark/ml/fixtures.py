@@ -15,6 +15,23 @@ from pyspark.sql import DataFrame, SparkSession
 _DIRTY = ["*x#", "##", "cfxgvhk", " ", "", "NULL", "###x%", "Y&$%"]
 
 
+def _pin_layout(df: DataFrame, *cols: str) -> DataFrame:
+    """Environment-independent physical layout for the fixtures.
+
+    Seeded ``randomSplit`` is deterministic only up to PARTITIONING: split
+    membership is per-partition Bernoulli, and ``createDataFrame`` slices
+    the local rows by ``defaultParallelism`` — so a driver session with a
+    different cpu count produces a (slightly) different train/test split
+    and every downstream rows-only ML fingerprint drifts (the
+    accuracy-in-tolerance churn on DIAG/fp_ml_gbt_spam.json flagged in
+    VERDICT r6 #3). Hash-repartitioning on value columns to a FIXED
+    partition count makes membership a pure function of the data;
+    duplicate rows are interchangeable, so the in-partition sort only has
+    to be deterministic up to equal rows (randomSplit additionally sorts
+    each partition internally before sampling)."""
+    return df.repartition(8, *cols).sortWithinPartitions(*cols)
+
+
 def medical_charges(spark: SparkSession, n: int = 1338, seed: int = 42) -> DataFrame:
     """A1: age,sex,bmi,children,smoker,region,charges — all strings (CSV-ish),
     13 dirty numeric cells → exactly 13 rows lost to cast+drop; charges
@@ -45,9 +62,12 @@ def medical_charges(spark: SparkSession, n: int = 1338, seed: int = 42) -> DataF
     for k, ri in enumerate(dirty_rows):
         col = 0 if k < 4 else (2 if k < 8 else 6)
         rows[ri][col] = _DIRTY[k % len(_DIRTY)]
-    return spark.createDataFrame(
-        [tuple(r) for r in rows],
-        ["age", "sex", "bmi", "children", "smoker", "region", "charges"],
+    return _pin_layout(
+        spark.createDataFrame(
+            [tuple(r) for r in rows],
+            ["age", "sex", "bmi", "children", "smoker", "region", "charges"],
+        ),
+        "age", "bmi", "charges",
     )
 
 
@@ -65,7 +85,10 @@ def user_know(spark: SparkSession, n: int = 402, seed: int = 42) -> DataFrame:
             "very_low" if score < 0.3 else "Low" if score < 0.45 else "Middle" if score < 0.6 else "High"
         )
         rows.append((*f, label))
-    return spark.createDataFrame(rows, ["SST", "SRT", "SAT", "SAP", "SEP", "SKL"])
+    return _pin_layout(
+        spark.createDataFrame(rows, ["SST", "SRT", "SAT", "SAP", "SEP", "SKL"]),
+        "SST", "SRT", "SAT", "SAP", "SEP",
+    )
 
 
 _HAM_WORDS = "ok see you later lol home dinner call me tomorrow thanks good night sure whats up going out now".split()
@@ -95,8 +118,11 @@ def spam(spark: SparkSession, n: int = 5434, seed: int = 42) -> DataFrame:
         rows.append((label, text, None, None, None))
     # _c2.._c4 are all-null (the unnamed empty columns) → explicit schema,
     # inference cannot type them
-    return spark.createDataFrame(
-        rows, "v1 string, v2 string, _c2 string, _c3 string, _c4 string"
+    return _pin_layout(
+        spark.createDataFrame(
+            rows, "v1 string, v2 string, _c2 string, _c3 string, _c4 string"
+        ),
+        "v2",
     )
 
 
@@ -125,7 +151,10 @@ def hotel_reviews(spark: SparkSession, n: int = 2000, seed: int = 42) -> DataFra
         neg = " ".join(rnd.choice(_NEG_WORDS) for _ in range(n_neg)) if n_neg else "No Negative"
         score = max(2.5, min(10.0, round(5.0 + 0.12 * n_pos - 0.08 * n_neg + rnd.gauss(0, 0.8), 1)))
         rows.append((pos, hotel, neg, rnd.choice(_NATIONALITIES), score, avg))
-    return spark.createDataFrame(
-        rows,
-        ["Positive Review", "Hotel Name", "Negative Review", "Nationality", "Reviewer Score", "Average Score"],
+    return _pin_layout(
+        spark.createDataFrame(
+            rows,
+            ["Positive Review", "Hotel Name", "Negative Review", "Nationality", "Reviewer Score", "Average Score"],
+        ),
+        "Positive Review", "Negative Review", "Reviewer Score",
     )

@@ -26,13 +26,26 @@ data skipping, OPTIMIZE compaction + VACUUM, txn actions (exactly-once
 streaming), parquet checkpoints + `_last_checkpoint` (replay cost
 O(#commits since checkpoint)), history, optimistic commit conflict
 detection (O_EXCL on the next version's log file — the same primitive
-real Delta uses on filesystems with atomic put-if-absent).
-NOT implemented (documented subset): deletion vectors, column mapping,
-generated columns, the _change_data directory (``snapshot_diff`` below
-derives an equivalent net change feed from snapshots instead, reading
-only changed files). Tables written here are readable by a real Delta
-reader for the feature subset used, and `read_delta` refuses tables whose
-`protocol` action demands a reader version above 1.
+real Delta uses on filesystems with atomic put-if-absent), the full DML
+triad (DELETE / UPDATE / MERGE), deletion vectors, column mapping
+(rename/drop without rewrites), per-column Bloom filters, CHECK
+constraints (writer version 3), and the change data feed — a real
+`_change_data` directory written by the DML paths plus file-diff
+derivation for plain appends/overwrites (``snapshot_diff`` below reads
+only changed files).
+NOT implemented (documented subset): generated columns, identity columns,
+row tracking.
+
+Native-reader interop: tables restricted to the BASE subset (no DVs, no
+column mapping) stay at protocol v1 and are readable by a real Delta
+reader. Deletion-vector tables are NOT: DVs here use the custom
+`deletionVectors-u32z` reader feature (plain-parquet u32 offset lists,
+not the spec's RoaringBitmap-in-base85), so a real reader refuses them
+loudly — by design, via the protocol's feature mechanism — and only
+delta_lite reads them back. Column-mapped tables use the spec's
+`columnMapping` feature name with name-mode semantics. `read_delta`
+refuses any table whose `protocol` demands a reader version above 2 or a
+feature outside `_SUPPORTED_READER_FEATURES`.
 
 Scale notes (100 TB): the log is the scan index — `read_delta` hands Spark
 an explicit file list, so a snapshot read never LISTs the data directory
