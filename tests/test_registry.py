@@ -306,6 +306,61 @@ def test_rotation_v3_ignores_comment_and_docstring_edits():
     assert rotation._const_repr(fs, 3) == "frozenset(['alpha', 'mid', 'zeta'])"
     assert rotation._const_repr((1, fs), 3) == "(1, frozenset(['alpha', 'mid', 'zeta']),)"
     assert rotation._const_repr(fs, 2) == repr(fs)  # v2 pins keep raw repr
+    # nested containers render seed-independently too (ADVICE r6): elements
+    # go through _const_repr BEFORE the sort, so frozenset-of-frozenset and
+    # tuple-below-frozenset have exactly one rendering
+    nested = frozenset({frozenset({"b", "a"}), frozenset({"c"})})
+    assert rotation._const_repr(nested, 3) == (
+        "frozenset([frozenset(['a', 'b']), frozenset(['c'])])"
+    )
+    tup_in_fs = frozenset({(1, frozenset({"y", "x"}))})
+    assert rotation._const_repr(tup_in_fs, 3) == (
+        "frozenset([(1, frozenset(['x', 'y']),)])"
+    )
+
+
+def test_rotation_python_version_mismatch_forces_reconfirm(tmp_path, monkeypatch):
+    """A pin recorded under a different Python minor version must flag the
+    lane as changed (ast.unparse's v3 rendering is only stable within one
+    minor version — ADVICE r6); a pin without the field compares as before."""
+    import json
+    import sys
+
+    from tools import rotation
+
+    hist = {"q1": {"round": 1, "green": True}}
+
+    class FakeReg:
+        def __init__(self):
+            self.queries = {"q1": lambda s, d: None}
+            self.oracles = {"q1": "SELECT 1"}
+
+    reg = FakeReg()
+    ledger_path = tmp_path / "ledger.json"
+    monkeypatch.setattr(rotation, "_registry", lambda: reg)
+    monkeypatch.setattr(rotation, "driver_history", lambda: hist)
+    monkeypatch.setattr(rotation, "LEDGER_PATH", str(ledger_path))
+    pin = {
+        "hash": rotation.lane_hash(reg.queries["q1"], "SELECT 1"),
+        "round": 1,
+        "v": rotation.LEDGER_VERSION,
+    }
+    # no "py" field (pre-field pin): hash match suffices
+    ledger_path.write_text(json.dumps({"q1": dict(pin)}))
+    assert rotation.plan_window(50)["changed"] == []
+    # same minor: still green
+    pin["py"] = ".".join(map(str, sys.version_info[:2]))
+    ledger_path.write_text(json.dumps({"q1": dict(pin)}))
+    assert rotation.plan_window(50)["changed"] == []
+    # different minor: conservative re-confirm even though the hash matches
+    pin["py"] = "3.255"
+    ledger_path.write_text(json.dumps({"q1": dict(pin)}))
+    assert rotation.plan_window(50)["changed"] == ["q1"]
+    # update_ledger stamps the current interpreter on new pins
+    rotation.update_ledger()
+    assert json.loads(ledger_path.read_text())["q1"]["py"] == ".".join(
+        map(str, sys.version_info[:2])
+    )
 
 
 def test_rotation_v3_stripper_parses_every_package_file():

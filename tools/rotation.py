@@ -233,7 +233,12 @@ def _const_repr(v, version: int) -> str:
     their existing pins were written with."""
     if version >= 3:
         if isinstance(v, frozenset):
-            return "frozenset([" + ", ".join(sorted(repr(x) for x in v)) + "])"
+            # recurse BEFORE sorting so nested containers (frozenset-of-
+            # frozenset, tuple-below-frozenset) also render seed-independently
+            # (ADVICE r6: raw repr of elements reintroduced the
+            # PYTHONHASHSEED dependence for nested shapes — latent today,
+            # pinned closed here)
+            return "frozenset([" + ", ".join(sorted(_const_repr(x, version) for x in v)) + "])"
         if isinstance(v, tuple):
             return "(" + ", ".join(_const_repr(x, version) for x in v) + ",)"
     return repr(v)
@@ -373,11 +378,19 @@ def plan_window(slots: int = 50) -> dict:
         # compare each pin under the formula version it was written with
         # (absent version = v1) so a formula bump alone flags nothing
         h = lane_hash(fn, reg.oracles.get(name), entry.get("v", 1))
+        # v3 hashes render through ast.unparse, whose exact output can
+        # change across Python MINOR versions (ADVICE r6): a pin written
+        # under a different interpreter is not comparable — conservatively
+        # re-confirm rather than either spurious state. Pins without a
+        # recorded "py" predate this field and compare as before (same
+        # container, same interpreter, in practice).
+        pin_py = entry.get("py")
+        py_now = ".".join(map(str, sys.version_info[:2]))
         if row is None:
             never.append(name)
         elif not row["green"]:
             red.append(name)
-        elif entry.get("hash") != h:
+        elif entry.get("hash") != h or (pin_py is not None and pin_py != py_now):
             changed.append((row["round"], name))
         else:
             greens.append((row["round"], name))
@@ -425,6 +438,10 @@ def update_ledger() -> int:
                 "hash": lane_hash(fn, reg.oracles.get(name)),
                 "round": row["round"],
                 "v": LEDGER_VERSION,
+                # ast.unparse rendering (v3 normal form) is only guaranteed
+                # stable within one Python minor version — record it so
+                # plan_window can force a re-confirm across interpreter bumps
+                "py": ".".join(map(str, sys.version_info[:2])),
             }
             n += 1
     with open(LEDGER_PATH, "w") as f:

@@ -61,12 +61,24 @@ def main() -> int:
             argv, cwd=REPO, capture_output=True, text=True, check=False
         )
         dur = round(time.time() - t0, 1)
-        # last non-blank stdout line is each tool's own summary
+        # last non-blank stdout line is each tool's own summary; a step that
+        # reports on stderr (pytest collection errors, crashes before any
+        # print) would otherwise leave an empty/misleading summary in the
+        # artifact a verdict quotes (ADVICE r6) — fall back to stderr and
+        # persist a stderr tail for failed steps
+        ok = proc.returncode == 0
         last = next(
             (ln for ln in reversed(proc.stdout.splitlines()) if ln.strip()), ""
         )
-        ok = proc.returncode == 0
+        if not last or not ok:
+            err_last = next(
+                (ln for ln in reversed(proc.stderr.splitlines()) if ln.strip()), ""
+            )
+            if not last:
+                last = err_last
         results[name] = {"exit": proc.returncode, "sec": dur, "summary": last}
+        if not ok:
+            results[name]["stderr_tail"] = proc.stderr[-2000:]
         print(f"{'ok  ' if ok else 'FAIL'}  {name:14s} [{dur:7.1f}s]  {last}")
         if not ok:
             failed.append(name)
