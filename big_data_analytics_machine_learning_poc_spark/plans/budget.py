@@ -42,10 +42,11 @@ Caveats (documented, deliberate):
   `_FINGERPRINT_QUERIES` membership). `exchange_counts` now slices to
   the Initial-Plan section when the marker is present, making the count
   invariant to whether the frame was executed.
-- Lanes that return a `localCheckpoint()`-ed frame (iterative
-  algorithms, the streaming harness's materialized results) truncate
-  their lineage: the count covers the post-checkpoint plan only. Their
-  per-iteration shape is covered by the operator tests instead.
+- Lanes that checkpoint (iterative algorithms, multi-consumer pinned
+  frames) truncate lineage; `lane_exchange_counts` + the barrier capture
+  hook (plans/barrier.py) restore full-lane coverage by summing the
+  returned plan with every pre-barrier subtree (ADVICE r6 — the bare
+  `exchange_counts` on such a lane's return covers only the tail).
 - Join-strategy choice depends on table statistics, so the ledger is
   pinned AT the sweep's sf_dir (sf0.01, same as the lint sweep). A lane
   whose count differs at another SF is AQE/stats doing its job.
@@ -98,3 +99,24 @@ def exchange_counts(df: DataFrame) -> dict[str, int]:
         "broadcast": len(_BROADCAST.findall(plan)),
         "reused": len(_REUSED.findall(plan)),
     }
+
+
+def lane_exchange_counts(
+    df: DataFrame, subtrees: list[DataFrame] | tuple = ()
+) -> dict[str, int]:
+    """Full-lane exchange counts: the returned frame's plan PLUS every
+    pre-barrier subtree captured by plans.barrier.capture_subtrees()
+    during construction. Without the subtrees, a localCheckpoint'ed lane's
+    budget covers only the post-barrier tail (the r6 accounting blindness
+    — ADVICE r6): the ratchet would silently pass an exchange regression
+    inside any checkpointed segment. Nested barriers don't double-count
+    (each subtree plans from the previous barrier's RDD scan). Iterative
+    lanes (PageRank, BPE) contribute one subtree per iteration — the sum
+    is the lane's TRUE end-to-end shuffle count, stable because the
+    iteration counts are fixed."""
+    total = exchange_counts(df)
+    for sub in subtrees:
+        c = exchange_counts(sub)
+        for k in total:
+            total[k] += c[k]
+    return total

@@ -177,18 +177,38 @@ ALLOWED: dict[str, dict[str, str]] = {
         "global_window": "ranks the per-lang top-k candidate aggregate "
         "(≤ k·|langs| rows after partial top-k)"
     },
+    # Surfaced r7 by the barrier-capture gate (plans/barrier.py): the r6
+    # removal of these two entries measured the localCheckpoint blindness,
+    # not eliminated work — the rarity-rank window never left. It ranks
+    # the VOCABULARY-sized df aggregate (|distinct tokens| rows, 31 in
+    # this corpus — same bounded class as the string_index_* entries), is
+    # justified at the call site via ranked(bounded_input=...), and the
+    # open-vocabulary promotion documented there replaces the rank with
+    # hash ids.
+    "dedup_prefix_filter_pairs": {
+        "global_window": "rarity rank over the vocabulary-sized df "
+        "aggregate behind the sets-frame barrier (pre-barrier subtree)"
+    },
+    "dedup_cross_source_matrix": {
+        "global_window": "same prefix-filter core: vocabulary-sized "
+        "rarity rank in the pre-barrier subtree"
+    },
     # Removed r6 (stale-entry hygiene — a pre-authorization nothing hits
     # weakens the gate; lint fails LOUDLY if a pattern returns, which is
     # the desired ratchet): funnel_conversion's one-row-count crossJoins
-    # (lane rewritten to stacked windows, no BNLJ remains) and the two
-    # prefix-filter lanes' vocabulary rarity-rank global_window (now
-    # behind the sets-frame localCheckpoint barrier; if that checkpoint
-    # is ever dropped the rank resurfaces and must be re-justified here).
+    # (lane rewritten to stacked windows, no BNLJ remains).
 }
 
 
-def lint_query(name: str, df: DataFrame) -> tuple[set[str], set[str]]:
-    """Returns (violations, allowed_hits) for one query."""
+def lint_query(
+    name: str, df: DataFrame, subtrees: list[DataFrame] | tuple = ()
+) -> tuple[set[str], set[str]]:
+    """Returns (violations, allowed_hits) for one query. ``subtrees`` are
+    the pre-barrier frames captured by plans.barrier.capture_subtrees()
+    while the lane was constructed — without them, any pattern hidden
+    behind a localCheckpoint passes the lint silently (ADVICE r6)."""
     hits = find_antipatterns(df)
+    for sub in subtrees:
+        hits |= find_antipatterns(sub)
     allowed = {p for p in hits if p in ALLOWED.get(name, {})}
     return hits - allowed, allowed

@@ -305,6 +305,7 @@ def test_registry_plan_lint_cheap_modules(spark):
         text,
         tpch,
     )
+    from big_data_analytics_machine_learning_poc_spark.plans.barrier import capture_subtrees
     from big_data_analytics_machine_learning_poc_spark.plans.lint import lint_query
 
     bad = {}
@@ -321,7 +322,9 @@ def test_registry_plan_lint_cheap_modules(spark):
         bpe.REG,
     ):
         for name, fn in reg.queries.items():
-            violations, _ = lint_query(name, fn(spark, SF_DIR))
+            with capture_subtrees() as subtrees:
+                df = fn(spark, SF_DIR)
+            violations, _ = lint_query(name, df, subtrees)
             if violations:
                 bad[name] = sorted(violations)
     assert not bad, bad
@@ -481,6 +484,48 @@ def test_headline_lane_shuffle_budgets(spark):
     for lane, cap in budgets.items():
         c = exchange_counts(qs[lane](spark, SF_DIR))
         assert c["shuffle"] <= cap, (lane, c)
+
+
+def test_barrier_capture_sees_through_local_checkpoint(spark):
+    """ADVICE r6 (medium): a localCheckpoint truncates lineage, so gates
+    walking only the returned plan are blind to pre-barrier work. The
+    capture hook must (a) record the pre-barrier frame, (b) let
+    lane_exchange_counts restore the full-lane shuffle count, and (c) let
+    lint_query flag a disallowed pattern hidden behind the barrier."""
+    import pyspark.sql.functions as SF
+
+    from big_data_analytics_machine_learning_poc_spark.plans.barrier import capture_subtrees
+    from big_data_analytics_machine_learning_poc_spark.plans.budget import (
+        exchange_counts,
+        lane_exchange_counts,
+    )
+    from big_data_analytics_machine_learning_poc_spark.plans.lint import lint_query
+
+    base = spark.range(100).withColumn("k", SF.col("id") % 7)
+    with capture_subtrees() as subtrees:
+        pinned = base.groupBy("k").count().localCheckpoint()  # 1 hidden shuffle
+    out = pinned.groupBy((SF.col("k") % 2).alias("b")).agg(SF.sum("count"))
+    assert len(subtrees) == 1
+    # blind count: only the post-barrier agg shuffle
+    assert exchange_counts(out)["shuffle"] == 1
+    # full-lane count: pre-barrier agg shuffle + post-barrier agg shuffle
+    assert lane_exchange_counts(out, subtrees)["shuffle"] == 2
+    # a global window hidden behind a barrier must still lint
+    from pyspark.sql.window import Window
+
+    with capture_subtrees() as subtrees2:
+        hidden = (
+            base.withColumn("rk", SF.row_number().over(Window.orderBy("id")))
+            .localCheckpoint()
+        )
+    clean_tail = hidden.groupBy("k").count()
+    assert lint_query("no_such_lane", clean_tail)[0] == set()  # blind: passes
+    violations, _ = lint_query("no_such_lane", clean_tail, subtrees2)
+    assert "global_window" in violations  # captured: flagged
+    # the patch is scoped: outside the context the method is Spark's own
+    from pyspark.sql import DataFrame
+
+    assert DataFrame.localCheckpoint.__qualname__ == "DataFrame.localCheckpoint"
 
 
 def test_shuffle_budget_ledger_in_sync_with_registry():

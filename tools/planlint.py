@@ -20,6 +20,7 @@ def main() -> int:
     only = set(sys.argv[2:])
 
     import __spark_entry__ as entrymod
+    from big_data_analytics_machine_learning_poc_spark.plans.barrier import capture_subtrees
     from big_data_analytics_machine_learning_poc_spark.plans.lint import lint_query
     from big_data_analytics_machine_learning_poc_spark.session import get_session
 
@@ -29,7 +30,11 @@ def main() -> int:
         if only and name not in only:
             continue
         try:
-            violations, allowed = lint_query(name, fn(spark, sf_dir))
+            # capture pre-barrier subtrees so patterns behind a
+            # localCheckpoint can't pass silently (ADVICE r6)
+            with capture_subtrees() as subtrees:
+                df = fn(spark, sf_dir)
+            violations, allowed = lint_query(name, df, subtrees)
         except Exception as e:  # noqa: BLE001 — report and keep sweeping
             print(f"ERR   {name}: {type(e).__name__}: {str(e)[:150]}")
             n_err += 1

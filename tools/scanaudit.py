@@ -12,8 +12,11 @@ the fix is one localCheckpoint at the compact frame (see SCALE.md
 the checkpoint was net-negative and declined: the audit flags candidates,
 the A/B measurement decides).
 
-Lanes that return a localCheckpoint'ed frame under-report (the count
-covers the post-checkpoint plan only) — same caveat as plans/budget.py.
+r7: scans are counted across the returned plan PLUS every pre-barrier
+subtree captured by plans/barrier.capture_subtrees(), so checkpointing
+lanes no longer under-report (the same ADVICE-r6 blindness fix as
+plans/budget.lane_exchange_counts). A scan inside a checkpointed subtree
+still runs exactly once per lane execution — the audit now simply sees it.
 """
 
 from __future__ import annotations
@@ -27,13 +30,17 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def audit(spark, sf_dir: str, min_scans: int = 4) -> list[tuple[int, int, str, list]]:
     import __spark_entry__ as entrymod
+    from big_data_analytics_machine_learning_poc_spark.plans.barrier import capture_subtrees
 
     reg = entrymod._registry()
     rows = []
     for name, fn in reg.queries.items():
         try:
-            df = fn(spark, sf_dir)
+            with capture_subtrees() as subtrees:
+                df = fn(spark, sf_dir)
             plan = df._jdf.queryExecution().executedPlan().toString()
+            for sub in subtrees:
+                plan += "\n" + sub._jdf.queryExecution().executedPlan().toString()
         except Exception as e:  # noqa: BLE001 — audit sweeps must finish
             print(f"ERR   {name}: {e!r}"[:160])
             continue

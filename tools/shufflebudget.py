@@ -44,7 +44,8 @@ def main() -> int:
     only = set(args[1:])
 
     import __spark_entry__ as entrymod
-    from big_data_analytics_machine_learning_poc_spark.plans.budget import exchange_counts
+    from big_data_analytics_machine_learning_poc_spark.plans.barrier import capture_subtrees
+    from big_data_analytics_machine_learning_poc_spark.plans.budget import lane_exchange_counts
     from big_data_analytics_machine_learning_poc_spark.session import get_session
 
     prior: dict[str, dict[str, int]] = {}
@@ -59,7 +60,12 @@ def main() -> int:
         if only and name not in only:
             continue
         try:
-            counts = exchange_counts(fn(spark, sf_dir))
+            # full-lane counts: returned plan + every pre-barrier subtree
+            # (r7: without the capture, checkpointing lanes were budgeted
+            # on their post-barrier tail only — ADVICE r6)
+            with capture_subtrees() as subtrees:
+                df = fn(spark, sf_dir)
+            counts = lane_exchange_counts(df, subtrees)
         except Exception as e:  # noqa: BLE001 — report and keep sweeping
             print(f"ERR    {name}: {type(e).__name__}: {str(e)[:150]}")
             n_err += 1
