@@ -321,7 +321,12 @@ def minhash_near_dup_pairs(
     production 128/32×4 geometry; the registered ``dedup_minhash_pairs``
     query pins the 8-perm oracle geometry instead."""
     perms = ORACLE_PERMS if n_perms == len(ORACLE_PERMS) else make_minhash_perms(n_perms)
-    sig = minhash_signatures_df(spark, sf_dir, perms)
+    # the signature frame is one compact row per doc and FOUR plan
+    # consumers sit on it (both band-join sides + both verify sides);
+    # unpinned, each replays shingle→hash→min-agg from the docs scan
+    # (r7 scan audit: 4 documents scans → 1, A/B-measured — the
+    # "checkpointed once at warehouse scale" note above, now done)
+    sig = minhash_signatures_df(spark, sf_dir, perms).localCheckpoint()
     cand = minhash_candidate_pairs(sig, len(perms), rows_per_band)
     sa, sb = sig.alias("sa"), sig.alias("sb")
     matches = sum(
@@ -929,12 +934,18 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ONE posexplode pass, not a per-table union: the subtree below is a
     # map-only embeddings scan (no exchange for ReuseExchange to dedup), so
     # a union would re-scan the corpus once per hash table at 100 TB
+    # |tables| rows per vector of three small ints — cheap to pin, and the
+    # candidate self-join consumes it on BOTH sides (unpinned, each side
+    # replays the bucket math from its own embeddings scan; the two exact-
+    # cosine verify joins still scan the corpus — they need the raw
+    # vectors, and pinning full embeddings would materialize the corpus).
+    # r7 scan audit: 4 embeddings scans → 3, A/B-measured.
     tables = bucketed.select(
         "vec_id",
         F.posexplode(
             F.array(*[F.col(f"bk{t}") for t in range(len(_EMB_TABLES))])
         ).alias("tbl", "bk"),
-    )
+    ).localCheckpoint()
     a, b = tables.alias("a"), tables.alias("b")
     cand = (
         a.join(

@@ -272,7 +272,12 @@ def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     (10^4 items → 10^8 in-row pairs) is where the A-priori degree cap
     (slice/filter the array before pairing) applies — same doctrine as
     `basket_part_pairs`."""
-    baskets = _baskets(spark, sf_dir)
+    # FOUR consumers (basket count, pair generation, and the two support
+    # sides sa/sc — Catalyst re-plans isupp per projection) each replayed
+    # the lineitem scan + collect_set shuffle; one compact per-order row
+    # is exactly the thing to pin (r7 scan audit: 4 lineitem scans → 1,
+    # A/B-measured; on a lossy cluster this pin becomes persist(DISK))
+    baskets = _baskets(spark, sf_dir).localCheckpoint()
     nb = baskets.agg(F.count(F.lit(1)).alias("n_baskets"))
     isupp = (
         baskets.select(F.explode("parts").alias("l_partkey"))
@@ -409,7 +414,15 @@ def prefix_filter_pairs_frame(
     (random corpora vs brute force) exercises the exact production plan.
     See `dedup_prefix_filter_pairs` for the algorithm narrative."""
     tokrows = docs.select("doc_id", F.explode("toks").alias("tok"))
-    dfreq = tokrows.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    # vocabulary-sized (|distinct tokens| rows) → cheap to pin; without the
+    # checkpoint the explode→agg replays from the docs scan once for the
+    # bitset-cutoff count job and again inside the sets build's tdict
+    # branch (r7 scan audit: 4 documents scans → 2, A/B-measured below).
+    # Open vocabularies change the rank to hash ids (docstring) and would
+    # drop this pin with it.
+    dfreq = (
+        tokrows.groupBy("tok").agg(F.count(F.lit(1)).alias("df")).localCheckpoint()
+    )
     tdict = dfreq.select(
         "tok",
         F.row_number()
@@ -1101,6 +1114,10 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     census is a ≤8-row groupBy. Recency is integer days, money int64
     cents; the only doubles are the interpolated medians (percentile ≡
     quantile_cont) and the final /100.0."""
+    # per-customer grain (compact vs orders) and consumed by THREE jobs —
+    # the reference-day aggregate, the median aggregate, and the final
+    # scoring pass; unpinned, each replays the orders scan + groupBy
+    # (r7 scan audit: 4 orders scans → 1, A/B-measured)
     base = (
         _t(spark, sf_dir, "orders")
         .groupBy("o_custkey")
@@ -1111,6 +1128,7 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "cents"
             ),
         )
+        .localCheckpoint()
     )
     ref = base.agg(F.max("last_day").alias("ref_day"))
     rfm = base.crossJoin(F.broadcast(ref)).select(

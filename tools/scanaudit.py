@@ -15,8 +15,19 @@ the A/B measurement decides).
 r7: scans are counted across the returned plan PLUS every pre-barrier
 subtree captured by plans/barrier.capture_subtrees(), so checkpointing
 lanes no longer under-report (the same ADVICE-r6 blindness fix as
-plans/budget.lane_exchange_counts). A scan inside a checkpointed subtree
-still runs exactly once per lane execution — the audit now simply sees it.
+plans/budget.lane_exchange_counts).
+
+Reading the number under capture: it is PLAN OCCURRENCES, an upper bound
+on scan executions. Occurrences within ONE segment mean Catalyst
+re-planned a multi-consumer subtree per reference (the fixable
+redundancy); occurrences across DIFFERENT segments each execute once per
+lane (sequential phases re-reading the table — real I/O at 100 TB, but
+often irreducible: you cannot build signatures without reading the
+corpus). Driver-side jobs a lane runs during construction (e.g. a
+``.count()`` steering a plan choice) are NOT captured — a pin can
+therefore cut wall-clock without moving this count (measured on the
+prefix-filter dfreq pin, r7). The audit flags candidates; the A/B
+measurement decides.
 """
 
 from __future__ import annotations
