@@ -167,6 +167,12 @@ def agg_kll_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     percentile sorts every row per group. Returned quantiles are actual
     data elements within ±1.3% rank error at k=200 (99% confidence),
     which the audit columns make visible.
+
+    Run stability (tools/fpstability.py): the kll_* columns drift
+    run-to-run WITHIN the rank-error bound — KLL compaction is randomized
+    by design and merge order is task-scheduling-dependent — so this
+    lane's fingerprint is tolerance-checked (the rank-error pytest), not
+    byte-pinned; the exact_* columns are run-stable.
     """
     ev = load_table(spark, sf_dir, "events")
     sk = ev.groupBy("event_type").agg(
