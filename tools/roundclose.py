@@ -42,6 +42,8 @@ _STEPS: list[tuple[str, list[str], bool]] = [
     ),
     ("planlint", [sys.executable, "tools/planlint.py"], False),
     ("shufflebudget", [sys.executable, "tools/shufflebudget.py"], False),
+    ("schemaaudit", [sys.executable, "tools/schemaaudit.py"], False),
+    ("fpstability", [sys.executable, "tools/fpstability.py"], False),
     ("pytest", [sys.executable, "-m", "pytest", "tests/", "-q"], True),
     ("sweep3-full", [sys.executable, "tools/sweep3.py", "--full"], True),
 ]
