@@ -1,10 +1,15 @@
 """Local mimic of the driver's DuckDB differential gate.
 
     python tools/compare.py [sf_dir] [query ...]
+    python tools/compare.py [sf_dir] --bare [query ...]
 
-``sweep()`` is importable — tools/sweep3.py reuses it to run the same
-gate at several scale factors in one session (VERDICT r5 ask #6: the
-sf0.1 sweep caught a banker's-rounding fork the gate SF could not see).
+``--bare`` runs under a DEFAULT-builder SparkSession (no factory confs —
+UTC/ANSI/Arrow/AQE all at Spark defaults), the closest local mimic of
+the driver's own session; the r6-close bare-session sweep is what closes
+the session-profile differential risk each round. ``sweep()`` is
+importable — tools/sweep3.py reuses it to run the same gate at several
+scale factors in one session (VERDICT r5 ask #6: the sf0.1 sweep caught
+a banker's-rounding fork the gate SF could not see).
 """
 
 from __future__ import annotations
@@ -74,11 +79,12 @@ def sweep(spark, sf_dir: str, only: set[str] | None = None, sidecar_suffix: str 
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = [a for a in sys.argv[1:] if a != "--bare"]
+    bare = "--bare" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     import __spark_entry__ as entrymod
-    from big_data_analytics_machine_learning_poc_spark.session import get_session
 
     unknown = only - set(entrymod._registry().queries)
     if unknown:
@@ -87,7 +93,15 @@ def main() -> int:
         print(f"ERROR unknown query names: {sorted(unknown)}")
         return 2
 
-    spark = get_session("compare", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "16")))
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "16"))
+    if bare:
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.builder.master(f"local[{cpus}]").getOrCreate()
+    else:
+        from big_data_analytics_machine_learning_poc_spark.session import get_session
+
+        spark = get_session("compare", cpus=cpus)
     n_pass, n_fail, n_rowsonly = sweep(spark, sf_dir, only)
     print(f"\n{n_pass} pass, {n_fail} fail, {n_rowsonly} rows-only")
     spark.stop()
