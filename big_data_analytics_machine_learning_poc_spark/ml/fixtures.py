@@ -25,11 +25,16 @@ def _pin_layout(df: DataFrame, *cols: str) -> DataFrame:
     and every downstream rows-only ML fingerprint drifts (the
     accuracy-in-tolerance churn on DIAG/fp_ml_gbt_spam.json flagged in
     VERDICT r6 #3). Hash-repartitioning on value columns to a FIXED
-    partition count makes membership a pure function of the data;
-    duplicate rows are interchangeable, so the in-partition sort only has
-    to be deterministic up to equal rows (randomSplit additionally sorts
-    each partition internally before sampling)."""
-    return df.repartition(8, *cols).sortWithinPartitions(*cols)
+    partition count makes membership a pure function of each row's own
+    values (rows tying on the hash columns land in the SAME partition, so
+    collisions cannot perturb membership), and randomSplit sorts every
+    partition by all orderable columns internally before sampling, making
+    arrival order irrelevant. The explicit sort spans ALL columns —
+    belt-and-braces so the determinism stays structural even if that
+    internal sort ever changes (review r7: a column-subset sort would
+    leave tie-groups arrival-ordered); it costs nothing at fixture
+    scale."""
+    return df.repartition(8, *cols).sortWithinPartitions(*df.columns)
 
 
 def medical_charges(spark: SparkSession, n: int = 1338, seed: int = 42) -> DataFrame:

@@ -416,10 +416,11 @@ def prefix_filter_pairs_frame(
     tokrows = docs.select("doc_id", F.explode("toks").alias("tok"))
     # vocabulary-sized (|distinct tokens| rows) → cheap to pin; without the
     # checkpoint the explode→agg replays from the docs scan once for the
-    # bitset-cutoff count job and again inside the sets build's tdict
-    # branch (r7 scan audit: 4 documents scans → 2, A/B-measured below).
-    # Open vocabularies change the rank to hash ids (docstring) and would
-    # drop this pin with it.
+    # bitset-cutoff count job (a driver-side job the scan audit cannot see)
+    # and again inside the sets build's tdict branch — A/B at sf0.1:
+    # pairs 3.59→3.04 s, cross-source matrix 2.70→2.05 s. Open
+    # vocabularies change the rank to hash ids (docstring) and would drop
+    # this pin with it.
     dfreq = (
         tokrows.groupBy("tok").agg(F.count(F.lit(1)).alias("df")).localCheckpoint()
     )

@@ -62,9 +62,12 @@ def capture_subtrees() -> Iterator[list[DataFrame]]:
     originals = {cls: vars(cls)["localCheckpoint"] for cls in _checkpoint_classes()}
 
     def make_patched(orig):
-        def patched(self, eager: bool = True):
+        # pass-through signature: Spark 4's real method also takes
+        # storageLevel — a positional/keyword mismatch here would make a
+        # lane that is fine in production crash only under the gates
+        def patched(self, *args, **kwargs):
             log.append(self)
-            return orig(self, eager=eager)
+            return orig(self, *args, **kwargs)
 
         return patched
 

@@ -38,9 +38,17 @@ _TOLERATED: dict[str, str] = {
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    runs = 2
+    argv = sys.argv[1:]
+    if "--runs" in argv:
+        i = argv.index("--runs")
+        if i + 1 >= len(argv):
+            print("ERROR: --runs requires a value", file=sys.stderr)
+            return 2
+        runs = int(argv[i + 1])
+        del argv[i : i + 2]  # the value must not be misread as sf_dir
+    args = [a for a in argv if not a.startswith("--")]
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
-    runs = int(sys.argv[sys.argv.index("--runs") + 1]) if "--runs" in sys.argv else 2
 
     import __spark_entry__ as entrymod
     from big_data_analytics_machine_learning_poc_spark.oracle import (
@@ -69,9 +77,14 @@ def main() -> int:
             print(f"stable {name} [{len(mats[0])} rows]")
             n_stable += 1
             continue
+        # diagnose against the first RUN PAIR whose fingerprints differ —
+        # with --runs > 2 the drift may be between later runs, and diffing
+        # runs 0/1 would print a nonsense "<row-count differs> N vs N"
+        i = next(j for j in range(1, len(fps)) if fps[j] != fps[0])
+        base, other = (mats[0], mats[i]) if fps[0] != fps[i] else (mats[0], mats[1])
         first_diff = next(
-            (pair for pair in zip(mats[0], mats[1]) if pair[0] != pair[1]),
-            ("<row-count differs>", f"{len(mats[0])} vs {len(mats[1])}"),
+            (pair for pair in zip(base, other) if pair[0] != pair[1]),
+            ("<row-count differs>", f"{len(base)} vs {len(other)}"),
         )
         tag = "TOLERATED" if name in _TOLERATED else "DRIFT"
         print(f"{tag}  {name}: {fps} first-diff={first_diff}")

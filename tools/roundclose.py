@@ -72,12 +72,10 @@ def main() -> int:
         last = next(
             (ln for ln in reversed(proc.stdout.splitlines()) if ln.strip()), ""
         )
-        if not last or not ok:
-            err_last = next(
+        if not last:
+            last = next(
                 (ln for ln in reversed(proc.stderr.splitlines()) if ln.strip()), ""
             )
-            if not last:
-                last = err_last
         results[name] = {"exit": proc.returncode, "sec": dur, "summary": last}
         if not ok:
             results[name]["stderr_tail"] = proc.stderr[-2000:]

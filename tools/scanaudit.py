@@ -43,15 +43,28 @@ def audit(spark, sf_dir: str, min_scans: int = 4) -> list[tuple[int, int, str, l
     import __spark_entry__ as entrymod
     from big_data_analytics_machine_learning_poc_spark.plans.barrier import capture_subtrees
 
+    from big_data_analytics_machine_learning_poc_spark.plans.budget import (
+        _drop_final_plan_sections,
+    )
+
     reg = entrymod._registry()
     rows = []
     for name, fn in reg.queries.items():
         try:
             with capture_subtrees() as subtrees:
                 df = fn(spark, sf_dir)
-            plan = df._jdf.queryExecution().executedPlan().toString()
+            # captured subtrees have EXECUTED (localCheckpoint is eager), so
+            # their AQE plans render both Final and Initial sections — count
+            # the Initial section only or every scan in a checkpointed
+            # segment double-counts (the same duplication class as the r6
+            # Exchange-ledger bug; budget.py owns the stripper)
+            plan = _drop_final_plan_sections(
+                df._jdf.queryExecution().executedPlan().toString()
+            )
             for sub in subtrees:
-                plan += "\n" + sub._jdf.queryExecution().executedPlan().toString()
+                plan += "\n" + _drop_final_plan_sections(
+                    sub._jdf.queryExecution().executedPlan().toString()
+                )
         except Exception as e:  # noqa: BLE001 — audit sweeps must finish
             print(f"ERR   {name}: {e!r}"[:160])
             continue
