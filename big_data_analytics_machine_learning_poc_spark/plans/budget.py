@@ -101,6 +101,28 @@ def exchange_counts(df: DataFrame) -> dict[str, int]:
     }
 
 
+_TABLE_SCAN = re.compile(r"(\w+)\.parquet")
+
+
+def table_scan_counts(
+    df: DataFrame, subtrees: list[DataFrame] | tuple = ()
+) -> dict[str, int]:
+    """Plan occurrences of each parquet table across the returned frame's
+    plan plus every captured pre-barrier subtree — Final AQE sections
+    stripped (executed subtrees render Final + Initial and would double-
+    count). Occurrences within one segment = Catalyst re-planned a
+    multi-consumer subtree per reference; across segments = sequential
+    one-time reads. tools/scanaudit.py sweeps the registry with this;
+    tests pin the r7 multi-consumer checkpoint fixes' shapes."""
+    plans = [_drop_final_plan_sections(executed_plan(df))]
+    plans += [_drop_final_plan_sections(executed_plan(sub)) for sub in subtrees]
+    tabs: dict[str, int] = {}
+    for plan in plans:
+        for m in _TABLE_SCAN.finditer(plan):
+            tabs[m.group(1)] = tabs.get(m.group(1), 0) + 1
+    return tabs
+
+
 def lane_exchange_counts(
     df: DataFrame, subtrees: list[DataFrame] | tuple = ()
 ) -> dict[str, int]:

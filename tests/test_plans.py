@@ -528,6 +528,33 @@ def test_barrier_capture_sees_through_local_checkpoint(spark):
     assert DataFrame.localCheckpoint.__qualname__ == "DataFrame.localCheckpoint"
 
 
+def test_r7_pinned_lanes_scan_shapes(spark):
+    """Ratchet the r7 multi-consumer checkpoint fixes: each pinned lane's
+    worst same-table plan-occurrence count (across the returned plan plus
+    captured pre-barrier subtrees, AQE Final sections stripped) must not
+    regress — a dropped pin re-inflates the count and fails here, not just
+    in the advisory tools/scanaudit.py sweep."""
+    import __spark_entry__ as entrymod
+
+    from big_data_analytics_machine_learning_poc_spark.plans.barrier import capture_subtrees
+    from big_data_analytics_machine_learning_poc_spark.plans.budget import table_scan_counts
+
+    # lane -> (table, max plan occurrences after the pin)
+    pins = {
+        "basket_association_rules": ("lineitem", 1),
+        "customer_rfm_segments": ("orders", 1),
+        "dedup_minhash_pairs": ("documents", 1),
+        "dedup_embedding_cosine": ("embeddings", 3),
+        "dedup_prefix_filter_pairs": ("documents", 3),
+    }
+    qs = entrymod._registry().queries
+    for lane, (table, cap) in pins.items():
+        with capture_subtrees() as subtrees:
+            df = qs[lane](spark, SF_DIR)
+        tabs = table_scan_counts(df, subtrees)
+        assert tabs.get(table, 0) <= cap, (lane, tabs)
+
+
 def test_shuffle_budget_ledger_in_sync_with_registry():
     """Every registry lane appears in the committed ledger (regenerate via
     tools/shufflebudget.py --baseline after adding lanes)."""

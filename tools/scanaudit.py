@@ -33,7 +33,6 @@ measurement decides.
 from __future__ import annotations
 
 import os
-import re
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -42,9 +41,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def audit(spark, sf_dir: str, min_scans: int = 4) -> list[tuple[int, int, str, list]]:
     import __spark_entry__ as entrymod
     from big_data_analytics_machine_learning_poc_spark.plans.barrier import capture_subtrees
-
     from big_data_analytics_machine_learning_poc_spark.plans.budget import (
-        _drop_final_plan_sections,
+        table_scan_counts,
     )
 
     reg = entrymod._registry()
@@ -53,24 +51,14 @@ def audit(spark, sf_dir: str, min_scans: int = 4) -> list[tuple[int, int, str, l
         try:
             with capture_subtrees() as subtrees:
                 df = fn(spark, sf_dir)
-            # captured subtrees have EXECUTED (localCheckpoint is eager), so
-            # their AQE plans render both Final and Initial sections — count
-            # the Initial section only or every scan in a checkpointed
-            # segment double-counts (the same duplication class as the r6
-            # Exchange-ledger bug; budget.py owns the stripper)
-            plan = _drop_final_plan_sections(
-                df._jdf.queryExecution().executedPlan().toString()
-            )
-            for sub in subtrees:
-                plan += "\n" + _drop_final_plan_sections(
-                    sub._jdf.queryExecution().executedPlan().toString()
-                )
+            # table_scan_counts strips the executed subtrees' AQE Final
+            # sections — without that, every scan in a checkpointed segment
+            # double-counts (the r6 Exchange-ledger duplication class)
+            tabs = table_scan_counts(df, subtrees)
+            plan = df._jdf.queryExecution().executedPlan().toString()
         except Exception as e:  # noqa: BLE001 — audit sweeps must finish
             print(f"ERR   {name}: {e!r}"[:160])
             continue
-        tabs: dict[str, int] = {}
-        for m in re.finditer(r"(\w+)\.parquet", plan):
-            tabs[m.group(1)] = tabs.get(m.group(1), 0) + 1
         worst = max(tabs.values()) if tabs else 0
         if worst >= min_scans:
             rows.append(
@@ -86,11 +74,17 @@ def audit(spark, sf_dir: str, min_scans: int = 4) -> list[tuple[int, int, str, l
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    sf_dir = args[0] if args else "/root/testdata/sf0.01"
     min_scans = 4
-    if "--min" in sys.argv:
-        min_scans = int(sys.argv[sys.argv.index("--min") + 1])
+    argv = sys.argv[1:]
+    if "--min" in argv:
+        i = argv.index("--min")
+        if i + 1 >= len(argv):
+            print("ERROR: --min requires a value", file=sys.stderr)
+            return 2
+        min_scans = int(argv[i + 1])
+        del argv[i : i + 2]  # the value must not be misread as sf_dir
+    args = [a for a in argv if not a.startswith("--")]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
 
     from big_data_analytics_machine_learning_poc_spark.session import get_session
 
