@@ -454,16 +454,17 @@ def prefix_filter_pairs_frame(
     # from the docs scan (4-6 documents scans per lane, 0 ReusedExchange;
     # sf0.1 medians 2.94→1.89 s pairs, 2.17→1.92 s cross-source matrix).
     # One compact (ids, mask) row per doc — exactly the thing to pin.
-    sets = (
-        tokrows.join(tdict, "tok")
-        .groupBy("doc_id")
-        .agg(
-            F.array_sort(F.collect_list("tid")).alias("ids"),
-            # tid is 1-based and distinct per doc: sum of 1<<(tid-1) IS the set
-            F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), tid - 1)")).alias("mask"),
+    set_aggs = [F.array_sort(F.collect_list("tid")).alias("ids")]
+    if vocab_size <= 63:
+        # tid is 1-based and distinct per doc: sum of 1<<(tid-1) IS the
+        # set. Closed-vocab ONLY — with > 63 ids the shift overflows
+        # int64 and ANSI Spark throws ARITHMETIC_OVERFLOW (found by
+        # tools/scalecurve.py at K=4: the mask was computed
+        # unconditionally even though the open-vocab path never read it)
+        set_aggs.append(
+            F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), tid - 1)")).alias("mask")
         )
-        .localCheckpoint()
-    )
+    sets = tokrows.join(tdict, "tok").groupBy("doc_id").agg(*set_aggs).localCheckpoint()
     n = F.size("ids")
     # prefix length p = n - ceil(t*n) + 1, integer-exact
     alpha = F.expr(f"({num} * size(ids) + {num}) div {den}")

@@ -488,6 +488,15 @@ def test_prefix_filter_join_equals_bruteforce(spark, docs, thresh):
     # array_intersect path — both paths must emit the identical pair set
     if num * 2 >= den:  # singleton pairs J∈{0,1}: only identical dup-safe
         pad = [(100 + k, [f"pad_tok_{k}"]) for k in range(70)]
+        # two WIDE multi-token docs sharing all 70 pad tokens: the r7
+        # scalecurve harness caught the old unconditional bitset-mask agg
+        # overflowing int64 on exactly this shape (a single doc whose
+        # dictionary ids span > 64 ranks sums duplicate mod-64 bits —
+        # singleton pads could never trigger it); they must pair with each
+        # other at J=1 and with nothing else (J=1/70 vs singletons,
+        # disjoint vs the a-h alphabet)
+        pad += [(200, [f"pad_tok_{k}" for k in range(70)]),
+                (201, [f"pad_tok_{k}" for k in range(70)])]
         df_wide = df.unionByName(
             spark.createDataFrame(pad, "doc_id long, toks array<string>")
         )
@@ -495,7 +504,7 @@ def test_prefix_filter_join_equals_bruteforce(spark, docs, thresh):
             (r["a_id"], r["b_id"]): (r["inter_tokens"], r["union_tokens"])
             for r in prefix_filter_pairs_frame(df_wide, num, den).collect()
         }
-        assert got_wide == want  # pads add no pairs; originals unchanged
+        assert got_wide == {**want, (200, 201): (70, 70)}
 
 
 @settings(max_examples=8, deadline=None)
