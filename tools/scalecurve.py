@@ -56,6 +56,15 @@ LANES = (
     "ann_bucket_cosine",
     "knn_brute_cosine",
     "docs_keyword_topk",
+    # iterative + pipeline lanes (documents-only consumers): replicas are
+    # token-disjoint, so connected components get K disjoint copies of the
+    # original component structure — iteration count stays put while
+    # per-iteration work scales K
+    "dedup_connected_components",
+    "dedup_cluster_size_histogram",
+    "dedup_pipeline_survivors",
+    "dedup_cross_source_matrix",
+    "corpus_quality_filter",
 )
 
 
@@ -143,16 +152,22 @@ def main() -> int:
         fn = reg.queries[name]
         results[name] = {}
         rows_at[name] = {}
-        for k in scales:
-            ts = []
-            n = -1
-            fn(spark, dirs[k]).collect()  # warm (plan + JIT + page cache)
-            for _ in range(runs):
-                t0 = time.time()
-                n = len(fn(spark, dirs[k]).collect())
-                ts.append(time.time() - t0)
-            results[name][k] = statistics.median(ts)
-            rows_at[name][k] = n
+        try:
+            for k in scales:
+                ts = []
+                n = -1
+                fn(spark, dirs[k]).collect()  # warm (plan + JIT + page cache)
+                for _ in range(runs):
+                    t0 = time.time()
+                    n = len(fn(spark, dirs[k]).collect())
+                    ts.append(time.time() - t0)
+                results[name][k] = statistics.median(ts)
+                rows_at[name][k] = n
+        except Exception as e:  # noqa: BLE001 — a lane needing tables the
+            # scaled dir lacks (or failing at scale — the find this tool
+            # exists for) must not abort the sweep
+            print(f"{name:28s} ERR at K{k}: {type(e).__name__}: {str(e)[:120]}")
+            continue
         # log-log slope over the measured range (least squares)
         xs = [math.log(k) for k in scales]
         ys = [math.log(results[name][k]) for k in scales]
