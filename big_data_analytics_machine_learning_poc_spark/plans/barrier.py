@@ -26,7 +26,12 @@ will appear — a wrapper convention can be forgotten at exactly one site
 and the gate silently loses that subtree; the patch structurally cannot
 miss one, and production paths never pay anything (the patch exists only
 inside the gate's ``with`` block). Gates run lanes sequentially in one
-thread; the context manager is not reentrancy-safe and doesn't need to be.
+thread; the context manager is not reentrancy-safe and doesn't need to
+be — but misuse must fail LOUDLY: a nested or concurrent entry (e.g.
+pytest-xdist running two gate tests in one process) would cross-capture
+subtrees and, worse, restore the PATCHED function as the "original" on
+exit, leaking the capture forever (ADVICE r7). Entry therefore raises if
+the method is already patched.
 """
 
 from __future__ import annotations
@@ -60,6 +65,13 @@ def capture_subtrees() -> Iterator[list[DataFrame]]:
     AFTER constructing the lane; entries appear in execution order."""
     log: list[DataFrame] = []
     originals = {cls: vars(cls)["localCheckpoint"] for cls in _checkpoint_classes()}
+    for cls, orig in originals.items():
+        if getattr(orig, "_barrier_capture_patch", False):
+            raise RuntimeError(
+                f"capture_subtrees is already active on {cls.__name__} — "
+                "nested/concurrent use would cross-capture subtrees and "
+                "leak the patch on exit; gates must not overlap"
+            )
 
     def make_patched(orig):
         # pass-through signature: Spark 4's real method also takes
@@ -69,6 +81,7 @@ def capture_subtrees() -> Iterator[list[DataFrame]]:
             log.append(self)
             return orig(self, *args, **kwargs)
 
+        patched._barrier_capture_patch = True
         return patched
 
     for cls, orig in originals.items():

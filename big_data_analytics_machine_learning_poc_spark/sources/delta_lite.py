@@ -40,11 +40,18 @@ Native-reader interop: tables restricted to the BASE subset (no DVs, no
 column mapping) stay at protocol v1 and are readable by a real Delta
 reader. Deletion-vector tables are NOT: DVs here use the custom
 `deletionVectors-u32z` reader feature (plain-parquet u32 offset lists,
-not the spec's RoaringBitmap-in-base85), so a real reader refuses them
-loudly — by design, via the protocol's feature mechanism — and only
-delta_lite reads them back. Column-mapped tables use the spec's
-`columnMapping` feature name with name-mode semantics. `read_delta`
-refuses any table whose `protocol` demands a reader version above 2 or a
+not the spec's RoaringBitmap-in-base85), and the first DV upgrades the
+table to the spec's TABLE-FEATURES protocol — minReaderVersion 3 +
+minWriterVersion 7 with explicit readerFeatures/writerFeatures lists —
+because the spec only obliges readers to honor `readerFeatures` at
+reader version 3 (a v2 reader ignores the field entirely and would
+silently resurrect DV-deleted rows). At v3 a real reader refuses the
+unknown feature loudly, which is the intended failure mode; only
+delta_lite reads DV tables back. Column-mapped tables (without DVs) use
+the spec's LEGACY protocol for column mapping (reader version 2, whose
+version number itself means "column mapping"), so real readers still
+read them. `read_delta` refuses any table whose `protocol` demands a
+reader version above 3, omits `readerFeatures` at version 3, or lists a
 feature outside `_SUPPORTED_READER_FEATURES`.
 
 Scale notes (100 TB): the log is the scan index — `read_delta` hands Spark
@@ -84,10 +91,15 @@ _LOG_DIR = "_delta_log"
 _PROTOCOL = {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
 
 # Reader features this implementation understands beyond protocol v1. A
-# table acquires {minReaderVersion: 2, readerFeatures: [...]} the moment a
-# feature is first used (deletion vectors); readers refuse any feature they
-# don't recognize instead of silently mis-reading (the protocol's intent —
-# a v1-only reader would resurrect DV-deleted rows).
+# table acquires the table-features protocol {minReaderVersion: 3,
+# minWriterVersion: 7, readerFeatures: [...], writerFeatures: [...]} the
+# moment the custom DV feature is first used — version 3 because the Delta
+# spec only obliges readers to consult `readerFeatures` there; at version
+# 2 a real reader ignores the field and would silently resurrect
+# DV-deleted rows (ADVICE r7). Column mapping alone stays on the LEGACY
+# protocol (reader version 2 means column mapping by version number), so
+# CM-only tables remain real-reader readable. Readers refuse any feature
+# they don't recognize instead of silently mis-reading.
 _SUPPORTED_READER_FEATURES = {"deletionVectors-u32z", "columnMapping"}
 
 
@@ -97,21 +109,30 @@ def _check_protocol(action: dict) -> None:
     if rv <= 1:
         return
     unknown = set(p.get("readerFeatures") or []) - _SUPPORTED_READER_FEATURES
-    if rv > 2 or unknown:
+    # rv 2 = legacy column mapping (supported); rv 3 = table features,
+    # honored only when the features list is PRESENT and fully understood
+    # (a v3 protocol without readerFeatures is malformed — unverifiable,
+    # so refused rather than guessed at).
+    if rv > 3 or unknown or (rv == 3 and "readerFeatures" not in p):
         raise NotImplementedError(
             f"table requires Delta reader version {rv} with features "
-            f"{sorted(unknown)}; delta_lite reads version ≤2 with "
+            f"{sorted(unknown)}; delta_lite reads version ≤3 with "
             f"{sorted(_SUPPORTED_READER_FEATURES)}"
         )
 
 
-# Writer-side protocol ceiling: 3 = CHECK constraints, 4 = change data
-# feed (both enforced in every write path here). A table whose log demands
-# more — or lists writer features we don't recognize — must be REFUSED for
-# writing (reading can still be fine): a constraint- or invariant-unaware
-# writer inserting rows is exactly the corruption writer versioning exists
-# to prevent.
-_MAX_WRITER_VERSION = 4
+# Writer-side protocol ceiling, legacy versions: 3 = CHECK constraints,
+# 4 = change data feed (both enforced in every write path here). Legacy 5
+# (column mapping writer) and 6 (identity columns) are refused — identity
+# columns aren't implemented, and delta_lite's own CM tables carry the
+# config in metaData, which every write path here honors. Writer version 7
+# (table features) is accepted exactly when every listed writerFeature is
+# understood; 7 WITHOUT a writerFeatures list is malformed and refused. A
+# table demanding more — or listing writer features we don't recognize —
+# must be REFUSED for writing (reading can still be fine): a constraint-
+# or invariant-unaware writer inserting rows is exactly the corruption
+# writer versioning exists to prevent.
+_MAX_LEGACY_WRITER_VERSION = 4
 _SUPPORTED_WRITER_FEATURES = {
     "changeDataFeed",
     "checkConstraints",
@@ -124,11 +145,13 @@ def _check_writer_protocol(table: str) -> None:
     p = _table_protocol(table)["protocol"]
     wv = p.get("minWriterVersion", 2)
     unknown = set(p.get("writerFeatures") or []) - _SUPPORTED_WRITER_FEATURES
-    if wv > _MAX_WRITER_VERSION or unknown:
+    ok = wv <= _MAX_LEGACY_WRITER_VERSION or (wv == 7 and "writerFeatures" in p)
+    if not ok or unknown:
         raise NotImplementedError(
             f"table requires Delta writer version {wv} with features "
-            f"{sorted(unknown)}; delta_lite writes version "
-            f"≤{_MAX_WRITER_VERSION} with {sorted(_SUPPORTED_WRITER_FEATURES)}"
+            f"{sorted(unknown)}; delta_lite writes legacy version "
+            f"≤{_MAX_LEGACY_WRITER_VERSION} or version 7 with features in "
+            f"{sorted(_SUPPORTED_WRITER_FEATURES)}"
         )
 
 
@@ -536,9 +559,10 @@ def _bloom_may_contain(add: dict, col: str, value) -> bool:
 # indices, base64 in the log — under a hard per-file cardinality cap.
 # Deletes denser than the cap fall back to copy-on-write per file (which is
 # the better plan for dense deletes anyway). Readers that predate the field
-# would silently resurrect rows, so DV tables bump minReaderVersion to 2 —
-# delta_lite refuses protocol >1 unless it recognizes every feature, exactly
-# the protocol's intent (see _replay).
+# would silently resurrect rows, so DV tables bump to the table-features
+# protocol (minReaderVersion 3 — the version at which the spec obliges
+# readers to honor readerFeatures); delta_lite refuses any feature it
+# doesn't recognize, exactly the protocol's intent (see _replay).
 
 _DV_STORAGE = "u32z"  # delta_lite's inline encoding tag
 _DV_MAX_ROWS_PER_FILE = 100_000  # inline-size guard: ~400 KB raw before zlib
@@ -635,9 +659,25 @@ def _to_physical(df: DataFrame, meta: dict) -> DataFrame:
 
 def _mapping_protocol_action(table: str) -> dict:
     """Protocol upgrade action for a mapping enablement (merging any
-    features the table already acquired, e.g. deletion vectors)."""
+    features the table already acquired, e.g. deletion vectors). A table
+    already on the table-features protocol (reader v3, e.g. because it
+    holds a DV) must NOT be downgraded: columnMapping merges into both
+    feature lists there. Otherwise the LEGACY form is kept — reader
+    version 2 itself means column mapping in the spec, so CM-only tables
+    stay real-reader readable (the extra readerFeatures field at v2 is
+    delta_lite bookkeeping a spec reader ignores)."""
     proto = _table_protocol(table)["protocol"]
     feats = set(proto.get("readerFeatures") or []) | {"columnMapping"}
+    if proto.get("minReaderVersion", 1) >= 3:
+        wfeats = set(proto.get("writerFeatures") or []) | feats
+        return {
+            "protocol": {
+                "minReaderVersion": 3,
+                "minWriterVersion": 7,
+                "readerFeatures": sorted(feats),
+                "writerFeatures": sorted(wfeats),
+            }
+        }
     return {
         "protocol": {
             "minReaderVersion": 2,
@@ -1692,25 +1732,41 @@ def _dv_mark(
 
 def _dv_protocol_upgrade(table: str, actions: list[dict]) -> None:
     """Prepend the protocol-upgrade action when this commit introduces the
-    table's first deletion vector — declaring only features the table
-    ACTUALLY uses (merging any already acquired, e.g. columnMapping)."""
+    table's first deletion vector. The upgrade is to the spec's
+    TABLE-FEATURES protocol — minReaderVersion 3 / minWriterVersion 7 with
+    explicit feature lists — NOT legacy v2: the spec only obliges readers
+    to consult ``readerFeatures`` at reader version 3, so a v2-capable
+    real reader would ignore the custom `deletionVectors-u32z` entry and
+    silently resurrect DV-deleted rows; at v3 it refuses loudly, the
+    intended failure mode (ADVICE r7). readerFeatures merges anything the
+    table already acquired (e.g. columnMapping); writerFeatures lists
+    every feature delta_lite's write paths actually enforce on this table
+    (CDF + CHECK constraints are enforced in every write path here, plus
+    the reader-writer features in use)."""
     if not any("deletionVector" in a.get("add", {}) for a in actions):
         return
     proto = _table_protocol(table)["protocol"]
     feats = set(proto.get("readerFeatures") or []) | {"deletionVectors-u32z"}
-    if proto.get("minReaderVersion", 1) < 2 or feats != set(
+    if proto.get("minReaderVersion", 1) >= 3 and feats == set(
         proto.get("readerFeatures") or []
     ):
-        actions.insert(
-            0,
-            {
-                "protocol": {
-                    "minReaderVersion": 2,
-                    "minWriterVersion": max(2, proto.get("minWriterVersion", 2)),
-                    "readerFeatures": sorted(feats),
-                }
-            },
-        )
+        return
+    wfeats = (
+        set(proto.get("writerFeatures") or [])
+        | feats
+        | {"changeDataFeed", "checkConstraints"}
+    )
+    actions.insert(
+        0,
+        {
+            "protocol": {
+                "minReaderVersion": 3,
+                "minWriterVersion": 7,
+                "readerFeatures": sorted(feats),
+                "writerFeatures": sorted(wfeats),
+            }
+        },
+    )
 
 
 def delete_where(
@@ -1741,7 +1797,8 @@ def delete_where(
     the inline cap _DV_MAX_ROWS_PER_FILE), that file falls back to
     copy-on-write in the same commit — dense deletes want the rewrite
     anyway, and read amplification stays bounded. The table's protocol is
-    upgraded to minReaderVersion 2 + readerFeatures on the first DV so a
+    upgraded to the table-features protocol (minReaderVersion 3 +
+    readerFeatures/writerFeatures) on the first DV so a
     DV-unaware reader refuses loudly instead of resurrecting rows."""
     from pyspark.sql import functions as F
 

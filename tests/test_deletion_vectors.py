@@ -80,17 +80,32 @@ def test_dv_delete_removes_rows_without_rewriting_files(spark, tmp_path):
 
 
 def test_dv_protocol_upgrade_and_checkpoint_preserves_it(spark, tmp_path):
+    """The first DV must upgrade to the TABLE-FEATURES protocol (reader 3 /
+    writer 7 + explicit feature lists): the spec only obliges readers to
+    honor readerFeatures at reader version 3 — at 2 a real reader ignores
+    the field and silently resurrects DV-deleted rows (ADVICE r7)."""
     table = _make(spark, tmp_path)
     assert _table_protocol(table)["protocol"]["minReaderVersion"] == 1
     delete_where(spark, table, "id = 0", mode="dv")
     proto = _table_protocol(table)["protocol"]
-    assert proto["minReaderVersion"] == 2
+    assert proto["minReaderVersion"] == 3
+    assert proto["minWriterVersion"] == 7
     assert proto["readerFeatures"] == ["deletionVectors-u32z"]
+    # writerFeatures lists everything the write paths enforce on the table
+    assert set(proto["writerFeatures"]) >= {
+        "deletionVectors-u32z",
+        "changeDataFeed",
+        "checkConstraints",
+    }
     checkpoint_table(table)
     # checkpoint must carry the UPGRADED protocol, not the baseline
-    assert _table_protocol(table)["protocol"]["minReaderVersion"] == 2
+    assert _table_protocol(table)["protocol"]["minReaderVersion"] == 3
     # and replay-from-checkpoint still applies the DV
     assert read_delta(spark, table).count() == 99
+    # the upgraded table keeps accepting delta_lite's OWN writes (wv7 +
+    # fully-understood writerFeatures passes the writer gate)
+    delete_where(spark, table, "id = 1", mode="dv")
+    assert read_delta(spark, table).count() == 98
 
 
 def test_unknown_reader_feature_refused(spark, tmp_path):

@@ -528,6 +528,29 @@ def test_barrier_capture_sees_through_local_checkpoint(spark):
     assert DataFrame.localCheckpoint.__qualname__ == "DataFrame.localCheckpoint"
 
 
+def test_barrier_capture_refuses_nesting(spark):
+    """ADVICE r7 (low): a nested entry would cross-capture subtrees and —
+    fatally — restore the PATCHED function as the 'original' on exit,
+    leaking the capture process-wide. Misuse must raise on entry, and the
+    failed inner entry must leave the outer capture fully functional."""
+    import pytest as _pytest
+    import pyspark.sql.functions as SF
+
+    from big_data_analytics_machine_learning_poc_spark.plans.barrier import capture_subtrees
+
+    base = spark.range(10).withColumn("k", SF.col("id") % 2)
+    with capture_subtrees() as subtrees:
+        with _pytest.raises(RuntimeError, match="already active"):
+            with capture_subtrees():
+                pass
+        base.groupBy("k").count().localCheckpoint()
+    assert len(subtrees) == 1
+    # and the clean unwind restored Spark's own method, not the patch
+    from pyspark.sql import DataFrame
+
+    assert not getattr(DataFrame.localCheckpoint, "_barrier_capture_patch", False)
+
+
 def test_r7_pinned_lanes_scan_shapes(spark):
     """Ratchet the r7 multi-consumer checkpoint fixes: each pinned lane's
     worst same-table plan-occurrence count (across the returned plan plus

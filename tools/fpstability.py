@@ -81,7 +81,7 @@ def main() -> int:
         # with --runs > 2 the drift may be between later runs, and diffing
         # runs 0/1 would print a nonsense "<row-count differs> N vs N"
         i = next(j for j in range(1, len(fps)) if fps[j] != fps[0])
-        base, other = (mats[0], mats[i]) if fps[0] != fps[i] else (mats[0], mats[1])
+        base, other = mats[0], mats[i]
         first_diff = next(
             (pair for pair in zip(base, other) if pair[0] != pair[1]),
             ("<row-count differs>", f"{len(base)} vs {len(other)}"),

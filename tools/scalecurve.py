@@ -44,7 +44,12 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 BASE_SF = "/root/testdata/sf0.1"
-WORK = "/tmp/spark_graft_scalecurve"
+# Scheme version rides in the work-dir name: bump it whenever the salting
+# or rolling construction in build_scaled changes, so a code change can
+# never silently reuse stale scaled corpora and skew the fitted alphas
+# (ADVICE r7). The base path is in the marker for the same reason.
+_SCHEME = "v1-tokensalt-dimroll"
+WORK = f"/tmp/spark_graft_scalecurve_{_SCHEME}"
 
 LANES = (
     "dedup_exact_stats",
@@ -74,7 +79,8 @@ def build_scaled(spark, k: int) -> str:
 
     out = os.path.join(WORK, f"K{k}")
     marker = os.path.join(out, "_DONE")
-    if os.path.exists(marker):
+    stamp = f"{_SCHEME} {BASE_SF}"
+    if os.path.exists(marker) and open(marker).read() == stamp:
         return out
     shutil.rmtree(out, ignore_errors=True)
     os.makedirs(out, exist_ok=True)
@@ -124,7 +130,8 @@ def build_scaled(spark, k: int) -> str:
     all_emb.coalesce(max(1, k)).write.mode("overwrite").parquet(
         os.path.join(out, "embeddings.parquet")
     )
-    open(marker, "w").close()
+    with open(marker, "w") as f:
+        f.write(stamp)
     return out
 
 
@@ -132,11 +139,26 @@ def main() -> int:
     scales = [1, 2, 4, 8]
     runs = 3
     argv = sys.argv[1:]
+    # flag parsing mirrors scanaudit: bounds-check the value and REMOVE the
+    # consumed pair so a bare flag fails loudly instead of IndexError-ing
+    # and flag values never leak into positional parsing (ADVICE r7)
     if "--scales" in argv:
         i = argv.index("--scales")
+        if i + 1 >= len(argv):
+            print("--scales needs a comma-separated value list", file=sys.stderr)
+            return 2
         scales = [int(x) for x in argv[i + 1].split(",")]
+        del argv[i : i + 2]
     if "--runs" in argv:
-        runs = int(argv[argv.index("--runs") + 1])
+        i = argv.index("--runs")
+        if i + 1 >= len(argv):
+            print("--runs needs an integer value", file=sys.stderr)
+            return 2
+        runs = int(argv[i + 1])
+        del argv[i : i + 2]
+    if argv:
+        print(f"unrecognized arguments: {argv}", file=sys.stderr)
+        return 2
 
     import __spark_entry__ as entrymod
     from big_data_analytics_machine_learning_poc_spark.session import get_session
