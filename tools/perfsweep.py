@@ -56,7 +56,16 @@ def sweep(sf_dir: str, only: list[str], runs: int, cpus: int) -> dict:
     import __spark_entry__ as entry
 
     spark = build_session(cpus)
-    queries = entry.queries()
+    # Measure in MODULE REGISTRATION order, not entry.queries() order:
+    # queries() fronts the current driver window, so its order rotates
+    # every round — and lane timings are neighborhood-sensitive (streaming
+    # lanes run back-to-back inherit each other's checkpoint/GC tail; a
+    # lane after a heavy MLlib fit pays its executor churn). r8 measured
+    # exactly this: two lanes "regressed" 3.4-3.8x in the full sweep yet
+    # were clean both standalone and at r7 close — the rotation had moved
+    # them into new neighborhoods. Registration order only changes when
+    # lanes are ADDED, so baselines stay comparable across rotations.
+    queries = dict(entry._registry(window_first=False).queries)
     names = only or list(queries)
     unknown = [n for n in names if n not in queries]
     if unknown:
