@@ -242,8 +242,16 @@ def main() -> int:
     }
     out_path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                             "DIAG", "skewstress.json")
+    # keyed by config so sweeps over --hot/--rows accumulate instead of
+    # clobbering each other's recorded evidence
+    book: dict = {}
+    if os.path.exists(out_path):
+        with open(out_path) as f:
+            prior = json.load(f)
+        book = prior if "rows" not in prior else {f"rows{prior['rows']}_hot{prior['hot']}": prior}
+    book[f"rows{rows}_hot{hot}"] = summary
     with open(out_path, "w") as f:
-        json.dump(summary, f, indent=1)
+        json.dump(book, f, indent=1)
     print(json.dumps(summary))
     spark.stop()
     return 0
