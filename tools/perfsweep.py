@@ -105,7 +105,19 @@ def sweep(sf_dir: str, only: list[str], runs: int, cpus: int) -> dict:
     }
 
 
-def diff_baseline(report: dict, baseline_path: str, tolerance: float) -> int:
+def diff_baseline(
+    report: dict, baseline_path: str, tolerance: float, remeasure=None
+) -> int:
+    """Diff against the baseline; lanes past tolerance get ONE re-measure
+    (via ``remeasure(names)``) before counting as failures. Rationale: a
+    real plan regression (lost broadcast, new shuffle, codegen fallback)
+    reproduces deterministically on an immediate retry in the same
+    session, while transient noise — a 17-minute sweep sharing the box
+    with another step's JVM teardown, a GC tail from a heavy neighbor —
+    does not. The r8 batteries flagged 2-3 lanes each that were clean on
+    every standalone re-run; a gate that cries wolf gets deleted, so the
+    retry is part of the gate, not a softening of it (tolerance is
+    unchanged and confirmed repeat offenders still fail)."""
     base = json.load(open(baseline_path))["lanes"]
     slow, errors = [], []
     for name, row in report["lanes"].items():
@@ -118,13 +130,34 @@ def diff_baseline(report: dict, baseline_path: str, tolerance: float) -> int:
         # floor at 0.2s: sub-200ms medians are scheduler noise territory
         if row["median_s"] > max(0.2, b["median_s"]) * tolerance:
             slow.append((name, b["median_s"], row["median_s"]))
+    if slow and remeasure is not None:
+        names = [n for n, _, _ in slow]
+        print(f"retrying {len(names)} flagged lanes: {names}", file=sys.stderr)
+        second = remeasure(names)["lanes"]
+        confirmed = []
+        for name, was, first in slow:
+            row = second.get(name, {})
+            now = row.get("median_s")
+            if now is None or now > max(0.2, was) * tolerance:
+                confirmed.append((name, was, now if now is not None else first))
+            else:
+                print(
+                    f"RECOVERED {name}: {first:.3f}s -> {now:.3f}s on retry "
+                    f"(baseline {was:.3f}s) — transient, not a regression",
+                    file=sys.stderr,
+                )
+        slow = confirmed
     for name, err in errors:
         print(f"ERROR {name}: {err}")
+        print(f"ERROR {name}: {err}", file=sys.stderr)
     for name, was, now in sorted(slow, key=lambda t: -t[2] / t[1]):
-        print(f"SLOW  {name}: {was:.3f}s -> {now:.3f}s ({now / was:.1f}x)")
+        line = f"SLOW  {name}: {was:.3f}s -> {now:.3f}s ({now / was:.1f}x)"
+        print(line)
+        print(line, file=sys.stderr)  # roundclose keeps only the stderr tail
     print(
         f"{len(report['lanes']) - len(slow) - len(errors)} ok, "
-        f"{len(slow)} slow (> {tolerance}x baseline), {len(errors)} errors"
+        f"{len(slow)} slow (> {tolerance}x baseline, retry-confirmed), "
+        f"{len(errors)} errors"
     )
     return 1 if slow or errors else 0
 
@@ -159,7 +192,12 @@ def main() -> int:
     elif not args.baseline:  # diff mode prints its own summary
         print(json.dumps(report, indent=1, sort_keys=True))
     if args.baseline:
-        return diff_baseline(report, args.baseline, args.tolerance)
+        return diff_baseline(
+            report,
+            args.baseline,
+            args.tolerance,
+            remeasure=lambda names: sweep(args.sf_dir, names, args.runs, args.cpus),
+        )
     return 0
 
 
