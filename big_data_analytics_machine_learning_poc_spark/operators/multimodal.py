@@ -5,11 +5,18 @@ struct; decode / feature-extraction runs as Arrow-batched ``mapInPandas``
 (the per-partition batch-iterator shape a real decoder needs — one Python
 worker per partition, zero driver involvement, linear scale-out).
 
-The container has no image/audio libraries, so the *decoder* is stubbed two
-ways (per the build brief): ``decode_image`` raises NotImplementedError
-behind an import-try of PIL, and the pipeline uses ``fake_decode_features``
-— a deterministic pure function of the bytes, which makes the whole
-mapInPandas path oracle-checkable end-to-end (same formula in SQL).
+Decode is REAL for PNG and BMP even without image libraries:
+``decode_image`` prefers Pillow when present, and otherwise falls back to
+``functions/imagecodec.py`` — a dependency-free decoder for 8-bit PNG
+(all five row filters) and 24-bit BMP built on zlib + numpy (both are
+public specs). ``real_decode_features`` runs it through the same
+Arrow-batched mapInPandas plumbing and is round-trip-tested in
+tests/test_multimodal.py. Formats beyond that subset (JPEG, ...) still
+raise NotImplementedError without Pillow. The registry lanes keep the
+deterministic ``fake_decode_features`` stand-in — a pure function of the
+payload bytes that DuckDB can reproduce, which is what makes the
+mapInPandas path oracle-checkable end-to-end (the sf documents tables
+hold text payloads, not media).
 """
 
 from __future__ import annotations
@@ -42,15 +49,51 @@ def with_binary_payload(docs: DataFrame) -> DataFrame:
     )
 
 
-def decode_image(payload: bytes):  # pragma: no cover - stub by design
-    """Real image decode — stubbed: PIL is not in this container."""
+def decode_image(payload: bytes):
+    """Real image decode → uint8 numpy array (h, w, channels). Pillow when
+    available (JPEG + every PNG/BMP variant); otherwise the dependency-free
+    PNG/BMP decoder in functions/imagecodec.py. Only a format neither path
+    can handle raises."""
     try:
-        from PIL import Image  # noqa: F401
-    except ImportError as exc:
-        raise NotImplementedError(
-            "image decoding requires Pillow; install it in a full deployment"
-        ) from exc
-    raise NotImplementedError("wire Image.open(BytesIO(payload)) here")
+        from io import BytesIO
+
+        import numpy as np
+        from PIL import Image
+
+        arr = np.asarray(Image.open(BytesIO(payload)))
+        return arr[:, :, None] if arr.ndim == 2 else arr
+    except ImportError:
+        from ..functions.imagecodec import decode_any
+
+        return decode_any(payload)
+
+
+REAL_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("channels", T.LongType()),
+        T.StructField("mean_intensity", T.DoubleType()),
+    ]
+)
+
+
+def real_decode_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """ACTUAL pixel features via decode_image, Arrow-batched — the shape a
+    production media pipeline runs (decode inside the worker, features out,
+    payloads never crossing back). Exercised by tests/test_multimodal.py on
+    synthesized PNG/BMP payloads; the registry lanes keep the
+    oracle-checkable fake because the sf tables hold text payloads."""
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            img = decode_image(bytes(payload))
+            h, w, ch = img.shape
+            rows.append((doc_id, w, h, ch, float(img.mean())))
+        yield pd.DataFrame(
+            rows, columns=["doc_id", "width", "height", "channels", "mean_intensity"]
+        )
 
 
 FEATURE_SCHEMA = T.StructType(
