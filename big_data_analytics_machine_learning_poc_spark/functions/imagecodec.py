@@ -61,6 +61,14 @@ def _png_chunks(payload: bytes):
         data = payload[pos + 8 : pos + 8 + length]
         if len(data) != length:
             raise ValueError("truncated PNG chunk")
+        crc_bytes = payload[pos + 8 + length : pos + 12 + length]
+        if len(crc_bytes) != 4:
+            raise ValueError("truncated PNG chunk (missing CRC)")
+        (crc,) = struct.unpack(">I", crc_bytes)
+        if crc != (zlib.crc32(ctype + data) & 0xFFFFFFFF):
+            raise ValueError(
+                f"PNG chunk {ctype.decode('latin-1')!r} CRC mismatch — corrupt payload"
+            )
         yield ctype, data
         pos += 12 + length  # length + type + data + crc
         if ctype == b"IEND":
@@ -100,6 +108,8 @@ def decode_png(payload: bytes) -> np.ndarray:
             idat.extend(data)
     if width is None:
         raise ValueError("PNG missing IHDR")
+    if not idat:
+        raise ValueError("PNG missing IDAT")
     raw = zlib.decompress(bytes(idat))
     stride = width * channels
     if len(raw) != (stride + 1) * height:

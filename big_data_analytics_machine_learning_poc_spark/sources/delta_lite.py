@@ -122,17 +122,17 @@ def _check_protocol(action: dict) -> None:
 
 
 # Writer-side protocol ceiling, legacy versions: 3 = CHECK constraints,
-# 4 = change data feed (both enforced in every write path here). Legacy 5
-# (column mapping writer) and 6 (identity columns) are refused — identity
-# columns aren't implemented, and delta_lite's own CM tables carry the
-# config in metaData, which every write path here honors. Writer version 7
-# (table features) is accepted exactly when every listed writerFeature is
-# understood; 7 WITHOUT a writerFeatures list is malformed and refused. A
-# table demanding more — or listing writer features we don't recognize —
-# must be REFUSED for writing (reading can still be fine): a constraint-
-# or invariant-unaware writer inserting rows is exactly the corruption
+# 4 = change data feed, 5 = column mapping (all three enforced/honored in
+# every write path here — writes go through _phys_map, so wv 5 is earned,
+# not waved through). Legacy 6 (identity columns) is refused — identity
+# columns aren't implemented. Writer version 7 (table features) is
+# accepted exactly when every listed writerFeature is understood; 7
+# WITHOUT a writerFeatures list is malformed and refused. A table
+# demanding more — or listing writer features we don't recognize — must
+# be REFUSED for writing (reading can still be fine): a constraint- or
+# invariant-unaware writer inserting rows is exactly the corruption
 # writer versioning exists to prevent.
-_MAX_LEGACY_WRITER_VERSION = 4
+_MAX_LEGACY_WRITER_VERSION = 5
 _SUPPORTED_WRITER_FEATURES = {
     "changeDataFeed",
     "checkConstraints",
@@ -678,10 +678,15 @@ def _mapping_protocol_action(table: str) -> dict:
                 "writerFeatures": sorted(wfeats),
             }
         }
+    # The spec gates column mapping behind LEGACY writer version 5: a
+    # spec-compliant external writer seeing wv ≤4 would write PHYSICAL
+    # column names without honoring the mapping and corrupt the table, so
+    # foreign writers must be blocked the same way foreign readers are
+    # (reader version 2 already does that side).
     return {
         "protocol": {
             "minReaderVersion": 2,
-            "minWriterVersion": max(2, proto.get("minWriterVersion", 2)),
+            "minWriterVersion": max(5, proto.get("minWriterVersion", 2)),
             "readerFeatures": sorted(feats),
         }
     }

@@ -65,9 +65,13 @@ def test_rename_is_metadata_only_and_time_travel_sees_old_name(spark, tmp_path):
     # the pre-rename snapshot still reads under its own schema
     v0 = read_delta(spark, table, version=0)
     assert "name" in v0.columns and "username" not in v0.columns
-    # protocol carries the mapping feature
+    # protocol carries the mapping feature — and gates FOREIGN WRITERS too:
+    # the spec puts column mapping at legacy writer version 5, so a
+    # spec-compliant external writer on wv ≤4 (which would write physical
+    # names unmapped and corrupt the table) must see itself refused
     proto = _table_protocol(table)["protocol"]
     assert proto["minReaderVersion"] == 2
+    assert proto["minWriterVersion"] == 5
     assert "columnMapping" in proto["readerFeatures"]
 
 

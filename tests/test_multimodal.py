@@ -196,3 +196,35 @@ def test_resize_checksum_is_byte_exact(spark):
         expect = text.encode()[::4]
         assert out[doc_id].resized_bytes == len(expect)
         assert out[doc_id].resized_checksum32 == int(_hl.md5(expect).hexdigest()[:8], 16)
+
+
+def test_png_corruption_and_missing_idat_fail_loudly():
+    """ADVICE r8: an IHDR-only PNG must raise a clear ValueError (not an
+    opaque zlib.error), and a flipped payload byte must be caught by the
+    chunk CRC check instead of surfacing as garbage pixels downstream."""
+    import struct
+    import zlib
+
+    import pytest
+
+    from big_data_analytics_machine_learning_poc_spark.functions import imagecodec as ic
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", 3, 2, 8, 2, 0, 0, 0)
+    no_idat = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) + chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="missing IDAT"):
+        ic.decode_png(no_idat)
+
+    good = ic.encode_png(_gradient(4, 3, 3))
+    # flip one byte inside the IDAT data region (past sig+IHDR chunk+len+type)
+    corrupt = bytearray(good)
+    corrupt[8 + 25 + 8 + 2] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC mismatch"):
+        ic.decode_png(bytes(corrupt))

@@ -137,6 +137,11 @@ def diff_baseline(
         confirmed = []
         for name, was, first in slow:
             row = second.get(name, {})
+            if "error" in row:
+                # the retry ERRORED — report that, not a stale first-pass
+                # timing dressed up as a confirmed slowdown
+                errors.append((name, f"errored on retry: {row['error']}"))
+                continue
             now = row.get("median_s")
             if now is None or now > max(0.2, was) * tolerance:
                 confirmed.append((name, was, now if now is not None else first))
