@@ -230,3 +230,41 @@ def test_weighted_sample_skews_toward_weight(spark):
     )
     sample_avg = sum(r.n_chars for r in a) / len(a)
     assert sample_avg > pop_avg  # length-weighted ⇒ longer on average
+
+
+def test_semdedup_planted_clusters(spark):
+    """SemDeDup on planted geometry: two well-separated clusters, one
+    holding three near-identical vectors (cos ≈ 1) plus one distinct
+    member. With k=2 and a realistic tau=0.9 the triple must collapse to
+    ONE survivor — specifically the member FARTHEST from its centroid
+    (the paper's diversity-keeping rule) — and nothing else may drop."""
+    import numpy as np
+
+    from big_data_analytics_machine_learning_poc_spark.operators.curation import semdedup
+
+    rng = np.random.default_rng(7)
+    axis_a = np.array([1.0] + [0.0] * 15)
+    axis_b = np.array([0.0] * 15 + [1.0])
+    rows = []
+    # cluster around axis_a: triple of near-dups (ids 0,1,2) + distinct (3)
+    for i, eps in [(0, 0.000), (1, 0.001), (2, 0.002)]:
+        v = axis_a + eps * rng.normal(size=16)
+        rows.append((i, [float(x) for x in v]))
+    rows.append((3, [float(x) for x in (axis_a + 0.45 * rng.normal(size=16))]))
+    # cluster around axis_b: two distinct members (4, 5)
+    for i in (4, 5):
+        rows.append((i, [float(x) for x in (axis_b + 0.3 * rng.normal(size=16))]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    members, losers = semdedup(emb, k=2, tau=0.9)
+    mem = {r.vec_id: r for r in members.collect()}
+    dropped = {r.vec_id for r in losers.collect()}
+
+    # the triple shares a cluster; exactly two of the three drop
+    assert len({mem[i].cluster for i in (0, 1, 2)}) == 1
+    assert dropped <= {0, 1, 2} and len(dropped) == 2
+    # the survivor is the triple's member with the LOWEST centroid sim
+    survivor = ({0, 1, 2} - dropped).pop()
+    assert mem[survivor].csim == min(mem[i].csim for i in (0, 1, 2))
+    # distinct members (3, 4, 5) are untouched
+    assert not dropped & {3, 4, 5}
