@@ -96,8 +96,13 @@ def main() -> None:
     # compilation kicks in (cycle-1 total 172 ms -> cycle-3 124 ms with zero
     # config change); without this, the first-measured queries pay the JIT
     # bill and round-over-round deltas are warmup artifacts, not plans.
+    # The flagship join shares the warmup loop: its 5-way join codegen paths
+    # are distinct from the six BASELINE queries, so without this it pays the
+    # C2 bill inside its own measurement (r8→r9 investigation: flagship_sec
+    # read 31 ms on a quiet box but drifts to ~20 ms once compilation settles;
+    # same plan, zero code change).
     for _ in range(3):
-        for name in BENCH_QUERIES:
+        for name in BENCH_QUERIES + ("flagship_regional_revenue",):
             relational.REG.queries[name](spark, sf_dir).collect()
 
     prepared: dict[str, float] = {}

@@ -1,0 +1,963 @@
+"""Jar-free Apache Iceberg v2 table support (read, append, time travel).
+
+Speaks the public Iceberg table spec (https://iceberg.apache.org/spec/)
+directly — `metadata/vN.metadata.json` + `version-hint.text` (the
+HadoopTables file-system catalog convention), Avro manifest lists and
+manifest files via ``sources/avro_lite.py`` — so ``lakehouse.read_table /
+write_table`` with ``fmt="iceberg"`` work in this container the same way
+``delta_lite`` serves ``fmt="delta"`` (VERDICT r8 ask #7; previously a
+typed NotImplementedError at ``sources/lakehouse.py:43``).
+
+Spec mapping (section names from the spec):
+
+- **Table Metadata**: format-version 2 with the v2-required fields
+  (table-uuid, last-sequence-number, schemas/current-schema-id,
+  partition-specs/default-spec-id/last-partition-id, sort-orders,
+  snapshots, snapshot-log, metadata-log). Snapshot ids are sequential
+  longs (the spec requires unique longs, not randomness — deterministic
+  ids keep reruns byte-stable for the repo's fingerprint gates).
+- **Manifest Lists** (`snap-<id>.avro`): one `manifest_file` record per
+  manifest with the v2-required counts, sequence numbers and per-partition
+  `field_summary` bounds (509/510/511) — those summaries drive
+  manifest-level partition pruning on read, the first of the two metadata
+  pruning levels.
+- **Manifests** (`m-<id>-*.avro`): `manifest_entry` records (status,
+  snapshot_id, data_file) with identity-transform partition tuples and
+  per-column lower/upper bounds in the spec's single-value binary
+  serialization (int/long/date LE-int, float/double LE-IEEE; bounds are
+  keyed by field id). Bounds come from the parquet footers via
+  delta_lite's soundness-audited ``_file_stats`` (a bound is logged only
+  when every row group contributed), so file skipping is never a
+  correctness dependency.
+- **Row-level deletes** (delete manifests, content=1) are NOT implemented:
+  a table carrying delete files fails loudly at read rather than
+  resurrecting deleted rows — the same honesty rule delta_lite applies to
+  unknown reader features.
+
+Layout on disk::
+
+    table/
+      metadata/version-hint.text      # current metadata version (int)
+      metadata/v1.metadata.json ...
+      metadata/snap-<snapshot-id>.avro
+      metadata/m-<snapshot-id>-0.avro
+      data/[p_col=value/]part-*.parquet
+
+Data files keep hive-style partition directories so a plain
+``spark.read.option("basePath", ...)`` re-derives identity partition
+columns (Spark's ``partitionBy`` writer drops them from the files; same
+approach as ``delta_lite._snapshot_reader``). Scale shape: the metadata
+files a reader touches are O(manifests), not O(data); file pruning happens
+driver-side against footer-derived bounds before any task is scheduled,
+exactly like the Iceberg runtime's scan planning.
+"""
+
+from __future__ import annotations
+
+import datetime
+import json
+import os
+import struct
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from . import avro_lite
+from .delta_lite import _file_stats, _partition_values
+
+# ---------------------------------------------------------------------------
+# Spark ↔ Iceberg schema mapping (spec §Schemas and Data Types)
+# ---------------------------------------------------------------------------
+
+_SPARK_TO_ICEBERG = {
+    T.BooleanType: "boolean",
+    T.IntegerType: "int",
+    T.ShortType: "int",
+    T.ByteType: "int",
+    T.LongType: "long",
+    T.FloatType: "float",
+    T.DoubleType: "double",
+    T.StringType: "string",
+    T.BinaryType: "binary",
+    T.DateType: "date",
+    T.TimestampType: "timestamptz",  # Spark TimestampType is UTC-adjusted
+    T.TimestampNTZType: "timestamp",
+}
+
+
+def _to_iceberg_type(dt: T.DataType, next_id) -> object:
+    """Spark type → Iceberg type JSON; ``next_id()`` allocates nested field
+    ids (list element / map key-value / struct fields all carry ids)."""
+    if isinstance(dt, T.DecimalType):
+        return f"decimal({dt.precision},{dt.scale})"
+    if isinstance(dt, T.ArrayType):
+        return {
+            "type": "list",
+            "element-id": next_id(),
+            "element": _to_iceberg_type(dt.elementType, next_id),
+            "element-required": not dt.containsNull,
+        }
+    if isinstance(dt, T.MapType):
+        return {
+            "type": "map",
+            "key-id": next_id(),
+            "key": _to_iceberg_type(dt.keyType, next_id),
+            "value-id": next_id(),
+            "value": _to_iceberg_type(dt.valueType, next_id),
+            "value-required": not dt.valueContainsNull,
+        }
+    if isinstance(dt, T.StructType):
+        fields = []
+        for f in dt.fields:
+            fid = next_id()
+            fields.append(
+                {
+                    "id": fid,
+                    "name": f.name,
+                    "required": not f.nullable,
+                    "type": _to_iceberg_type(f.dataType, next_id),
+                }
+            )
+        return {"type": "struct", "fields": fields}
+    for spark_cls, iceberg_name in _SPARK_TO_ICEBERG.items():
+        if isinstance(dt, spark_cls):
+            return iceberg_name
+    raise NotImplementedError(f"no Iceberg mapping for Spark type {dt.simpleString()}")
+
+
+def _iceberg_schema(spark_schema: T.StructType) -> dict:
+    """Fresh Iceberg schema with pre-order field-id assignment (matches
+    TypeUtil.assignFreshIds' traversal for a new table)."""
+    counter = {"n": 0}
+
+    def next_id() -> int:
+        counter["n"] += 1
+        return counter["n"]
+
+    struct = _to_iceberg_type(spark_schema, next_id)
+    return {
+        "type": "struct",
+        "schema-id": 0,
+        "fields": struct["fields"],
+        "_last_column_id": counter["n"],  # stripped before serialization
+    }
+
+
+def _to_spark_type(it) -> T.DataType:
+    if isinstance(it, str):
+        if it.startswith("decimal("):
+            p, s = it[8:-1].split(",")
+            return T.DecimalType(int(p), int(s))
+        if it.startswith("fixed["):
+            return T.BinaryType()
+        simple = {
+            "boolean": T.BooleanType(),
+            "int": T.IntegerType(),
+            "long": T.LongType(),
+            "float": T.FloatType(),
+            "double": T.DoubleType(),
+            "string": T.StringType(),
+            "binary": T.BinaryType(),
+            "date": T.DateType(),
+            "timestamptz": T.TimestampType(),
+            "timestamp": T.TimestampNTZType(),
+            "uuid": T.StringType(),
+        }
+        if it in simple:
+            return simple[it]
+        raise NotImplementedError(f"no Spark mapping for Iceberg type {it!r}")
+    kind = it["type"]
+    if kind == "struct":
+        return T.StructType(
+            [
+                T.StructField(f["name"], _to_spark_type(f["type"]), not f["required"])
+                for f in it["fields"]
+            ]
+        )
+    if kind == "list":
+        return T.ArrayType(_to_spark_type(it["element"]), not it["element-required"])
+    if kind == "map":
+        return T.MapType(
+            _to_spark_type(it["key"]),
+            _to_spark_type(it["value"]),
+            not it["value-required"],
+        )
+    raise NotImplementedError(f"no Spark mapping for Iceberg type {it!r}")
+
+
+def _spark_schema(meta: dict) -> T.StructType:
+    schemas = {s["schema-id"]: s for s in meta["schemas"]}
+    current = schemas[meta["current-schema-id"]]
+    return _to_spark_type({"type": "struct", "fields": current["fields"]})
+
+
+# ---------------------------------------------------------------------------
+# single-value binary serialization (spec §Binary single-value serialization)
+# ---------------------------------------------------------------------------
+
+
+def _single_value_bytes(iceberg_type: str, value) -> bytes | None:
+    """Bound value → spec binary form; None when the type has no safe
+    encoding here (decimal/timestamp bounds are simply omitted — skipping
+    is an optimization, never a correctness dependency)."""
+    try:
+        if iceberg_type == "int":
+            return struct.pack("<i", int(value))
+        if iceberg_type == "long":
+            return struct.pack("<q", int(value))
+        if iceberg_type == "float":
+            return struct.pack("<f", float(value))
+        if iceberg_type == "double":
+            return struct.pack("<d", float(value))
+        if iceberg_type == "boolean":
+            return b"\x01" if value else b"\x00"
+        if iceberg_type == "string":
+            return str(value).encode("utf-8")
+        if iceberg_type == "date":
+            if isinstance(value, str):
+                value = datetime.date.fromisoformat(value)
+            return struct.pack("<i", (value - datetime.date(1970, 1, 1)).days)
+    except (ValueError, TypeError, struct.error):
+        return None
+    return None
+
+
+def _single_value_parse(iceberg_type: str, data: bytes):
+    if iceberg_type == "int":
+        return struct.unpack("<i", data)[0]
+    if iceberg_type == "long":
+        return struct.unpack("<q", data)[0]
+    if iceberg_type == "float":
+        return struct.unpack("<f", data)[0]
+    if iceberg_type == "double":
+        return struct.unpack("<d", data)[0]
+    if iceberg_type == "boolean":
+        return data != b"\x00"
+    if iceberg_type == "string":
+        return data.decode("utf-8")
+    if iceberg_type == "date":
+        return datetime.date(1970, 1, 1) + datetime.timedelta(
+            days=struct.unpack("<i", data)[0]
+        )
+    raise NotImplementedError(f"no single-value parse for {iceberg_type!r}")
+
+
+# ---------------------------------------------------------------------------
+# Avro schemas for the two metadata file kinds (field ids from the spec's
+# manifest-list / manifest tables; "k/v + logicalType map" is how Iceberg
+# encodes int-keyed maps, since Avro maps require string keys)
+# ---------------------------------------------------------------------------
+
+
+def _idmap(name: str, key_id: int, value_id: int, value_type: str = "bytes") -> dict:
+    return {
+        "type": "array",
+        "logicalType": "map",
+        "items": {
+            "type": "record",
+            "name": name,
+            "fields": [
+                {"name": "key", "type": "int", "field-id": key_id},
+                {"name": "value", "type": value_type, "field-id": value_id},
+            ],
+        },
+    }
+
+
+_FIELD_SUMMARY = {
+    "type": "record",
+    "name": "r508",
+    "fields": [
+        {"name": "contains_null", "type": "boolean", "field-id": 509},
+        {"name": "contains_nan", "type": ["null", "boolean"], "default": None, "field-id": 518},
+        {"name": "lower_bound", "type": ["null", "bytes"], "default": None, "field-id": 510},
+        {"name": "upper_bound", "type": ["null", "bytes"], "default": None, "field-id": 511},
+    ],
+}
+
+MANIFEST_LIST_SCHEMA = {
+    "type": "record",
+    "name": "manifest_file",
+    "fields": [
+        {"name": "manifest_path", "type": "string", "field-id": 500},
+        {"name": "manifest_length", "type": "long", "field-id": 501},
+        {"name": "partition_spec_id", "type": "int", "field-id": 502},
+        {"name": "content", "type": "int", "field-id": 517},
+        {"name": "sequence_number", "type": "long", "field-id": 515},
+        {"name": "min_sequence_number", "type": "long", "field-id": 516},
+        {"name": "added_snapshot_id", "type": "long", "field-id": 503},
+        {"name": "added_files_count", "type": "int", "field-id": 504},
+        {"name": "existing_files_count", "type": "int", "field-id": 505},
+        {"name": "deleted_files_count", "type": "int", "field-id": 506},
+        {"name": "added_rows_count", "type": "long", "field-id": 512},
+        {"name": "existing_rows_count", "type": "long", "field-id": 513},
+        {"name": "deleted_rows_count", "type": "long", "field-id": 514},
+        {
+            "name": "partitions",
+            "type": ["null", {"type": "array", "items": _FIELD_SUMMARY}],
+            "default": None,
+            "field-id": 507,
+        },
+    ],
+}
+
+
+def _avro_partition_type(iceberg_type: str) -> object:
+    """Identity-transform partition field → its Avro storage type."""
+    mapping = {
+        "int": "int",
+        "long": "long",
+        "string": "string",
+        "boolean": "boolean",
+        "date": {"type": "int", "logicalType": "date"},
+    }
+    if iceberg_type not in mapping:
+        raise NotImplementedError(
+            f"identity partitioning on Iceberg type {iceberg_type!r} is not "
+            f"supported here (int/long/string/boolean/date are)"
+        )
+    return mapping[iceberg_type]
+
+
+def _manifest_schema(partition_fields: list[dict], field_types: dict[int, str]) -> dict:
+    """`manifest_entry` Avro schema for one partition spec.
+    ``partition_fields`` is the spec's fields list; ``field_types`` maps
+    source field id → iceberg type name."""
+    part_record = {
+        "type": "record",
+        "name": "r102",
+        "fields": [
+            {
+                "name": pf["name"],
+                "type": ["null", _avro_partition_type(field_types[pf["source-id"]])],
+                "default": None,
+                "field-id": pf["field-id"],
+            }
+            for pf in partition_fields
+        ],
+    }
+    data_file = {
+        "type": "record",
+        "name": "r2",
+        "fields": [
+            {"name": "content", "type": "int", "field-id": 134},
+            {"name": "file_path", "type": "string", "field-id": 100},
+            {"name": "file_format", "type": "string", "field-id": 101},
+            {"name": "partition", "type": part_record, "field-id": 102},
+            {"name": "record_count", "type": "long", "field-id": 103},
+            {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+            {
+                "name": "null_value_counts",
+                "type": ["null", _idmap("k121_v122", 121, 122, "long")],
+                "default": None,
+                "field-id": 110,
+            },
+            {
+                "name": "lower_bounds",
+                "type": ["null", _idmap("k126_v127", 126, 127)],
+                "default": None,
+                "field-id": 125,
+            },
+            {
+                "name": "upper_bounds",
+                "type": ["null", _idmap("k129_v130", 129, 130)],
+                "default": None,
+                "field-id": 128,
+            },
+        ],
+    }
+    return {
+        "type": "record",
+        "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "int", "field-id": 0},
+            {"name": "snapshot_id", "type": ["null", "long"], "default": None, "field-id": 1},
+            {"name": "sequence_number", "type": ["null", "long"], "default": None, "field-id": 3},
+            {"name": "file_sequence_number", "type": ["null", "long"], "default": None, "field-id": 4},
+            {"name": "data_file", "type": data_file, "field-id": 2},
+        ],
+    }
+
+
+# ---------------------------------------------------------------------------
+# table metadata plumbing (HadoopTables version-hint convention)
+# ---------------------------------------------------------------------------
+
+
+def _meta_dir(table: str) -> str:
+    return os.path.join(table, "metadata")
+
+
+def _current_version(table: str) -> int | None:
+    hint = os.path.join(_meta_dir(table), "version-hint.text")
+    if not os.path.exists(hint):
+        return None
+    with open(hint) as f:
+        return int(f.read().strip())
+
+
+def load_metadata(table: str, version: int | None = None) -> dict:
+    v = version if version is not None else _current_version(table)
+    if v is None:
+        raise FileNotFoundError(f"{table}: no Iceberg version-hint.text — not a table")
+    path = os.path.join(_meta_dir(table), f"v{v}.metadata.json")
+    with open(path) as f:
+        meta = json.load(f)
+    if meta.get("format-version") != 2:
+        raise NotImplementedError(
+            f"{table}: format-version {meta.get('format-version')} — iceberg_lite "
+            f"implements the v2 spec only"
+        )
+    return meta
+
+
+def _write_metadata(table: str, meta: dict, version: int) -> None:
+    md = _meta_dir(table)
+    os.makedirs(md, exist_ok=True)
+    path = os.path.join(md, f"v{version}.metadata.json")
+    with open(path, "w") as f:
+        json.dump(meta, f, indent=1, sort_keys=True)
+    # hint LAST: a reader following the hint always finds a complete file,
+    # so a crash between the two writes leaves the previous version live
+    with open(os.path.join(md, "version-hint.text"), "w") as f:
+        f.write(str(version))
+
+
+def snapshots(table: str) -> list[dict]:
+    """Snapshot history (id, sequence number, timestamp, operation) —
+    the time-travel index."""
+    meta = load_metadata(table)
+    return [
+        {
+            "snapshot_id": s["snapshot-id"],
+            "sequence_number": s["sequence-number"],
+            "timestamp_ms": s["timestamp-ms"],
+            "operation": s["summary"]["operation"],
+            "is_current": s["snapshot-id"] == meta.get("current-snapshot-id"),
+        }
+        for s in meta.get("snapshots", [])
+    ]
+
+
+def _field_types(meta: dict) -> dict[int, str]:
+    schemas = {s["schema-id"]: s for s in meta["schemas"]}
+    current = schemas[meta["current-schema-id"]]
+    return {
+        f["id"]: f["type"] for f in current["fields"] if isinstance(f["type"], str)
+    }
+
+
+def _partition_spec(meta: dict) -> list[dict]:
+    specs = {s["spec-id"]: s for s in meta["partition-specs"]}
+    return specs[meta["default-spec-id"]]["fields"]
+
+
+# ---------------------------------------------------------------------------
+# write path
+# ---------------------------------------------------------------------------
+
+
+def _coerce_partition_value(iceberg_type: str, raw: str | None):
+    if raw is None:
+        return None
+    if iceberg_type in ("int", "long"):
+        return int(raw)
+    if iceberg_type == "boolean":
+        return raw.lower() == "true"
+    if iceberg_type == "date":
+        return (datetime.date.fromisoformat(raw) - datetime.date(1970, 1, 1)).days
+    return raw  # string
+
+
+def _stage_data_files(df: DataFrame, table: str, partition_cols: list[str]):
+    """Write df's parquet part files under ``table/data`` (hive partition
+    dirs when partitioned) via staging + rename, returning
+    (path relative to table, size, stats) per file — delta_lite's staging
+    doctrine: a failed job never leaves half-published files where a
+    snapshot could see them."""
+    import pyarrow.parquet as pq
+
+    data_dir = os.path.join(table, "data")
+    staging = os.path.join(table, f".staging-{uuid.uuid4().hex}")
+    writer = df.write.mode("overwrite")
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.parquet(staging)
+    out = []
+    for root, _dirs, files in os.walk(staging):
+        for name in files:
+            if not name.endswith(".parquet"):
+                continue
+            src = os.path.join(root, name)
+            rel = os.path.relpath(src, staging)
+            dst = os.path.join(data_dir, rel)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            pq_meta = pq.read_metadata(src)
+            try:
+                stats = _file_stats(pq_meta)
+            except Exception:
+                # pyarrow raises ArrowNotImplementedError touching the
+                # statistics of map/list columns; record_count is required
+                # by the spec, bounds are optional — degrade to that
+                stats = {"numRecords": pq_meta.num_rows}
+            size = os.path.getsize(src)
+            os.rename(src, dst)
+            out.append((os.path.join("data", rel), size, stats))
+    for root, dirs, files in os.walk(staging, topdown=False):
+        for name in files:
+            os.remove(os.path.join(root, name))
+        for name in dirs:
+            os.rmdir(os.path.join(root, name))
+    os.rmdir(staging)
+    return out
+
+
+def _bounds_maps(stats: dict, name_to_field: dict[str, dict]):
+    """Footer min/max → Iceberg lower/upper bound id-maps (and null counts)."""
+    lowers, uppers, nulls = [], [], []
+    for col, fid_type in name_to_field.items():
+        fid, itype = fid_type
+        lo = stats.get("minValues", {}).get(col)
+        hi = stats.get("maxValues", {}).get(col)
+        if lo is not None and hi is not None:
+            lo_b = _single_value_bytes(itype, lo)
+            hi_b = _single_value_bytes(itype, hi)
+            if lo_b is not None and hi_b is not None:
+                lowers.append({"key": fid, "value": lo_b})
+                uppers.append({"key": fid, "value": hi_b})
+        nc = stats.get("nullCount", {}).get(col)
+        if nc is not None:
+            nulls.append({"key": fid, "value": int(nc)})
+    return (lowers or None), (uppers or None), (nulls or None)
+
+
+def write_iceberg(
+    df: DataFrame,
+    table: str,
+    mode: str = "overwrite",
+    partition_cols: list[str] | None = None,
+) -> int:
+    """Commit df to an Iceberg v2 table; returns the new snapshot id.
+
+    ``overwrite`` starts a snapshot whose manifest list references only
+    the new manifest (prior snapshots keep their own manifest lists, so
+    time travel to them still works — the manifest list is authoritative
+    for a snapshot's content per spec §Snapshots). ``append`` carries the
+    previous snapshot's manifest_file records forward unchanged (their
+    sequence numbers are theirs) and adds one new manifest.
+    """
+    if mode not in ("overwrite", "append"):
+        raise ValueError(f"mode {mode!r}: overwrite|append")
+    partition_cols = list(partition_cols or [])
+    now_ms = int(time.time() * 1000)
+    version = _current_version(table)
+    exists = version is not None
+    meta = load_metadata(table) if exists else None
+
+    if exists and mode == "append":
+        spec_fields = _partition_spec(meta)
+        spec_cols = [pf["name"] for pf in spec_fields]
+        if partition_cols and partition_cols != spec_cols:
+            raise ValueError(
+                f"append partition_cols {partition_cols} != table spec {spec_cols}"
+            )
+        partition_cols = spec_cols
+        table_schema = _spark_schema(meta)
+        incoming = {f.name: f.dataType for f in df.schema.fields}
+        expected = {f.name: f.dataType for f in table_schema.fields}
+        if incoming != expected:
+            raise ValueError(
+                f"append schema mismatch: table {expected} vs frame {incoming}"
+            )
+        df = df.select(*[f.name for f in table_schema.fields])
+        # single-schema tables (no evolution surface yet)
+        schema_json = dict(meta["schemas"][0])
+        last_column_id = meta["last-column-id"]
+        table_uuid = meta["table-uuid"]
+        parent_id = meta.get("current-snapshot-id")
+    else:
+        ice = _iceberg_schema(df.schema)
+        last_column_id = ice.pop("_last_column_id")
+        schema_json = ice
+        table_uuid = (
+            meta["table-uuid"]
+            if exists
+            else str(uuid.UUID(bytes=os.urandom(16), version=4))
+        )
+        parent_id = None
+    version = version or 0
+    prev_snaps = meta.get("snapshots", []) if meta else []
+    seq = (meta["last-sequence-number"] + 1) if meta else 1
+    snap_id = (max((s["snapshot-id"] for s in prev_snaps), default=0)) + 1
+
+    name_to_id = {f["name"]: f["id"] for f in schema_json["fields"]}
+    field_types = {
+        f["id"]: f["type"] for f in schema_json["fields"] if isinstance(f["type"], str)
+    }
+    for c in partition_cols:
+        if c not in name_to_id:
+            raise KeyError(f"partition column {c!r} not in schema")
+        _avro_partition_type(field_types[name_to_id[c]])  # loud unsupported-type check
+
+    spec_fields = [
+        {
+            "name": c,
+            "transform": "identity",
+            "source-id": name_to_id[c],
+            "field-id": 1000 + i,
+        }
+        for i, c in enumerate(partition_cols)
+    ]
+
+    # --- data files -------------------------------------------------------
+    staged = _stage_data_files(df, table, partition_cols)
+
+    # --- manifest ---------------------------------------------------------
+    name_to_field = {
+        f["name"]: (f["id"], f["type"])
+        for f in schema_json["fields"]
+        if isinstance(f["type"], str)
+    }
+    entries = []
+    for rel, size, stats in staged:
+        pvals_raw = _partition_values(rel, partition_cols)
+        partition = {
+            pf["name"]: _coerce_partition_value(
+                field_types[pf["source-id"]], pvals_raw.get(pf["name"])
+            )
+            for pf in spec_fields
+        }
+        lowers, uppers, nulls = _bounds_maps(stats, name_to_field)
+        entries.append(
+            {
+                "status": 1,  # ADDED
+                "snapshot_id": snap_id,
+                "sequence_number": None,  # inherited from the manifest list
+                "file_sequence_number": None,
+                "data_file": {
+                    "content": 0,  # DATA
+                    "file_path": rel,
+                    "file_format": "PARQUET",
+                    "partition": partition,
+                    "record_count": stats["numRecords"],
+                    "file_size_in_bytes": size,
+                    "null_value_counts": nulls,
+                    "lower_bounds": lowers,
+                    "upper_bounds": uppers,
+                },
+            }
+        )
+    manifest_rel = os.path.join("metadata", f"m-{snap_id}-0.avro")
+    manifest_path = os.path.join(table, manifest_rel)
+    os.makedirs(os.path.dirname(manifest_path), exist_ok=True)
+    mschema = _manifest_schema(spec_fields, field_types)
+    avro_lite.write_ocf(
+        manifest_path,
+        mschema,
+        entries,
+        extra_meta={
+            "schema": json.dumps(schema_json).encode(),
+            "partition-spec": json.dumps(spec_fields).encode(),
+            "partition-spec-id": b"0",
+            "format-version": b"2",
+            "content": b"data",
+        },
+    )
+
+    # --- manifest list ----------------------------------------------------
+    summaries = []
+    for pf in spec_fields:
+        itype = field_types[pf["source-id"]]
+        vals = [e["data_file"]["partition"][pf["name"]] for e in entries]
+        non_null = [v for v in vals if v is not None]
+        if itype == "date":  # stored as epoch-day ints in the tuple
+            bound = lambda v: struct.pack("<i", v)  # noqa: E731
+            lo, hi = (min(non_null), max(non_null)) if non_null else (None, None)
+            summaries.append(
+                {
+                    "contains_null": any(v is None for v in vals),
+                    "contains_nan": False,
+                    "lower_bound": bound(lo) if non_null else None,
+                    "upper_bound": bound(hi) if non_null else None,
+                }
+            )
+            continue
+        lo = min(non_null) if non_null else None
+        hi = max(non_null) if non_null else None
+        summaries.append(
+            {
+                "contains_null": any(v is None for v in vals),
+                "contains_nan": False,
+                "lower_bound": _single_value_bytes(itype, lo) if non_null else None,
+                "upper_bound": _single_value_bytes(itype, hi) if non_null else None,
+            }
+        )
+    new_manifest = {
+        "manifest_path": manifest_rel,
+        "manifest_length": os.path.getsize(manifest_path),
+        "partition_spec_id": 0,
+        "content": 0,  # data manifest
+        "sequence_number": seq,
+        "min_sequence_number": seq,
+        "added_snapshot_id": snap_id,
+        "added_files_count": len(entries),
+        "existing_files_count": 0,
+        "deleted_files_count": 0,
+        "added_rows_count": sum(e["data_file"]["record_count"] for e in entries),
+        "existing_rows_count": 0,
+        "deleted_rows_count": 0,
+        "partitions": summaries if spec_fields else None,
+    }
+    manifests = [new_manifest]
+    if mode == "append" and parent_id is not None:
+        parent = next(s for s in prev_snaps if s["snapshot-id"] == parent_id)
+        _, carried = avro_lite.read_ocf(
+            os.path.join(table, parent["manifest-list"])
+        )
+        manifests = carried + manifests
+    list_rel = os.path.join("metadata", f"snap-{snap_id}.avro")
+    avro_lite.write_ocf(
+        os.path.join(table, list_rel),
+        MANIFEST_LIST_SCHEMA,
+        manifests,
+        extra_meta={"format-version": b"2"},
+    )
+
+    # --- table metadata ---------------------------------------------------
+    added_rows = new_manifest["added_rows_count"]
+    total_rows = sum(m["added_rows_count"] + m["existing_rows_count"] for m in manifests)
+    snapshot = {
+        "snapshot-id": snap_id,
+        "sequence-number": seq,
+        "timestamp-ms": now_ms,
+        "manifest-list": list_rel,
+        "schema-id": schema_json["schema-id"],
+        "summary": {
+            "operation": "append" if mode == "append" else "overwrite",
+            "added-data-files": str(len(entries)),
+            "added-records": str(added_rows),
+            "total-records": str(total_rows),
+        },
+    }
+    if parent_id is not None:
+        snapshot["parent-snapshot-id"] = parent_id
+    new_meta = {
+        "format-version": 2,
+        "table-uuid": table_uuid,
+        "location": os.path.abspath(table),
+        "last-sequence-number": seq,
+        "last-updated-ms": now_ms,
+        "last-column-id": last_column_id,
+        "schemas": [schema_json],
+        "current-schema-id": schema_json["schema-id"],
+        "partition-specs": [{"spec-id": 0, "fields": spec_fields}],
+        "default-spec-id": 0,
+        "last-partition-id": 999 + len(spec_fields),
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "default-sort-order-id": 0,
+        "properties": {},
+        "current-snapshot-id": snap_id,
+        "snapshots": prev_snaps + [snapshot],
+        "snapshot-log": (
+            (meta.get("snapshot-log", []) if meta else [])
+            + [{"timestamp-ms": now_ms, "snapshot-id": snap_id}]
+        ),
+        "metadata-log": (
+            (meta.get("metadata-log", []) if meta else [])
+            + (
+                [
+                    {
+                        "timestamp-ms": now_ms,
+                        "metadata-file": os.path.join(
+                            "metadata", f"v{version}.metadata.json"
+                        ),
+                    }
+                ]
+                if exists
+                else []
+            )
+        ),
+    }
+    _write_metadata(table, new_meta, (version or 0) + 1)
+    return snap_id
+
+
+# ---------------------------------------------------------------------------
+# read path
+# ---------------------------------------------------------------------------
+
+
+def _select_snapshot(meta: dict, snapshot_id=None, as_of_timestamp_ms=None) -> dict:
+    snaps = meta.get("snapshots", [])
+    if snapshot_id is not None:
+        for s in snaps:
+            if s["snapshot-id"] == snapshot_id:
+                return s
+        raise KeyError(f"snapshot {snapshot_id} not in table (have "
+                       f"{[s['snapshot-id'] for s in snaps]})")
+    if as_of_timestamp_ms is not None:
+        eligible = [s for s in snaps if s["timestamp-ms"] <= as_of_timestamp_ms]
+        if not eligible:
+            raise KeyError(f"no snapshot at or before {as_of_timestamp_ms}")
+        # sequence-number tie-break: two commits can land in the same ms
+        return max(eligible, key=lambda s: (s["timestamp-ms"], s["sequence-number"]))
+    current = meta.get("current-snapshot-id")
+    for s in snaps:
+        if s["snapshot-id"] == current:
+            return s
+    raise FileNotFoundError("table has no current snapshot")
+
+
+def _summary_may_match(summary: dict, itype: str, value) -> bool:
+    if value is None:
+        return summary["contains_null"]
+    lo, hi = summary.get("lower_bound"), summary.get("upper_bound")
+    if lo is None or hi is None:
+        return True  # no bounds → conservatively keep
+    return _single_value_parse(itype, lo) <= value <= _single_value_parse(itype, hi)
+
+
+def plan_scan(
+    table: str,
+    snapshot_id: int | None = None,
+    as_of_timestamp_ms: int | None = None,
+    partition_filters: dict | None = None,
+    scan_filter: tuple | None = None,
+) -> dict:
+    """Driver-side scan planning: resolve the snapshot, prune manifests by
+    partition field summaries, prune files by partition tuple equality and
+    column bounds. Returns the pruning ledger (what tests assert on):
+    ``{files, schema, manifests_total, manifests_read, files_total_in_read,
+    partition_cols}`` — files is the surviving list of absolute paths."""
+    meta = load_metadata(table)
+    snap = _select_snapshot(meta, snapshot_id, as_of_timestamp_ms)
+    spec_fields = _partition_spec(meta)
+    field_types = _field_types(meta)
+    name_to_fid = {f["name"]: f["id"] for f in meta["schemas"][0]["fields"]}
+    pf_types = {pf["name"]: field_types[pf["source-id"]] for pf in spec_fields}
+    partition_filters = dict(partition_filters or {})
+    unknown = set(partition_filters) - set(pf_types)
+    if unknown:
+        raise KeyError(f"partition_filters on non-partition columns: {sorted(unknown)}")
+
+    _, manifests = avro_lite.read_ocf(os.path.join(table, snap["manifest-list"]))
+    if any(m["content"] == 1 for m in manifests):
+        raise NotImplementedError(
+            f"{table}: snapshot {snap['snapshot-id']} carries delete manifests; "
+            f"iceberg_lite does not apply row-level deletes (refusing rather "
+            f"than resurrecting deleted rows)"
+        )
+    kept_manifests = []
+    for m in manifests:
+        summaries = m.get("partitions")
+        if partition_filters and summaries:
+            drop = False
+            for i, pf in enumerate(spec_fields):
+                if pf["name"] in partition_filters and i < len(summaries):
+                    want = partition_filters[pf["name"]]
+                    itype = pf_types[pf["name"]]
+                    if itype == "date" and want is not None:
+                        want_cmp = (
+                            datetime.date.fromisoformat(want)
+                            if isinstance(want, str)
+                            else want
+                        )
+                        lo, hi = summaries[i].get("lower_bound"), summaries[i].get("upper_bound")
+                        if want_cmp is not None and lo is not None and hi is not None:
+                            lo_d = datetime.date(1970, 1, 1) + datetime.timedelta(
+                                days=struct.unpack("<i", lo)[0]
+                            )
+                            hi_d = datetime.date(1970, 1, 1) + datetime.timedelta(
+                                days=struct.unpack("<i", hi)[0]
+                            )
+                            if not (lo_d <= want_cmp <= hi_d):
+                                drop = True
+                                break
+                        continue
+                    if not _summary_may_match(summaries[i], itype, want):
+                        drop = True
+                        break
+            if drop:
+                continue
+        kept_manifests.append(m)
+
+    files: list[str] = []
+    files_total = 0
+    for m in kept_manifests:
+        _, entries = avro_lite.read_ocf(os.path.join(table, m["manifest_path"]))
+        for e in entries:
+            if e["status"] == 2:  # DELETED
+                continue
+            files_total += 1
+            dfile = e["data_file"]
+            part = dfile.get("partition") or {}
+            keep = True
+            for col, want in partition_filters.items():
+                have = part.get(col)
+                if pf_types[col] == "date" and have is not None:
+                    have = datetime.date(1970, 1, 1) + datetime.timedelta(days=have)
+                    if isinstance(want, str):
+                        want = datetime.date.fromisoformat(want)
+                if have != want:
+                    keep = False
+                    break
+            if keep and scan_filter is not None:
+                col, lo, hi = scan_filter
+                fid = name_to_fid.get(col)
+                itype = field_types.get(fid)
+                lbs = {d["key"]: d["value"] for d in (dfile.get("lower_bounds") or [])}
+                ubs = {d["key"]: d["value"] for d in (dfile.get("upper_bounds") or [])}
+                if fid in lbs and fid in ubs and itype is not None:
+                    fmin = _single_value_parse(itype, lbs[fid])
+                    fmax = _single_value_parse(itype, ubs[fid])
+                    if (lo is not None and fmax < lo) or (hi is not None and fmin > hi):
+                        keep = False
+            if keep:
+                files.append(os.path.join(table, dfile["file_path"]))
+    return {
+        "files": files,
+        "schema": _spark_schema(meta),
+        "manifests_total": len(manifests),
+        "manifests_read": len(kept_manifests),
+        "files_total_in_read": files_total,
+        "partition_cols": [pf["name"] for pf in spec_fields],
+    }
+
+
+def read_iceberg(
+    spark: SparkSession,
+    table: str,
+    snapshot_id: int | None = None,
+    as_of_timestamp_ms: int | None = None,
+    partition_filters: dict | None = None,
+    scan_filter: tuple | None = None,
+) -> DataFrame:
+    """Snapshot read (current, by snapshot id, or as-of timestamp) with
+    metadata-level manifest + file pruning. The surviving file list goes to
+    one ``spark.read.parquet`` under the TABLE schema (never inference),
+    with ``basePath`` re-deriving identity partition columns from the hive
+    directory names."""
+    plan = plan_scan(
+        table, snapshot_id, as_of_timestamp_ms, partition_filters, scan_filter
+    )
+    schema: T.StructType = plan["schema"]
+    if not plan["files"]:
+        return spark.createDataFrame([], schema)
+    part_cols = set(plan["partition_cols"])
+    reader = spark.read.schema(
+        T.StructType([f for f in schema.fields if f.name not in part_cols])
+        if part_cols
+        else schema
+    )
+    if part_cols:
+        reader = reader.option("basePath", os.path.join(table, "data"))
+    df = reader.parquet(*plan["files"])
+    # basePath partition discovery types the derived columns by inference;
+    # cast to the table schema and restore declared column order
+    from pyspark.sql import functions as F
+
+    return df.select(
+        *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
+    )

@@ -2,14 +2,17 @@
 
 The native paths need their runtime jars on the Spark classpath (not
 present in this container; guide §'Sources & sinks': "stub connectors
-behind an import-try"): availability is probed at call time. **Delta has a
-jar-free fallback** — `sources/delta_lite.py` speaks the public Delta
-transaction-log protocol directly (overwrite/append, partitioned tables,
-time travel, log-level pruning), so ``read_table/write_table`` with
-``fmt="delta"`` work HERE, routing through the jars when present and
-delta_lite otherwise. Iceberg (avro manifests) and Hudi (timeline +
-Hfile metadata) have no dependency-free metadata path in this container
-and keep the loud, typed NotImplementedError.
+behind an import-try"): availability is probed at call time. **Delta and
+Iceberg have jar-free fallbacks** — `sources/delta_lite.py` speaks the
+public Delta transaction-log protocol (overwrite/append, partitioned
+tables, time travel, log-level pruning) and `sources/iceberg_lite.py`
+speaks the public Iceberg v2 table spec (metadata.json + Avro manifest
+lists/manifests via `sources/avro_lite.py`, snapshot time travel,
+manifest- and file-level pruning) — so ``read_table/write_table`` with
+``fmt="delta"`` or ``fmt="iceberg"`` work HERE, routing through the jars
+when present and the lite implementations otherwise. Hudi (timeline +
+HFile metadata) has no dependency-free metadata path in this container
+and keeps the loud, typed NotImplementedError.
 """
 
 from __future__ import annotations
@@ -40,6 +43,10 @@ def read_table(spark: SparkSession, fmt: str, path: str) -> DataFrame:
             from .delta_lite import read_delta
 
             return read_delta(spark, path)
+        if fmt == "iceberg":
+            from .iceberg_lite import read_iceberg
+
+            return read_iceberg(spark, path)
         raise NotImplementedError(
             f"{fmt} runtime jars are not on the classpath; add the {fmt} Spark "
             f"package in the deployment (e.g. spark.jars.packages) to enable"
@@ -53,6 +60,11 @@ def write_table(df: DataFrame, fmt: str, path: str, mode: str = "overwrite") -> 
             from .delta_lite import write_delta
 
             write_delta(df, path, mode=mode)
+            return
+        if fmt == "iceberg":
+            from .iceberg_lite import write_iceberg
+
+            write_iceberg(df, path, mode=mode)
             return
         raise NotImplementedError(
             f"{fmt} runtime jars are not on the classpath; add the {fmt} Spark "

@@ -1,0 +1,408 @@
+"""iceberg_lite + avro_lite: the jar-free Iceberg v2 connector.
+
+Covers the VERDICT r8 ask #7 acceptance line — "read + time-travel of a
+synthesized Iceberg v2 table, unit-tested" — plus the failure modes the
+spec makes dangerous: delete manifests (refuse, never resurrect), schema
+mismatch on append, unsupported partition transforms, and the two
+metadata pruning levels (manifest field-summaries, per-file bounds).
+"""
+
+from __future__ import annotations
+
+import datetime
+import json
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from big_data_analytics_machine_learning_poc_spark.sources import avro_lite, iceberg_lite
+from big_data_analytics_machine_learning_poc_spark.sources.iceberg_lite import (
+    plan_scan,
+    read_iceberg,
+    snapshots,
+    write_iceberg,
+)
+
+
+@pytest.fixture
+def table():
+    path = tempfile.mkdtemp(prefix="ice_test_")
+    yield path
+    shutil.rmtree(path, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# avro_lite
+# ---------------------------------------------------------------------------
+
+_AVRO_SCHEMA = {
+    "type": "record",
+    "name": "t",
+    "fields": [
+        {"name": "s", "type": "string"},
+        {"name": "l", "type": "long"},
+        {"name": "i", "type": "int"},
+        {"name": "b", "type": "boolean"},
+        {"name": "f", "type": "float"},
+        {"name": "d", "type": "double"},
+        {"name": "by", "type": "bytes"},
+        {"name": "opt", "type": ["null", "long"], "default": None},
+        {"name": "fx", "type": {"type": "fixed", "name": "fx4", "size": 4}},
+        {
+            "name": "nested",
+            "type": {
+                "type": "record",
+                "name": "inner",
+                "fields": [{"name": "x", "type": ["null", "string"], "default": None}],
+            },
+        },
+        {"name": "arr", "type": {"type": "array", "items": "inner"}},
+        {"name": "m", "type": {"type": "map", "values": "long"}},
+    ],
+}
+
+_AVRO_RECORDS = [
+    {
+        "s": "héllo",
+        "l": -(2**63),
+        "i": 2**31 - 1,
+        "b": True,
+        "f": 1.5,
+        "d": -2.25,
+        "by": b"\x00\xff",
+        "opt": None,
+        "fx": b"abcd",
+        "nested": {"x": "y"},
+        "arr": [{"x": None}, {"x": "z"}],
+        "m": {"a": 1, "b": -2},
+    },
+    {
+        "s": "",
+        "l": 2**63 - 1,
+        "i": -(2**31),
+        "b": False,
+        "f": 0.0,
+        "d": 1e300,
+        "by": b"",
+        "opt": 42,
+        "fx": b"\x00\x00\x00\x00",
+        "nested": {"x": None},
+        "arr": [],
+        "m": {},
+    },
+]
+
+
+@pytest.mark.parametrize("codec", ["null", "deflate"])
+def test_avro_roundtrip(codec, tmp_path):
+    path = str(tmp_path / "t.avro")
+    avro_lite.write_ocf(path, _AVRO_SCHEMA, _AVRO_RECORDS, codec=codec)
+    schema, records = avro_lite.read_ocf(path)
+    assert records == _AVRO_RECORDS
+    assert schema["name"] == "t"
+
+
+def test_avro_empty_and_determinism(tmp_path):
+    p1, p2 = str(tmp_path / "a.avro"), str(tmp_path / "b.avro")
+    avro_lite.write_ocf(p1, _AVRO_SCHEMA, [])
+    assert avro_lite.read_ocf(p1)[1] == []
+    # identical content → byte-identical file (deterministic sync marker)
+    avro_lite.write_ocf(p2, _AVRO_SCHEMA, _AVRO_RECORDS)
+    avro_lite.write_ocf(p1, _AVRO_SCHEMA, _AVRO_RECORDS)
+    assert open(p1, "rb").read() == open(p2, "rb").read()
+
+
+def test_avro_negative_count_block_form(tmp_path):
+    """Readers must accept the spec's negative-count (size-prefixed) array
+    blocks even though our writer emits the positive form."""
+    import io
+
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [{"name": "a", "type": {"type": "array", "items": "long"}}],
+    }
+    body = io.BytesIO()
+    avro_lite.write_long(body, -2)  # negative count: 2 items, size follows
+    inner = io.BytesIO()
+    avro_lite.write_long(inner, 7)
+    avro_lite.write_long(inner, -7)
+    avro_lite.write_long(body, len(inner.getvalue()))
+    body.write(inner.getvalue())
+    avro_lite.write_long(body, 0)  # terminator
+    names = avro_lite._Names()
+    got = avro_lite._decode(io.BytesIO(body.getvalue()), schema, names)
+    assert got == {"a": [7, -7]}
+
+
+def test_avro_rejects_unknown_codec_and_corruption(tmp_path):
+    path = str(tmp_path / "t.avro")
+    with pytest.raises(NotImplementedError, match="codec"):
+        avro_lite.write_ocf(path, _AVRO_SCHEMA, [], codec="snappy")
+    avro_lite.write_ocf(path, _AVRO_SCHEMA, _AVRO_RECORDS)
+    raw = bytearray(open(path, "rb").read())
+    raw[-1] ^= 0xFF  # flip a sync byte
+    open(path, "wb").write(bytes(raw))
+    with pytest.raises(ValueError, match="sync"):
+        avro_lite.read_ocf(path)
+    open(path, "wb").write(b"PAR1not-avro")
+    with pytest.raises(ValueError, match="not an Avro"):
+        avro_lite.read_ocf(path)
+
+
+# ---------------------------------------------------------------------------
+# iceberg_lite core
+# ---------------------------------------------------------------------------
+
+
+def _frame(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.col("id"),
+        (F.col("id") % 5).cast("int").alias("bucket"),
+        (F.col("id") * 1.5).alias("v"),
+        F.concat(F.lit("s"), F.col("id")).alias("s"),
+        F.date_add(F.lit("2024-01-01").cast("date"), (F.col("id") % 7).cast("int")).alias("d"),
+    )
+
+
+def test_roundtrip_unpartitioned(spark, table):
+    df = _frame(spark, 0, 200)
+    write_iceberg(df, table, mode="overwrite")
+    back = read_iceberg(spark, table)
+    # nullability is parquet-reader semantics (all-nullable), like any
+    # Spark parquet read — names and types are the contract
+    assert [(f.name, f.dataType) for f in back.schema.fields] == [
+        (f.name, f.dataType) for f in df.schema.fields
+    ]
+    assert back.count() == 200
+    assert back.agg(F.sum("id")).first()[0] == sum(range(200))
+    row = back.filter("id = 7").first()
+    assert (row.s, row.bucket, row.d) == ("s7", 2, datetime.date(2024, 1, 1))
+
+
+def test_partitioned_roundtrip_and_column_rederivation(spark, table):
+    df = _frame(spark, 0, 100)
+    write_iceberg(df.repartition("bucket"), table, partition_cols=["bucket"])
+    back = read_iceberg(spark, table)
+    # partition column came back typed per the TABLE schema, with values
+    assert dict(back.dtypes)["bucket"] == "int"
+    assert back.filter("bucket = 3").count() == 20
+    assert set(back.columns) == set(df.columns)
+    # declared column ORDER is the table schema's, not hive-append order
+    assert back.columns == df.columns
+
+
+def test_append_time_travel_and_history(spark, table):
+    v1 = write_iceberg(_frame(spark, 0, 100), table, partition_cols=["bucket"])
+    v2 = write_iceberg(_frame(spark, 100, 130), table, mode="append")
+    assert read_iceberg(spark, table).count() == 130
+    assert read_iceberg(spark, table, snapshot_id=v1).count() == 100
+    hist = snapshots(table)
+    assert [h["operation"] for h in hist] == ["overwrite", "append"]
+    assert hist[-1]["is_current"] and not hist[0]["is_current"]
+    # as-of-timestamp travel: the first snapshot's own ms resolves to it
+    assert (
+        read_iceberg(spark, table, as_of_timestamp_ms=hist[0]["timestamp_ms"]).count()
+        == 100
+        if hist[0]["timestamp_ms"] < hist[1]["timestamp_ms"]
+        else 130  # same-ms commits: sequence tie-break picks the later
+    )
+    # overwrite starts fresh but history remains travelable
+    v3 = write_iceberg(_frame(spark, 0, 10), table, mode="overwrite")
+    assert read_iceberg(spark, table).count() == 10
+    assert read_iceberg(spark, table, snapshot_id=v2).count() == 130
+    assert [h["snapshot_id"] for h in snapshots(table)] == [v1, v2, v3]
+
+
+def test_partition_pruning_file_and_manifest_level(spark, table):
+    # two appends with DISJOINT partition ranges → manifest-level pruning
+    base = _frame(spark, 0, 100)
+    write_iceberg(
+        base.filter("bucket <= 1").repartition("bucket"),
+        table,
+        partition_cols=["bucket"],
+    )
+    write_iceberg(
+        base.filter("bucket >= 3").repartition("bucket"), table, mode="append"
+    )
+    plan = plan_scan(table, partition_filters={"bucket": 4})
+    assert plan["manifests_read"] == 1 < plan["manifests_total"] == 2
+    assert 0 < len(plan["files"]) < plan["files_total_in_read"]
+    got = read_iceberg(spark, table, partition_filters={"bucket": 4})
+    assert got.count() == 20
+    assert got.select("bucket").distinct().collect() == [(4,)]
+    # a value outside every summary prunes ALL manifests
+    empty = plan_scan(table, partition_filters={"bucket": 2})
+    assert empty["manifests_read"] == 0 and empty["files"] == []
+    assert read_iceberg(spark, table, partition_filters={"bucket": 2}).count() == 0
+    with pytest.raises(KeyError, match="non-partition"):
+        plan_scan(table, partition_filters={"v": 1.0})
+
+
+def test_scan_filter_bounds_pruning(spark, table):
+    # one file per id-range → bound pruning is observable
+    df = _frame(spark, 0, 1000).repartitionByRange(10, "id")
+    write_iceberg(df, table)
+    plan_all = plan_scan(table)
+    plan_hi = plan_scan(table, scan_filter=("id", 950, None))
+    assert len(plan_hi["files"]) < len(plan_all["files"])
+    assert read_iceberg(spark, table, scan_filter=("id", 950, None)).filter(
+        "id >= 950"
+    ).count() == 50
+    # filter on a column without bounds (string) keeps everything: skipping
+    # is an optimization, never a correctness dependency
+    plan_s = plan_scan(table, scan_filter=("s", "a", "z"))
+    assert len(plan_s["files"]) == len(plan_all["files"])
+
+
+def test_append_guards(spark, table):
+    write_iceberg(_frame(spark, 0, 10), table, partition_cols=["bucket"])
+    with pytest.raises(ValueError, match="schema mismatch"):
+        write_iceberg(
+            _frame(spark, 0, 5).withColumn("extra", F.lit(1)), table, mode="append"
+        )
+    with pytest.raises(ValueError, match="partition_cols"):
+        write_iceberg(_frame(spark, 0, 5), table, mode="append", partition_cols=["s"])
+    with pytest.raises(NotImplementedError, match="identity partitioning"):
+        write_iceberg(_frame(spark, 0, 5), table + "_2", partition_cols=["v"])
+    with pytest.raises(ValueError, match="mode"):
+        write_iceberg(_frame(spark, 0, 5), table, mode="merge")
+
+
+def test_null_partition_values(spark, table):
+    df = spark.range(0, 20).select(
+        F.col("id"),
+        F.when(F.col("id") % 2 == 0, F.lit("even")).alias("p"),
+    )
+    write_iceberg(df.repartition("p"), table, partition_cols=["p"])
+    back = read_iceberg(spark, table)
+    assert back.filter("p IS NULL").count() == 10
+    assert read_iceberg(spark, table, partition_filters={"p": None}).count() == 10
+    assert read_iceberg(spark, table, partition_filters={"p": "even"}).count() == 10
+
+
+def test_refuses_delete_manifests(spark, table):
+    write_iceberg(_frame(spark, 0, 10), table)
+    meta = iceberg_lite.load_metadata(table)
+    snap = meta["snapshots"][-1]
+    list_path = os.path.join(table, snap["manifest-list"])
+    _, manifests = avro_lite.read_ocf(list_path)
+    manifests[0]["content"] = 1  # pose as a delete manifest
+    avro_lite.write_ocf(list_path, iceberg_lite.MANIFEST_LIST_SCHEMA, manifests)
+    with pytest.raises(NotImplementedError, match="delete manifests"):
+        read_iceberg(spark, table)
+
+
+def test_metadata_v2_spec_fields(spark, table):
+    """The committed metadata.json carries every v2-required field (spec
+    §Table Metadata) so a real Iceberg reader would accept the layout."""
+    write_iceberg(_frame(spark, 0, 10), table, partition_cols=["bucket"])
+    v = iceberg_lite._current_version(table)
+    meta = json.load(open(os.path.join(table, "metadata", f"v{v}.metadata.json")))
+    for key in (
+        "format-version",
+        "table-uuid",
+        "location",
+        "last-sequence-number",
+        "last-updated-ms",
+        "last-column-id",
+        "schemas",
+        "current-schema-id",
+        "partition-specs",
+        "default-spec-id",
+        "last-partition-id",
+        "sort-orders",
+        "default-sort-order-id",
+        "snapshots",
+        "current-snapshot-id",
+        "snapshot-log",
+        "metadata-log",
+    ):
+        assert key in meta, key
+    assert meta["format-version"] == 2
+    spec = meta["partition-specs"][0]["fields"][0]
+    assert spec["transform"] == "identity" and spec["field-id"] == 1000
+    # schema field ids are unique and last-column-id caps them
+    ids = [f["id"] for f in meta["schemas"][0]["fields"]]
+    assert len(set(ids)) == len(ids) and max(ids) <= meta["last-column-id"]
+    # v1 read rejects loudly
+    meta_v1 = dict(meta, **{"format-version": 1})
+    json.dump(meta_v1, open(os.path.join(table, "metadata", "v99.metadata.json"), "w"))
+    with pytest.raises(NotImplementedError, match="format-version"):
+        iceberg_lite.load_metadata(table, version=99)
+
+
+def test_typed_columns_roundtrip(spark, table):
+    schema = T.StructType(
+        [
+            T.StructField("i", T.IntegerType()),
+            T.StructField("l", T.LongType()),
+            T.StructField("f", T.FloatType()),
+            T.StructField("dbl", T.DoubleType()),
+            T.StructField("s", T.StringType()),
+            T.StructField("b", T.BooleanType()),
+            T.StructField("dt", T.DateType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("dec", T.DecimalType(12, 2)),
+            T.StructField("bin", T.BinaryType()),
+            T.StructField("arr", T.ArrayType(T.LongType())),
+            T.StructField("mp", T.MapType(T.StringType(), T.LongType())),
+            T.StructField(
+                "st", T.StructType([T.StructField("x", T.StringType())])
+            ),
+        ]
+    )
+    import decimal
+
+    rows = [
+        (
+            1,
+            2,
+            1.5,
+            2.5,
+            "x",
+            True,
+            datetime.date(2024, 3, 1),
+            datetime.datetime(2024, 3, 1, 12, 0, 0),
+            decimal.Decimal("12345.67"),
+            b"\x01",
+            [1, 2],
+            {"k": 9},
+            ("deep",),
+        )
+    ]
+    df = spark.createDataFrame(rows, schema)
+    write_iceberg(df, table)
+    back = read_iceberg(spark, table)
+    assert back.schema == schema
+    got = back.first()
+    assert got.dec == decimal.Decimal("12345.67") and got.st.x == "deep"
+    # and the Iceberg-side schema speaks spec type names
+    meta = iceberg_lite.load_metadata(table)
+    types = {f["name"]: f["type"] for f in meta["schemas"][0]["fields"]}
+    assert types["dec"] == "decimal(12,2)" and types["ts"] == "timestamptz"
+    assert types["arr"]["type"] == "list" and types["mp"]["type"] == "map"
+
+
+def test_empty_frame_write(spark, table):
+    df = _frame(spark, 0, 0)
+    write_iceberg(df, table)
+    back = read_iceberg(spark, table)
+    assert back.count() == 0
+    assert [(f.name, f.dataType) for f in back.schema.fields] == [
+        (f.name, f.dataType) for f in df.schema.fields
+    ]
+
+
+def test_lakehouse_router(spark, table):
+    from big_data_analytics_machine_learning_poc_spark.sources import lakehouse
+
+    df = _frame(spark, 0, 30)
+    lakehouse.write_table(df, "iceberg", table, mode="overwrite")
+    assert lakehouse.read_table(spark, "iceberg", table).count() == 30
+    with pytest.raises(NotImplementedError, match="hudi"):
+        lakehouse.read_table(spark, "hudi", table)
