@@ -343,8 +343,14 @@ def write_ocf(
 def read_ocf(path: str) -> tuple[dict, list[dict]]:
     """Read an OCF, returning (writer schema, records)."""
     with open(path, "rb") as f:
-        data = f.read()
+        return read_ocf_bytes(f.read(), where=path)
+
+
+def read_ocf_bytes(data: bytes, where: str = "<bytes>") -> tuple[dict, list[dict]]:
+    """Read an OCF from memory (the ``binaryFile``-sourced executor path in
+    ``sources/avro_source.py`` hands whole files as bytes)."""
     buf = io.BytesIO(data)
+    path = where
     if _read_n(buf, 4) != MAGIC:
         raise ValueError(f"{path}: not an Avro object container file")
     meta: dict[str, bytes] = {}
@@ -377,3 +383,25 @@ def read_ocf(path: str) -> tuple[dict, list[dict]]:
         if _read_n(buf, 16) != sync:
             raise ValueError(f"{path}: block sync marker mismatch (corrupt file)")
     return schema, records
+
+def schema_of_ocf(path: str) -> dict:
+    """Writer schema from the file HEADER only — O(header) bytes, used by
+    ``read_avro`` to derive the Spark schema without decoding any block."""
+    with open(path, "rb") as f:
+        head = f.read(1 << 20)  # headers are far under 1 MiB
+    buf = io.BytesIO(head)
+    if _read_n(buf, 4) != MAGIC:
+        raise ValueError(f"{path}: not an Avro object container file")
+    while True:
+        count = read_long(buf)
+        if count == 0:
+            break
+        if count < 0:
+            count = -count
+            read_long(buf)
+        for _ in range(count):
+            key = _read_bytes(buf).decode("utf-8")
+            val = _read_bytes(buf)
+            if key == "avro.schema":
+                return json.loads(val.decode("utf-8"))
+    raise ValueError(f"{path}: header carries no avro.schema")

@@ -1,0 +1,372 @@
+"""Avro as a DATA format: distributed ``read_avro`` / ``write_avro``.
+
+Spark's own Avro support lives in the external ``spark-avro`` jar (absent
+in this container). With ``sources/avro_lite.py`` speaking the Avro 1.11
+Object Container File format in pure Python, Avro joins CSV/JSONL/ORC/XML
+as a served interchange format:
+
+- ``read_avro``: files are listed and shipped by Spark's built-in
+  ``binaryFile`` source (whole-file rows, so a file is never split
+  mid-block), decoded executor-side inside ``mapInArrow`` — parallelism =
+  #files, no driver collect. The Spark schema is derived from ONE file's
+  header (``avro_lite.schema_of_ocf`` — O(header) bytes on the driver),
+  or passed explicitly.
+- ``write_avro``: one OCF per non-empty partition via ``mapInArrow``
+  (Arrow's ``to_pylist`` hands canonical Python values — dates,
+  tz-aware timestamps, map pair-lists — so the Avro encoder sees one
+  shape regardless of pandas dtype quirks), deflate-compressed by
+  default. The job is triggered by collecting the tiny per-file summary
+  frame (path, n_records), which is also returned for auditing.
+
+Jar routing: ``format_available(spark, "avro")`` would be the analogue of
+the lakehouse probe, but unlike Delta/Iceberg there is no semantic
+difference to hide — this module IS the fallback; deployments with the
+jar should use ``spark.read.format("avro")`` directly (the docstring of
+each function says so), so no silent dual path exists to diverge.
+
+Logical types (Avro spec §Logical Types): DateType ↔ ``int``/``date``
+(epoch days), TimestampType ↔ ``long``/``timestamp-micros`` (epoch µs,
+UTC), TimestampNTZType ↔ ``long``/``local-timestamp-micros`` (a
+bare-session read of the testdata parquet surfaces TIMESTAMP_NTZ, so the
+NTZ lane is load-bearing, not exotic). Decimal is refused with a typed
+error rather than approximated. Non-string map keys are an Avro
+impossibility (spec: map keys are strings) and refused likewise.
+
+Scale shape: the slow part — pure-Python record coding — runs
+data-parallel on executors; a 100 TB Avro landing zone reads with one
+task per file and immediately re-lands as parquet (the
+``avro_to_parquet`` helper), which is how a real pipeline would use an
+interchange format: decode once, scan many times columnar.
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from . import avro_lite
+
+_EPOCH_DATE = datetime.date(1970, 1, 1)
+_EPOCH_TS = datetime.datetime(1970, 1, 1, tzinfo=datetime.timezone.utc)
+_EPOCH_NTZ = datetime.datetime(1970, 1, 1)
+
+
+# ---------------------------------------------------------------------------
+# Spark ↔ Avro schema mapping
+# ---------------------------------------------------------------------------
+
+_SIMPLE_TO_AVRO = {
+    T.BooleanType: "boolean",
+    T.IntegerType: "int",
+    T.ShortType: "int",
+    T.ByteType: "int",
+    T.LongType: "long",
+    T.FloatType: "float",
+    T.DoubleType: "double",
+    T.StringType: "string",
+    T.BinaryType: "bytes",
+}
+
+
+def spark_to_avro_schema(schema: T.StructType, name: str = "spark_row") -> dict:
+    counter = {"n": 0}
+
+    def rec_name() -> str:
+        counter["n"] += 1
+        return f"r{counter['n']}"
+
+    def conv(dt: T.DataType, nullable: bool):
+        base = _conv_base(dt)
+        return ["null", base] if nullable else base
+
+    def _conv_base(dt: T.DataType):
+        if isinstance(dt, T.DateType):
+            return {"type": "int", "logicalType": "date"}
+        if isinstance(dt, T.TimestampType):
+            return {"type": "long", "logicalType": "timestamp-micros"}
+        if isinstance(dt, T.TimestampNTZType):
+            return {"type": "long", "logicalType": "local-timestamp-micros"}
+        if isinstance(dt, T.ArrayType):
+            return {"type": "array", "items": conv(dt.elementType, dt.containsNull)}
+        if isinstance(dt, T.MapType):
+            if not isinstance(dt.keyType, T.StringType):
+                raise NotImplementedError(
+                    f"Avro map keys are strings by spec; got {dt.keyType.simpleString()}"
+                )
+            return {"type": "map", "values": conv(dt.valueType, dt.valueContainsNull)}
+        if isinstance(dt, T.StructType):
+            return {
+                "type": "record",
+                "name": rec_name(),
+                "fields": [
+                    {"name": f.name, "type": conv(f.dataType, f.nullable)}
+                    for f in dt.fields
+                ],
+            }
+        for cls, avro_name in _SIMPLE_TO_AVRO.items():
+            if isinstance(dt, cls):
+                return avro_name
+        raise NotImplementedError(
+            f"no Avro mapping for Spark type {dt.simpleString()} "
+            f"(decimal is deliberately refused, not approximated)"
+        )
+
+    return {
+        "type": "record",
+        "name": name,
+        "fields": [
+            {"name": f.name, "type": conv(f.dataType, f.nullable)}
+            for f in schema.fields
+        ],
+    }
+
+
+def avro_to_spark_schema(avro_schema: dict) -> T.StructType:
+    names: dict[str, dict] = {}
+
+    def conv(s) -> tuple[T.DataType, bool]:
+        """→ (spark type, nullable)."""
+        if isinstance(s, list):
+            non_null = [b for b in s if b != "null"]
+            if len(non_null) != 1:
+                raise NotImplementedError(f"multi-branch avro union {s!r}")
+            dt, _ = conv(non_null[0])
+            return dt, True
+        if isinstance(s, str):
+            if s in names:
+                return conv(names[s])
+            simple = {
+                "boolean": T.BooleanType(),
+                "int": T.IntegerType(),
+                "long": T.LongType(),
+                "float": T.FloatType(),
+                "double": T.DoubleType(),
+                "string": T.StringType(),
+                "bytes": T.BinaryType(),
+            }
+            if s in simple:
+                return simple[s], False
+            raise NotImplementedError(f"no Spark mapping for avro type {s!r}")
+        t = s["type"]
+        if s.get("name"):
+            names[s["name"]] = s
+        lt = s.get("logicalType")
+        if lt == "date" and t == "int":
+            return T.DateType(), False
+        if lt in ("timestamp-micros", "timestamp-millis") and t == "long":
+            return T.TimestampType(), False
+        if lt == "local-timestamp-micros" and t == "long":
+            return T.TimestampNTZType(), False
+        if t in ("string", "int", "long", "float", "double", "boolean", "bytes"):
+            return conv(t)
+        if t == "fixed":
+            return T.BinaryType(), False
+        if t == "enum":
+            return T.StringType(), False
+        if t == "record":
+            return (
+                T.StructType(
+                    [
+                        T.StructField(f["name"], *_flip(conv(f["type"])))
+                        for f in s["fields"]
+                    ]
+                ),
+                False,
+            )
+        if t == "array":
+            dt, nl = conv(s["items"])
+            return T.ArrayType(dt, nl), False
+        if t == "map":
+            dt, nl = conv(s["values"])
+            return T.MapType(T.StringType(), dt, nl), False
+        raise NotImplementedError(f"no Spark mapping for avro type {s!r}")
+
+    def _flip(pair):
+        return pair[0], pair[1]
+
+    if avro_schema.get("type") != "record":
+        raise ValueError("top-level avro schema must be a record")
+    return T.StructType(
+        [
+            T.StructField(f["name"], *_flip(conv(f["type"])))
+            for f in avro_schema["fields"]
+        ]
+    )
+
+
+# ---------------------------------------------------------------------------
+# value coding (between Arrow to_pylist shapes and Avro-encoder shapes)
+# ---------------------------------------------------------------------------
+
+
+def _to_avro_value(v, s):
+    if v is None:
+        return None
+    if isinstance(s, list):
+        non_null = [b for b in s if b != "null"]
+        return _to_avro_value(v, non_null[0])
+    if isinstance(s, dict):
+        lt = s.get("logicalType")
+        if lt == "date":
+            return (v - _EPOCH_DATE).days
+        if lt == "timestamp-micros":
+            if v.tzinfo is None:
+                v = v.replace(tzinfo=datetime.timezone.utc)
+            delta = v - _EPOCH_TS
+            # integer arithmetic, not float timestamp(): float µs loses
+            # precision past ~2242 and on sub-ms tails
+            return (delta.days * 86_400 + delta.seconds) * 1_000_000 + delta.microseconds
+        if lt == "local-timestamp-micros":
+            if v.tzinfo is not None:
+                v = v.replace(tzinfo=None)
+            delta = v - _EPOCH_NTZ
+            return (delta.days * 86_400 + delta.seconds) * 1_000_000 + delta.microseconds
+        t = s["type"]
+        if t == "record":
+            return {
+                f["name"]: _to_avro_value(v.get(f["name"]), f["type"])
+                for f in s["fields"]
+            }
+        if t == "array":
+            return [_to_avro_value(x, s["items"]) for x in v]
+        if t == "map":
+            pairs = v.items() if isinstance(v, dict) else v  # Arrow maps → pair list
+            return {k: _to_avro_value(x, s["values"]) for k, x in pairs}
+    return v
+
+
+def _from_avro_value(v, s):
+    if v is None:
+        return None
+    if isinstance(s, list):
+        non_null = [b for b in s if b != "null"]
+        return _from_avro_value(v, non_null[0])
+    if isinstance(s, dict):
+        lt = s.get("logicalType")
+        if lt == "date":
+            return _EPOCH_DATE + datetime.timedelta(days=v)
+        if lt == "timestamp-micros":
+            return _EPOCH_TS + datetime.timedelta(microseconds=v)
+        if lt == "timestamp-millis":
+            return _EPOCH_TS + datetime.timedelta(milliseconds=v)
+        if lt == "local-timestamp-micros":
+            return _EPOCH_NTZ + datetime.timedelta(microseconds=v)
+        t = s["type"]
+        if t == "record":
+            return {
+                f["name"]: _from_avro_value(v.get(f["name"]), f["type"])
+                for f in s["fields"]
+            }
+        if t == "array":
+            return [_from_avro_value(x, s["items"]) for x in v]
+        if t == "map":
+            return {k: _from_avro_value(x, s["values"]) for k, x in v.items()}
+    return v
+
+
+# ---------------------------------------------------------------------------
+# read / write
+# ---------------------------------------------------------------------------
+
+
+def read_avro(
+    spark: SparkSession, path: str, schema: T.StructType | None = None
+) -> DataFrame:
+    """Distributed Avro OCF read. ``path`` is a directory or glob of
+    ``*.avro`` files (local/shared filesystem). With the spark-avro jar on
+    the classpath prefer ``spark.read.format("avro")`` — this is the
+    jar-free executor-side decode path."""
+    import glob as globmod
+
+    if schema is None:
+        root = path.rstrip("/")
+        candidates = sorted(
+            globmod.glob(os.path.join(root, "*.avro"))
+            if os.path.isdir(root)
+            else globmod.glob(root)
+        )
+        if not candidates:
+            raise FileNotFoundError(f"no .avro files under {path}")
+        schema = avro_to_spark_schema(avro_lite.schema_of_ocf(candidates[0]))
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    arrow_schema = to_arrow_schema(schema)
+    reader = spark.read.format("binaryFile")
+    if os.path.isdir(path):
+        reader = reader.option("pathGlobFilter", "*.avro")
+    binary = reader.load(path).select("content")
+
+    def decode(batches):
+        import pyarrow as pa
+
+        for batch in batches:
+            for blob in batch.column(0).to_pylist():
+                avro_schema, records = avro_lite.read_ocf_bytes(bytes(blob))
+                fields = {f["name"]: f["type"] for f in avro_schema["fields"]}
+                rows = [
+                    {
+                        name: _from_avro_value(rec.get(name), fields[name])
+                        for name in arrow_schema.names
+                    }
+                    for rec in records
+                ]
+                if rows:
+                    yield pa.RecordBatch.from_pylist(rows, schema=arrow_schema)
+
+    return binary.mapInArrow(decode, schema)
+
+
+def write_avro(df: DataFrame, path: str, codec: str = "deflate") -> list[dict]:
+    """Distributed Avro OCF write: one file per non-empty partition under
+    ``path``. Returns the per-file audit rows [{path, n_records}]. An
+    all-empty frame produces a directory with only the schema sidecar
+    (``_schema.avsc``), which ``read_avro`` cannot scan — like Spark's own
+    writers, empty datasets are a caller decision, not silently invented
+    files."""
+    avro_schema = spark_to_avro_schema(df.schema)
+    os.makedirs(path, exist_ok=True)
+    import json
+
+    with open(os.path.join(path, "_schema.avsc"), "w") as f:
+        json.dump(avro_schema, f, indent=1)
+    run_tag = uuid.uuid4().hex[:8]
+
+    def encode(batches):
+        import pyarrow as pa
+        from pyspark import TaskContext
+
+        rows: list[dict] = []
+        for batch in batches:
+            for rec in batch.to_pylist():
+                rows.append(
+                    {
+                        f["name"]: _to_avro_value(rec.get(f["name"]), f["type"])
+                        for f in avro_schema["fields"]
+                    }
+                )
+        if not rows:
+            return
+        pid = TaskContext.get().partitionId()
+        out = os.path.join(path, f"part-{pid:05d}-{run_tag}.avro")
+        avro_lite.write_ocf(out, avro_schema, rows, codec=codec)
+        yield pa.RecordBatch.from_pylist(
+            [{"path": out, "n_records": len(rows)}],
+            schema=pa.schema(
+                [pa.field("path", pa.string()), pa.field("n_records", pa.int64())]
+            ),
+        )
+
+    summary = df.mapInArrow(encode, "path string, n_records long").collect()
+    return [r.asDict() for r in summary]
+
+
+def avro_to_parquet(spark: SparkSession, avro_path: str, parquet_path: str) -> int:
+    """Land an Avro interchange drop as parquet (decode once, scan many
+    times columnar); returns the row count landed."""
+    df = read_avro(spark, avro_path)
+    df.write.mode("overwrite").parquet(parquet_path)
+    return spark.read.parquet(parquet_path).count()
