@@ -187,9 +187,16 @@ def _to_spark_type(it) -> T.DataType:
     raise NotImplementedError(f"no Spark mapping for Iceberg type {it!r}")
 
 
-def _spark_schema(meta: dict) -> T.StructType:
-    schemas = {s["schema-id"]: s for s in meta["schemas"]}
-    current = schemas[meta["current-schema-id"]]
+def _schema_by_id(meta: dict, schema_id: int | None = None) -> dict:
+    sid = meta["current-schema-id"] if schema_id is None else schema_id
+    for s in meta["schemas"]:
+        if s["schema-id"] == sid:
+            return s
+    raise KeyError(f"schema-id {sid} not in table metadata")
+
+
+def _spark_schema(meta: dict, schema_id: int | None = None) -> T.StructType:
+    current = _schema_by_id(meta, schema_id)
     return _to_spark_type({"type": "struct", "fields": current["fields"]})
 
 
@@ -442,8 +449,7 @@ def snapshots(table: str) -> list[dict]:
 
 
 def _field_types(meta: dict) -> dict[int, str]:
-    schemas = {s["schema-id"]: s for s in meta["schemas"]}
-    current = schemas[meta["current-schema-id"]]
+    current = _schema_by_id(meta)
     return {
         f["id"]: f["type"] for f in current["fields"] if isinstance(f["type"], str)
     }
@@ -572,20 +578,32 @@ def write_iceberg(
                 f"append schema mismatch: table {expected} vs frame {incoming}"
             )
         df = df.select(*[f.name for f in table_schema.fields])
-        # single-schema tables (no evolution surface yet)
-        schema_json = dict(meta["schemas"][0])
+        schema_json = _schema_by_id(meta)  # append always uses the CURRENT schema
         last_column_id = meta["last-column-id"]
         table_uuid = meta["table-uuid"]
         parent_id = meta.get("current-snapshot-id")
+    elif exists:  # overwrite of an existing table
+        table_schema = _spark_schema(meta)
+        incoming = {f.name: f.dataType for f in df.schema.fields}
+        expected = {f.name: f.dataType for f in table_schema.fields}
+        if incoming != expected:
+            # reusing the table's field ids keeps bounds/stats keys and old
+            # snapshots coherent; a shape change must go through add_column
+            # (or a new location) rather than silently re-numbering ids
+            raise NotImplementedError(
+                f"overwrite with a different schema (table {expected}, frame "
+                f"{incoming}): evolve via add_column or write a new table"
+            )
+        df = df.select(*[f.name for f in table_schema.fields])
+        schema_json = _schema_by_id(meta)
+        last_column_id = meta["last-column-id"]
+        table_uuid = meta["table-uuid"]
+        parent_id = None
     else:
         ice = _iceberg_schema(df.schema)
         last_column_id = ice.pop("_last_column_id")
         schema_json = ice
-        table_uuid = (
-            meta["table-uuid"]
-            if exists
-            else str(uuid.UUID(bytes=os.urandom(16), version=4))
-        )
+        table_uuid = str(uuid.UUID(bytes=os.urandom(16), version=4))
         parent_id = None
     version = version or 0
     prev_snaps = meta.get("snapshots", []) if meta else []
@@ -601,15 +619,40 @@ def write_iceberg(
             raise KeyError(f"partition column {c!r} not in schema")
         _avro_partition_type(field_types[name_to_id[c]])  # loud unsupported-type check
 
-    spec_fields = [
-        {
-            "name": c,
-            "transform": "identity",
-            "source-id": name_to_id[c],
-            "field-id": 1000 + i,
-        }
-        for i, c in enumerate(partition_cols)
-    ]
+    # partition-spec identity: reuse a prior spec when (name, transform,
+    # source-id) match — an overwrite that REPARTITIONS the table gets a new
+    # spec-id instead of clobbering spec 0, so older snapshots' manifests
+    # keep resolving their own partition fields (time travel would otherwise
+    # silently lose the hive-dir column rederivation)
+    prev_specs = list(meta["partition-specs"]) if meta else []
+    prev_last_pid = meta["last-partition-id"] if meta else 999
+    want = [(c, "identity", name_to_id[c]) for c in partition_cols]
+    matched = next(
+        (
+            s
+            for s in prev_specs
+            if [(f["name"], f["transform"], f["source-id"]) for f in s["fields"]]
+            == want
+        ),
+        None,
+    )
+    if matched is not None:
+        spec_id = matched["spec-id"]
+        spec_fields = matched["fields"]
+        last_partition_id = prev_last_pid
+    else:
+        spec_id = max((s["spec-id"] for s in prev_specs), default=-1) + 1
+        spec_fields = [
+            {
+                "name": c,
+                "transform": "identity",
+                "source-id": name_to_id[c],
+                "field-id": prev_last_pid + 1 + i,
+            }
+            for i, c in enumerate(partition_cols)
+        ]
+        last_partition_id = prev_last_pid + len(spec_fields)
+        prev_specs = prev_specs + [{"spec-id": spec_id, "fields": spec_fields}]
 
     # --- data files -------------------------------------------------------
     staged = _stage_data_files(df, table, partition_cols)
@@ -660,7 +703,7 @@ def write_iceberg(
         extra_meta={
             "schema": json.dumps(schema_json).encode(),
             "partition-spec": json.dumps(spec_fields).encode(),
-            "partition-spec-id": b"0",
+            "partition-spec-id": str(spec_id).encode(),
             "format-version": b"2",
             "content": b"data",
         },
@@ -697,7 +740,7 @@ def write_iceberg(
     new_manifest = {
         "manifest_path": manifest_rel,
         "manifest_length": os.path.getsize(manifest_path),
-        "partition_spec_id": 0,
+        "partition_spec_id": spec_id,
         "content": 0,  # data manifest
         "sequence_number": seq,
         "min_sequence_number": seq,
@@ -750,11 +793,17 @@ def write_iceberg(
         "last-sequence-number": seq,
         "last-updated-ms": now_ms,
         "last-column-id": last_column_id,
-        "schemas": [schema_json],
+        # evolution keeps every schema-id a live snapshot may reference
+        "schemas": (
+            (meta.get("schemas", []) if meta else [])
+            + ([schema_json] if not (meta and any(
+                s["schema-id"] == schema_json["schema-id"] for s in meta["schemas"]
+            )) else [])
+        ),
         "current-schema-id": schema_json["schema-id"],
-        "partition-specs": [{"spec-id": 0, "fields": spec_fields}],
-        "default-spec-id": 0,
-        "last-partition-id": 999 + len(spec_fields),
+        "partition-specs": prev_specs,
+        "default-spec-id": spec_id,
+        "last-partition-id": last_partition_id,
         "sort-orders": [{"order-id": 0, "fields": []}],
         "default-sort-order-id": 0,
         "properties": {},
@@ -833,14 +882,13 @@ def plan_scan(
     partition_cols}`` — files is the surviving list of absolute paths."""
     meta = load_metadata(table)
     snap = _select_snapshot(meta, snapshot_id, as_of_timestamp_ms)
-    spec_fields = _partition_spec(meta)
-    field_types = _field_types(meta)
-    name_to_fid = {f["name"]: f["id"] for f in meta["schemas"][0]["fields"]}
-    pf_types = {pf["name"]: field_types[pf["source-id"]] for pf in spec_fields}
-    partition_filters = dict(partition_filters or {})
-    unknown = set(partition_filters) - set(pf_types)
-    if unknown:
-        raise KeyError(f"partition_filters on non-partition columns: {sorted(unknown)}")
+    # schema AS OF the snapshot: evolution keeps every referenced schema-id
+    # in the metadata, so time travel reads the shape that snapshot had
+    snap_schema = _schema_by_id(meta, snap.get("schema-id"))
+    field_types = {
+        f["id"]: f["type"] for f in snap_schema["fields"] if isinstance(f["type"], str)
+    }
+    name_to_fid = {f["name"]: f["id"] for f in snap_schema["fields"]}
 
     _, manifests = avro_lite.read_ocf(os.path.join(table, snap["manifest-list"]))
     if any(m["content"] == 1 for m in manifests):
@@ -849,6 +897,22 @@ def plan_scan(
             f"iceberg_lite does not apply row-level deletes (refusing rather "
             f"than resurrecting deleted rows)"
         )
+    # partition spec AS USED by this snapshot's manifests (a later overwrite
+    # may have changed the table default; spec-ids are immutable). Within one
+    # snapshot all manifests share a spec by construction: appends reuse the
+    # table spec and overwrites reference only their own manifest.
+    spec_ids = {m["partition_spec_id"] for m in manifests}
+    if len(spec_ids) > 1:
+        raise NotImplementedError(
+            f"snapshot {snap['snapshot-id']} mixes partition specs {spec_ids}"
+        )
+    specs = {s["spec-id"]: s["fields"] for s in meta["partition-specs"]}
+    spec_fields = specs[spec_ids.pop()] if spec_ids else _partition_spec(meta)
+    pf_types = {pf["name"]: field_types[pf["source-id"]] for pf in spec_fields}
+    partition_filters = dict(partition_filters or {})
+    unknown = set(partition_filters) - set(pf_types)
+    if unknown:
+        raise KeyError(f"partition_filters on non-partition columns: {sorted(unknown)}")
     kept_manifests = []
     for m in manifests:
         summaries = m.get("partitions")
@@ -918,7 +982,7 @@ def plan_scan(
                 files.append(os.path.join(table, dfile["file_path"]))
     return {
         "files": files,
-        "schema": _spark_schema(meta),
+        "schema": _spark_schema(meta, snap.get("schema-id")),
         "manifests_total": len(manifests),
         "manifests_read": len(kept_manifests),
         "files_total_in_read": files_total,
@@ -961,3 +1025,134 @@ def read_iceberg(
     return df.select(
         *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
     )
+
+
+# ---------------------------------------------------------------------------
+# table maintenance: schema evolution + snapshot expiry
+# ---------------------------------------------------------------------------
+
+
+def add_column(table: str, name: str, dtype: T.DataType) -> int:
+    """Metadata-only schema evolution (spec §Schema Evolution: adding an
+    optional field is always safe): append a new nullable column as a NEW
+    schema-id — existing snapshots keep their schema-id, so time travel
+    still reads the old shape, while reads of new snapshots null-fill the
+    column for pre-evolution data files (Spark's explicit-schema parquet
+    read does the fill). Returns the new schema-id. No snapshot is
+    committed — like the Iceberg runtime, evolution is a metadata version
+    bump, not a data operation."""
+    meta = load_metadata(table)
+    current = _schema_by_id(meta)
+    if any(f["name"] == name for f in current["fields"]):
+        raise ValueError(f"column {name!r} already exists")
+    counter = {"n": meta["last-column-id"]}
+
+    def next_id() -> int:
+        counter["n"] += 1
+        return counter["n"]
+
+    new_field = {
+        "id": next_id(),
+        "name": name,
+        "required": False,  # spec: a new column may not be required
+        "type": _to_iceberg_type(dtype, next_id),
+    }
+    new_schema = {
+        "type": "struct",
+        "schema-id": max(s["schema-id"] for s in meta["schemas"]) + 1,
+        "fields": current["fields"] + [new_field],
+    }
+    now_ms = int(time.time() * 1000)
+    version = _current_version(table)
+    new_meta = dict(
+        meta,
+        **{
+            "schemas": meta["schemas"] + [new_schema],
+            "current-schema-id": new_schema["schema-id"],
+            "last-column-id": counter["n"],
+            "last-updated-ms": now_ms,
+            "metadata-log": meta.get("metadata-log", [])
+            + [
+                {
+                    "timestamp-ms": now_ms,
+                    "metadata-file": os.path.join(
+                        "metadata", f"v{version}.metadata.json"
+                    ),
+                }
+            ],
+        },
+    )
+    _write_metadata(table, new_meta, version + 1)
+    return new_schema["schema-id"]
+
+
+def _referenced_paths(table: str, snaps: list[dict]) -> tuple[set[str], set[str]]:
+    """(manifest rel-paths, data-file rel-paths) referenced by ``snaps``."""
+    manifest_rels: set[str] = set()
+    file_rels: set[str] = set()
+    for s in snaps:
+        _, manifests = avro_lite.read_ocf(os.path.join(table, s["manifest-list"]))
+        for m in manifests:
+            manifest_rels.add(m["manifest_path"])
+            _, entries = avro_lite.read_ocf(os.path.join(table, m["manifest_path"]))
+            for e in entries:
+                file_rels.add(e["data_file"]["file_path"])
+    return manifest_rels, file_rels
+
+
+def expire_snapshots(table: str, keep_last: int = 1) -> dict:
+    """Retire all but the most recent ``keep_last`` snapshots (always
+    keeping the current one) and physically delete every manifest list,
+    manifest and data file ONLY they referenced — the vacuum analogue.
+    Reachability is computed from the kept snapshots' manifests, so a file
+    shared by a kept and an expired snapshot (append lineage) survives.
+    Returns counts: {snapshots_expired, files_deleted, manifests_deleted}."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    meta = load_metadata(table)
+    snaps = meta.get("snapshots", [])
+    current_id = meta.get("current-snapshot-id")
+    keep = snaps[-keep_last:]
+    if current_id is not None and all(s["snapshot-id"] != current_id for s in keep):
+        keep = [s for s in snaps if s["snapshot-id"] == current_id] + keep
+    expired = [s for s in snaps if s not in keep]
+    if not expired:
+        return {"snapshots_expired": 0, "files_deleted": 0, "manifests_deleted": 0}
+    keep_manifests, keep_files = _referenced_paths(table, keep)
+    exp_manifests, exp_files = _referenced_paths(table, expired)
+    dead_manifests = exp_manifests - keep_manifests
+    dead_files = exp_files - keep_files
+    now_ms = int(time.time() * 1000)
+    version = _current_version(table)
+    keep_ids = {s["snapshot-id"] for s in keep}
+    new_meta = dict(
+        meta,
+        **{
+            "snapshots": keep,
+            "snapshot-log": [
+                e for e in meta.get("snapshot-log", []) if e["snapshot-id"] in keep_ids
+            ],
+            "last-updated-ms": now_ms,
+        },
+    )
+    # metadata FIRST: once the hint moves, no reader can resolve an expired
+    # snapshot, so the physical deletes below can't race a correct reader
+    _write_metadata(table, new_meta, version + 1)
+    for s in expired:
+        _rm(os.path.join(table, s["manifest-list"]))
+    for rel in dead_manifests:
+        _rm(os.path.join(table, rel))
+    for rel in dead_files:
+        _rm(os.path.join(table, rel))
+    return {
+        "snapshots_expired": len(expired),
+        "files_deleted": len(dead_files),
+        "manifests_deleted": len(dead_manifests),
+    }
+
+
+def _rm(path: str) -> None:
+    try:
+        os.remove(path)
+    except FileNotFoundError:
+        pass

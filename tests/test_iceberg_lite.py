@@ -406,3 +406,85 @@ def test_lakehouse_router(spark, table):
     assert lakehouse.read_table(spark, "iceberg", table).count() == 30
     with pytest.raises(NotImplementedError, match="hudi"):
         lakehouse.read_table(spark, "hudi", table)
+
+
+# ---------------------------------------------------------------------------
+# schema evolution + snapshot expiry (r9 second pass)
+# ---------------------------------------------------------------------------
+
+
+def test_add_column_evolution_and_schema_as_of(spark, table):
+    from big_data_analytics_machine_learning_poc_spark.sources.iceberg_lite import add_column
+
+    v1 = write_iceberg(_frame(spark, 0, 20), table, partition_cols=["bucket"])
+    sid = add_column(table, "note", T.StringType())
+    assert sid == 1
+    # append must now carry the evolved shape
+    with pytest.raises(ValueError, match="schema mismatch"):
+        write_iceberg(_frame(spark, 20, 30), table, mode="append")
+    v2 = write_iceberg(
+        _frame(spark, 20, 30).withColumn("note", F.concat(F.lit("n"), F.col("id"))),
+        table,
+        mode="append",
+    )
+    cur = read_iceberg(spark, table)
+    assert "note" in cur.columns and cur.count() == 30
+    # pre-evolution files null-fill; post-evolution files carry values
+    assert cur.filter("note IS NULL").count() == 20
+    assert cur.filter("note = 'n25'").count() == 1
+    # time travel reads the OLD shape (schema-id pinned per snapshot)
+    old = read_iceberg(spark, table, snapshot_id=v1)
+    assert "note" not in old.columns and old.count() == 20
+    assert read_iceberg(spark, table, snapshot_id=v2).count() == 30
+    with pytest.raises(ValueError, match="already exists"):
+        add_column(table, "note", T.StringType())
+
+
+def test_overwrite_new_partitioning_keeps_old_spec(spark, table):
+    """Repartitioning overwrite: old snapshots' manifests resolve their own
+    spec-id, so their hive partition columns still rederive on travel."""
+    v1 = write_iceberg(_frame(spark, 0, 50), table, partition_cols=["bucket"])
+    # overwrite: same schema, different (empty) partitioning
+    write_iceberg(_frame(spark, 0, 30), table, mode="overwrite")
+    meta = iceberg_lite.load_metadata(table)
+    assert [s["spec-id"] for s in meta["partition-specs"]] == [0, 1]
+    assert meta["default-spec-id"] == 1
+    # travel to the partitioned snapshot: bucket values intact
+    old = read_iceberg(spark, table, snapshot_id=v1)
+    assert old.filter("bucket = 3").count() == 10
+    assert old.filter("bucket IS NULL").count() == 0
+    assert plan_scan(table, snapshot_id=v1, partition_filters={"bucket": 3})["files"]
+    # the new snapshot is unpartitioned: partition filters are rejected
+    with pytest.raises(KeyError, match="non-partition"):
+        plan_scan(table, partition_filters={"bucket": 3})
+    # re-partitioning BACK reuses spec 0 instead of minting spec 2
+    write_iceberg(_frame(spark, 0, 10), table, partition_cols=["bucket"])
+    meta = iceberg_lite.load_metadata(table)
+    assert meta["default-spec-id"] == 0
+    assert [s["spec-id"] for s in meta["partition-specs"]] == [0, 1]
+
+
+def test_expire_snapshots(spark, table):
+    from big_data_analytics_machine_learning_poc_spark.sources.iceberg_lite import (
+        expire_snapshots,
+    )
+
+    v1 = write_iceberg(_frame(spark, 0, 20), table)
+    v2 = write_iceberg(_frame(spark, 20, 30), table, mode="append")
+    v3 = write_iceberg(_frame(spark, 0, 5), table, mode="overwrite")
+    v4 = write_iceberg(_frame(spark, 5, 10), table, mode="append")
+    stats = expire_snapshots(table, keep_last=2)
+    assert stats["snapshots_expired"] == 2 and stats["files_deleted"] > 0
+    # kept snapshots fully readable (v4 shares v3's files via append lineage)
+    assert read_iceberg(spark, table).count() == 10
+    assert read_iceberg(spark, table, snapshot_id=v3).count() == 5
+    # expired ids are gone from the metadata
+    with pytest.raises(KeyError, match="not in table"):
+        read_iceberg(spark, table, snapshot_id=v1)
+    ids = [s["snapshot_id"] for s in snapshots(table)]
+    assert ids == [v3, v4]
+    # idempotent when nothing to expire
+    again = expire_snapshots(table, keep_last=2)
+    assert again["snapshots_expired"] == 0
+    with pytest.raises(ValueError, match="keep_last"):
+        expire_snapshots(table, keep_last=0)
