@@ -77,20 +77,22 @@ def test_partitioned_parquet_roundtrip_and_pruning(spark, tmp_path):
 
 
 def test_lakehouse_formats_stubbed(spark):
-    """No Delta/Iceberg/Hudi jars in this container → Iceberg/Hudi raise a
-    clear typed error (not a Py4J stack trace); Delta falls back to the
-    jar-free delta_lite protocol reader (its own suite below)."""
+    """No Delta/Iceberg/Hudi jars in this container → Hudi raises a clear
+    typed error (not a Py4J stack trace); Delta and Iceberg (r9) fall back
+    to the jar-free delta_lite / iceberg_lite protocol implementations
+    (their own suites elsewhere), so a missing table surfaces as
+    FileNotFoundError from the lite reader, not a connector stub."""
     import pytest as _pytest
 
     from big_data_analytics_machine_learning_poc_spark.sources import lakehouse
 
-    for fmt in ("iceberg", "hudi"):
+    assert lakehouse.format_available(spark, "hudi") is False
+    with _pytest.raises(NotImplementedError, match="hudi"):
+        lakehouse.read_table(spark, "hudi", "/tmp/nowhere")
+    for fmt in ("delta", "iceberg"):
         assert lakehouse.format_available(spark, fmt) is False
-        with _pytest.raises(NotImplementedError, match=fmt):
-            lakehouse.read_table(spark, fmt, "/tmp/nowhere")
-    assert lakehouse.format_available(spark, "delta") is False
-    with _pytest.raises(FileNotFoundError):
-        lakehouse.read_table(spark, "delta", "/tmp/nowhere")  # no log dir
+        with _pytest.raises(FileNotFoundError):
+            lakehouse.read_table(spark, fmt, "/tmp/nowhere")  # no log/metadata
     with _pytest.raises(KeyError):
         lakehouse.format_available(spark, "paimon")
 
