@@ -598,7 +598,10 @@ def write_iceberg(
         schema_json = _schema_by_id(meta)
         last_column_id = meta["last-column-id"]
         table_uuid = meta["table-uuid"]
-        parent_id = None
+        # spec: replace/overwrite snapshots record their parent too — and
+        # the streaming tail relies on it to tell a mid-history rewrite
+        # from the parentless initial load
+        parent_id = meta.get("current-snapshot-id")
     else:
         ice = _iceberg_schema(df.schema)
         last_column_id = ice.pop("_last_column_id")

@@ -488,3 +488,58 @@ def test_expire_snapshots(spark, table):
     assert again["snapshots_expired"] == 0
     with pytest.raises(ValueError, match="keep_last"):
         expire_snapshots(table, keep_last=0)
+
+
+# ---------------------------------------------------------------------------
+# streaming tail (sources/pyds_iceberg.py)
+# ---------------------------------------------------------------------------
+
+
+def test_iceberg_stream_tail(spark, table):
+    from big_data_analytics_machine_learning_poc_spark.sources.pyds_iceberg import (
+        IcebergLiteStreamDataSource,
+        IcebergLiteStreamReader,
+    )
+
+    spark.dataSource.register(IcebergLiteStreamDataSource)
+    write_iceberg(_frame(spark, 0, 40), table, partition_cols=["bucket"])
+    write_iceberg(_frame(spark, 40, 50), table, mode="append")
+    write_iceberg(_frame(spark, 50, 55), table, mode="append")
+
+    q = (
+        spark.readStream.format("iceberg_lite_stream")
+        .load(table)
+        .writeStream.format("memory")
+        .queryName("ice_stream_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.table("ice_stream_out")
+    assert got.count() == 55
+    # partition values came through as typed constants
+    assert got.filter("bucket = 2").count() == 11
+    assert got.agg(F.sum("id")).first()[0] == sum(range(55))
+    spark.catalog.dropTempView("ice_stream_out")
+
+    # append planning is O(new snapshots): only the new manifest's files
+    r = IcebergLiteStreamReader(table)
+    mid = {"seq": 2}
+    parts = r.partitions(mid, {"seq": 3})
+    from big_data_analytics_machine_learning_poc_spark.sources.iceberg_lite import plan_scan
+
+    assert 0 < len(parts) < len(plan_scan(table)["files"])
+
+    # an overwrite inside the tailed range violates append-only loudly
+    write_iceberg(_frame(spark, 0, 5), table, mode="overwrite")
+    with pytest.raises(RuntimeError, match="append-only"):
+        r.partitions({"seq": 3}, r.latestOffset())
+
+    # backpressure: maxSnapshotsPerTrigger caps offset advance
+    r2 = IcebergLiteStreamReader(table, max_snapshots_per_trigger=1)
+    assert r2.latestOffset() == {"seq": 1}
+    r2.commit({"seq": 1})
+    assert r2.latestOffset() == {"seq": 2}
