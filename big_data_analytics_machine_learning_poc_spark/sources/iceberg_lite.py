@@ -554,8 +554,10 @@ def write_iceberg(
     previous snapshot's manifest_file records forward unchanged (their
     sequence numbers are theirs) and adds one new manifest.
     """
-    if mode not in ("overwrite", "append"):
-        raise ValueError(f"mode {mode!r}: overwrite|append")
+    if mode not in ("overwrite", "append", "replace"):
+        raise ValueError(f"mode {mode!r}: overwrite|append|replace")
+    if mode == "replace" and _current_version(table) is None:
+        raise ValueError("replace (compaction commit) needs an existing table")
     partition_cols = list(partition_cols or [])
     now_ms = int(time.time() * 1000)
     version = _current_version(table)
@@ -781,7 +783,10 @@ def write_iceberg(
         "manifest-list": list_rel,
         "schema-id": schema_json["schema-id"],
         "summary": {
-            "operation": "append" if mode == "append" else "overwrite",
+            # "replace" = a rewrite that changes no data (compaction): the
+            # streaming tail skips it the way delta_lite_stream skips
+            # dataChange=false commits
+            "operation": mode,
             "added-data-files": str(len(entries)),
             "added-records": str(added_rows),
             "total-records": str(total_rows),
@@ -1087,6 +1092,33 @@ def add_column(table: str, name: str, dtype: T.DataType) -> int:
     )
     _write_metadata(table, new_meta, version + 1)
     return new_schema["schema-id"]
+
+
+def compact_iceberg(
+    spark: SparkSession, table: str, min_files_per_partition: int = 2
+) -> dict:
+    """OPTIMIZE analogue (delta_lite.compact_table parity): rewrite the
+    current snapshot's small files into ~one file per partition as a
+    ``replace`` snapshot — same rows, fewer files. Data-unchanged by
+    construction (the rewrite is a read of the current snapshot), so the
+    streaming tail skips the snapshot entirely; time travel to
+    pre-compaction snapshots still reads the original files until
+    ``expire_snapshots`` reclaims them. No-op (returns zeros) when no
+    partition holds ``min_files_per_partition`` or more files."""
+    plan = plan_scan(table)
+    part_cols = plan["partition_cols"]
+    n_parts = max(1, len({os.path.dirname(f) for f in plan["files"]}))
+    if len(plan["files"]) < n_parts * min_files_per_partition:
+        return {"files_before": len(plan["files"]), "files_after": len(plan["files"]),
+                "snapshot_id": None}
+    df = read_iceberg(spark, table)
+    df = df.repartition(*part_cols) if part_cols else df.coalesce(1)
+    snap_id = write_iceberg(df, table, mode="replace", partition_cols=part_cols)
+    return {
+        "files_before": len(plan["files"]),
+        "files_after": len(plan_scan(table)["files"]),
+        "snapshot_id": snap_id,
+    }
 
 
 def _referenced_paths(table: str, snaps: list[dict]) -> tuple[set[str], set[str]]:

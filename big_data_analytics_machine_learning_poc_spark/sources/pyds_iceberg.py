@@ -91,6 +91,10 @@ class IcebergLiteStreamReader(DataSourceStreamReader):
             if not start["seq"] < snap["sequence-number"] <= end["seq"]:
                 continue
             op = snap["summary"]["operation"]
+            if op == "replace":
+                # compaction: same rows in fewer files — already emitted
+                # from the originals (delta's dataChange=false doctrine)
+                continue
             if op != "append" and "parent-snapshot-id" in snap:
                 raise RuntimeError(
                     f"iceberg_lite stream source is append-only: snapshot "

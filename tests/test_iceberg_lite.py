@@ -543,3 +543,41 @@ def test_iceberg_stream_tail(spark, table):
     assert r2.latestOffset() == {"seq": 1}
     r2.commit({"seq": 1})
     assert r2.latestOffset() == {"seq": 2}
+
+
+def test_compaction_replace_snapshot(spark, table):
+    from big_data_analytics_machine_learning_poc_spark.sources.iceberg_lite import (
+        compact_iceberg,
+        expire_snapshots,
+    )
+    from big_data_analytics_machine_learning_poc_spark.sources.pyds_iceberg import (
+        IcebergLiteStreamReader,
+    )
+
+    v1 = write_iceberg(
+        _frame(spark, 0, 60).repartition(6), table, partition_cols=["bucket"]
+    )
+    write_iceberg(_frame(spark, 60, 90).repartition(6), table, mode="append")
+    before = plan_scan(table)
+    stats = compact_iceberg(spark, table)
+    assert stats["snapshot_id"] is not None
+    assert stats["files_after"] < stats["files_before"] == len(before["files"])
+    assert stats["files_after"] == 5  # one file per bucket value
+    # rows identical through the rewrite
+    got = read_iceberg(spark, table)
+    assert got.count() == 90 and got.agg(F.sum("id")).first()[0] == sum(range(90))
+    assert [s["operation"] for s in snapshots(table)][-1] == "replace"
+    # streaming tail: the replace snapshot plans NOTHING (no re-emit)...
+    r = IcebergLiteStreamReader(table)
+    assert r.partitions({"seq": 2}, {"seq": 3}) == []
+    # ...and appends after it stream normally
+    write_iceberg(_frame(spark, 90, 95).repartition(2), table, mode="append")
+    assert len(r.partitions({"seq": 3}, r.latestOffset())) > 0
+    # pre-compaction travel still reads originals; expiry reclaims them
+    assert read_iceberg(spark, table, snapshot_id=v1).count() == 60
+    exp = expire_snapshots(table, keep_last=2)  # keep replace + last append
+    assert exp["files_deleted"] > 0
+    assert read_iceberg(spark, table).count() == 95
+    # a second compaction right after is a no-op
+    again = compact_iceberg(spark, table)
+    assert again["snapshot_id"] is None or again["files_after"] <= stats["files_after"] + 2
