@@ -346,24 +346,30 @@ def read_ocf(path: str) -> tuple[dict, list[dict]]:
         return read_ocf_bytes(f.read(), where=path)
 
 
-def read_ocf_bytes(data: bytes, where: str = "<bytes>") -> tuple[dict, list[dict]]:
-    """Read an OCF from memory (the ``binaryFile``-sourced executor path in
-    ``sources/avro_source.py`` hands whole files as bytes)."""
-    buf = io.BytesIO(data)
-    path = where
+def _read_header(buf, where: str) -> dict[str, bytes]:
+    """Magic check + file-metadata map (shared by the full reader and the
+    header-only schema probe so header parsing cannot drift)."""
     if _read_n(buf, 4) != MAGIC:
-        raise ValueError(f"{path}: not an Avro object container file")
+        raise ValueError(f"{where}: not an Avro object container file")
     meta: dict[str, bytes] = {}
     while True:
         count = read_long(buf)
         if count == 0:
-            break
+            return meta
         if count < 0:
             count = -count
             read_long(buf)
         for _ in range(count):
             key = _read_bytes(buf).decode("utf-8")
             meta[key] = _read_bytes(buf)
+
+
+def read_ocf_bytes(data: bytes, where: str = "<bytes>") -> tuple[dict, list[dict]]:
+    """Read an OCF from memory (the ``binaryFile``-sourced executor path in
+    ``sources/avro_source.py`` hands whole files as bytes)."""
+    buf = io.BytesIO(data)
+    path = where
+    meta = _read_header(buf, path)
     schema = json.loads(meta["avro.schema"].decode("utf-8"))
     codec = meta.get("avro.codec", b"null").decode("utf-8")
     if codec not in ("null", "deflate"):
@@ -386,22 +392,11 @@ def read_ocf_bytes(data: bytes, where: str = "<bytes>") -> tuple[dict, list[dict
 
 def schema_of_ocf(path: str) -> dict:
     """Writer schema from the file HEADER only — O(header) bytes, used by
-    ``read_avro`` to derive the Spark schema without decoding any block."""
+    ``read_avro`` to derive the Spark schema without decoding any block.
+    Streams the file handle (no size guess): the header map reader stops
+    at its terminator, so only header bytes are consumed."""
     with open(path, "rb") as f:
-        head = f.read(1 << 20)  # headers are far under 1 MiB
-    buf = io.BytesIO(head)
-    if _read_n(buf, 4) != MAGIC:
-        raise ValueError(f"{path}: not an Avro object container file")
-    while True:
-        count = read_long(buf)
-        if count == 0:
-            break
-        if count < 0:
-            count = -count
-            read_long(buf)
-        for _ in range(count):
-            key = _read_bytes(buf).decode("utf-8")
-            val = _read_bytes(buf)
-            if key == "avro.schema":
-                return json.loads(val.decode("utf-8"))
-    raise ValueError(f"{path}: header carries no avro.schema")
+        meta = _read_header(f, path)
+    if "avro.schema" not in meta:
+        raise ValueError(f"{path}: header carries no avro.schema")
+    return json.loads(meta["avro.schema"].decode("utf-8"))

@@ -171,7 +171,7 @@ def avro_to_spark_schema(avro_schema: dict) -> T.StructType:
             return (
                 T.StructType(
                     [
-                        T.StructField(f["name"], *_flip(conv(f["type"])))
+                        T.StructField(f["name"], *conv(f["type"]))
                         for f in s["fields"]
                     ]
                 ),
@@ -185,14 +185,11 @@ def avro_to_spark_schema(avro_schema: dict) -> T.StructType:
             return T.MapType(T.StringType(), dt, nl), False
         raise NotImplementedError(f"no Spark mapping for avro type {s!r}")
 
-    def _flip(pair):
-        return pair[0], pair[1]
-
     if avro_schema.get("type") != "record":
         raise ValueError("top-level avro schema must be a record")
     return T.StructType(
         [
-            T.StructField(f["name"], *_flip(conv(f["type"])))
+            T.StructField(f["name"], *conv(f["type"]))
             for f in avro_schema["fields"]
         ]
     )
@@ -307,9 +304,16 @@ def read_avro(
             for blob in batch.column(0).to_pylist():
                 avro_schema, records = avro_lite.read_ocf_bytes(bytes(blob))
                 fields = {f["name"]: f["type"] for f in avro_schema["fields"]}
+                # a requested column absent from this file's writer schema
+                # null-fills (schema evolution across a directory of drops —
+                # same contract as _read_file_batches in the lakehouse paths)
                 rows = [
                     {
-                        name: _from_avro_value(rec.get(name), fields[name])
+                        name: (
+                            _from_avro_value(rec.get(name), fields[name])
+                            if name in fields
+                            else None
+                        )
                         for name in arrow_schema.names
                     }
                     for rec in records

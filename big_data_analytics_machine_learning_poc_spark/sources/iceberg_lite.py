@@ -930,24 +930,10 @@ def plan_scan(
                 if pf["name"] in partition_filters and i < len(summaries):
                     want = partition_filters[pf["name"]]
                     itype = pf_types[pf["name"]]
-                    if itype == "date" and want is not None:
-                        want_cmp = (
-                            datetime.date.fromisoformat(want)
-                            if isinstance(want, str)
-                            else want
-                        )
-                        lo, hi = summaries[i].get("lower_bound"), summaries[i].get("upper_bound")
-                        if want_cmp is not None and lo is not None and hi is not None:
-                            lo_d = datetime.date(1970, 1, 1) + datetime.timedelta(
-                                days=struct.unpack("<i", lo)[0]
-                            )
-                            hi_d = datetime.date(1970, 1, 1) + datetime.timedelta(
-                                days=struct.unpack("<i", hi)[0]
-                            )
-                            if not (lo_d <= want_cmp <= hi_d):
-                                drop = True
-                                break
-                        continue
+                    if itype == "date" and isinstance(want, str):
+                        # _single_value_parse returns datetime.date for
+                        # date bounds; compare like with like
+                        want = datetime.date.fromisoformat(want)
                     if not _summary_may_match(summaries[i], itype, want):
                         drop = True
                         break
@@ -1017,22 +1003,16 @@ def read_iceberg(
     schema: T.StructType = plan["schema"]
     if not plan["files"]:
         return spark.createDataFrame([], schema)
-    part_cols = set(plan["partition_cols"])
-    reader = spark.read.schema(
-        T.StructType([f for f in schema.fields if f.name not in part_cols])
-        if part_cols
-        else schema
-    )
-    if part_cols:
+    # the FULL table schema, partition columns included (delta_lite's
+    # _snapshot_reader doctrine): with an explicit schema, basePath
+    # partition discovery casts directory values to the DECLARED type
+    # instead of inferring one — inference would silently turn a string
+    # partition value '0123' into int 123
+    reader = spark.read.schema(schema)
+    if plan["partition_cols"]:
         reader = reader.option("basePath", os.path.join(table, "data"))
     df = reader.parquet(*plan["files"])
-    # basePath partition discovery types the derived columns by inference;
-    # cast to the table schema and restore declared column order
-    from pyspark.sql import functions as F
-
-    return df.select(
-        *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
-    )
+    return df.select(*[f.name for f in schema.fields])
 
 
 # ---------------------------------------------------------------------------
@@ -1121,17 +1101,25 @@ def compact_iceberg(
     }
 
 
-def _referenced_paths(table: str, snaps: list[dict]) -> tuple[set[str], set[str]]:
-    """(manifest rel-paths, data-file rel-paths) referenced by ``snaps``."""
+def _referenced_paths(
+    table: str, snaps: list[dict], _cache: dict | None = None
+) -> tuple[set[str], set[str]]:
+    """(manifest rel-paths, data-file rel-paths) referenced by ``snaps``.
+    ``_cache`` memoizes manifest decodes by rel-path: append lineage
+    carries the same manifest through many snapshots, so without it a
+    50-append table decodes each manifest O(snapshots) times."""
+    cache = _cache if _cache is not None else {}
     manifest_rels: set[str] = set()
     file_rels: set[str] = set()
     for s in snaps:
         _, manifests = avro_lite.read_ocf(os.path.join(table, s["manifest-list"]))
         for m in manifests:
-            manifest_rels.add(m["manifest_path"])
-            _, entries = avro_lite.read_ocf(os.path.join(table, m["manifest_path"]))
-            for e in entries:
-                file_rels.add(e["data_file"]["file_path"])
+            rel = m["manifest_path"]
+            manifest_rels.add(rel)
+            if rel not in cache:
+                _, entries = avro_lite.read_ocf(os.path.join(table, rel))
+                cache[rel] = {e["data_file"]["file_path"] for e in entries}
+            file_rels.update(cache[rel])
     return manifest_rels, file_rels
 
 
@@ -1153,8 +1141,9 @@ def expire_snapshots(table: str, keep_last: int = 1) -> dict:
     expired = [s for s in snaps if s not in keep]
     if not expired:
         return {"snapshots_expired": 0, "files_deleted": 0, "manifests_deleted": 0}
-    keep_manifests, keep_files = _referenced_paths(table, keep)
-    exp_manifests, exp_files = _referenced_paths(table, expired)
+    cache: dict = {}  # shared decode memo across the two reachability passes
+    keep_manifests, keep_files = _referenced_paths(table, keep, cache)
+    exp_manifests, exp_files = _referenced_paths(table, expired, cache)
     dead_manifests = exp_manifests - keep_manifests
     dead_files = exp_files - keep_files
     now_ms = int(time.time() * 1000)

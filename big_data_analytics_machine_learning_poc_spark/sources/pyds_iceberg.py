@@ -86,6 +86,21 @@ class IcebergLiteStreamReader(DataSourceStreamReader):
                 if isinstance(f["type"], str):
                     field_types[f["id"]] = f["type"]
         specs = {sp["spec-id"]: sp["fields"] for sp in meta["partition-specs"]}
+        # loud on retention gaps: sequence numbers are dense (one per
+        # snapshot), so any seq in (start, end] missing from the metadata
+        # was expired out from under the tail — emitting only the
+        # survivors would silently lose the expired snapshots' rows (the
+        # Delta tail gets this for free as a FileNotFoundError on the
+        # vacuumed commit JSON)
+        have_seqs = {s["sequence-number"] for s in meta.get("snapshots", [])}
+        missing = set(range(start["seq"] + 1, end["seq"] + 1)) - have_seqs
+        if missing:
+            raise RuntimeError(
+                f"iceberg_lite stream: snapshots with sequence numbers "
+                f"{sorted(missing)} were expired before the tail read them "
+                f"(expire_snapshots outran the stream); restart from a "
+                f"fresh checkpoint or raise the retention window"
+            )
         out = []
         for snap in meta.get("snapshots", []):
             if not start["seq"] < snap["sequence-number"] <= end["seq"]:

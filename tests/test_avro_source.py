@@ -160,3 +160,22 @@ def test_avro_to_parquet(spark, outdir):
     assert spark.read.parquet(outdir + "/landed").agg(F.sum("id")).first()[0] == sum(
         range(100)
     )
+
+
+def test_explicit_schema_null_fills_missing_column(spark, outdir):
+    """Regression (r9 review): reading a directory where older files lack a
+    newer column must null-fill, not KeyError inside the Arrow worker."""
+    old = spark.range(0, 10).select(F.col("id"))
+    write_avro(old, outdir)
+    evolved = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("tag", T.StringType())]
+    )
+    back = read_avro(spark, outdir, schema=evolved)
+    assert back.count() == 10
+    assert back.filter("tag IS NULL").count() == 10
+    # and a mixed directory: new files carry the column, old ones null-fill
+    write_avro(
+        spark.range(10, 15).select(F.col("id"), F.lit("new").alias("tag")), outdir
+    )
+    mixed = read_avro(spark, outdir, schema=evolved)
+    assert mixed.count() == 15 and mixed.filter("tag = 'new'").count() == 5

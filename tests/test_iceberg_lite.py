@@ -581,3 +581,36 @@ def test_compaction_replace_snapshot(spark, table):
     # a second compaction right after is a no-op
     again = compact_iceberg(spark, table)
     assert again["snapshot_id"] is None or again["files_after"] <= stats["files_after"] + 2
+
+
+def test_string_partition_values_not_inferred(spark, table):
+    """Regression (r9 review): numeric-looking STRING partition values must
+    round-trip exactly — '0123' stays '0123', never int-inferred to 123."""
+    df = spark.range(0, 12).select(
+        F.col("id"),
+        F.when(F.col("id") % 2 == 0, F.lit("0123")).otherwise(F.lit("1.50")).alias("code"),
+    )
+    write_iceberg(df.repartition("code"), table, partition_cols=["code"])
+    back = read_iceberg(spark, table)
+    assert dict(back.dtypes)["code"] == "string"
+    assert set(r.code for r in back.select("code").distinct().collect()) == {"0123", "1.50"}
+    assert read_iceberg(spark, table, partition_filters={"code": "0123"}).count() == 6
+
+
+def test_stream_raises_on_expired_gap(spark, table):
+    """Regression (r9 review): a snapshot expired out of the tailed range
+    must fail the batch loudly, not silently skip its rows."""
+    from big_data_analytics_machine_learning_poc_spark.sources.iceberg_lite import (
+        expire_snapshots,
+    )
+    from big_data_analytics_machine_learning_poc_spark.sources.pyds_iceberg import (
+        IcebergLiteStreamReader,
+    )
+
+    write_iceberg(_frame(spark, 0, 10), table)
+    r = IcebergLiteStreamReader(table)  # checkpoint at seq 0
+    write_iceberg(_frame(spark, 10, 20), table, mode="append")
+    write_iceberg(_frame(spark, 20, 30), table, mode="append")
+    expire_snapshots(table, keep_last=1)  # seqs 1-2 gone from metadata
+    with pytest.raises(RuntimeError, match="expired before the tail"):
+        r.partitions({"seq": 0}, r.latestOffset())
