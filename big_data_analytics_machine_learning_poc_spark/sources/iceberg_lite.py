@@ -775,6 +775,22 @@ def write_iceberg(
 
     # --- table metadata ---------------------------------------------------
     added_rows = new_manifest["added_rows_count"]
+    if mode == "replace":
+        # a replace claims "same rows, different files" and the streaming
+        # tail SKIPS it on that claim — hold the writer to it (row-count
+        # equality with the parent; cheap, and catches the misuse class of
+        # passing replace as an overwrite variant, which would silently
+        # hide new rows from every streaming consumer)
+        parent_snap = next(
+            (s for s in prev_snaps if s["snapshot-id"] == parent_id), None
+        )
+        expect = int((parent_snap or {}).get("summary", {}).get("total-records", -1))
+        if expect >= 0 and expect != added_rows:
+            raise ValueError(
+                f"replace (compaction) must not change data: parent snapshot "
+                f"holds {expect} rows, rewrite holds {added_rows}; use "
+                f"mode='overwrite' for a data change"
+            )
     total_rows = sum(m["added_rows_count"] + m["existing_rows_count"] for m in manifests)
     snapshot = {
         "snapshot-id": snap_id,
@@ -1074,6 +1090,11 @@ def add_column(table: str, name: str, dtype: T.DataType) -> int:
     return new_schema["schema-id"]
 
 
+# table-properties key listing expired `replace` sequence numbers (see
+# expire_snapshots / the streaming tail's retention-gap check)
+_EXPIRED_REPLACE_KEY = "iceberg-lite.expired-replace-seqs"
+
+
 def compact_iceberg(
     spark: SparkSession, table: str, min_files_per_partition: int = 2
 ) -> dict:
@@ -1085,13 +1106,27 @@ def compact_iceberg(
     pre-compaction snapshots still reads the original files until
     ``expire_snapshots`` reclaims them. No-op (returns zeros) when no
     partition holds ``min_files_per_partition`` or more files."""
+    from collections import Counter
+
     plan = plan_scan(table)
     part_cols = plan["partition_cols"]
-    n_parts = max(1, len({os.path.dirname(f) for f in plan["files"]}))
-    if len(plan["files"]) < n_parts * min_files_per_partition:
+    by_dir = Counter(os.path.dirname(f) for f in plan["files"])
+    if not by_dir or max(by_dir.values()) < min_files_per_partition:
         return {"files_before": len(plan["files"]), "files_after": len(plan["files"]),
                 "snapshot_id": None}
     df = read_iceberg(spark, table)
+    # compaction writes under the table's CURRENT schema: the current
+    # snapshot's schema-id pins the shape it was WRITTEN under, which is
+    # stale right after an add_column (metadata-only commit) — null-fill
+    # evolved columns exactly as a current read of those files would
+    meta = load_metadata(table)
+    current_schema = _spark_schema(meta)
+    from pyspark.sql import functions as F
+
+    for f in current_schema.fields:
+        if f.name not in df.columns:
+            df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
+    df = df.select(*[f.name for f in current_schema.fields])
     df = df.repartition(*part_cols) if part_cols else df.coalesce(1)
     snap_id = write_iceberg(df, table, mode="replace", partition_cols=part_cols)
     return {
@@ -1149,6 +1184,19 @@ def expire_snapshots(table: str, keep_last: int = 1) -> dict:
     now_ms = int(time.time() * 1000)
     version = _current_version(table)
     keep_ids = {s["snapshot-id"] for s in keep}
+    # remember which expired sequence numbers were data-free `replace`
+    # (compaction) snapshots: the streaming tail's retention-gap check
+    # excludes them, so the documented compact→expire maintenance pair
+    # cannot wedge a healthy stream over rows that were never at risk.
+    # Bounded by expired-snapshot count; stored compactly in properties.
+    props = dict(meta.get("properties", {}))
+    prior = set(json.loads(props.get(_EXPIRED_REPLACE_KEY, "[]")))
+    prior.update(
+        s["sequence-number"]
+        for s in expired
+        if s["summary"]["operation"] == "replace"
+    )
+    props[_EXPIRED_REPLACE_KEY] = json.dumps(sorted(prior))
     new_meta = dict(
         meta,
         **{
@@ -1156,6 +1204,7 @@ def expire_snapshots(table: str, keep_last: int = 1) -> dict:
             "snapshot-log": [
                 e for e in meta.get("snapshot-log", []) if e["snapshot-id"] in keep_ids
             ],
+            "properties": props,
             "last-updated-ms": now_ms,
         },
     )

@@ -95,11 +95,29 @@ class IcebergLiteStreamReader(DataSourceStreamReader):
         have_seqs = {s["sequence-number"] for s in meta.get("snapshots", [])}
         missing = set(range(start["seq"] + 1, end["seq"] + 1)) - have_seqs
         if missing:
+            # expired `replace` (compaction) snapshots carried no data
+            # change — the tail would have skipped them anyway, so their
+            # expiry loses nothing (recorded by expire_snapshots)
+            import json as _json
+
+            from .iceberg_lite import _EXPIRED_REPLACE_KEY
+
+            harmless = set(
+                _json.loads(
+                    meta.get("properties", {}).get(_EXPIRED_REPLACE_KEY, "[]")
+                )
+            )
+            missing -= harmless
+        if missing:
+            lowest_live = min(have_seqs) if have_seqs else end["seq"]
             raise RuntimeError(
                 f"iceberg_lite stream: snapshots with sequence numbers "
                 f"{sorted(missing)} were expired before the tail read them "
-                f"(expire_snapshots outran the stream); restart from a "
-                f"fresh checkpoint or raise the retention window"
+                f"(expire_snapshots outran the stream); their rows cannot be "
+                f"replayed — restart with "
+                f"option('startingSequence', {max(lowest_live - 1, 0)}) to "
+                f"tail from the oldest retained snapshot, or raise the "
+                f"retention window"
             )
         out = []
         for snap in meta.get("snapshots", []):

@@ -614,3 +614,76 @@ def test_stream_raises_on_expired_gap(spark, table):
     expire_snapshots(table, keep_last=1)  # seqs 1-2 gone from metadata
     with pytest.raises(RuntimeError, match="expired before the tail"):
         r.partitions({"seq": 0}, r.latestOffset())
+
+
+def test_compact_after_add_column(spark, table):
+    """Regression (r9 review #1): compaction right after a metadata-only
+    add_column must write under the CURRENT schema (null-filling the new
+    column), not crash on the snapshot-pinned old shape."""
+    from big_data_analytics_machine_learning_poc_spark.sources.iceberg_lite import (
+        add_column,
+        compact_iceberg,
+    )
+
+    write_iceberg(_frame(spark, 0, 40).repartition(6), table, partition_cols=["bucket"])
+    add_column(table, "tag", T.StringType())
+    stats = compact_iceberg(spark, table)
+    assert stats["snapshot_id"] is not None
+    got = read_iceberg(spark, table)
+    assert got.count() == 40 and "tag" in got.columns
+    assert got.filter("tag IS NULL").count() == 40
+
+
+def test_expired_replace_does_not_wedge_stream(spark, table):
+    """Regression (r9 review #2): expiring a compaction snapshot the tail
+    would have skipped anyway must NOT raise a retention-gap error."""
+    from big_data_analytics_machine_learning_poc_spark.sources.iceberg_lite import (
+        compact_iceberg,
+        expire_snapshots,
+    )
+    from big_data_analytics_machine_learning_poc_spark.sources.pyds_iceberg import (
+        IcebergLiteStreamReader,
+    )
+
+    write_iceberg(_frame(spark, 0, 30).repartition(4), table, partition_cols=["bucket"])
+    write_iceberg(_frame(spark, 30, 40).repartition(4), table, mode="append")
+    r = IcebergLiteStreamReader(table)
+    emitted = r.partitions({"seq": 0}, r.latestOffset())  # appends through seq 2
+    assert emitted
+    r.commit({"seq": 2})
+    compact_iceberg(spark, table)                       # replace, seq 3
+    write_iceberg(_frame(spark, 40, 45), table, mode="append")  # seq 4
+    expire_snapshots(table, keep_last=1)                # seqs 1-3 expired
+    # seq 3 was a replace: harmless; seqs 1-2 were committed already —
+    # batch (2, 4] must plan ONLY the new append, without raising
+    parts = r.partitions({"seq": 2}, r.latestOffset())
+    assert parts and all("data/" in p.file_path or "data" in p.file_path for p in parts)
+    # but an uncommitted expired APPEND still raises (no silent loss)
+    with pytest.raises(RuntimeError, match="startingSequence"):
+        r.partitions({"seq": 0}, r.latestOffset())
+
+
+def test_replace_mode_guards_data_change(spark, table):
+    """Regression (r9 review #3): mode='replace' with different rows must
+    be refused — the streaming tail skips replace snapshots on the claim
+    that no data changed."""
+    write_iceberg(_frame(spark, 0, 20), table)
+    with pytest.raises(ValueError, match="must not change data"):
+        write_iceberg(_frame(spark, 0, 7), table, mode="replace")
+
+
+def test_compaction_noop_checks_per_partition_max(spark, table):
+    """Regression (r9 review #4): one fragmented partition among compact
+    ones must trigger compaction (per-partition max, not global average)."""
+    from big_data_analytics_machine_learning_poc_spark.sources.iceberg_lite import (
+        compact_iceberg,
+    )
+
+    base = _frame(spark, 0, 50)
+    # bucket 0 fragmented across many files; other buckets one file each
+    frag = base.filter("bucket = 0").repartition(5)
+    rest = base.filter("bucket <> 0").repartition("bucket")
+    write_iceberg(frag.unionByName(rest), table, partition_cols=["bucket"])
+    before = len(plan_scan(table)["files"])
+    stats = compact_iceberg(spark, table, min_files_per_partition=3)
+    assert stats["snapshot_id"] is not None and stats["files_after"] < before
