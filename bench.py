@@ -50,14 +50,16 @@ def _median_times(run, n=5):
     return round(statistics.median(times), 4)
 
 
-def _await_quiet_machine(threshold: float = 2.0, max_wait_sec: float = 120.0) -> list:
-    """Loadavg guard (VERDICT r4 ask #2): r4's uniform +10% bench drift
-    landed under 1-min loadavg 6.79 with zero benched-code change — machine
-    load, not a plan regression. To keep future deltas attributable, wait
-    (bounded) for the 1-min loadavg to drop below ``threshold`` before
-    measuring; if it never does, WARN on stderr and measure anyway (the
-    driver must always get its JSON line). Returns the loadavg recorded at
-    measurement start."""
+def _await_quiet_machine(threshold: float = 1.0, max_wait_sec: float = 600.0) -> list:
+    """Loadavg guard (VERDICT r4 ask #2, tightened r10 per VERDICT r9 ask
+    #5 after two rounds of loadavg≈2 headline benches): r4's uniform +10%
+    bench drift landed under 1-min loadavg 6.79 with zero benched-code
+    change — machine load, not a plan regression. Wait (bounded, now up to
+    10 min — the co-load is usually our own just-finished test battery
+    draining) for the 1-min loadavg to drop below ``threshold``; if it
+    never does, WARN on stderr and measure anyway (the driver must always
+    get its JSON line). Returns the loadavg recorded at measurement
+    start."""
     deadline = time.monotonic() + max_wait_sec
     while True:
         try:

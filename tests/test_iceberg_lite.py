@@ -285,16 +285,180 @@ def test_null_partition_values(spark, table):
     assert read_iceberg(spark, table, partition_filters={"p": "even"}).count() == 10
 
 
-def test_refuses_delete_manifests(spark, table):
-    write_iceberg(_frame(spark, 0, 10), table)
+def test_position_delete_roundtrip_and_time_travel(spark, table):
+    """DELETE commits position delete files (no data file rewritten) and
+    every read applies them; time travel to the pre-delete snapshot still
+    sees the rows (VERDICT r9 ask #1 acceptance line)."""
+    from big_data_analytics_machine_learning_poc_spark.sources.iceberg_lite import delete_where
+
+    v1 = write_iceberg(_frame(spark, 0, 100), table, partition_cols=["bucket"])
+    files_before = set(plan_scan(table)["files"])
+    v2 = delete_where(spark, table, "id % 10 = 3")
+    assert v2 is not None and v2 != v1
+    # merge-on-read: the data files are untouched, a delete frame appeared
+    plan = plan_scan(table)
+    assert set(plan["files"]) == files_before
+    assert plan["delete_files"] and all(s == 2 for _, s in plan["delete_files"])
+    back = read_iceberg(spark, table)
+    assert back.count() == 90
+    assert back.filter("id % 10 = 3").count() == 0
+    assert back.agg(F.sum("id")).first()[0] == sum(
+        i for i in range(100) if i % 10 != 3
+    )
+    # time travel ACROSS the delete: v1 still holds all 100 rows
+    old = read_iceberg(spark, table, snapshot_id=v1)
+    assert old.count() == 100
+    # snapshot summary carries the debt
     meta = iceberg_lite.load_metadata(table)
-    snap = meta["snapshots"][-1]
-    list_path = os.path.join(table, snap["manifest-list"])
-    _, manifests = avro_lite.read_ocf(list_path)
-    manifests[0]["content"] = 1  # pose as a delete manifest
-    avro_lite.write_ocf(list_path, iceberg_lite.MANIFEST_LIST_SCHEMA, manifests)
-    with pytest.raises(NotImplementedError, match="delete manifests"):
-        read_iceberg(spark, table)
+    cur = meta["snapshots"][-1]
+    assert cur["summary"]["operation"] == "delete"
+    assert cur["summary"]["total-position-deletes"] == "10"
+    # a second delete (already-deleted rows NOT re-deleted): scan had them
+    # applied, so only the new residue lands in the new delete frame
+    v3 = delete_where(spark, table, "id % 10 IN (3, 4)")
+    assert v3 is not None
+    assert read_iceberg(spark, table).count() == 80
+    meta = iceberg_lite.load_metadata(table)
+    assert meta["snapshots"][-1]["summary"]["total-position-deletes"] == "20"
+    # deleting nothing commits nothing
+    assert delete_where(spark, table, "id < 0") is None
+    assert iceberg_lite.load_metadata(table)["current-snapshot-id"] == v3
+
+
+def test_delete_then_append_sequence_rule(spark, table):
+    """A position delete applies only to data files whose sequence number
+    is ≤ the delete's (spec rule): rows appended AFTER the delete survive
+    even when they match the deleted predicate, and a stale delete frame
+    can never reach forward into new files."""
+    from big_data_analytics_machine_learning_poc_spark.sources.iceberg_lite import delete_where
+
+    write_iceberg(_frame(spark, 0, 50), table)
+    delete_where(spark, table, "id >= 40")                      # seq 2
+    write_iceberg(_frame(spark, 40, 60), table, mode="append")  # seq 3
+    back = read_iceberg(spark, table)
+    assert back.count() == 60  # 0..39 survivors + 40..59 re-appended
+    assert back.filter("id = 45").count() == 1
+    # the appended file has seq 3 > delete seq 2 in the plan ledger
+    plan = plan_scan(table)
+    assert sorted(set(plan["file_seqs"].values())) == [1, 3]
+    assert all(s == 2 for _, s in plan["delete_files"])
+
+
+def test_update_where_simultaneous_and_time_travel(spark, table):
+    from big_data_analytics_machine_learning_poc_spark.sources.iceberg_lite import (
+        update_where,
+    )
+
+    v1 = write_iceberg(_frame(spark, 0, 40), table)
+    # simultaneous SET semantics: both expressions see the PRE-update row
+    v2 = update_where(
+        spark, table, {"v": "v + id", "s": "concat(s, '!')"}, "id < 10"
+    )
+    assert v2 is not None
+    back = read_iceberg(spark, table)
+    assert back.count() == 40  # UPDATE never changes cardinality
+    r = back.filter("id = 7").first()
+    assert r.v == 7 * 1.5 + 7 and r.s == "s7!"
+    untouched = back.filter("id = 20").first()
+    assert untouched.v == 30.0 and untouched.s == "s20"
+    # type preserved: v stayed double (cast-back contract)
+    assert dict(back.dtypes)["v"] == "double"
+    # pre-update image intact under time travel
+    assert read_iceberg(spark, table, snapshot_id=v1).filter("id = 7").first().s == "s7"
+    # unknown target refused
+    with pytest.raises(KeyError, match="UPDATE targets"):
+        update_where(spark, table, {"nope": "1"}, "id = 1")
+    # no match → no commit
+    assert update_where(spark, table, {"v": "0.0"}, "id > 1000") is None
+
+
+def test_merge_iceberg_upsert(spark, table):
+    from big_data_analytics_machine_learning_poc_spark.sources.iceberg_lite import (
+        merge_iceberg,
+    )
+
+    write_iceberg(_frame(spark, 0, 30), table, partition_cols=["bucket"])
+    source = _frame(spark, 20, 45).withColumn("s", F.lit("merged"))
+    v = merge_iceberg(spark, table, source, key_cols=["id"])
+    assert v is not None
+    back = read_iceberg(spark, table)
+    assert back.count() == 45  # 0..19 untouched + 20..44 upserted
+    assert back.filter("s = 'merged'").count() == 25
+    assert back.filter("id = 5").first().s == "s5"
+    # schema contract
+    with pytest.raises(ValueError, match="merge source schema"):
+        merge_iceberg(spark, table, source.drop("d"), key_cols=["id"])
+
+
+def test_compaction_materializes_delete_debt(spark, table):
+    """compact_iceberg after a DELETE repays the merge-on-read debt: the
+    replace snapshot holds the logical rows physically, carries no delete
+    manifests, and the streaming tail still skips it."""
+    from big_data_analytics_machine_learning_poc_spark.sources.iceberg_lite import (
+        compact_iceberg,
+        delete_where,
+    )
+
+    write_iceberg(_frame(spark, 0, 80), table)
+    write_iceberg(_frame(spark, 80, 100), table, mode="append")
+    delete_where(spark, table, "id % 4 = 1")
+    stats = compact_iceberg(spark, table)
+    assert stats["snapshot_id"] is not None
+    assert stats["position_deletes_materialized"] == 25
+    plan = plan_scan(table)
+    assert plan["delete_files"] == []
+    back = read_iceberg(spark, table)
+    assert back.count() == 75
+    assert back.filter("id % 4 = 1").count() == 0
+    meta = iceberg_lite.load_metadata(table)
+    cur = meta["snapshots"][-1]
+    assert cur["summary"]["operation"] == "replace"
+    assert cur["summary"]["total-position-deletes"] == "0"
+    # delete-debt alone (no fragmentation) is a compaction trigger
+    delete_where(spark, table, "id = 0")
+    stats2 = compact_iceberg(spark, table, min_files_per_partition=99)
+    assert stats2["snapshot_id"] is not None
+    assert read_iceberg(spark, table).count() == 74
+
+
+def test_expire_reclaims_delete_files(spark, table):
+    """Snapshot expiry walks delete manifests like data manifests: the
+    position-delete parquet of an expired snapshot is physically removed
+    once unreferenced, and never while a kept snapshot references it."""
+    from big_data_analytics_machine_learning_poc_spark.sources.iceberg_lite import (
+        compact_iceberg,
+        delete_where,
+        expire_snapshots,
+    )
+
+    write_iceberg(_frame(spark, 0, 40), table)
+    delete_where(spark, table, "id < 5")
+    del_files = [p for p, _ in plan_scan(table)["delete_files"]]
+    assert del_files and all(os.path.exists(p) for p in del_files)
+    # keep_last=1 keeps the delete snapshot → its delete files survive
+    expire_snapshots(table, keep_last=1)
+    assert all(os.path.exists(p) for p in del_files)
+    assert read_iceberg(spark, table).count() == 35
+    # compact (materialize), then expire: the delete files are unreferenced
+    compact_iceberg(spark, table)
+    expire_snapshots(table, keep_last=1)
+    assert not any(os.path.exists(p) for p in del_files)
+    assert read_iceberg(spark, table).count() == 35
+
+
+def test_commit_conflict_and_atomic_hint(spark, table):
+    """ADVICE r9: racing writers get a typed IcebergCommitConflict from
+    the put-if-absent metadata publish instead of a silent lost update."""
+    write_iceberg(_frame(spark, 0, 10), table)
+    v = iceberg_lite._current_version(table)
+    # another writer lands v+1 first
+    clobber = os.path.join(table, "metadata", f"v{v + 1}.metadata.json")
+    with open(clobber, "w") as f:
+        f.write("{}")
+    with pytest.raises(iceberg_lite.IcebergCommitConflict, match="concurrent writer"):
+        write_iceberg(_frame(spark, 10, 20), table, mode="append")
+    # the losing commit did not move the hint
+    assert iceberg_lite._current_version(table) == v
 
 
 def test_metadata_v2_spec_fields(spark, table):
