@@ -202,3 +202,83 @@ def iceberg_dml_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, schema="version int, n_rows long, sum_custkey long, n_vip long"
     ).orderBy("version")
+
+
+@REG.add(
+    "iceberg_merge_audit",
+    sql="""
+    SELECT 1 AS version,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(c_custkey) AS BIGINT) AS sum_custkey,
+           CAST(0 AS BIGINT) AS n_merged
+    FROM customer
+    UNION ALL
+    SELECT 2,
+           CAST(SUM(CASE WHEN c_custkey % 10 <> 3 THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(SUM(CASE WHEN c_custkey % 10 <> 3 THEN c_custkey ELSE 0 END)
+                AS BIGINT),
+           CAST(0 AS BIGINT)
+    FROM customer
+    UNION ALL
+    SELECT 3,
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(c_custkey) AS BIGINT),
+           CAST(SUM(CASE WHEN c_custkey % 10 = 4 THEN 1 ELSE 0 END) AS BIGINT)
+    FROM customer
+    ORDER BY version
+    """,
+)
+def iceberg_merge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE on Iceberg under the oracle gate — the ``delta_merge_audit``
+    twin on the position-delete path: load customer (snapshot 1), DELETE
+    the ``% 10 = 3`` keys (snapshot 2 — position deletes, no rewrite),
+    then MERGE a change set that UPDATES the ``% 10 = 4`` rows (segment →
+    'MERGED', same keys: key-sum invariant) and re-INSERTS the deleted
+    ``% 10 = 3`` rows (snapshot 3 — old images position-deleted + the
+    whole source appended, ONE snapshot). Snapshot 3's count and key sum
+    equal the ORIGINAL table's because the merge restores exactly what the
+    delete removed — arithmetic the oracle re-derives from the source
+    table alone, proving the merge resurrected nothing the delete frame
+    still covered (the sequence-number rule: re-inserted rows live in
+    files with seq > the delete's, so the old delete cannot reach them).
+
+    Scale shape mirrors production CDC into a years-deep table: the match
+    probe is a semi join on the key set; the delete frame stays kilobytes;
+    each audit read is a manifest-planned file list with the anti-join
+    applied only where delete manifests exist."""
+    import shutil
+    import tempfile
+
+    from ..sources.iceberg_lite import read_iceberg, write_iceberg
+    from ..sources.lakehouse import delete_rows, merge_rows
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    table = tempfile.mkdtemp(prefix="ice_merge_")
+    try:
+        s1 = write_iceberg(cust.repartitionByRange(4, "c_custkey"), table)
+        s2 = delete_rows(spark, "iceberg", table, "c_custkey % 10 = 3")
+        updates = cust.filter(F.col("c_custkey") % 10 == 4).withColumn(
+            "c_mktsegment", F.lit("MERGED")
+        )
+        reinserts = cust.filter(F.col("c_custkey") % 10 == 3)
+        s3 = merge_rows(
+            spark, "iceberg", table, updates.unionByName(reinserts), ["c_custkey"]
+        )
+        rows = []
+        for version, snap_id in enumerate((s1, s2, s3), start=1):
+            snap = read_iceberg(spark, table, snapshot_id=snap_id)
+            agg = snap.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.coalesce(F.sum("c_custkey"), F.lit(0)).alias("s"),
+                F.coalesce(
+                    F.sum((F.col("c_mktsegment") == "MERGED").cast("long")), F.lit(0)
+                ).alias("m"),
+            ).first()
+            rows.append((version, int(agg["n"]), int(agg["s"]), int(agg["m"])))
+    finally:
+        shutil.rmtree(table, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, schema="version int, n_rows long, sum_custkey long, n_merged long"
+    ).orderBy("version")

@@ -141,6 +141,12 @@ ALLOWED: dict[str, dict[str, str]] = {
         "100-row filtered Pareto frame (r6: replaced the driver-side "
         "collect of the scalar with the repo's scalar-subquery shape)"
     },
+    "dedup_semdedup_incremental": {
+        "nested_loop": "broadcast k-row (k=8) centroid frame crossed with "
+        "the BATCH for nearest-centroid assignment — O(|batch|·k) with "
+        "constant k-row side; the corpus never enters it (the pair join "
+        "and the touched-cluster prune are equi-joins on cluster id)"
+    },
     "graph_pagerank_procurement": {
         "nested_loop": "per-iteration broadcast of the one-row dangling-"
         "mass aggregate (the scalar-subquery shape, replacing r4's "

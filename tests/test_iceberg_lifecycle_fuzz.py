@@ -1,0 +1,366 @@
+"""Randomized lifecycle fuzzer for iceberg_lite (VERDICT r9 ask #3).
+
+Three successive review passes each found real defects in the
+evolve/compact/expire/stream interplay (r9 commits: schema-pin crash
+after add_column, expired-replace wedging a stream, replace-mode bypass,
+fragmented-partition no-op). This test drives ≥100 seeded random
+interleavings of append / add_column / delete_where / update_where /
+compact / expire_snapshots / stream-tail against an in-memory model of
+expected logical rows, snapshot history and stream offsets — the
+``tests/test_avro_properties.py`` doctrine applied to table lifecycle.
+
+Two independent verification paths:
+
+- ``_pyarrow_read``: a from-scratch reader over ``plan_scan``'s ledger —
+  pyarrow parquet decode, hive-dir partition rederivation, schema
+  null-fill and position-delete application are all REIMPLEMENTED here,
+  sharing nothing with ``read_iceberg``'s Spark anti-join, so agreement
+  is evidence, not tautology. Runs after every mutating op (cheap: no
+  Spark job).
+- one ``read_iceberg`` (Spark) check per sequence, so the distributed
+  anti-join path is also exercised against the model.
+
+The stream-tail model asserts BOTH branches: a clean range must yield
+exactly the appended rows; a range containing a DML snapshot or an
+expired non-replace snapshot must raise (append-only / retention-gap
+contracts of sources/pyds_iceberg.py).
+
+Seed tiers: every seed is deterministic. The always-on tier keeps the
+suite fast; ``ICEBERG_FUZZ_FULL=1`` runs the full 100 (the round-close
+battery does — see COVERAGE.md r10 for the recorded green run).
+"""
+
+from __future__ import annotations
+
+import os
+import random
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import types as T
+
+from big_data_analytics_machine_learning_poc_spark.sources.iceberg_lite import (
+    add_column,
+    compact_iceberg,
+    delete_where,
+    expire_snapshots,
+    load_metadata,
+    plan_scan,
+    read_iceberg,
+    update_where,
+    write_iceberg,
+)
+from big_data_analytics_machine_learning_poc_spark.sources.pyds_iceberg import (
+    IcebergLiteStreamReader,
+)
+
+# ---------------------------------------------------------------------------
+# independent reader: pyarrow over the plan ledger (no read_iceberg code)
+# ---------------------------------------------------------------------------
+
+
+def _hive_partition_values(path: str, table: str) -> dict[str, str]:
+    rel = os.path.relpath(path, os.path.join(table, "data"))
+    out = {}
+    for seg in rel.split(os.sep)[:-1]:
+        if "=" in seg:
+            k, v = seg.split("=", 1)
+            out[k] = v
+    return out
+
+
+def _pyarrow_read(table: str, snapshot_id: int | None = None) -> set[tuple]:
+    """Logical rows as a set of value tuples in schema order, computed
+    WITHOUT read_iceberg: raw parquet decode + hive-dir partition values +
+    null-fill + position-delete application (max delete seq per (file,
+    pos), applied where data_seq <= delete_seq)."""
+    import pyarrow.parquet as pq
+
+    plan = plan_scan(table, snapshot_id=snapshot_id)
+    deleted: dict[tuple[str, int], int] = {}
+    for dpath, dseq in plan["delete_files"]:
+        t = pq.read_table(dpath)
+        for fp, pos in zip(
+            t.column("file_path").to_pylist(), t.column("pos").to_pylist()
+        ):
+            key = (fp, pos)
+            deleted[key] = max(deleted.get(key, dseq), dseq)
+    schema: T.StructType = plan["schema"]
+    rows: set[tuple] = set()
+    for f in plan["files"]:
+        t = pq.read_table(f)
+        file_cols = set(t.column_names)
+        pvals = _hive_partition_values(f, table)
+        data_seq = plan["file_seqs"][f]
+        n = t.num_rows
+        cols_data = {c: t.column(c).to_pylist() for c in t.column_names}
+        for pos in range(n):
+            dseq = deleted.get((f, pos))
+            if dseq is not None and data_seq <= dseq:
+                continue
+            vals = []
+            for field in schema.fields:
+                if field.name in file_cols:
+                    vals.append(cols_data[field.name][pos])
+                elif field.name in pvals:
+                    v = pvals[field.name]
+                    vals.append(int(v) if v.lstrip("-").isdigit() else v)
+                else:
+                    vals.append(None)  # post-evolution null-fill
+            rows.add(tuple(vals))
+    return rows
+
+
+# ---------------------------------------------------------------------------
+# the model
+# ---------------------------------------------------------------------------
+
+
+class _Model:
+    """Expected logical state: current rows (id -> dict), column list,
+    per-sequence commit log for the stream model, snapshot history for
+    time travel, and the set of expired sequence numbers."""
+
+    def __init__(self) -> None:
+        self.cols: list[str] = ["id", "bucket", "v"]
+        self.rows: dict[int, dict] = {}
+        self.next_id = 0
+        # seq -> ("append"|"overwrite"|"delete"|"replace", [row tuples appended])
+        self.seq_ops: dict[int, tuple[str, list[tuple]]] = {}
+        self.expired: set[int] = set()
+        # snap_id -> (seq, cols snapshot, frozenset of row tuples)
+        self.snaps: dict[int, tuple[int, list[str], frozenset]] = {}
+        self.live_snap_ids: set[int] = set()
+
+    def tuples(self) -> set[tuple]:
+        return {
+            tuple(r.get(c) for c in self.cols) for r in self.rows.values()
+        }
+
+    def record_snapshot(self, snap_id: int, seq: int, op: str, added: list[tuple]):
+        self.seq_ops[seq] = (op, added)
+        self.snaps[snap_id] = (seq, list(self.cols), frozenset(self.tuples()))
+        self.live_snap_ids.add(snap_id)
+
+
+def _fresh_rows(model: _Model, rng: random.Random, n: int) -> list[dict]:
+    out = []
+    for _ in range(n):
+        rid = model.next_id
+        model.next_id += 1
+        row = {"id": rid, "bucket": rid % 3, "v": rng.randrange(1000)}
+        for c in model.cols[3:]:
+            row[c] = rng.randrange(100)
+        out.append(row)
+    return out
+
+
+def _spark_frame(spark, model: _Model, rows: list[dict]):
+    fields = [
+        T.StructField("id", T.LongType()),
+        T.StructField("bucket", T.LongType()),
+        T.StructField("v", T.LongType()),
+    ] + [T.StructField(c, T.LongType()) for c in model.cols[3:]]
+    data = [tuple(r.get(c) for c in model.cols) for r in rows]
+    return spark.createDataFrame(data, T.StructType(fields)).coalesce(1)
+
+
+def _check_tail(table: str, model: _Model, offset: int) -> int:
+    """Assert the stream-tail contract for the range (offset, latest] and
+    return the new offset (unchanged when the tail must raise)."""
+    meta = load_metadata(table)
+    latest = meta["last-sequence-number"]
+    if latest <= offset:
+        return offset
+    rng_seqs = range(offset + 1, latest + 1)
+    gap = any(
+        s in model.expired and model.seq_ops[s][0] != "replace" for s in rng_seqs
+    )
+    # the very first snapshot (seq 1, parentless) is the allowed initial load
+    dml = any(
+        model.seq_ops[s][0] in ("delete", "overwrite") and s != 1 for s in rng_seqs
+    )
+    reader = IcebergLiteStreamReader(table, starting_sequence=offset)
+    if gap or dml:
+        with pytest.raises(RuntimeError):
+            reader.partitions({"seq": offset}, reader.latestOffset())
+        return offset
+    parts = reader.partitions({"seq": offset}, reader.latestOffset())
+    got: list[tuple] = []
+    for p in parts:
+        for batch in reader.read(p):
+            cols = {n: batch.column(i).to_pylist() for i, n in enumerate(batch.schema.names)}
+            n = batch.num_rows
+            # project to the model's column order (reader emits the full
+            # CURRENT schema with null-fill)
+            for i in range(n):
+                got.append(tuple(cols[c][i] if c in cols else None for c in model.cols))
+    expect: list[tuple] = []
+    for s in rng_seqs:
+        op, added = model.seq_ops[s]
+        if op == "replace":
+            continue
+        # appended tuples were recorded under the columns at commit time;
+        # pad to the current width
+        for t in added:
+            expect.append(tuple(list(t) + [None] * (len(model.cols) - len(t))))
+    assert sorted(got) == sorted(expect), (
+        f"stream tail ({offset}, {latest}]: got {sorted(got)[:5]}... "
+        f"expected {sorted(expect)[:5]}..."
+    )
+    return latest
+
+
+def _run_sequence(spark, seed: int) -> None:
+    rng = random.Random(seed)
+    table = tempfile.mkdtemp(prefix=f"ice_fuzz_{seed}_")
+    model = _Model()
+    stream_offset = 0
+    stream_alive = True
+    evolve_count = 0
+    try:
+        # initial load (seq 1): sometimes partitioned by bucket
+        partitioned = rng.random() < 0.5
+        rows = _fresh_rows(model, rng, rng.randrange(2, 6))
+        snap = write_iceberg(
+            _spark_frame(spark, model, rows),
+            table,
+            partition_cols=["bucket"] if partitioned else None,
+        )
+        for r in rows:
+            model.rows[r["id"]] = r
+        model.record_snapshot(
+            snap, 1, "overwrite", [tuple(r.get(c) for c in model.cols) for r in rows]
+        )
+
+        n_ops = rng.randrange(4, 8)
+        for _ in range(n_ops):
+            op = rng.choices(
+                ["append", "delete", "update", "compact", "expire", "evolve", "tail"],
+                weights=[30, 15, 15, 12, 10, 8, 10],
+            )[0]
+            meta = load_metadata(table)
+            if op == "append":
+                rows = _fresh_rows(model, rng, rng.randrange(1, 5))
+                snap = write_iceberg(
+                    _spark_frame(spark, model, rows), table, mode="append"
+                )
+                for r in rows:
+                    model.rows[r["id"]] = r
+                model.record_snapshot(
+                    snap,
+                    meta["last-sequence-number"] + 1,
+                    "append",
+                    [tuple(r.get(c) for c in model.cols) for r in rows],
+                )
+            elif op == "delete":
+                k, r = rng.choice([2, 3, 5]), rng.randrange(3)
+                pred = f"id % {k} = {r}"
+                snap = delete_where(spark, table, pred)
+                matched = [i for i in model.rows if i % k == r]
+                if matched:
+                    assert snap is not None
+                    for i in matched:
+                        del model.rows[i]
+                    model.record_snapshot(
+                        snap, meta["last-sequence-number"] + 1, "delete", []
+                    )
+                else:
+                    assert snap is None, "delete with no matches must not commit"
+            elif op == "update":
+                k, r = rng.choice([2, 3, 5]), rng.randrange(3)
+                snap = update_where(spark, table, {"v": "v + 1000"}, f"id % {k} = {r}")
+                matched = [i for i in model.rows if i % k == r]
+                if matched:
+                    assert snap is not None
+                    for i in matched:
+                        model.rows[i]["v"] += 1000
+                    # merge-on-read UPDATE re-appends the new images: the
+                    # stream would see them (it's a DML snapshot → raises,
+                    # but record for completeness)
+                    model.record_snapshot(
+                        snap,
+                        meta["last-sequence-number"] + 1,
+                        "overwrite",
+                        [
+                            tuple(model.rows[i].get(c) for c in model.cols)
+                            for i in sorted(matched)
+                        ],
+                    )
+                else:
+                    assert snap is None, "update with no matches must not commit"
+            elif op == "compact":
+                stats = compact_iceberg(spark, table, min_files_per_partition=2)
+                if stats["snapshot_id"] is not None:
+                    model.record_snapshot(
+                        stats["snapshot_id"], meta["last-sequence-number"] + 1,
+                        "replace", [],
+                    )
+                    assert not plan_scan(table)["delete_files"], (
+                        "compaction must materialize all delete debt"
+                    )
+            elif op == "expire":
+                keep = rng.randrange(1, 4)
+                kept_before = dict(load_metadata(table))
+                snaps = kept_before.get("snapshots", [])
+                expired = snaps[:-keep] if len(snaps) > keep else []
+                current = kept_before.get("current-snapshot-id")
+                expired = [s for s in expired if s["snapshot-id"] != current]
+                expire_snapshots(table, keep_last=keep)
+                for s in expired:
+                    model.expired.add(s["sequence-number"])
+                    model.live_snap_ids.discard(s["snapshot-id"])
+            elif op == "evolve":
+                evolve_count += 1
+                name = f"x{evolve_count}_{seed}"
+                add_column(table, name, T.LongType())
+                model.cols.append(name)
+                for r in model.rows.values():
+                    r.setdefault(name, None)
+            elif op == "tail" and stream_alive:
+                new_offset = _check_tail(table, model, stream_offset)
+                if new_offset == stream_offset and load_metadata(table)[
+                    "last-sequence-number"
+                ] > stream_offset:
+                    stream_alive = False  # contractually wedged — stop tailing
+                stream_offset = new_offset
+            # the cheap independent check after every op
+            assert _pyarrow_read(table) == model.tuples(), (
+                f"seed {seed}: pyarrow reader diverged after {op}"
+            )
+        # final checks: the Spark read path agrees with the model...
+        got = {
+            tuple(row) for row in read_iceberg(spark, table).select(*model.cols).collect()
+        }
+        assert got == model.tuples(), f"seed {seed}: read_iceberg diverged"
+        # ...and time travel to up to two random LIVE snapshots reproduces
+        # the rows (and width) the table had then
+        live = sorted(model.live_snap_ids)
+        for snap_id in rng.sample(live, min(2, len(live))):
+            _seq, cols_then, rows_then = model.snaps[snap_id]
+            got_then = _pyarrow_read(table, snapshot_id=snap_id)
+            assert got_then == set(rows_then), (
+                f"seed {seed}: time travel to snapshot {snap_id} diverged"
+            )
+    finally:
+        shutil.rmtree(table, ignore_errors=True)
+
+
+_ALWAYS_ON = list(range(12))
+_FULL = list(range(12, 100))
+
+
+@pytest.mark.parametrize("seed", _ALWAYS_ON)
+def test_lifecycle_fuzz(spark, seed):
+    _run_sequence(spark, seed)
+
+
+@pytest.mark.skipif(
+    not os.environ.get("ICEBERG_FUZZ_FULL"),
+    reason="full 100-seed tier (run by the round-close battery; "
+    "ICEBERG_FUZZ_FULL=1 to enable)",
+)
+@pytest.mark.parametrize("seed", _FULL)
+def test_lifecycle_fuzz_full(spark, seed):
+    _run_sequence(spark, seed)
