@@ -282,3 +282,87 @@ def iceberg_merge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, schema="version int, n_rows long, sum_custkey long, n_merged long"
     ).orderBy("version")
+
+
+@REG.add(
+    "iceberg_upsert_audit",
+    sql="""
+    SELECT 1 AS version,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(c_custkey) AS BIGINT) AS sum_custkey,
+           CAST(0 AS BIGINT) AS n_upserted
+    FROM customer
+    UNION ALL
+    SELECT v.version,
+           CAST(COUNT(*) + SUM(CASE WHEN c_custkey % 10 = 3 THEN 1 ELSE 0 END)
+                AS BIGINT),
+           CAST(SUM(c_custkey)
+                + SUM(CASE WHEN c_custkey % 10 = 3
+                           THEN c_custkey + 10000000 ELSE 0 END) AS BIGINT),
+           CAST(SUM(CASE WHEN c_custkey % 10 IN (3, 4) THEN 1 ELSE 0 END)
+                AS BIGINT)
+    FROM customer CROSS JOIN (SELECT 2 AS version UNION ALL SELECT 3) v
+    GROUP BY v.version
+    ORDER BY version
+    """,
+)
+def iceberg_upsert_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The EQUALITY-delete path (spec content=2) under the oracle gate:
+    load customer (snapshot 1), then ``upsert_by_key`` — the zero-target-
+    scan CDC shape: ONE commit whose source UPDATES the ``% 10 = 4`` rows
+    (segment → 'UP', same keys: their key-sum contribution is invariant)
+    and INSERTS the ``% 10 = 3`` rows re-keyed ``+10,000,000`` (snapshot
+    2 — new data files + an equality-delete file of the source keys; the
+    write never reads the target). Snapshot 3 compacts, materializing the
+    equality debt. The oracle re-derives both states from the source
+    table: v2/v3 row count grows by exactly the insert count (updates
+    replaced their own keys — proof the key anti-join killed the old
+    images and ONLY them), and v3 ≡ v2 is the materialization-changed-
+    nothing row.
+
+    Scale shape: upsert write cost is O(|source|) with NO target I/O —
+    ingest latency is independent of table size; readers pay one hash
+    anti-join on null-safe key equality (data_seq strictly below the
+    delete's, so the commit's own rows survive) until compaction repays
+    the debt."""
+    import shutil
+    import tempfile
+
+    from ..sources.iceberg_lite import compact_iceberg, read_iceberg, upsert_by_key, write_iceberg
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    table = tempfile.mkdtemp(prefix="ice_upsert_")
+    try:
+        s1 = write_iceberg(cust.repartitionByRange(4, "c_custkey"), table)
+        updates = cust.filter(F.col("c_custkey") % 10 == 4)
+        inserts = cust.filter(F.col("c_custkey") % 10 == 3).withColumn(
+            "c_custkey", F.col("c_custkey") + F.lit(10_000_000)
+        )
+        source = updates.unionByName(inserts).withColumn(
+            "c_mktsegment", F.lit("UP")
+        )
+        s2 = upsert_by_key(spark, table, source, key_cols=["c_custkey"])
+        s3 = compact_iceberg(spark, table)["snapshot_id"]
+        if s3 is None:
+            raise RuntimeError(
+                "iceberg_upsert_audit expected equality-delete debt to "
+                "trigger compaction"
+            )
+        rows = []
+        for version, snap_id in enumerate((s1, s2, s3), start=1):
+            snap = read_iceberg(spark, table, snapshot_id=snap_id)
+            agg = snap.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.coalesce(F.sum("c_custkey"), F.lit(0)).alias("s"),
+                F.coalesce(
+                    F.sum((F.col("c_mktsegment") == "UP").cast("long")), F.lit(0)
+                ).alias("u"),
+            ).first()
+            rows.append((version, int(agg["n"]), int(agg["s"]), int(agg["u"])))
+    finally:
+        shutil.rmtree(table, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, schema="version int, n_rows long, sum_custkey long, n_upserted long"
+    ).orderBy("version")

@@ -378,6 +378,14 @@ def _manifest_schema(partition_fields: list[dict], field_types: dict[int, str]) 
             {"name": "record_count", "type": "long", "field-id": 103},
             {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
             {
+                # spec field 135: schema field ids an EQUALITY delete file
+                # (content=2) matches on; null for data/position entries
+                "name": "equality_ids",
+                "type": ["null", {"type": "array", "items": "int"}],
+                "default": None,
+                "field-id": 135,
+            },
+            {
                 "name": "null_value_counts",
                 "type": ["null", _idmap("k121_v122", 121, 122, "long")],
                 "default": None,
@@ -475,8 +483,13 @@ def _write_metadata(table: str, meta: dict, version: int) -> None:
             json.dump(meta, f, indent=1, sort_keys=True)
     except FileExistsError:
         raise IcebergCommitConflict(
-            f"{table}: metadata version {version} was committed by a "
-            f"concurrent writer — reload the table and retry"
+            f"{table}: metadata version {version} already exists — either a "
+            f"concurrent writer committed it (reload the table and retry) or "
+            f"a previous writer crashed between writing it and moving the "
+            f"version hint, leaving an orphan (the hint is the commit point, "
+            f"so the orphan was never visible; run "
+            f"recover_orphan_metadata(table) with no writers active to "
+            f"clear it)"
         ) from None
     # hint LAST, via temp + atomic rename: a reader following the hint
     # always finds a complete file (a crash between the two writes leaves
@@ -485,6 +498,32 @@ def _write_metadata(table: str, meta: dict, version: int) -> None:
     with open(tmp, "w") as f:
         f.write(str(version))
     os.replace(tmp, os.path.join(md, "version-hint.text"))
+
+
+def recover_orphan_metadata(table: str) -> list[int]:
+    """Remove uncommitted metadata versions ABOVE the version hint (review
+    r10 #4): a writer that crashed between its put-if-absent metadata
+    write and the hint move leaves ``v(N+1).metadata.json`` orphaned while
+    the hint still says N — the hint is this module's commit point, so the
+    orphan was never reader-visible, but every future commit would compute
+    version N+1, hit FileExistsError and wedge on IcebergCommitConflict
+    forever. ONLY safe with no writer active (an in-flight writer's
+    about-to-commit version looks identical to an orphan — that race is
+    why this is a manual recovery step, not automatic adoption). Returns
+    the removed version numbers."""
+    current = _current_version(table)
+    if current is None:
+        raise FileNotFoundError(f"{table}: no version hint — not a table")
+    removed = []
+    v = current + 1
+    while True:
+        path = os.path.join(_meta_dir(table), f"v{v}.metadata.json")
+        if not os.path.exists(path):
+            break
+        os.remove(path)
+        removed.append(v)
+        v += 1
+    return removed
 
 
 def snapshots(table: str) -> list[dict]:
@@ -644,6 +683,7 @@ def _data_entries(
                     "partition": partition,
                     "record_count": stats["numRecords"],
                     "file_size_in_bytes": size,
+                    "equality_ids": None,
                     "null_value_counts": nulls,
                     "lower_bounds": lowers,
                     "upper_bounds": uppers,
@@ -695,7 +735,17 @@ def _write_manifest(
     """Write one manifest Avro file and return its manifest_file record
     for the manifest list. ``content=0`` for data manifests, ``1`` for
     (position-)delete manifests — the list-level flag a reader uses to
-    split the scan into data files and the delete frame."""
+    split the scan into data files and the delete frame.
+
+    Filenames get a per-commit random suffix (review r10 #3, matching the
+    runtime's ``snap-<id>-<attempt>-<uuid>`` convention): snapshot ids are
+    deterministic, so two writers racing from the same parent would
+    otherwise write the SAME manifest name — avro_lite truncates on open,
+    and the loser would corrupt the winner's already-committed manifests
+    before its own metadata put-if-absent fails. Readers resolve manifests
+    only through recorded paths, never by name pattern."""
+    stem, ext = os.path.splitext(filename)
+    filename = f"{stem}-{uuid.uuid4().hex[:8]}{ext}"
     manifest_path = os.path.join(os.path.abspath(table), "metadata", filename)
     os.makedirs(os.path.dirname(manifest_path), exist_ok=True)
     avro_lite.write_ocf(
@@ -729,7 +779,12 @@ def _write_manifest(
 
 
 def _write_manifest_list(table: str, snap_id: int, manifests: list[dict]) -> str:
-    list_path = os.path.join(os.path.abspath(table), "metadata", f"snap-{snap_id}.avro")
+    # random suffix for the same racing-writer reason as _write_manifest
+    list_path = os.path.join(
+        os.path.abspath(table),
+        "metadata",
+        f"snap-{snap_id}-{uuid.uuid4().hex[:8]}.avro",
+    )
     avro_lite.write_ocf(
         list_path,
         MANIFEST_LIST_SCHEMA,
@@ -894,19 +949,24 @@ def write_iceberg(
 
     # --- table metadata ---------------------------------------------------
     added_rows = new_manifest["added_rows_count"]
+    parent_snap = next(
+        (s for s in prev_snaps if s["snapshot-id"] == parent_id), None
+    )
+    psum = (parent_snap or {}).get("summary", {})
     if mode == "replace":
         # a replace claims "same LOGICAL rows, different files" and the
         # streaming tail SKIPS it on that claim — hold the writer to it.
-        # Logical = physical data rows minus outstanding position deletes:
-        # a compaction that MATERIALIZES delete debt legitimately shrinks
-        # the physical count by exactly the delete count, nothing else.
-        parent_snap = next(
-            (s for s in prev_snaps if s["snapshot-id"] == parent_id), None
-        )
-        psum = (parent_snap or {}).get("summary", {})
+        # Logical = physical data rows minus outstanding POSITION deletes
+        # (1:1 by construction); outstanding EQUALITY deletes make logical
+        # cardinality metadata-underivable (a key kills 0..N rows), so the
+        # guard stands down there — the lifecycle fuzzer model-checks
+        # compaction row preservation instead (tests/test_iceberg_
+        # lifecycle_fuzz.py).
         expect = int(psum.get("total-records", -1))
         if expect >= 0:
             expect -= int(psum.get("total-position-deletes", 0))
+        if int(psum.get("total-equality-deletes", 0)) > 0:
+            expect = -1
         if expect >= 0 and expect != added_rows:
             raise ValueError(
                 f"replace (compaction) must not change data: parent snapshot "
@@ -914,6 +974,10 @@ def write_iceberg(
                 f"use mode='overwrite' for a data change"
             )
     total_rows = _rows_in(manifests, content=0)
+    # delete-debt totals: an append carries the parent's debt verbatim
+    # (its delete manifests travel in the manifest list); overwrite and
+    # replace reference only their own new data manifest — debt resets
+    carries_debt = mode == "append" and parent_snap is not None
     snapshot = {
         "snapshot-id": snap_id,
         "sequence-number": seq,
@@ -928,10 +992,12 @@ def write_iceberg(
             "added-data-files": str(len(entries)),
             "added-records": str(added_rows),
             "total-records": str(total_rows),
-            # outstanding merge-on-read delete debt carried forward by this
-            # snapshot's delete manifests (0 for overwrite/replace, which
-            # reference only their own new data manifest)
-            "total-position-deletes": str(_rows_in(manifests, content=1)),
+            "total-position-deletes": (
+                psum.get("total-position-deletes", "0") if carries_debt else "0"
+            ),
+            "total-equality-deletes": (
+                psum.get("total-equality-deletes", "0") if carries_debt else "0"
+            ),
         },
     }
     if parent_id is not None:
@@ -956,7 +1022,11 @@ def write_iceberg(
         "last-partition-id": last_partition_id,
         "sort-orders": [{"order-id": 0, "fields": []}],
         "default-sort-order-id": 0,
-        "properties": {},
+        # properties CARRY OVER (review r10 #1): expire_snapshots records
+        # the harmless expired-replace sequence numbers here; a fresh {}
+        # on the next append would wipe that record and wedge a healthy
+        # stream tail on the retention-gap check
+        "properties": dict(meta.get("properties", {})) if meta else {},
         "current-snapshot-id": snap_id,
         "snapshots": prev_snaps + [snapshot],
         "snapshot-log": (
@@ -1053,11 +1123,16 @@ def plan_scan(
 
     _, all_manifests = avro_lite.read_ocf(_resolve(table, snap["manifest-list"]))
     manifests = [m for m in all_manifests if m["content"] == 0]
-    # position delete files (content=1 manifests): collected BEFORE any
-    # partition pruning — they apply by exact (file_path, pos) match, so
+    # delete files (content=1 manifests): collected BEFORE any partition
+    # pruning — they apply by (file_path, pos) match / key equality, so
     # pruning data files never makes a delete unsound, but pruning the
-    # delete frame by a partition filter could resurrect rows
+    # delete frame by a partition filter could resurrect rows. Two kinds
+    # per spec: content=1 POSITION deletes (apply to data seq <= delete
+    # seq), content=2 EQUALITY deletes (apply to data seq STRICTLY < —
+    # the CDC-upsert shape: a commit's own new files outlive its deletes).
     delete_files: list[tuple[str, int]] = []
+    eq_delete_files: list[tuple[str, int, tuple[str, ...]]] = []
+    fid_to_name = {f["id"]: f["name"] for f in snap_schema["fields"]}
     for m in all_manifests:
         if m["content"] != 1:
             continue
@@ -1065,13 +1140,21 @@ def plan_scan(
         for e in dentries:
             if e["status"] == 2:
                 continue
+            dfile = e["data_file"]
             dseq = e.get("sequence_number")
-            delete_files.append(
-                (
-                    _resolve(table, e["data_file"]["file_path"]),
-                    dseq if dseq is not None else m["sequence_number"],
-                )
-            )
+            dseq = dseq if dseq is not None else m["sequence_number"]
+            path = _resolve(table, dfile["file_path"])
+            if dfile["content"] == 2:  # EQUALITY_DELETES
+                ids = dfile.get("equality_ids") or []
+                names = tuple(fid_to_name[i] for i in ids if i in fid_to_name)
+                if len(names) != len(ids):
+                    raise NotImplementedError(
+                        f"{table}: equality delete {path} references field "
+                        f"ids {ids} not all present in the read schema"
+                    )
+                eq_delete_files.append((path, dseq, names))
+            else:
+                delete_files.append((path, dseq))
     # partition spec AS USED by this snapshot's manifests (a later overwrite
     # may have changed the table default; spec-ids are immutable). Within one
     # snapshot all data manifests share a spec by construction: appends reuse
@@ -1149,6 +1232,7 @@ def plan_scan(
         "files": files,
         "file_seqs": file_seqs,
         "delete_files": delete_files,
+        "eq_delete_files": eq_delete_files,
         "schema": _spark_schema(meta, schema_id),
         "manifests_total": len(manifests),
         "manifests_read": len(kept_manifests),
@@ -1212,22 +1296,52 @@ def _scan(
         reader = reader.option("basePath", os.path.join(table, "data"))
     df = reader.parquet(*plan["files"])
     cols = [f.name for f in schema.fields]
-    need_lineage = lineage or bool(plan["delete_files"])
+    need_lineage = lineage or bool(plan["delete_files"]) or bool(
+        plan["eq_delete_files"]
+    )
     if need_lineage:
         # Spark's hidden parquet metadata columns give each row its exact
-        # physical address (file URI + row position, row-group aware) —
-        # normalize the URI spelling ("file:/x" or "file:///x" → "/x") to
-        # the manifest-recorded absolute path form
+        # physical address (file URI + row position, row-group aware).
+        # Normalize the URI to the manifest-recorded absolute path form:
+        # strip the scheme ("file:/x" / "file:///x" → "/x") AND decode the
+        # percent-encoding Hadoop's Path URI applies to spaces/non-ASCII
+        # (review r10 #2: an encoded path never matched the seq map and
+        # deleted rows silently resurrected). url_decode is form-decoding
+        # ('+' → space), so literal '+' is protected as %2B first — exact,
+        # because a URI renders literal '%' as %25, never raw.
+        uri = F.regexp_replace(F.col("_metadata.file_path"), "^file:/+", "/")
         df = df.select(
             *cols,
-            F.regexp_replace(F.col("_metadata.file_path"), "^file:/+", "/").alias(
-                _LIN_FILE
-            ),
+            F.url_decode(F.regexp_replace(uri, r"\+", "%2B")).alias(_LIN_FILE),
             F.col("_metadata.row_index").alias(_LIN_POS),
         )
-    if plan["delete_files"]:
-        df = _apply_position_deletes(spark, df, plan)
+    if plan["delete_files"] or plan["eq_delete_files"]:
+        df = _attach_data_seq(spark, df, plan)
+        if plan["delete_files"]:
+            df = _apply_position_deletes(spark, df, plan)
+        if plan["eq_delete_files"]:
+            df = _apply_equality_deletes(spark, df, plan)
+        df = df.drop("_ice_data_seq")
     return df.select(*(cols + [_LIN_FILE, _LIN_POS])) if lineage else df.select(*cols)
+
+
+def _attach_data_seq(spark: SparkSession, df: DataFrame, plan: dict) -> DataFrame:
+    """Attach each row's data-file sequence number (``_ice_data_seq``) via
+    a broadcast of the O(files) driver-side map — both delete kinds gate
+    on it (position: ``<=``, equality: ``<``). INNER join on purpose
+    (review r10 #2): every scanned row's file is in the plan's map by
+    construction, so a normalization mismatch can only LOSE rows — an
+    error the count-auditing tests and oracle lanes catch immediately —
+    instead of null-ing the seq and silently resurrecting deleted rows."""
+    from pyspark.sql import functions as F
+
+    seq_df = spark.createDataFrame(
+        [(p, s) for p, s in plan["file_seqs"].items()],
+        schema="_ice_seq_file string, _ice_data_seq long",
+    )
+    return df.join(
+        F.broadcast(seq_df), df[_LIN_FILE] == seq_df["_ice_seq_file"], "inner"
+    ).drop("_ice_seq_file")
 
 
 def _apply_position_deletes(spark: SparkSession, df: DataFrame, plan: dict) -> DataFrame:
@@ -1235,18 +1349,10 @@ def _apply_position_deletes(spark: SparkSession, df: DataFrame, plan: dict) -> D
     position delete frame. Scale shape: the delete frame stays distributed
     (parquet scan, never collected); the join is a HASH anti-join on the
     (file, pos) equi-pair with the spec's sequence-number rule
-    (``data_seq <= delete_seq``) as a residual condition; the per-file
-    sequence-number map is O(files) driver metadata broadcast to the
-    executors — the same shape Spark's own DV application uses."""
+    (``data_seq <= delete_seq``) as a residual condition — the same shape
+    Spark's own DV application uses."""
     from pyspark.sql import functions as F
 
-    seq_df = spark.createDataFrame(
-        [(p, s) for p, s in plan["file_seqs"].items()],
-        schema="_ice_seq_file string, _ice_data_seq long",
-    )
-    df = df.join(
-        F.broadcast(seq_df), df[_LIN_FILE] == seq_df["_ice_seq_file"], "left"
-    ).drop("_ice_seq_file")
     by_seq: dict[int, list[str]] = {}
     for path, seq in plan["delete_files"]:
         by_seq.setdefault(seq, []).append(path)
@@ -1263,7 +1369,35 @@ def _apply_position_deletes(spark: SparkSession, df: DataFrame, plan: dict) -> D
         & (df[_LIN_POS] == dels["pos"])
         & (df["_ice_data_seq"] <= dels["_ice_del_seq"])
     )
-    return df.join(dels, cond, "left_anti").drop("_ice_data_seq")
+    return df.join(dels, cond, "left_anti")
+
+
+def _apply_equality_deletes(spark: SparkSession, df: DataFrame, plan: dict) -> DataFrame:
+    """Anti-join the data scan against each equality-delete key set (spec
+    content=2): a row dies when its key columns null-safe-equal a delete
+    row's AND its file's sequence number is STRICTLY below the delete's —
+    so a CDC upsert's own appended rows (same commit, same seq) survive
+    the keys it deletes. One hash anti-join per (seq, key-set) group; keys
+    stay distributed."""
+    from pyspark.sql import functions as F
+
+    schema: T.StructType = plan["schema"]
+    types = {f.name: f.dataType.simpleString() for f in schema.fields}
+    groups: dict[tuple[int, tuple[str, ...]], list[str]] = {}
+    for path, seq, names in plan["eq_delete_files"]:
+        groups.setdefault((seq, names), []).append(path)
+    for (seq, names), paths in sorted(groups.items()):
+        key_schema = ", ".join(f"`{n}` {types[n]}" for n in names)
+        keys = spark.read.schema(key_schema).parquet(*paths)
+        # alias the delete side so same-named key columns stay resolvable
+        keys = keys.select(
+            *[F.col(n).alias(f"_ice_eq_{n}") for n in names]
+        ).distinct()
+        cond = F.col("_ice_data_seq") < F.lit(seq)
+        for n in names:
+            cond = cond & F.col(n).eqNullSafe(F.col(f"_ice_eq_{n}"))
+        df = df.join(keys, cond, "left_anti")
+    return df
 
 
 # ---------------------------------------------------------------------------
@@ -1294,19 +1428,20 @@ def _carried_manifests(table: str, meta: dict) -> list[dict]:
     return manifests
 
 
-def _stage_delete_files(
-    hits: DataFrame, table: str, snap_id: int
+def _stage_frame_files(
+    frame: DataFrame, table: str, snap_id: int, prefix: str = ""
 ) -> list[tuple[str, int, int]]:
-    """Write a ``(file_path, pos)`` frame as position delete parquet under
+    """Stage any small unpartitioned frame as parquet under
     ``data/deletes-<snap_id>/`` via the staging+put-if-absent publish
-    doctrine; rows are sorted by (file_path, pos) within each task's file
-    as the spec requires. Returns (abs path, size, record count) per file.
-    The frame never touches the driver — one delete file per task, the
-    same write shape the Iceberg runtime uses."""
+    doctrine, skipping empty task outputs. Returns (abs path, size,
+    record count) per published file. The frame never touches the driver
+    — one file per task, the same write shape the Iceberg runtime uses.
+    Shared core of the position- and equality-delete stagers (review r10
+    #6: three diverging copies of this sequence)."""
     import pyarrow.parquet as pq
 
     staging = os.path.join(table, f".staging-{uuid.uuid4().hex}")
-    hits.sortWithinPartitions("file_path", "pos").write.parquet(staging)
+    frame.write.parquet(staging)
     dest_dir = os.path.join(table, "data", f"deletes-{snap_id}")
     out = []
     for name in sorted(os.listdir(staging)):
@@ -1317,7 +1452,7 @@ def _stage_delete_files(
         if n == 0:
             continue  # empty task output — nothing to register
         os.makedirs(dest_dir, exist_ok=True)
-        dst = os.path.join(dest_dir, name)
+        dst = os.path.join(dest_dir, prefix + name)
         _publish(src, dst)
         out.append((dst, os.path.getsize(dst), n))
     for root, dirs, files in os.walk(staging, topdown=False):
@@ -1327,6 +1462,16 @@ def _stage_delete_files(
             os.rmdir(os.path.join(root, d))
     os.rmdir(staging)
     return out
+
+
+def _stage_delete_files(
+    hits: DataFrame, table: str, snap_id: int
+) -> list[tuple[str, int, int]]:
+    """Position delete files: ``(file_path, pos)`` rows sorted within each
+    task's file as the spec requires."""
+    return _stage_frame_files(
+        hits.sortWithinPartitions("file_path", "pos"), table, snap_id
+    )
 
 
 def _pos_delete_entries(
@@ -1349,6 +1494,7 @@ def _pos_delete_entries(
                 "partition": {pf["name"]: None for pf in spec_fields},
                 "record_count": n,
                 "file_size_in_bytes": size,
+                "equality_ids": None,
                 "null_value_counts": None,
                 "lower_bounds": None,
                 "upper_bounds": None,
@@ -1368,12 +1514,19 @@ def _finish_commit(
     operation: str,
     added_files: int,
     added_records: int,
+    pos_deletes_added: int = 0,
+    eq_deletes_added: int = 0,
 ) -> int:
     """Write the manifest list, snapshot record and new metadata version
     for a DML commit (manifests already written under ``seq``/``snap_id``).
     Schemas, partition specs and properties carry over unchanged — DML
-    never evolves the table shape."""
+    never evolves the table shape. The two delete totals are tracked
+    SEPARATELY in the summary: position-delete rows subtract 1:1 from
+    total-records to give logical rows (the replace guard's arithmetic),
+    while an equality-delete KEY may kill 0..N rows, so its total only
+    signals that logical cardinality is no longer metadata-derivable."""
     now_ms = int(time.time() * 1000)
+    psum = _select_snapshot(meta)["summary"] if meta.get("snapshots") else {}
     list_path = _write_manifest_list(table, snap_id, manifests)
     snapshot = {
         "snapshot-id": snap_id,
@@ -1386,7 +1539,12 @@ def _finish_commit(
             "added-data-files": str(added_files),
             "added-records": str(added_records),
             "total-records": str(_rows_in(manifests, content=0)),
-            "total-position-deletes": str(_rows_in(manifests, content=1)),
+            "total-position-deletes": str(
+                int(psum.get("total-position-deletes", 0)) + pos_deletes_added
+            ),
+            "total-equality-deletes": str(
+                int(psum.get("total-equality-deletes", 0)) + eq_deletes_added
+            ),
         },
     }
     parent = meta.get("current-snapshot-id")
@@ -1458,6 +1616,7 @@ def delete_where(spark: SparkSession, table: str, predicate: str) -> int | None:
     return _finish_commit(
         table, meta, version, seq, snap_id, manifests, "delete",
         added_files=0, added_records=0,
+        pos_deletes_added=sum(n for _p, _s, n in staged),
     )
 
 
@@ -1486,7 +1645,10 @@ def update_where(
     seq, snap_id = _next_ids(meta)
     plan = plan_scan(table)
     df = _scan(spark, table, plan, lineage=True)
-    hits = df.filter(F.expr(predicate))
+    # two consumers (delete addresses, then the updated images) — pin the
+    # matched frame once or the full table scan + delete anti-joins replay
+    # for each (review r10 #5; the repo's checkpoint doctrine)
+    hits = df.filter(F.expr(predicate)).localCheckpoint()
     staged_del = _stage_delete_files(
         hits.select(F.col(_LIN_FILE).alias("file_path"), F.col(_LIN_POS).alias("pos")),
         table,
@@ -1534,6 +1696,7 @@ def update_where(
         table, meta, version, seq, snap_id, manifests, "overwrite",
         added_files=len(staged_data),
         added_records=data_man["added_rows_count"],
+        pos_deletes_added=sum(n for _p, _s, n in staged_del),
     )
 
 
@@ -1613,7 +1776,111 @@ def merge_iceberg(
         table, meta, version, seq, snap_id, manifests, "overwrite",
         added_files=len(staged_data),
         added_records=new_manifests[0]["added_rows_count"],
+        pos_deletes_added=sum(n for _p, _s, n in staged_del),
     )
+
+
+def _eq_delete_entries(
+    staged: list[tuple[str, int, int]],
+    spec_fields: list[dict],
+    snap_id: int,
+    equality_ids: list[int],
+) -> list[dict]:
+    """Equality-delete files (content=2) → ADDED manifest_entry records
+    carrying the spec's ``equality_ids`` (field 135) so readers know which
+    columns the keys match on."""
+    entries = _pos_delete_entries(staged, spec_fields, snap_id)
+    for e in entries:
+        e["data_file"]["content"] = 2  # EQUALITY_DELETES
+        e["data_file"]["equality_ids"] = list(equality_ids)
+    return entries
+
+
+def upsert_by_key(
+    spark: SparkSession, table: str, source: DataFrame, key_cols: list[str]
+) -> int | None:
+    """CDC upsert via EQUALITY deletes (spec content=2) — the Flink-writer
+    shape: ONE commit stages the whole ``source`` as new data files plus
+    one equality-delete file of the source's distinct keys; NO read of the
+    target happens at write time (contrast ``merge_iceberg``, which scans
+    the target for positions). Readers apply the key anti-join to data
+    files with sequence number STRICTLY below the commit's, so the
+    commit's own rows survive its own deletes; ``compact_iceberg`` later
+    materializes the debt. Write cost is O(|source|) regardless of target
+    size — the right trade when ingest latency matters more than read
+    amplification. ``source`` must be unique per key (same contract as
+    merge). Returns the new snapshot id, or None for an empty source."""
+    from pyspark.sql import functions as F
+
+    table = os.path.abspath(table)
+    meta = load_metadata(table)
+    version = _current_version(table)
+    schema = _spark_schema(meta)
+    if [(f.name, f.dataType) for f in source.schema.fields] != [
+        (f.name, f.dataType) for f in schema.fields
+    ]:
+        raise ValueError("upsert source schema must match the table schema")
+    name_to_id = {f["name"]: f["id"] for f in _schema_by_id(meta)["fields"]}
+    unknown = sorted(set(key_cols) - set(name_to_id))
+    if unknown:
+        raise KeyError(f"upsert key columns not in table schema: {unknown}")
+    seq, snap_id = _next_ids(meta)
+    spec_fields = _partition_spec(meta)
+    part_cols = [pf["name"] for pf in spec_fields]
+    staged_data = _stage_data_files(
+        source.select(*[f.name for f in schema.fields]), table, part_cols
+    )
+    if sum(s[2]["numRecords"] for s in staged_data) == 0:
+        for rel, _size, _stats in staged_data:
+            _rm(os.path.join(table, rel))
+        return None
+    # the delete side: the source's distinct keys, sorted for determinism
+    keys = source.select(*key_cols).distinct().sortWithinPartitions(*key_cols)
+    staged_keys = _stage_eq_delete_files(keys, table, snap_id)
+    field_types = _field_types(meta)
+    schema_json = _schema_by_id(meta)
+    name_to_field = {
+        f["name"]: (f["id"], f["type"])
+        for f in schema_json["fields"]
+        if isinstance(f["type"], str)
+    }
+    new_manifests = [
+        _write_manifest(
+            table,
+            f"m-{snap_id}-0.avro",
+            _data_entries(
+                table, staged_data, part_cols, spec_fields, field_types,
+                name_to_field, snap_id,
+            ),
+            spec_fields, field_types, meta["default-spec-id"], schema_json,
+            seq, snap_id, content=0,
+        ),
+        _write_manifest(
+            table,
+            f"m-{snap_id}-1.avro",
+            _eq_delete_entries(
+                staged_keys, spec_fields, snap_id,
+                [name_to_id[c] for c in key_cols],
+            ),
+            spec_fields, field_types, meta["default-spec-id"], schema_json,
+            seq, snap_id, content=1,
+        ),
+    ]
+    manifests = _carried_manifests(table, meta) + new_manifests
+    return _finish_commit(
+        table, meta, version, seq, snap_id, manifests, "overwrite",
+        added_files=len(staged_data),
+        added_records=new_manifests[0]["added_rows_count"],
+        eq_deletes_added=sum(n for _p, _s, n in staged_keys),
+    )
+
+
+def _stage_eq_delete_files(
+    keys: DataFrame, table: str, snap_id: int
+) -> list[tuple[str, int, int]]:
+    """Equality-delete key files, ``eq-`` name prefix so a snapshot
+    carrying both delete kinds cannot collide in the shared dir."""
+    return _stage_frame_files(keys, table, snap_id, prefix="eq-")
 
 
 # ---------------------------------------------------------------------------
@@ -1702,7 +1969,8 @@ def compact_iceberg(
     part_cols = plan["partition_cols"]
     by_dir = Counter(os.path.dirname(f) for f in plan["files"])
     fragmented = by_dir and max(by_dir.values()) >= min_files_per_partition
-    if not fragmented and not plan["delete_files"]:
+    debt_files = plan["delete_files"] or plan["eq_delete_files"]
+    if not fragmented and not debt_files:
         return {"files_before": len(plan["files"]), "files_after": len(plan["files"]),
                 "snapshot_id": None, "position_deletes_materialized": 0}
     meta = load_metadata(table)

@@ -49,6 +49,7 @@ from big_data_analytics_machine_learning_poc_spark.sources.iceberg_lite import (
     plan_scan,
     read_iceberg,
     update_where,
+    upsert_by_key,
     write_iceberg,
 )
 from big_data_analytics_machine_learning_poc_spark.sources.pyds_iceberg import (
@@ -86,6 +87,14 @@ def _pyarrow_read(table: str, snapshot_id: int | None = None) -> set[tuple]:
         ):
             key = (fp, pos)
             deleted[key] = max(deleted.get(key, dseq), dseq)
+    # equality deletes: key tuple -> max delete seq per key-column set
+    eq_deleted: dict[tuple[str, ...], dict[tuple, int]] = {}
+    for dpath, dseq, names in plan["eq_delete_files"]:
+        t = pq.read_table(dpath)
+        cols = [t.column(n).to_pylist() for n in names]
+        bucket = eq_deleted.setdefault(names, {})
+        for key in zip(*cols):
+            bucket[key] = max(bucket.get(key, dseq), dseq)
     schema: T.StructType = plan["schema"]
     rows: set[tuple] = set()
     for f in plan["files"]:
@@ -98,6 +107,24 @@ def _pyarrow_read(table: str, snapshot_id: int | None = None) -> set[tuple]:
         for pos in range(n):
             dseq = deleted.get((f, pos))
             if dseq is not None and data_seq <= dseq:
+                continue
+            eq_dead = False
+            for names, bucket in eq_deleted.items():
+                key = tuple(
+                    cols_data[nm][pos]
+                    if nm in file_cols
+                    else (
+                        int(pvals[nm])
+                        if nm in pvals and pvals[nm].lstrip("-").isdigit()
+                        else pvals.get(nm)
+                    )
+                    for nm in names
+                )
+                ks = bucket.get(key)
+                if ks is not None and data_seq < ks:  # STRICTLY below
+                    eq_dead = True
+                    break
+            if eq_dead:
                 continue
             vals = []
             for field in schema.fields:
@@ -212,7 +239,23 @@ def _check_tail(table: str, model: _Model, offset: int) -> int:
     return latest
 
 
-def _run_sequence(spark, seed: int) -> None:
+# the full op mix, and a MAINTENANCE-ONLY mix (no DML): DML snapshots wedge
+# the tail by contract, so under the full mix the compact→expire→append→tail
+# chain is rarely reachable — exactly the schedule that hid the r10
+# properties-wipe stream wedge (review r10 #7). The maintenance tier keeps
+# the tail alive through every sequence, so retention-gap interplay is
+# exercised on every seed.
+_FULL_MIX = (
+    ["append", "delete", "update", "upsert", "compact", "expire", "evolve", "tail"],
+    [26, 14, 13, 12, 12, 8, 7, 8],
+)
+_MAINT_MIX = (
+    ["append", "compact", "expire", "evolve", "tail"],
+    [34, 20, 16, 8, 22],
+)
+
+
+def _run_sequence(spark, seed: int, mix=_FULL_MIX) -> None:
     rng = random.Random(seed)
     table = tempfile.mkdtemp(prefix=f"ice_fuzz_{seed}_")
     model = _Model()
@@ -236,10 +279,7 @@ def _run_sequence(spark, seed: int) -> None:
 
         n_ops = rng.randrange(4, 8)
         for _ in range(n_ops):
-            op = rng.choices(
-                ["append", "delete", "update", "compact", "expire", "evolve", "tail"],
-                weights=[30, 15, 15, 12, 10, 8, 10],
-            )[0]
+            op = rng.choices(mix[0], weights=mix[1])[0]
             meta = load_metadata(table)
             if op == "append":
                 rows = _fresh_rows(model, rng, rng.randrange(1, 5))
@@ -290,6 +330,26 @@ def _run_sequence(spark, seed: int) -> None:
                     )
                 else:
                     assert snap is None, "update with no matches must not commit"
+            elif op == "upsert":
+                # half updates of existing ids, half fresh inserts — the
+                # equality-delete CDC shape (zero target scan at write)
+                existing = sorted(model.rows)
+                upd_ids = rng.sample(existing, min(2, len(existing)))
+                source_rows = [dict(model.rows[i], v=model.rows[i]["v"] + 7777)
+                               for i in upd_ids]
+                source_rows += _fresh_rows(model, rng, rng.randrange(1, 3))
+                snap = upsert_by_key(
+                    spark, table, _spark_frame(spark, model, source_rows), ["id"]
+                )
+                assert snap is not None
+                for r in source_rows:
+                    model.rows[r["id"]] = dict(r)
+                model.record_snapshot(
+                    snap,
+                    meta["last-sequence-number"] + 1,
+                    "overwrite",
+                    [tuple(r.get(c) for c in model.cols) for r in source_rows],
+                )
             elif op == "compact":
                 stats = compact_iceberg(spark, table, min_files_per_partition=2)
                 if stats["snapshot_id"] is not None:
@@ -297,7 +357,8 @@ def _run_sequence(spark, seed: int) -> None:
                         stats["snapshot_id"], meta["last-sequence-number"] + 1,
                         "replace", [],
                     )
-                    assert not plan_scan(table)["delete_files"], (
+                    post = plan_scan(table)
+                    assert not post["delete_files"] and not post["eq_delete_files"], (
                         "compaction must materialize all delete debt"
                     )
             elif op == "expire":
@@ -354,6 +415,13 @@ _FULL = list(range(12, 100))
 @pytest.mark.parametrize("seed", _ALWAYS_ON)
 def test_lifecycle_fuzz(spark, seed):
     _run_sequence(spark, seed)
+
+
+@pytest.mark.parametrize("seed", range(1000, 1008))
+def test_lifecycle_fuzz_maintenance(spark, seed):
+    """DML-free tier: the stream tail survives the whole sequence, so
+    every seed exercises compact/expire/append/tail interplay."""
+    _run_sequence(spark, seed, mix=_MAINT_MIX)
 
 
 @pytest.mark.skipif(

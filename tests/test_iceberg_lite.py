@@ -446,19 +446,150 @@ def test_expire_reclaims_delete_files(spark, table):
     assert read_iceberg(spark, table).count() == 35
 
 
+def test_upsert_by_key_equality_deletes(spark, table):
+    """CDC upsert via equality deletes (spec content=2): one commit, zero
+    target scan — old rows with the source's keys die via the key
+    anti-join (strictly-lower sequence rule), the commit's own rows
+    survive its own deletes, and a second upsert of the same key replaces
+    the first upsert's row too."""
+    from big_data_analytics_machine_learning_poc_spark.sources.iceberg_lite import (
+        compact_iceberg,
+        upsert_by_key,
+    )
+
+    v1 = write_iceberg(_frame(spark, 0, 30), table, partition_cols=["bucket"])
+    source = _frame(spark, 20, 40).withColumn("s", F.lit("up1"))
+    v2 = upsert_by_key(spark, table, source, key_cols=["id"])
+    assert v2 is not None
+    plan = plan_scan(table)
+    assert plan["eq_delete_files"] and all(
+        names == ("id",) for _p, _s, names in plan["eq_delete_files"]
+    )
+    back = read_iceberg(spark, table)
+    assert back.count() == 40
+    assert back.filter("s = 'up1'").count() == 20  # 20..39 all new images
+    assert back.filter("id = 5").first().s == "s5"  # untouched
+    # second upsert of an overlapping key range replaces up1 rows too
+    v3 = upsert_by_key(
+        spark, table, _frame(spark, 35, 45).withColumn("s", F.lit("up2")), ["id"]
+    )
+    back = read_iceberg(spark, table)
+    assert back.count() == 45
+    assert back.filter("s = 'up2'").count() == 10
+    assert back.filter("s = 'up1'").count() == 15  # 20..34 still up1
+    # time travel: v1 never saw any upsert, v2 sees only the first
+    assert read_iceberg(spark, table, snapshot_id=v1).count() == 30
+    tv2 = read_iceberg(spark, table, snapshot_id=v2)
+    assert tv2.count() == 40 and tv2.filter("s = 'up2'").count() == 0
+    # summary tracks equality debt separately
+    meta = iceberg_lite.load_metadata(table)
+    cur = meta["snapshots"][-1]
+    assert cur["summary"]["total-equality-deletes"] == "30"
+    assert cur["summary"]["total-position-deletes"] == "0"
+    # compaction materializes the equality debt (no guard false-positive:
+    # key count != killed-row count, the arithmetic guard stands down)
+    stats = compact_iceberg(spark, table, min_files_per_partition=99)
+    assert stats["snapshot_id"] is not None
+    post = plan_scan(table)
+    assert post["eq_delete_files"] == [] and read_iceberg(spark, table).count() == 45
+    meta = iceberg_lite.load_metadata(table)
+    assert meta["snapshots"][-1]["summary"]["total-equality-deletes"] == "0"
+
+
+def test_upsert_then_position_delete_interplay(spark, table):
+    """Both delete kinds outstanding at once: a position DELETE after an
+    equality upsert must target the LOGICAL rows (scan applies the eq
+    deletes first), and reads apply both frames."""
+    from big_data_analytics_machine_learning_poc_spark.sources.iceberg_lite import (
+        delete_where,
+        upsert_by_key,
+    )
+
+    write_iceberg(_frame(spark, 0, 20), table)
+    upsert_by_key(
+        spark, table, _frame(spark, 10, 25).withColumn("v", F.lit(999.0)), ["id"]
+    )
+    assert read_iceberg(spark, table).count() == 25
+    delete_where(spark, table, "v = 999.0")  # kills the 15 upserted images
+    back = read_iceberg(spark, table)
+    assert back.count() == 10  # 0..9 originals survive
+    assert back.filter("id >= 10").count() == 0
+    plan = plan_scan(table)
+    assert plan["eq_delete_files"] and plan["delete_files"]
+
+
 def test_commit_conflict_and_atomic_hint(spark, table):
     """ADVICE r9: racing writers get a typed IcebergCommitConflict from
-    the put-if-absent metadata publish instead of a silent lost update."""
+    the put-if-absent metadata publish instead of a silent lost update —
+    and the loser must not have clobbered the winner's manifests either
+    (review r10 #3: deterministic manifest names would let the loser
+    truncate committed files before its metadata write fails)."""
     write_iceberg(_frame(spark, 0, 10), table)
     v = iceberg_lite._current_version(table)
+    meta = iceberg_lite.load_metadata(table)
+    winner_list = iceberg_lite._resolve(table, meta["snapshots"][-1]["manifest-list"])
+    winner_bytes = open(winner_list, "rb").read()
     # another writer lands v+1 first
     clobber = os.path.join(table, "metadata", f"v{v + 1}.metadata.json")
     with open(clobber, "w") as f:
         f.write("{}")
-    with pytest.raises(iceberg_lite.IcebergCommitConflict, match="concurrent writer"):
+    with pytest.raises(iceberg_lite.IcebergCommitConflict, match="already exists"):
         write_iceberg(_frame(spark, 10, 20), table, mode="append")
-    # the losing commit did not move the hint
+    # the losing commit moved neither the hint nor any committed byte
     assert iceberg_lite._current_version(table) == v
+    assert open(winner_list, "rb").read() == winner_bytes
+    assert read_iceberg(spark, table).count() == 10
+    # review r10 #4: the orphan v+1 file would wedge every future commit —
+    # recover_orphan_metadata clears versions above the hint
+    assert iceberg_lite.recover_orphan_metadata(table) == [v + 1]
+    assert write_iceberg(_frame(spark, 10, 20), table, mode="append") is not None
+    assert read_iceberg(spark, table).count() == 20
+
+
+def test_delete_on_percent_encoded_table_path(spark, tmp_path):
+    """Review r10 #2 (live-confirmed): a table path needing URI escaping
+    (space) made _metadata.file_path percent-encoded, the lineage join
+    missed, and deleted rows silently resurrected. The decode fix makes
+    DML exact on such paths; the inner-join hardening means any future
+    normalization miss LOSES rows (loud in counts) instead."""
+    from big_data_analytics_machine_learning_poc_spark.sources.iceberg_lite import delete_where
+
+    table = str(tmp_path / "probe sp ace" / "my table")
+    os.makedirs(os.path.dirname(table), exist_ok=True)
+    write_iceberg(_frame(spark, 0, 20), table)
+    assert delete_where(spark, table, "id < 5") is not None
+    assert read_iceberg(spark, table).count() == 15
+    assert read_iceberg(spark, table).filter("id < 5").count() == 0
+
+
+def test_expired_replace_survives_later_append(spark, table):
+    """Review r10 #1 (live-confirmed): write_iceberg rebuilt table
+    properties as {} on every commit, wiping the expired-replace record
+    expire_snapshots stores — an append AFTER an expire then wedged a
+    healthy stream tail on the retention-gap check. The chain: commit,
+    tail-commit, compact (replace), expire it, APPEND, tail again."""
+    from big_data_analytics_machine_learning_poc_spark.sources.iceberg_lite import (
+        compact_iceberg,
+        expire_snapshots,
+    )
+    from big_data_analytics_machine_learning_poc_spark.sources.pyds_iceberg import (
+        IcebergLiteStreamReader,
+    )
+
+    write_iceberg(_frame(spark, 0, 30).repartition(3), table)  # seq 1
+    write_iceberg(_frame(spark, 30, 40), table, mode="append")  # seq 2
+    assert compact_iceberg(spark, table)["snapshot_id"] is not None  # seq 3
+    write_iceberg(_frame(spark, 40, 45), table, mode="append")  # seq 4
+    expire_snapshots(table, keep_last=1)  # seqs 1-3 gone; 3 was replace
+    write_iceberg(_frame(spark, 45, 50), table, mode="append")  # seq 5
+    meta = iceberg_lite.load_metadata(table)
+    assert iceberg_lite._EXPIRED_REPLACE_KEY in meta.get("properties", {}), (
+        "append wiped the expired-replace properties record"
+    )
+    # a tail that had committed through seq 2 plans (2, 5] without raising
+    r = IcebergLiteStreamReader(table, starting_sequence=2)
+    parts = r.partitions({"seq": 2}, r.latestOffset())
+    assert parts, "tail wedged on a harmless expired compaction"
 
 
 def test_metadata_v2_spec_fields(spark, table):
