@@ -26,7 +26,11 @@ def main() -> int:
 
     spark = get_session("planlint", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "16")))
     n_clean = n_allowed = n_bad = n_err = 0
-    for name, fn in entrymod.queries().items():
+    # RAW registry, not entrymod.queries(): the instrumented wrapper
+    # pre-collects fingerprint-window lanes at sf0.01, which can shift the
+    # captured plan (see the r10 shufflebudget note) — lint the lane the
+    # driver's compare gate sees, not the wrapper
+    for name, fn in entrymod._registry().queries.items():
         if only and name not in only:
             continue
         try:

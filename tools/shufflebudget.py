@@ -56,7 +56,12 @@ def main() -> int:
     spark = get_session("shufflebudget", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "16")))
     lanes: dict[str, dict[str, int]] = {}
     n_ok = n_grew = n_shrank = n_new = n_err = 0
-    for name, fn in entrymod.queries().items():
+    # RAW registry, not entrymod.queries() (r10: the instrumented wrapper
+    # collects fingerprint-window lanes at sf0.01 BEFORE this tool counts
+    # exchanges, and that pre-execution inflated a window lane's measured
+    # shuffle count by one — a lane's budget must not depend on which
+    # rotation window it sits in; same doctrine tools/compare.py documents)
+    for name, fn in entrymod._registry().queries.items():
         if only and name not in only:
             continue
         try:
