@@ -76,6 +76,7 @@ exactly like the Iceberg runtime's scan planning.
 
 from __future__ import annotations
 
+import contextlib
 import datetime
 import json
 import os
@@ -825,7 +826,8 @@ def write_iceberg(
     now_ms = int(time.time() * 1000)
     version = _current_version(table)
     exists = version is not None
-    meta = load_metadata(table) if exists else None
+    # load the PINNED version, not a re-read of the hint (r10 TOCTOU)
+    meta = load_metadata(table, version) if exists else None
 
     if exists and mode == "append":
         spec_fields = _partition_spec(meta)
@@ -1049,7 +1051,14 @@ def write_iceberg(
             )
         ),
     }
-    _write_metadata(table, new_meta, (version or 0) + 1)
+    try:
+        _write_metadata(table, new_meta, (version or 0) + 1)
+    except IcebergCommitConflict:
+        # losing writer removes what only it published (ADVICE r10 #2)
+        _unpublish_commit_files(
+            table, list_path, [_resolve(table, new_manifest["manifest_path"])]
+        )
+        raise
     return snap_id
 
 
@@ -1328,20 +1337,38 @@ def _scan(
 def _attach_data_seq(spark: SparkSession, df: DataFrame, plan: dict) -> DataFrame:
     """Attach each row's data-file sequence number (``_ice_data_seq``) via
     a broadcast of the O(files) driver-side map — both delete kinds gate
-    on it (position: ``<=``, equality: ``<``). INNER join on purpose
-    (review r10 #2): every scanned row's file is in the plan's map by
-    construction, so a normalization mismatch can only LOSE rows — an
-    error the count-auditing tests and oracle lanes catch immediately —
-    instead of null-ing the seq and silently resurrecting deleted rows."""
+    on it (position: ``<=``, equality: ``<``). LEFT join + per-row
+    raise_error (ADVICE r10 #4): every scanned row's file is in the plan's
+    map by construction, so a runtime URI-normalization mismatch must fail
+    LOUDLY at scan time — the prior inner join silently dropped the whole
+    affected file from results (silent data loss in production, even
+    though in-repo count audits would notice); a null seq would instead
+    silently resurrect deleted rows. The guard is a map-side when-clause —
+    no extra action or shuffle."""
     from pyspark.sql import functions as F
 
     seq_df = spark.createDataFrame(
         [(p, s) for p, s in plan["file_seqs"].items()],
         schema="_ice_seq_file string, _ice_data_seq long",
     )
-    return df.join(
-        F.broadcast(seq_df), df[_LIN_FILE] == seq_df["_ice_seq_file"], "inner"
+    joined = df.join(
+        F.broadcast(seq_df), df[_LIN_FILE] == seq_df["_ice_seq_file"], "left"
     ).drop("_ice_seq_file")
+    return joined.withColumn(
+        "_ice_data_seq",
+        F.when(
+            F.col("_ice_data_seq").isNull(),
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "iceberg_lite: scanned row's file is missing from the "
+                        "plan's sequence map (URI normalization mismatch?): "
+                    ),
+                    F.col(_LIN_FILE),
+                )
+            ).cast("long"),
+        ).otherwise(F.col("_ice_data_seq")),
+    )
 
 
 def _apply_position_deletes(spark: SparkSession, df: DataFrame, plan: dict) -> DataFrame:
@@ -1527,6 +1554,18 @@ def _finish_commit(
     signals that logical cardinality is no longer metadata-derivable."""
     now_ms = int(time.time() * 1000)
     psum = _select_snapshot(meta)["summary"] if meta.get("snapshots") else {}
+    # paths only THIS commit created — unlinked if the commit loses the
+    # race (ADVICE r10 #2: files published before the metadata
+    # put-if-absent were orphaned forever on conflict, since
+    # expire_snapshots only removes files referenced by expired snapshots)
+    carried = {
+        _resolve(table, m["manifest_path"]) for m in _carried_manifests(table, meta)
+    }
+    new_manifests = [
+        _resolve(table, m["manifest_path"])
+        for m in manifests
+        if _resolve(table, m["manifest_path"]) not in carried
+    ]
     list_path = _write_manifest_list(table, snap_id, manifests)
     snapshot = {
         "snapshot-id": snap_id,
@@ -1570,8 +1609,38 @@ def _finish_commit(
             ],
         },
     )
-    _write_metadata(table, new_meta, version + 1)
+    try:
+        _write_metadata(table, new_meta, version + 1)
+    except IcebergCommitConflict:
+        _unpublish_commit_files(table, list_path, new_manifests)
+        raise
     return snap_id
+
+
+def _unpublish_commit_files(
+    table: str, list_path: str, new_manifests: list[str]
+) -> None:
+    """Best-effort removal of a LOSING commit's published files: the new
+    manifest list, the manifests only it wrote, and every data/delete file
+    those manifests ADDED (status=1 entries are by construction this
+    commit's own publishes — carried-forward parent entries are status 0).
+    Only reached after put-if-absent failed, so none of these paths are
+    referenced by any committed metadata version; removing them keeps a
+    retry loop from leaking disk indefinitely (ADVICE r10 #2)."""
+    for mpath in new_manifests:
+        try:
+            _, entries = avro_lite.read_ocf(mpath)
+        except OSError:
+            entries = []
+        for e in entries:
+            if e.get("status") == 1:
+                fpath = _resolve(table, e["data_file"]["file_path"])
+                with contextlib.suppress(OSError):
+                    os.unlink(fpath)
+        with contextlib.suppress(OSError):
+            os.unlink(mpath)
+    with contextlib.suppress(OSError):
+        os.unlink(_resolve(table, list_path))
 
 
 def delete_where(spark: SparkSession, table: str, predicate: str) -> int | None:
@@ -1588,8 +1657,13 @@ def delete_where(spark: SparkSession, table: str, predicate: str) -> int | None:
     from pyspark.sql import functions as F
 
     table = os.path.abspath(table)
-    meta = load_metadata(table)
+    # version FIRST, then load that EXACT version (ADVICE r10 TOCTOU): a
+    # hint read + an unpinned load are two reads, and a concurrent commit
+    # landing between them yields stale meta with an advanced version —
+    # put-if-absent then publishes v(N+2) missing the intervening
+    # snapshot, the exact lost update IcebergCommitConflict exists to stop
     version = _current_version(table)
+    meta = load_metadata(table, version)
     seq, snap_id = _next_ids(meta)
     plan = plan_scan(table)
     df = _scan(spark, table, plan, lineage=True)
@@ -1635,8 +1709,13 @@ def update_where(
     from pyspark.sql import functions as F
 
     table = os.path.abspath(table)
-    meta = load_metadata(table)
+    # version FIRST, then load that EXACT version (ADVICE r10 TOCTOU): a
+    # hint read + an unpinned load are two reads, and a concurrent commit
+    # landing between them yields stale meta with an advanced version —
+    # put-if-absent then publishes v(N+2) missing the intervening
+    # snapshot, the exact lost update IcebergCommitConflict exists to stop
     version = _current_version(table)
+    meta = load_metadata(table, version)
     schema = _spark_schema(meta)
     by_name = {f.name: f for f in schema.fields}
     unknown = sorted(set(assignments) - set(by_name))
@@ -1714,8 +1793,13 @@ def merge_iceberg(
     from pyspark.sql import functions as F
 
     table = os.path.abspath(table)
-    meta = load_metadata(table)
+    # version FIRST, then load that EXACT version (ADVICE r10 TOCTOU): a
+    # hint read + an unpinned load are two reads, and a concurrent commit
+    # landing between them yields stale meta with an advanced version —
+    # put-if-absent then publishes v(N+2) missing the intervening
+    # snapshot, the exact lost update IcebergCommitConflict exists to stop
     version = _current_version(table)
+    meta = load_metadata(table, version)
     schema = _spark_schema(meta)
     if [(f.name, f.dataType) for f in source.schema.fields] != [
         (f.name, f.dataType) for f in schema.fields
@@ -1813,8 +1897,13 @@ def upsert_by_key(
     from pyspark.sql import functions as F
 
     table = os.path.abspath(table)
-    meta = load_metadata(table)
+    # version FIRST, then load that EXACT version (ADVICE r10 TOCTOU): a
+    # hint read + an unpinned load are two reads, and a concurrent commit
+    # landing between them yields stale meta with an advanced version —
+    # put-if-absent then publishes v(N+2) missing the intervening
+    # snapshot, the exact lost update IcebergCommitConflict exists to stop
     version = _current_version(table)
+    meta = load_metadata(table, version)
     schema = _spark_schema(meta)
     if [(f.name, f.dataType) for f in source.schema.fields] != [
         (f.name, f.dataType) for f in schema.fields
@@ -1897,7 +1986,8 @@ def add_column(table: str, name: str, dtype: T.DataType) -> int:
     read does the fill). Returns the new schema-id. No snapshot is
     committed — like the Iceberg runtime, evolution is a metadata version
     bump, not a data operation."""
-    meta = load_metadata(table)
+    version = _current_version(table)  # pin hint+load together (r10 TOCTOU)
+    meta = load_metadata(table, version)
     current = _schema_by_id(meta)
     if any(f["name"] == name for f in current["fields"]):
         raise ValueError(f"column {name!r} already exists")
@@ -1919,7 +2009,6 @@ def add_column(table: str, name: str, dtype: T.DataType) -> int:
         "fields": current["fields"] + [new_field],
     }
     now_ms = int(time.time() * 1000)
-    version = _current_version(table)
     new_meta = dict(
         meta,
         **{
@@ -1972,10 +2061,14 @@ def compact_iceberg(
     debt_files = plan["delete_files"] or plan["eq_delete_files"]
     if not fragmented and not debt_files:
         return {"files_before": len(plan["files"]), "files_after": len(plan["files"]),
-                "snapshot_id": None, "position_deletes_materialized": 0}
+                "snapshot_id": None, "position_deletes_materialized": 0,
+                "equality_deletes_materialized": 0}
     meta = load_metadata(table)
     cur = _select_snapshot(meta)
+    # report BOTH debt kinds (ADVICE r10 #3): an upsert-triggered
+    # compaction repays equality-delete debt, and observability must say so
     debt = int(cur["summary"].get("total-position-deletes", 0))
+    eq_debt = int(cur["summary"].get("total-equality-deletes", 0))
     df = read_iceberg(spark, table)  # current schema, deletes applied
     df = df.repartition(*part_cols) if part_cols else df.coalesce(1)
     snap_id = write_iceberg(df, table, mode="replace", partition_cols=part_cols)
@@ -1984,6 +2077,7 @@ def compact_iceberg(
         "files_after": len(plan_scan(table)["files"]),
         "snapshot_id": snap_id,
         "position_deletes_materialized": debt,
+        "equality_deletes_materialized": eq_debt,
     }
 
 
@@ -2025,7 +2119,8 @@ def expire_snapshots(table: str, keep_last: int = 1) -> dict:
     Returns counts: {snapshots_expired, files_deleted, manifests_deleted}."""
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
-    meta = load_metadata(table)
+    version = _current_version(table)  # pin hint+load together (r10 TOCTOU)
+    meta = load_metadata(table, version)
     snaps = meta.get("snapshots", [])
     current_id = meta.get("current-snapshot-id")
     keep = snaps[-keep_last:]
@@ -2040,7 +2135,6 @@ def expire_snapshots(table: str, keep_last: int = 1) -> dict:
     dead_manifests = exp_manifests - keep_manifests
     dead_files = exp_files - keep_files
     now_ms = int(time.time() * 1000)
-    version = _current_version(table)
     keep_ids = {s["snapshot-id"] for s in keep}
     # remember which expired sequence numbers were data-free `replace`
     # (compaction) snapshots: the streaming tail's retention-gap check

@@ -982,3 +982,124 @@ def test_compaction_noop_checks_per_partition_max(spark, table):
     before = len(plan_scan(table)["files"])
     stats = compact_iceberg(spark, table, min_files_per_partition=3)
     assert stats["snapshot_id"] is not None and stats["files_after"] < before
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r10 regression tests
+# ---------------------------------------------------------------------------
+
+
+def test_dml_commit_pins_hint_and_load(spark, table, monkeypatch):
+    """ADVICE r10 #1 (TOCTOU): a concurrent commit landing between a DML
+    writer's hint read and its metadata load must surface as a typed
+    IcebergCommitConflict — never as a silently-published v(N+2) that
+    drops the intervening snapshot. Simulated by letting the hint read
+    return, then landing a concurrent append before the DML commit
+    finishes: with version pinned to the pre-append hint, put-if-absent
+    collides. The concurrent append's rows must survive intact."""
+    from big_data_analytics_machine_learning_poc_spark.sources.iceberg_lite import (
+        delete_where,
+    )
+
+    write_iceberg(_frame(spark, 0, 20), table)
+    real = iceberg_lite._current_version
+    fired = {"done": False}
+
+    def racing_hint_read(t):
+        v = real(t)
+        if not fired["done"] and os.path.abspath(t) == os.path.abspath(table):
+            fired["done"] = True  # concurrent append lands right after the read
+            write_iceberg(_frame(spark, 100, 110), table, mode="append")
+        return v
+
+    monkeypatch.setattr(iceberg_lite, "_current_version", racing_hint_read)
+    with pytest.raises(iceberg_lite.IcebergCommitConflict):
+        delete_where(spark, table, "id < 5")
+    monkeypatch.setattr(iceberg_lite, "_current_version", real)
+    # the intervening append was NOT lost, and no delete happened
+    assert read_iceberg(spark, table).count() == 30
+    assert read_iceberg(spark, table).filter("id < 5").count() == 5
+
+
+def _file_census(table):
+    out = set()
+    for root, _dirs, files in os.walk(table):
+        for f in files:
+            out.add(os.path.join(root, f))
+    return out
+
+
+def test_conflict_unpublishes_losing_files(spark, table):
+    """ADVICE r10 #2: a losing commit must unlink the data/delete files,
+    manifests and manifest list it published before the put-if-absent
+    failed — a retry loop must not leak disk. After the conflict the
+    table's file census must equal the pre-attempt census plus only the
+    orphan metadata JSON the conflicting writer created."""
+    from big_data_analytics_machine_learning_poc_spark.sources.iceberg_lite import (
+        update_where,
+    )
+
+    write_iceberg(_frame(spark, 0, 20), table)
+    v = iceberg_lite._current_version(table)
+    clobber = os.path.join(table, "metadata", f"v{v + 1}.metadata.json")
+    with open(clobber, "w") as f:
+        f.write("{}")
+    before = _file_census(table)
+    # DML loser: publishes position deletes + new data files, then conflicts
+    with pytest.raises(iceberg_lite.IcebergCommitConflict):
+        update_where(spark, table, {"v": "v + 1"}, "id < 5")
+    leaked = _file_census(table) - before
+    assert leaked == set(), f"conflict leaked files: {sorted(leaked)}"
+    # append loser: publishes data files + manifest, then conflicts
+    with pytest.raises(iceberg_lite.IcebergCommitConflict):
+        write_iceberg(_frame(spark, 20, 30), table, mode="append")
+    leaked = _file_census(table) - before
+    assert leaked == set(), f"append conflict leaked files: {sorted(leaked)}"
+    # recovery then works as before
+    assert iceberg_lite.recover_orphan_metadata(table) == [v + 1]
+    assert update_where(spark, table, {"v": "v + 1"}, "id < 5") is not None
+
+
+def test_compact_reports_equality_debt(spark, table):
+    """ADVICE r10 #3: compaction triggered by equality-delete debt (the
+    upsert path) must report the materialized equality deletes, not 0."""
+    from big_data_analytics_machine_learning_poc_spark.sources.iceberg_lite import (
+        compact_iceberg,
+        upsert_by_key,
+    )
+
+    write_iceberg(_frame(spark, 0, 20), table)
+    upsert_by_key(
+        spark, table, _frame(spark, 10, 15).withColumn("v", F.lit(-1.0)), ["id"]
+    )
+    stats = compact_iceberg(spark, table)
+    assert stats["snapshot_id"] is not None
+    assert stats["equality_deletes_materialized"] > 0
+    assert not plan_scan(table)["eq_delete_files"]
+    assert read_iceberg(spark, table).count() == 20
+
+
+def test_seq_map_miss_raises_not_shrinks(spark, table, monkeypatch):
+    """ADVICE r10 #4: a runtime URI-normalization miss in the seq-map join
+    must raise at scan time, not silently drop the affected file's rows."""
+    from big_data_analytics_machine_learning_poc_spark.sources.iceberg_lite import (
+        delete_where,
+    )
+
+    write_iceberg(_frame(spark, 0, 20), table)
+    delete_where(spark, table, "id < 3")
+    real_plan = iceberg_lite.plan_scan
+
+    def broken_plan(t, *a, **kw):
+        plan = real_plan(t, *a, **kw)
+        if plan["file_seqs"]:
+            k = sorted(plan["file_seqs"])[0]
+            plan["file_seqs"] = {
+                (k + ".MISS" if p == k else p): s
+                for p, s in plan["file_seqs"].items()
+            }
+        return plan
+
+    monkeypatch.setattr(iceberg_lite, "plan_scan", broken_plan)
+    with pytest.raises(Exception, match="sequence map"):
+        read_iceberg(spark, table).count()
