@@ -80,6 +80,7 @@ import contextlib
 import datetime
 import json
 import os
+import re
 import struct
 import time
 import uuid
@@ -335,7 +336,8 @@ MANIFEST_LIST_SCHEMA = {
 
 
 def _avro_partition_type(iceberg_type: str) -> object:
-    """Identity-transform partition field → its Avro storage type."""
+    """Partition VALUE type (the transform's result type) → its Avro
+    storage type in the manifest partition tuple."""
     mapping = {
         "int": "int",
         "long": "long",
@@ -345,7 +347,7 @@ def _avro_partition_type(iceberg_type: str) -> object:
     }
     if iceberg_type not in mapping:
         raise NotImplementedError(
-            f"identity partitioning on Iceberg type {iceberg_type!r} is not "
+            f"partition values of Iceberg type {iceberg_type!r} are not "
             f"supported here (int/long/string/boolean/date are)"
         )
     return mapping[iceberg_type]
@@ -361,7 +363,14 @@ def _manifest_schema(partition_fields: list[dict], field_types: dict[int, str]) 
         "fields": [
             {
                 "name": pf["name"],
-                "type": ["null", _avro_partition_type(field_types[pf["source-id"]])],
+                "type": [
+                    "null",
+                    _avro_partition_type(
+                        _transform_result_type(
+                            pf["transform"], field_types[pf["source-id"]]
+                        )
+                    ),
+                ],
                 "default": None,
                 "field-id": pf["field-id"],
             }
@@ -572,6 +581,335 @@ def _coerce_partition_value(iceberg_type: str, raw: str | None):
     return raw  # string
 
 
+# ---------------------------------------------------------------------------
+# hidden partitioning (spec §Partition Transforms + Appendix B bucket hash)
+# ---------------------------------------------------------------------------
+
+_TEMPORAL_ALIAS = {
+    "year": "year", "years": "year",
+    "month": "month", "months": "month",
+    "day": "day", "days": "day", "date": "day",
+    "hour": "hour", "hours": "hour", "date_hour": "hour",
+}
+_TERM1_RE = re.compile(
+    r"^\s*(year|years|month|months|day|days|date|hour|hours|date_hour)"
+    r"\s*\(\s*(\w+)\s*\)\s*$",
+    re.IGNORECASE,
+)
+_TERM2_RE = re.compile(
+    r"^\s*(bucket|truncate)\s*\(\s*(\d+)\s*,\s*(\w+)\s*\)\s*$", re.IGNORECASE
+)
+
+
+def _parse_partition_term(term: str) -> tuple[str, str]:
+    """User partition term → (transform, source column). The surface is
+    the spec's hidden-partitioning DDL shape: ``col`` (identity),
+    ``years(col) / months(col) / days(col) / hours(col)``,
+    ``bucket(N, col)``, ``truncate(W, col)``. Transforms are stored in
+    the spec's canonical strings (``day``, ``bucket[N]``, ...)."""
+    m = _TERM1_RE.match(term)
+    if m:
+        return _TEMPORAL_ALIAS[m.group(1).lower()], m.group(2)
+    m = _TERM2_RE.match(term)
+    if m:
+        n = int(m.group(2))
+        if n <= 0:
+            raise ValueError(f"partition term {term!r}: parameter must be positive")
+        return f"{m.group(1).lower()}[{n}]", m.group(3)
+    if "(" in term or ")" in term:
+        raise NotImplementedError(
+            f"unsupported partition transform {term!r} — identity, "
+            f"years/months/days/hours(col), bucket(N, col) and "
+            f"truncate(W, col) are implemented (spec §Partition Transforms)"
+        )
+    return "identity", term.strip()
+
+
+def _spec_to_terms(spec_fields: list[dict], fid_to_name: dict[int, str]) -> list[str]:
+    """Spec fields → the canonical user-facing partition terms (inverse of
+    ``_parse_partition_term``), so compaction can round-trip a transform
+    spec through ``write_iceberg``."""
+    terms = []
+    for pf in spec_fields:
+        src = fid_to_name[pf["source-id"]]
+        t = pf["transform"]
+        if t == "identity":
+            terms.append(src)
+        elif t in ("year", "month", "day", "hour"):
+            terms.append(f"{t}s({src})")
+        elif t.startswith("bucket["):
+            terms.append(f"bucket({t[7:-1]}, {src})")
+        elif t.startswith("truncate["):
+            terms.append(f"truncate({t[9:-1]}, {src})")
+        else:
+            raise NotImplementedError(f"unknown transform {t!r}")
+    return terms
+
+
+def _partition_field_name(transform: str, source: str) -> str:
+    """Iceberg's default partition-field naming (``ts`` + ``day`` →
+    ``ts_day``); identity fields keep the source name."""
+    if transform == "identity":
+        return source
+    base = transform.split("[", 1)[0]
+    return f"{source}_{'trunc' if base == 'truncate' else base}"
+
+
+def _transform_result_type(transform: str, source_type: str) -> str:
+    """Iceberg type of the partition VALUE a transform produces — what the
+    manifest partition tuple, field summaries and Avro schema store (spec
+    §Partition Transforms result-type table)."""
+    if transform == "identity":
+        return source_type
+    if transform in ("year", "month"):
+        ok = ("date", "timestamp", "timestamptz")
+    elif transform == "day":
+        ok = ("date", "timestamp", "timestamptz")
+    elif transform == "hour":
+        ok = ("timestamp", "timestamptz")
+    elif transform.startswith("bucket["):
+        ok = ("int", "long", "string", "date", "timestamp", "timestamptz")
+    elif transform.startswith("truncate["):
+        ok = ("int", "long", "string")
+    else:
+        raise NotImplementedError(f"unknown partition transform {transform!r}")
+    if source_type not in ok:
+        raise NotImplementedError(
+            f"transform {transform!r} on Iceberg type {source_type!r} is not "
+            f"supported here (sources: {ok})"
+        )
+    if transform == "day":
+        return "date"  # spec: day results are date-typed (epoch-day ints)
+    if transform.startswith("truncate["):
+        return source_type
+    return "int"
+
+
+def _murmur3_32(data: bytes, seed: int = 0) -> int:
+    """murmur3_x86_32 (public-domain algorithm; Appendix B requires it
+    with seed 0 for bucket transforms). Returns SIGNED int32 — matches the
+    spec's published test vectors (e.g. long 34 → 2017239379, string
+    "iceberg" → 1210000089)."""
+    c1, c2 = 0xCC9E2D51, 0x1B873593
+    h = seed & 0xFFFFFFFF
+    n = len(data)
+    rounded = n - (n % 4)
+    for i in range(0, rounded, 4):
+        k = int.from_bytes(data[i : i + 4], "little")
+        k = (k * c1) & 0xFFFFFFFF
+        k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+        k = (k * c2) & 0xFFFFFFFF
+        h ^= k
+        h = ((h << 13) | (h >> 19)) & 0xFFFFFFFF
+        h = (h * 5 + 0xE6546B64) & 0xFFFFFFFF
+    tail = data[rounded:]
+    if tail:
+        k = int.from_bytes(tail, "little")
+        k = (k * c1) & 0xFFFFFFFF
+        k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+        k = (k * c2) & 0xFFFFFFFF
+        h ^= k
+    h ^= n
+    h ^= h >> 16
+    h = (h * 0x85EBCA6B) & 0xFFFFFFFF
+    h ^= h >> 13
+    h = (h * 0xC2B2AE35) & 0xFFFFFFFF
+    h ^= h >> 16
+    return h - (1 << 32) if h >= (1 << 31) else h
+
+
+def _murmur3_32_long_np(values):
+    """Vectorized murmur3_x86_32(seed 0) over int64 values hashed as the
+    spec requires — 8-byte little-endian, i.e. exactly two 4-byte mix
+    rounds — so bucketing an int/long/date/timestamp column at write is a
+    numpy pass, not per-row Python."""
+    import numpy as np
+
+    v = values.astype(np.uint64)
+    u32 = np.uint32
+    h = np.zeros(len(v), dtype=np.uint32)
+    for shift in (np.uint64(0), np.uint64(32)):
+        k = ((v >> shift) & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+        k = k * u32(0xCC9E2D51)
+        k = (k << u32(15)) | (k >> u32(17))
+        k = k * u32(0x1B873593)
+        h ^= k
+        h = (h << u32(13)) | (h >> u32(19))
+        h = h * u32(5) + u32(0xE6546B64)
+    h ^= u32(8)
+    h ^= h >> u32(16)
+    h = h * u32(0x85EBCA6B)
+    h ^= h >> u32(13)
+    h = h * u32(0xC2B2AE35)
+    h ^= h >> u32(16)
+    return h.astype(np.int32)
+
+
+def _bucket_expr(n: int, source: str, source_type: str):
+    """``bucket(N, col)`` as an Arrow-batched pandas UDF (Appendix B:
+    ``(murmur3(v) & Integer.MAX_VALUE) % N``). int/long/date/timestamp go
+    through the vectorized numpy hash (values promoted to long — date as
+    epoch days, timestamp as epoch micros); strings hash their UTF-8 bytes
+    per value. Write-path only — reads never recompute buckets."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    # no pd.Series type hints: pandas is imported locally, so string
+    # annotations (PEP 563 is active module-wide) would not resolve in
+    # pyspark's type-hint inference — the explicit returnType carries it
+    if source_type == "string":
+
+        @pandas_udf("int")
+        def bkt(s):
+            out = s.map(
+                lambda v: None
+                if v is None
+                else (_murmur3_32(v.encode("utf-8")) & 0x7FFFFFFF) % n
+            )
+            return out.astype("Int32")
+
+    else:
+
+        @pandas_udf("int")
+        def bkt(s):
+            import numpy as np
+            import pandas as pd
+
+            mask = s.isna().to_numpy()
+            if source_type in ("date",):
+                longs = (
+                    pd.to_datetime(s.where(~s.isna(), pd.Timestamp(0)))
+                    .to_numpy()
+                    .astype("datetime64[D]")
+                    .astype(np.int64)
+                )
+            elif source_type in ("timestamp", "timestamptz"):
+                longs = (
+                    pd.to_datetime(s.where(~s.isna(), pd.Timestamp(0)))
+                    .to_numpy()
+                    .astype("datetime64[us]")
+                    .astype(np.int64)
+                )
+            else:
+                longs = s.fillna(0).to_numpy().astype(np.int64)
+            h = _murmur3_32_long_np(longs)
+            out = ((h.astype(np.int64) & 0x7FFFFFFF) % n).astype("int32")
+            res = pd.Series(out).astype("Int32")
+            res[mask] = None
+            return res
+
+    from pyspark.sql import functions as F
+
+    return bkt(F.col(source))
+
+
+def _partition_expr(transform: str, source: str, source_type: str):
+    """Transform → the pyspark Column computing its partition value at
+    write. All JVM-side built-ins except bucket (a vectorized pandas UDF).
+    Temporal transforms follow the spec's UTC semantics — like the Iceberg
+    runtime, this assumes a UTC session timezone for timestamptz sources."""
+    from pyspark.sql import functions as F
+
+    col = F.col(source)
+    if transform == "year":
+        return (F.year(col) - F.lit(1970)).cast("int")
+    if transform == "month":
+        return ((F.year(col) - 1970) * 12 + F.month(col) - 1).cast("int")
+    if transform == "day":
+        return F.to_date(col)
+    if transform == "hour":
+        # timestamp → epoch seconds is timezone-exact; floor-divide to hours
+        return F.floor(col.cast("double") / 3600).cast("int")
+    if transform.startswith("bucket["):
+        return _bucket_expr(int(transform[7:-1]), source, source_type)
+    if transform.startswith("truncate["):
+        w = int(transform[9:-1])
+        if source_type == "string":
+            return F.substring(col, 1, w)
+        # spec: v - (((v % W) + W) % W) — floors toward -inf for negatives
+        trunc = col - (((col % w) + w) % w)
+        return trunc.cast("long" if source_type == "long" else "int")
+    raise NotImplementedError(f"no write expression for transform {transform!r}")
+
+
+def _transform_value(transform: str, value):
+    """Driver-side transform application for scan pruning: map a SOURCE-
+    domain bound (int/str/date/datetime) into the transform's result
+    domain. Returns None for non-order-preserving transforms (bucket) —
+    callers must then skip range pruning on that field."""
+    if value is None:
+        return None
+    if transform == "identity":
+        return value
+    if transform in ("year", "month", "day", "hour"):
+        dt = value
+        if isinstance(dt, str):
+            dt = datetime.datetime.fromisoformat(dt)
+        if isinstance(dt, datetime.datetime):
+            pass
+        elif isinstance(dt, datetime.date):
+            dt = datetime.datetime(dt.year, dt.month, dt.day)
+        else:
+            raise TypeError(f"temporal transform bound must be date-like: {value!r}")
+        if transform == "year":
+            return dt.year - 1970
+        if transform == "month":
+            return (dt.year - 1970) * 12 + dt.month - 1
+        if transform == "day":
+            return dt.date()  # compared against epoch-day ints parsed as dates
+        ts = dt.replace(tzinfo=dt.tzinfo or datetime.timezone.utc).timestamp()
+        return int(ts // 3600)
+    if transform.startswith("truncate["):
+        w = int(transform[9:-1])
+        if isinstance(value, str):
+            return value[:w]
+        return value - (((value % w) + w) % w)
+    return None  # bucket: hash order ≠ value order
+
+
+def _apply_partition_exprs(
+    df: DataFrame, spec_fields: list[dict], field_types: dict[int, str],
+    fid_to_name: dict[int, str],
+) -> tuple[DataFrame, list[str]]:
+    """Add derived partition-value columns for non-identity spec fields
+    and return (df, names to partitionBy). Identity fields partition by
+    the source column itself (Spark drops it from the data files; reads
+    re-derive it from the hive dirs via basePath). Transform fields
+    partition by a DERIVED column — dropped from data files by
+    partitionBy — while the source column stays in the data: the spec's
+    hidden-partitioning contract."""
+    names = []
+    for pf in spec_fields:
+        src = fid_to_name[pf["source-id"]]
+        if pf["transform"] == "identity":
+            names.append(pf["name"])
+            continue
+        if pf["name"] in df.columns:
+            raise ValueError(
+                f"partition field name {pf['name']!r} collides with a data column"
+            )
+        df = df.withColumn(
+            pf["name"],
+            _partition_expr(pf["transform"], src, field_types[pf["source-id"]]),
+        )
+        names.append(pf["name"])
+    return df, names
+
+
+def _stage_partitioned(
+    frame: DataFrame, table: str, meta: dict, spec_fields: list[dict]
+) -> tuple[list, list[str]]:
+    """Stage a DML result frame under the table's (possibly transform-)
+    partition spec, deriving hidden-partition columns exactly as the
+    original write did. Returns (staged files, partition field names)."""
+    field_types = _field_types(meta)
+    fid_to_name = {f["id"]: f["name"] for f in _schema_by_id(meta)["fields"]}
+    frame, part_names = _apply_partition_exprs(
+        frame, spec_fields, field_types, fid_to_name
+    )
+    return _stage_data_files(frame, table, part_names), part_names
+
+
 def _stage_data_files(df: DataFrame, table: str, partition_cols: list[str]):
     """Write df's parquet part files under ``table/data`` (hive partition
     dirs when partitioned) via staging + rename, returning
@@ -659,14 +997,17 @@ def _data_entries(
     snap_id: int,
 ) -> list[dict]:
     """Staged parquet files → ADDED manifest_entry records (absolute
-    file_path locations, identity partition tuples from the hive dirs,
-    footer-derived bounds)."""
+    file_path locations, partition tuples from the hive dirs coerced to
+    each transform's RESULT type, footer-derived bounds)."""
     entries = []
     for rel, size, stats in staged:
         pvals_raw = _partition_values(rel, partition_cols)
         partition = {
             pf["name"]: _coerce_partition_value(
-                field_types[pf["source-id"]], pvals_raw.get(pf["name"])
+                _transform_result_type(
+                    pf["transform"], field_types[pf["source-id"]]
+                ),
+                pvals_raw.get(pf["name"]),
             )
             for pf in spec_fields
         }
@@ -703,7 +1044,7 @@ def _partition_summaries(
         return None
     summaries = []
     for pf in spec_fields:
-        itype = field_types[pf["source-id"]]
+        itype = _transform_result_type(pf["transform"], field_types[pf["source-id"]])
         vals = [e["data_file"]["partition"].get(pf["name"]) for e in entries]
         non_null = [v for v in vals if v is not None]
         if itype == "date":  # stored as epoch-day ints in the tuple
@@ -822,7 +1163,11 @@ def write_iceberg(
         raise ValueError(f"mode {mode!r}: overwrite|append|replace")
     if mode == "replace" and _current_version(table) is None:
         raise ValueError("replace (compaction commit) needs an existing table")
-    partition_cols = list(partition_cols or [])
+    # terms accept hidden-partitioning transforms — "days(ts)",
+    # "bucket(8, id)", "truncate(2, s)" — alongside plain identity columns
+    partition_terms: list[tuple[str, str]] | None = [
+        _parse_partition_term(c) for c in (partition_cols or [])
+    ]
     now_ms = int(time.time() * 1000)
     version = _current_version(table)
     exists = version is not None
@@ -830,13 +1175,17 @@ def write_iceberg(
     meta = load_metadata(table, version) if exists else None
 
     if exists and mode == "append":
-        spec_fields = _partition_spec(meta)
-        spec_cols = [pf["name"] for pf in spec_fields]
-        if partition_cols and partition_cols != spec_cols:
+        spec_nt = [
+            (pf["name"], pf["transform"]) for pf in _partition_spec(meta)
+        ]
+        want_nt = [
+            (_partition_field_name(t, src), t) for t, src in partition_terms
+        ]
+        if want_nt and want_nt != spec_nt:
             raise ValueError(
-                f"append partition_cols {partition_cols} != table spec {spec_cols}"
+                f"append partition spec {want_nt} != table spec {spec_nt}"
             )
-        partition_cols = spec_cols
+        partition_terms = None  # append always adopts the table's own spec
         table_schema = _spark_schema(meta)
         incoming = {f.name: f.dataType for f in df.schema.fields}
         expected = {f.name: f.dataType for f in table_schema.fields}
@@ -884,10 +1233,23 @@ def write_iceberg(
     field_types = {
         f["id"]: f["type"] for f in schema_json["fields"] if isinstance(f["type"], str)
     }
-    for c in partition_cols:
-        if c not in name_to_id:
-            raise KeyError(f"partition column {c!r} not in schema")
-        _avro_partition_type(field_types[name_to_id[c]])  # loud unsupported-type check
+    if partition_terms is None:  # append: adopt the table's spec verbatim
+        want = [
+            (pf["name"], pf["transform"], pf["source-id"])
+            for pf in _partition_spec(meta)
+        ]
+    else:
+        for t, src in partition_terms:
+            if src not in name_to_id:
+                raise KeyError(f"partition column {src!r} not in schema")
+            # loud unsupported-transform/type check before any file lands
+            _avro_partition_type(
+                _transform_result_type(t, field_types[name_to_id[src]])
+            )
+        want = [
+            (_partition_field_name(t, src), t, name_to_id[src])
+            for t, src in partition_terms
+        ]
 
     # partition-spec identity: reuse a prior spec when (name, transform,
     # source-id) match — an overwrite that REPARTITIONS the table gets a new
@@ -896,7 +1258,6 @@ def write_iceberg(
     # silently lose the hive-dir column rederivation)
     prev_specs = list(meta["partition-specs"]) if meta else []
     prev_last_pid = meta["last-partition-id"] if meta else 999
-    want = [(c, "identity", name_to_id[c]) for c in partition_cols]
     matched = next(
         (
             s
@@ -914,18 +1275,22 @@ def write_iceberg(
         spec_id = max((s["spec-id"] for s in prev_specs), default=-1) + 1
         spec_fields = [
             {
-                "name": c,
-                "transform": "identity",
-                "source-id": name_to_id[c],
+                "name": n,
+                "transform": t,
+                "source-id": sid,
                 "field-id": prev_last_pid + 1 + i,
             }
-            for i, c in enumerate(partition_cols)
+            for i, (n, t, sid) in enumerate(want)
         ]
         last_partition_id = prev_last_pid + len(spec_fields)
         prev_specs = prev_specs + [{"spec-id": spec_id, "fields": spec_fields}]
 
     # --- data files -------------------------------------------------------
-    staged = _stage_data_files(df, table, partition_cols)
+    fid_to_name = {v: k for k, v in name_to_id.items()}
+    df_part, part_names = _apply_partition_exprs(
+        df, spec_fields, field_types, fid_to_name
+    )
+    staged = _stage_data_files(df_part, table, part_names)
 
     # --- manifest ---------------------------------------------------------
     name_to_field = {
@@ -934,7 +1299,7 @@ def write_iceberg(
         if isinstance(f["type"], str)
     }
     entries = _data_entries(
-        table, staged, partition_cols, spec_fields, field_types, name_to_field, snap_id
+        table, staged, part_names, spec_fields, field_types, name_to_field, snap_id
     )
     new_manifest = _write_manifest(
         table, f"m-{snap_id}-0.avro", entries, spec_fields, field_types,
@@ -1097,6 +1462,47 @@ def _summary_may_match(summary: dict, itype: str, value) -> bool:
     return _single_value_parse(itype, lo) <= value <= _single_value_parse(itype, hi)
 
 
+def _summary_may_overlap(summary: dict, itype: str, lo, hi) -> bool:
+    """Range version of ``_summary_may_match`` for transform-derived
+    partition ranges: keep the manifest unless its field summary's
+    [lower, upper] is provably disjoint from [lo, hi]."""
+    slo, shi = summary.get("lower_bound"), summary.get("upper_bound")
+    if slo is None or shi is None:
+        return True  # no bounds → conservatively keep
+    smin, smax = _single_value_parse(itype, slo), _single_value_parse(itype, shi)
+    if lo is not None and smax < lo:
+        return False
+    if hi is not None and smin > hi:
+        return False
+    return True
+
+
+def _bucket_value_py(value, source_type: str, n: int):
+    """Driver-side bucket transform for point-lookup pruning — the same
+    Appendix B hash the write-path UDF applies. Returns None when the
+    value's type can't be hashed here (prune conservatively)."""
+    if value is None:
+        return None
+    if source_type == "string":
+        return (_murmur3_32(str(value).encode("utf-8")) & 0x7FFFFFFF) % n
+    if source_type in ("int", "long"):
+        return (_murmur3_32(struct.pack("<q", int(value))) & 0x7FFFFFFF) % n
+    if source_type == "date":
+        d = value
+        if isinstance(d, str):
+            d = datetime.date.fromisoformat(d)
+        days = (d - datetime.date(1970, 1, 1)).days
+        return (_murmur3_32(struct.pack("<q", days)) & 0x7FFFFFFF) % n
+    if source_type in ("timestamp", "timestamptz"):
+        dt = value
+        if isinstance(dt, str):
+            dt = datetime.datetime.fromisoformat(dt)
+        dt = dt.replace(tzinfo=dt.tzinfo or datetime.timezone.utc)
+        micros = int(dt.timestamp() * 1_000_000)
+        return (_murmur3_32(struct.pack("<q", micros)) & 0x7FFFFFFF) % n
+    return None
+
+
 def plan_scan(
     table: str,
     snapshot_id: int | None = None,
@@ -1175,25 +1581,65 @@ def plan_scan(
         )
     specs = {s["spec-id"]: s["fields"] for s in meta["partition-specs"]}
     spec_fields = specs[spec_ids.pop()] if spec_ids else _partition_spec(meta)
-    pf_types = {pf["name"]: field_types[pf["source-id"]] for pf in spec_fields}
+    # pf_types carry the transform RESULT type — what the partition tuple
+    # and field summaries actually store (epoch-day ints for days(ts), ...)
+    pf_types = {
+        pf["name"]: _transform_result_type(
+            pf["transform"], field_types[pf["source-id"]]
+        )
+        for pf in spec_fields
+    }
     partition_filters = dict(partition_filters or {})
     unknown = set(partition_filters) - set(pf_types)
     if unknown:
         raise KeyError(f"partition_filters on non-partition columns: {sorted(unknown)}")
+    # hidden-partition pruning (spec §Partition Transforms): a scan_filter
+    # range on a SOURCE column maps through every order-preserving
+    # transform of that column into a partition-value range — the whole
+    # point of days(ts) layouts is that a time-range read skips files
+    # without the reader naming the partition field. Bucket is not
+    # order-preserving: it prunes only on point lookups (lo == hi).
+    derived_ranges: dict[str, tuple] = {}
+    if scan_filter is not None:
+        fcol, flo, fhi = scan_filter
+        for pf in spec_fields:
+            if fid_to_name.get(pf["source-id"]) != fcol:
+                continue
+            t = pf["transform"]
+            if t.startswith("bucket["):
+                if flo is not None and flo == fhi:
+                    n = int(t[7:-1])
+                    b = _bucket_value_py(
+                        flo, field_types[pf["source-id"]], n
+                    )
+                    if b is not None:
+                        derived_ranges[pf["name"]] = (b, b)
+                continue
+            t_lo = _transform_value(t, flo)
+            t_hi = _transform_value(t, fhi)
+            if t_lo is not None or t_hi is not None:
+                derived_ranges[pf["name"]] = (t_lo, t_hi)
     kept_manifests = []
     for m in manifests:
         summaries = m.get("partitions")
-        if partition_filters and summaries:
+        if (partition_filters or derived_ranges) and summaries:
             drop = False
             for i, pf in enumerate(spec_fields):
-                if pf["name"] in partition_filters and i < len(summaries):
+                if i >= len(summaries):
+                    break
+                itype = pf_types[pf["name"]]
+                if pf["name"] in partition_filters:
                     want = partition_filters[pf["name"]]
-                    itype = pf_types[pf["name"]]
                     if itype == "date" and isinstance(want, str):
                         # _single_value_parse returns datetime.date for
                         # date bounds; compare like with like
                         want = datetime.date.fromisoformat(want)
                     if not _summary_may_match(summaries[i], itype, want):
+                        drop = True
+                        break
+                if pf["name"] in derived_ranges:
+                    t_lo, t_hi = derived_ranges[pf["name"]]
+                    if not _summary_may_overlap(summaries[i], itype, t_lo, t_hi):
                         drop = True
                         break
             if drop:
@@ -1221,6 +1667,23 @@ def plan_scan(
                 if have != want:
                     keep = False
                     break
+            if keep:
+                for col, (t_lo, t_hi) in derived_ranges.items():
+                    have = part.get(col)
+                    if have is None:
+                        # an all-null source partition cannot satisfy a
+                        # range predicate (SQL: NULL fails every bound)
+                        keep = False
+                        break
+                    if pf_types[col] == "date":
+                        have = datetime.date(1970, 1, 1) + datetime.timedelta(
+                            days=have
+                        )
+                    if (t_lo is not None and have < t_lo) or (
+                        t_hi is not None and have > t_hi
+                    ):
+                        keep = False
+                        break
             if keep and scan_filter is not None:
                 col, lo, hi = scan_filter
                 fid = name_to_fid.get(col)
@@ -1247,6 +1710,7 @@ def plan_scan(
         "manifests_read": len(kept_manifests),
         "files_total_in_read": files_total,
         "partition_cols": [pf["name"] for pf in spec_fields],
+        "partition_spec": spec_fields,
     }
 
 
@@ -1744,8 +2208,7 @@ def update_where(
         ]
     )
     spec_fields = _partition_spec(meta)
-    part_cols = [pf["name"] for pf in spec_fields]
-    staged_data = _stage_data_files(new_rows, table, part_cols)
+    staged_data, part_cols = _stage_partitioned(new_rows, table, meta, spec_fields)
     field_types = _field_types(meta)
     schema_json = _schema_by_id(meta)
     name_to_field = {
@@ -1816,9 +2279,8 @@ def merge_iceberg(
         snap_id,
     )
     spec_fields = _partition_spec(meta)
-    part_cols = [pf["name"] for pf in spec_fields]
-    staged_data = _stage_data_files(
-        source.select(*[f.name for f in schema.fields]), table, part_cols
+    staged_data, part_cols = _stage_partitioned(
+        source.select(*[f.name for f in schema.fields]), table, meta, spec_fields
     )
     if not staged_del and sum(s[2]["numRecords"] for s in staged_data) == 0:
         # empty source, no matches: un-publish the (empty) staged files —
@@ -1915,9 +2377,8 @@ def upsert_by_key(
         raise KeyError(f"upsert key columns not in table schema: {unknown}")
     seq, snap_id = _next_ids(meta)
     spec_fields = _partition_spec(meta)
-    part_cols = [pf["name"] for pf in spec_fields]
-    staged_data = _stage_data_files(
-        source.select(*[f.name for f in schema.fields]), table, part_cols
+    staged_data, part_cols = _stage_partitioned(
+        source.select(*[f.name for f in schema.fields]), table, meta, spec_fields
     )
     if sum(s[2]["numRecords"] for s in staged_data) == 0:
         for rel, _size, _stats in staged_data:
@@ -2070,8 +2531,31 @@ def compact_iceberg(
     debt = int(cur["summary"].get("total-position-deletes", 0))
     eq_debt = int(cur["summary"].get("total-equality-deletes", 0))
     df = read_iceberg(spark, table)  # current schema, deletes applied
-    df = df.repartition(*part_cols) if part_cols else df.coalesce(1)
-    snap_id = write_iceberg(df, table, mode="replace", partition_cols=part_cols)
+    spec_fields = plan["partition_spec"]
+    if spec_fields:
+        # co-locate by the partition VALUE (through the transform) so the
+        # rewrite lands ~one file per hidden partition, then round-trip
+        # the spec through its canonical terms
+        from pyspark.sql import functions as F
+
+        field_types = _field_types(meta)
+        fid_to_name = {f["id"]: f["name"] for f in _schema_by_id(meta)["fields"]}
+        parts = [
+            F.col(fid_to_name[pf["source-id"]])
+            if pf["transform"] == "identity"
+            else _partition_expr(
+                pf["transform"],
+                fid_to_name[pf["source-id"]],
+                field_types[pf["source-id"]],
+            )
+            for pf in spec_fields
+        ]
+        df = df.repartition(*parts)
+        terms = _spec_to_terms(spec_fields, fid_to_name)
+    else:
+        df = df.coalesce(1)
+        terms = []
+    snap_id = write_iceberg(df, table, mode="replace", partition_cols=terms)
     return {
         "files_before": len(plan["files"]),
         "files_after": len(plan_scan(table)["files"]),

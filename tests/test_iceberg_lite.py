@@ -265,9 +265,9 @@ def test_append_guards(spark, table):
         write_iceberg(
             _frame(spark, 0, 5).withColumn("extra", F.lit(1)), table, mode="append"
         )
-    with pytest.raises(ValueError, match="partition_cols"):
+    with pytest.raises(ValueError, match="partition spec"):
         write_iceberg(_frame(spark, 0, 5), table, mode="append", partition_cols=["s"])
-    with pytest.raises(NotImplementedError, match="identity partitioning"):
+    with pytest.raises(NotImplementedError, match="partition values"):
         write_iceberg(_frame(spark, 0, 5), table + "_2", partition_cols=["v"])
     with pytest.raises(ValueError, match="mode"):
         write_iceberg(_frame(spark, 0, 5), table, mode="merge")
