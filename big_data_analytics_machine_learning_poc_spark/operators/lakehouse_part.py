@@ -167,3 +167,100 @@ def iceberg_bucket_prune_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spill_to_session_parquet(out, "iceberg_bucket_prune")
     finally:
         shutil.rmtree(table, ignore_errors=True)
+
+
+@REG.add(
+    "iceberg_cdf_audit",
+    sql="""
+    SELECT 'delete' AS change_type, CAST(2 AS BIGINT) AS commit_seq,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(c_custkey) AS BIGINT) AS sum_custkey,
+           CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+             AS acctbal_cents
+    FROM customer WHERE c_custkey % 10 = 3
+    UNION ALL
+    SELECT 'delete', CAST(3 AS BIGINT),
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(c_custkey) AS BIGINT),
+           CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+    FROM customer WHERE c_custkey % 10 = 4
+    UNION ALL
+    SELECT 'insert', CAST(3 AS BIGINT),
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(c_custkey) AS BIGINT),
+           CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+    FROM customer WHERE c_custkey % 10 IN (3, 4)
+    ORDER BY change_type, commit_seq
+    """,
+)
+def iceberg_cdf_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg changelog read (VERDICT r10 ask #2 — CDF parity with
+    ``delta_lite.table_changes``): replay the merge-audit timeline — seq 1
+    bulk load, seq 2 row-level DELETE of the %10=3 keys (position
+    deletes), seq 3 CDC upsert that updates the %10=4 rows (segment →
+    'MERGED') and re-inserts the deleted keys (equality deletes + new
+    files, ZERO target scan at write) — then derive "what changed after
+    seq 1" from the manifests alone via
+    ``iceberg_lite.iceberg_table_changes``: nothing was written for CDF at
+    commit time. The deletes surface with FULL pre-images (the position
+    deletes by re-reading exactly the addressed rows; the equality deletes
+    by keying into the parent-visible state with strictly-older sequence
+    numbers, so the upsert's own re-inserts don't self-delete), and the
+    oracle re-derives every aggregate from the source table alone: seq-2
+    deletes = the %10=3 old images, seq-3 deletes = the %10=4 old images
+    (NOT the %10=3 keys — they had no visible rows), seq-3 inserts = both
+    groups' new images.
+
+    Scale shape: inserts and position-delete pre-images cost O(changed
+    rows); the equality-delete pre-image pass is one distributed semi-join
+    against the parent-visible scan — the same cost as reading the table
+    once, which is what any engine pays to materialize upsert pre-images
+    it never wrote."""
+    import shutil
+    import tempfile
+
+    from ..sources.iceberg_lite import (
+        delete_where,
+        iceberg_table_changes,
+        upsert_by_key,
+        write_iceberg,
+    )
+    from ..streaming.events import spill_to_session_parquet
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    table = tempfile.mkdtemp(prefix="ice_cdf_")
+    try:
+        write_iceberg(cust.repartition(4), table)  # seq 1
+        delete_where(spark, table, "c_custkey % 10 = 3")  # seq 2
+        updates = cust.filter(F.col("c_custkey") % 10 == 4).withColumn(
+            "c_mktsegment", F.lit("MERGED")
+        )
+        reinserts = cust.filter(F.col("c_custkey") % 10 == 3)
+        upsert_by_key(
+            spark,
+            table,
+            updates.unionByName(reinserts).select(
+                "c_custkey", "c_mktsegment", "c_acctbal"
+            ),
+            ["c_custkey"],
+        )  # seq 3
+        out = (
+            iceberg_table_changes(spark, table, from_seq=1)
+            .groupBy(
+                F.col("_change_type").alias("change_type"),
+                F.col("_commit_seq").alias("commit_seq"),
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("c_custkey").alias("sum_custkey"),
+                F.sum(F.round(F.col("c_acctbal") * 100).cast("long")).alias(
+                    "acctbal_cents"
+                ),
+            )
+            .orderBy("change_type", "commit_seq")
+        )
+        return spill_to_session_parquet(out, "iceberg_cdf")
+    finally:
+        shutil.rmtree(table, ignore_errors=True)

@@ -1892,6 +1892,210 @@ def _apply_equality_deletes(spark: SparkSession, df: DataFrame, plan: dict) -> D
 
 
 # ---------------------------------------------------------------------------
+# changelog read (CDF parity with delta_lite.table_changes; VERDICT r10 #2)
+# ---------------------------------------------------------------------------
+
+
+def _snapshot_state(table: str, snap: dict, fid_to_name: dict[int, str]):
+    """One snapshot's full file state from its manifest list: (data files
+    as {path: data_seq}, position delete files as [(path, seq)], equality
+    delete files as [(path, seq, key names)], data spec-id)."""
+    _, all_manifests = avro_lite.read_ocf(_resolve(table, snap["manifest-list"]))
+    files: dict[str, int] = {}
+    pos_dels: list[tuple[str, int]] = []
+    eq_dels: list[tuple[str, int, tuple[str, ...]]] = []
+    spec_id = None
+    for m in all_manifests:
+        _, entries = avro_lite.read_ocf(_resolve(table, m["manifest_path"]))
+        for e in entries:
+            if e["status"] == 2:
+                continue
+            dfile = e["data_file"]
+            eseq = e.get("sequence_number")
+            seq = eseq if eseq is not None else m["sequence_number"]
+            path = _resolve(table, dfile["file_path"])
+            if m["content"] == 0:
+                files[path] = seq
+                spec_id = m["partition_spec_id"]
+            elif dfile["content"] == 2:
+                ids = dfile.get("equality_ids") or []
+                eq_dels.append(
+                    (path, seq, tuple(fid_to_name[i] for i in ids if i in fid_to_name))
+                )
+            else:
+                pos_dels.append((path, seq))
+    return files, pos_dels, eq_dels, spec_id
+
+
+def iceberg_table_changes(
+    spark: SparkSession, table: str, from_seq: int, to_seq: int | None = None
+) -> DataFrame:
+    """Changelog read — CDF parity with ``delta_lite.table_changes``
+    (VERDICT r10 ask #2): emit every row-level change committed by the
+    snapshots with sequence numbers in ``(from_seq, to_seq]`` as table
+    rows plus ``_change_type`` ('insert' | 'delete') and ``_commit_seq``.
+    Nothing was written for this at commit time — changes are DERIVED from
+    each snapshot's own manifests against its parent's, the way Iceberg's
+    changelog scan works:
+
+    - data files the snapshot ADDED → their rows are inserts (an upsert's
+      own new rows outlive its equality deletes by the strict-< rule, so
+      all of them are inserts);
+    - data files the snapshot REMOVED (a full overwrite) → their rows AS
+      VISIBLE AT THE PARENT (parent's delete state applied) are deletes;
+    - position delete files it added → the ADDRESSED rows, re-read from
+      their data files by (file, pos), are deletes (exact pre-images);
+    - equality delete files it added → parent-visible rows matching the
+      keys from STRICTLY OLDER files are deletes (pre-images of an
+      upsert's replaced rows; brand-new keys delete nothing).
+
+    ``replace`` (compaction) snapshots emit nothing — same rows, different
+    files. UPDATE/MERGE surface as delete(old image) + insert(new image)
+    pairs, the same net shape ``delta_lite.snapshot_diff`` yields.
+
+    Scale shape: inserts and position-delete pre-images cost O(changed
+    rows) — only added files and addressed files are read; a full
+    overwrite or an equality-delete batch re-reads the parent's files it
+    invalidated (the delete volume IS the change volume there). All joins
+    are distributed hash joins; the only driver-side data is the O(files)
+    distinct-target list of a position-delete batch. Expired snapshots in
+    range raise (retention-gap honesty, same rule as the streaming tail),
+    except expired compaction ``replace`` snapshots, which never carried
+    change rows."""
+    from pyspark.sql import functions as F
+
+    table = os.path.abspath(table)
+    meta = load_metadata(table)
+    snaps = sorted(meta.get("snapshots", []), key=lambda s: s["sequence-number"])
+    if to_seq is None:
+        to_seq = meta["last-sequence-number"]
+    schema = _spark_schema(meta)
+    cols = [f.name for f in schema.fields]
+    fid_to_name = {f["id"]: f["name"] for f in _schema_by_id(meta)["fields"]}
+    specs = {s["spec-id"]: s["fields"] for s in meta["partition-specs"]}
+    by_id = {s["snapshot-id"]: s for s in snaps}
+    # retention-gap honesty (same contract as the streaming tail)
+    have_seqs = {s["sequence-number"] for s in snaps}
+    missing = set(range(from_seq + 1, to_seq + 1)) - have_seqs
+    if missing:
+        harmless = set(
+            json.loads(meta.get("properties", {}).get(_EXPIRED_REPLACE_KEY, "[]"))
+        )
+        missing -= harmless
+    if missing:
+        raise RuntimeError(
+            f"iceberg_table_changes: snapshots {sorted(missing)} in "
+            f"({from_seq}, {to_seq}] were expired; their changes cannot be "
+            f"replayed — start from the oldest retained sequence or raise "
+            f"the retention window"
+        )
+
+    state_cache: dict[int, tuple] = {}
+
+    def state(snap: dict):
+        sid = snap["snapshot-id"]
+        if sid not in state_cache:
+            state_cache[sid] = _snapshot_state(table, snap, fid_to_name)
+        return state_cache[sid]
+
+    def subplan(files_map: dict, spec_id, pos=(), eq=()):
+        spec_fields = specs.get(spec_id, []) if spec_id is not None else []
+        return {
+            "files": sorted(files_map),
+            "file_seqs": dict(files_map),
+            "delete_files": list(pos),
+            "eq_delete_files": list(eq),
+            "schema": schema,
+            "partition_cols": [pf["name"] for pf in spec_fields],
+        }
+
+    def lift(df: DataFrame, ctype: str, seq: int) -> DataFrame:
+        return df.select(
+            *[F.col(c) for c in cols],
+            F.lit(ctype).alias("_change_type"),
+            F.lit(seq).cast("long").alias("_commit_seq"),
+        )
+
+    pieces: list[DataFrame] = []
+    for snap in snaps:
+        seq = snap["sequence-number"]
+        if not from_seq < seq <= to_seq:
+            continue
+        if snap["summary"]["operation"] == "replace":
+            continue  # compaction: same rows, different files — no change
+        parent = by_id.get(snap.get("parent-snapshot-id"))
+        cur_files, cur_pos, cur_eq, cur_spec = state(snap)
+        if parent is None:
+            par_files, par_pos, par_eq, par_spec = {}, [], [], None
+        else:
+            par_files, par_pos, par_eq, par_spec = state(parent)
+        new_files = {p: s for p, s in cur_files.items() if p not in par_files}
+        removed = {p: s for p, s in par_files.items() if p not in cur_files}
+        new_pos = [t for t in cur_pos if t not in set(par_pos)]
+        new_eq = [t for t in cur_eq if t not in set(par_eq)]
+        if new_files:
+            ins = _scan(spark, table, subplan(new_files, cur_spec))
+            pieces.append(lift(ins, "insert", seq))
+        if removed:
+            # full overwrite: the parent's rows, as the parent served them
+            old = _scan(
+                spark, table, subplan(removed, par_spec, par_pos, par_eq)
+            )
+            pieces.append(lift(old, "delete", seq))
+        if new_pos:
+            dels = spark.read.schema(_POS_DELETE_SCHEMA).parquet(
+                *[p for p, _s in new_pos]
+            )
+            # distinct target list is O(files) — the only driver-side data
+            targets = {
+                r.file_path
+                for r in dels.select("file_path").distinct().collect()
+            }
+            tmap = {p: s for p, s in par_files.items() if p in targets}
+            if len(tmap) != len(targets):
+                raise RuntimeError(
+                    f"position delete targets {sorted(targets - set(tmap))} "
+                    f"not present in the parent snapshot — corrupt changelog"
+                )
+            tdf = _scan(spark, table, subplan(tmap, par_spec), lineage=True)
+            hit = tdf.join(
+                dels,
+                (tdf[_LIN_FILE] == dels["file_path"])
+                & (tdf[_LIN_POS] == dels["pos"]),
+                "left_semi",
+            )
+            pieces.append(lift(hit, "delete", seq))
+        if new_eq:
+            visible = _scan(
+                spark, table, subplan(par_files, par_spec, par_pos, par_eq)
+            )
+            groups: dict[tuple[str, ...], list[str]] = {}
+            for path, _s, names in new_eq:
+                groups.setdefault(names, []).append(path)
+            types = {f.name: f.dataType.simpleString() for f in schema.fields}
+            for names, paths in sorted(groups.items()):
+                key_schema = ", ".join(f"`{n}` {types[n]}" for n in names)
+                keys = (
+                    spark.read.schema(key_schema)
+                    .parquet(*paths)
+                    .select(*[F.col(n).alias(f"_ice_eq_{n}") for n in names])
+                    .distinct()
+                )
+                cond = F.lit(True)
+                for n in names:
+                    cond = cond & F.col(n).eqNullSafe(F.col(f"_ice_eq_{n}"))
+                pre = visible.join(keys, cond, "left_semi")
+                pieces.append(lift(pre, "delete", seq))
+    if not pieces:
+        empty = spark.createDataFrame([], schema)
+        return lift(empty, "insert", 0).limit(0)
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+# ---------------------------------------------------------------------------
 # row-level DML: DELETE / UPDATE / MERGE via position delete files
 # (spec §Position Delete Files; VERDICT r9 ask #1 — delta_lite DML parity)
 # ---------------------------------------------------------------------------

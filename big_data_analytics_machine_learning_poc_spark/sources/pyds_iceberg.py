@@ -10,33 +10,58 @@ batches through the same ``_read_file_batches`` core as the Delta
 connector (so schema-evolution null-fill and typed partition constants
 cannot diverge between the two lakehouse tails).
 
-Append-only contract, same as Delta's streaming source: an ``overwrite``
-snapshot inside the tailed range raises instead of silently replaying
-rewritten rows — EXCEPT the table's very first snapshot (no
-parent-snapshot-id), which is the initial load. Backpressure via
-``maxSnapshotsPerTrigger`` mirrors ``maxCommitsPerTrigger``.
+Two modes:
+
+- **Append-only** (default), same contract as Delta's streaming source:
+  an ``overwrite`` snapshot inside the tailed range raises instead of
+  silently replaying rewritten rows — EXCEPT the table's very first
+  snapshot (no parent-snapshot-id), which is the initial load.
+- **Changelog** (``option("changelog", "true")``, VERDICT r10 ask #2):
+  the output gains ``_change_type`` ('insert' | 'delete') and
+  ``_commit_seq`` columns, and DML snapshots emit change rows instead of
+  raising: added data files → inserts; added position-delete files → the
+  ADDRESSED rows re-read by (file, pos) as delete pre-images; added
+  equality-delete files → KEY-ONLY delete rows (non-key columns null) —
+  the Flink-CDC upsert shape, O(change) with no older-file scan; a
+  consumer materializes by key. Full pre-images for equality deletes need
+  a table scan — use the batch ``iceberg_lite.iceberg_table_changes`` for
+  that. A FULL overwrite (one that drops its parent's files) still
+  raises: replaying it means re-reading the whole removed snapshot, which
+  is a batch job, not a tail.
+
+Backpressure via ``maxSnapshotsPerTrigger`` mirrors
+``maxCommitsPerTrigger``.
 
 Scale shape: offset progression is O(new snapshots); planning a batch
 reads only the manifests the new snapshot ADDED (``added_snapshot_id``
 match), so tailing a 100 TB table costs its ingest rate, not its size.
+Changelog partitions carry only file paths + O(files) partition-value
+constants; the addressed-row reads happen executor-side in Arrow.
 """
 
 from __future__ import annotations
 
 import datetime
 import os
+from dataclasses import dataclass, field
 
-from pyspark.sql.datasource import DataSource, DataSourceStreamReader
-from pyspark.sql.types import StructType
+from pyspark.sql.datasource import DataSource, DataSourceStreamReader, InputPartition
+from pyspark.sql.types import LongType, StringType, StructField, StructType
 
 from . import avro_lite
-from .iceberg_lite import _spark_schema, load_metadata
+from .iceberg_lite import (
+    _resolve,
+    _spark_schema,
+    _transform_result_type,
+    load_metadata,
+)
 from .pyds import DeltaLiteInputPartition, _read_file_batches
 
 
 def _pv_string(itype: str, v) -> str | None:
     """Typed manifest partition value → the hive string encoding
-    ``_read_file_batches``/``_partition_value`` expect."""
+    ``_read_file_batches``/``_partition_value`` expect. ``itype`` is the
+    transform RESULT type (epoch-day ints render as ISO dates)."""
     if v is None:
         return None
     if itype == "date":  # stored as epoch days in the partition tuple
@@ -46,19 +71,39 @@ def _pv_string(itype: str, v) -> str | None:
     return str(v)
 
 
+@dataclass
+class IcebergChangePartition(InputPartition):
+    """A changelog input partition: ``kind`` selects the executor-side
+    read strategy. ``pos_delete`` carries the delete file plus each target
+    data file's identity partition values (the planner has them from the
+    manifests; executors must not re-read metadata)."""
+
+    kind: str  # "insert" | "pos_delete" | "eq_delete"
+    file_path: str
+    seq: int
+    partition_values: dict = field(default_factory=dict)
+    target_pv: dict = field(default_factory=dict)  # pos_delete: file -> pv
+    key_names: tuple = ()  # eq_delete: the key column names
+
+
 class IcebergLiteStreamReader(DataSourceStreamReader):
     def __init__(
         self,
         table: str,
         starting_sequence: int = 0,
         max_snapshots_per_trigger: int | None = None,
+        changelog: bool = False,
     ):
         self.table = table
         self.starting_sequence = starting_sequence
         self.max_snaps = max_snapshots_per_trigger
+        self.changelog = changelog
         self._last_committed = starting_sequence
         meta = load_metadata(table)
         self.full_schema: StructType = _spark_schema(meta)
+        self.out_schema: StructType = (
+            _changelog_schema(self.full_schema) if changelog else self.full_schema
+        )
 
     def initialOffset(self) -> dict:
         # exclusive: the first batch starts AFTER this sequence number
@@ -85,6 +130,10 @@ class IcebergLiteStreamReader(DataSourceStreamReader):
             for f in s["fields"]:
                 if isinstance(f["type"], str):
                     field_types[f["id"]] = f["type"]
+        fid_to_name = {}
+        for s in meta["schemas"]:
+            for f in s["fields"]:
+                fid_to_name[f["id"]] = f["name"]
         specs = {sp["spec-id"]: sp["fields"] for sp in meta["partition-specs"]}
         # loud on retention gaps: sequence numbers are dense (one per
         # snapshot), so any seq in (start, end] missing from the metadata
@@ -119,74 +168,234 @@ class IcebergLiteStreamReader(DataSourceStreamReader):
                 f"tail from the oldest retained snapshot, or raise the "
                 f"retention window"
             )
+
+        def identity_pv(spec_fields, part):
+            # hidden-partition (transform) fields are DERIVED — the source
+            # column lives in the data file itself, so only identity
+            # fields become typed constants; values render under the
+            # transform's RESULT type (epoch-day ints → ISO dates)
+            pv = {}
+            for pf in spec_fields:
+                if pf["transform"] != "identity":
+                    continue
+                pv[pf["name"]] = _pv_string(
+                    _transform_result_type(
+                        pf["transform"], field_types[pf["source-id"]]
+                    ),
+                    part.get(pf["name"]),
+                )
+            return pv
+
         out = []
         for snap in meta.get("snapshots", []):
-            if not start["seq"] < snap["sequence-number"] <= end["seq"]:
+            seq = snap["sequence-number"]
+            if not start["seq"] < seq <= end["seq"]:
                 continue
             op = snap["summary"]["operation"]
             if op == "replace":
                 # compaction: same rows in fewer files — already emitted
                 # from the originals (delta's dataChange=false doctrine)
                 continue
-            if op != "append" and "parent-snapshot-id" in snap:
+            is_dml = op != "append" and "parent-snapshot-id" in snap
+            if is_dml and not self.changelog:
                 raise RuntimeError(
                     f"iceberg_lite stream source is append-only: snapshot "
-                    f"{snap['snapshot-id']} is an {op!r} (rewrites upstream of "
-                    f"a streaming reader need a CDC-aware consumer)"
+                    f"{snap['snapshot-id']} is an {op!r} — tail with "
+                    f"option('changelog', 'true') for a CDC-aware read, or "
+                    f"keep rewrites out of streamed tables"
                 )
             _, manifests = avro_lite.read_ocf(
-                os.path.join(self.table, snap["manifest-list"])
+                _resolve(self.table, snap["manifest-list"])
             )
+            # a FULL overwrite drops parent files: every prior manifest is
+            # absent (all manifests added by this snapshot) while a parent
+            # exists — its removed rows cannot be tailed, changelog or not
+            if (
+                is_dml
+                and self.changelog
+                and all(
+                    m["added_snapshot_id"] == snap["snapshot-id"] for m in manifests
+                )
+            ):
+                raise RuntimeError(
+                    f"iceberg_lite stream: snapshot {snap['snapshot-id']} is a "
+                    f"FULL overwrite — its removed rows are a batch replay, "
+                    f"not a tail; use iceberg_lite.iceberg_table_changes"
+                )
+            # target-file pv map for position deletes (planner-side, from
+            # the carried manifests; executors never read metadata)
+            all_data_pv: dict[str, dict] = {}
+            if self.changelog:
+                for m in manifests:
+                    if m["content"] != 0:
+                        continue
+                    spec_fields = specs[m["partition_spec_id"]]
+                    _, dentries = avro_lite.read_ocf(
+                        _resolve(self.table, m["manifest_path"])
+                    )
+                    for e in dentries:
+                        if e["status"] == 2:
+                            continue
+                        all_data_pv[
+                            _resolve(self.table, e["data_file"]["file_path"])
+                        ] = identity_pv(
+                            spec_fields, e["data_file"].get("partition") or {}
+                        )
             for m in manifests:
                 if m["added_snapshot_id"] != snap["snapshot-id"]:
                     continue  # carried forward from the parent — already emitted
                 spec_fields = specs[m["partition_spec_id"]]
                 _, entries = avro_lite.read_ocf(
-                    os.path.join(self.table, m["manifest_path"])
+                    _resolve(self.table, m["manifest_path"])
                 )
                 for e in entries:
                     if e["status"] != 1:  # only files ADDED by this snapshot
                         continue
-                    part = e["data_file"].get("partition") or {}
-                    pv = {
-                        pf["name"]: _pv_string(
-                            field_types[pf["source-id"]], part.get(pf["name"])
+                    dfile = e["data_file"]
+                    path = _resolve(self.table, dfile["file_path"])
+                    if m["content"] == 0:  # data file → inserts
+                        pv = identity_pv(spec_fields, dfile.get("partition") or {})
+                        if self.changelog:
+                            out.append(
+                                IcebergChangePartition(
+                                    "insert", path, seq, partition_values=pv
+                                )
+                            )
+                        else:
+                            out.append(DeltaLiteInputPartition(path, pv))
+                    elif dfile["content"] == 2:  # equality deletes → keys
+                        ids = dfile.get("equality_ids") or []
+                        out.append(
+                            IcebergChangePartition(
+                                "eq_delete",
+                                path,
+                                seq,
+                                key_names=tuple(fid_to_name[i] for i in ids),
+                            )
                         )
-                        for pf in spec_fields
-                    }
-                    out.append(
-                        DeltaLiteInputPartition(
-                            os.path.join(self.table, e["data_file"]["file_path"]), pv
+                    else:  # position deletes → addressed pre-images
+                        out.append(
+                            IcebergChangePartition(
+                                "pos_delete", path, seq, target_pv=all_data_pv
+                            )
                         )
-                    )
         return out
 
-    def read(self, partition: DeltaLiteInputPartition):
-        yield from _read_file_batches(
-            partition.file_path,
-            self.full_schema.fieldNames(),
-            list(partition.partition_values.keys()),
-            partition.partition_values,
-            self.full_schema,
-        )
+    def read(self, partition):
+        if not self.changelog:
+            yield from _read_file_batches(
+                partition.file_path,
+                self.full_schema.fieldNames(),
+                list(partition.partition_values.keys()),
+                partition.partition_values,
+                self.full_schema,
+            )
+            return
+        yield from _read_change_batches(partition, self.full_schema)
 
     def commit(self, end: dict) -> None:
         self._last_committed = end["seq"]
 
 
+def _changelog_schema(table_schema: StructType) -> StructType:
+    # ALL table columns go nullable: an equality-delete change row carries
+    # only its key columns (Flink-CDC shape), nulls elsewhere — even where
+    # the table schema says required
+    return StructType(
+        [StructField(f.name, f.dataType, True) for f in table_schema.fields]
+        + [
+            StructField("_change_type", StringType(), False),
+            StructField("_commit_seq", LongType(), False),
+        ]
+    )
+
+
+def _read_change_batches(partition: IcebergChangePartition, schema: StructType):
+    """Executor-side changelog read: every yielded Arrow batch is shaped
+    (table columns + _change_type + _commit_seq). ``insert`` streams the
+    data file; ``pos_delete`` reads the delete file, groups addresses by
+    target, and re-reads exactly the addressed rows; ``eq_delete`` emits
+    key-only delete rows (Flink-CDC upsert shape)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark.sql.pandas.types import to_arrow_type
+
+    def stamp(batch: pa.RecordBatch, ctype: str) -> pa.RecordBatch:
+        n = batch.num_rows
+        arrays = list(batch.columns) + [
+            pa.array([ctype] * n, type=pa.string()),
+            pa.array([partition.seq] * n, type=pa.int64()),
+        ]
+        names = list(batch.schema.names) + ["_change_type", "_commit_seq"]
+        return pa.RecordBatch.from_arrays(arrays, names=names)
+
+    if partition.kind == "insert":
+        for batch in _read_file_batches(
+            partition.file_path,
+            schema.fieldNames(),
+            list(partition.partition_values.keys()),
+            partition.partition_values,
+            schema,
+        ):
+            yield stamp(batch, "insert")
+        return
+
+    if partition.kind == "pos_delete":
+        dels = pq.read_table(partition.file_path).to_pydict()
+        by_target: dict[str, list[int]] = {}
+        for f, p in zip(dels["file_path"], dels["pos"]):
+            by_target.setdefault(f, []).append(p)
+        for target, positions in sorted(by_target.items()):
+            pv = partition.target_pv.get(target, {})
+            want = set(positions)
+            row0 = 0
+            for batch in _read_file_batches(
+                target, schema.fieldNames(), list(pv.keys()), pv, schema
+            ):
+                n = batch.num_rows
+                hits = [i for i in range(n) if (row0 + i) in want]
+                if hits:
+                    yield stamp(batch.take(pa.array(hits, type=pa.int64())), "delete")
+                row0 += n
+        return
+
+    if partition.kind == "eq_delete":
+        keys = pq.read_table(partition.file_path)
+        n = keys.num_rows
+        arrays, names = [], []
+        for f in schema.fields:
+            names.append(f.name)
+            if f.name in partition.key_names:
+                col = keys.column(f.name).combine_chunks()
+                arrays.append(col.cast(to_arrow_type(f.dataType)))
+            else:
+                arrays.append(pa.nulls(n, type=to_arrow_type(f.dataType)))
+        yield stamp(pa.RecordBatch.from_arrays(arrays, names=names), "delete")
+        return
+
+    raise ValueError(f"unknown changelog partition kind {partition.kind!r}")
+
+
 class IcebergLiteStreamDataSource(DataSource):
     """Options: ``startingSequence`` (exclusive; default 0 = from the
-    initial load) and ``maxSnapshotsPerTrigger`` (backpressure)."""
+    initial load), ``maxSnapshotsPerTrigger`` (backpressure), and
+    ``changelog`` ('true' adds _change_type/_commit_seq and accepts DML
+    snapshots in the tailed range)."""
 
     @classmethod
     def name(cls) -> str:
         return "iceberg_lite_stream"
 
+    def _changelog(self) -> bool:
+        return str(self.options.get("changelog", "false")).lower() == "true"
+
     def schema(self) -> StructType:
         path = self.options.get("path")
         if not path:
             raise ValueError("iceberg_lite_stream requires a path: .load(<table dir>)")
-        return _spark_schema(load_metadata(path))
+        base = _spark_schema(load_metadata(path))
+        return _changelog_schema(base) if self._changelog() else base
 
     def streamReader(self, schema) -> IcebergLiteStreamReader:
         start = int(self.options.get("startingsequence", 0))
@@ -195,4 +404,5 @@ class IcebergLiteStreamDataSource(DataSource):
             self.options["path"],
             starting_sequence=start,
             max_snapshots_per_trigger=int(ms) if ms is not None else None,
+            changelog=self._changelog(),
         )
