@@ -90,6 +90,12 @@ ALLOWED: dict[str, dict[str, str]] = {
         "nested_loop": "broadcast 5-row sampled query batch for the exact "
         "brute audit baseline (the ANN side under audit is an equi-join)"
     },
+    "ann_ivf_recall_audit": {
+        "nested_loop": "broadcast C=8-row sampled centroid set (coarse "
+        "assignment/probing) + broadcast 5-row query batch for the exact "
+        "brute audit baseline; the IVF candidate path is an equi-join on "
+        "the list id"
+    },
     # Decorrelated scalar subqueries: a one-row aggregate broadcast onto the
     # probe side plans as BroadcastNestedLoopJoin — O(n·1), the DataFrame
     # rendering of SQL's scalar-subquery broadcast, not a quadratic stage.

@@ -1149,6 +1149,7 @@ def write_iceberg(
     table: str,
     mode: str = "overwrite",
     partition_cols: list[str] | None = None,
+    commit_retries: int = 3,
 ) -> int:
     """Commit df to an Iceberg v2 table; returns the new snapshot id.
 
@@ -1158,6 +1159,15 @@ def write_iceberg(
     for a snapshot's content per spec §Snapshots). ``append`` carries the
     previous snapshot's manifest_file records forward unchanged (their
     sequence numbers are theirs) and adds one new manifest.
+
+    Losing the put-if-absent race retries automatically up to
+    ``commit_retries`` times (VERDICT r10 ask #3 — spec-conformant
+    optimistic concurrency: append/append never truly conflicts). Retry is
+    METADATA-ONLY: the staged data files stay where they landed, and only
+    the manifest, manifest list and metadata JSON are rebuilt against the
+    reloaded table — re-validated per mode (schema and, for append, the
+    partition spec must still match; ``replace`` never retries, because
+    its data-unchanged claim was made against a parent that just moved).
     """
     if mode not in ("overwrite", "append", "replace"):
         raise ValueError(f"mode {mode!r}: overwrite|append|replace")
@@ -1165,9 +1175,53 @@ def write_iceberg(
         raise ValueError("replace (compaction commit) needs an existing table")
     # terms accept hidden-partitioning transforms — "days(ts)",
     # "bucket(8, id)", "truncate(2, s)" — alongside plain identity columns
-    partition_terms: list[tuple[str, str]] | None = [
-        _parse_partition_term(c) for c in (partition_cols or [])
-    ]
+    user_terms = [_parse_partition_term(c) for c in (partition_cols or [])]
+    staged = None  # data files land ONCE; retries rebuild metadata only
+    stage_want = None  # the spec tuple the staged hive layout was built for
+    retries_left = commit_retries
+    while True:
+        snap_or_conflict = _write_iceberg_attempt(
+            df, table, mode, user_terms, staged, stage_want
+        )
+        if snap_or_conflict[0] == "ok":
+            return snap_or_conflict[1]
+        # conflict: (kind, list_path, new_manifest_path, staged, stage_want)
+        _k, list_path, man_path, staged, stage_want = snap_or_conflict
+        if mode == "replace" or retries_left <= 0:
+            _unpublish_commit_files(table, list_path, [man_path])
+            raise IcebergCommitConflict(
+                f"{table}: commit lost the race"
+                + (
+                    " and replace (compaction) does not retry — its "
+                    "data-unchanged claim was made against a parent that "
+                    "just moved; re-run compact_iceberg"
+                    if mode == "replace"
+                    else f" {commit_retries + 1} times; giving up"
+                )
+            )
+        # metadata-only retry: drop this attempt's manifest + list, keep
+        # the staged data files, rebuild against the reloaded table
+        with contextlib.suppress(OSError):
+            os.unlink(man_path)
+        with contextlib.suppress(OSError):
+            os.unlink(_resolve(table, list_path))
+        retries_left -= 1
+
+
+def _write_iceberg_attempt(
+    df: DataFrame,
+    table: str,
+    mode: str,
+    user_terms: list[tuple[str, str]],
+    staged,
+    stage_want,
+):
+    """One optimistic attempt: load the pinned table state, validate,
+    stage data files if not already staged, assemble manifests + metadata,
+    put-if-absent. Returns ``("ok", snap_id)`` on success or
+    ``("conflict", list_path, manifest_path, staged, stage_want)`` when
+    the metadata publish lost the race (published data files intact)."""
+    partition_terms: list[tuple[str, str]] | None = list(user_terms)
     now_ms = int(time.time() * 1000)
     version = _current_version(table)
     exists = version is not None
@@ -1285,12 +1339,25 @@ def write_iceberg(
         last_partition_id = prev_last_pid + len(spec_fields)
         prev_specs = prev_specs + [{"spec-id": spec_id, "fields": spec_fields}]
 
-    # --- data files -------------------------------------------------------
-    fid_to_name = {v: k for k, v in name_to_id.items()}
-    df_part, part_names = _apply_partition_exprs(
-        df, spec_fields, field_types, fid_to_name
-    )
-    staged = _stage_data_files(df_part, table, part_names)
+    # --- data files (once — retries reuse the already-landed parquet) -----
+    part_names = [n for n, _t, _sid in want]
+    if staged is None:
+        fid_to_name = {v: k for k, v in name_to_id.items()}
+        df_part, part_names = _apply_partition_exprs(
+            df, spec_fields, field_types, fid_to_name
+        )
+        staged = _stage_data_files(df_part, table, part_names)
+        stage_want = want
+    elif want != stage_want:
+        # the table's spec changed under the retry: the staged hive layout
+        # no longer matches — clean up and surface a true conflict
+        for rel, _size, _stats in staged:
+            with contextlib.suppress(OSError):
+                os.unlink(os.path.join(table, rel))
+        raise IcebergCommitConflict(
+            f"{table}: partition spec changed concurrently "
+            f"({stage_want} -> {want}); staged layout invalid — re-run the write"
+        )
 
     # --- manifest ---------------------------------------------------------
     name_to_field = {
@@ -1419,12 +1486,25 @@ def write_iceberg(
     try:
         _write_metadata(table, new_meta, (version or 0) + 1)
     except IcebergCommitConflict:
-        # losing writer removes what only it published (ADVICE r10 #2)
-        _unpublish_commit_files(
-            table, list_path, [_resolve(table, new_manifest["manifest_path"])]
+        if _current_version(table) == version:
+            # the hint did NOT advance: not a racing commit but an ORPHAN
+            # metadata file from a crashed writer — retrying recomputes the
+            # same version forever; unpublish and surface the recovery path
+            _unpublish_commit_files(
+                table, list_path, [_resolve(table, new_manifest["manifest_path"])]
+            )
+            raise
+        # a real race: hand it back to write_iceberg's retry loop, which
+        # either rebuilds metadata against the reloaded table or — out of
+        # retries — unpublishes what only this writer created (ADVICE r10 #2)
+        return (
+            "conflict",
+            list_path,
+            _resolve(table, new_manifest["manifest_path"]),
+            staged,
+            stage_want,
         )
-        raise
-    return snap_id
+    return ("ok", snap_id)
 
 
 # ---------------------------------------------------------------------------
@@ -1509,6 +1589,7 @@ def plan_scan(
     as_of_timestamp_ms: int | None = None,
     partition_filters: dict | None = None,
     scan_filter: tuple | None = None,
+    pin_schema: bool | None = None,
 ) -> dict:
     """Driver-side scan planning: resolve the snapshot, prune manifests by
     partition field summaries, prune files by partition tuple equality and
@@ -1528,8 +1609,13 @@ def plan_scan(
     # reads current state under the current schema. Snapshot pinning is
     # for TIME TRAVEL, where evolution keeps every referenced schema-id in
     # the metadata so the read gets the shape that snapshot had.
+    # pin_schema default: time travel pins the snapshot's own schema-id;
+    # pin_schema=False lets a DML scan pin the SNAPSHOT (commit
+    # consistency) while reading under the CURRENT schema (ADVICE r9 rule)
     time_travel = snapshot_id is not None or as_of_timestamp_ms is not None
-    schema_id = snap.get("schema-id") if time_travel else meta["current-schema-id"]
+    if pin_schema is None:
+        pin_schema = time_travel
+    schema_id = snap.get("schema-id") if pin_schema else meta["current-schema-id"]
     snap_schema = _schema_by_id(meta, schema_id)
     field_types = {
         f["id"]: f["type"] for f in snap_schema["fields"] if isinstance(f["type"], str)
@@ -2023,16 +2109,42 @@ def iceberg_table_changes(
             continue
         if snap["summary"]["operation"] == "replace":
             continue  # compaction: same rows, different files — no change
-        parent = by_id.get(snap.get("parent-snapshot-id"))
         cur_files, cur_pos, cur_eq, cur_spec = state(snap)
-        if parent is None:
-            par_files, par_pos, par_eq, par_spec = {}, [], [], None
-        else:
-            par_files, par_pos, par_eq, par_spec = state(parent)
-        new_files = {p: s for p, s in cur_files.items() if p not in par_files}
-        removed = {p: s for p, s in par_files.items() if p not in cur_files}
-        new_pos = [t for t in cur_pos if t not in set(par_pos)]
-        new_eq = [t for t in cur_eq if t not in set(par_eq)]
+        # the snapshot's OWN manifest list already encodes the parent
+        # state for append/DML commits (they carry every parent manifest
+        # forward): entries with sequence numbers STRICTLY BELOW this
+        # snapshot's are the parent's, entries AT it are this commit's —
+        # so the diff needs no parent lookup and survives parent expiry
+        par_files = {p: fs for p, fs in cur_files.items() if fs < seq}
+        par_pos = [(p, ds) for p, ds in cur_pos if ds < seq]
+        par_eq = [(p, ds, nm) for p, ds, nm in cur_eq if ds < seq]
+        par_spec = cur_spec
+        new_files = {p: fs for p, fs in cur_files.items() if fs >= seq}
+        new_pos = [(p, ds) for p, ds in cur_pos if ds >= seq]
+        new_eq = [(p, ds, nm) for p, ds, nm in cur_eq if ds >= seq]
+        # removed files (a FULL overwrite drops the parent's manifests)
+        # are the one diff that genuinely needs the parent snapshot
+        removed: dict[str, int] = {}
+        has_parent = "parent-snapshot-id" in snap
+        parent = by_id.get(snap.get("parent-snapshot-id"))
+        if parent is not None:
+            pf, ppos, peq, pspec = state(parent)
+            removed = {p: fs for p, fs in pf.items() if p not in cur_files}
+            if removed:
+                # a full overwrite dropped the parent's delete manifests
+                # from the current list — the removal emission must apply
+                # the PARENT's own delete state, not the carried subset
+                par_pos, par_eq = ppos, peq
+                par_spec = pspec or cur_spec
+        elif has_parent and not par_files:
+            # parent expired AND nothing carried: a full overwrite whose
+            # removed rows are unrecoverable — refuse loudly
+            raise RuntimeError(
+                f"iceberg_table_changes: snapshot {snap['snapshot-id']} "
+                f"(seq {seq}) overwrote a parent that was expired; its "
+                f"removed rows cannot be derived — start from sequence "
+                f"{seq} or later"
+            )
         if new_files:
             ins = _scan(spark, table, subplan(new_files, cur_spec))
             pieces.append(lift(ins, "insert", seq))
@@ -2211,6 +2323,8 @@ def _finish_commit(
     added_records: int,
     pos_deletes_added: int = 0,
     eq_deletes_added: int = 0,
+    rebuild=None,
+    retries: int = 3,
 ) -> int:
     """Write the manifest list, snapshot record and new metadata version
     for a DML commit (manifests already written under ``seq``/``snap_id``).
@@ -2219,70 +2333,125 @@ def _finish_commit(
     SEPARATELY in the summary: position-delete rows subtract 1:1 from
     total-records to give logical rows (the replace guard's arithmetic),
     while an equality-delete KEY may kill 0..N rows, so its total only
-    signals that logical cardinality is no longer metadata-derivable."""
-    now_ms = int(time.time() * 1000)
-    psum = _select_snapshot(meta)["summary"] if meta.get("snapshots") else {}
-    # paths only THIS commit created — unlinked if the commit loses the
-    # race (ADVICE r10 #2: files published before the metadata
-    # put-if-absent were orphaned forever on conflict, since
-    # expire_snapshots only removes files referenced by expired snapshots)
-    carried = {
-        _resolve(table, m["manifest_path"]) for m in _carried_manifests(table, meta)
-    }
-    new_manifests = [
-        _resolve(table, m["manifest_path"])
-        for m in manifests
-        if _resolve(table, m["manifest_path"]) not in carried
-    ]
-    list_path = _write_manifest_list(table, snap_id, manifests)
-    snapshot = {
-        "snapshot-id": snap_id,
-        "sequence-number": seq,
-        "timestamp-ms": now_ms,
-        "manifest-list": list_path,
-        "schema-id": meta["current-schema-id"],
-        "summary": {
-            "operation": operation,
-            "added-data-files": str(added_files),
-            "added-records": str(added_records),
-            "total-records": str(_rows_in(manifests, content=0)),
-            "total-position-deletes": str(
-                int(psum.get("total-position-deletes", 0)) + pos_deletes_added
-            ),
-            "total-equality-deletes": str(
-                int(psum.get("total-equality-deletes", 0)) + eq_deletes_added
-            ),
-        },
-    }
-    parent = meta.get("current-snapshot-id")
-    if parent is not None:
-        snapshot["parent-snapshot-id"] = parent
-    new_meta = dict(
-        meta,
-        **{
-            "last-sequence-number": seq,
-            "last-updated-ms": now_ms,
-            "current-snapshot-id": snap_id,
-            "snapshots": meta.get("snapshots", []) + [snapshot],
-            "snapshot-log": meta.get("snapshot-log", [])
-            + [{"timestamp-ms": now_ms, "snapshot-id": snap_id}],
-            "metadata-log": meta.get("metadata-log", [])
-            + [
-                {
-                    "timestamp-ms": now_ms,
-                    "metadata-file": os.path.join(
-                        "metadata", f"v{version}.metadata.json"
-                    ),
-                }
-            ],
-        },
-    )
-    try:
-        _write_metadata(table, new_meta, version + 1)
-    except IcebergCommitConflict:
-        _unpublish_commit_files(table, list_path, new_manifests)
-        raise
-    return snap_id
+    signals that logical cardinality is no longer metadata-derivable.
+
+    Optimistic retry (VERDICT r10 ask #3): when ``rebuild`` is given and
+    the put-if-absent loses, reload the table, RE-VALIDATE — every
+    intervening snapshot must be an ``append``; a concurrent DML/overwrite
+    may have touched the rows this commit scanned, so that stays a typed
+    conflict — then call ``rebuild(fresh_meta, new_seq, new_snap_id)`` to
+    re-write this commit's own manifests under fresh ids (data and delete
+    FILES are untouched — retry is metadata-only, the spec's commit
+    model), carry the NEW parent's manifests, and re-commit. Under an
+    interleaved append the retried DML keeps snapshot-isolation semantics:
+    the appended rows were not scanned, so a predicate DELETE does not
+    cover them (Iceberg's snapshot isolation level); an equality delete
+    re-sequenced ABOVE the append now covers its keys — CDC
+    last-writer-wins, exactly what a re-run would produce."""
+    base_seq = meta["last-sequence-number"]
+    attempt_manifests = manifests
+    while True:
+        now_ms = int(time.time() * 1000)
+        psum = _select_snapshot(meta)["summary"] if meta.get("snapshots") else {}
+        # paths only THIS commit created — unlinked if the commit loses the
+        # race (ADVICE r10 #2: files published before the metadata
+        # put-if-absent were orphaned forever on conflict, since
+        # expire_snapshots only removes files referenced by expired
+        # snapshots)
+        carried = {
+            _resolve(table, m["manifest_path"])
+            for m in _carried_manifests(table, meta)
+        }
+        new_manifests = [
+            _resolve(table, m["manifest_path"])
+            for m in attempt_manifests
+            if _resolve(table, m["manifest_path"]) not in carried
+        ]
+        list_path = _write_manifest_list(table, snap_id, attempt_manifests)
+        snapshot = {
+            "snapshot-id": snap_id,
+            "sequence-number": seq,
+            "timestamp-ms": now_ms,
+            "manifest-list": list_path,
+            "schema-id": meta["current-schema-id"],
+            "summary": {
+                "operation": operation,
+                "added-data-files": str(added_files),
+                "added-records": str(added_records),
+                "total-records": str(_rows_in(attempt_manifests, content=0)),
+                "total-position-deletes": str(
+                    int(psum.get("total-position-deletes", 0)) + pos_deletes_added
+                ),
+                "total-equality-deletes": str(
+                    int(psum.get("total-equality-deletes", 0)) + eq_deletes_added
+                ),
+            },
+        }
+        parent = meta.get("current-snapshot-id")
+        if parent is not None:
+            snapshot["parent-snapshot-id"] = parent
+        new_meta = dict(
+            meta,
+            **{
+                "last-sequence-number": seq,
+                "last-updated-ms": now_ms,
+                "current-snapshot-id": snap_id,
+                "snapshots": meta.get("snapshots", []) + [snapshot],
+                "snapshot-log": meta.get("snapshot-log", [])
+                + [{"timestamp-ms": now_ms, "snapshot-id": snap_id}],
+                "metadata-log": meta.get("metadata-log", [])
+                + [
+                    {
+                        "timestamp-ms": now_ms,
+                        "metadata-file": os.path.join(
+                            "metadata", f"v{version}.metadata.json"
+                        ),
+                    }
+                ],
+            },
+        )
+        try:
+            _write_metadata(table, new_meta, version + 1)
+            return snap_id
+        except IcebergCommitConflict:
+            fresh = _current_version(table)
+            if rebuild is None or retries <= 0 or fresh == version:
+                # fresh == version: the hint did not advance — an ORPHAN
+                # metadata file (crashed writer), not a racing commit;
+                # retrying recomputes the same version forever
+                _unpublish_commit_files(table, list_path, new_manifests)
+                raise
+            retries -= 1
+            version = fresh
+            meta = load_metadata(table, version)
+            clash = [
+                s
+                for s in meta.get("snapshots", [])
+                if s["sequence-number"] > base_seq
+                and s["summary"]["operation"] != "append"
+            ]
+            if clash:
+                # abort: unlink everything this commit published (the
+                # manifests are still on disk — they go last, after their
+                # entries identify the data/delete files)
+                _unpublish_commit_files(table, list_path, new_manifests)
+                raise IcebergCommitConflict(
+                    f"{table}: concurrent non-append snapshot(s) "
+                    f"{[s['snapshot-id'] for s in clash]} committed since this "
+                    f"{operation} scanned the table — the rows it targeted "
+                    f"may have changed; reload and re-run the operation"
+                ) from None
+            # retriable: drop THIS attempt's manifest list + manifests
+            # only; the data/delete files stay — retry is metadata-only
+            for mpath in new_manifests:
+                with contextlib.suppress(OSError):
+                    os.unlink(mpath)
+            with contextlib.suppress(OSError):
+                os.unlink(_resolve(table, list_path))
+            seq, snap_id = _next_ids(meta)
+            attempt_manifests = _carried_manifests(table, meta) + rebuild(
+                meta, seq, snap_id
+            )
 
 
 def _unpublish_commit_files(
@@ -2333,7 +2502,12 @@ def delete_where(spark: SparkSession, table: str, predicate: str) -> int | None:
     version = _current_version(table)
     meta = load_metadata(table, version)
     seq, snap_id = _next_ids(meta)
-    plan = plan_scan(table)
+    # scan the PINNED snapshot, not a re-read of the hint: a commit landing
+    # between the metadata load and the scan would otherwise make the
+    # position deletes target rows the validation never accounted for
+    plan = plan_scan(
+        table, snapshot_id=meta.get("current-snapshot-id"), pin_schema=False
+    )
     df = _scan(spark, table, plan, lineage=True)
     hits = df.filter(F.expr(predicate)).select(
         F.col(_LIN_FILE).alias("file_path"), F.col(_LIN_POS).alias("pos")
@@ -2342,23 +2516,31 @@ def delete_where(spark: SparkSession, table: str, predicate: str) -> int | None:
     if not staged:
         return None
     spec_fields = _partition_spec(meta)
-    dman = _write_manifest(
-        table,
-        f"m-{snap_id}-0.avro",
-        _pos_delete_entries(staged, spec_fields, snap_id),
-        spec_fields,
-        _field_types(meta),
-        meta["default-spec-id"],
-        _schema_by_id(meta),
-        seq,
-        snap_id,
-        content=1,
+
+    def delete_manifests(m: dict, s: int, sid: int) -> list[dict]:
+        return [
+            _write_manifest(
+                table,
+                f"m-{sid}-0.avro",
+                _pos_delete_entries(staged, spec_fields, sid),
+                spec_fields,
+                _field_types(m),
+                m["default-spec-id"],
+                _schema_by_id(m),
+                s,
+                sid,
+                content=1,
+            )
+        ]
+
+    manifests = _carried_manifests(table, meta) + delete_manifests(
+        meta, seq, snap_id
     )
-    manifests = _carried_manifests(table, meta) + [dman]
     return _finish_commit(
         table, meta, version, seq, snap_id, manifests, "delete",
         added_files=0, added_records=0,
         pos_deletes_added=sum(n for _p, _s, n in staged),
+        rebuild=delete_manifests,
     )
 
 
@@ -2390,7 +2572,12 @@ def update_where(
     if unknown:
         raise KeyError(f"UPDATE targets not in table schema: {unknown}")
     seq, snap_id = _next_ids(meta)
-    plan = plan_scan(table)
+    # scan the PINNED snapshot, not a re-read of the hint: a commit landing
+    # between the metadata load and the scan would otherwise make the
+    # position deletes target rows the validation never accounted for
+    plan = plan_scan(
+        table, snapshot_id=meta.get("current-snapshot-id"), pin_schema=False
+    )
     df = _scan(spark, table, plan, lineage=True)
     # two consumers (delete addresses, then the updated images) — pin the
     # matched frame once or the full table scan + delete anti-joins replay
@@ -2420,29 +2607,34 @@ def update_where(
         for f in schema_json["fields"]
         if isinstance(f["type"], str)
     }
-    data_man = _write_manifest(
-        table,
-        f"m-{snap_id}-0.avro",
-        _data_entries(
-            table, staged_data, part_cols, spec_fields, field_types,
-            name_to_field, snap_id,
-        ),
-        spec_fields, field_types, meta["default-spec-id"], schema_json,
-        seq, snap_id, content=0,
-    )
-    del_man = _write_manifest(
-        table,
-        f"m-{snap_id}-1.avro",
-        _pos_delete_entries(staged_del, spec_fields, snap_id),
-        spec_fields, field_types, meta["default-spec-id"], schema_json,
-        seq, snap_id, content=1,
-    )
-    manifests = _carried_manifests(table, meta) + [data_man, del_man]
+    def update_manifests(m: dict, s: int, sid: int) -> list[dict]:
+        data_man = _write_manifest(
+            table,
+            f"m-{sid}-0.avro",
+            _data_entries(
+                table, staged_data, part_cols, spec_fields, field_types,
+                name_to_field, sid,
+            ),
+            spec_fields, field_types, m["default-spec-id"], schema_json,
+            s, sid, content=0,
+        )
+        del_man = _write_manifest(
+            table,
+            f"m-{sid}-1.avro",
+            _pos_delete_entries(staged_del, spec_fields, sid),
+            spec_fields, field_types, m["default-spec-id"], schema_json,
+            s, sid, content=1,
+        )
+        return [data_man, del_man]
+
+    own = update_manifests(meta, seq, snap_id)
+    manifests = _carried_manifests(table, meta) + own
     return _finish_commit(
         table, meta, version, seq, snap_id, manifests, "overwrite",
         added_files=len(staged_data),
-        added_records=data_man["added_rows_count"],
+        added_records=own[0]["added_rows_count"],
         pos_deletes_added=sum(n for _p, _s, n in staged_del),
+        rebuild=update_manifests,
     )
 
 
@@ -2473,7 +2665,12 @@ def merge_iceberg(
     ]:
         raise ValueError("merge source schema must match the table schema")
     seq, snap_id = _next_ids(meta)
-    plan = plan_scan(table)
+    # scan the PINNED snapshot, not a re-read of the hint: a commit landing
+    # between the metadata load and the scan would otherwise make the
+    # position deletes target rows the validation never accounted for
+    plan = plan_scan(
+        table, snapshot_id=meta.get("current-snapshot-id"), pin_schema=False
+    )
     keys = source.select(*key_cols).distinct()
     df = _scan(spark, table, plan, lineage=True)
     hits = df.join(keys, on=key_cols, how="left_semi")
@@ -2499,34 +2696,39 @@ def merge_iceberg(
         for f in schema_json["fields"]
         if isinstance(f["type"], str)
     }
-    new_manifests = [
-        _write_manifest(
-            table,
-            f"m-{snap_id}-0.avro",
-            _data_entries(
-                table, staged_data, part_cols, spec_fields, field_types,
-                name_to_field, snap_id,
-            ),
-            spec_fields, field_types, meta["default-spec-id"], schema_json,
-            seq, snap_id, content=0,
-        )
-    ]
-    if staged_del:
-        new_manifests.append(
+    def merge_manifests(m: dict, s: int, sid: int) -> list[dict]:
+        out = [
             _write_manifest(
                 table,
-                f"m-{snap_id}-1.avro",
-                _pos_delete_entries(staged_del, spec_fields, snap_id),
-                spec_fields, field_types, meta["default-spec-id"], schema_json,
-                seq, snap_id, content=1,
+                f"m-{sid}-0.avro",
+                _data_entries(
+                    table, staged_data, part_cols, spec_fields, field_types,
+                    name_to_field, sid,
+                ),
+                spec_fields, field_types, m["default-spec-id"], schema_json,
+                s, sid, content=0,
             )
-        )
-    manifests = _carried_manifests(table, meta) + new_manifests
+        ]
+        if staged_del:
+            out.append(
+                _write_manifest(
+                    table,
+                    f"m-{sid}-1.avro",
+                    _pos_delete_entries(staged_del, spec_fields, sid),
+                    spec_fields, field_types, m["default-spec-id"], schema_json,
+                    s, sid, content=1,
+                )
+            )
+        return out
+
+    own = merge_manifests(meta, seq, snap_id)
+    manifests = _carried_manifests(table, meta) + own
     return _finish_commit(
         table, meta, version, seq, snap_id, manifests, "overwrite",
         added_files=len(staged_data),
-        added_records=new_manifests[0]["added_rows_count"],
+        added_records=own[0]["added_rows_count"],
         pos_deletes_added=sum(n for _p, _s, n in staged_del),
+        rebuild=merge_manifests,
     )
 
 
@@ -2598,34 +2800,38 @@ def upsert_by_key(
         for f in schema_json["fields"]
         if isinstance(f["type"], str)
     }
-    new_manifests = [
-        _write_manifest(
-            table,
-            f"m-{snap_id}-0.avro",
-            _data_entries(
-                table, staged_data, part_cols, spec_fields, field_types,
-                name_to_field, snap_id,
+    def upsert_manifests(m: dict, s: int, sid: int) -> list[dict]:
+        return [
+            _write_manifest(
+                table,
+                f"m-{sid}-0.avro",
+                _data_entries(
+                    table, staged_data, part_cols, spec_fields, field_types,
+                    name_to_field, sid,
+                ),
+                spec_fields, field_types, m["default-spec-id"], schema_json,
+                s, sid, content=0,
             ),
-            spec_fields, field_types, meta["default-spec-id"], schema_json,
-            seq, snap_id, content=0,
-        ),
-        _write_manifest(
-            table,
-            f"m-{snap_id}-1.avro",
-            _eq_delete_entries(
-                staged_keys, spec_fields, snap_id,
-                [name_to_id[c] for c in key_cols],
+            _write_manifest(
+                table,
+                f"m-{sid}-1.avro",
+                _eq_delete_entries(
+                    staged_keys, spec_fields, sid,
+                    [name_to_id[c] for c in key_cols],
+                ),
+                spec_fields, field_types, m["default-spec-id"], schema_json,
+                s, sid, content=1,
             ),
-            spec_fields, field_types, meta["default-spec-id"], schema_json,
-            seq, snap_id, content=1,
-        ),
-    ]
-    manifests = _carried_manifests(table, meta) + new_manifests
+        ]
+
+    own = upsert_manifests(meta, seq, snap_id)
+    manifests = _carried_manifests(table, meta) + own
     return _finish_commit(
         table, meta, version, seq, snap_id, manifests, "overwrite",
         added_files=len(staged_data),
-        added_records=new_manifests[0]["added_rows_count"],
+        added_records=own[0]["added_rows_count"],
         eq_deletes_added=sum(n for _p, _s, n in staged_keys),
+        rebuild=upsert_manifests,
     )
 
 

@@ -244,15 +244,28 @@ def _check_tail(table: str, model: _Model, offset: int) -> int:
 # chain is rarely reachable — exactly the schedule that hid the r10
 # properties-wipe stream wedge (review r10 #7). The maintenance tier keeps
 # the tail alive through every sequence, so retention-gap interplay is
-# exercised on every seed.
+# exercised on every seed. "race" (r11) runs an append against a concurrent
+# interloping append — the optimistic retry must land BOTH. The
+# evolve-upsert tier (r11, VERDICT r10 ask #4) hammers the schema-evolution
+# × equality-delete interplay specifically.
 _FULL_MIX = (
-    ["append", "delete", "update", "upsert", "compact", "expire", "evolve", "tail"],
-    [26, 14, 13, 12, 12, 8, 7, 8],
+    ["append", "delete", "update", "upsert", "compact", "expire", "evolve",
+     "tail", "race"],
+    [24, 13, 12, 11, 11, 8, 7, 8, 6],
 )
 _MAINT_MIX = (
     ["append", "compact", "expire", "evolve", "tail"],
     [34, 20, 16, 8, 22],
 )
+_EVOLVE_UPSERT_MIX = (
+    ["append", "upsert", "evolve", "delete", "compact", "race"],
+    [20, 30, 22, 10, 12, 6],
+)
+
+# initial layouts: unpartitioned, identity, and hidden-partitioning
+# transforms (r11) — bucket hashes ids through murmur3, truncate floors
+# them; both exercise derived partition tuples end to end
+_LAYOUTS = (None, ["bucket"], ["bucket(4, id)"], ["truncate(10, id)"])
 
 
 def _run_sequence(spark, seed: int, mix=_FULL_MIX) -> None:
@@ -263,13 +276,12 @@ def _run_sequence(spark, seed: int, mix=_FULL_MIX) -> None:
     stream_alive = True
     evolve_count = 0
     try:
-        # initial load (seq 1): sometimes partitioned by bucket
-        partitioned = rng.random() < 0.5
+        # initial load (seq 1): random layout incl. transform partitioning
         rows = _fresh_rows(model, rng, rng.randrange(2, 6))
         snap = write_iceberg(
             _spark_frame(spark, model, rows),
             table,
-            partition_cols=["bucket"] if partitioned else None,
+            partition_cols=rng.choice(_LAYOUTS),
         )
         for r in rows:
             model.rows[r["id"]] = r
@@ -379,6 +391,50 @@ def _run_sequence(spark, seed: int, mix=_FULL_MIX) -> None:
                 model.cols.append(name)
                 for r in model.rows.values():
                     r.setdefault(name, None)
+            elif op == "race":
+                # two appends race; the loser's optimistic retry must land
+                # BOTH writers' rows (VERDICT r10 ask #3, fuzzed)
+                from big_data_analytics_machine_learning_poc_spark.sources import (
+                    iceberg_lite as _il,
+                )
+
+                main_rows = _fresh_rows(model, rng, rng.randrange(1, 3))
+                side_rows = _fresh_rows(model, rng, rng.randrange(1, 3))
+                real_cv = _il._current_version
+                fired = {"done": False}
+
+                def racing(t, _real=real_cv, _fired=fired, _rows=side_rows):
+                    v = _real(t)
+                    if not _fired["done"]:
+                        _fired["done"] = True
+                        write_iceberg(
+                            _spark_frame(spark, model, _rows), table, mode="append"
+                        )
+                    return v
+
+                _il._current_version = racing
+                try:
+                    snap = write_iceberg(
+                        _spark_frame(spark, model, main_rows), table, mode="append"
+                    )
+                finally:
+                    _il._current_version = real_cv
+                base = meta["last-sequence-number"]
+                snaps_now = load_metadata(table)["snapshots"]
+                assert snaps_now[-1]["snapshot-id"] == snap
+                assert snaps_now[-1]["sequence-number"] == base + 2
+                for r in side_rows:
+                    model.rows[r["id"]] = r
+                model.record_snapshot(
+                    snaps_now[-2]["snapshot-id"], base + 1, "append",
+                    [tuple(r.get(c) for c in model.cols) for r in side_rows],
+                )
+                for r in main_rows:
+                    model.rows[r["id"]] = r
+                model.record_snapshot(
+                    snap, base + 2, "append",
+                    [tuple(r.get(c) for c in model.cols) for r in main_rows],
+                )
             elif op == "tail" and stream_alive:
                 new_offset = _check_tail(table, model, stream_offset)
                 if new_offset == stream_offset and load_metadata(table)[
@@ -395,6 +451,28 @@ def _run_sequence(spark, seed: int, mix=_FULL_MIX) -> None:
             tuple(row) for row in read_iceberg(spark, table).select(*model.cols).collect()
         }
         assert got == model.tuples(), f"seed {seed}: read_iceberg diverged"
+        # ...the changelog replays to the current state (insert minus
+        # delete as multisets == the table) across whatever DML/compact/
+        # evolution interleaving this seed produced, or raises honestly
+        # when a non-replace snapshot in range was expired (r11)
+        from big_data_analytics_machine_learning_poc_spark.sources.iceberg_lite import (
+            iceberg_table_changes,
+        )
+
+        non_replace_expired = any(
+            model.seq_ops[s][0] != "replace" for s in model.expired
+        )
+        if non_replace_expired:
+            with pytest.raises(RuntimeError):
+                iceberg_table_changes(spark, table, 0)
+        else:
+            ch = iceberg_table_changes(spark, table, 0)
+            ins = ch.filter("_change_type = 'insert'").select(*model.cols)
+            dl = ch.filter("_change_type = 'delete'").select(*model.cols)
+            replay = {tuple(r) for r in ins.exceptAll(dl).collect()}
+            assert replay == model.tuples(), (
+                f"seed {seed}: changelog replay diverged"
+            )
         # ...and time travel to up to two random LIVE snapshots reproduces
         # the rows (and width) the table had then
         live = sorted(model.live_snap_ids)
@@ -422,6 +500,14 @@ def test_lifecycle_fuzz_maintenance(spark, seed):
     """DML-free tier: the stream tail survives the whole sequence, so
     every seed exercises compact/expire/append/tail interplay."""
     _run_sequence(spark, seed, mix=_MAINT_MIX)
+
+
+@pytest.mark.parametrize("seed", range(2000, 2006))
+def test_lifecycle_fuzz_evolve_upsert(spark, seed):
+    """Directed tier (VERDICT r10 ask #4): schema evolution interleaved
+    with equality-delete upserts and racing writers — the interplay class
+    the last three rounds' review passes kept finding bugs in."""
+    _run_sequence(spark, seed, mix=_EVOLVE_UPSERT_MIX)
 
 
 @pytest.mark.skipif(

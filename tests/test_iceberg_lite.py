@@ -991,12 +991,12 @@ def test_compaction_noop_checks_per_partition_max(spark, table):
 
 def test_dml_commit_pins_hint_and_load(spark, table, monkeypatch):
     """ADVICE r10 #1 (TOCTOU): a concurrent commit landing between a DML
-    writer's hint read and its metadata load must surface as a typed
-    IcebergCommitConflict — never as a silently-published v(N+2) that
-    drops the intervening snapshot. Simulated by letting the hint read
-    return, then landing a concurrent append before the DML commit
-    finishes: with version pinned to the pre-append hint, put-if-absent
-    collides. The concurrent append's rows must survive intact."""
+    writer's hint read and its metadata load must NEVER be silently
+    dropped by a v(N+2) built from stale metadata. Simulated by letting
+    the hint read return, then landing a concurrent append before the DML
+    commit finishes: the put-if-absent collides, and the optimistic retry
+    (r11) rebuilds against the reloaded table — the append's rows survive
+    AND the delete lands, with the interleaved snapshot in history."""
     from big_data_analytics_machine_learning_poc_spark.sources.iceberg_lite import (
         delete_where,
     )
@@ -1013,12 +1013,29 @@ def test_dml_commit_pins_hint_and_load(spark, table, monkeypatch):
         return v
 
     monkeypatch.setattr(iceberg_lite, "_current_version", racing_hint_read)
-    with pytest.raises(iceberg_lite.IcebergCommitConflict):
-        delete_where(spark, table, "id < 5")
+    assert delete_where(spark, table, "id < 5") is not None
     monkeypatch.setattr(iceberg_lite, "_current_version", real)
-    # the intervening append was NOT lost, and no delete happened
-    assert read_iceberg(spark, table).count() == 30
-    assert read_iceberg(spark, table).filter("id < 5").count() == 5
+    # the intervening append was NOT lost, and the delete applied
+    back = read_iceberg(spark, table)
+    assert back.count() == 25
+    assert back.filter("id < 5").count() == 0
+    assert back.filter("id >= 100").count() == 10
+    ops = [s["operation"] for s in iceberg_lite.snapshots(table)]
+    assert ops == ["overwrite", "append", "delete"]
+    # a zero-retry DML under the same race stays a typed conflict
+    fired["done"] = False
+    monkeypatch.setattr(iceberg_lite, "_current_version", racing_hint_read)
+    import functools
+
+    orig = iceberg_lite._finish_commit
+    monkeypatch.setattr(
+        iceberg_lite, "_finish_commit", functools.partial(orig, retries=0)
+    )
+    with pytest.raises(iceberg_lite.IcebergCommitConflict):
+        delete_where(spark, table, "id >= 100")
+    monkeypatch.setattr(iceberg_lite, "_current_version", real)
+    monkeypatch.setattr(iceberg_lite, "_finish_commit", orig)
+    assert read_iceberg(spark, table).count() == 35  # 25 + second append
 
 
 def _file_census(table):

@@ -1,0 +1,205 @@
+"""Optimistic commit retry (VERDICT r10 ask #3): a writer losing the
+put-if-absent race reloads the table, re-validates, and re-commits —
+METADATA-ONLY (staged data/delete files are reused, never re-staged).
+Append/append never truly conflicts; a DML racing a non-append stays a
+typed IcebergCommitConflict; an orphan metadata file (crashed writer,
+hint not advanced) is never retried.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_analytics_machine_learning_poc_spark.sources import iceberg_lite
+from big_data_analytics_machine_learning_poc_spark.sources.iceberg_lite import (
+    delete_where,
+    read_iceberg,
+    snapshots,
+    upsert_by_key,
+    write_iceberg,
+)
+
+
+@pytest.fixture
+def table():
+    path = tempfile.mkdtemp(prefix="ice_retry_")
+    yield path
+    shutil.rmtree(path, ignore_errors=True)
+
+
+def _frame(spark, lo, hi, v=None):
+    df = spark.range(lo, hi).select(
+        F.col("id"),
+        (F.col("id") % 3).cast("int").alias("b"),
+        (F.col("id") * 1.0).alias("v"),
+    )
+    return df.withColumn("v", F.lit(float(v))) if v is not None else df
+
+
+def _race_once(monkeypatch, table, interloper):
+    """Patch the hint read so the FIRST read against ``table`` triggers
+    ``interloper()`` right after returning — the classic lost-race window
+    between a writer's snapshot of the table and its commit."""
+    real = iceberg_lite._current_version
+    fired = {"done": False}
+
+    def racing(t):
+        v = real(t)
+        if not fired["done"] and os.path.abspath(t) == os.path.abspath(table):
+            fired["done"] = True
+            interloper()
+        return v
+
+    monkeypatch.setattr(iceberg_lite, "_current_version", racing)
+    return lambda: monkeypatch.setattr(iceberg_lite, "_current_version", real)
+
+
+def test_concurrent_appends_both_commit(spark, table, monkeypatch):
+    """Two-writer concurrent append: the loser retries automatically and
+    BOTH writers' rows land — no manual retry, no lost update."""
+    write_iceberg(_frame(spark, 0, 10), table)
+    unpatch = _race_once(
+        monkeypatch,
+        table,
+        lambda: write_iceberg(_frame(spark, 100, 105), table, mode="append"),
+    )
+    assert write_iceberg(_frame(spark, 10, 20), table, mode="append") is not None
+    unpatch()
+    back = read_iceberg(spark, table)
+    assert back.count() == 25
+    assert back.filter("id >= 100").count() == 5
+    assert [s["operation"] for s in snapshots(table)] == [
+        "overwrite", "append", "append",
+    ]
+
+
+def test_append_retry_is_metadata_only(spark, table, monkeypatch):
+    """The retry must reuse the already-landed parquet — one staging pass
+    regardless of conflicts (the spec's commit model: data is immutable,
+    commits are metadata)."""
+    write_iceberg(_frame(spark, 0, 10), table)
+    calls = {"n": 0}
+    real_stage = iceberg_lite._stage_data_files
+
+    def counting_stage(df, t, cols):
+        calls["n"] += 1
+        return real_stage(df, t, cols)
+
+    monkeypatch.setattr(iceberg_lite, "_stage_data_files", counting_stage)
+    unpatch = _race_once(
+        monkeypatch,
+        table,
+        lambda: write_iceberg(_frame(spark, 100, 102), table, mode="append"),
+    )
+    write_iceberg(_frame(spark, 10, 15), table, mode="append")
+    unpatch()
+    # interloper staged once, the retried writer staged once — not twice
+    assert calls["n"] == 2
+    assert read_iceberg(spark, table).count() == 17
+
+
+def test_commit_retries_zero_still_raises(spark, table, monkeypatch):
+    write_iceberg(_frame(spark, 0, 10), table)
+    unpatch = _race_once(
+        monkeypatch,
+        table,
+        lambda: write_iceberg(_frame(spark, 100, 102), table, mode="append"),
+    )
+    with pytest.raises(iceberg_lite.IcebergCommitConflict, match="giving up"):
+        write_iceberg(
+            _frame(spark, 10, 15), table, mode="append", commit_retries=0
+        )
+    unpatch()
+    # loser cleaned up after itself; winner's rows intact
+    assert read_iceberg(spark, table).count() == 12
+
+
+def test_dml_retries_over_concurrent_append(spark, table, monkeypatch):
+    """DELETE racing an APPEND commits under snapshot isolation: the
+    appended rows were not scanned, so the predicate does not touch them;
+    the delete's own targets land exactly once."""
+    write_iceberg(_frame(spark, 0, 20), table)
+    unpatch = _race_once(
+        monkeypatch,
+        table,
+        # the appended rows MATCH the predicate — snapshot isolation says
+        # they survive (they were not in the scanned snapshot)
+        lambda: write_iceberg(_frame(spark, 1000, 1003), table, mode="append"),
+    )
+    assert delete_where(spark, table, "id >= 10") is not None
+    unpatch()
+    back = read_iceberg(spark, table)
+    assert back.filter("id < 1000").count() == 10
+    assert back.filter("id >= 1000").count() == 3
+
+
+def test_dml_true_conflict_raises_and_cleans(spark, table, monkeypatch):
+    """DML racing a non-append (another DML) stays a typed conflict — the
+    rows it scanned may have changed — and the loser unlinks everything it
+    published."""
+    write_iceberg(_frame(spark, 0, 20), table)
+
+    def census():
+        out = set()
+        for root, _d, files in os.walk(table):
+            out.update(os.path.join(root, f) for f in files)
+        return out
+
+    unpatch = _race_once(
+        monkeypatch, table, lambda: delete_where(spark, table, "id = 15")
+    )
+    before = None
+
+    # capture the census as seen just before the loser publishes: the
+    # interloper's delete is part of the expected final state, so take
+    # the census after it fires but before asserting leaks
+    with pytest.raises(iceberg_lite.IcebergCommitConflict, match="non-append"):
+        delete_where(spark, table, "id < 5")
+    unpatch()
+    before = census()
+    back = read_iceberg(spark, table)
+    assert back.count() == 19  # only the interloper's delete applied
+    assert back.filter("id < 5").count() == 5
+    # a later identical delete works and adds files — proving the loser's
+    # cleanup left no wedging state behind
+    assert delete_where(spark, table, "id < 5") is not None
+    assert read_iceberg(spark, table).count() == 14
+    assert census() > before
+
+
+def test_upsert_retry_last_writer_wins(spark, table, monkeypatch):
+    """An upsert retried over a concurrent append re-sequences ABOVE the
+    append, so its equality deletes now cover the appended row's key —
+    exactly what re-running the CDC batch would produce."""
+    write_iceberg(_frame(spark, 0, 10), table)
+    unpatch = _race_once(
+        monkeypatch,
+        table,
+        lambda: write_iceberg(
+            _frame(spark, 5, 6, v=999.0), table, mode="append"
+        ),
+    )
+    assert upsert_by_key(spark, table, _frame(spark, 5, 6, v=-1.0), ["id"]) is not None
+    unpatch()
+    rows = read_iceberg(spark, table).filter("id = 5").collect()
+    assert [(r.id, r.v) for r in rows] == [(5, -1.0)]
+    assert read_iceberg(spark, table).count() == 10
+
+
+def test_orphan_metadata_never_retried(spark, table):
+    """An orphan metadata file (crashed writer — hint NOT advanced) is not
+    a race: retrying recomputes the same version forever, so the commit
+    fails immediately with the recovery pointer."""
+    write_iceberg(_frame(spark, 0, 10), table)
+    v = iceberg_lite._current_version(table)
+    with open(os.path.join(table, "metadata", f"v{v + 1}.metadata.json"), "w") as f:
+        f.write("{}")
+    with pytest.raises(iceberg_lite.IcebergCommitConflict, match="already exists"):
+        write_iceberg(_frame(spark, 10, 20), table, mode="append")
+    assert iceberg_lite.recover_orphan_metadata(table) == [v + 1]
+    assert write_iceberg(_frame(spark, 10, 20), table, mode="append") is not None
