@@ -2639,16 +2639,43 @@ def update_where(
 
 
 def merge_iceberg(
-    spark: SparkSession, table: str, source: DataFrame, key_cols: list[str]
+    spark: SparkSession,
+    table: str,
+    source: DataFrame,
+    key_cols: list[str],
+    when_matched: list[tuple[str | None, object]] | None = None,
+    when_not_matched_insert: bool | str = True,
 ) -> int | None:
-    """Transactional upsert (MERGE ... WHEN MATCHED UPDATE SET * WHEN NOT
-    MATCHED INSERT *), merge-on-read: rows whose key matches ``source``
-    get position deletes for their old images (a semi join on the keys —
-    broadcast when source is small, the CDC-upsert shape), and the whole
-    ``source`` lands as new data files; both publish in ONE snapshot.
-    ``source`` must be unique per key (dedupe upstream — same contract as
-    ``delta_lite.merge_delta``). Returns the new snapshot id, or None for
-    an empty source."""
+    """Transactional MERGE, merge-on-read. The default is upsert-all
+    (``WHEN MATCHED UPDATE SET * WHEN NOT MATCHED INSERT *``): rows whose
+    key matches ``source`` get position deletes for their old images (a
+    semi join on the keys — broadcast when source is small, the CDC-upsert
+    shape), and the whole ``source`` lands as new data files; both publish
+    in ONE snapshot. ``source`` must be unique per key (dedupe upstream —
+    same contract as ``delta_lite.merge_delta``). Returns the new snapshot
+    id, or None when nothing matched and nothing inserts.
+
+    Full WHEN-clause routing (VERDICT r10 ask #8):
+
+    - ``when_matched``: ordered clauses ``(condition, action)`` where
+      ``condition`` is a SQL expression over ``t.<col>`` (target) and
+      ``s.<col>`` (source) or None (always), and ``action`` is either the
+      string ``"delete"`` or ``{"update": {col: expr}}`` with expressions
+      over the same two prefixes. FIRST matching clause wins per row
+      (ANSI MERGE clause-order semantics); matched rows matching no clause
+      are left untouched.
+    - ``when_not_matched_insert``: True (insert all unmatched source
+      rows), False (insert none), or a SQL condition over ``s.<col>``.
+
+    Every action routes to the existing machinery: matched-clause rows'
+    old images become position deletes; update images and accepted
+    inserts become new data files. One pass computes the clause decision
+    AND every clause's update image (vectorized ``when`` chains — no
+    per-clause rescan), checkpointed once for its 1 + #update-clause
+    consumers."""
+    import functools
+    import operator
+
     from pyspark.sql import functions as F
 
     table = os.path.abspath(table)
@@ -2664,6 +2691,21 @@ def merge_iceberg(
         (f.name, f.dataType) for f in schema.fields
     ]:
         raise ValueError("merge source schema must match the table schema")
+    data_cols = [f.name for f in schema.fields]
+    by_name = {f.name: f.dataType for f in schema.fields}
+    if when_matched is None:
+        when_matched = [(None, {"update": {c: f"s.{c}" for c in data_cols}})]
+    for _cond, action in when_matched:
+        if action == "delete":
+            continue
+        if not (isinstance(action, dict) and set(action) == {"update"}):
+            raise ValueError(
+                f"when_matched action must be 'delete' or "
+                f"{{'update': {{col: expr}}}}, got {action!r}"
+            )
+        unknown = sorted(set(action["update"]) - set(data_cols))
+        if unknown:
+            raise KeyError(f"MERGE update targets not in table schema: {unknown}")
     seq, snap_id = _next_ids(meta)
     # scan the PINNED snapshot, not a re-read of the hint: a commit landing
     # between the metadata load and the scan would otherwise make the
@@ -2671,18 +2713,72 @@ def merge_iceberg(
     plan = plan_scan(
         table, snapshot_id=meta.get("current-snapshot-id"), pin_schema=False
     )
-    keys = source.select(*key_cols).distinct()
-    df = _scan(spark, table, plan, lineage=True)
-    hits = df.join(keys, on=key_cols, how="left_semi")
+    src = source.select(*data_cols).localCheckpoint().alias("s")
+    tgt = _scan(spark, table, plan, lineage=True).alias("t")
+    on = functools.reduce(
+        operator.and_,
+        [F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}")) for k in key_cols],
+    )
+    # ONE qualified projection resolves everything before the checkpoint
+    # flattens the aliases: the clause decision (first match wins) and
+    # every update clause's full new image, side by side
+    clause = None
+    for i, (cond, _action) in enumerate(when_matched):
+        c = F.expr(cond) if cond is not None else F.lit(True)
+        clause = F.when(c, F.lit(i)) if clause is None else clause.when(c, F.lit(i))
+    sel = [
+        F.col(f"t.{_LIN_FILE}").alias("_ice_mf"),
+        F.col(f"t.{_LIN_POS}").alias("_ice_mp"),
+        clause.otherwise(F.lit(None)).cast("int").alias("_ice_clause"),
+    ]
+    for i, (_cond, action) in enumerate(when_matched):
+        if action == "delete":
+            continue
+        assigns = action["update"]
+        sel += [
+            F.expr(assigns[c]).cast(by_name[c]).alias(f"_img{i}_{c}")
+            if c in assigns
+            else F.col(f"t.{c}").alias(f"_img{i}_{c}")
+            for c in data_cols
+        ]
+    matched = (
+        tgt.join(src, on, "inner")
+        .select(*sel)
+        .filter(F.col("_ice_clause").isNotNull())
+        .localCheckpoint()
+    )
     staged_del = _stage_delete_files(
-        hits.select(F.col(_LIN_FILE).alias("file_path"), F.col(_LIN_POS).alias("pos")),
+        matched.select(
+            F.col("_ice_mf").alias("file_path"), F.col("_ice_mp").alias("pos")
+        ),
         table,
         snap_id,
     )
+    # new data files = the update clauses' new images + accepted inserts
+    new_frames: list[DataFrame] = []
+    for i, (_cond, action) in enumerate(when_matched):
+        if action == "delete":
+            continue
+        new_frames.append(
+            matched.filter(F.col("_ice_clause") == i).select(
+                *[F.col(f"_img{i}_{c}").alias(c) for c in data_cols]
+            )
+        )
+    if when_not_matched_insert:
+        inserts = src.join(
+            tgt.select(*key_cols), on=key_cols, how="left_anti"
+        ).select(*data_cols)
+        if isinstance(when_not_matched_insert, str):
+            inserts = inserts.filter(F.expr(when_not_matched_insert))
+        new_frames.append(inserts)
+    if new_frames:
+        new_rows = new_frames[0]
+        for fr in new_frames[1:]:
+            new_rows = new_rows.unionByName(fr)
+    else:
+        new_rows = src.limit(0).select(*data_cols)
     spec_fields = _partition_spec(meta)
-    staged_data, part_cols = _stage_partitioned(
-        source.select(*[f.name for f in schema.fields]), table, meta, spec_fields
-    )
+    staged_data, part_cols = _stage_partitioned(new_rows, table, meta, spec_fields)
     if not staged_del and sum(s[2]["numRecords"] for s in staged_data) == 0:
         # empty source, no matches: un-publish the (empty) staged files —
         # never referenced by any manifest, so removal is invisible

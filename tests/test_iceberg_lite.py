@@ -1120,3 +1120,83 @@ def test_seq_map_miss_raises_not_shrinks(spark, table, monkeypatch):
     monkeypatch.setattr(iceberg_lite, "plan_scan", broken_plan)
     with pytest.raises(Exception, match="sequence map"):
         read_iceberg(spark, table).count()
+
+
+def test_merge_when_clauses(spark, table):
+    """VERDICT r10 ask #8: MERGE with ordered WHEN clauses — a conditional
+    DELETE, a conditional UPDATE referencing both sides, first-match-wins,
+    untouched non-matching matches, and a conditional INSERT."""
+    from big_data_analytics_machine_learning_poc_spark.sources.iceberg_lite import (
+        merge_iceberg,
+    )
+
+    write_iceberg(_frame(spark, 0, 20), table)
+    # source: keys 5..24 (5..19 matched, 20..24 new); v carries a signal
+    src = _frame(spark, 5, 25).withColumn("v", F.col("id") * 10.0)
+    snap = merge_iceberg(
+        spark,
+        table,
+        src,
+        ["id"],
+        when_matched=[
+            ("t.id % 5 = 0", "delete"),                      # 5, 10, 15 die
+            ("s.v >= 120", {"update": {"v": "s.v + t.v"}}),  # 12..19 (not %5=0)
+            # matched rows hitting neither clause (6..11 except 10) untouched
+        ],
+        when_not_matched_insert="id >= 22",                  # 22, 23, 24 insert
+    )
+    assert snap is not None
+    back = {r.id: r.v for r in read_iceberg(spark, table).collect()}
+    # deleted by clause 1
+    for k in (5, 10, 15):
+        assert k not in back
+    # updated by clause 2: s.v (10*id) + t.v (1.5*id)
+    for k in (12, 13, 14, 16, 17, 18, 19):
+        assert back[k] == k * 10.0 + k * 1.5
+    # matched, no clause matched -> untouched
+    for k in (6, 7, 8, 9, 11):
+        assert back[k] == k * 1.5
+    # unmatched target rows untouched
+    for k in (0, 1, 2, 3, 4):
+        assert back[k] == k * 1.5
+    # conditional insert
+    for k in (20, 21):
+        assert k not in back
+    for k in (22, 23, 24):
+        assert back[k] == k * 10.0
+    assert len(back) == 20 - 3 + 3
+
+
+def test_merge_clause_validation(spark, table):
+    from big_data_analytics_machine_learning_poc_spark.sources.iceberg_lite import (
+        merge_iceberg,
+    )
+
+    write_iceberg(_frame(spark, 0, 5), table)
+    src = _frame(spark, 0, 3)
+    with pytest.raises(KeyError, match="not in table schema"):
+        merge_iceberg(spark, table, src, ["id"],
+                      when_matched=[(None, {"update": {"nope": "1"}})])
+    with pytest.raises(ValueError, match="action"):
+        merge_iceberg(spark, table, src, ["id"],
+                      when_matched=[(None, {"upsert": {}})])
+
+
+def test_merge_insert_false_and_delete_only(spark, table):
+    """A delete-only MERGE (no inserts, no updates) still commits one
+    snapshot with only a delete manifest added."""
+    from big_data_analytics_machine_learning_poc_spark.sources.iceberg_lite import (
+        merge_iceberg,
+    )
+
+    write_iceberg(_frame(spark, 0, 10), table)
+    src = _frame(spark, 8, 15)
+    snap = merge_iceberg(
+        spark, table, src, ["id"],
+        when_matched=[(None, "delete")],
+        when_not_matched_insert=False,
+    )
+    assert snap is not None
+    back = read_iceberg(spark, table)
+    assert back.count() == 8
+    assert back.filter("id >= 8").count() == 0
