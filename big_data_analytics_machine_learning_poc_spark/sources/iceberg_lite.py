@@ -1304,6 +1304,17 @@ def _write_iceberg_attempt(
             (_partition_field_name(t, src), t, name_to_id[src])
             for t, src in partition_terms
         ]
+        names = [n for n, _t, _sid in want]
+        if len(set(names)) != len(names):
+            # two same-base transforms of one column share the default
+            # field name — the second derived column would silently
+            # overwrite the first's values while the spec claims both
+            # transforms (review r11 #6)
+            dupes = sorted({n for n in names if names.count(n) > 1})
+            raise ValueError(
+                f"partition terms collide on derived field name(s) {dupes}: "
+                f"at most one transform per (kind, column) is supported"
+            )
 
     # partition-spec identity: reuse a prior spec when (name, transform,
     # source-id) match — an overwrite that REPARTITIONS the table gets a new
@@ -2669,10 +2680,15 @@ def merge_iceberg(
 
     Every action routes to the existing machinery: matched-clause rows'
     old images become position deletes; update images and accepted
-    inserts become new data files. One pass computes the clause decision
-    AND every clause's update image (vectorized ``when`` chains — no
-    per-clause rescan), checkpointed once for its 1 + #update-clause
-    consumers."""
+    inserts become new data files. The whole decision is ONE
+    source-preserving (right outer) join — the target is scanned once,
+    matched rows are told apart from inserts by the non-null lineage
+    column, keys compare null-safely on BOTH paths (review r11 #1: a
+    plain-equality anti join would re-insert a NULL-key source row its
+    null-safe match already updated — silent duplication), and the
+    clause decision plus every clause's update image are computed in the
+    same vectorized projection, checkpointed once for all consumers. The
+    checkpoint holds O(matches + |source|) rows, never O(target)."""
     import functools
     import operator
 
@@ -2713,23 +2729,47 @@ def merge_iceberg(
     plan = plan_scan(
         table, snapshot_id=meta.get("current-snapshot-id"), pin_schema=False
     )
-    src = source.select(*data_cols).localCheckpoint().alias("s")
+    # the insert condition evaluates on the BARE source frame (its bare
+    # column names stay unambiguous there; inside the join both sides
+    # carry every name) — the verdict travels into the join as a column
+    if when_not_matched_insert is True:
+        ins_ok = F.lit(True)
+    elif when_not_matched_insert:
+        ins_ok = F.expr(when_not_matched_insert)
+    else:
+        ins_ok = F.lit(False)
+    src = (
+        source.select(*data_cols)
+        .withColumn("_ice_ins_ok", ins_ok)
+        .alias("s")
+    )
     tgt = _scan(spark, table, plan, lineage=True).alias("t")
     on = functools.reduce(
         operator.and_,
         [F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}")) for k in key_cols],
     )
     # ONE qualified projection resolves everything before the checkpoint
-    # flattens the aliases: the clause decision (first match wins) and
-    # every update clause's full new image, side by side
-    clause = None
-    for i, (cond, _action) in enumerate(when_matched):
-        c = F.expr(cond) if cond is not None else F.lit(True)
-        clause = F.when(c, F.lit(i)) if clause is None else clause.when(c, F.lit(i))
+    # flattens the aliases: matched-vs-insert (the lineage column is
+    # non-null exactly for real target rows), the clause decision (first
+    # match wins), every update clause's full new image, and the insert
+    # image, side by side. Right outer join = matched pairs + unmatched
+    # source rows in one target pass; unmatched TARGET rows never enter
+    # the plan (merge-on-read leaves them in their data files).
+    if when_matched:
+        clause = None
+        for i, (cond, _action) in enumerate(when_matched):
+            c = F.expr(cond) if cond is not None else F.lit(True)
+            clause = (
+                F.when(c, F.lit(i)) if clause is None else clause.when(c, F.lit(i))
+            )
+        clause = clause.otherwise(F.lit(None))
+    else:  # insert-only MERGE (review r11 #2): matched rows untouched
+        clause = F.lit(None)
     sel = [
         F.col(f"t.{_LIN_FILE}").alias("_ice_mf"),
         F.col(f"t.{_LIN_POS}").alias("_ice_mp"),
-        clause.otherwise(F.lit(None)).cast("int").alias("_ice_clause"),
+        F.col(f"t.{_LIN_FILE}").isNotNull().alias("_ice_matched"),
+        clause.cast("int").alias("_ice_clause"),
     ]
     for i, (_cond, action) in enumerate(when_matched):
         if action == "delete":
@@ -2741,12 +2781,18 @@ def merge_iceberg(
             else F.col(f"t.{c}").alias(f"_img{i}_{c}")
             for c in data_cols
         ]
-    matched = (
-        tgt.join(src, on, "inner")
+    sel.append(F.col("s._ice_ins_ok").alias("_ice_ins_ok"))
+    sel += [F.col(f"s.{c}").alias(f"_ins_{c}") for c in data_cols]
+    joined = (
+        tgt.join(src, on, "right_outer")
         .select(*sel)
-        .filter(F.col("_ice_clause").isNotNull())
+        .filter(
+            (F.col("_ice_matched") & F.col("_ice_clause").isNotNull())
+            | (~F.col("_ice_matched") & F.col("_ice_ins_ok"))
+        )
         .localCheckpoint()
     )
+    matched = joined.filter("_ice_matched")
     staged_del = _stage_delete_files(
         matched.select(
             F.col("_ice_mf").alias("file_path"), F.col("_ice_mp").alias("pos")
@@ -2754,8 +2800,13 @@ def merge_iceberg(
         table,
         snap_id,
     )
-    # new data files = the update clauses' new images + accepted inserts
-    new_frames: list[DataFrame] = []
+    # new data files = the update clauses' new images + accepted inserts,
+    # all carved out of the ONE checkpointed join result
+    new_frames: list[DataFrame] = [
+        joined.filter(~F.col("_ice_matched")).select(
+            *[F.col(f"_ins_{c}").alias(c) for c in data_cols]
+        )
+    ]
     for i, (_cond, action) in enumerate(when_matched):
         if action == "delete":
             continue
@@ -2764,19 +2815,9 @@ def merge_iceberg(
                 *[F.col(f"_img{i}_{c}").alias(c) for c in data_cols]
             )
         )
-    if when_not_matched_insert:
-        inserts = src.join(
-            tgt.select(*key_cols), on=key_cols, how="left_anti"
-        ).select(*data_cols)
-        if isinstance(when_not_matched_insert, str):
-            inserts = inserts.filter(F.expr(when_not_matched_insert))
-        new_frames.append(inserts)
-    if new_frames:
-        new_rows = new_frames[0]
-        for fr in new_frames[1:]:
-            new_rows = new_rows.unionByName(fr)
-    else:
-        new_rows = src.limit(0).select(*data_cols)
+    new_rows = new_frames[0]
+    for fr in new_frames[1:]:
+        new_rows = new_rows.unionByName(fr)
     spec_fields = _partition_spec(meta)
     staged_data, part_cols = _stage_partitioned(new_rows, table, meta, spec_fields)
     if not staged_del and sum(s[2]["numRecords"] for s in staged_data) == 0:

@@ -101,9 +101,6 @@ class IcebergLiteStreamReader(DataSourceStreamReader):
         self._last_committed = starting_sequence
         meta = load_metadata(table)
         self.full_schema: StructType = _spark_schema(meta)
-        self.out_schema: StructType = (
-            _changelog_schema(self.full_schema) if changelog else self.full_schema
-        )
 
     def initialOffset(self) -> dict:
         # exclusive: the first batch starts AFTER this sequence number
@@ -222,25 +219,8 @@ class IcebergLiteStreamReader(DataSourceStreamReader):
                     f"FULL overwrite — its removed rows are a batch replay, "
                     f"not a tail; use iceberg_lite.iceberg_table_changes"
                 )
-            # target-file pv map for position deletes (planner-side, from
-            # the carried manifests; executors never read metadata)
-            all_data_pv: dict[str, dict] = {}
-            if self.changelog:
-                for m in manifests:
-                    if m["content"] != 0:
-                        continue
-                    spec_fields = specs[m["partition_spec_id"]]
-                    _, dentries = avro_lite.read_ocf(
-                        _resolve(self.table, m["manifest_path"])
-                    )
-                    for e in dentries:
-                        if e["status"] == 2:
-                            continue
-                        all_data_pv[
-                            _resolve(self.table, e["data_file"]["file_path"])
-                        ] = identity_pv(
-                            spec_fields, e["data_file"].get("partition") or {}
-                        )
+            snap_parts = []
+            pos_parts: list[IcebergChangePartition] = []
             for m in manifests:
                 if m["added_snapshot_id"] != snap["snapshot-id"]:
                     continue  # carried forward from the parent — already emitted
@@ -256,16 +236,16 @@ class IcebergLiteStreamReader(DataSourceStreamReader):
                     if m["content"] == 0:  # data file → inserts
                         pv = identity_pv(spec_fields, dfile.get("partition") or {})
                         if self.changelog:
-                            out.append(
+                            snap_parts.append(
                                 IcebergChangePartition(
                                     "insert", path, seq, partition_values=pv
                                 )
                             )
                         else:
-                            out.append(DeltaLiteInputPartition(path, pv))
+                            snap_parts.append(DeltaLiteInputPartition(path, pv))
                     elif dfile["content"] == 2:  # equality deletes → keys
                         ids = dfile.get("equality_ids") or []
-                        out.append(
+                        snap_parts.append(
                             IcebergChangePartition(
                                 "eq_delete",
                                 path,
@@ -274,11 +254,35 @@ class IcebergLiteStreamReader(DataSourceStreamReader):
                             )
                         )
                     else:  # position deletes → addressed pre-images
-                        out.append(
-                            IcebergChangePartition(
-                                "pos_delete", path, seq, target_pv=all_data_pv
-                            )
+                        p = IcebergChangePartition("pos_delete", path, seq)
+                        pos_parts.append(p)
+                        snap_parts.append(p)
+            if pos_parts:
+                # target-file pv map (planner-side, from the carried
+                # manifests; executors never read metadata) — built
+                # LAZILY, only when this snapshot actually added position
+                # deletes (review r11 #3: the eager build cost O(table
+                # files) per snapshot on append-only tails, breaking the
+                # module's own scale claim)
+                all_data_pv: dict[str, dict] = {}
+                for m in manifests:
+                    if m["content"] != 0:
+                        continue
+                    spec_fields = specs[m["partition_spec_id"]]
+                    _, dentries = avro_lite.read_ocf(
+                        _resolve(self.table, m["manifest_path"])
+                    )
+                    for e in dentries:
+                        if e["status"] == 2:
+                            continue
+                        all_data_pv[
+                            _resolve(self.table, e["data_file"]["file_path"])
+                        ] = identity_pv(
+                            spec_fields, e["data_file"].get("partition") or {}
                         )
+                for p in pos_parts:
+                    p.target_pv = all_data_pv
+            out.extend(snap_parts)
         return out
 
     def read(self, partition):
@@ -347,7 +351,17 @@ def _read_change_batches(partition: IcebergChangePartition, schema: StructType):
         for f, p in zip(dels["file_path"], dels["pos"]):
             by_target.setdefault(f, []).append(p)
         for target, positions in sorted(by_target.items()):
-            pv = partition.target_pv.get(target, {})
+            if target not in partition.target_pv:
+                # URI-normalization miss: null-ing the identity partition
+                # columns would emit silently wrong change rows — the same
+                # failure class _attach_data_seq raises on (review r11 #4)
+                raise RuntimeError(
+                    f"iceberg_lite changelog: position-delete target "
+                    f"{target!r} is missing from the planner's file map — "
+                    f"URI normalization mismatch; refusing to emit "
+                    f"pre-images with nulled partition columns"
+                )
+            pv = partition.target_pv[target]
             want = set(positions)
             row0 = 0
             for batch in _read_file_batches(

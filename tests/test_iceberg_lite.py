@@ -1200,3 +1200,53 @@ def test_merge_insert_false_and_delete_only(spark, table):
     back = read_iceberg(spark, table)
     assert back.count() == 8
     assert back.filter("id >= 8").count() == 0
+
+
+def test_merge_null_key_no_duplication(spark, table):
+    """Review r11 #1: a NULL-key source row whose null-safe match updated a
+    NULL-key target row must NOT also be re-inserted by the not-matched
+    path — MERGE emits exactly one image per source row."""
+    from big_data_analytics_machine_learning_poc_spark.sources.iceberg_lite import (
+        merge_iceberg,
+    )
+
+    df = _frame(spark, 0, 5).withColumn(
+        "id", F.when(F.col("id") == 3, F.lit(None)).otherwise(F.col("id"))
+    )
+    write_iceberg(df, table)
+    src = _frame(spark, 2, 5).withColumn(
+        "id", F.when(F.col("id") == 3, F.lit(None)).otherwise(F.col("id"))
+    ).withColumn("v", F.lit(-1.0))
+    assert merge_iceberg(spark, table, src, ["id"]) is not None
+    back = read_iceberg(spark, table)
+    assert back.count() == 5
+    assert back.filter("id is null").count() == 1
+    assert back.filter("id is null").first().v == -1.0
+
+
+def test_merge_insert_only_clause_list(spark, table):
+    """Review r11 #2: when_matched=[] is the insert-only MERGE — matched
+    rows untouched, unmatched source rows inserted, no crash."""
+    from big_data_analytics_machine_learning_poc_spark.sources.iceberg_lite import (
+        merge_iceberg,
+    )
+
+    write_iceberg(_frame(spark, 0, 10), table)
+    src = _frame(spark, 5, 15).withColumn("v", F.lit(-1.0))
+    assert merge_iceberg(spark, table, src, ["id"], when_matched=[]) is not None
+    back = {r.id: r.v for r in read_iceberg(spark, table).collect()}
+    assert len(back) == 15
+    for k in range(10):
+        assert back[k] == k * 1.5  # matched rows untouched
+    for k in range(10, 15):
+        assert back[k] == -1.0
+
+
+def test_duplicate_partition_field_names_refused(spark, table):
+    """Review r11 #6: two same-base transforms of one column collide on
+    the derived field name — refuse loudly at write time."""
+    with pytest.raises(ValueError, match="collide"):
+        write_iceberg(
+            _frame(spark, 0, 5), table,
+            partition_cols=["bucket(4, id)", "bucket(8, id)"],
+        )
