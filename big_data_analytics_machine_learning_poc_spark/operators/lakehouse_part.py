@@ -363,3 +363,93 @@ def iceberg_merge_clauses(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spill_to_session_parquet(out, "iceberg_merge_clauses")
     finally:
         shutil.rmtree(table, ignore_errors=True)
+
+
+@REG.add(
+    "delta_merge_clauses",
+    sql="""
+    WITH final AS (
+      SELECT c_custkey, c_mktsegment, c_acctbal
+      FROM customer WHERE c_custkey % 10 NOT IN (2, 3, 4)
+      UNION ALL
+      SELECT c_custkey, c_mktsegment, ROUND(c_acctbal * 2, 2) + 1000
+      FROM customer
+      WHERE c_custkey % 10 IN (2, 3, 4) AND c_mktsegment <> 'BUILDING'
+      UNION ALL
+      SELECT c_custkey + 1000000, 'NEWSEG', ROUND(c_acctbal * 2, 2)
+      FROM customer WHERE c_custkey % 10 = 7 AND ROUND(c_acctbal * 2, 2) > 0
+    )
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(c_custkey) AS BIGINT) AS sum_custkey,
+           CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+             AS acctbal_cents
+    FROM final
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def delta_merge_clauses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME clause-routed MERGE as ``iceberg_merge_clauses``, on the
+    copy-on-write engine — the two lakehouses share one oracle, so a hash
+    match on both lanes certifies that clause semantics (conditional
+    DELETE over an unconditional both-sides UPDATE, first-match-wins,
+    filtered INSERT) are engine-independent: merge-on-read position
+    deletes and copy-on-write file rewrites produce the identical table.
+
+    Scale shape: one right-outer join decides everything (target read
+    once); only files holding clause-hit rows rewrite — cost follows the
+    match volume, not table size."""
+    import shutil
+    import tempfile
+
+    from ..sources import delta_lite
+    from ..streaming.events import spill_to_session_parquet
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    table = tempfile.mkdtemp(prefix="delta_mrg_")
+    try:
+        delta_lite.write_delta(cust.repartition(4), table)
+        source = (
+            cust.filter((F.col("c_custkey") % 10).isin(2, 3, 4))
+            .select(
+                "c_custkey",
+                "c_mktsegment",
+                F.round(F.col("c_acctbal") * 2, 2).alias("c_acctbal"),
+            )
+            .unionByName(
+                cust.filter(F.col("c_custkey") % 10 == 7).select(
+                    (F.col("c_custkey") + 1000000).alias("c_custkey"),
+                    F.lit("NEWSEG").alias("c_mktsegment"),
+                    F.round(F.col("c_acctbal") * 2, 2).alias("c_acctbal"),
+                )
+            )
+        )
+        delta_lite.merge_delta(
+            spark,
+            table,
+            source,
+            ["c_custkey"],
+            when_matched=[
+                ("t.c_mktsegment = 'BUILDING'", "delete"),
+                (None, {"update": {"c_acctbal": "s.c_acctbal + 1000"}}),
+            ],
+            when_not_matched_insert="c_acctbal > 0",
+        )
+        out = (
+            delta_lite.read_delta(spark, table)
+            .groupBy("c_mktsegment")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("c_custkey").alias("sum_custkey"),
+                F.sum(F.round(F.col("c_acctbal") * 100).cast("long")).alias(
+                    "acctbal_cents"
+                ),
+            )
+            .orderBy("c_mktsegment")
+        )
+        return spill_to_session_parquet(out, "delta_merge_clauses")
+    finally:
+        shutil.rmtree(table, ignore_errors=True)

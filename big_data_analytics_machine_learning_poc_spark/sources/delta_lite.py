@@ -2072,21 +2072,46 @@ def purge_deletion_vectors(spark: SparkSession, table: str) -> int | None:
 
 
 def merge_delta(
-    spark: SparkSession, table: str, source: DataFrame, key_cols: list[str]
+    spark: SparkSession,
+    table: str,
+    source: DataFrame,
+    key_cols: list[str],
+    when_matched: list | None = None,
+    when_not_matched_insert: bool | str = True,
 ) -> int:
-    """Transactional upsert (MERGE ... WHEN MATCHED UPDATE SET * WHEN NOT
-    MATCHED INSERT *), copy-on-write: files holding rows whose key matches
-    ``source`` are rewritten with those rows dropped, the full ``source``
-    lands as new files, and everything publishes in ONE commit — readers
-    see pre-merge XOR post-merge. Only matched files rewrite; the match
-    probe is a semi join on the keys (broadcast when source is small —
-    exactly the CDC-upsert shape: a day's changes into a years-deep
-    table). Returns the committed version.
+    """Transactional MERGE, copy-on-write. Default is upsert-all (``WHEN
+    MATCHED UPDATE SET * WHEN NOT MATCHED INSERT *``): files holding rows
+    whose key matches ``source`` are rewritten with those rows dropped,
+    the update images and inserts land as new files, and everything
+    publishes in ONE commit — readers see pre-merge XOR post-merge. Only
+    matched files rewrite. Returns the committed version.
+
+    Full WHEN-clause routing (r11, parity with ``merge_iceberg``):
+
+    - ``when_matched``: ordered ``(condition, action)`` clauses over
+      ``t.<col>`` / ``s.<col>``; ``action`` is ``"delete"`` or
+      ``{"update": {col: expr}}``; FIRST match wins; matched rows hitting
+      no clause stay untouched. Keys compare with PLAIN equality (ANSI
+      ``ON t.k = s.k``: NULL keys never match — delta_lite's historical
+      contract, vs merge_iceberg's null-safe identity keys; both are
+      self-consistent across their match and insert paths).
+    - ``when_not_matched_insert``: True / False / a SQL condition over the
+      bare source columns.
+
+    The decision is ONE source-preserving right-outer join (target
+    scanned once); matched rows whose key is touched by any clause are
+    dropped from the rewritten keep-side files and re-emitted from the
+    join (old image for untouched-clause rows of a touched key, the
+    clause's new image otherwise), so a key whose target rows split
+    across clause outcomes stays exact.
 
     ``source`` must be unique per key (dedupe upstream — e.g. latest
     change per key via a window): duplicate source keys would all insert,
     like SQL MERGE's multiple-match error, except undetected here because
     detection would cost an extra aggregation job per merge."""
+    import functools
+    import operator
+
     from pyspark.sql import functions as F
 
     active, meta, latest = _replay(table, None)
@@ -2100,43 +2125,164 @@ def merge_delta(
         (f.name, f.dataType) for f in table_schema.fields
     ]:
         raise ValueError("merge source schema must match the table schema")
-    _enforce_constraints(source, meta, "MERGE source")
-    keys = source.select(*key_cols).distinct()
-    snap = read_delta(spark, table).withColumn("_dl_file", F.input_file_name())
-    hits = snap.join(keys, on=key_cols, how="left_semi")
-    affected = _affected_adds(spark, table, active, hits)
+    data_cols = [f.name for f in table_schema.fields]
+    by_name = {f.name: f.dataType for f in table_schema.fields}
+    if when_matched is None:
+        when_matched = [(None, {"update": {c: f"s.{c}" for c in data_cols}})]
+    for _cond, action in when_matched:
+        if action == "delete":
+            continue
+        if not (isinstance(action, dict) and set(action) == {"update"}):
+            raise ValueError(
+                f"when_matched action must be 'delete' or "
+                f"{{'update': {{col: expr}}}}, got {action!r}"
+            )
+        unknown = sorted(set(action["update"]) - set(data_cols))
+        if unknown:
+            raise KeyError(f"MERGE update targets not in table schema: {unknown}")
+    if when_not_matched_insert is True:
+        ins_ok = F.lit(True)
+    elif when_not_matched_insert:
+        ins_ok = F.expr(when_not_matched_insert)
+    else:
+        ins_ok = F.lit(False)
+    src = (
+        source.select(*data_cols).withColumn("_dl_ins_ok", ins_ok).alias("s")
+    )
+    tgt = (
+        read_delta(spark, table)
+        .withColumn("_dl_file", F.input_file_name())
+        .alias("t")
+    )
+    on = functools.reduce(
+        operator.and_,
+        [F.col(f"t.{k}") == F.col(f"s.{k}") for k in key_cols],
+    )
+    if when_matched:
+        clause = None
+        for i, (cond, _action) in enumerate(when_matched):
+            c = F.expr(cond) if cond is not None else F.lit(True)
+            clause = (
+                F.when(c, F.lit(i)) if clause is None else clause.when(c, F.lit(i))
+            )
+        clause = clause.otherwise(F.lit(None))
+    else:
+        clause = F.lit(None)
+    sel = [
+        F.col("t._dl_file").alias("_dl_mfile"),
+        F.col("t._dl_file").isNotNull().alias("_dl_matched"),
+        clause.cast("int").alias("_dl_clause"),
+        F.col("s._dl_ins_ok").alias("_dl_ins_ok"),
+    ]
+    sel += [F.col(f"t.{k}").alias(f"_key_{i}") for i, k in enumerate(key_cols)]
+    sel += [F.col(f"t.{c}").alias(f"_old_{c}") for c in data_cols]
+    sel += [F.col(f"s.{c}").alias(f"_ins_{c}") for c in data_cols]
+    for i, (_cond, action) in enumerate(when_matched):
+        if action == "delete":
+            continue
+        assigns = action["update"]
+        sel += [
+            F.expr(assigns[c]).cast(by_name[c]).alias(f"_img{i}_{c}")
+            if c in assigns
+            else F.col(f"t.{c}").alias(f"_img{i}_{c}")
+            for c in data_cols
+        ]
+    joined = (
+        tgt.join(src, on, "right_outer")
+        .select(*sel)
+        .filter(
+            F.col("_dl_matched") | (~F.col("_dl_matched") & F.col("_dl_ins_ok"))
+        )
+        .localCheckpoint()
+    )
+    pairs = joined.filter("_dl_matched")
+    hit = pairs.filter(F.col("_dl_clause").isNotNull())
+    hit_keys = (
+        hit.select(*[F.col(f"_key_{i}").alias(k) for i, k in enumerate(key_cols)])
+        .distinct()
+        .localCheckpoint()  # consumers: keep-side anti join + re-emit semi
+    )
+    # new rows: inserts, update images, and re-emitted old images of
+    # untouched-clause rows whose KEY another row's clause touched (their
+    # files drop the whole key, so these rows must ride along)
+    new_frames = [
+        joined.filter(~F.col("_dl_matched")).select(
+            *[F.col(f"_ins_{c}").alias(c) for c in data_cols]
+        )
+    ]
+    for i, (_cond, action) in enumerate(when_matched):
+        if action == "delete":
+            continue
+        new_frames.append(
+            pairs.filter(F.col("_dl_clause") == i).select(
+                *[F.col(f"_img{i}_{c}").alias(c) for c in data_cols]
+            )
+        )
+    untouched_of_hit_key = (
+        pairs.filter(F.col("_dl_clause").isNull())
+        .select(
+            *[F.col(f"_key_{i}").alias(k) for i, k in enumerate(key_cols)],
+            *[F.col(f"_old_{c}").alias(f"_old_{c}") for c in data_cols],
+        )
+        .join(hit_keys, on=key_cols, how="left_semi")
+        .select(*[F.col(f"_old_{c}").alias(c) for c in data_cols])
+    )
+    new_frames.append(untouched_of_hit_key)
+    new_rows = new_frames[0]
+    for fr in new_frames[1:]:
+        new_rows = new_rows.unionByName(fr)
+    new_rows = new_rows.localCheckpoint()  # consumers: constraints, CDF, stage
+    _enforce_constraints(new_rows, meta, "MERGE result")
+    affected = _affected_adds(
+        spark, table, active, hit.select(F.col("_dl_mfile").alias("_dl_file"))
+    )
     now_ms = int(time.time() * 1000)
     actions: list[dict] = []
     if _cdf_enabled(meta):
-        # matched old rows are preimages, matched source rows postimages,
-        # unmatched source rows inserts — per key, pairs line up because
-        # the source is unique per key (the function's contract above)
-        tkeys = snap.select(*key_cols).distinct()
-        cdf = (
-            hits.drop("_dl_file")
-            .withColumn(_CDF_COL, F.lit("update_preimage"))
-            .unionByName(
-                source.join(tkeys, on=key_cols, how="left_semi").withColumn(
-                    _CDF_COL, F.lit("update_postimage")
-                )
+        # typed per clause: update clauses emit pre/post image pairs,
+        # delete clauses emit deletes, accepted unmatched rows inserts
+        cdf_frames = [
+            joined.filter(~F.col("_dl_matched")).select(
+                *[F.col(f"_ins_{c}").alias(c) for c in data_cols],
+                F.lit("insert").alias(_CDF_COL),
             )
-            .unionByName(
-                source.join(tkeys, on=key_cols, how="left_anti").withColumn(
-                    _CDF_COL, F.lit("insert")
+        ]
+        for i, (_cond, action) in enumerate(when_matched):
+            rows_i = pairs.filter(F.col("_dl_clause") == i)
+            if action == "delete":
+                cdf_frames.append(
+                    rows_i.select(
+                        *[F.col(f"_old_{c}").alias(c) for c in data_cols],
+                        F.lit("delete").alias(_CDF_COL),
+                    )
                 )
-            )
-        )
+            else:
+                cdf_frames.append(
+                    rows_i.select(
+                        *[F.col(f"_old_{c}").alias(c) for c in data_cols],
+                        F.lit("update_preimage").alias(_CDF_COL),
+                    )
+                )
+                cdf_frames.append(
+                    rows_i.select(
+                        *[F.col(f"_img{i}_{c}").alias(c) for c in data_cols],
+                        F.lit("update_postimage").alias(_CDF_COL),
+                    )
+                )
+        cdf = cdf_frames[0]
+        for fr in cdf_frames[1:]:
+            cdf = cdf.unionByName(fr)
         actions += _stage_cdf(table, meta, cdf)
     if affected:
         # _read_adds applies any deletion vectors — a DV-deleted row must
         # not be resurrected into the rewritten keep-side files
         keep = _read_adds(spark, table, meta, affected).join(
-            keys, on=key_cols, how="left_anti"
+            hit_keys, on=key_cols, how="left_anti"
         )
         actions += _rewrite_files(spark, table, meta, affected, keep, now_ms)
-    # the inserted/updated rows: the whole source, as fresh files
+    # the inserted/updated/re-emitted rows, as fresh files
     # (physical names under column mapping, like every staged write)
-    for rel, size, stats in _stage_files(_to_physical(source, meta), table, partition_cols):
+    for rel, size, stats in _stage_files(_to_physical(new_rows, meta), table, partition_cols):
         actions.append(
             {
                 "add": {

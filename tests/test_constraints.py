@@ -49,8 +49,9 @@ def test_add_validates_existing_and_write_paths_enforce(spark, tmp_path):
     ok = spark.createDataFrame([(4, 100, "d")], "id long, score long, tag string")
     write_delta(ok, table, mode="append")
     assert read_delta(spark, table).count() == 4
-    # merge source enforced
-    with pytest.raises(ValueError, match="MERGE source"):
+    # merge enforced on the rows it would write (result, not raw source:
+    # a clause-filtered source row that never lands cannot violate)
+    with pytest.raises(ValueError, match="MERGE result"):
         merge_delta(spark, table, bad, ["id"])
     # update (both modes) enforced on the CHANGED rows
     with pytest.raises(ValueError, match="UPDATE result"):
