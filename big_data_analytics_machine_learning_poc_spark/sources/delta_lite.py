@@ -2098,12 +2098,15 @@ def merge_delta(
     - ``when_not_matched_insert``: True / False / a SQL condition over the
       bare source columns.
 
-    The decision is ONE source-preserving right-outer join (target
-    scanned once); matched rows whose key is touched by any clause are
-    dropped from the rewritten keep-side files and re-emitted from the
-    join (old image for untouched-clause rows of a touched key, the
-    clause's new image otherwise), so a key whose target rows split
-    across clause outcomes stays exact.
+    Join shape (same doctrine as ``merge_iceberg``): matched pairs come
+    from an INNER join with the source on the build side (broadcast-hash
+    when the source is small — the target is never shuffled full-width);
+    inserts come from a source anti-join against the target's key
+    projection (column-pruned second scan). Matched rows whose key is
+    touched by any clause are dropped from the rewritten keep-side files
+    and re-emitted from the pairs (old image for untouched-clause rows
+    of a touched key, the clause's new image otherwise), so a key whose
+    target rows split across clause outcomes stays exact.
 
     ``source`` must be unique per key (dedupe upstream — e.g. latest
     change per key via a window): duplicate source keys would all insert,
@@ -2140,15 +2143,7 @@ def merge_delta(
         unknown = sorted(set(action["update"]) - set(data_cols))
         if unknown:
             raise KeyError(f"MERGE update targets not in table schema: {unknown}")
-    if when_not_matched_insert is True:
-        ins_ok = F.lit(True)
-    elif when_not_matched_insert:
-        ins_ok = F.expr(when_not_matched_insert)
-    else:
-        ins_ok = F.lit(False)
-    src = (
-        source.select(*data_cols).withColumn("_dl_ins_ok", ins_ok).alias("s")
-    )
+    src = source.select(*data_cols).localCheckpoint().alias("s")
     tgt = (
         read_delta(spark, table)
         .withColumn("_dl_file", F.input_file_name())
@@ -2170,13 +2165,10 @@ def merge_delta(
         clause = F.lit(None)
     sel = [
         F.col("t._dl_file").alias("_dl_mfile"),
-        F.col("t._dl_file").isNotNull().alias("_dl_matched"),
         clause.cast("int").alias("_dl_clause"),
-        F.col("s._dl_ins_ok").alias("_dl_ins_ok"),
     ]
     sel += [F.col(f"t.{k}").alias(f"_key_{i}") for i, k in enumerate(key_cols)]
     sel += [F.col(f"t.{c}").alias(f"_old_{c}") for c in data_cols]
-    sel += [F.col(f"s.{c}").alias(f"_ins_{c}") for c in data_cols]
     for i, (_cond, action) in enumerate(when_matched):
         if action == "delete":
             continue
@@ -2187,29 +2179,40 @@ def merge_delta(
             else F.col(f"t.{c}").alias(f"_img{i}_{c}")
             for c in data_cols
         ]
-    joined = (
-        tgt.join(src, on, "right_outer")
-        .select(*sel)
-        .filter(
-            F.col("_dl_matched") | (~F.col("_dl_matched") & F.col("_dl_ins_ok"))
+    pairs = tgt.join(src, on, "inner").select(*sel).localCheckpoint()
+    # ONE distinct over the matched pairs' keys serves BOTH downstream
+    # consumers: the full key set drives the not-matched anti join
+    # (O(matches), broadcast, exactly consistent with the match by
+    # construction — delta's plain-equality contract means a NULL source
+    # key never matched, so it is never excluded), and its hit-flagged
+    # subset drives the keep-side drop + untouched-row re-emit
+    keys_frame = (
+        pairs.groupBy(
+            *[F.col(f"_key_{i}").alias(k) for i, k in enumerate(key_cols)]
         )
+        .agg(F.max(F.col("_dl_clause").isNotNull()).alias("_dl_key_hit"))
         .localCheckpoint()
     )
-    pairs = joined.filter("_dl_matched")
-    hit = pairs.filter(F.col("_dl_clause").isNotNull())
-    hit_keys = (
-        hit.select(*[F.col(f"_key_{i}").alias(k) for i, k in enumerate(key_cols)])
-        .distinct()
-        .localCheckpoint()  # consumers: keep-side anti join + re-emit semi
+    anti_on = functools.reduce(
+        operator.and_,
+        [F.col(f"s.{k}").eqNullSafe(F.col(f"mk.{k}")) for k in key_cols],
     )
+    inserts = src.join(
+        F.broadcast(keys_frame.alias("mk")), anti_on, "left_anti"
+    ).select(*data_cols)
+    if when_not_matched_insert is True:
+        pass
+    elif when_not_matched_insert:
+        inserts = inserts.filter(F.expr(when_not_matched_insert))
+    else:
+        inserts = inserts.limit(0)
+    hit = pairs.filter(F.col("_dl_clause").isNotNull())
+    hit_keys = keys_frame.filter("_dl_key_hit").select(*key_cols)
     # new rows: inserts, update images, and re-emitted old images of
     # untouched-clause rows whose KEY another row's clause touched (their
     # files drop the whole key, so these rows must ride along)
-    new_frames = [
-        joined.filter(~F.col("_dl_matched")).select(
-            *[F.col(f"_ins_{c}").alias(c) for c in data_cols]
-        )
-    ]
+    inserts = inserts.localCheckpoint()  # consumers: new rows + CDF
+    new_frames = [inserts]
     for i, (_cond, action) in enumerate(when_matched):
         if action == "delete":
             continue
@@ -2242,8 +2245,8 @@ def merge_delta(
         # typed per clause: update clauses emit pre/post image pairs,
         # delete clauses emit deletes, accepted unmatched rows inserts
         cdf_frames = [
-            joined.filter(~F.col("_dl_matched")).select(
-                *[F.col(f"_ins_{c}").alias(c) for c in data_cols],
+            inserts.select(
+                *data_cols,
                 F.lit("insert").alias(_CDF_COL),
             )
         ]

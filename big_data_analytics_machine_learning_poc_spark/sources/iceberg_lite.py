@@ -2680,15 +2680,20 @@ def merge_iceberg(
 
     Every action routes to the existing machinery: matched-clause rows'
     old images become position deletes; update images and accepted
-    inserts become new data files. The whole decision is ONE
-    source-preserving (right outer) join — the target is scanned once,
-    matched rows are told apart from inserts by the non-null lineage
-    column, keys compare null-safely on BOTH paths (review r11 #1: a
-    plain-equality anti join would re-insert a NULL-key source row its
-    null-safe match already updated — silent duplication), and the
-    clause decision plus every clause's update image are computed in the
-    same vectorized projection, checkpointed once for all consumers. The
-    checkpoint holds O(matches + |source|) rows, never O(target)."""
+    inserts become new data files. Join shape (the one real MERGE engines
+    use): matched pairs come from an INNER join with the source on the
+    BUILD side — broadcast-hash when the source is small, so the target
+    is never shuffled full-width; inserts come from a source anti-join
+    against the target's key projection (column-pruned second scan; only
+    key columns ever shuffle). A source-preserving outer join would read
+    the target once but cannot broadcast its preserved side, forcing a
+    full-width target shuffle — the wrong trade at scale (r11 close:
+    shufflebudget caught exactly that). Keys compare NULL-SAFELY on BOTH
+    paths (review r11 #1: a plain-equality anti join would re-insert a
+    NULL-key source row its null-safe match already updated — silent
+    duplication). The clause decision and every clause's update image
+    are computed in one vectorized projection, checkpointed once at
+    O(matches) rows."""
     import functools
     import operator
 
@@ -2729,32 +2734,15 @@ def merge_iceberg(
     plan = plan_scan(
         table, snapshot_id=meta.get("current-snapshot-id"), pin_schema=False
     )
-    # the insert condition evaluates on the BARE source frame (its bare
-    # column names stay unambiguous there; inside the join both sides
-    # carry every name) — the verdict travels into the join as a column
-    if when_not_matched_insert is True:
-        ins_ok = F.lit(True)
-    elif when_not_matched_insert:
-        ins_ok = F.expr(when_not_matched_insert)
-    else:
-        ins_ok = F.lit(False)
-    src = (
-        source.select(*data_cols)
-        .withColumn("_ice_ins_ok", ins_ok)
-        .alias("s")
-    )
+    src = source.select(*data_cols).localCheckpoint().alias("s")
     tgt = _scan(spark, table, plan, lineage=True).alias("t")
     on = functools.reduce(
         operator.and_,
         [F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}")) for k in key_cols],
     )
     # ONE qualified projection resolves everything before the checkpoint
-    # flattens the aliases: matched-vs-insert (the lineage column is
-    # non-null exactly for real target rows), the clause decision (first
-    # match wins), every update clause's full new image, and the insert
-    # image, side by side. Right outer join = matched pairs + unmatched
-    # source rows in one target pass; unmatched TARGET rows never enter
-    # the plan (merge-on-read leaves them in their data files).
+    # flattens the aliases: the clause decision (first match wins) and
+    # every update clause's full new image, side by side
     if when_matched:
         clause = None
         for i, (cond, _action) in enumerate(when_matched):
@@ -2768,9 +2756,9 @@ def merge_iceberg(
     sel = [
         F.col(f"t.{_LIN_FILE}").alias("_ice_mf"),
         F.col(f"t.{_LIN_POS}").alias("_ice_mp"),
-        F.col(f"t.{_LIN_FILE}").isNotNull().alias("_ice_matched"),
         clause.cast("int").alias("_ice_clause"),
     ]
+    sel += [F.col(f"s.{k}").alias(f"_k_{i}") for i, k in enumerate(key_cols)]
     for i, (_cond, action) in enumerate(when_matched):
         if action == "delete":
             continue
@@ -2781,18 +2769,10 @@ def merge_iceberg(
             else F.col(f"t.{c}").alias(f"_img{i}_{c}")
             for c in data_cols
         ]
-    sel.append(F.col("s._ice_ins_ok").alias("_ice_ins_ok"))
-    sel += [F.col(f"s.{c}").alias(f"_ins_{c}") for c in data_cols]
-    joined = (
-        tgt.join(src, on, "right_outer")
-        .select(*sel)
-        .filter(
-            (F.col("_ice_matched") & F.col("_ice_clause").isNotNull())
-            | (~F.col("_ice_matched") & F.col("_ice_ins_ok"))
-        )
-        .localCheckpoint()
-    )
-    matched = joined.filter("_ice_matched")
+    # ALL matched pairs (clause-hit or not): the clause rows drive the
+    # deletes/updates; the key set drives the not-matched anti join
+    pairs = tgt.join(src, on, "inner").select(*sel).localCheckpoint()
+    matched = pairs.filter(F.col("_ice_clause").isNotNull())
     staged_del = _stage_delete_files(
         matched.select(
             F.col("_ice_mf").alias("file_path"), F.col("_ice_mp").alias("pos")
@@ -2800,13 +2780,32 @@ def merge_iceberg(
         table,
         snap_id,
     )
-    # new data files = the update clauses' new images + accepted inserts,
-    # all carved out of the ONE checkpointed join result
-    new_frames: list[DataFrame] = [
-        joined.filter(~F.col("_ice_matched")).select(
-            *[F.col(f"_ins_{c}").alias(c) for c in data_cols]
-        )
-    ]
+    # new data files = the update clauses' new images (from the matched
+    # checkpoint) + accepted inserts. The not-matched set anti-joins the
+    # source against the MATCHED pairs' own source keys — O(matches),
+    # broadcastable, and exactly consistent with the match by
+    # construction (the same rows that matched are the ones excluded;
+    # null-safe so a NULL-key match excludes its NULL-key source row)
+    matched_keys = F.broadcast(
+        pairs.select(
+            *[F.col(f"_k_{i}").alias(f"_mk_{i}") for i in range(len(key_cols))]
+        ).distinct()
+    )
+    anti_on = functools.reduce(
+        operator.and_,
+        [
+            F.col(k).eqNullSafe(F.col(f"_mk_{i}"))
+            for i, k in enumerate(key_cols)
+        ],
+    )
+    inserts = src.join(matched_keys, anti_on, "left_anti").select(*data_cols)
+    if when_not_matched_insert is True:
+        pass
+    elif when_not_matched_insert:
+        inserts = inserts.filter(F.expr(when_not_matched_insert))
+    else:
+        inserts = inserts.limit(0)
+    new_frames: list[DataFrame] = [inserts]
     for i, (_cond, action) in enumerate(when_matched):
         if action == "delete":
             continue
