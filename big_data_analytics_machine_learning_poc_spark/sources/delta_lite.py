@@ -2117,6 +2117,8 @@ def merge_delta(
 
     from pyspark.sql import functions as F
 
+    from . import merge_clauses as mc
+
     active, meta, latest = _replay(table, None)
     _check_writer_protocol(table)
     partition_cols = meta.get("partitionColumns", [])
@@ -2131,18 +2133,8 @@ def merge_delta(
     data_cols = [f.name for f in table_schema.fields]
     by_name = {f.name: f.dataType for f in table_schema.fields}
     if when_matched is None:
-        when_matched = [(None, {"update": {c: f"s.{c}" for c in data_cols}})]
-    for _cond, action in when_matched:
-        if action == "delete":
-            continue
-        if not (isinstance(action, dict) and set(action) == {"update"}):
-            raise ValueError(
-                f"when_matched action must be 'delete' or "
-                f"{{'update': {{col: expr}}}}, got {action!r}"
-            )
-        unknown = sorted(set(action["update"]) - set(data_cols))
-        if unknown:
-            raise KeyError(f"MERGE update targets not in table schema: {unknown}")
+        when_matched = mc.default_upsert_all(data_cols)
+    mc.validate_when_matched(when_matched, data_cols)
     src = source.select(*data_cols).localCheckpoint().alias("s")
     tgt = (
         read_delta(spark, table)
@@ -2153,32 +2145,13 @@ def merge_delta(
         operator.and_,
         [F.col(f"t.{k}") == F.col(f"s.{k}") for k in key_cols],
     )
-    if when_matched:
-        clause = None
-        for i, (cond, _action) in enumerate(when_matched):
-            c = F.expr(cond) if cond is not None else F.lit(True)
-            clause = (
-                F.when(c, F.lit(i)) if clause is None else clause.when(c, F.lit(i))
-            )
-        clause = clause.otherwise(F.lit(None))
-    else:
-        clause = F.lit(None)
     sel = [
         F.col("t._dl_file").alias("_dl_mfile"),
-        clause.cast("int").alias("_dl_clause"),
+        mc.clause_index_column(when_matched).alias("_dl_clause"),
     ]
     sel += [F.col(f"t.{k}").alias(f"_key_{i}") for i, k in enumerate(key_cols)]
     sel += [F.col(f"t.{c}").alias(f"_old_{c}") for c in data_cols]
-    for i, (_cond, action) in enumerate(when_matched):
-        if action == "delete":
-            continue
-        assigns = action["update"]
-        sel += [
-            F.expr(assigns[c]).cast(by_name[c]).alias(f"_img{i}_{c}")
-            if c in assigns
-            else F.col(f"t.{c}").alias(f"_img{i}_{c}")
-            for c in data_cols
-        ]
+    sel += mc.image_projections(when_matched, data_cols, by_name)
     pairs = tgt.join(src, on, "inner").select(*sel).localCheckpoint()
     # ONE distinct over the matched pairs' keys serves BOTH downstream
     # consumers: the full key set drives the not-matched anti join
@@ -2200,27 +2173,14 @@ def merge_delta(
     inserts = src.join(
         F.broadcast(keys_frame.alias("mk")), anti_on, "left_anti"
     ).select(*data_cols)
-    if when_not_matched_insert is True:
-        pass
-    elif when_not_matched_insert:
-        inserts = inserts.filter(F.expr(when_not_matched_insert))
-    else:
-        inserts = inserts.limit(0)
-    hit = pairs.filter(F.col("_dl_clause").isNotNull())
+    inserts = mc.apply_insert_filter(inserts, when_not_matched_insert)
     hit_keys = keys_frame.filter("_dl_key_hit").select(*key_cols)
     # new rows: inserts, update images, and re-emitted old images of
     # untouched-clause rows whose KEY another row's clause touched (their
     # files drop the whole key, so these rows must ride along)
     inserts = inserts.localCheckpoint()  # consumers: new rows + CDF
     new_frames = [inserts]
-    for i, (_cond, action) in enumerate(when_matched):
-        if action == "delete":
-            continue
-        new_frames.append(
-            pairs.filter(F.col("_dl_clause") == i).select(
-                *[F.col(f"_img{i}_{c}").alias(c) for c in data_cols]
-            )
-        )
+    new_frames += mc.update_image_frames(pairs, when_matched, data_cols, "_dl_clause")
     untouched_of_hit_key = (
         pairs.filter(F.col("_dl_clause").isNull())
         .select(
@@ -2231,13 +2191,27 @@ def merge_delta(
         .select(*[F.col(f"_old_{c}").alias(c) for c in data_cols])
     )
     new_frames.append(untouched_of_hit_key)
-    new_rows = new_frames[0]
-    for fr in new_frames[1:]:
-        new_rows = new_rows.unionByName(fr)
+    new_rows = mc.union_all(new_frames)
     new_rows = new_rows.localCheckpoint()  # consumers: constraints, CDF, stage
     _enforce_constraints(new_rows, meta, "MERGE result")
+    # the rewrite set is EVERY file holding ANY row of a clause-hit KEY —
+    # not just the clause-hit rows' files (VERDICT r11 #1, reproduced
+    # duplication: a clause-null row of a hit key living in a file with no
+    # clause-hit row was kept in place AND re-emitted by
+    # untouched_of_hit_key). The keep-side anti join below drops the whole
+    # key from every rewritten file, so the re-emit must cover exactly the
+    # files being rewritten: all files of hit keys.
+    hit_key_rows = pairs.join(
+        F.broadcast(
+            hit_keys.select(
+                *[F.col(k).alias(f"_key_{i}") for i, k in enumerate(key_cols)]
+            )
+        ),
+        on=[f"_key_{i}" for i in range(len(key_cols))],
+        how="left_semi",
+    )
     affected = _affected_adds(
-        spark, table, active, hit.select(F.col("_dl_mfile").alias("_dl_file"))
+        spark, table, active, hit_key_rows.select(F.col("_dl_mfile").alias("_dl_file"))
     )
     now_ms = int(time.time() * 1000)
     actions: list[dict] = []

@@ -2676,7 +2676,10 @@ def merge_iceberg(
       (ANSI MERGE clause-order semantics); matched rows matching no clause
       are left untouched.
     - ``when_not_matched_insert``: True (insert all unmatched source
-      rows), False (insert none), or a SQL condition over ``s.<col>``.
+      rows), False (insert none), or a SQL condition over the BARE source
+      column names (the filter applies to the anti-joined source after
+      projection to plain columns — same contract as ``merge_delta``;
+      ADVICE r11: ``s.``-qualified names may fail to resolve there).
 
     Every action routes to the existing machinery: matched-clause rows'
     old images become position deletes; update images and accepted
@@ -2699,6 +2702,8 @@ def merge_iceberg(
 
     from pyspark.sql import functions as F
 
+    from . import merge_clauses as mc
+
     table = os.path.abspath(table)
     # version FIRST, then load that EXACT version (ADVICE r10 TOCTOU): a
     # hint read + an unpinned load are two reads, and a concurrent commit
@@ -2715,18 +2720,8 @@ def merge_iceberg(
     data_cols = [f.name for f in schema.fields]
     by_name = {f.name: f.dataType for f in schema.fields}
     if when_matched is None:
-        when_matched = [(None, {"update": {c: f"s.{c}" for c in data_cols}})]
-    for _cond, action in when_matched:
-        if action == "delete":
-            continue
-        if not (isinstance(action, dict) and set(action) == {"update"}):
-            raise ValueError(
-                f"when_matched action must be 'delete' or "
-                f"{{'update': {{col: expr}}}}, got {action!r}"
-            )
-        unknown = sorted(set(action["update"]) - set(data_cols))
-        if unknown:
-            raise KeyError(f"MERGE update targets not in table schema: {unknown}")
+        when_matched = mc.default_upsert_all(data_cols)
+    mc.validate_when_matched(when_matched, data_cols)
     seq, snap_id = _next_ids(meta)
     # scan the PINNED snapshot, not a re-read of the hint: a commit landing
     # between the metadata load and the scan would otherwise make the
@@ -2741,34 +2736,17 @@ def merge_iceberg(
         [F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}")) for k in key_cols],
     )
     # ONE qualified projection resolves everything before the checkpoint
-    # flattens the aliases: the clause decision (first match wins) and
-    # every update clause's full new image, side by side
-    if when_matched:
-        clause = None
-        for i, (cond, _action) in enumerate(when_matched):
-            c = F.expr(cond) if cond is not None else F.lit(True)
-            clause = (
-                F.when(c, F.lit(i)) if clause is None else clause.when(c, F.lit(i))
-            )
-        clause = clause.otherwise(F.lit(None))
-    else:  # insert-only MERGE (review r11 #2): matched rows untouched
-        clause = F.lit(None)
+    # flattens the aliases: the clause decision (first match wins, NULL =
+    # untouched — including the insert-only MERGE, review r11 #2) and
+    # every update clause's full new image, side by side (shared surface:
+    # merge_clauses.py, VERDICT r11 #5)
     sel = [
         F.col(f"t.{_LIN_FILE}").alias("_ice_mf"),
         F.col(f"t.{_LIN_POS}").alias("_ice_mp"),
-        clause.cast("int").alias("_ice_clause"),
+        mc.clause_index_column(when_matched).alias("_ice_clause"),
     ]
     sel += [F.col(f"s.{k}").alias(f"_k_{i}") for i, k in enumerate(key_cols)]
-    for i, (_cond, action) in enumerate(when_matched):
-        if action == "delete":
-            continue
-        assigns = action["update"]
-        sel += [
-            F.expr(assigns[c]).cast(by_name[c]).alias(f"_img{i}_{c}")
-            if c in assigns
-            else F.col(f"t.{c}").alias(f"_img{i}_{c}")
-            for c in data_cols
-        ]
+    sel += mc.image_projections(when_matched, data_cols, by_name)
     # ALL matched pairs (clause-hit or not): the clause rows drive the
     # deletes/updates; the key set drives the not-matched anti join
     pairs = tgt.join(src, on, "inner").select(*sel).localCheckpoint()
@@ -2799,24 +2777,12 @@ def merge_iceberg(
         ],
     )
     inserts = src.join(matched_keys, anti_on, "left_anti").select(*data_cols)
-    if when_not_matched_insert is True:
-        pass
-    elif when_not_matched_insert:
-        inserts = inserts.filter(F.expr(when_not_matched_insert))
-    else:
-        inserts = inserts.limit(0)
+    inserts = mc.apply_insert_filter(inserts, when_not_matched_insert)
     new_frames: list[DataFrame] = [inserts]
-    for i, (_cond, action) in enumerate(when_matched):
-        if action == "delete":
-            continue
-        new_frames.append(
-            matched.filter(F.col("_ice_clause") == i).select(
-                *[F.col(f"_img{i}_{c}").alias(c) for c in data_cols]
-            )
-        )
-    new_rows = new_frames[0]
-    for fr in new_frames[1:]:
-        new_rows = new_rows.unionByName(fr)
+    new_frames += mc.update_image_frames(
+        matched, when_matched, data_cols, "_ice_clause"
+    )
+    new_rows = mc.union_all(new_frames)
     spec_fields = _partition_spec(meta)
     staged_data, part_cols = _stage_partitioned(new_rows, table, meta, spec_fields)
     if not staged_del and sum(s[2]["numRecords"] for s in staged_data) == 0:

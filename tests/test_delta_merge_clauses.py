@@ -96,6 +96,60 @@ def test_delta_merge_untouched_rows_of_hit_key_survive(spark, table):
     assert read_delta(spark, table).count() == 5
 
 
+def test_delta_merge_hit_key_split_across_files(spark, table):
+    """VERDICT r11 #1 (reproduced duplication): a hit key whose rows live
+    in TWO files — one row hits a conditional clause (file A), its twin
+    matches no clause (file B). The rewrite set must cover BOTH files:
+    with only file A rewritten, the twin survives in place in file B AND
+    is re-emitted by the untouched-of-hit-key path, silently duplicating
+    it. Two separate appends guarantee the split (no coalesce(1))."""
+    write_delta(_frame(spark, 0, 4).coalesce(1), table)  # id=2 v=3.0, file A
+    write_delta(
+        _frame(spark, 2, 3).withColumn("v", F.lit(500.0)).coalesce(1),
+        table,
+        mode="append",
+    )  # id=2 v=500.0, file B
+    src = _frame(spark, 2, 3).withColumn("v", F.lit(-1.0))
+    merge_delta(
+        spark,
+        table,
+        src,
+        ["id"],
+        when_matched=[("t.v < 100", {"update": {"v": "s.v"}})],
+        when_not_matched_insert=False,
+    )
+    rows = sorted(
+        (r.id, r.v) for r in read_delta(spark, table).filter("id = 2").collect()
+    )
+    assert rows == [(2, -1.0), (2, 500.0)]
+    assert read_delta(spark, table).count() == 5
+
+
+def test_delta_merge_hit_key_split_files_with_delete_clause(spark, table):
+    """Same two-file split, delete clause: the conditional delete kills
+    the file-A row; the file-B twin must survive exactly once."""
+    write_delta(_frame(spark, 0, 4).coalesce(1), table)
+    write_delta(
+        _frame(spark, 2, 3).withColumn("v", F.lit(500.0)).coalesce(1),
+        table,
+        mode="append",
+    )
+    src = _frame(spark, 2, 3).withColumn("v", F.lit(-1.0))
+    merge_delta(
+        spark,
+        table,
+        src,
+        ["id"],
+        when_matched=[("t.v < 100", "delete")],
+        when_not_matched_insert=False,
+    )
+    rows = sorted(
+        (r.id, r.v) for r in read_delta(spark, table).filter("id = 2").collect()
+    )
+    assert rows == [(2, 500.0)]
+    assert read_delta(spark, table).count() == 4
+
+
 def test_delta_merge_clause_cdf_typed(spark, table):
     """CDF rows are typed per clause: deletes vs update pre/post pairs vs
     inserts."""
