@@ -832,6 +832,24 @@ def _partition_expr(transform: str, source: str, source_type: str):
     raise NotImplementedError(f"no write expression for transform {transform!r}")
 
 
+def _coerce_bound(value, source_type: str | None):
+    """Coerce a string scan_filter bound to the source column's comparison
+    domain (VERDICT r11 #3: an identity date partition fed a string bound
+    straight into comparison with ``datetime.date`` summaries — TypeError
+    at planning time). Temporal TRANSFORM bounds already coerce inside
+    ``_transform_value``; this covers identity fields and the per-file
+    column-bounds check, matching what ``_single_value_parse`` yields."""
+    if value is None or not isinstance(value, str):
+        return value
+    if source_type == "date":
+        return datetime.date.fromisoformat(value)
+    if source_type in ("int", "long"):
+        return int(value)
+    if source_type in ("float", "double"):
+        return float(value)
+    return value
+
+
 def _transform_value(transform: str, value):
     """Driver-side transform application for scan pruning: map a SOURCE-
     domain bound (int/str/date/datetime) into the transform's result
@@ -1180,9 +1198,22 @@ def write_iceberg(
     stage_want = None  # the spec tuple the staged hive layout was built for
     retries_left = commit_retries
     while True:
-        snap_or_conflict = _write_iceberg_attempt(
-            df, table, mode, user_terms, staged, stage_want
-        )
+        try:
+            snap_or_conflict = _write_iceberg_attempt(
+                df, table, mode, user_terms, staged, stage_want
+            )
+        except BaseException:
+            # a RETRY attempt that raises during re-validation against the
+            # reloaded table (e.g. append after a concurrent add_column →
+            # schema ValueError) must not strand the first attempt's staged
+            # parquet: nothing references it and there is no orphan reclaim
+            # (VERDICT r11 #4). The spec-change conflict path inside the
+            # attempt already unlinks; double-unlink is a suppressed no-op.
+            if staged is not None:
+                for rel, _size, _stats in staged:
+                    with contextlib.suppress(OSError):
+                        os.unlink(os.path.join(table, rel))
+            raise
         if snap_or_conflict[0] == "ok":
             return snap_or_conflict[1]
         # conflict: (kind, list_path, new_manifest_path, staged, stage_want)
@@ -1699,6 +1730,12 @@ def plan_scan(
     derived_ranges: dict[str, tuple] = {}
     if scan_filter is not None:
         fcol, flo, fhi = scan_filter
+        src_type = field_types.get(name_to_fid.get(fcol))
+        flo = _coerce_bound(flo, src_type)
+        fhi = _coerce_bound(fhi, src_type)
+        # the per-file column-bounds check below unpacks scan_filter again
+        # — keep it on the coerced domain too
+        scan_filter = (fcol, flo, fhi)
         for pf in spec_fields:
             if fid_to_name.get(pf["source-id"]) != fcol:
                 continue
@@ -2146,7 +2183,11 @@ def iceberg_table_changes(
                 # from the current list — the removal emission must apply
                 # the PARENT's own delete state, not the carried subset
                 par_pos, par_eq = ppos, peq
-                par_spec = pspec or cur_spec
+                # spec-id 0 is FALSY and is the id every table's first
+                # spec gets — `pspec or cur_spec` silently swapped in the
+                # overwrite's spec and NULLed the pre-images' partition
+                # columns (VERDICT r11 #2, reproduced)
+                par_spec = pspec if pspec is not None else cur_spec
         elif has_parent and not par_files:
             # parent expired AND nothing carried: a full overwrite whose
             # removed rows are unrecoverable — refuse loudly

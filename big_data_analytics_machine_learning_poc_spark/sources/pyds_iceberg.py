@@ -261,9 +261,25 @@ class IcebergLiteStreamReader(DataSourceStreamReader):
                 # target-file pv map (planner-side, from the carried
                 # manifests; executors never read metadata) — built
                 # LAZILY, only when this snapshot actually added position
-                # deletes (review r11 #3: the eager build cost O(table
-                # files) per snapshot on append-only tails, breaking the
-                # module's own scale claim)
+                # deletes (review r11 #3), and PRUNED to each delete
+                # file's ACTUAL target paths (VERDICT r11 #6 / ADVICE:
+                # InputPartitions pickle per-partition to executors, so a
+                # snapshot-wide map ships O(table-data-files) metadata per
+                # delete partition — task payloads must scale with the
+                # CHANGE, not the table). The distinct file_path column of
+                # a pos-delete file is O(change) to read here.
+                import pyarrow.parquet as _pq
+
+                targets_of: dict[str, set] = {}
+                wanted: set = set()
+                for p in pos_parts:
+                    t = set(
+                        _pq.read_table(p.file_path, columns=["file_path"])
+                        .column("file_path")
+                        .to_pylist()
+                    )
+                    targets_of[p.file_path] = t
+                    wanted |= t
                 all_data_pv: dict[str, dict] = {}
                 for m in manifests:
                     if m["content"] != 0:
@@ -275,13 +291,19 @@ class IcebergLiteStreamReader(DataSourceStreamReader):
                     for e in dentries:
                         if e["status"] == 2:
                             continue
-                        all_data_pv[
-                            _resolve(self.table, e["data_file"]["file_path"])
-                        ] = identity_pv(
-                            spec_fields, e["data_file"].get("partition") or {}
-                        )
+                        path2 = _resolve(self.table, e["data_file"]["file_path"])
+                        if path2 in wanted:
+                            all_data_pv[path2] = identity_pv(
+                                spec_fields, e["data_file"].get("partition") or {}
+                            )
                 for p in pos_parts:
-                    p.target_pv = all_data_pv
+                    # a target absent from the manifests stays absent here
+                    # so the executor-side URI-mismatch raise stays loud
+                    p.target_pv = {
+                        t: all_data_pv[t]
+                        for t in targets_of[p.file_path]
+                        if t in all_data_pv
+                    }
             out.extend(snap_parts)
         return out
 

@@ -123,6 +123,26 @@ def test_changelog_full_overwrite_emits_delete_then_insert(spark, table):
     assert ins == {50, 51, 52}
 
 
+def test_changelog_overwrite_across_spec_change_keeps_preimages(spark, table):
+    """VERDICT r11 #2 (reproduced): a partitioned table (spec-id 0)
+    overwritten by an UNPARTITIONED write changes the default spec; the
+    delete pre-images must still carry the parent's identity-partition
+    values. `pspec or cur_spec` treated the falsy spec-id 0 as missing
+    and re-scanned the removed files under the overwrite's spec, NULLing
+    the partition column in every pre-image row."""
+    write_iceberg(_frame(spark, 0, 6), table, partition_cols=["b"])
+    write_iceberg(_frame(spark, 50, 52), table, mode="overwrite")
+    ch = iceberg_table_changes(spark, table, from_seq=1)
+    dels = sorted(
+        (r.id, r.b, r.v)
+        for r in ch.filter("_change_type = 'delete'").collect()
+    )
+    assert dels == [(i, i % 3, float(i)) for i in range(6)]
+    assert all(b is not None for _i, b, _v in dels)
+    ins = {r.id for r in ch.filter("_change_type = 'insert'").collect()}
+    assert ins == {50, 51}
+
+
 def test_changelog_retention_gap_raises(spark, table):
     write_iceberg(_frame(spark, 0, 10), table)
     write_iceberg(_frame(spark, 10, 20), table, mode="append")
@@ -276,3 +296,35 @@ def test_stream_changelog_transform_partition_inserts(spark, table):
     parts = r.partitions({"seq": 0}, r.latestOffset())
     assert all(isinstance(p, IcebergChangePartition) for p in parts)
     assert all(p.partition_values == {} for p in parts)  # hidden, not derived
+
+
+def test_stream_changelog_pv_map_scales_with_change(spark, table):
+    """VERDICT r11 #6: a pos-delete partition's target_pv must carry ONLY
+    its delete file's actual target paths, not the snapshot-wide data-file
+    map — InputPartitions pickle to executors, so the payload must scale
+    with the change, not the table."""
+    # four separate commits x 3 partition dirs -> >= 9 distinct data files;
+    # the deletes then touch exactly 2 of them
+    from big_data_analytics_machine_learning_poc_spark.sources.iceberg_lite import plan_scan
+
+    write_iceberg(_frame(spark, 0, 10), table, partition_cols=["b"])
+    for lo in (10, 20, 30):
+        write_iceberg(_frame(spark, lo, lo + 10), table, mode="append")
+    n_data_files = len(plan_scan(table)["files"])
+    assert n_data_files >= 9
+    delete_where(spark, table, "id IN (3, 7)")
+    r = IcebergLiteStreamReader(table, changelog=True)
+    parts = r.partitions({"seq": 1}, r.latestOffset())
+    pos = [p for p in parts if p.kind == "pos_delete"]
+    assert pos
+    for p in pos:
+        assert 0 < len(p.target_pv) <= 2  # targets only, not all files
+        assert len(p.target_pv) < n_data_files
+    # and the emitted pre-images are still exact
+    rows = _drain(r, start=1)
+    dels = sorted(
+        (row["id"], row["b"], row["v"])
+        for row in rows
+        if row["_change_type"] == "delete"
+    )
+    assert dels == [(3, 0, 3.0), (7, 1, 7.0)]

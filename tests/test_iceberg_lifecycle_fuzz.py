@@ -156,6 +156,10 @@ class _Model:
         # seq -> ("append"|"overwrite"|"delete"|"replace", [row tuples appended])
         self.seq_ops: dict[int, tuple[str, list[tuple]]] = {}
         self.expired: set[int] = set()
+        # parent seqs of spec-changing FULL overwrites: if such a parent
+        # expires, the changelog cannot derive the overwrite's removed
+        # rows and must raise (r12)
+        self.fullover_parent_seqs: list[int] = []
         # snap_id -> (seq, cols snapshot, frozenset of row tuples)
         self.snaps: dict[int, tuple[int, list[str], frozenset]] = {}
         self.live_snap_ids: set[int] = set()
@@ -250,8 +254,8 @@ def _check_tail(table: str, model: _Model, offset: int) -> int:
 # × equality-delete interplay specifically.
 _FULL_MIX = (
     ["append", "delete", "update", "upsert", "compact", "expire", "evolve",
-     "tail", "race"],
-    [24, 13, 12, 11, 11, 8, 7, 8, 6],
+     "tail", "race", "fullover"],
+    [24, 13, 12, 11, 11, 8, 7, 8, 6, 6],
 )
 _MAINT_MIX = (
     ["append", "compact", "expire", "evolve", "tail"],
@@ -435,6 +439,28 @@ def _run_sequence(spark, seed: int, mix=_FULL_MIX) -> None:
                     snap, base + 2, "append",
                     [tuple(r.get(c) for c in model.cols) for r in main_rows],
                 )
+            elif op == "fullover":
+                # spec-CHANGING full overwrite (VERDICT r11 #2): replaces
+                # every row and may flip the partition layout — the
+                # changelog must emit the parent's rows as pre-images
+                # under the PARENT's spec (the spec-id-0 falsy bug hid
+                # exactly here: no prior seed scheduled an overwrite
+                # across a spec change)
+                parent_seq = meta["last-sequence-number"]
+                rows = _fresh_rows(model, rng, rng.randrange(2, 5))
+                snap = write_iceberg(
+                    _spark_frame(spark, model, rows),
+                    table,
+                    partition_cols=rng.choice(_LAYOUTS),
+                )
+                model.rows = {r["id"]: dict(r) for r in rows}
+                model.record_snapshot(
+                    snap,
+                    parent_seq + 1,
+                    "overwrite",
+                    [tuple(r.get(c) for c in model.cols) for r in rows],
+                )
+                model.fullover_parent_seqs.append(parent_seq)
             elif op == "tail" and stream_alive:
                 new_offset = _check_tail(table, model, stream_offset)
                 if new_offset == stream_offset and load_metadata(table)[
@@ -461,6 +487,12 @@ def _run_sequence(spark, seed: int, mix=_FULL_MIX) -> None:
 
         non_replace_expired = any(
             model.seq_ops[s][0] != "replace" for s in model.expired
+        )
+        # a FULL overwrite whose parent snapshot expired cannot derive its
+        # removed rows either — even if every expired snapshot was a
+        # replace (the parent's manifest list is gone)
+        non_replace_expired = non_replace_expired or any(
+            ps in model.expired for ps in model.fullover_parent_seqs
         )
         if non_replace_expired:
             with pytest.raises(RuntimeError):

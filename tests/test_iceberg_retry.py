@@ -203,3 +203,37 @@ def test_orphan_metadata_never_retried(spark, table):
         write_iceberg(_frame(spark, 10, 20), table, mode="append")
     assert iceberg_lite.recover_orphan_metadata(table) == [v + 1]
     assert write_iceberg(_frame(spark, 10, 20), table, mode="append") is not None
+
+
+def _data_parquet(table):
+    out = set()
+    for root, _dirs, files in os.walk(table):
+        if os.path.basename(root) == "metadata" or "_delta_log" in root:
+            continue
+        for f in files:
+            if f.endswith(".parquet"):
+                out.add(os.path.join(root, f))
+    return out
+
+
+def test_raising_retry_unlinks_staged_files(spark, table, monkeypatch):
+    """VERDICT r11 #4: an append losing the race to a concurrent
+    add_column raises ValueError at retry re-validation (the reloaded
+    schema no longer matches the frame) — the first attempt's staged
+    parquet must be unlinked on the way out, because nothing references
+    it and iceberg_lite has no orphan-data reclaim."""
+    from pyspark.sql import types as T
+
+    write_iceberg(_frame(spark, 0, 10), table)
+    before = _data_parquet(table)
+    unpatch = _race_once(
+        monkeypatch,
+        table,
+        lambda: iceberg_lite.add_column(table, "extra", T.StringType()),
+    )
+    with pytest.raises(ValueError, match="append schema mismatch"):
+        write_iceberg(_frame(spark, 10, 20), table, mode="append")
+    unpatch()
+    assert _data_parquet(table) == before  # no stranded staged files
+    # the table itself is intact and writable with the evolved schema
+    assert read_iceberg(spark, table).count() == 10
