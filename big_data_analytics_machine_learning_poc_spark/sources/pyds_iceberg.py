@@ -50,6 +50,7 @@ from pyspark.sql.types import LongType, StringType, StructField, StructType
 
 from . import avro_lite
 from .iceberg_lite import (
+    _physical_names,
     _resolve,
     _spark_schema,
     _transform_result_type,
@@ -101,6 +102,11 @@ class IcebergLiteStreamReader(DataSourceStreamReader):
         self._last_committed = starting_sequence
         meta = load_metadata(table)
         self.full_schema: StructType = _spark_schema(meta)
+        # logical -> PHYSICAL parquet names for the pinned schema (files
+        # and hive dirs keep a field's creation name across renames —
+        # iceberg_lite's name-mapping doctrine); identity until the first
+        # rename_column, so pre-rename tables pay nothing
+        self.phys: dict[str, str] = _physical_names(meta)
 
     def initialOffset(self) -> dict:
         # exclusive: the first batch starts AFTER this sequence number
@@ -166,16 +172,20 @@ class IcebergLiteStreamReader(DataSourceStreamReader):
                 f"retention window"
             )
 
+        to_logical = {v: k for k, v in self.phys.items()}
+
         def identity_pv(spec_fields, part):
             # hidden-partition (transform) fields are DERIVED — the source
             # column lives in the data file itself, so only identity
             # fields become typed constants; values render under the
-            # transform's RESULT type (epoch-day ints → ISO dates)
+            # transform's RESULT type (epoch-day ints → ISO dates). Spec
+            # field names are PHYSICAL; the executor works in logical
+            # column space, so remap here (identity unless renamed)
             pv = {}
             for pf in spec_fields:
                 if pf["transform"] != "identity":
                     continue
-                pv[pf["name"]] = _pv_string(
+                pv[to_logical.get(pf["name"], pf["name"])] = _pv_string(
                     _transform_result_type(
                         pf["transform"], field_types[pf["source-id"]]
                     ),
@@ -315,9 +325,11 @@ class IcebergLiteStreamReader(DataSourceStreamReader):
                 list(partition.partition_values.keys()),
                 partition.partition_values,
                 self.full_schema,
+                (),
+                self.phys,
             )
             return
-        yield from _read_change_batches(partition, self.full_schema)
+        yield from _read_change_batches(partition, self.full_schema, self.phys)
 
     def commit(self, end: dict) -> None:
         self._last_committed = end["seq"]
@@ -336,12 +348,17 @@ def _changelog_schema(table_schema: StructType) -> StructType:
     )
 
 
-def _read_change_batches(partition: IcebergChangePartition, schema: StructType):
+def _read_change_batches(
+    partition: IcebergChangePartition, schema: StructType, phys: dict | None = None
+):
     """Executor-side changelog read: every yielded Arrow batch is shaped
     (table columns + _change_type + _commit_seq). ``insert`` streams the
     data file; ``pos_delete`` reads the delete file, groups addresses by
     target, and re-reads exactly the addressed rows; ``eq_delete`` emits
-    key-only delete rows (Flink-CDC upsert shape)."""
+    key-only delete rows (Flink-CDC upsert shape). ``phys`` maps logical
+    column names to the files' physical ones (identity unless
+    rename_column ran)."""
+    phys = phys or {}
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -363,6 +380,8 @@ def _read_change_batches(partition: IcebergChangePartition, schema: StructType):
             list(partition.partition_values.keys()),
             partition.partition_values,
             schema,
+            (),
+            phys,
         ):
             yield stamp(batch, "insert")
         return
@@ -387,7 +406,7 @@ def _read_change_batches(partition: IcebergChangePartition, schema: StructType):
             want = set(positions)
             row0 = 0
             for batch in _read_file_batches(
-                target, schema.fieldNames(), list(pv.keys()), pv, schema
+                target, schema.fieldNames(), list(pv.keys()), pv, schema, (), phys
             ):
                 n = batch.num_rows
                 hits = [i for i in range(n) if (row0 + i) in want]
@@ -403,7 +422,8 @@ def _read_change_batches(partition: IcebergChangePartition, schema: StructType):
         for f in schema.fields:
             names.append(f.name)
             if f.name in partition.key_names:
-                col = keys.column(f.name).combine_chunks()
+                # key files carry PHYSICAL column names
+                col = keys.column(phys.get(f.name, f.name)).combine_chunks()
                 arrays.append(col.cast(to_arrow_type(f.dataType)))
             else:
                 arrays.append(pa.nulls(n, type=to_arrow_type(f.dataType)))

@@ -191,3 +191,113 @@ def test_delta_merge_insert_only_and_validation(spark, table):
     with pytest.raises(KeyError, match="not in table schema"):
         merge_delta(spark, table, src, ["id"],
                     when_matched=[(None, {"update": {"nope": "1"}})])
+
+
+# ---------------------------------------------------------------------------
+# property tier (VERDICT r11 missing #2): randomized file layout under
+# MERGE WHEN-clauses — duplicate target keys deliberately split across
+# files/commits, checked against a pure-Python first-match-wins model.
+# The Iceberg side has the lifecycle fuzzer; this is the Delta CoW
+# equivalent for the clause surface, whose r11 bug lived exactly in the
+# multi-file layouts no example-based fixture produced.
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st
+
+# (sql condition | None, python predicate over (t_row, s_row), action)
+# — update actions are (assigns_sql, python new-val fn)
+_CLAUSE_VOCAB = [
+    ("t.val < 50", lambda t, s: t[1] < 50, "delete"),
+    ("s.val % 2 = 0", lambda t, s: s[1] % 2 == 0,
+     ({"val": "s.val"}, lambda t, s: s[1])),
+    ("t.val > s.val", lambda t, s: t[1] > s[1],
+     ({"val": "s.val + t.val"}, lambda t, s: s[1] + t[1])),
+    (None, lambda t, s: True, ({"val": "s.val + 1000"}, lambda t, s: s[1] + 1000)),
+]
+
+_target_rows = st.lists(
+    st.tuples(st.integers(0, 4), st.integers(0, 99)), min_size=1, max_size=12
+)
+_chunk_seed = st.lists(st.integers(1, 4), min_size=1, max_size=6)
+_source = st.dictionaries(st.integers(0, 6), st.integers(0, 99), max_size=6)
+_clause_idx = st.lists(
+    st.sampled_from(range(len(_CLAUSE_VOCAB))), unique=True, max_size=3
+)
+_insert_mode = st.sampled_from([True, False, "val >= 10"])
+
+
+@settings(max_examples=12, deadline=None)
+@given(_target_rows, _chunk_seed, _source, _clause_idx, _insert_mode)
+def test_delta_merge_clauses_model_based(
+    spark, rows, chunks, source, clause_idx, insert_mode
+):
+    import shutil as _sh
+    import tempfile as _tf
+
+    table = _tf.mkdtemp(prefix="dmrg_prop_")
+    _sh.rmtree(table)
+    schema = "id long, val long"
+
+    def df_of(rs):
+        return spark.createDataFrame([tuple(r) for r in rs], schema=schema)
+
+    try:
+        # random layout: each chunk is its own single-file commit, so one
+        # key's rows land across several files
+        sizes, i, parts = list(chunks), 0, []
+        for sz in sizes:
+            if i >= len(rows):
+                break
+            parts.append(rows[i : i + sz])
+            i += sz
+        if i < len(rows):
+            parts.append(rows[i:])
+        write_delta(df_of(parts[0]).coalesce(1), table)
+        for part in parts[1:]:
+            write_delta(df_of(part).coalesce(1), table, mode="append")
+
+        clauses = [_CLAUSE_VOCAB[i] for i in clause_idx]
+        when_matched = [
+            (c[0], "delete" if c[2] == "delete" else {"update": c[2][0]})
+            for c in clauses
+        ]
+        merge_delta(
+            spark,
+            table,
+            df_of(sorted(source.items())),
+            ["id"],
+            when_matched=when_matched,
+            when_not_matched_insert=insert_mode,
+        )
+
+        # pure-Python model: first-match-wins per matched target row
+        expect: list[tuple[int, int]] = []
+        for t in rows:
+            if t[0] not in source:
+                expect.append(t)
+                continue
+            s = (t[0], source[t[0]])
+            hit = None
+            for c in clauses:
+                if c[1](t, s):
+                    hit = c
+                    break
+            if hit is None:
+                expect.append(t)  # matched, no clause → untouched
+            elif hit[2] == "delete":
+                pass
+            else:
+                expect.append((t[0], hit[2][1](t, s)))
+        tkeys = {t[0] for t in rows}
+        for k, v in sorted(source.items()):
+            if k in tkeys:
+                continue
+            if insert_mode is True or (
+                insert_mode not in (True, False) and v >= 10
+            ):
+                expect.append((k, v))
+
+        got = [(r.id, r.val) for r in read_delta(spark, table).collect()]
+        assert sorted(got) == sorted(expect)
+    finally:
+        _sh.rmtree(table, ignore_errors=True)
