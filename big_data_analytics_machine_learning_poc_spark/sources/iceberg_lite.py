@@ -1268,8 +1268,14 @@ def _write_iceberg_attempt(
         spec_nt = [
             (pf["name"], pf["transform"]) for pf in _partition_spec(meta)
         ]
+        # spec field names are PHYSICAL; user terms come in LOGICAL — map
+        # before comparing, like the overwrite path's `want` does (review
+        # r12 #3: an explicit-terms append after renaming the partition
+        # source would otherwise spuriously fail the identity check)
+        lphys = _physical_names(meta)
         want_nt = [
-            (_partition_field_name(t, src), t) for t, src in partition_terms
+            (_partition_field_name(t, lphys.get(src, src)), t)
+            for t, src in partition_terms
         ]
         if want_nt and want_nt != spec_nt:
             raise ValueError(
@@ -2104,9 +2110,17 @@ def _snapshot_state(table: str, snap: dict, fid_to_name: dict[int, str]):
                 spec_id = m["partition_spec_id"]
             elif dfile["content"] == 2:
                 ids = dfile.get("equality_ids") or []
-                eq_dels.append(
-                    (path, seq, tuple(fid_to_name[i] for i in ids if i in fid_to_name))
-                )
+                names = tuple(fid_to_name[i] for i in ids if i in fid_to_name)
+                if len(names) != len(ids):
+                    # same guard as plan_scan (review r12 #1): silently
+                    # narrowing the key set after drop_column would make
+                    # the delete match on the surviving columns alone —
+                    # wrong pre-images, silently
+                    raise NotImplementedError(
+                        f"{table}: equality delete {path} references field "
+                        f"ids {ids} not all present in the read schema"
+                    )
+                eq_dels.append((path, seq, names))
             else:
                 pos_dels.append((path, seq))
     return files, pos_dels, eq_dels, spec_id
@@ -3071,7 +3085,14 @@ def add_column(table: str, name: str, dtype: T.DataType) -> int:
             for f in s["fields"]:
                 used_physical.add(mapping.get(f["id"], [f["name"]])[0])
         if name in used_physical:
-            mapping[new_field["id"]] = [f"{name}_{new_field['id']}"]
+            # the synthesized name itself must be fresh too — a table can
+            # legitimately contain a column literally named f"{name}_{id}"
+            # (review r12 #2: two live fields sharing one physical column
+            # would corrupt both reads and writes)
+            candidate = f"{name}_{new_field['id']}"
+            while candidate in used_physical:
+                candidate += "_"
+            mapping[new_field["id"]] = [candidate]
             props[_NAME_MAPPING_KEY] = _name_mapping_json(mapping)
         return fields + [new_field], {"last-column-id": counter["n"]}
 

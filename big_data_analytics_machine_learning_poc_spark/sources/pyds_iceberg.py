@@ -283,9 +283,13 @@ class IcebergLiteStreamReader(DataSourceStreamReader):
                 targets_of: dict[str, set] = {}
                 wanted: set = set()
                 for p in pos_parts:
+                    # dedup ARROW-side: to_pylist() on the raw column
+                    # would build O(deleted rows) Python strings on the
+                    # driver; unique() keeps it at O(distinct targets)
                     t = set(
                         _pq.read_table(p.file_path, columns=["file_path"])
                         .column("file_path")
+                        .unique()
                         .to_pylist()
                     )
                     targets_of[p.file_path] = t

@@ -262,3 +262,61 @@ def test_rename_chain_roundtrip(spark, table):
     back = read_iceberg(spark, table)
     assert back.columns == ["id", "b", "bcol"]
     assert sorted(r.bcol for r in back.collect()) == [float(i) for i in range(5)]
+
+
+def test_changelog_raises_on_dropped_eq_key_column(spark, table):
+    """Review r12 #1: an equality delete keyed on (id, b) must not
+    silently narrow to (id,) in the CHANGELOG after drop_column(b) — the
+    batch read already raises; _snapshot_state must match."""
+    write_iceberg(_frame(spark, 0, 6), table)
+    upsert_by_key(
+        spark, table, _frame(spark, 0, 2).withColumn("v", F.lit(-1.0)),
+        ["id", "b"],
+    )
+    drop_column(table, "b")
+    with pytest.raises(NotImplementedError, match="equality delete"):
+        iceberg_table_changes(spark, table, 0)
+
+
+def test_add_column_synthesized_physical_never_collides(spark, table):
+    """Review r12 #2: re-adding a dropped name when a column literally
+    named f'{name}_{new_id}' exists must not alias that column's bytes."""
+    df = spark.range(0, 4).select(
+        F.col("id"),
+        (F.col("id") * 1.0).alias("v"),      # field id 2
+        (F.col("id") * 10.0).alias("v_4"),   # field id 3
+    )
+    write_iceberg(df, table)
+    drop_column(table, "v")
+    add_column(table, "v", T.DoubleType())  # id 4 → candidate 'v_4' taken
+    back = read_iceberg(spark, table)
+    assert back.columns == ["id", "v_4", "v"]
+    rows = sorted((r.id, r.v_4, r.v) for r in back.collect())
+    assert rows == [(i, i * 10.0, None) for i in range(4)]  # v_4 intact, v null
+    # round-trip a write through the synthesized physical name
+    write_iceberg(
+        spark.range(4, 6).select(
+            F.col("id"),
+            (F.col("id") * 10.0).alias("v_4"),
+            F.lit(7.0).alias("v"),
+        ),
+        table,
+        mode="append",
+    )
+    got = read_iceberg(spark, table).filter("v = 7.0")
+    assert sorted(r.id for r in got.collect()) == [4, 5]
+    assert sorted(r.v_4 for r in got.collect()) == [40.0, 50.0]
+
+
+def test_append_explicit_terms_after_partition_source_rename(spark, table):
+    """Review r12 #3: an append naming the RENAMED partition source in
+    partition_cols must pass the spec-identity check (spec names are
+    physical; user terms are logical)."""
+    write_iceberg(_frame(spark, 0, 6), table, partition_cols=["b"])
+    rename_column(table, "b", "bucket_col")
+    src = _frame(spark, 6, 9).withColumnRenamed("b", "bucket_col")
+    write_iceberg(src, table, mode="append", partition_cols=["bucket_col"])
+    assert read_iceberg(spark, table).count() == 9
+    # a genuinely different spec still fails loudly
+    with pytest.raises(ValueError, match="append partition spec"):
+        write_iceberg(src, table, mode="append", partition_cols=["id"])
