@@ -420,6 +420,19 @@ def _read_change_batches(
         return
 
     if partition.kind == "eq_delete":
+        missing_keys = set(partition.key_names) - {f.name for f in schema.fields}
+        if missing_keys:
+            # a delete keyed on a since-DROPPED column cannot be emitted
+            # as a key-only row under the current schema — nulling the
+            # key component would make the consumer match on the
+            # surviving columns alone (the batch paths raise the same
+            # way; review r12 #1's stream twin)
+            raise RuntimeError(
+                f"iceberg_lite changelog: equality delete "
+                f"{partition.file_path} is keyed on column(s) "
+                f"{sorted(missing_keys)} not present in the read schema "
+                f"(dropped?); refusing to emit a narrowed key"
+            )
         keys = pq.read_table(partition.file_path)
         n = keys.num_rows
         arrays, names = [], []

@@ -320,3 +320,26 @@ def test_append_explicit_terms_after_partition_source_rename(spark, table):
     # a genuinely different spec still fails loudly
     with pytest.raises(ValueError, match="append partition spec"):
         write_iceberg(src, table, mode="append", partition_cols=["id"])
+
+
+def test_stream_changelog_raises_on_dropped_eq_key_column(spark, table):
+    """The STREAM twin of the batch guard: a changelog tail over an
+    equality delete keyed on a since-dropped column must raise, not emit
+    key-only rows narrowed to the surviving columns."""
+    from big_data_analytics_machine_learning_poc_spark.sources.pyds_iceberg import (
+        IcebergLiteStreamReader,
+    )
+
+    write_iceberg(_frame(spark, 0, 6), table)
+    upsert_by_key(
+        spark, table, _frame(spark, 0, 2).withColumn("v", F.lit(-1.0)),
+        ["id", "b"],
+    )
+    drop_column(table, "b")
+    r = IcebergLiteStreamReader(table, changelog=True)
+    parts = r.partitions({"seq": 0}, r.latestOffset())
+    eq = [p for p in parts if p.kind == "eq_delete"]
+    assert eq
+    with pytest.raises(RuntimeError, match="narrowed key"):
+        for p in eq:
+            list(r.read(p))

@@ -193,6 +193,7 @@ _delta_op = st.one_of(
     st.tuples(st.just("update_cow"), st.tuples(st.integers(0, 9), st.integers(1, 50))),
     st.tuples(st.just("update_dv"), st.tuples(st.integers(0, 9), st.integers(1, 50))),
     st.tuples(st.just("merge"), st.lists(st.tuples(st.integers(0, 9), st.integers(0, 99)), min_size=1, max_size=6)),
+    st.tuples(st.just("merge_clauses"), st.lists(st.tuples(st.integers(0, 9), st.integers(0, 99)), min_size=1, max_size=6)),
     st.tuples(st.just("compact"), st.just(None)),
     st.tuples(st.just("zorder"), st.just(None)),
     st.tuples(st.just("purge"), st.just(None)),
@@ -316,6 +317,35 @@ def test_delta_lite_model_based(spark, ops):
                 v = merge_delta(spark, table, df_of(src), ["id"])
                 keys = {r[0] for r in src}
                 model = [r for r in model if r[0] not in keys] + src
+            elif kind == "merge_clauses":
+                # WHEN-clause MERGE (r12): first-match-wins per matched
+                # target ROW — interplay with dv-deletes, restore, rename
+                # and whatever file layout prior ops left behind (the r11
+                # cross-file duplication class)
+                src = list({r[0]: r for r in arg}.values())
+                sv = dict(src)
+                v = merge_delta(
+                    spark, table, df_of(src), ["id"],
+                    when_matched=[
+                        ("t.val < 50", "delete"),
+                        ("s.val % 2 = 0", {"update": {"val": "s.val"}}),
+                    ],
+                    when_not_matched_insert="val >= 10",
+                )
+                tkeys = {r[0] for r in model}
+                nm = []
+                for r in model:
+                    if r[0] not in sv:
+                        nm.append(r)
+                    elif r[1] < 50:
+                        pass  # clause 0: delete
+                    elif sv[r[0]] % 2 == 0:
+                        nm.append((r[0], sv[r[0]]))  # clause 1: update
+                    else:
+                        nm.append(r)  # matched, no clause: untouched
+                model = nm + [
+                    (k, val) for k, val in src if k not in tkeys and val >= 10
+                ]
             elif kind == "compact":
                 v = compact_table(spark, table)
                 if v is None:
