@@ -205,3 +205,80 @@ def delta_evolution_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spill_to_session_parquet(out, "delta_evolution")
     finally:
         shutil.rmtree(table, ignore_errors=True)
+
+
+_SPEC_EVOLUTION_ORACLE = """
+SELECT c_mktsegment AS segment,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(c_custkey) AS BIGINT) AS sum_custkey,
+       CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+         AS balance_cents
+FROM customer
+WHERE c_custkey % 3 <= 1 AND c_custkey % 5 <> 0
+GROUP BY c_mktsegment
+ORDER BY segment
+"""
+
+
+@REG.add("iceberg_spec_evolution_audit", sql=_SPEC_EVOLUTION_ORACLE)
+def iceberg_spec_evolution_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-spec evolution (r12, spec §Partition Evolution): load a
+    third of customer UNPARTITIONED, ``evolve_partition_spec`` to a
+    segment layout (metadata-only — zero data I/O; the lane RAISES if any
+    data file changed), append the second third (lands under the NEW
+    layout — raises unless the mixed plan shows both spec ids), DELETE
+    through the mix, and aggregate the grouped mixed-layout read. The
+    oracle re-derives the result from source parquet, so a hash match
+    proves per-manifest pruning + the grouped union scan lose and invent
+    nothing across the layout boundary — the 100 TB repartition story
+    (metadata commit, not table rewrite), certified end to end."""
+    import shutil
+    import tempfile
+
+    from ..sources.iceberg_lite import (
+        delete_where,
+        evolve_partition_spec,
+        plan_scan,
+        read_iceberg,
+        write_iceberg,
+    )
+    from ..streaming.events import spill_to_session_parquet
+
+    cust = _thirds(spark, sf_dir)
+    table = tempfile.mkdtemp(prefix="ice_pspec_lane_")
+    try:
+        write_iceberg(cust.filter(F.col("c_custkey") % 3 == 0), table)
+        files_before = sorted(plan_scan(table)["files"])
+        evolve_partition_spec(table, ["c_mktsegment"])
+        if sorted(plan_scan(table)["files"]) != files_before:
+            raise RuntimeError(
+                "evolve_partition_spec touched data files — must be "
+                "metadata-only"
+            )
+        write_iceberg(
+            cust.filter(F.col("c_custkey") % 3 == 1).repartition("c_mktsegment"),
+            table,
+            mode="append",
+        )
+        plan = plan_scan(table)
+        if len(set(plan["file_specs"].values())) != 2:
+            raise RuntimeError(
+                f"expected a MIXED-layout snapshot, got specs "
+                f"{set(plan['file_specs'].values())}"
+            )
+        delete_where(spark, table, "c_custkey % 5 = 0")
+        out = (
+            read_iceberg(spark, table)
+            .groupBy(F.col("c_mktsegment").alias("segment"))
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("c_custkey").alias("sum_custkey"),
+                F.sum(F.round(F.col("c_acctbal") * 100).cast("long")).alias(
+                    "balance_cents"
+                ),
+            )
+            .orderBy("segment")
+        )
+        return spill_to_session_parquet(out, "iceberg_spec_evolution")
+    finally:
+        shutil.rmtree(table, ignore_errors=True)

@@ -933,6 +933,44 @@ def _stage_partitioned(
     return _stage_data_files(frame, table, part_names), part_names
 
 
+def _match_or_mint_spec(
+    prev_specs: list[dict], prev_last_pid: int, want: list[tuple]
+) -> tuple[int, list[dict], list[dict], int]:
+    """Resolve a desired partition layout (``want`` = [(name, transform,
+    source-id), ...]) against the table's spec history: reuse the matching
+    spec-id if one exists, else mint the next id with fresh partition
+    field ids. Returns (spec_id, spec_fields, specs list incl. any new
+    one, last-partition-id). Shared by the write path and
+    ``evolve_partition_spec`` so layout identity has one definition."""
+    matched = next(
+        (
+            s
+            for s in prev_specs
+            if [(f["name"], f["transform"], f["source-id"]) for f in s["fields"]]
+            == want
+        ),
+        None,
+    )
+    if matched is not None:
+        return matched["spec-id"], matched["fields"], prev_specs, prev_last_pid
+    spec_id = max((s["spec-id"] for s in prev_specs), default=-1) + 1
+    spec_fields = [
+        {
+            "name": n,
+            "transform": t,
+            "source-id": sid,
+            "field-id": prev_last_pid + 1 + i,
+        }
+        for i, (n, t, sid) in enumerate(want)
+    ]
+    return (
+        spec_id,
+        spec_fields,
+        prev_specs + [{"spec-id": spec_id, "fields": spec_fields}],
+        prev_last_pid + len(spec_fields),
+    )
+
+
 def _stage_data_files(df: DataFrame, table: str, partition_cols: list[str]):
     """Write df's parquet part files under ``table/data`` (hive partition
     dirs when partitioned) via staging + rename, returning
@@ -1376,32 +1414,9 @@ def _write_iceberg_attempt(
     # silently lose the hive-dir column rederivation)
     prev_specs = list(meta["partition-specs"]) if meta else []
     prev_last_pid = meta["last-partition-id"] if meta else 999
-    matched = next(
-        (
-            s
-            for s in prev_specs
-            if [(f["name"], f["transform"], f["source-id"]) for f in s["fields"]]
-            == want
-        ),
-        None,
+    spec_id, spec_fields, prev_specs, last_partition_id = _match_or_mint_spec(
+        prev_specs, prev_last_pid, want
     )
-    if matched is not None:
-        spec_id = matched["spec-id"]
-        spec_fields = matched["fields"]
-        last_partition_id = prev_last_pid
-    else:
-        spec_id = max((s["spec-id"] for s in prev_specs), default=-1) + 1
-        spec_fields = [
-            {
-                "name": n,
-                "transform": t,
-                "source-id": sid,
-                "field-id": prev_last_pid + 1 + i,
-            }
-            for i, (n, t, sid) in enumerate(want)
-        ]
-        last_partition_id = prev_last_pid + len(spec_fields)
-        prev_specs = prev_specs + [{"spec-id": spec_id, "fields": spec_fields}]
 
     # --- data files (once — retries reuse the already-landed parquet) -----
     part_names = [n for n, _t, _sid in want]
@@ -1725,36 +1740,62 @@ def plan_scan(
                 eq_delete_files.append((path, dseq, names))
             else:
                 delete_files.append((path, dseq))
-    # partition spec AS USED by this snapshot's manifests (a later overwrite
-    # may have changed the table default; spec-ids are immutable). Within one
-    # snapshot all data manifests share a spec by construction: appends reuse
-    # the table spec and overwrites reference only their own manifest.
+    # partition specs AS USED by this snapshot's manifests (a later
+    # overwrite/evolution may have changed the table default; spec-ids are
+    # immutable). Since r12 a snapshot may MIX specs: evolve_partition_spec
+    # is metadata-only, so appends after it land under the new default
+    # while carried manifests keep the old one. Pruning runs per manifest
+    # under ITS spec; the scan groups files by layout (see _scan).
     spec_ids = {m["partition_spec_id"] for m in manifests}
-    if len(spec_ids) > 1:
-        raise NotImplementedError(
-            f"snapshot {snap['snapshot-id']} mixes partition specs {spec_ids}"
-        )
     specs = {s["spec-id"]: s["fields"] for s in meta["partition-specs"]}
-    spec_fields = specs[spec_ids.pop()] if spec_ids else _partition_spec(meta)
+    # the representative spec (partition_cols / partition_spec consumers,
+    # e.g. compaction's rewrite target): the manifests' spec when uniform,
+    # else the table DEFAULT — compacting a mixed table migrates it
+    spec_fields = (
+        specs[next(iter(spec_ids))]
+        if len(spec_ids) == 1
+        else _partition_spec(meta)
+    )
+
     # pf_types carry the transform RESULT type — what the partition tuple
     # and field summaries actually store (epoch-day ints for days(ts), ...)
-    pf_types = {
-        pf["name"]: _transform_result_type(
-            pf["transform"], field_types[pf["source-id"]]
-        )
-        for pf in spec_fields
-    }
+    def _pf_types(sfields: list[dict]) -> dict[str, str]:
+        return {
+            pf["name"]: _transform_result_type(
+                pf["transform"], field_types[pf["source-id"]]
+            )
+            for pf in sfields
+        }
+
+    pf_types_by_spec = {sid: _pf_types(specs[sid]) for sid in spec_ids}
+    pf_types = _pf_types(spec_fields)
     partition_filters = dict(partition_filters or {})
-    unknown = set(partition_filters) - set(pf_types)
+    all_pf_names = set(pf_types) | {
+        n for t in pf_types_by_spec.values() for n in t
+    }
+    unknown = set(partition_filters) - all_pf_names
     if unknown:
         raise KeyError(f"partition_filters on non-partition columns: {sorted(unknown)}")
+    if partition_filters:
+        # a partition filter is VALUE-granular only where the layout makes
+        # it so; a spec in this snapshot that lacks the field cannot prune
+        # its files — returning them would change the result silently
+        for sid in spec_ids:
+            lacking = set(partition_filters) - set(pf_types_by_spec[sid])
+            if lacking:
+                raise NotImplementedError(
+                    f"partition_filters {sorted(lacking)} not in partition "
+                    f"spec {sid}, which some of this snapshot's files use "
+                    f"(mixed layouts after evolve_partition_spec) — filter "
+                    f"rows instead, or compact to migrate the layout"
+                )
     # hidden-partition pruning (spec §Partition Transforms): a scan_filter
     # range on a SOURCE column maps through every order-preserving
     # transform of that column into a partition-value range — the whole
     # point of days(ts) layouts is that a time-range read skips files
     # without the reader naming the partition field. Bucket is not
     # order-preserving: it prunes only on point lookups (lo == hi).
-    derived_ranges: dict[str, tuple] = {}
+    derived_by_spec: dict[int, dict[str, tuple]] = {sid: {} for sid in spec_ids}
     if scan_filter is not None:
         fcol, flo, fhi = scan_filter
         src_type = field_types.get(name_to_fid.get(fcol))
@@ -1763,32 +1804,37 @@ def plan_scan(
         # the per-file column-bounds check below unpacks scan_filter again
         # — keep it on the coerced domain too
         scan_filter = (fcol, flo, fhi)
-        for pf in spec_fields:
-            if fid_to_name.get(pf["source-id"]) != fcol:
-                continue
-            t = pf["transform"]
-            if t.startswith("bucket["):
-                if flo is not None and flo == fhi:
-                    n = int(t[7:-1])
-                    b = _bucket_value_py(
-                        flo, field_types[pf["source-id"]], n
-                    )
-                    if b is not None:
-                        derived_ranges[pf["name"]] = (b, b)
-                continue
-            t_lo = _transform_value(t, flo)
-            t_hi = _transform_value(t, fhi)
-            if t_lo is not None or t_hi is not None:
-                derived_ranges[pf["name"]] = (t_lo, t_hi)
+        for sid in spec_ids:
+            for pf in specs[sid]:
+                if fid_to_name.get(pf["source-id"]) != fcol:
+                    continue
+                t = pf["transform"]
+                if t.startswith("bucket["):
+                    if flo is not None and flo == fhi:
+                        n = int(t[7:-1])
+                        b = _bucket_value_py(
+                            flo, field_types[pf["source-id"]], n
+                        )
+                        if b is not None:
+                            derived_by_spec[sid][pf["name"]] = (b, b)
+                    continue
+                t_lo = _transform_value(t, flo)
+                t_hi = _transform_value(t, fhi)
+                if t_lo is not None or t_hi is not None:
+                    derived_by_spec[sid][pf["name"]] = (t_lo, t_hi)
     kept_manifests = []
     for m in manifests:
+        sid = m["partition_spec_id"]
+        m_fields = specs[sid]
+        m_types = pf_types_by_spec[sid]
+        m_ranges = derived_by_spec[sid]
         summaries = m.get("partitions")
-        if (partition_filters or derived_ranges) and summaries:
+        if (partition_filters or m_ranges) and summaries:
             drop = False
-            for i, pf in enumerate(spec_fields):
+            for i, pf in enumerate(m_fields):
                 if i >= len(summaries):
                     break
-                itype = pf_types[pf["name"]]
+                itype = m_types[pf["name"]]
                 if pf["name"] in partition_filters:
                     want = partition_filters[pf["name"]]
                     if itype == "date" and isinstance(want, str):
@@ -1798,8 +1844,8 @@ def plan_scan(
                     if not _summary_may_match(summaries[i], itype, want):
                         drop = True
                         break
-                if pf["name"] in derived_ranges:
-                    t_lo, t_hi = derived_ranges[pf["name"]]
+                if pf["name"] in m_ranges:
+                    t_lo, t_hi = m_ranges[pf["name"]]
                     if not _summary_may_overlap(summaries[i], itype, t_lo, t_hi):
                         drop = True
                         break
@@ -1809,8 +1855,12 @@ def plan_scan(
 
     files: list[str] = []
     file_seqs: dict[str, int] = {}
+    file_specs: dict[str, int] = {}
     files_total = 0
     for m in kept_manifests:
+        sid = m["partition_spec_id"]
+        m_types = pf_types_by_spec[sid]
+        m_ranges = derived_by_spec[sid]
         _, entries = avro_lite.read_ocf(_resolve(table, m["manifest_path"]))
         for e in entries:
             if e["status"] == 2:  # DELETED
@@ -1821,7 +1871,7 @@ def plan_scan(
             keep = True
             for col, want in partition_filters.items():
                 have = part.get(col)
-                if pf_types[col] == "date" and have is not None:
+                if m_types[col] == "date" and have is not None:
                     have = datetime.date(1970, 1, 1) + datetime.timedelta(days=have)
                     if isinstance(want, str):
                         want = datetime.date.fromisoformat(want)
@@ -1829,14 +1879,14 @@ def plan_scan(
                     keep = False
                     break
             if keep:
-                for col, (t_lo, t_hi) in derived_ranges.items():
+                for col, (t_lo, t_hi) in m_ranges.items():
                     have = part.get(col)
                     if have is None:
                         # an all-null source partition cannot satisfy a
                         # range predicate (SQL: NULL fails every bound)
                         keep = False
                         break
-                    if pf_types[col] == "date":
+                    if m_types[col] == "date":
                         have = datetime.date(1970, 1, 1) + datetime.timedelta(
                             days=have
                         )
@@ -1859,6 +1909,7 @@ def plan_scan(
             if keep:
                 path = _resolve(table, dfile["file_path"])
                 files.append(path)
+                file_specs[path] = sid
                 eseq = e.get("sequence_number")
                 file_seqs[path] = eseq if eseq is not None else m["sequence_number"]
     return {
@@ -1872,6 +1923,12 @@ def plan_scan(
         "files_total_in_read": files_total,
         "partition_cols": [pf["name"] for pf in spec_fields],
         "partition_spec": spec_fields,
+        # per-file spec ids + each spec's partition field names: mixed
+        # layouts after evolve_partition_spec read as one grouped scan
+        "file_specs": file_specs,
+        "partition_cols_by_spec": {
+            sid: [pf["name"] for pf in specs[sid]] for sid in spec_ids
+        },
         # logical -> physical parquet column names for the selected schema
         # (identity unless rename_column ever ran; see _physical_names)
         "physical_by_name": _physical_names(meta, snap_schema),
@@ -1943,34 +2000,60 @@ def _scan(
         if renamed
         else schema
     )
-    reader = spark.read.schema(read_schema)
-    if plan["partition_cols"]:
-        reader = reader.option("basePath", os.path.join(table, "data"))
-    df = reader.parquet(*plan["files"])
     cols = [f.name for f in schema.fields]
 
     def _pcol(c: str):
         p = phys.get(c, c)
         return F.col(p).alias(c) if p != c else F.col(c)
+
     need_lineage = lineage or bool(plan["delete_files"]) or bool(
         plan["eq_delete_files"]
     )
-    if need_lineage:
-        # Spark's hidden parquet metadata columns give each row its exact
-        # physical address (file URI + row position, row-group aware).
-        # Normalize the URI to the manifest-recorded absolute path form:
-        # strip the scheme ("file:/x" / "file:///x" → "/x") AND decode the
-        # percent-encoding Hadoop's Path URI applies to spaces/non-ASCII
-        # (review r10 #2: an encoded path never matched the seq map and
-        # deleted rows silently resurrected). url_decode is form-decoding
-        # ('+' → space), so literal '+' is protected as %2B first — exact,
-        # because a URI renders literal '%' as %25, never raw.
-        uri = F.regexp_replace(F.col("_metadata.file_path"), "^file:/+", "/")
-        df = df.select(
-            *[_pcol(c) for c in cols],
-            F.url_decode(F.regexp_replace(uri, r"\+", "%2B")).alias(_LIN_FILE),
-            F.col("_metadata.row_index").alias(_LIN_POS),
+    # group files by partition LAYOUT: after evolve_partition_spec one
+    # snapshot legally mixes specs, and Spark's basePath hive derivation
+    # needs consistent dirs within one read — one read per layout, then a
+    # zero-shuffle unionByName (each group already projected to the same
+    # logical columns)
+    file_specs = plan.get("file_specs") or {}
+    pcols_by_spec = plan.get("partition_cols_by_spec") or {}
+    groups: dict[tuple, list[str]] = {}
+    for f in plan["files"]:
+        sid = file_specs.get(f)
+        pc = tuple(
+            pcols_by_spec.get(sid, plan["partition_cols"])
+            if sid is not None
+            else plan["partition_cols"]
         )
+        groups.setdefault(pc, []).append(f)
+    parts: list[DataFrame] = []
+    for pc, fl in sorted(groups.items()):
+        reader = spark.read.schema(read_schema)
+        if pc:
+            reader = reader.option("basePath", os.path.join(table, "data"))
+        d = reader.parquet(*fl)
+        if need_lineage:
+            # Spark's hidden parquet metadata columns give each row its
+            # exact physical address (file URI + row position, row-group
+            # aware). Normalize the URI to the manifest-recorded absolute
+            # path form: strip the scheme ("file:/x" / "file:///x" → "/x")
+            # AND decode the percent-encoding Hadoop's Path URI applies to
+            # spaces/non-ASCII (review r10 #2: an encoded path never
+            # matched the seq map and deleted rows silently resurrected).
+            # url_decode is form-decoding ('+' → space), so literal '+' is
+            # protected as %2B first — exact, because a URI renders
+            # literal '%' as %25, never raw.
+            uri = F.regexp_replace(F.col("_metadata.file_path"), "^file:/+", "/")
+            d = d.select(
+                *[_pcol(c) for c in cols],
+                F.url_decode(F.regexp_replace(uri, r"\+", "%2B")).alias(_LIN_FILE),
+                F.col("_metadata.row_index").alias(_LIN_POS),
+            )
+        else:
+            d = d.select(*[_pcol(c) for c in cols])
+        parts.append(d)
+    df = parts[0]
+    for d in parts[1:]:
+        df = df.unionByName(d)
     if plan["delete_files"] or plan["eq_delete_files"]:
         df = _attach_data_seq(spark, df, plan)
         if plan["delete_files"]:
@@ -1980,8 +2063,7 @@ def _scan(
         df = df.drop("_ice_data_seq")
     if lineage:
         return df.select(*(cols + [_LIN_FILE, _LIN_POS]))
-    # without the lineage projection the frame still carries physical names
-    return df.select(*cols) if need_lineage else df.select(*[_pcol(c) for c in cols])
+    return df.select(*cols)
 
 
 def _attach_data_seq(spark: SparkSession, df: DataFrame, plan: dict) -> DataFrame:
@@ -2090,12 +2172,14 @@ def _apply_equality_deletes(spark: SparkSession, df: DataFrame, plan: dict) -> D
 def _snapshot_state(table: str, snap: dict, fid_to_name: dict[int, str]):
     """One snapshot's full file state from its manifest list: (data files
     as {path: data_seq}, position delete files as [(path, seq)], equality
-    delete files as [(path, seq, key names)], data spec-id)."""
+    delete files as [(path, seq, key names)], per-file spec-id map)."""
     _, all_manifests = avro_lite.read_ocf(_resolve(table, snap["manifest-list"]))
     files: dict[str, int] = {}
     pos_dels: list[tuple[str, int]] = []
     eq_dels: list[tuple[str, int, tuple[str, ...]]] = []
-    spec_id = None
+    fspec: dict[str, int] = {}  # per-FILE spec id (snapshots mix after
+    # evolve_partition_spec; one trailing id would scan some files under
+    # the wrong layout)
     for m in all_manifests:
         _, entries = avro_lite.read_ocf(_resolve(table, m["manifest_path"]))
         for e in entries:
@@ -2107,7 +2191,7 @@ def _snapshot_state(table: str, snap: dict, fid_to_name: dict[int, str]):
             path = _resolve(table, dfile["file_path"])
             if m["content"] == 0:
                 files[path] = seq
-                spec_id = m["partition_spec_id"]
+                fspec[path] = m["partition_spec_id"]
             elif dfile["content"] == 2:
                 ids = dfile.get("equality_ids") or []
                 names = tuple(fid_to_name[i] for i in ids if i in fid_to_name)
@@ -2123,7 +2207,7 @@ def _snapshot_state(table: str, snap: dict, fid_to_name: dict[int, str]):
                 eq_dels.append((path, seq, names))
             else:
                 pos_dels.append((path, seq))
-    return files, pos_dels, eq_dels, spec_id
+    return files, pos_dels, eq_dels, fspec
 
 
 def iceberg_table_changes(
@@ -2198,16 +2282,22 @@ def iceberg_table_changes(
         return state_cache[sid]
 
     phys_by_name = _physical_names(meta)
+    pcols_by_spec = {
+        sid: [pf["name"] for pf in fields] for sid, fields in specs.items()
+    }
 
-    def subplan(files_map: dict, spec_id, pos=(), eq=()):
-        spec_fields = specs.get(spec_id, []) if spec_id is not None else []
+    def subplan(files_map: dict, fspec: dict, pos=(), eq=()):
+        # per-FILE spec ids (snapshots mix layouts after
+        # evolve_partition_spec); _scan groups reads by layout
         return {
             "files": sorted(files_map),
             "file_seqs": dict(files_map),
             "delete_files": list(pos),
             "eq_delete_files": list(eq),
             "schema": schema,
-            "partition_cols": [pf["name"] for pf in spec_fields],
+            "partition_cols": [],
+            "file_specs": {p: fspec[p] for p in files_map},
+            "partition_cols_by_spec": pcols_by_spec,
             "physical_by_name": phys_by_name,
         }
 
@@ -2225,7 +2315,7 @@ def iceberg_table_changes(
             continue
         if snap["summary"]["operation"] == "replace":
             continue  # compaction: same rows, different files — no change
-        cur_files, cur_pos, cur_eq, cur_spec = state(snap)
+        cur_files, cur_pos, cur_eq, cur_fspec = state(snap)
         # the snapshot's OWN manifest list already encodes the parent
         # state for append/DML commits (they carry every parent manifest
         # forward): entries with sequence numbers STRICTLY BELOW this
@@ -2234,28 +2324,29 @@ def iceberg_table_changes(
         par_files = {p: fs for p, fs in cur_files.items() if fs < seq}
         par_pos = [(p, ds) for p, ds in cur_pos if ds < seq]
         par_eq = [(p, ds, nm) for p, ds, nm in cur_eq if ds < seq]
-        par_spec = cur_spec
+        # spec resolution is per FILE (cur_fspec / the parent's map): the
+        # r11 spec-id-0 bug class — one trailing spec id applied to every
+        # file — cannot recur, and mixed-layout snapshots after
+        # evolve_partition_spec resolve each file under its own manifest's
+        # spec
         new_files = {p: fs for p, fs in cur_files.items() if fs >= seq}
         new_pos = [(p, ds) for p, ds in cur_pos if ds >= seq]
         new_eq = [(p, ds, nm) for p, ds, nm in cur_eq if ds >= seq]
         # removed files (a FULL overwrite drops the parent's manifests)
         # are the one diff that genuinely needs the parent snapshot
         removed: dict[str, int] = {}
+        removed_fspec: dict[str, int] = {}
         has_parent = "parent-snapshot-id" in snap
         parent = by_id.get(snap.get("parent-snapshot-id"))
         if parent is not None:
-            pf, ppos, peq, pspec = state(parent)
+            pf, ppos, peq, pfspec = state(parent)
             removed = {p: fs for p, fs in pf.items() if p not in cur_files}
             if removed:
                 # a full overwrite dropped the parent's delete manifests
                 # from the current list — the removal emission must apply
                 # the PARENT's own delete state, not the carried subset
                 par_pos, par_eq = ppos, peq
-                # spec-id 0 is FALSY and is the id every table's first
-                # spec gets — `pspec or cur_spec` silently swapped in the
-                # overwrite's spec and NULLed the pre-images' partition
-                # columns (VERDICT r11 #2, reproduced)
-                par_spec = pspec if pspec is not None else cur_spec
+                removed_fspec = pfspec
         elif has_parent and not par_files:
             # parent expired AND nothing carried: a full overwrite whose
             # removed rows are unrecoverable — refuse loudly
@@ -2266,12 +2357,12 @@ def iceberg_table_changes(
                 f"{seq} or later"
             )
         if new_files:
-            ins = _scan(spark, table, subplan(new_files, cur_spec))
+            ins = _scan(spark, table, subplan(new_files, cur_fspec))
             pieces.append(lift(ins, "insert", seq))
         if removed:
             # full overwrite: the parent's rows, as the parent served them
             old = _scan(
-                spark, table, subplan(removed, par_spec, par_pos, par_eq)
+                spark, table, subplan(removed, removed_fspec, par_pos, par_eq)
             )
             pieces.append(lift(old, "delete", seq))
         if new_pos:
@@ -2289,7 +2380,7 @@ def iceberg_table_changes(
                     f"position delete targets {sorted(targets - set(tmap))} "
                     f"not present in the parent snapshot — corrupt changelog"
                 )
-            tdf = _scan(spark, table, subplan(tmap, par_spec), lineage=True)
+            tdf = _scan(spark, table, subplan(tmap, cur_fspec), lineage=True)
             hit = tdf.join(
                 dels,
                 (tdf[_LIN_FILE] == dels["file_path"])
@@ -2299,18 +2390,28 @@ def iceberg_table_changes(
             pieces.append(lift(hit, "delete", seq))
         if new_eq:
             visible = _scan(
-                spark, table, subplan(par_files, par_spec, par_pos, par_eq)
+                spark, table, subplan(par_files, cur_fspec, par_pos, par_eq)
             )
             groups: dict[tuple[str, ...], list[str]] = {}
             for path, _s, names in new_eq:
                 groups.setdefault(names, []).append(path)
             types = {f.name: f.dataType.simpleString() for f in schema.fields}
             for names, paths in sorted(groups.items()):
-                key_schema = ", ".join(f"`{n}` {types[n]}" for n in names)
+                # key files carry PHYSICAL column names (r12: reading them
+                # by the renamed logical name would null-fill the keys and
+                # silently emit no pre-images)
+                key_schema = ", ".join(
+                    f"`{phys_by_name.get(n, n)}` {types[n]}" for n in names
+                )
                 keys = (
                     spark.read.schema(key_schema)
                     .parquet(*paths)
-                    .select(*[F.col(n).alias(f"_ice_eq_{n}") for n in names])
+                    .select(
+                        *[
+                            F.col(phys_by_name.get(n, n)).alias(f"_ice_eq_{n}")
+                            for n in names
+                        ]
+                    )
                     .distinct()
                 )
                 cond = F.lit(True)
@@ -3196,13 +3297,84 @@ def drop_column(table: str, name: str) -> int:
             if pf["source-id"] == fid:
                 raise ValueError(
                     f"column {name!r} is the source of partition field "
-                    f"{pf['name']!r} in the current spec — change the "
-                    f"partition layout (overwrite with new partition_cols) "
+                    f"{pf['name']!r} in the current spec — "
+                    f"evolve_partition_spec to a layout without it "
                     f"before dropping it"
                 )
         return [f for f in fields if f["name"] != name], {}
 
     return _evolve_schema(table, mutate)
+
+
+def evolve_partition_spec(table: str, partition_cols: list[str] | None) -> int:
+    """Metadata-only partition-spec evolution (spec §Partition Evolution):
+    set the table's DEFAULT spec to the given terms — ``days(ts)``,
+    ``bucket(8, id)``, plain identity columns, or ``None``/``[]`` for
+    unpartitioned — WITHOUT touching a single data file. Existing files
+    keep their layout under their manifests' immutable spec-ids; appends
+    and DML after the call stage under the new default; ``plan_scan``
+    prunes each manifest under its own spec and ``_scan`` reads mixed
+    layouts as one grouped union. ``compact_iceberg`` rewrites under the
+    default spec, so compaction is the gradual migration path. At 100 TB
+    this is the difference between a metadata version bump and rewriting
+    the table. Returns the (existing or new) spec-id.
+
+    Identity spec field names use the source column's PHYSICAL name, like
+    the write path — renames never move hive dirs."""
+    version = _current_version(table)  # pin hint+load together
+    if version is None:
+        raise ValueError("evolve_partition_spec needs an existing table")
+    meta = load_metadata(table, version)
+    schema_json = _schema_by_id(meta)
+    name_to_id = {f["name"]: f["id"] for f in schema_json["fields"]}
+    field_types = {
+        f["id"]: f["type"] for f in schema_json["fields"] if isinstance(f["type"], str)
+    }
+    phys = _physical_names(meta, schema_json)
+    terms = [_parse_partition_term(c) for c in (partition_cols or [])]
+    for t, src in terms:
+        if src not in name_to_id:
+            raise KeyError(f"partition column {src!r} not in schema")
+        _avro_partition_type(
+            _transform_result_type(t, field_types[name_to_id[src]])
+        )
+    want = [
+        (_partition_field_name(t, phys[src]), t, name_to_id[src])
+        for t, src in terms
+    ]
+    names = [n for n, _t, _sid in want]
+    if len(set(names)) != len(names):
+        dupes = sorted({n for n in names if names.count(n) > 1})
+        raise ValueError(
+            f"partition terms collide on derived field name(s) {dupes}: "
+            f"at most one transform per (kind, column) is supported"
+        )
+    spec_id, _fields, new_specs, last_pid = _match_or_mint_spec(
+        list(meta["partition-specs"]), meta["last-partition-id"], want
+    )
+    if spec_id == meta["default-spec-id"]:
+        return spec_id  # already the default — nothing to publish
+    now_ms = int(time.time() * 1000)
+    new_meta = dict(
+        meta,
+        **{
+            "partition-specs": new_specs,
+            "default-spec-id": spec_id,
+            "last-partition-id": last_pid,
+            "last-updated-ms": now_ms,
+            "metadata-log": meta.get("metadata-log", [])
+            + [
+                {
+                    "timestamp-ms": now_ms,
+                    "metadata-file": os.path.join(
+                        "metadata", f"v{version}.metadata.json"
+                    ),
+                }
+            ],
+        },
+    )
+    _write_metadata(table, new_meta, version + 1)
+    return spec_id
 
 
 # name mapping (spec §Name Mapping Serialization, property

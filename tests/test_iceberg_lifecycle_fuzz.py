@@ -42,6 +42,7 @@ from pyspark.sql import types as T
 
 from big_data_analytics_machine_learning_poc_spark.sources.iceberg_lite import (
     add_column,
+    evolve_partition_spec,
     rename_column,
     compact_iceberg,
     delete_where,
@@ -259,12 +260,12 @@ def _check_tail(table: str, model: _Model, offset: int) -> int:
 # × equality-delete interplay specifically.
 _FULL_MIX = (
     ["append", "delete", "update", "upsert", "compact", "expire", "evolve",
-     "tail", "race", "fullover", "rename"],
-    [24, 13, 12, 11, 11, 8, 7, 8, 6, 6, 5],
+     "tail", "race", "fullover", "rename", "respec"],
+    [24, 13, 12, 11, 11, 8, 7, 8, 6, 6, 5, 6],
 )
 _MAINT_MIX = (
-    ["append", "compact", "expire", "evolve", "tail"],
-    [34, 20, 16, 8, 22],
+    ["append", "compact", "expire", "evolve", "tail", "respec"],
+    [32, 20, 16, 8, 20, 8],
 )
 _EVOLVE_UPSERT_MIX = (
     ["append", "upsert", "evolve", "delete", "compact", "race", "rename"],
@@ -444,6 +445,13 @@ def _run_sequence(spark, seed: int, mix=_FULL_MIX) -> None:
                     snap, base + 2, "append",
                     [tuple(r.get(c) for c in model.cols) for r in main_rows],
                 )
+            elif op == "respec":
+                # metadata-only partition evolution (r12): the default
+                # layout flips; rows are untouched, subsequent ops stage
+                # under the new spec and scans mix layouts — exactly the
+                # schedules the grouped _scan and per-manifest pruning
+                # must hold under
+                evolve_partition_spec(table, rng.choice(_LAYOUTS))
             elif op == "rename" and len(model.cols) > 3:
                 # rename an EVOLVED column (the base three are referenced
                 # by name in the other ops' predicates): physical parquet
