@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..functions.hashing import md5_hash32_sql
-from ..functions.vector import cosine
+from ..functions.vector import cosine, dot, l2_norm
 from ..registry import QueryRegistry
 from .corpus import _CONTAM_OVERLAP, _SPLIT_SQL, _split_col
 from .dedup import _BIGRAMS_SQL, doc_shingle_hashes
@@ -76,9 +76,25 @@ def semdedup(
         )
         .localCheckpoint()
     )
-    a = members.alias("a")
-    b = members.alias("b")
-    pair_sim = F.round(cosine(F.col("a.embedding"), F.col("b.embedding")), 5)
+    # Hoist the pair-invariant norms OUT of the O(pairs) join expression
+    # (the dedup_embedding_cosine `normed` pattern, r12): cosine() folds
+    # both operands' self-dots per evaluation, so the raw form pays five
+    # interpreted higher-order-function folds per candidate pair (dot,
+    # 2×norm in the guard, 2×norm in the denominator — HOFs never enter
+    # whole-stage codegen). Computing ``_nrm`` once per member row (linear)
+    # leaves exactly ONE fold (the cross dot) per pair. Identical IEEE
+    # result: same sequential fold, same sqrt→multiply→divide order, same
+    # zero-denominator guard as functions/vector.cosine.
+    a = members.withColumn("_nrm", l2_norm(F.col("embedding"))).alias("a")
+    b = members.withColumn("_nrm", l2_norm(F.col("embedding"))).alias("b")
+    pair_denom = F.col("a._nrm") * F.col("b._nrm")
+    pair_sim = F.round(
+        F.when(
+            pair_denom != 0.0,
+            dot(F.col("a.embedding"), F.col("b.embedding")) / pair_denom,
+        ),
+        5,
+    )
     loser = F.when(F.col("a.csim") > F.col("b.csim"), F.col("a.vec_id")).otherwise(
         F.when(F.col("b.csim") > F.col("a.csim"), F.col("b.vec_id")).otherwise(
             F.greatest(F.col("a.vec_id"), F.col("b.vec_id"))

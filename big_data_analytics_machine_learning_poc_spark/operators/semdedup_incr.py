@@ -140,8 +140,21 @@ def incremental_semdedup(
             "vec_id", "embedding", "cluster", "csim", F.lit(True).alias("is_new")
         )
     )
-    a, b = assigned.alias("a"), both.alias("b")
-    sim = F.round(cosine(F.col("a.embedding"), F.col("b.embedding")), 5)
+    # Norm-hoist (the dedup_embedding_cosine `normed` pattern, r12): the
+    # pair join's cosine() would fold both operands' self-dots per PAIR;
+    # computing ``_nrm`` once per row on each join input (linear) leaves
+    # one cross-dot fold per pair. Same fold/sqrt/multiply/divide order and
+    # zero-norm guard as functions/vector.cosine → identical IEEE values.
+    a = assigned.withColumn("_nrm", l2_norm(F.col("embedding"))).alias("a")
+    b = both.withColumn("_nrm", l2_norm(F.col("embedding"))).alias("b")
+    _denom = F.col("a._nrm") * F.col("b._nrm")
+    sim = F.round(
+        F.when(
+            _denom != 0.0,
+            dot(F.col("a.embedding"), F.col("b.embedding")) / _denom,
+        ),
+        5,
+    )
     loser = F.when(F.col("a.csim") > F.col("b.csim"), F.col("a.vec_id")).otherwise(
         F.when(F.col("b.csim") > F.col("a.csim"), F.col("b.vec_id")).otherwise(
             F.greatest(F.col("a.vec_id"), F.col("b.vec_id"))
