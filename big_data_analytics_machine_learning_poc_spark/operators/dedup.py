@@ -1020,19 +1020,30 @@ def mllib_lsh_pairs(docs: DataFrame) -> DataFrame:
 
     from .text import tokens_col
 
-    staged = docs.select("doc_id", tokens_col().alias("__toks"))
-    sh = staged.select("doc_id", bigram_shingles(F.col("__toks")).alias("shingles"))
     # Docs with <2 tokens shingle to an empty array → all-zero TF vector,
     # and MinHashLSHModel throws on zero vectors ("Must have at least 1 non
     # zero entry"). Such docs trivially have no near-dup pairs, so drop them
     # before the model; testdata minimums hide this, short real docs don't.
     #
+    # The drop is phrased as ``size(__toks) >= 2`` on the TOKEN column, not
+    # ``size(shingles) > 0`` on the shingle column (equivalent: shingles
+    # are non-empty iff the doc has ≥2 tokens). Filtering on the shingle
+    # column pushed the predicate below the projection, substituting the
+    # FULL shingle expression into the condition — including the transform
+    # lambda, whose element_at(toks, ·) then re-evaluated the whole
+    # split-regex tokenization PER BIGRAM (plan-verified; the shingle pass
+    # cost 7.3 s vs 0.5 s at sf0.1, r12). On the token column the pushed
+    # condition is one size(filter(split(...))) per row.
+    staged = docs.select("doc_id", tokens_col().alias("__toks")).filter(
+        F.size(F.col("__toks")) >= 2
+    )
+    sh = staged.select("doc_id", bigram_shingles(F.col("__toks")).alias("shingles"))
     # localCheckpoint: FIVE consumers sit downstream of this map-only
     # subtree (LSH fit, both band-join sides, and the verify's shingle
     # hashes + sizes) — uncheckpointed, Spark re-ran tokenize→shingle per
     # consumer (measured r5-tail: lane 14.4 s → 8.5 s with the shingle
     # frame materialized once; it is |docs| rows of shingle arrays).
-    sh = sh.filter(F.size("shingles") > 0).localCheckpoint()
+    sh = sh.localCheckpoint()
     # binary=True → set semantics (presence, not counts), matching Jaccard
     tf = (
         HashingTF(
