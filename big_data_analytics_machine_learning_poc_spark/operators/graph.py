@@ -60,13 +60,18 @@ def pagerank(
     keeps both failure modes bounded and is scale-independent: the
     checkpoint materializes only the n_nodes-row rank vector."""
     spark = edges.sparkSession
+    # Checkpoint edges FIRST, then derive nodes from the checkpointed
+    # frame: nodes-before-edges ran the caller's upstream edge build (for
+    # the procurement lane a 587k-row join+distinct) TWICE — once into the
+    # nodes checkpoint and once into the edges checkpoint (r12, guide
+    # §1.2: don't compute things twice). Same rows either way.
+    edges = edges.localCheckpoint()
     nodes = (
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))
         .distinct()
     ).localCheckpoint()
     n_nodes = nodes.count()
-    edges = edges.localCheckpoint()
     # Hoist everything iteration-invariant OUT of the loop (the r5 rewrite
     # that took the sf0.1 lane from ~14 s to single digits):
     # - wedges: edges pre-joined with the out-degree of their source — the
