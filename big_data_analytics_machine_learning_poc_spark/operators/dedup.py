@@ -1644,6 +1644,15 @@ def er_customer_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_nationkey").alias("nk"),
         F.col("c_mktsegment").alias("seg"),
     )
+    # Spread the verify across the cluster (the dedup_edit_distance_verify
+    # discipline, r12): the broadcast block-join's probe side otherwise
+    # inherits the scan's partitioning — ONE task on a single-row-group
+    # file — and every candidate pair's levenshtein runs serially (the
+    # banded DP sits in the JOIN CONDITION, so it executes on the probe
+    # task; plan-verified). Repartitioning the 4-column probe is one tiny
+    # exchange; at 100 TB the scan is many-partition anyway and this is a
+    # no-op cost. Block-key hash keeps pair generation partition-local.
+    a = a.repartition(spark.sparkContext.defaultParallelism, "nk", "seg")
     return (
         a.join(b, ["nk", "seg"])
         .filter(F.col("a_key") < F.col("b_key"))
