@@ -1853,6 +1853,9 @@ def ml_als_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_partkey").cast("int").alias("item"),
         )
         .agg(F.sum("l_quantity").cast("float").alias("rating"))
+        # two consumers (the ALS fit and the user-subset distinct below)
+        # otherwise each replay the lineitem⋈orders join + groupBy (r12)
+        .localCheckpoint()
     )
     als = ALS(
         rank=8,

@@ -933,8 +933,13 @@ def stream_from_delta_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.pyds import DeltaLiteStreamDataSource
 
     spark.dataSource.register(DeltaLiteStreamDataSource)
-    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 100).select(
-        "event_id", "event_type", cents("value").alias("value_cents")
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 100)
+        .select("event_id", "event_type", cents("value").alias("value_cents"))
+        # three append commits below each filter this slice; checkpointed,
+        # the events scan + nanos conversion runs once, not three times (r12)
+        .localCheckpoint()
     )
     table = tempfile.mkdtemp(prefix="delta_stream_src_")
     try:
