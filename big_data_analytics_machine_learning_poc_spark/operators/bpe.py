@@ -140,7 +140,13 @@ def learn_bpe_merges(
         F.expr("filter(split(word, ''), s -> s <> '')").alias("symbols"),
         "wc",
     )
-    words = words.localCheckpoint(eager=True)
+    # LAZY checkpoints throughout the loop: the very next pair-count job
+    # materializes (and persists) the frame anyway, so an eager checkpoint
+    # is a whole extra pass per iteration just to warm the cache the next
+    # job would warm itself. Lineage truncation is identical; partitions a
+    # short-circuiting first action skips are backfilled by Spark's local
+    # checkpointer before truncation (LocalRDDCheckpointData). (r12)
+    words = words.localCheckpoint(eager=False)
     merges: list[tuple[int, str, str, str, int]] = []
     for rank in range(1, n_merges + 1):
         pairs = (
@@ -172,7 +178,7 @@ def learn_bpe_merges(
                 "symbols"
             ),
             "wc",
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)  # materialized by the next argmax job
     return merges
 
 

@@ -1242,10 +1242,16 @@ def connected_components(edges: DataFrame) -> DataFrame:
             )
         ).alias("e")
     ).select("e.src", "e.dst")
-    sym = sym.localCheckpoint()  # computed once; reused every round
+    # LAZY checkpoints: each round's convergence-check job materializes
+    # the frame it needs anyway — an eager checkpoint is one extra full
+    # pass per round purely to pre-warm what the next job would compute.
+    # Lineage truncation (the reason these checkpoints exist) is identical;
+    # Spark's local checkpointer backfills any partition the first action
+    # skipped before truncating. (r12)
+    sym = sym.localCheckpoint(eager=False)  # computed once; reused every round
     labels = (
         sym.select(F.col("src").alias("doc")).distinct().withColumn("lab", F.col("doc"))
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
 
     for _ in range(_CC_MAX_ITERS):
         prop = (
@@ -1254,7 +1260,7 @@ def connected_components(edges: DataFrame) -> DataFrame:
         )
         new = (
             labels.unionByName(prop).groupBy("doc").agg(F.min("lab").alias("lab"))
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)  # materialized by the changed-count job
         changed = (
             new.alias("n")
             .join(labels.alias("o"), "doc")

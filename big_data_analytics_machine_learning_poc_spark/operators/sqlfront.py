@@ -673,6 +673,10 @@ def sql_scripting_leaky_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "rev_cents"
             )
         )
+        # a temp view is LAZY: each of the WHILE loop's 12 scalar lookups
+        # would otherwise replay the whole orders scan + aggregation (r12);
+        # checkpointing pins the 12-row aggregate so lookups scan 12 rows
+        .localCheckpoint()
         .createOrReplaceTempView("sql_script_mrev")
     )
     return spark.sql(
