@@ -58,19 +58,26 @@ def pagerank(
     sf0.1: checkpoint-every-5 ≈ 8 s, every-1 ≈ 14 s (pure job overhead),
     NO checkpoint over 10 iterations ≈ 124 s (analysis blow-up). Five
     keeps both failure modes bounded and is scale-independent: the
-    checkpoint materializes only the n_nodes-row rank vector."""
+    checkpoint materializes only the n_nodes-row rank vector. The r12
+    A/B also tried (a) lazy checkpoints throughout the LOOP (14.6 s vs
+    10.4 s — the one-cascade shape interacts badly with AQE stage
+    materialization) and (b) persist() between eager checkpoints
+    (13.3 s) — both WORSE; only the SETUP checkpoints are lazy (below):
+    the n_nodes count / first iteration materialize them anyway, which
+    trims the one-shot (cold) path ~20% with an identical median."""
     spark = edges.sparkSession
     # Checkpoint edges FIRST, then derive nodes from the checkpointed
     # frame: nodes-before-edges ran the caller's upstream edge build (for
     # the procurement lane a 587k-row join+distinct) TWICE — once into the
     # nodes checkpoint and once into the edges checkpoint (r12, guide
-    # §1.2: don't compute things twice). Same rows either way.
-    edges = edges.localCheckpoint()
+    # §1.2: don't compute things twice). Same rows either way. Lazy: the
+    # n_nodes count below is the first action and materializes both.
+    edges = edges.localCheckpoint(eager=False)
     nodes = (
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))
         .distinct()
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     n_nodes = nodes.count()
     # Hoist everything iteration-invariant OUT of the loop (the r5 rewrite
     # that took the sf0.1 lane from ~14 s to single digits):
@@ -80,12 +87,12 @@ def pagerank(
     # - dnodes: the (static) set of dangling nodes, so the dangling mass is
     #   a semi-join + 1-row aggregate instead of re-deriving outdeg-null
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    wedges = edges.join(outdeg, "src").localCheckpoint()
+    wedges = edges.join(outdeg, "src").localCheckpoint(eager=False)
     # dangling nodes (no out-edges) are a STATIC set; left unhinted, AQE
     # broadcasts it when small and falls back to shuffle when it isn't
     dnodes = nodes.join(
         outdeg, nodes.node == outdeg.src, "left_anti"
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
     for i in range(iterations):
         # one action per ckpt_every iterations: the checkpoint materializes
