@@ -56,7 +56,9 @@ def ml_lr_rmse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     assembled = VectorAssembler(
         inputCols=["l_quantity", "l_discount", "l_tax"], outputCol="features"
-    ).transform(li)
+    ).transform(li).localCheckpoint(eager=False)  # fit + evaluate otherwise
+    # each replay the lineitem scan + assembler; checkpoint preserves
+    # partitioning so the seeded split draws identical rows (r12)
     train, test = assembled.randomSplit([0.7, 0.3], seed=42)
     model = LinearRegression(featuresCol="features", labelCol="label").fit(train)
     rmse = RegressionEvaluator(
