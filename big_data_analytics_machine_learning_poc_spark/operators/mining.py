@@ -1197,7 +1197,11 @@ def ml_fpgrowth_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exact lanes."""
     from pyspark.ml.fpm import FPGrowth
 
-    baskets = _baskets(spark, sf_dir, items_col="items")
+    # FPGrowth.fit makes several passes over its input RDD (count, frequent
+    # items, conditional trees) WITHOUT caching it ("Input data is not
+    # cached" MLlib warning) — uncheckpointed, each pass replays the
+    # lineitem scan + collect_set shuffle (r12)
+    baskets = _baskets(spark, sf_dir, items_col="items").localCheckpoint(eager=False)
     model = FPGrowth(
         itemsCol="items", minSupport=_FP_MIN_SUPPORT, minConfidence=0.5
     ).fit(baskets)
