@@ -43,7 +43,35 @@ def partitioned_prefix_sum(
     order-DEPENDENT and silently nondeterministic, so ``check_unique``
     (one extra count-distinct aggregate — pay it in tests/first runs,
     skip it in steady state) makes the contract loud instead."""
-    value = F.col(value_col) if isinstance(value_col, str) else value_col
+    return partitioned_prefix_sums(
+        df,
+        order_col,
+        [(value_col, out_col)],
+        num_partitions=num_partitions,
+        exclusive=exclusive,
+        check_unique=check_unique,
+    )
+
+
+def partitioned_prefix_sums(
+    df: DataFrame,
+    order_col: str,
+    values: list[tuple[str | Column, str]],
+    num_partitions: int = 32,
+    exclusive: bool = False,
+    check_unique: bool = False,
+) -> DataFrame:
+    """N prefix sums over the SAME order key in ONE pass: each
+    ``(value_col, out_col)`` in ``values`` gets its cumulative sum in
+    ``order_col`` order. Stacking N single-value calls pays N range
+    shuffles, N checkpoints, N totals collects and N window sorts over
+    identically-ordered data; every one of those is order-key-invariant,
+    so one pass computes all N columns for the cost of one (r12: halved
+    parts_pareto_share's prefix machinery — cum_cents and rnk share the
+    exchange). Same uniqueness contract as ``partitioned_prefix_sum``."""
+    cols = [
+        (F.col(v) if isinstance(v, str) else v, out) for v, out in values
+    ]
     if check_unique:
         n, d = df.agg(
             F.count(order_col).alias("n"), F.count_distinct(order_col).alias("d")
@@ -75,27 +103,45 @@ def partitioned_prefix_sum(
         .orderBy(order_col)
         .rowsBetween(Window.unboundedPreceding, hi)
     )
-    local = ranged.withColumn(
-        "_pp_local", F.coalesce(F.sum(value).over(w), F.lit(0))
-    )
+    local = ranged
+    for i, (value, _out) in enumerate(cols):
+        local = local.withColumn(
+            f"_pp_local{i}", F.coalesce(F.sum(value).over(w), F.lit(0))
+        )
     # per-partition totals: tiny (one row per partition) — the exclusive
     # carry for partition p is the sum of all earlier partitions' totals.
     # Totals are keyed by pid; range partitioning makes pid order == key
-    # order, which the property test pins.
+    # order, which the property test pins. One aggregate row per
+    # partition regardless of how many values are cumulated.
     totals = (
         ranged.groupBy("_pp_pid")
-        .agg(F.coalesce(F.sum(value), F.lit(0)).alias("_pp_total"))
+        .agg(
+            *[
+                F.coalesce(F.sum(value), F.lit(0)).alias(f"_pp_total{i}")
+                for i, (value, _out) in enumerate(cols)
+            ]
+        )
         .collect()
     )
     carry_rows = []
-    running = 0
+    running = [0] * len(cols)
     for row in sorted(totals, key=lambda r: r["_pp_pid"]):
-        carry_rows.append((row["_pp_pid"], running))
-        running += row["_pp_total"]
+        carry_rows.append((row["_pp_pid"], *running))
+        running = [
+            running[i] + row[f"_pp_total{i}"] for i in range(len(cols))
+        ]
     spark = df.sparkSession
-    carries = spark.createDataFrame(carry_rows, "_pp_pid int, _pp_carry long")
-    return (
-        local.join(F.broadcast(carries), "_pp_pid")
-        .withColumn(out_col, F.col("_pp_local") + F.col("_pp_carry"))
-        .drop("_pp_pid", "_pp_local", "_pp_carry")
+    carry_schema = "_pp_pid int, " + ", ".join(
+        f"_pp_carry{i} long" for i in range(len(cols))
+    )
+    carries = spark.createDataFrame(carry_rows, carry_schema)
+    out = local.join(F.broadcast(carries), "_pp_pid")
+    for i, (_value, out_col) in enumerate(cols):
+        out = out.withColumn(
+            out_col, F.col(f"_pp_local{i}") + F.col(f"_pp_carry{i}")
+        )
+    return out.drop(
+        "_pp_pid",
+        *[f"_pp_local{i}" for i in range(len(cols))],
+        *[f"_pp_carry{i}" for i in range(len(cols))],
     )

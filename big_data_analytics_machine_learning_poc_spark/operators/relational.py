@@ -2236,7 +2236,7 @@ def parts_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles once; the prefix machinery adds one range shuffle + a
     |partitions|-row broadcast; the total broadcast crosses 1 row with
     the 100-row filtered result."""
-    from ..functions.prefix import partitioned_prefix_sum
+    from ..functions.prefix import partitioned_prefix_sums
 
     per_part = (
         _t(spark, sf_dir, "lineitem")
@@ -2252,15 +2252,18 @@ def parts_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed = per_part.withColumn(
         "_ord", (-F.col("rev_cents")) * 10_000_000 + F.col("l_partkey")
     )
-    pref = partitioned_prefix_sum(keyed, "_ord", "rev_cents", "cum_cents", 16)
-    ranked = partitioned_prefix_sum(
-        pref, "_ord", F.lit(1), "rnk", 16
+    # cum_cents and rnk cumulate over the SAME unique order key, so one
+    # fused prefix pass computes both — one range shuffle + one checkpoint
+    # + one totals collect instead of two of each (r12; the stacked form
+    # re-range-partitioned the first pass's output on the same key)
+    ranked = partitioned_prefix_sums(
+        keyed, "_ord", [("rev_cents", "cum_cents"), (F.lit(1), "rnk")], 16
     )
     # grand total summed over the prefix helper's localCheckpoint'ed
     # per-part frame, NOT a second lineitem scan+agg; summing rev_cents
     # (not max(cum_cents)) lets column pruning drop the Window recompute
     # from this branch — one tiny aggregate Exchange is the whole cost
-    total = pref.agg(F.sum("rev_cents").alias("total_cents"))
+    total = ranked.agg(F.sum("rev_cents").alias("total_cents"))
     return (
         ranked.filter(F.col("rnk") <= 100)
         .crossJoin(F.broadcast(total))

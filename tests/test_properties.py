@@ -451,6 +451,45 @@ def test_partitioned_prefix_sum_equals_global_window(spark):
             assert got == want, (parts, excl)
 
 
+def test_partitioned_prefix_sums_fused_equals_stacked(spark):
+    """The one-pass multi-value form (r12: parts_pareto_share fuses
+    cum_cents + rnk into one range shuffle) must equal stacking
+    single-value calls — including a lit(1) value (the row-number idiom)
+    and mixed signs."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from big_data_analytics_machine_learning_poc_spark.functions.prefix import (
+        partitioned_prefix_sum,
+        partitioned_prefix_sums,
+    )
+
+    rng = random.Random(13)
+    keys = rng.sample(range(100_000), 400)
+    rows = [(k, rng.randint(-50, 50), rng.randint(0, 9)) for k in keys]
+    df = spark.createDataFrame(rows, "k long, v long, u long")
+    stacked = partitioned_prefix_sum(
+        partitioned_prefix_sum(
+            partitioned_prefix_sum(df, "k", "v", "cv", 16),
+            "k",
+            "u",
+            "cu",
+            16,
+        ),
+        "k",
+        F.lit(1),
+        "rn",
+        16,
+    )
+    fused = partitioned_prefix_sums(
+        df, "k", [("v", "cv"), ("u", "cu"), (F.lit(1), "rn")], 16
+    )
+    want = {r.k: (r.cv, r.cu, r.rn) for r in stacked.collect()}
+    got = {r.k: (r.cv, r.cu, r.rn) for r in fused.collect()}
+    assert got == want
+
+
 def test_partitioned_prefix_sum_check_unique_guard(spark):
     """check_unique makes the duplicate-order-key contract loud."""
     import pytest as _pytest
