@@ -142,17 +142,29 @@ def graph_pagerank_procurement(spark: SparkSession, sf_dir: str) -> DataFrame:
     PageRank (10 iterations, d=0.85)."""
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     lineitem = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    # Narrow the node ids for the loop (guide §2.3): the iteration
+    # machinery joins/aggregates the rank vector 10 times, so the ids ride
+    # every per-iteration exchange. Packing the two key spaces into one
+    # BIGINT by parity (c:k -> 2k, s:k -> 2k+1) shuffles 8 fixed bytes
+    # instead of a 6-10 char string and compares longs instead of strings
+    # in every join/groupBy; the display form is reconstructed once, on
+    # the 16k-row result, after the loop. Measured 7.12 -> 5.36 s median
+    # (r12); full 6dp rank vector byte-identical at sf0.01 and sf0.1.
     edges = (
         orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
         .select(
-            F.concat(F.lit("c:"), F.col("o_custkey")).alias("src"),
-            F.concat(F.lit("s:"), F.col("l_suppkey")).alias("dst"),
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
         )
         .distinct()
     )
+    node_label = F.when(
+        F.col("node") % 2 == 0,
+        F.concat(F.lit("c:"), (F.col("node") / 2).cast("long")),
+    ).otherwise(F.concat(F.lit("s:"), ((F.col("node") - 1) / 2).cast("long")))
     return (
         pagerank(edges, iterations=10)
-        .select("node", F.round("rank", 6).alias("rank"))
+        .select(node_label.alias("node"), F.round("rank", 6).alias("rank"))
         .orderBy(F.col("rank").desc(), "node")
         .limit(20)
     )

@@ -170,3 +170,42 @@ def test_pagerank_matches_pure_python_reference(spark):
     assert abs(sum(got.values()) - 1.0) < 1e-9  # mass conserved
     for n in nodes:
         assert abs(got[n] - ranks[n]) < 1e-9, (n, got[n], ranks[n])
+
+
+def test_pagerank_lane_integer_ids_match_string_build(spark):
+    """graph_pagerank_procurement packs node ids into BIGINTs for the
+    iteration loop (r12: narrower shuffle keys, guide §2.3) and
+    reconstructs the "c:"/"s:" labels after. The declared output must
+    equal the original string-keyed construction at 6 dp."""
+    from pyspark.sql import functions as F
+
+    from big_data_analytics_machine_learning_poc_spark.catalog import load_table
+    from big_data_analytics_machine_learning_poc_spark.operators.graph import (
+        REG,
+        pagerank,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    got = [
+        (r.node, r.rank)
+        for r in REG.queries["graph_pagerank_procurement"](spark, sf_dir).collect()
+    ]
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.concat(F.lit("c:"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s:"), F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    want = [
+        (r.node, r.rank)
+        for r in pagerank(edges, iterations=10)
+        .select("node", F.round("rank", 6).alias("rank"))
+        .orderBy(F.col("rank").desc(), "node")
+        .limit(20)
+        .collect()
+    ]
+    assert got == want
