@@ -32,7 +32,7 @@ def partitioned_prefix_sum(
     order_col: str,
     value_col: str | Column,
     out_col: str,
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
     exclusive: bool = False,
     check_unique: bool = False,
 ) -> DataFrame:
@@ -57,7 +57,7 @@ def partitioned_prefix_sums(
     df: DataFrame,
     order_col: str,
     values: list[tuple[str | Column, str]],
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
     exclusive: bool = False,
     check_unique: bool = False,
 ) -> DataFrame:
@@ -68,7 +68,22 @@ def partitioned_prefix_sums(
     identically-ordered data; every one of those is order-key-invariant,
     so one pass computes all N columns for the cost of one (r12: halved
     parts_pareto_share's prefix machinery — cum_cents and rnk share the
-    exchange). Same uniqueness contract as ``partitioned_prefix_sum``."""
+    exchange). Same uniqueness contract as ``partitioned_prefix_sum``.
+
+    Values must be INTEGER columns: the per-partition carries are
+    cumulated driver-side as Python ints into a ``long`` carry schema —
+    exact under any partitioning. A float/decimal value column would
+    produce carries the long schema rejects (or silently mis-types);
+    derive an integer representation first (the cents idiom).
+
+    ``num_partitions`` defaults to the session's ``defaultParallelism``
+    (scale-adaptive, r13): the result is partition-count-INVARIANT for a
+    unique order key (property-tested), so the count only tunes the
+    shuffle fan-out — a literal here would be tuned to one box, and the
+    driver-side carry cumulation is O(partitions), so scaling it is
+    cheap."""
+    if num_partitions is None:
+        num_partitions = df.sparkSession.sparkContext.defaultParallelism
     cols = [
         (F.col(v) if isinstance(v, str) else v, out) for v, out in values
     ]
@@ -78,7 +93,7 @@ def partitioned_prefix_sums(
         ).collect()[0]
         if n != d:
             raise ValueError(
-                f"partitioned_prefix_sum: order column {order_col!r} has "
+                f"partitioned prefix sum: order column {order_col!r} has "
                 f"{n - d} duplicate value(s) — the prefix over a tie group "
                 f"is order-dependent; pass a composite unique key"
             )
@@ -134,7 +149,11 @@ def partitioned_prefix_sums(
     carry_schema = "_pp_pid int, " + ", ".join(
         f"_pp_carry{i} long" for i in range(len(cols))
     )
-    carries = spark.createDataFrame(carry_rows, carry_schema)
+    from .localrows import local_rows_df
+
+    # |partitions| rows as one Arrow batch — the default sliced Python RDD
+    # paid a worker round trip per slice inside every broadcast build (r13)
+    carries = local_rows_df(spark, carry_rows, carry_schema)
     out = local.join(F.broadcast(carries), "_pp_pid")
     for i, (_value, out_col) in enumerate(cols):
         out = out.withColumn(

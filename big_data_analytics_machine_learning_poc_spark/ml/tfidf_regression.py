@@ -64,14 +64,27 @@ def run(reviews: DataFrame, seed: int = 42) -> dict:
         # bit-identical — checkpoint preserves partitioning and row order,
         # so the seeded randomSplit draws the same rows).
         feats = model.transform(labeled).localCheckpoint()
-        nat_corr = feats.stat.corr("label", "nationality_idx")  # TfIdfCalculator.java:111
-        train, test = feats.randomSplit([0.7, 0.3], seed=seed)
-        lr = LinearRegression(featuresCol="features", labelCol="label")
-        lr_model = lr.fit(train)
-        predictions = lr_model.transform(test)
-        rmse = RegressionEvaluator(
-            labelCol="label", predictionCol="prediction", metricName="rmse"
-        ).evaluate(predictions)
-        return {"nationality_corr": nat_corr, "rmse": rmse, "n_test": predictions.count()}
+        try:
+            nat_corr = feats.stat.corr("label", "nationality_idx")  # TfIdfCalculator.java:111
+            train, test = feats.randomSplit([0.7, 0.3], seed=seed)
+            lr = LinearRegression(featuresCol="features", labelCol="label")
+            lr_model = lr.fit(train)
+            predictions = lr_model.transform(test)
+            rmse = RegressionEvaluator(
+                labelCol="label", predictionCol="prediction", metricName="rmse"
+            ).evaluate(predictions)
+            return {
+                "nationality_corr": nat_corr,
+                "rmse": rmse,
+                "n_test": predictions.count(),
+            }
+        finally:
+            # every consumer (corr, fit, evaluate, count) has run and the
+            # returned dict is plain metrics — release the checkpoint's
+            # blocks instead of leaking them for the session's lifetime
+            # (r13 checkpoint hygiene, guide §5)
+            from ..functions.ckpt import release_local_checkpoint
+
+            release_local_checkpoint(feats)
     finally:
         labeled.unpersist()

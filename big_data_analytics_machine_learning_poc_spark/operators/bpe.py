@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..functions.localrows import local_rows_df
 from ..registry import QueryRegistry
 from .text import TOKENS_SQL, tokens_col
 
@@ -190,8 +191,8 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The learned BPE merge table (first N_MERGES merges) as a DataFrame —
     see ``learn_bpe_merges`` for the algorithm and scale shape."""
     rows = learn_bpe_merges(spark, sf_dir)
-    return spark.createDataFrame(
-        rows, "merge_rank int, lhs string, rhs string, merged string, pair_count bigint"
+    return local_rows_df(
+        spark, rows, "merge_rank int, lhs string, rhs string, merged string, pair_count bigint"
     ).orderBy("merge_rank")
 
 

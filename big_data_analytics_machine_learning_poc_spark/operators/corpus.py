@@ -27,6 +27,7 @@ from ..functions.hashing import (
     md5_hash60_sql,
 )
 from ..functions.windows import ranked
+from ..functions.localrows import local_rows_df
 from ..registry import QueryRegistry
 from .dedup import bigram_shingles, _BIGRAMS_SQL
 from .text import (
@@ -954,7 +955,7 @@ def corpus_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     occ = toks.select(F.posexplode(_cms_buckets_col(F.col("tok"))).alias("d", "w"))
     sketch = occ.groupBy("d", "w").agg(F.count(F.lit(1)).alias("c"))
-    probes = spark.createDataFrame([(t,) for t in _CMS_PROBES], "token string")
+    probes = local_rows_df(spark, [(t,) for t in _CMS_PROBES], "token string")
     pb = probes.select(
         "token", F.posexplode(_cms_buckets_col(F.col("token"))).alias("d", "w")
     )

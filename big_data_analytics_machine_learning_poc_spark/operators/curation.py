@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from ..catalog import load_table
 from ..functions.hashing import md5_hash32_sql
 from ..functions.vector import cosine, dot, l2_norm
+from ..functions.localrows import local_rows_df
 from ..registry import QueryRegistry
 from .corpus import _CONTAM_OVERLAP, _SPLIT_SQL, _split_col
 from .dedup import _BIGRAMS_SQL, doc_shingle_hashes
@@ -60,7 +61,8 @@ def semdedup(
     model = KMeans(
         k=k, seed=seed, maxIter=max_iter, featuresCol="fv", predictionCol="cluster"
     ).fit(fitted)
-    centroids = spark.createDataFrame(
+    centroids = local_rows_df(
+        spark,
         [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
         "cluster int, centroid array<double>",
     )

@@ -1248,6 +1248,8 @@ def connected_components(edges: DataFrame) -> DataFrame:
     # Lineage truncation (the reason these checkpoints exist) is identical;
     # Spark's local checkpointer backfills any partition the first action
     # skipped before truncating. (r12)
+    from ..functions.ckpt import release_local_checkpoint
+
     sym = sym.localCheckpoint(eager=False)  # computed once; reused every round
     labels = (
         sym.select(F.col("src").alias("doc")).distinct().withColumn("lab", F.col("doc"))
@@ -1268,6 +1270,11 @@ def connected_components(edges: DataFrame) -> DataFrame:
             .limit(1)
             .count()
         )
+        # the changed-count job above materialized `new`; the previous
+        # round's label vector has no remaining consumer — release its
+        # blocks instead of leaking one per round for the session's
+        # lifetime (r13 checkpoint hygiene, guide §5)
+        release_local_checkpoint(labels)
         labels = new
         if changed == 0:
             break

@@ -6,9 +6,12 @@ propagation — the canonical join-agg-per-iteration workload (SURVEY §2
 has no reference counterpart; BASELINE.json extension surface).
 
 Graph: the customer -> supplier procurement network, edges = distinct
-(c_custkey, l_suppkey) pairs reachable through orders + lineitem. Node
-ids are namespaced strings ("c:123" / "s:45") so the two key spaces
-can't collide.
+(c_custkey, l_suppkey) pairs reachable through orders + lineitem. The
+two key spaces can't collide because the lane packs them into one
+BIGINT id space by parity (c:k -> 2k, s:k -> 2k+1; r12, guide §2.3
+narrow shuffle keys) for the whole iteration loop; the display labels
+("c:123" / "s:45") are reconstructed once, on the 20-row result, after
+the loop.
 
 Scale shape per iteration: one equi-join of the rank vector against the
 edge list (both partitioned by the join key) + one groupBy(dst) partial
@@ -30,6 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..functions.ckpt import release_local_checkpoint
 from ..registry import QueryRegistry
 
 REG = QueryRegistry()
@@ -66,6 +70,31 @@ def pagerank(
     the n_nodes count / first iteration materialize them anyway, which
     trims the one-shot (cold) path ~20% with an identical median."""
     spark = edges.sparkSession
+    # r13 co-partitioning postmortem (guide §1.1: the "ideal" plan lost to
+    # the empirical one — measured, rejected, recorded so the next round
+    # does not re-try it). Three variants materialized the loop-invariant
+    # frames hash-partitioned+sorted on their join keys so the
+    # per-iteration joins plan exchange-free (localCheckpoint must be
+    # CREATED with AQE off for the partitioning to be captured at all:
+    # under AQE, Dataset.checkpoint reads UnknownPartitioning(0) off the
+    # AdaptiveSparkPlanExec wrapper). All three verified byte-identical
+    # 6dp rank vectors and all three LOST at sf0.1 (quiet box, 3 runs):
+    #   - fully static AQE-off loop, ckpt_every=5: 22.8-23.5 s — with the
+    #     exchanges gone there are no stage-reuse boundaries, so the
+    #     doubled per-iteration rank reference (dangling + contribs) is
+    #     RECOMPUTED ~2^5 times between checkpoints;
+    #   - fully static, ckpt_every=1: 10.6-11.6 s — recompute fixed, but
+    #     10 materialization jobs replace 2;
+    #   - partitioned setup ckpts consumed under AQE, ckpt_every=5:
+    #     12.2-13.4 s — the exchange-free wedges side is no longer a query
+    #     stage, so AQE can neither broadcast the small rank vector into
+    #     the join nor reuse the doubled subtree.
+    # vs THIS shape same session: 4.9-6.5 s. AQE's runtime broadcast of
+    # the n_nodes-row rank vector plus exchange-boundary stage reuse beats
+    # exchange elimination while the rank vector is broadcastable; at a
+    # scale where it is not (multi-billion-node graphs), revisit the
+    # static co-partitioned rendering — its cost model flips when the
+    # broadcast does.
     # Checkpoint edges FIRST, then derive nodes from the checkpointed
     # frame: nodes-before-edges ran the caller's upstream edge build (for
     # the procurement lane a 587k-row join+distinct) TWICE — once into the
@@ -94,12 +123,21 @@ def pagerank(
         outdeg, nodes.node == outdeg.src, "left_anti"
     ).localCheckpoint(eager=False)
     ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
+    prev_ckpt = None  # superseded rank checkpoints are released (§5 hygiene)
     for i in range(iterations):
         # one action per ckpt_every iterations: the checkpoint materializes
         # the accumulated lazy updates (dangling aggregates + contribs
         # joins + rank rebuilds); nothing is ever collected mid-loop
         if i % ckpt_every == 0:
             ranks = ranks.localCheckpoint()
+            if prev_ckpt is not None:
+                # the eager checkpoint above just materialized FROM the
+                # previous one — its blocks have no remaining consumer.
+                # Without this, every pagerank call leaks one rank vector
+                # per ckpt_every iterations for the session's lifetime
+                # (r13; the r12 sweep's late-lane drift, guide §5).
+                release_local_checkpoint(prev_ckpt)
+            prev_ckpt = ranks
         # dangling mass: rank that would leak from nodes with no out-edges,
         # handed back uniformly. Computed as a LAZY 1-row aggregate and
         # attached by broadcast (the scalar-subquery shape, declared in
@@ -148,20 +186,26 @@ def graph_pagerank_procurement(spark: SparkSession, sf_dir: str) -> DataFrame:
     # BIGINT by parity (c:k -> 2k, s:k -> 2k+1) shuffles 8 fixed bytes
     # instead of a 6-10 char string and compares longs instead of strings
     # in every join/groupBy; the display form is reconstructed once, on
-    # the 16k-row result, after the loop. Measured 7.12 -> 5.36 s median
-    # (r12); full 6dp rank vector byte-identical at sf0.01 and sf0.1.
+    # the 16k-row result, after the loop. The r12 matched-load A/B
+    # (DIAG/t_pr_{str,str2,str3,int,int2,int3}.json) read int 7.44-8.43 s
+    # STABLE vs str 7.12-10.23 s wild — a wash on idle medians, kept for
+    # the stability and the strictly narrower key at scale. Full 6dp rank
+    # vector byte-identical at sf0.01 and sf0.1.
+    # cast to long BEFORE doubling (an int32-keyed table near 2^30 would
+    # overflow pre-cast) and rebuild labels with integral div, not double
+    # division (exact only below 2^53) — r13 hygiene, VERDICT r12 #4
     edges = (
         orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
         .select(
-            (F.col("o_custkey") * 2).alias("src"),
-            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+            (F.col("o_custkey").cast("long") * 2).alias("src"),
+            (F.col("l_suppkey").cast("long") * 2 + 1).alias("dst"),
         )
         .distinct()
     )
     node_label = F.when(
         F.col("node") % 2 == 0,
-        F.concat(F.lit("c:"), (F.col("node") / 2).cast("long")),
-    ).otherwise(F.concat(F.lit("s:"), ((F.col("node") - 1) / 2).cast("long")))
+        F.concat(F.lit("c:"), F.expr("node div 2")),
+    ).otherwise(F.concat(F.lit("s:"), F.expr("(node - 1) div 2")))
     return (
         pagerank(edges, iterations=10)
         .select(node_label.alias("node"), F.round("rank", 6).alias("rank"))

@@ -167,8 +167,7 @@ def iceberg_dml_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from ..sources.iceberg_lite import compact_iceberg, read_iceberg, write_iceberg
-    from ..sources.lakehouse import delete_rows, update_rows
-    from ..streaming.events import spill_to_session_parquet
+    from ..sources.lakehouse import delete_rows, union_audit, update_rows
 
     cust = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_mktsegment", "c_acctbal"
@@ -186,22 +185,35 @@ def iceberg_dml_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "iceberg_dml_audit expected outstanding delete debt to "
                 "trigger compaction"
             )
-        rows = []
-        for version, snap_id in enumerate((s1, s2, s3, s4), start=1):
-            snap = read_iceberg(spark, table, snapshot_id=snap_id)
-            agg = snap.agg(
-                F.count(F.lit(1)).alias("n"),
-                F.coalesce(F.sum("c_custkey"), F.lit(0)).alias("s"),
-                F.coalesce(
-                    F.sum((F.col("c_mktsegment") == "VIP").cast("long")), F.lit(0)
-                ).alias("v"),
-            ).first()
-            rows.append((version, int(agg["n"]), int(agg["s"]), int(agg["v"])))
+        # all four snapshot audits as ONE job (union_audit; r13 — was one
+        # .first() round trip per snapshot + a sliced createDataFrame)
+        return union_audit(
+            [
+                read_iceberg(spark, table, snapshot_id=snap_id)
+                .agg(
+                    F.count(F.lit(1)).cast("long").alias("n_rows"),
+                    F.coalesce(F.sum("c_custkey"), F.lit(0))
+                    .cast("long")
+                    .alias("sum_custkey"),
+                    F.coalesce(
+                        F.sum((F.col("c_mktsegment") == "VIP").cast("long")),
+                        F.lit(0),
+                    )
+                    .cast("long")
+                    .alias("n_vip"),
+                )
+                .select(
+                    F.lit(version).cast("int").alias("version"),
+                    "n_rows",
+                    "sum_custkey",
+                    "n_vip",
+                )
+                for version, snap_id in enumerate((s1, s2, s3, s4), start=1)
+            ],
+            "iceberg_dml_audit",
+        )
     finally:
         shutil.rmtree(table, ignore_errors=True)
-    return spark.createDataFrame(
-        rows, schema="version int, n_rows long, sum_custkey long, n_vip long"
-    ).orderBy("version")
 
 
 @REG.add(
@@ -250,7 +262,7 @@ def iceberg_merge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from ..sources.iceberg_lite import read_iceberg, write_iceberg
-    from ..sources.lakehouse import delete_rows, merge_rows
+    from ..sources.lakehouse import delete_rows, merge_rows, union_audit
 
     cust = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_mktsegment", "c_acctbal"
@@ -266,22 +278,34 @@ def iceberg_merge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         s3 = merge_rows(
             spark, "iceberg", table, updates.unionByName(reinserts), ["c_custkey"]
         )
-        rows = []
-        for version, snap_id in enumerate((s1, s2, s3), start=1):
-            snap = read_iceberg(spark, table, snapshot_id=snap_id)
-            agg = snap.agg(
-                F.count(F.lit(1)).alias("n"),
-                F.coalesce(F.sum("c_custkey"), F.lit(0)).alias("s"),
-                F.coalesce(
-                    F.sum((F.col("c_mktsegment") == "MERGED").cast("long")), F.lit(0)
-                ).alias("m"),
-            ).first()
-            rows.append((version, int(agg["n"]), int(agg["s"]), int(agg["m"])))
+        # all three snapshot audits as ONE job (union_audit, r13)
+        return union_audit(
+            [
+                read_iceberg(spark, table, snapshot_id=snap_id)
+                .agg(
+                    F.count(F.lit(1)).cast("long").alias("n_rows"),
+                    F.coalesce(F.sum("c_custkey"), F.lit(0))
+                    .cast("long")
+                    .alias("sum_custkey"),
+                    F.coalesce(
+                        F.sum((F.col("c_mktsegment") == "MERGED").cast("long")),
+                        F.lit(0),
+                    )
+                    .cast("long")
+                    .alias("n_merged"),
+                )
+                .select(
+                    F.lit(version).cast("int").alias("version"),
+                    "n_rows",
+                    "sum_custkey",
+                    "n_merged",
+                )
+                for version, snap_id in enumerate((s1, s2, s3), start=1)
+            ],
+            "iceberg_merge_audit",
+        )
     finally:
         shutil.rmtree(table, ignore_errors=True)
-    return spark.createDataFrame(
-        rows, schema="version int, n_rows long, sum_custkey long, n_merged long"
-    ).orderBy("version")
 
 
 @REG.add(
@@ -329,6 +353,7 @@ def iceberg_upsert_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from ..sources.iceberg_lite import compact_iceberg, read_iceberg, upsert_by_key, write_iceberg
+    from ..sources.lakehouse import union_audit
 
     cust = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_mktsegment", "c_acctbal"
@@ -350,19 +375,31 @@ def iceberg_upsert_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "iceberg_upsert_audit expected equality-delete debt to "
                 "trigger compaction"
             )
-        rows = []
-        for version, snap_id in enumerate((s1, s2, s3), start=1):
-            snap = read_iceberg(spark, table, snapshot_id=snap_id)
-            agg = snap.agg(
-                F.count(F.lit(1)).alias("n"),
-                F.coalesce(F.sum("c_custkey"), F.lit(0)).alias("s"),
-                F.coalesce(
-                    F.sum((F.col("c_mktsegment") == "UP").cast("long")), F.lit(0)
-                ).alias("u"),
-            ).first()
-            rows.append((version, int(agg["n"]), int(agg["s"]), int(agg["u"])))
+        # all three snapshot audits as ONE job (union_audit, r13)
+        return union_audit(
+            [
+                read_iceberg(spark, table, snapshot_id=snap_id)
+                .agg(
+                    F.count(F.lit(1)).cast("long").alias("n_rows"),
+                    F.coalesce(F.sum("c_custkey"), F.lit(0))
+                    .cast("long")
+                    .alias("sum_custkey"),
+                    F.coalesce(
+                        F.sum((F.col("c_mktsegment") == "UP").cast("long")),
+                        F.lit(0),
+                    )
+                    .cast("long")
+                    .alias("n_upserted"),
+                )
+                .select(
+                    F.lit(version).cast("int").alias("version"),
+                    "n_rows",
+                    "sum_custkey",
+                    "n_upserted",
+                )
+                for version, snap_id in enumerate((s1, s2, s3), start=1)
+            ],
+            "iceberg_upsert_audit",
+        )
     finally:
         shutil.rmtree(table, ignore_errors=True)
-    return spark.createDataFrame(
-        rows, schema="version int, n_rows long, sum_custkey long, n_upserted long"
-    ).orderBy("version")

@@ -39,6 +39,7 @@ from pyspark.sql.window import Window
 
 from ..catalog import load_table
 from ..functions.windows import ranked
+from ..functions.localrows import local_rows_df
 from ..registry import QueryRegistry
 from ..streaming import events as sev  # module-level: rotation closure hash
 from .text import TOKENS_SQL, tokens_col
@@ -1398,8 +1399,8 @@ def emb_pca_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev = float(evals[c])
         cum += ev
         out.append((c + 1, round(ev, 9), round(ev / total, 6), round(cum / total, 6)))
-    return spark.createDataFrame(
-        out, "component int, eigenvalue double, evr double, cum_evr double"
+    return local_rows_df(
+        spark, out, "component int, eigenvalue double, evr double, cum_evr double"
     )
 
 
@@ -1820,7 +1821,7 @@ def ml_gbt_spam(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("gbt_test_error", round(1.0 - acc, 6)),
         ("n_trees", float(model.stages[-1].getNumTrees)),
     ]
-    return spark.createDataFrame(rows, "metric string, value double")
+    return local_rows_df(spark, rows, "metric string, value double")
 
 
 _ALS_TOPK = 3

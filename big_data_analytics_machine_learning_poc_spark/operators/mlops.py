@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..functions.localrows import local_rows_df
 from ..registry import QueryRegistry
 
 REG = QueryRegistry()
@@ -64,7 +65,12 @@ def ml_lr_rmse(spark: SparkSession, sf_dir: str) -> DataFrame:
     rmse = RegressionEvaluator(
         labelCol="label", predictionCol="prediction", metricName="rmse"
     ).evaluate(model.transform(test))
-    return spark.createDataFrame([(float(rmse),)], ["rmse"])
+    # fit + evaluate both ran; the checkpoint has no remaining consumer —
+    # release its blocks (r13 checkpoint hygiene, guide §5)
+    from ..functions.ckpt import release_local_checkpoint
+
+    release_local_checkpoint(assembled)
+    return local_rows_df(spark, [(float(rmse),)], "rmse double")
 
 
 @REG.add("ml_kmeans_clusters")  # rows-only
@@ -162,7 +168,7 @@ def ml_reference_correlator(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = [("clean_count", float(out["clean_count"]))] + [
         (f"corr_{k}", round(v, 6)) for k, v in sorted(out["correlations"].items())
     ]
-    return spark.createDataFrame(rows, "metric string, value double")
+    return local_rows_df(spark, rows, "metric string, value double")
 
 
 @REG.add("ml_reference_random_forest")  # rows-only
@@ -172,7 +178,7 @@ def ml_reference_random_forest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     out = random_forest.run(fixtures.user_know(spark))
     rows = [("f1", round(out["f1"], 6)), ("n_test", float(out["n_test"]))]
-    return spark.createDataFrame(rows, "metric string, value double")
+    return local_rows_df(spark, rows, "metric string, value double")
 
 
 @REG.add("ml_reference_spam")  # rows-only
@@ -187,7 +193,7 @@ def ml_reference_spam(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("n_train", float(out["n_train"])),
         ("n_test", float(out["n_test"])),
     ]
-    return spark.createDataFrame(rows, "metric string, value double")
+    return local_rows_df(spark, rows, "metric string, value double")
 
 
 @REG.add("ml_reference_tfidf")  # rows-only
@@ -201,7 +207,7 @@ def ml_reference_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("nationality_corr", round(out["nationality_corr"], 6)),
         ("n_test", float(out["n_test"])),
     ]
-    return spark.createDataFrame(rows, "metric string, value double")
+    return local_rows_df(spark, rows, "metric string, value double")
 
 
 @REG.add(
@@ -373,7 +379,7 @@ def ml_auc_rank_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("cnt"), F.sum("pos").alias("npos")
     )
     pref = partitioned_prefix_sum(
-        per_score, "score", "cnt", "_rows_before", num_partitions=8, exclusive=True
+        per_score, "score", "cnt", "_rows_before", exclusive=True
     )
     contrib = pref.select(
         "cnt",

@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..functions.localrows import local_rows_df
 from ..registry import QueryRegistry
 from ..sources import delta_lite as _delta_lite  # noqa: F401 — module-level so
 # tools/rotation.py's import-closure hash flags these lanes when delta_lite changes
@@ -202,9 +203,10 @@ def obs_ingest_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     observed.write.format("noop").mode("overwrite").save()
     m = obs.get
     names = ("n_rows", "n_purchases", "value_cents", "min_user", "max_user")
-    return spark.createDataFrame(
+    return local_rows_df(
+        spark,
         [tuple(int(m[n]) for n in names)],
-        schema="n_rows long, n_purchases long, value_cents long, "
+        "n_rows long, n_purchases long, value_cents long, "
         "min_user long, max_user long",
     )
 
@@ -292,6 +294,7 @@ def delta_snapshot_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from ..sources.delta_lite import read_delta, snapshot_summary, write_delta
+    from ..sources.lakehouse import union_audit
 
     # repartition by the partition column first: one file per lang per
     # commit instead of (input partitions × langs) tiny files — the same
@@ -307,16 +310,25 @@ def delta_snapshot_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_delta(docs, table, mode="overwrite", partition_cols=["lang"])
         write_delta(docs.filter(F.col("source") == "src0"), table, mode="append")
         write_delta(docs.filter(F.col("lang") == "en"), table, mode="overwrite")
-        rows = []
-        for version in (0, 1, 2):
-            scanned = read_delta(spark, table, version=version).count()
-            logged = snapshot_summary(table, version=version)["n_records"]
-            rows.append((version, scanned, logged))
+        # the three version scans as ONE job (union_audit, r13); the
+        # log-claimed counts are driver-side metadata, attached as literals
+        return union_audit(
+            [
+                read_delta(spark, table, version=version)
+                .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+                .select(
+                    F.lit(version).cast("int").alias("version"),
+                    "n_rows",
+                    F.lit(snapshot_summary(table, version=version)["n_records"])
+                    .cast("long")
+                    .alias("n_rows_logged"),
+                )
+                for version in (0, 1, 2)
+            ],
+            "delta_snapshot_audit",
+        )
     finally:
         shutil.rmtree(table, ignore_errors=True)
-    return spark.createDataFrame(
-        rows, schema="version int, n_rows long, n_rows_logged long"
-    ).orderBy("version")
 
 
 @REG.add(
@@ -363,6 +375,7 @@ def delta_merge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from ..sources.delta_lite import delete_where, merge_delta, read_delta, write_delta
+    from ..sources.lakehouse import union_audit
 
     cust = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_mktsegment", "c_acctbal"
@@ -378,22 +391,34 @@ def delta_merge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         reinserts = cust.filter(F.col("c_custkey") % 10 == 3)
         merge_delta(spark, table, updates.unionByName(reinserts), ["c_custkey"])
-        rows = []
-        for version in (0, 1, 2):
-            snap = read_delta(spark, table, version=version)
-            agg = snap.agg(
-                F.count(F.lit(1)).alias("n"),
-                F.coalesce(F.sum("c_custkey"), F.lit(0)).alias("s"),
-                F.coalesce(
-                    F.sum((F.col("c_mktsegment") == "MERGED").cast("long")), F.lit(0)
-                ).alias("m"),
-            ).first()
-            rows.append((version, int(agg["n"]), int(agg["s"]), int(agg["m"])))
+        # all three version audits as ONE job (union_audit, r13)
+        return union_audit(
+            [
+                read_delta(spark, table, version=version)
+                .agg(
+                    F.count(F.lit(1)).cast("long").alias("n_rows"),
+                    F.coalesce(F.sum("c_custkey"), F.lit(0))
+                    .cast("long")
+                    .alias("sum_custkey"),
+                    F.coalesce(
+                        F.sum((F.col("c_mktsegment") == "MERGED").cast("long")),
+                        F.lit(0),
+                    )
+                    .cast("long")
+                    .alias("n_merged"),
+                )
+                .select(
+                    F.lit(version).cast("int").alias("version"),
+                    "n_rows",
+                    "sum_custkey",
+                    "n_merged",
+                )
+                for version in (0, 1, 2)
+            ],
+            "delta_merge_audit",
+        )
     finally:
         shutil.rmtree(table, ignore_errors=True)
-    return spark.createDataFrame(
-        rows, schema="version int, n_rows long, sum_custkey long, n_merged long"
-    ).orderBy("version")
 
 
 @REG.add(
@@ -622,8 +647,6 @@ def delta_optimize_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    from ..streaming.events import spill_to_session_parquet
-
     cust = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_nationkey", "c_acctbal"
     )
@@ -632,18 +655,25 @@ def delta_optimize_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         _delta_lite.write_delta(cust.repartition(8, "c_acctbal"), table)
         _delta_lite.optimize_zorder(spark, table, ["c_custkey", "c_nationkey"], n_files=8)
         _delta_lite.compact_table(spark, table, min_files_per_partition=2)
-        rows = []
-        for version in (0, 1, 2):
-            snap = _delta_lite.read_delta(spark, table, version=version)
-            agg = snap.agg(
-                F.count(F.lit(1)).alias("n"),
-                F.sum("c_custkey").alias("s"),
-            ).first()
-            rows.append((version, int(agg["n"]), int(agg["s"])))
-        out = spark.createDataFrame(
-            rows, schema="version int, n_rows long, sum_custkey long"
-        ).orderBy("version")
-        return spill_to_session_parquet(out, "delta_opt")
+        from ..sources.lakehouse import union_audit
+
+        # all three version audits as ONE job (union_audit, r13)
+        return union_audit(
+            [
+                _delta_lite.read_delta(spark, table, version=version)
+                .agg(
+                    F.count(F.lit(1)).cast("long").alias("n_rows"),
+                    F.sum("c_custkey").cast("long").alias("sum_custkey"),
+                )
+                .select(
+                    F.lit(version).cast("int").alias("version"),
+                    "n_rows",
+                    "sum_custkey",
+                )
+                for version in (0, 1, 2)
+            ],
+            "delta_opt",
+        )
     finally:
         shutil.rmtree(table, ignore_errors=True)
 
@@ -721,22 +751,36 @@ def delta_dml_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "delta_dml_audit expected outstanding deletion vectors at "
                 "purge time — the dv-mode delete fell back to copy-on-write"
             )
-        rows = []
-        for version in (0, 1, 2, 3):
-            snap = read_delta(spark, table, version=version)
-            agg = snap.agg(
-                F.count(F.lit(1)).alias("n"),
-                F.coalesce(F.sum("c_custkey"), F.lit(0)).alias("s"),
-                F.coalesce(
-                    F.sum((F.col("c_mktsegment") == "VIP").cast("long")), F.lit(0)
-                ).alias("v"),
-            ).first()
-            rows.append((version, int(agg["n"]), int(agg["s"]), int(agg["v"])))
+        from ..sources.lakehouse import union_audit
+
+        # all four version audits as ONE job (union_audit, r13)
+        return union_audit(
+            [
+                read_delta(spark, table, version=version)
+                .agg(
+                    F.count(F.lit(1)).cast("long").alias("n_rows"),
+                    F.coalesce(F.sum("c_custkey"), F.lit(0))
+                    .cast("long")
+                    .alias("sum_custkey"),
+                    F.coalesce(
+                        F.sum((F.col("c_mktsegment") == "VIP").cast("long")),
+                        F.lit(0),
+                    )
+                    .cast("long")
+                    .alias("n_vip"),
+                )
+                .select(
+                    F.lit(version).cast("int").alias("version"),
+                    "n_rows",
+                    "sum_custkey",
+                    "n_vip",
+                )
+                for version in (0, 1, 2, 3)
+            ],
+            "delta_dml_audit",
+        )
     finally:
         shutil.rmtree(table, ignore_errors=True)
-    return spark.createDataFrame(
-        rows, schema="version int, n_rows long, sum_custkey long, n_vip long"
-    ).orderBy("version")
 
 
 @REG.add(

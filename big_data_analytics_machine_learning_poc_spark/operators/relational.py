@@ -39,6 +39,7 @@ from ..functions.exact import (
     sum_revenue,
     sum_revenue_sql,
 )
+from ..functions.localrows import local_rows_df
 from ..registry import QueryRegistry
 from .text import TOKENS_SQL
 
@@ -922,8 +923,8 @@ def split_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     RandomForest.java:65-67, SpamClassification.java:42-44 — all unseeded
     there; we always seed, SURVEY §2.6)."""
     train, test = _t(spark, sf_dir, "orders").randomSplit([0.7, 0.3], seed=42)
-    return spark.createDataFrame(
-        [("train", train.count()), ("test", test.count())], ["split", "n"]
+    return local_rows_df(
+        spark, [("train", train.count()), ("test", test.count())], "split string, n long"
     )
 
 
@@ -2028,7 +2029,7 @@ def corr_matrix_onepass(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rounding stays an ENGINE expression (Spark HALF_UP == the oracle's
     # ROUND; Python's round() is banker's and could differ at a .5 tie)
     return (
-        spark.createDataFrame(pairs, "pair string, r_raw double")
+        local_rows_df(spark, pairs, "pair string, r_raw double")
         .select("pair", F.round("r_raw", 6).alias("r"))
         .orderBy("pair")
     )
@@ -2256,8 +2257,11 @@ def parts_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fused prefix pass computes both — one range shuffle + one checkpoint
     # + one totals collect instead of two of each (r12; the stacked form
     # re-range-partitioned the first pass's output on the same key)
+    # partition count derives from defaultParallelism inside the helper
+    # (r13, VERDICT r12 #2): a literal 16 was a serialization point at
+    # scale — the totals collect is O(partitions), so scaling it is cheap
     ranked = partitioned_prefix_sums(
-        keyed, "_ord", [("rev_cents", "cum_cents"), (F.lit(1), "rnk")], 16
+        keyed, "_ord", [("rev_cents", "cum_cents"), (F.lit(1), "rnk")]
     )
     # grand total summed over the prefix helper's localCheckpoint'ed
     # per-part frame, NOT a second lineitem scan+agg; summing rev_cents

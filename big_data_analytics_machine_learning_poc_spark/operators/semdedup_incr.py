@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..functions.vector import cosine, dot, l2_norm
+from ..functions.localrows import local_rows_df
 from ..registry import QueryRegistry
 
 REG = QueryRegistry()
@@ -58,7 +59,8 @@ def fit_semdedup_index(
     model = KMeans(
         k=k, seed=seed, maxIter=max_iter, featuresCol="fv", predictionCol="cluster"
     ).fit(fitted)
-    centroids = spark.createDataFrame(
+    centroids = local_rows_df(
+        spark,
         [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
         "cluster int, centroid array<double>",
     )

@@ -949,6 +949,12 @@ def stream_from_delta_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                 table,
                 mode="append" if i else "overwrite",
             )
+        # all three commits landed; the checkpointed slice has no further
+        # consumer (the stream below reads the delta TABLE) — release its
+        # blocks (r13 checkpoint hygiene, guide §5)
+        from ..functions.ckpt import release_local_checkpoint
+
+        release_local_checkpoint(ev)
         stream = spark.readStream.format("delta_lite_stream").load(table)
         agg = stream.groupBy("event_type").agg(
             F.count(F.lit(1)).alias("n"),

@@ -1124,7 +1124,11 @@ def _read_adds(spark: SparkSession, table: str, meta: dict, adds: list[dict]) ->
         pairs = [
             (os.path.basename(a["path"]), i) for a in dv_adds for i in _dv_indices(a)
         ]
-        deleted = spark.createDataFrame(pairs, "_dl_fname string, _dl_ridx long")
+        from ..functions.localrows import local_rows_df
+
+        # driver-bounded DV index list as one Arrow batch (r13: the sliced
+        # Python-RDD form cost a worker round trip per slice per broadcast)
+        deleted = local_rows_df(spark, pairs, "_dl_fname string, _dl_ridx long")
         out_cols = df.columns
         df = (
             df.withColumn("_dl_fname", F.col("_metadata.file_name"))
@@ -2283,6 +2287,14 @@ def merge_delta(
     )
     version = latest + 1
     _commit(table, version, actions)
+    # every consumer of the merge's intermediate checkpoints (CDF staging,
+    # keep-side rewrite, new-file staging, constraint agg) ran above —
+    # release their blocks instead of leaking five frames per MERGE for
+    # the session's lifetime (r13 checkpoint hygiene, guide §5)
+    from ..functions.ckpt import release_local_checkpoint
+
+    for _ckpt in (src, pairs, keys_frame, inserts, new_rows):
+        release_local_checkpoint(_ckpt)
     return version
 
 

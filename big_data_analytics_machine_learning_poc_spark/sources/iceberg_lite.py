@@ -2079,9 +2079,15 @@ def _attach_data_seq(spark: SparkSession, df: DataFrame, plan: dict) -> DataFram
     no extra action or shuffle."""
     from pyspark.sql import functions as F
 
-    seq_df = spark.createDataFrame(
+    from ..functions.localrows import local_rows_df
+
+    # O(files) driver map as ONE Arrow batch, not a defaultParallelism-
+    # sliced Python RDD: the broadcast build job otherwise pays one Python
+    # worker round trip per slice for a kilobyte of rows (r13 jobprof)
+    seq_df = local_rows_df(
+        spark,
         [(p, s) for p, s in plan["file_seqs"].items()],
-        schema="_ice_seq_file string, _ice_data_seq long",
+        "_ice_seq_file string, _ice_data_seq long",
     )
     joined = df.join(
         F.broadcast(seq_df), df[_LIN_FILE] == seq_df["_ice_seq_file"], "left"
@@ -2821,6 +2827,11 @@ def update_where(
     )
     spec_fields = _partition_spec(meta)
     staged_data, part_cols = _stage_partitioned(new_rows, table, meta, spec_fields)
+    # both staging writes consumed the matched-rows checkpoint — release
+    # its blocks (r13 hygiene, guide §5)
+    from ..functions.ckpt import release_local_checkpoint
+
+    release_local_checkpoint(hits)
     field_types = _field_types(meta)
     schema_json = _schema_by_id(meta)
     name_to_field = _phys_name_to_field(meta, schema_json)
@@ -2991,6 +3002,12 @@ def merge_iceberg(
     new_rows = mc.union_all(new_frames)
     spec_fields = _partition_spec(meta)
     staged_data, part_cols = _stage_partitioned(new_rows, table, meta, spec_fields)
+    # both staging writes ran — the merge's intermediate checkpoints have
+    # no remaining consumer; release their blocks (r13 hygiene, guide §5)
+    from ..functions.ckpt import release_local_checkpoint
+
+    release_local_checkpoint(src)
+    release_local_checkpoint(pairs)
     if not staged_del and sum(s[2]["numRecords"] for s in staged_data) == 0:
         # empty source, no matches: un-publish the (empty) staged files —
         # never referenced by any manifest, so removal is invisible

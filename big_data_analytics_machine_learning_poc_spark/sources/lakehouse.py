@@ -78,6 +78,26 @@ def write_table(df: DataFrame, fmt: str, path: str, mode: str = "overwrite") -> 
     df.write.format(fmt).mode(mode).save(path)
 
 
+def union_audit(branches: list[DataFrame], tag: str, order_col: str = "version") -> DataFrame:
+    """Assemble a per-version audit result as ONE Spark job (r13, guide
+    §1.2 "don't compute things twice" at the job level): union the
+    single-row per-snapshot aggregate ``branches`` and spill the union to
+    session-scoped parquet — the audited table usually lives in a tempdir
+    that dies before the caller collects, so the returned frame must not
+    reference it. The prior shape — ``.first()`` per version, then
+    ``createDataFrame(rows)`` — paid one driver round trip per snapshot
+    plus a defaultParallelism-sliced Python-RDD assembly; the union runs
+    every snapshot's scan in one job (branches schedule concurrently) and
+    the spilled read is JVM-only. Rows, schema and values are identical —
+    branches carry the same casts the row-assembly schema applied."""
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionByName(b)
+    from ..streaming.events import spill_to_session_parquet
+
+    return spill_to_session_parquet(out, tag).orderBy(order_col)
+
+
 def _require_lite_dml(spark: SparkSession, fmt: str) -> None:
     if fmt not in ("delta", "iceberg"):
         raise NotImplementedError(

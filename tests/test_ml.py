@@ -208,4 +208,11 @@ def test_pagerank_lane_integer_ids_match_string_build(spark):
         .limit(20)
         .collect()
     ]
-    assert got == want
+    # tolerance compare, not exact equality (ADVICE r12): the two builds
+    # shuffle on different key types (long vs string), so float partial
+    # sums can differ in the last bits — a rank at a 0.5e-6 rounding
+    # boundary may flip a 6th-dp digit without being wrong
+    assert {n for n, _ in got} == {n for n, _ in want}
+    want_by_node = dict(want)
+    for n, r in got:
+        assert abs(r - want_by_node[n]) <= 1e-6, (n, r, want_by_node[n])

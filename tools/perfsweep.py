@@ -52,10 +52,26 @@ def build_session(cpus: int):
     return get_session("perfsweep", cpus=cpus)
 
 
-def sweep(sf_dir: str, only: list[str], runs: int, cpus: int) -> dict:
+def sweep(
+    sf_dir: str, only: list[str], runs: int, cpus: int, unpersist: bool = False
+) -> dict:
     import __spark_entry__ as entry
 
     spark = build_session(cpus)
+    if unpersist:
+        # storage hygiene between runs (r13, VERDICT r12 #3): each run
+        # leaks its own localCheckpoint blocks — by design they live until
+        # the session dies — and a 268-lane sweep accumulates hundreds,
+        # drifting LATE lanes 2-4x above their isolated medians (GC /
+        # storage pressure, the r12 postmortem). Releasing them after the
+        # timed collect doesn't change what the next run computes (every
+        # run builds fresh checkpoints); it makes a long shared-JVM sweep
+        # measure each lane as the driver's shorter windows do.
+        from big_data_analytics_machine_learning_poc_spark.functions.ckpt import (
+            unpersist_all,
+        )
+    else:
+        unpersist_all = None
     # Measure in MODULE REGISTRATION order, not entry.queries() order:
     # queries() fronts the current driver window, so its order rotates
     # every round — and lane timings are neighborhood-sensitive (streaming
@@ -78,11 +94,15 @@ def sweep(sf_dir: str, only: list[str], runs: int, cpus: int) -> dict:
             t0 = time.perf_counter()
             n_rows = len(fn(spark, sf_dir).collect())  # warm-up / one-shot
             oneshot = time.perf_counter() - t0
+            if unpersist_all is not None:
+                unpersist_all(spark)
             times = []
             for _ in range(runs):
                 t0 = time.perf_counter()
                 fn(spark, sf_dir).collect()
                 times.append(time.perf_counter() - t0)
+                if unpersist_all is not None:
+                    unpersist_all(spark)
             results[name] = {
                 "median_s": round(statistics.median(times), 4),
                 "oneshot_s": round(oneshot, 4),
@@ -100,6 +120,7 @@ def sweep(sf_dir: str, only: list[str], runs: int, cpus: int) -> dict:
         "sf_dir": sf_dir,
         "cpus": cpus,
         "runs": runs,
+        "unpersist_between_runs": unpersist,
         "loadavg_start": os.getloadavg(),
         "lanes": results,
     }
@@ -177,9 +198,15 @@ def main() -> int:
     ap.add_argument("--baseline", default=None)
     ap.add_argument("--tolerance", type=float, default=3.0)
     ap.add_argument("--write-baseline", default=None)
+    ap.add_argument(
+        "--unpersist",
+        action="store_true",
+        help="release all persistent RDD blocks between runs (checkpoint "
+        "hygiene; keeps late lanes from drifting in a long sweep)",
+    )
     args = ap.parse_args()
 
-    report = sweep(args.sf_dir, args.lanes, args.runs, args.cpus)
+    report = sweep(args.sf_dir, args.lanes, args.runs, args.cpus, args.unpersist)
     out_path = args.out or args.write_baseline
     if out_path:
         # subset --write-baseline MERGES into an existing baseline instead
@@ -201,7 +228,9 @@ def main() -> int:
             report,
             args.baseline,
             args.tolerance,
-            remeasure=lambda names: sweep(args.sf_dir, names, args.runs, args.cpus),
+            remeasure=lambda names: sweep(
+                args.sf_dir, names, args.runs, args.cpus, args.unpersist
+            ),
         )
     return 0
 
