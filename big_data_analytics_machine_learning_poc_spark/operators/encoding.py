@@ -227,7 +227,16 @@ def hashingtf_idf_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     toks = Tokenizer(inputCol="text", outputCol="tokens").transform(docs)
-    tf = HashingTF(inputCol="tokens", outputCol="tf", numFeatures=1000).transform(toks)
+    # two consumers (the IDF document-frequency fit and the returned
+    # transform) otherwise each replay the tokenize→HashingTF chain from
+    # the parquet scan; MLlib's IDF does not cache its input (r13, the
+    # ml_lr_rmse/tfidf discipline). Lazy: the fit materializes it. The
+    # checkpoint is NOT released — the returned frame still reads it.
+    tf = (
+        HashingTF(inputCol="tokens", outputCol="tf", numFeatures=1000)
+        .transform(toks)
+        .localCheckpoint(eager=False)
+    )
     idf_model = IDF(inputCol="tf", outputCol="tfidf").fit(tf)
     out = idf_model.transform(tf)
     from pyspark.ml.functions import vector_to_array
