@@ -147,6 +147,12 @@ def incremental_semdedup(
     # computing ``_nrm`` once per row on each join input (linear) leaves
     # one cross-dot fold per pair. Same fold/sqrt/multiply/divide order and
     # zero-norm guard as functions/vector.cosine → identical IEEE values.
+    # Salting this join like curation.semdedup's was TRIED and REJECTED
+    # (r13): the batch-side pair space is small, so replicating ``both``
+    # per salt value cost more than the cluster-key skew it fixed —
+    # measured 2.86-3.07 s unsalted vs 3.23/3.65 s salted (quiet box,
+    # fresh JVMs; byte-identical outputs either way). At a batch size
+    # where the pair pass dominates, apply the curation.semdedup salt.
     a = assigned.withColumn("_nrm", l2_norm(F.col("embedding"))).alias("a")
     b = both.withColumn("_nrm", l2_norm(F.col("embedding"))).alias("b")
     _denom = F.col("a._nrm") * F.col("b._nrm")
